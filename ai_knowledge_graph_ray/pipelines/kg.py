@@ -1,0 +1,133 @@
+"""End-to-end KG construction pipeline (the reference's
+``generate-graph.py`` lifecycle, ``main.py:240-314``, rebuilt as a
+composition of ``Dataset -> Dataset`` phases).
+
+Each phase is callable à la carte (like ``scripts/finalize_graph.py``
+re-runs phases 2-4 on a stored corpus):
+
+    pages --extract_docs--> docs --chunk_docs--> chunks
+          --extract_triples--> triples_raw
+          --standardize_triples--> triples_std        (Phase 2)
+          --infer_relationships--> triples_final      (Phase 3)
+          --edges_table/nodes_table--> edges, nodes   (materialize)
+
+Config mirrors the reference's TOML sections (``config.toml:1-35``):
+``llm``, ``chunking``, ``standardization``, ``inference`` — plus
+Ray-specific ``runtime`` knobs (actor-pool size, batch size, join
+partitions, skew caps).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data
+
+from ..stages.chunk import chunk_docs
+from ..stages.docs import extract_docs
+from ..stages.extract import extract_triples
+from ..stages.canonicalize import standardize_triples
+from ..stages.infer import infer_relationships, with_lineage
+from ..stages.materialize import edges_table, graph_stats, nodes_table
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "llm": {"provider": "mock"},
+    # Reference defaults: config.toml:20-22 (500/50).
+    "chunking": {"chunk_size": 500, "overlap": 50},
+    "standardization": {"enabled": True, "use_llm_for_entities": False, "second_pass": True},
+    "inference": {"enabled": True, "use_llm_for_inference": False},
+    "runtime": {
+        "extract_concurrency": None,   # None -> autoscale (1, cpus-2)
+        "extract_batch_size": 64,
+        "num_partitions": None,        # None -> sized to cluster CPUs
+        "max_fanout_per_mid": None,   # transitive-join skew cap; set at scale
+        "lexical_mode": "auto",
+        "langs": None,                # optional language allow-list
+    },
+}
+
+
+def _merged(config: dict | None) -> dict:
+    cfg = {k: dict(v) for k, v in DEFAULT_CONFIG.items()}
+    for k, v in (config or {}).items():
+        if isinstance(v, dict):
+            cfg.setdefault(k, {}).update(v)
+        else:
+            cfg[k] = v
+    return cfg
+
+
+def build_graph(
+    pages: ray.data.Dataset, config: dict | None = None
+) -> dict[str, Any]:
+    """Run the full pipeline over a ``pages`` dataset.
+
+    Returns ``{"triples": Dataset, "edges": Dataset, "nodes": Dataset,
+    "components": dict, "config": dict}`` — all datasets lazy until
+    consumed. Call :func:`collect_stats` for run metrics.
+    """
+    cfg = _merged(config)
+    rt = cfg["runtime"]
+    if rt.get("extract_concurrency") is None:
+        # Autoscaling actor pool that can never starve the rest of the
+        # pipeline of CPUs (read/shuffle stages need headroom).
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        rt["extract_concurrency"] = (1, max(1, cpus - 2))
+
+    docs = extract_docs(pages, langs=rt.get("langs"))
+    chunks = chunk_docs(
+        docs, cfg["chunking"]["chunk_size"], cfg["chunking"]["overlap"]
+    )
+    triples = extract_triples(
+        chunks,
+        cfg,
+        concurrency=rt["extract_concurrency"],
+        batch_size=rt["extract_batch_size"],
+    )
+    # Phase boundary: Phases 2/3 fan out into several consumers
+    # (entity counts, component residue, transitive self-join, lexical
+    # blocking) — pin the triple table in the object store once so the
+    # expensive extraction stage is not re-executed per consumer. The
+    # triples table is orders of magnitude smaller than the pages
+    # input; at cluster scale this is a spillable object-store pin,
+    # or swap for a Parquet checkpoint via state.checkpoint.
+    if rt.get("materialize_intermediates", True):
+        triples = triples.materialize()
+
+    if cfg["standardization"].get("enabled", True):
+        triples, _alias = standardize_triples(triples, cfg)
+        if rt.get("materialize_intermediates", True):
+            triples = triples.materialize()
+
+    components: dict[str, int] = {}
+    if cfg["inference"].get("enabled", True):
+        triples, components = infer_relationships(
+            triples,
+            cfg,
+            lexical_mode=rt["lexical_mode"],
+            num_partitions=rt["num_partitions"],
+            max_fanout_per_mid=rt["max_fanout_per_mid"],
+        )
+    else:
+        triples = with_lineage(triples, "extracted")
+
+    # The final table feeds three consumers (edges, nodes, stats) —
+    # pin it once.
+    if rt.get("materialize_intermediates", True):
+        triples = triples.materialize()
+
+    edges = edges_table(triples)
+    nodes = nodes_table(edges, components)
+    return {
+        "triples": triples,
+        "edges": edges,
+        "nodes": nodes,
+        "components": components,
+        "config": cfg,
+    }
+
+
+def collect_stats(result: dict[str, Any]) -> dict:
+    return graph_stats(result["edges"], result["nodes"], result["components"])

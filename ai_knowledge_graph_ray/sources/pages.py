@@ -1,0 +1,94 @@
+"""The ``pages`` input table (Common-Crawl-style web pages).
+
+Schema per ``BASELINE.json`` ``input_hint``:
+``url: string, warc_ts: timestamp[us], html: binary, text: string
+(nullable), lang: string``.
+
+Two entry points:
+
+- ``read_pages(path, ...)`` — plain ``ray.data.read_parquet`` with
+  column pruning; the production reader (the reference's single
+  ``--input`` text file, ``main.py:282-284``, becomes one row here).
+- ``pages_from_documents(sf_dir, ...)`` — deterministic synthesizer
+  that lifts the driver's ``documents(doc_id, text, lang, source,
+  n_chars)`` table into the ``pages`` shape (FIXTURES.md "Driver
+  note"): ``url``/``warc_ts`` derived from ``doc_id`` (no wall clock),
+  ``html`` generated with :func:`wrap_html` so the HTML->text stage
+  can be verified byte-identically; a deterministic 2% of rows get a
+  NULL ``text`` to force the extractor path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.html_extract import wrap_html
+
+# Fixed epoch for synthetic warc_ts: 2026-01-01T00:00:00 UTC in micros.
+_WARC_EPOCH_US = 1_767_225_600_000_000
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Read a ``pages`` Parquet table, pruning columns at the read."""
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def _canonical_text(t: str | None) -> str:
+    """Paragraph-normalize so ``extract_text(wrap_html(t)) == t`` holds
+    byte-for-byte (the per-url invariant)."""
+    if not t:
+        return ""
+    return "\n\n".join(p.strip() for p in t.split("\n\n") if p.strip())
+
+
+def _docs_to_pages(batch: pa.Table, null_text: bool = True) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = [_canonical_text(t) for t in batch["text"].to_pylist()]
+    langs = batch["lang"].to_pylist()
+    urls = [f"https://example.org/doc/{d}" for d in doc_ids]
+    ts = pa.array([_WARC_EPOCH_US + int(d) * 137_000_000 for d in doc_ids], pa.timestamp("us"))
+    html = [wrap_html(t, title=f"doc-{d}") for d, t in zip(doc_ids, texts)]
+    # Deterministic 2% of rows: text NULL, recoverable only via the
+    # extractor (drives the per-url byte-identity invariant).
+    out_text = [
+        None if (null_text and int(d) % 50 == 0) else t for d, t in zip(doc_ids, texts)
+    ]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(html, pa.binary()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def pages_from_documents(
+    sf_dir: str, *, null_text: bool = True, **read_kwargs
+) -> ray.data.Dataset:
+    """Synthesize the ``pages`` table from ``{sf_dir}/documents.parquet``.
+
+    Deterministic: url/ts/html are pure functions of (doc_id, text).
+    """
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        **read_kwargs,
+    )
+    return docs.map_batches(
+        _docs_to_pages, batch_format="pyarrow", fn_kwargs={"null_text": null_text}
+    )

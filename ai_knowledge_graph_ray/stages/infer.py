@@ -1,0 +1,519 @@
+"""Phase 3 — relationship inference + inferred-aware dedup.
+
+Behavior parity with ``infer_relationships``
+(``/root/reference/src/knowledge_graph/entity_standardization.py:183-271``)
+and its helpers, re-expressed on Ray Data:
+
+- **Connected components** (``:273-312``): the reference runs a
+  recursive DFS over the in-memory entity graph. Here the *distinct*
+  edge set is aggregated distributively (it is the small residue —
+  unique entity pairs, not triples) and weakly-connected components
+  are computed with an iterative union-find over that residue. The
+  same component labels feed community-capped LLM inference and the
+  materialized ``nodes`` table.
+- **Transitive inference** (J2, ``:314-354``): a distributed hash
+  self-join of the distinct edge list on the mid entity
+  (``dst == src``), anti-joined against existing ``(subject, object)``
+  pairs. Predicate per pair is last-wins by the stable order key
+  ``(url, chunk_id, seq)`` (the reference's dict insertion order,
+  ``:327-331``). New predicate: ``"indirectly {p}"`` when both legs
+  share ``p``, else ``"{p1} via {mid}"``, 3-word-limited; marked
+  ``inferred``. ``max_fanout_per_mid`` caps hot-node pair blowup
+  (skew defense; ``None`` = exact parity).
+- **Lexical similarity** (J3, ``:661-752``): all-pairs semantics via
+  token blocking — a pair can emit a "relates to"/"related to" edge
+  iff it shares a >=4-char word, which is exactly the token-blocking
+  condition; containment pairs (``e1 in e2`` with NO shared words)
+  are blocked on character 3-grams. Small entity sets short-circuit
+  to an exact loop for bit-parity with the reference.
+- **LLM-assisted inference** (A4/A5, ``:451-659``): community-capped
+  (top-5 pairs / top-3 within) driver-orchestrated model calls —
+  O(1) calls per run by construction, exactly like the reference.
+- **Dedup** (G5, ``:356-375``): groupby (s,p,o); a non-inferred
+  duplicate always wins (reference overwrites on every later
+  non-inferred occurrence -> keep the LAST non-inferred by the stable
+  key); otherwise the first occurrence survives.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pandas as pd
+import ray
+import ray.data
+
+from ..functions import prompts
+from ..functions.jsonx import extract_json_from_text
+from ..functions.model import ChatModel
+from ..functions.textnorm import limit_predicate_length
+
+ORDER_COLS = ["url", "chunk_id", "seq"]
+
+
+def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
+    """pandas -> Arrow without the pandas schema metadata (which is an
+    unhashable dict that defeats Ray's block-schema dedup)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def default_num_partitions() -> int:
+    """Join/shuffle partition count sized to the cluster: ~1 partition
+    per 2 CPUs, min 2. On a 256-node cluster this tracks total cores."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 2)
+
+
+def _ensure_lineage(batch: pa.Table, stage: str) -> pa.Table:
+    """Attach missing provenance/lineage columns with defaults."""
+    n = len(batch)
+    cols = dict(zip(batch.column_names, batch.columns))
+    cols.setdefault("url", pa.nulls(n, pa.string()).fill_null(""))
+    cols.setdefault("chunk_id", pa.array([0] * n, pa.int32()))
+    cols.setdefault("seq", pa.array([0] * n, pa.int32()))
+    cols.setdefault("inferred", pa.array([False] * n, pa.bool_()))
+    cols["stage"] = pa.array([stage] * n, pa.string())
+    order = ["url", "chunk_id", "seq", "subject", "predicate", "object", "inferred", "stage"]
+    return pa.table({k: cols[k] for k in order})
+
+
+def with_lineage(triples: ray.data.Dataset, stage: str) -> ray.data.Dataset:
+    return triples.map_batches(
+        _ensure_lineage, batch_format="pyarrow", fn_kwargs={"stage": stage}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct edges + last-wins predicate (feeds components & transitive join)
+# ---------------------------------------------------------------------------
+
+def distinct_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """``(subject, object) -> predicate`` with last-wins by the stable
+    order key — the distributed equivalent of the reference's
+    ``predicates`` dict (``:327-331``)."""
+
+    def _last(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(ORDER_COLS, kind="stable")
+        # Return Arrow so downstream rename/join operators see Arrow
+        # blocks (Ray's rename_columns chokes on pandas blocks).
+        return pa_from_pandas(g.tail(1)[["subject", "object", "predicate"]])
+
+    cols = ["subject", "object", "predicate"] + ORDER_COLS
+    return (
+        triples.select_columns(cols)
+        .groupby(["subject", "object"])
+        .map_groups(_last, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (weak) over the aggregated edge residue
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Union-find over unique entity pairs; labels are dense ints
+    ordered by first appearance of the component root. Matches the
+    reference's weakly-connected semantics (DFS over both edge
+    directions) without its recursion-depth hazard."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, o in edges:
+        for n in (s, o):
+            if n not in parent:
+                parent[n] = n
+        rs, ro = find(s), find(o)
+        if rs != ro:
+            parent[ro] = rs
+    labels: dict[str, int] = {}
+    roots: dict[str, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in roots:
+            roots[r] = len(roots)
+        labels[n] = roots[r]
+    return labels
+
+
+def components_from_triples(triples: ray.data.Dataset) -> dict[str, int]:
+    """Aggregate distinct (subject, object) pairs distributively, then
+    label components on the driver (edge residue is small: unique
+    entity pairs)."""
+    pairs = (
+        triples.select_columns(["subject", "object"])
+        .groupby(["subject", "object"])
+        .count()
+        .to_pandas()
+    )
+    if "subject" not in pairs.columns or pairs.empty:
+        return {}
+    return connected_components(list(zip(pairs["subject"], pairs["object"])))
+
+
+# ---------------------------------------------------------------------------
+# Transitive inference (J2)
+# ---------------------------------------------------------------------------
+
+def infer_transitive(
+    triples: ray.data.Dataset,
+    *,
+    num_partitions: int | None = None,
+    max_fanout_per_mid: int | None = None,
+) -> ray.data.Dataset:
+    """A->B ⋈ B->C => inferred A->C, excluding self-pairs and pairs
+    already related (anti-join on (subject, object)).
+
+    ``max_fanout_per_mid`` bounds the in-degree x out-degree blowup of
+    hot mid entities: each side of the join is capped to that many
+    edges per mid (deterministically, by the stable sort order). The
+    reference has no cap (it is O(paths)); at web scale a cap is
+    mandatory — leave ``None`` only for parity tests.
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    edges = distinct_edges(triples)
+
+    if max_fanout_per_mid is not None:
+        def _cap_out(g: pd.DataFrame) -> pa.Table:
+            return pa_from_pandas(
+                g.sort_values(["object", "predicate"], kind="stable").head(max_fanout_per_mid)
+            )
+
+        def _cap_in(g: pd.DataFrame) -> pa.Table:
+            return pa_from_pandas(
+                g.sort_values(["subject", "predicate"], kind="stable").head(max_fanout_per_mid)
+            )
+
+        out_edges = edges.groupby("subject").map_groups(_cap_out, batch_format="pandas")
+        in_edges = edges.groupby("object").map_groups(_cap_in, batch_format="pandas")
+    else:
+        out_edges = edges
+        in_edges = edges
+
+    left = in_edges.rename_columns(
+        {"subject": "src", "object": "mid", "predicate": "p1"}
+    )
+    right = out_edges.rename_columns(
+        {"subject": "mid", "object": "dst", "predicate": "p2"}
+    )
+    paths = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("mid",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def _compose(batch: pa.Table) -> pa.Table:
+        srcs = batch["src"].to_pylist()
+        mids = batch["mid"].to_pylist()
+        dsts = batch["dst"].to_pylist()
+        p1s = batch["p1"].to_pylist()
+        p2s = batch["p2"].to_pylist()
+        o_s, o_p, o_o = [], [], []
+        for s, m, d, p1, p2 in zip(srcs, mids, dsts, p1s, p2s):
+            if s == d:
+                continue
+            new_pred = f"indirectly {p1}" if p1 == p2 else f"{p1} via {m}"
+            o_s.append(s)
+            o_p.append(limit_predicate_length(new_pred))
+            o_o.append(d)
+        return pa.table(
+            {
+                "subject": pa.array(o_s, pa.string()),
+                "predicate": pa.array(o_p, pa.string()),
+                "object": pa.array(o_o, pa.string()),
+            }
+        )
+
+    candidates = paths.map_batches(_compose, batch_format="pyarrow")
+    # Anti-join against existing (subject, object) pairs.
+    existing = edges.select_columns(["subject", "object"])
+    new = candidates.join(
+        existing,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("subject", "object"),
+    )
+    return new.map_batches(
+        lambda b: _ensure_lineage(
+            b.append_column("inferred", pa.array([True] * len(b), pa.bool_())),
+            "transitive",
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inferred-aware exact dedup (G5)
+# ---------------------------------------------------------------------------
+
+def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup on (subject, predicate, object).
+
+    Reference rule (``:356-375``): the stored triple is overwritten by
+    every later NON-inferred duplicate => keep the last non-inferred by
+    the stable order key when one exists, else the first occurrence.
+    """
+
+    def _pick(g: pd.DataFrame) -> pa.Table:
+        non_inf = g[~g["inferred"]]
+        if len(non_inf):
+            return pa_from_pandas(non_inf.sort_values(ORDER_COLS, kind="stable").tail(1))
+        return pa_from_pandas(g.sort_values(ORDER_COLS, kind="stable").head(1))
+
+    return triples.groupby(["subject", "predicate", "object"]).map_groups(
+        _pick, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-assisted inference (A4 cross-community, A5 within-community)
+# ---------------------------------------------------------------------------
+
+def _validated_model_triples(response: str) -> list[dict]:
+    """Accept-loop shared by A4/A5 (``:525-534`` / ``:641-650``)."""
+    result = extract_json_from_text(response)
+    out: list[dict] = []
+    if result and isinstance(result, list):
+        for t in result:
+            if (
+                isinstance(t, dict)
+                and "subject" in t
+                and "predicate" in t
+                and "object" in t
+            ):
+                if t["subject"] == t["object"]:
+                    continue
+                out.append(
+                    {
+                        "subject": str(t["subject"]),
+                        "predicate": limit_predicate_length(str(t["predicate"])),
+                        "object": str(t["object"]),
+                    }
+                )
+    return out
+
+
+def _context_triples_for(
+    triples: ray.data.Dataset, entities: set[str], limit: int = 20
+) -> list[dict]:
+    """First <=20 triples touching ``entities``, by the stable order key
+    (the reference takes the first 20 in list order, ``:491-492``)."""
+    ref = ray.put(entities)
+
+    class _Filter:
+        def __init__(self) -> None:
+            self.ents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [
+                (s in self.ents) or (o in self.ents)
+                for s, o in zip(batch["subject"].to_pylist(), batch["object"].to_pylist())
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+    hits = triples.map_batches(_Filter, batch_format="pyarrow", concurrency=2)
+    rows = hits.sort(ORDER_COLS).limit(limit).take_all()
+    return rows
+
+
+def infer_with_model(
+    triples: ray.data.Dataset,
+    communities: list[set[str]],
+    config: dict,
+    model: ChatModel,
+) -> list[dict]:
+    """A4 + A5: community-capped model-assisted inference.
+
+    Caps mirror the reference exactly (top-5 community pairs with 5
+    representatives and <=20 context triples each; top-3 communities,
+    <=10 disconnected pairs) so model work is O(1) per run regardless
+    of input size. Representative/pair selection uses sorted order
+    where the reference relies on set iteration order. Model errors are
+    swallowed (``:540-541``). Returns plain triple dicts marked
+    inferred.
+    """
+    new_triples: list[dict] = []
+    within_cap = config.get("inference", {}).get("within_community_max_entities", 200)
+
+    # --- A4: cross-community (``:451-543``) ---
+    if len(communities) > 1:
+        large = sorted(communities, key=len, reverse=True)[:5]
+        for i, comm1 in enumerate(large):
+            for j, comm2 in enumerate(large):
+                if i >= j:
+                    continue
+                rep1 = sorted(comm1)[: min(5, len(comm1))]
+                rep2 = sorted(comm2)[: min(5, len(comm2))]
+                ctx = _context_triples_for(triples, set(rep1) | set(rep2))
+                triples_text = "\n".join(
+                    f"{t['subject']} {t['predicate']} {t['object']}" for t in ctx
+                )
+                try:
+                    response = model.chat(
+                        prompts.get_prompt("relationship_inference_system"),
+                        prompts.get_prompt(
+                            "relationship_inference_user",
+                            ", ".join(rep1),
+                            ", ".join(rep2),
+                            triples_text,
+                        ),
+                    )
+                    new_triples.extend(_validated_model_triples(response))
+                except Exception:
+                    pass
+
+    # --- A5: within-community (``:545-659``) ---
+    for community in sorted(communities, key=len, reverse=True)[:3]:
+        if len(community) < 5:
+            continue
+        ents = sorted(community)[:within_cap]
+        ent_set = set(ents)
+        # Existing directed connections among the community subset.
+        ref = ray.put(ent_set)
+
+        class _Member:
+            def __init__(self) -> None:
+                self.ents = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = [
+                    (s in self.ents) and (o in self.ents)
+                    for s, o in zip(
+                        batch["subject"].to_pylist(), batch["object"].to_pylist()
+                    )
+                ]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+        connected = {
+            (r["subject"], r["object"])
+            for r in triples.map_batches(_Member, batch_format="pyarrow", concurrency=2)
+            .select_columns(["subject", "object"])
+            .take_all()
+        }
+        pairs = []
+        for a in ents:
+            for b in ents:
+                if a == b or (a, b) in connected:
+                    continue
+                aw, bw = set(a.lower().split()), set(b.lower().split())
+                if (aw & bw) or a.lower() in b.lower() or b.lower() in a.lower():
+                    pairs.append((a, b))
+            if len(pairs) >= 10:
+                break
+        pairs = pairs[:10]
+        if not pairs:
+            continue
+        interest = {e for p in pairs for e in p}
+        ctx = _context_triples_for(triples, interest)
+        triples_text = "\n".join(
+            f"{t['subject']} {t['predicate']} {t['object']}" for t in ctx
+        )
+        pairs_text = "\n".join(f"{a} and {b}" for a, b in pairs)
+        try:
+            response = model.chat(
+                prompts.get_prompt("within_community_system"),
+                prompts.get_prompt("within_community_user", pairs_text, triples_text),
+            )
+            new_triples.extend(_validated_model_triples(response))
+        except Exception:
+            pass
+
+    for t in new_triples:
+        t["inferred"] = True
+    return new_triples
+
+
+# ---------------------------------------------------------------------------
+# Phase-3 composition
+# ---------------------------------------------------------------------------
+
+def infer_relationships(
+    triples: ray.data.Dataset,
+    config: dict | None = None,
+    *,
+    model: ChatModel | None = None,
+    lexical_mode: str = "auto",
+    num_partitions: int | None = None,
+    max_fanout_per_mid: int | None = None,
+) -> tuple[ray.data.Dataset, dict[str, int]]:
+    """Full Phase 3. Returns ``(final_triples, component_labels)``.
+
+    Mirrors the reference order (``:230-271``): model-assisted
+    inference (if enabled) -> transitive -> lexical -> union ->
+    inferred-aware dedup -> final predicate limit -> self-loop filter.
+    """
+    from ..functions.model import make_model
+    from .lexical import infer_lexical
+
+    config = config or {}
+    inf_cfg = config.get("inference", {})
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    base = with_lineage(triples, "extracted")
+
+    labels = components_from_triples(base)
+    n_comms = (max(labels.values()) + 1) if labels else 0
+
+    if not labels:
+        # No edges at all (empty input): nothing to infer or dedup;
+        # return base as-is so the (empty) lineage schema is preserved.
+        return base, labels
+
+    parts: list[ray.data.Dataset] = [base]
+
+    if inf_cfg.get("use_llm_for_inference", False):
+        comms: dict[int, set[str]] = {}
+        for ent, lab in labels.items():
+            comms.setdefault(lab, set()).add(ent)
+        model = model or make_model(config)
+        llm_rows = infer_with_model(base, list(comms.values()), config, model)
+        if llm_rows:
+            tbl = pa.table(
+                {
+                    "subject": pa.array([t["subject"] for t in llm_rows], pa.string()),
+                    "predicate": pa.array([t["predicate"] for t in llm_rows], pa.string()),
+                    "object": pa.array([t["object"] for t in llm_rows], pa.string()),
+                    "inferred": pa.array([True] * len(llm_rows), pa.bool_()),
+                }
+            )
+            parts.append(
+                ray.data.from_arrow(tbl).map_batches(
+                    lambda b: _ensure_lineage(b, "llm_inference"), batch_format="pyarrow"
+                )
+            )
+
+    parts.append(
+        infer_transitive(
+            base, num_partitions=num_partitions, max_fanout_per_mid=max_fanout_per_mid
+        )
+    )
+    parts.append(infer_lexical(base, mode=lexical_mode, num_partitions=num_partitions))
+
+    unioned = parts[0].union(*parts[1:])
+    deduped = dedup_triples(unioned)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [limit_predicate_length(p) for p in batch["predicate"].to_pylist()],
+            pa.string(),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("predicate"), "predicate", preds
+        )
+        return batch.filter(pc.invert(pc.equal(batch["subject"], batch["object"])))
+
+    final = deduped.map_batches(_final, batch_format="pyarrow")
+    return final, labels

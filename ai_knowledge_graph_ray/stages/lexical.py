@@ -1,0 +1,277 @@
+"""Lexical-similarity relationship inference (J3).
+
+Parity target: ``_infer_relationships_by_lexical_similarity``
+(``/root/reference/src/knowledge_graph/entity_standardization.py:661-752``).
+Reference semantics over all entity pairs (i < j in list order), for
+pairs not already related in either direction:
+
+- shared words present: let ``main_shared`` = longest shared word; if
+  ``len(main_shared) >= 4`` emit one edge — direction by
+  ``startswith(main_shared)`` (the non-prefix entity points at the
+  prefix entity with ``"relates to"``; both-or-neither prefix ->
+  ``entity1 "related to" entity2``). Pairs sharing only short words
+  emit nothing (and crucially do NOT fall through to containment).
+- no shared words: substring containment => ``contained-in`` entity is
+  the *object* of ``"is type of"`` (the longer entity is the subject).
+
+Distributed plan (SparkER-style token blocking, cf. PAPERS.md):
+
+- The "relates to" family fires iff the pair shares a >=4-char word —
+  exactly the token-blocking join condition. Explode entities to
+  ``(token, entity)`` for tokens >=4 chars, group by token, emit pairs
+  within each block (capped per block for scale), dedup pairs
+  globally, verify/direction per pair.
+- Containment pairs share NO word, so token blocks never find them;
+  they are blocked on character 3-grams: an entity ``e1`` contained in
+  ``e2`` must have its leading 3-gram among ``e2``'s 3-grams.
+- Existing-pair exclusion is a symmetric anti-join against the
+  distinct related-pair set.
+
+``mode="exact"`` replicates the reference loop on the driver
+(deterministic ``sorted(entities)`` order) — used for parity tests and
+small graphs; ``mode="blocked"`` is the scale path; ``"auto"`` picks
+by entity count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+EXACT_THRESHOLD = 1200
+
+
+def _pair_rules(e1: str, e2: str) -> tuple[str, str, str] | None:
+    """Reference pair logic; returns (subject, predicate, object) or None.
+
+    ``e1`` must come before ``e2`` in the canonical processing order
+    (determines the subject of the symmetric "related to" edge).
+    """
+    if e1 == e2:
+        return None
+    l1, l2 = e1.lower(), e2.lower()
+    w1, w2 = set(l1.split()), set(l2.split())
+    shared = w1 & w2
+    if shared:
+        main = max(shared, key=lambda w: (len(w), w))
+        if len(main) < 4:
+            return None
+        s1 = l1.startswith(main)
+        s2 = l2.startswith(main)
+        if s1 and not s2:
+            return (e2, "relates to", e1)
+        if s2 and not s1:
+            return (e1, "relates to", e2)
+        return (e1, "related to", e2)
+    if l1 in l2:
+        return (e2, "is type of", e1)
+    if l2 in l1:
+        return (e1, "is type of", e2)
+    return None
+
+
+def _exact_lexical(
+    entities: list[str], existing_pairs: set[tuple[str, str]]
+) -> list[tuple[str, str, str]]:
+    out: list[tuple[str, str, str]] = []
+    ents = sorted(entities)
+    for i, e1 in enumerate(ents):
+        for e2 in ents[i + 1 :]:
+            if (e1, e2) in existing_pairs or (e2, e1) in existing_pairs:
+                continue
+            r = _pair_rules(e1, e2)
+            if r is not None:
+                out.append(r)
+    return out
+
+
+def _blocked_candidate_pairs(
+    entities: ray.data.Dataset,
+    *,
+    max_pairs_per_block: int | None,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Candidate (e1, e2) pairs (e1 < e2) from word-token blocks and
+    3-gram containment blocks, deduplicated."""
+
+    def _word_tokens(batch: pa.Table) -> pa.Table:
+        keys, ents = [], []
+        for e in batch["entity"].to_pylist():
+            for w in set(e.lower().split()):
+                if len(w) >= 4:
+                    keys.append(w)
+                    ents.append(e)
+        return pa.table({"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())})
+
+    def _gram_haystack(batch: pa.Table) -> pa.Table:
+        keys, ents = [], []
+        for e in batch["entity"].to_pylist():
+            le = e.lower()
+            for i in range(max(0, len(le) - 2)):
+                keys.append(le[i : i + 3])
+                ents.append(e)
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())}
+        )
+
+    def _gram_needle(batch: pa.Table) -> pa.Table:
+        keys, ents = [], []
+        for e in batch["entity"].to_pylist():
+            le = e.lower()
+            if len(le) >= 3:
+                keys.append(le[:3])
+                ents.append(e)
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())}
+        )
+
+    def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        ents = sorted(set(g["entity"]))
+        a, b = [], []
+        n = len(ents)
+        cap = max_pairs_per_block
+        count = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                a.append(ents[i])
+                b.append(ents[j])
+                count += 1
+                if cap is not None and count >= cap:
+                    return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+
+    def _containment_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        needles = sorted(set(g.loc[g["role"] == "n", "entity"]))
+        hays = sorted(set(g.loc[g["role"] == "h", "entity"]))
+        a, b = [], []
+        count = 0
+        for nd in needles:
+            ln = nd.lower()
+            for hy in hays:
+                if nd == hy:
+                    continue
+                if ln in hy.lower():
+                    x, y = (nd, hy) if nd < hy else (hy, nd)
+                    a.append(x)
+                    b.append(y)
+                    count += 1
+                    if max_pairs_per_block is not None and count >= max_pairs_per_block:
+                        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+
+    word_blocks = entities.map_batches(_word_tokens, batch_format="pyarrow")
+    word_pairs = word_blocks.groupby("key").map_groups(_pairs_in_block, batch_format="pandas")
+
+    hay = entities.map_batches(_gram_haystack, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("role", pa.array(["h"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    needle = entities.map_batches(_gram_needle, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("role", pa.array(["n"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    contain_pairs = (
+        hay.union(needle).groupby("key").map_groups(_containment_pairs, batch_format="pandas")
+    )
+
+    all_pairs = word_pairs.union(contain_pairs)
+    # Global pair dedup (a pair can be found by many blocks).
+    return (
+        all_pairs.groupby(["e1", "e2"]).count().select_columns(["e1", "e2"])
+    )
+
+
+def infer_lexical(
+    triples: ray.data.Dataset,
+    *,
+    mode: str = "auto",
+    max_pairs_per_block: int | None = 200,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Entities of ``triples`` -> inferred lexical-similarity triples
+    ``(subject, predicate, object, inferred=True, stage='lexical')``."""
+    from .infer import _ensure_lineage, default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    entities = (
+        triples.select_columns(["subject"]).rename_columns({"subject": "entity"})
+        .union(triples.select_columns(["object"]).rename_columns({"object": "entity"}))
+        .groupby("entity")
+        .count()
+        .select_columns(["entity"])
+    )
+    existing = (
+        triples.select_columns(["subject", "object"])
+        .groupby(["subject", "object"])
+        .count()
+        .select_columns(["subject", "object"])
+    )
+
+    if mode == "auto":
+        n = entities.count()
+        mode = "exact" if n <= EXACT_THRESHOLD else "blocked"
+
+    if mode == "exact":
+        ents = [r["entity"] for r in entities.take_all()]
+        pairs = {(r["subject"], r["object"]) for r in existing.take_all()}
+        rows = _exact_lexical(ents, pairs)
+        if not rows:
+            tbl = pa.table(
+                {
+                    "subject": pa.array([], pa.string()),
+                    "predicate": pa.array([], pa.string()),
+                    "object": pa.array([], pa.string()),
+                }
+            )
+        else:
+            s, p, o = zip(*rows)
+            tbl = pa.table(
+                {
+                    "subject": pa.array(list(s), pa.string()),
+                    "predicate": pa.array(list(p), pa.string()),
+                    "object": pa.array(list(o), pa.string()),
+                }
+            )
+        out = ray.data.from_arrow(tbl)
+    else:
+        cand = _blocked_candidate_pairs(
+            entities,
+            max_pairs_per_block=max_pairs_per_block,
+            num_partitions=num_partitions,
+        )
+        # Symmetric anti-join against existing related pairs.
+        fwd = existing.rename_columns({"subject": "e1", "object": "e2"})
+        rev = existing.rename_columns({"object": "e1", "subject": "e2"})
+        cand = cand.join(
+            fwd, join_type="left_anti", num_partitions=num_partitions, on=("e1", "e2")
+        ).join(
+            rev, join_type="left_anti", num_partitions=num_partitions, on=("e1", "e2")
+        )
+
+        def _verify(batch: pa.Table) -> pa.Table:
+            s_, p_, o_ = [], [], []
+            for e1, e2 in zip(batch["e1"].to_pylist(), batch["e2"].to_pylist()):
+                r = _pair_rules(e1, e2)
+                if r is not None:
+                    s_.append(r[0])
+                    p_.append(r[1])
+                    o_.append(r[2])
+            return pa.table(
+                {
+                    "subject": pa.array(s_, pa.string()),
+                    "predicate": pa.array(p_, pa.string()),
+                    "object": pa.array(o_, pa.string()),
+                }
+            )
+
+        out = cand.map_batches(_verify, batch_format="pyarrow")
+
+    return out.map_batches(
+        lambda b: _ensure_lineage(
+            b.append_column("inferred", pa.array([True] * len(b), pa.bool_())), "lexical"
+        ),
+        batch_format="pyarrow",
+    )
