@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module;
+nothing here (or in the library) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG-construction pipeline on sf0.001 pages.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operators); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible
+  subset (identical column names/types; integer-cent money to avoid
+  float-summation hash drift). Model-dependent KG stages and sketch
+  dedups are rows-only by design.
 """
 
 from __future__ import annotations
@@ -20,25 +19,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG build (extract -> chunk -> mock-model triples
+    -> canonicalize -> infer -> materialize) over sf0.001; returns the
+    edges table."""
+    from ai_knowledge_graph_ray.pipelines.kg import build_graph
+    from ai_knowledge_graph_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    res = build_graph(
+        pages,
+        {
+            "chunking": {"chunk_size": 200, "overlap": 40},
+            "runtime": {"lexical_mode": "blocked"},
+        },
+    )
+    return res["edges"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ai_knowledge_graph_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ai_knowledge_graph_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

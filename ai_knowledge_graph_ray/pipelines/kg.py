@@ -69,12 +69,15 @@ def build_graph(
     cfg = _merged(config)
     rt = cfg["runtime"]
     if rt.get("extract_concurrency") is None:
-        # Autoscaling actor pool that can never starve the rest of the
-        # pipeline of CPUs (read/shuffle stages need headroom).
+        # Fixed-size pool, leaving CPU headroom for the read/shuffle
+        # stages (a pool reserving every CPU deadlocks the streaming
+        # executor). Fixed beats autoscaling here: the (1, N) ramp-up
+        # measured ~2x slower on the extraction stage because the pool
+        # grows one actor at a time while the backlog waits.
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-        rt["extract_concurrency"] = (1, max(1, cpus - 2))
+        rt["extract_concurrency"] = max(1, cpus - 2)
 
     docs = extract_docs(pages, langs=rt.get("langs"))
     chunks = chunk_docs(
@@ -98,6 +101,9 @@ def build_graph(
 
     if cfg["standardization"].get("enabled", True):
         triples, _alias = standardize_triples(triples, cfg)
+        # Attach lineage before the phase boundary so Phase 3's several
+        # consumers share one already-lineaged materialization.
+        triples = with_lineage(triples, "extracted")
         if rt.get("materialize_intermediates", True):
             triples = triples.materialize()
 

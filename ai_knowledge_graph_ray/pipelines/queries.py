@@ -1,0 +1,517 @@
+"""Named query/pipeline registry for the driver contract
+(``__ray_entry__.queries()`` / ``oracle_sql()``).
+
+Each entry is a ``Callable[[sf_dir], Dataset|DataFrame|Table]``; where
+an ANSI-SQL equivalent exists it lives in :data:`ORACLE_SQL` and the
+driver cross-checks row count + schema + value hash against DuckDB.
+
+Design rules for oracle-checked queries:
+- identical column NAMES and int64/float64 types on both sides;
+- money/float aggregates are computed in integer cents (distributed
+  float summation is order-dependent — integer sums hash-match);
+- deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..sources.pages import pages_from_documents
+from ..stages.chunk import chunk_docs
+from ..stages.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from ..stages.docs import extract_docs
+from ..stages.extract import extract_triples
+from ..stages.canonicalize import standardize_triples
+from ..stages.relational import cogroup_join, grouped_sums
+from ..stages.similarity import knn_brute, knn_ivf
+from ..stages.text_analysis import (
+    LANG_MARKERS,
+    doc_stats,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from .kg import build_graph
+
+CHUNK_SIZE, CHUNK_OVERLAP = 200, 40
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_counts(sf_dir: str):
+    return token_counts(_docs(sf_dir))
+
+
+def q_doc_stats(sf_dir: str):
+    return doc_stats(_docs(sf_dir))
+
+
+def q_doc_lang_id(sf_dir: str):
+    return lang_id(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id", "text_md5"])
+
+
+def q_doc_quality(sf_dir: str):
+    # float-valued -> rows-only check
+    return quality_score(_docs(sf_dir))
+
+
+def q_doc_simhash(sf_dir: str):
+    ds = fingerprints(_docs(sf_dir))
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "simhash64": pc.cast(b["simhash64"], pa.uint64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking (oracle-checked via recursive-CTE loop simulation)
+# ---------------------------------------------------------------------------
+
+def q_kg_chunk_stats(sf_dir: str):
+    docs = _docs(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"url": pc.cast(b["doc_id"], pa.string()), "text": b["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    chunks = chunk_docs(docs, CHUNK_SIZE, CHUNK_OVERLAP)
+    agg = grouped_sums(
+        chunks, ["url"], {"total_chunk_words": "n_words"}, count_name="n_chunks"
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["url"], pa.int64()),
+                "n_chunks": pc.cast(b["n_chunks"], pa.int64()),
+                "total_chunk_words": pc.cast(b["total_chunk_words"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (oracle-checked): agg / joins / top-k / window
+# ---------------------------------------------------------------------------
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def q_lineitem_agg(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        # Stay in integer space: cents x (100 - discount%) — no float
+        # summation or half-cent rounding-mode drift vs the oracle.
+        price_cents = _cents(b["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                "price_cents": price_cents,
+                "disc_price_cc": pc.multiply(price_cents, pc.subtract(100, disc_pct)),
+            }
+        )
+
+    return grouped_sums(
+        ds.map_batches(_pre, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "qty",
+            "sum_price_cents": "price_cents",
+            "sum_disc_price_cc": "disc_price_cc",
+        },
+        count_name="n_rows",
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small) into orders, grouped by segment."""
+    import ray as _ray
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_map_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    class _Join:
+        def __init__(self) -> None:
+            self.seg = _ray.get(seg_map_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in b["o_custkey"].to_pylist()]
+            out = pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "price_cents": _cents(b["o_totalprice"]),
+                }
+            )
+            return out.filter(pc.is_valid(out["c_mktsegment"]))
+
+    return grouped_sums(
+        orders.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 4)),
+        ["c_mktsegment"],
+        {"sum_price_cents": "price_cents"},
+        count_name="n_orders",
+    )
+
+
+def q_lineitem_orders_join(sf_dir: str):
+    """Distributed hash join (both sides large) + grouped aggregate.
+
+    Plan: push the fact-side aggregation below the join (partial
+    per-orderkey sums inside map_batches), cogroup-join the partials
+    with orders on the orderkey bucket, then a tiny global groupby on
+    priority. Only O(distinct keys) rows cross the shuffle.
+    """
+    import pandas as _pd
+
+    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+
+    def _partial(b: _pd.DataFrame) -> _pd.DataFrame:
+        b = b.assign(qty=b["l_quantity"].round().astype("int64"))
+        return b.groupby("l_orderkey", as_index=False).agg(
+            qty=("qty", "sum"), n=("qty", "size")
+        )
+
+    li_part = li.map_batches(_partial, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    joined = cogroup_join(li_part, orders, on=["l_orderkey"], how="inner")
+    return grouped_sums(
+        joined, ["o_orderpriority"], {"n_items": "n", "sum_qty": "qty"}
+    )
+
+
+def q_top_orders(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"], "price_cents": _cents(b["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    # Deterministic tie-break: price desc, key asc.
+    return ds.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + integer value sum."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                "value_cents": _cents(b["value"]),
+            }
+        )
+
+    return grouped_sums(
+        ds.map_batches(_pre, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"sum_value_cents": "value_cents"},
+        count_name="n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity / dedup
+# ---------------------------------------------------------------------------
+
+N_QUERIES, KNN_K = 5, 10
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    emb = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").head(N_QUERIES)
+    return emb["vec_id"].to_numpy(), np.stack(emb["embedding"].to_numpy())
+
+
+def q_knn_cosine(sf_dir: str):
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_brute(ds, qids, qmat, k=KNN_K)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b["query_id"], pa.int64()),
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return knn_ivf(ds, qids, qmat, k=KNN_K)
+
+
+def q_ngram_overlap_pairs(sf_dir: str):
+    return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_lsh_dedup(_docs(sf_dir))
+
+
+def q_simhash_dedup(sf_dir: str):
+    return simhash_dedup(_docs(sf_dir))
+
+
+def q_embedding_dedup(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_dedup(ds)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline (model-dependent -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _kg_config() -> dict:
+    return {
+        "chunking": {"chunk_size": CHUNK_SIZE, "overlap": CHUNK_OVERLAP},
+        "runtime": {"lexical_mode": "blocked"},
+    }
+
+
+def q_kg_triples_raw(sf_dir: str):
+    pages = pages_from_documents(sf_dir)
+    docs = extract_docs(pages)
+    chunks = chunk_docs(docs, CHUNK_SIZE, CHUNK_OVERLAP)
+    return extract_triples(chunks, {"llm": {"provider": "mock"}}, concurrency=(1, 4))
+
+
+def q_kg_triples_std(sf_dir: str):
+    raw = q_kg_triples_raw(sf_dir).materialize()
+    std, _ = standardize_triples(raw, {"llm": {"provider": "mock"}})
+    return std
+
+
+def q_kg_edges(sf_dir: str):
+    res = build_graph(pages_from_documents(sf_dir), _kg_config())
+    return res["edges"]
+
+
+def q_kg_nodes(sf_dir: str):
+    res = build_graph(pages_from_documents(sf_dir), _kg_config())
+    return res["nodes"]
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "doc_token_counts": q_doc_token_counts,
+    "doc_stats": q_doc_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_quality": q_doc_quality,
+    "doc_simhash": q_doc_simhash,
+    "kg_chunk_stats": q_kg_chunk_stats,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_segment": q_orders_by_segment,
+    "lineitem_orders_join": q_lineitem_orders_join,
+    "top_orders": q_top_orders,
+    "events_window": q_events_window,
+    "knn_cosine": q_knn_cosine,
+    "knn_ivf": q_knn_ivf,
+    "ngram_overlap_pairs": q_ngram_overlap_pairs,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_dedup": q_embedding_dedup,
+    "kg_triples_raw": q_kg_triples_raw,
+    "kg_triples_std": q_kg_triples_std,
+    "kg_edges": q_kg_edges,
+    "kg_nodes": q_kg_nodes,
+}
+
+_N_TOKENS_SQL = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def _lang_count(lang: str) -> str:
+    words = "|".join(LANG_MARKERS[lang])
+    return f"len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:{words})\\b'))"
+
+
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_token_counts": f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
+    "doc_stats": f"""
+        SELECT doc_id,
+               length(coalesce(text,'')) AS n_chars,
+               length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[.!?,;:]', '', 'g')) AS n_punct,
+               {_N_TOKENS_SQL} AS n_tokens
+        FROM documents
+    """,
+    "doc_lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0 AND {_lang_count('fr')} = 0 THEN 'und'
+                 WHEN {_lang_count('en')} >= {_lang_count('de')} AND {_lang_count('en')} >= {_lang_count('fr')} THEN 'en'
+                 WHEN {_lang_count('de')} >= {_lang_count('fr')} THEN 'de'
+                 ELSE 'fr'
+               END AS lang_pred
+        FROM documents
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(coalesce(text,'')) AS md5 FROM documents",
+    "doc_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, md5(coalesce(text,'')) AS text_md5
+        FROM documents GROUP BY md5(coalesce(text,''))
+    """,
+    "kg_chunk_stats": f"""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, {_N_TOKENS_SQL} AS n
+          FROM documents WHERE text IS NOT NULL AND text <> ''
+        ),
+        sim AS (
+          SELECT doc_id, n, 0::BIGINT AS start, 0::BIGINT AS cnt, 0::BIGINT AS words, FALSE AS done
+          FROM w WHERE n > {CHUNK_SIZE}
+          UNION ALL
+          SELECT doc_id, n,
+            CASE WHEN least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} < n
+                      AND least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} + {_CHUNK_STEP} >= n THEN n
+                 ELSE least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} END,
+            cnt + 1 + CASE WHEN least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} < n
+                                AND least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} + {_CHUNK_STEP} >= n THEN 1 ELSE 0 END,
+            words + (least(start + {CHUNK_SIZE}, n) - start)
+                  + CASE WHEN least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} < n
+                              AND least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} + {_CHUNK_STEP} >= n
+                         THEN n - (least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP}) ELSE 0 END,
+            CASE WHEN least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} < n
+                      AND least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} + {_CHUNK_STEP} >= n THEN TRUE
+                 WHEN least(start + {CHUNK_SIZE}, n) - {CHUNK_OVERLAP} >= n THEN TRUE
+                 ELSE FALSE END
+          FROM sim WHERE NOT done AND start < n
+        )
+        SELECT doc_id, max(cnt) AS n_chunks, max(words) AS total_chunk_words
+        FROM sim GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 1::BIGINT, n FROM w WHERE n <= {CHUNK_SIZE}
+    """,
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_cc,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_segment": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "lineitem_orders_join": """
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "top_orders": """
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100
+    """,
+    "events_window": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "knn_cosine": f"""
+        SELECT q.vec_id AS query_id, e.vec_id
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}) q
+        CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+        ) <= {KNN_K}
+    """,
+    "ngram_overlap_pairs": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+          FROM toks WHERE len(ws) > 0 AND len(ws) < 3
+        ),
+        kept AS (
+          SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) <= 50
+        ),
+        fgrams AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)),
+        doc_sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        pair_common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM fgrams a JOIN fgrams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.id_a, p.id_b, p.n_common,
+               sa.n_grams + sb.n_grams - p.n_common AS n_union
+        FROM pair_common p
+        JOIN doc_sizes sa ON p.id_a = sa.doc_id
+        JOIN doc_sizes sb ON p.id_b = sb.doc_id
+        WHERE 2 * p.n_common >= sa.n_grams + sb.n_grams - p.n_common
+    """,
+}

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..functions.html_extract import wrap_html
@@ -78,17 +79,61 @@ def _docs_to_pages(batch: pa.Table, null_text: bool = True) -> pa.Table:
 
 
 def pages_from_documents(
-    sf_dir: str, *, null_text: bool = True, **read_kwargs
+    sf_dir: str, *, null_text: bool = True, replication: int = 1, **read_kwargs
 ) -> ray.data.Dataset:
     """Synthesize the ``pages`` table from ``{sf_dir}/documents.parquet``.
 
     Deterministic: url/ts/html are pure functions of (doc_id, text).
+    ``replication`` tiles the document set K times with distinct
+    doc_ids/urls (``doc_id + k * 10^7``) — used by the benchmark to
+    scale the same driver-provided corpus up until compute dominates
+    fixed startup cost; content is unchanged, ids/urls stay unique.
     """
+    if "override_num_blocks" not in read_kwargs:
+        # One parquet file would otherwise become ~16 blocks, capping
+        # the fused downstream chain (HTML synth -> extract -> chunk ->
+        # model actor pool) at 16 concurrent tasks. Split to ~4 tasks
+        # per core so the actor pool can actually fill the cluster.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        read_kwargs["override_num_blocks"] = max(32, 4 * cpus)
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
         **read_kwargs,
     )
+    if replication > 1:
+        # A single parquet file reads as ONE task that streams its
+        # split blocks out serially — that serial producer throttles
+        # the whole fused pipeline. For the tiled benchmark source,
+        # materialize the tiles as pre-split object-store blocks so
+        # every downstream task can start immediately.
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        slices_per_rep = max(1, (4 * cpus) // replication)
+        n = len(tbl)
+        step = max(1, n // slices_per_rep)
+        refs = []
+        for k in range(replication):
+            shifted = tbl.set_column(
+                tbl.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.add(tbl["doc_id"], k * 10_000_000),
+            )
+            for s in range(0, n, step):
+                refs.append(ray.put(shifted.slice(s, step)))
+        docs = ray.data.from_arrow_refs(refs)
     return docs.map_batches(
         _docs_to_pages, batch_format="pyarrow", fn_kwargs={"null_text": null_text}
     )

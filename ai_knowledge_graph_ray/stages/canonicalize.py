@@ -135,16 +135,24 @@ def elect_canonical(entity_count_pairs: list[tuple[str, int]], second_pass: bool
     return alias
 
 
-class _AliasApplier:
-    """Broadcast-join application of the alias map (actor pool so the
-    map is fetched from the object store once per actor)."""
+# Per-worker-process cache of the broadcast alias map: stateless map
+# tasks fetch the object once per process (local object-store get),
+# avoiding actor-pool spawn cost for this cheap stage.
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, alias_ref, drop_self_loops: bool = True) -> None:
-        self.alias: dict[str, str] = ray.get(alias_ref)
-        self.drop_self_loops = drop_self_loops
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        alias = self.alias
+def _bcast_get(ref):
+    if not isinstance(ref, ray.ObjectRef):
+        return ref  # already resolved (Ray may materialize fn_kwargs refs)
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _apply_alias_batch(batch: pa.Table, alias_ref, drop_self_loops: bool) -> pa.Table:
+        alias = _bcast_get(alias_ref)
         subs = [
             alias.get(s.lower(), s) if s is not None else s
             for s in batch["subject"].to_pylist()
@@ -163,7 +171,7 @@ class _AliasApplier:
         batch = batch.set_column(
             batch.schema.get_field_index("predicate"), "predicate", pa.array(preds, pa.string())
         )
-        if self.drop_self_loops:
+        if drop_self_loops:
             batch = batch.filter(
                 pc.invert(pc.equal(batch["subject"], batch["object"]))
             )
@@ -175,15 +183,15 @@ def apply_alias_map(
     alias_map: dict[str, str],
     *,
     drop_self_loops: bool = True,
-    concurrency: int | tuple[int, int] = 4,
 ) -> ray.data.Dataset:
-    """Map-side broadcast hash join of the alias map onto triples."""
+    """Map-side broadcast hash join of the alias map onto triples
+    (stateless tasks; the map is fetched once per worker process from
+    the local object store — no actor-pool spawn cost)."""
     ref = ray.put(alias_map)
     return triples.map_batches(
-        _AliasApplier,
-        fn_constructor_kwargs={"alias_ref": ref, "drop_self_loops": drop_self_loops},
+        _apply_alias_batch,
+        fn_kwargs={"alias_ref": ref, "drop_self_loops": drop_self_loops},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 

@@ -51,10 +51,74 @@ from ..functions.textnorm import limit_predicate_length
 ORDER_COLS = ["url", "chunk_id", "seq"]
 
 
-def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
+def pa_from_pandas(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     """pandas -> Arrow without the pandas schema metadata (which is an
-    unhashable dict that defeats Ray's block-schema dedup)."""
+    unhashable dict that defeats Ray's block-schema dedup).
+
+    Pass ``schema`` from ``map_groups`` functions: Ray calls them on
+    EMPTY partitions too, and an empty DataFrame converts to null-typed
+    columns that poison downstream join/rename schema unification.
+    """
+    if schema is not None:
+        if len(df) == 0:
+            return schema.empty_table()
+        t = pa.Table.from_pandas(df[schema.names], preserve_index=False)
+        return t.cast(schema).replace_schema_metadata(None)
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def normalize_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Coerce non-empty blocks to ``schema`` (column order + types).
+
+    NOTE: Ray's hash-shuffle ``map_groups`` emits ZERO-COLUMN empty
+    blocks for partitions that received no groups, and ``map_batches``
+    passes those through WITHOUT calling the UDF — use
+    :func:`sanitize_for_join` on anything that feeds ``Dataset.join``.
+    """
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return schema.empty_table()
+        return batch.select(schema.names).cast(schema)
+
+    return ds.map_batches(_fix, batch_format="pyarrow")
+
+
+def sanitize_for_join(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Physically drop empty blocks (join inputs must not contain the
+    zero-column blocks that hash-shuffle map_groups emits for empty
+    partitions — they break the join's key-field resolution).
+
+    Materializes (join inputs here are small aggregated residues) and
+    rebuilds the dataset zero-copy from the surviving block refs.
+    """
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+EDGE_SCHEMA = pa.schema(
+    [("subject", pa.string()), ("object", pa.string()), ("predicate", pa.string())]
+)
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("chunk_id", pa.int32()),
+        ("seq", pa.int32()),
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object", pa.string()),
+        ("inferred", pa.bool_()),
+        ("stage", pa.string()),
+    ]
+)
 
 
 def default_num_partitions() -> int:
@@ -81,8 +145,65 @@ def _ensure_lineage(batch: pa.Table, stage: str) -> pa.Table:
 
 
 def with_lineage(triples: ray.data.Dataset, stage: str) -> ray.data.Dataset:
+    try:
+        names = set(triples.schema().names)
+    except Exception:
+        names = set()
+    if {"url", "chunk_id", "seq", "inferred", "stage"} <= names:
+        return triples  # already lineaged (avoid a full re-scan per consumer)
     return triples.map_batches(
         _ensure_lineage, batch_format="pyarrow", fn_kwargs={"stage": stage}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed reduce: the per-key reduce pattern without per-key Python.
+#
+# ``groupby(key).map_groups(fn)`` invokes Python once per KEY — death
+# by interpreter overhead when keys number in the millions. Instead:
+# map-side combiner -> shuffle on a coarse ``hash(key) % B`` bucket ->
+# one VECTORIZED pandas reduce per bucket. B tracks the cluster size;
+# each bucket holds many keys, amortizing per-call overhead.
+# ---------------------------------------------------------------------------
+
+def bucketed_reduce(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    reducer,
+    out_schema: pa.Schema,
+    *,
+    combiner=None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``reducer(pd.DataFrame) -> pd.DataFrame`` sees ALL rows of every
+    key assigned to its bucket, vectorized. ``combiner`` (optional)
+    pre-reduces each batch map-side before the shuffle."""
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+
+    def _with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if combiner is not None:
+            batch = combiner(batch)
+        if len(batch) == 0:
+            batch = batch.copy()
+            batch["__bucket"] = pd.Series([], dtype="int64")
+            return batch
+        h = pd.util.hash_pandas_object(batch[key_cols].astype(str), index=False)
+        batch = batch.copy()
+        batch["__bucket"] = (h % num_buckets).astype("int64")
+        return batch
+
+    def _reduce(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        out = reducer(g.drop(columns="__bucket"))
+        return pa_from_pandas(out, out_schema)
+
+    return normalize_blocks(
+        ds.map_batches(_with_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_reduce, batch_format="pandas"),
+        out_schema,
     )
 
 
@@ -93,19 +214,26 @@ def with_lineage(triples: ray.data.Dataset, stage: str) -> ray.data.Dataset:
 def distinct_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
     """``(subject, object) -> predicate`` with last-wins by the stable
     order key — the distributed equivalent of the reference's
-    ``predicates`` dict (``:327-331``)."""
+    ``predicates`` dict (``:327-331``). Bucketed reduce: map-side
+    last-wins combiner, then vectorized per-bucket last-wins."""
 
-    def _last(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(ORDER_COLS, kind="stable")
-        # Return Arrow so downstream rename/join operators see Arrow
-        # blocks (Ray's rename_columns chokes on pandas blocks).
-        return pa_from_pandas(g.tail(1)[["subject", "object", "predicate"]])
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        return batch.sort_values(ORDER_COLS, kind="stable").drop_duplicates(
+            ["subject", "object"], keep="last"
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return _combine(g)[["subject", "object", "predicate"]]
 
     cols = ["subject", "object", "predicate"] + ORDER_COLS
-    return (
-        triples.select_columns(cols)
-        .groupby(["subject", "object"])
-        .map_groups(_last, batch_format="pandas")
+    return bucketed_reduce(
+        triples.select_columns(cols),
+        ["subject", "object"],
+        _reduce,
+        EDGE_SCHEMA,
+        combiner=_combine,
     )
 
 
@@ -185,26 +313,42 @@ def infer_transitive(
 
     if max_fanout_per_mid is not None:
         def _cap_out(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0:
+                return EDGE_SCHEMA.empty_table()
             return pa_from_pandas(
-                g.sort_values(["object", "predicate"], kind="stable").head(max_fanout_per_mid)
+                g.sort_values(["object", "predicate"], kind="stable").head(max_fanout_per_mid),
+                EDGE_SCHEMA,
             )
 
         def _cap_in(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0:
+                return EDGE_SCHEMA.empty_table()
             return pa_from_pandas(
-                g.sort_values(["subject", "predicate"], kind="stable").head(max_fanout_per_mid)
+                g.sort_values(["subject", "predicate"], kind="stable").head(max_fanout_per_mid),
+                EDGE_SCHEMA,
             )
 
-        out_edges = edges.groupby("subject").map_groups(_cap_out, batch_format="pandas")
-        in_edges = edges.groupby("object").map_groups(_cap_in, batch_format="pandas")
+        out_edges = normalize_blocks(
+            edges.groupby("subject").map_groups(_cap_out, batch_format="pandas"),
+            EDGE_SCHEMA,
+        )
+        in_edges = normalize_blocks(
+            edges.groupby("object").map_groups(_cap_in, batch_format="pandas"),
+            EDGE_SCHEMA,
+        )
     else:
         out_edges = edges
         in_edges = edges
 
-    left = in_edges.rename_columns(
-        {"subject": "src", "object": "mid", "predicate": "p1"}
+    left_schema = pa.schema([("src", pa.string()), ("mid", pa.string()), ("p1", pa.string())])
+    right_schema = pa.schema([("mid", pa.string()), ("dst", pa.string()), ("p2", pa.string())])
+    left = sanitize_for_join(
+        in_edges.rename_columns({"subject": "src", "object": "mid", "predicate": "p1"}),
+        left_schema,
     )
-    right = out_edges.rename_columns(
-        {"subject": "mid", "object": "dst", "predicate": "p2"}
+    right = sanitize_for_join(
+        out_edges.rename_columns({"subject": "mid", "object": "dst", "predicate": "p2"}),
+        right_schema,
     )
     paths = left.join(
         right,
@@ -237,9 +381,31 @@ def infer_transitive(
             }
         )
 
-    candidates = paths.map_batches(_compose, batch_format="pyarrow")
+    candidates = paths.map_batches(_compose, batch_format="pyarrow").materialize()
+    if candidates.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "chunk_id": pa.array([], pa.int32()),
+                    "seq": pa.array([], pa.int32()),
+                    "subject": pa.array([], pa.string()),
+                    "predicate": pa.array([], pa.string()),
+                    "object": pa.array([], pa.string()),
+                    "inferred": pa.array([], pa.bool_()),
+                    "stage": pa.array([], pa.string()),
+                }
+            )
+        )
     # Anti-join against existing (subject, object) pairs.
-    existing = edges.select_columns(["subject", "object"])
+    pair_schema = pa.schema([("subject", pa.string()), ("object", pa.string())])
+    existing = sanitize_for_join(edges.select_columns(["subject", "object"]), pair_schema)
+    candidates = sanitize_for_join(
+        candidates,
+        pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()), ("object", pa.string())]
+        ),
+    )
     new = candidates.join(
         existing,
         join_type="left_anti",
@@ -255,6 +421,81 @@ def infer_transitive(
     )
 
 
+def infer_transitive_broadcast(
+    edges_pd: pd.DataFrame,
+    *,
+    max_fanout_per_mid: int | None = None,
+    num_blocks: int = 16,
+) -> ray.data.Dataset:
+    """Transitive inference with the distinct-edge residue broadcast.
+
+    The distinct edge list (unique entity pairs + last-wins predicate)
+    is the small aggregated residue already collected for component
+    labeling; broadcast it once (``ray.put``) and compose paths in a
+    shuffle-free distributed map over the edge list itself: each task
+    expands its slice of in-edges ``(s, mid, p1)`` against the
+    broadcast out-edge index of ``mid``, excluding self-pairs and
+    already-related pairs via the broadcast pair set. Path output
+    (the quadratic part) streams out of the map — only the edge
+    RESIDUE is broadcast, never the paths. Use
+    :func:`infer_transitive` (hash join) when the residue outgrows
+    broadcast (config ``inference.transitive_mode='shuffle'``).
+    """
+    out_map: dict[str, list[tuple[str, str]]] = {}
+    for s, o, p in edges_pd[["subject", "object", "predicate"]].itertuples(index=False):
+        out_map.setdefault(s, []).append((o, p))
+    for s in out_map:
+        out_map[s].sort()
+        if max_fanout_per_mid is not None:
+            out_map[s] = out_map[s][:max_fanout_per_mid]
+    pair_set = set(zip(edges_pd["subject"], edges_pd["object"]))
+    state_ref = ray.put((out_map, pair_set))
+
+    class _Compose:
+        def __init__(self) -> None:
+            self.out_map, self.pairs = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            o_s, o_p, o_o = [], [], []
+            for s, mid, p1 in zip(
+                batch["subject"].to_pylist(),
+                batch["object"].to_pylist(),
+                batch["predicate"].to_pylist(),
+            ):
+                for dst, p2 in self.out_map.get(mid, ()):
+                    if s == dst or (s, dst) in self.pairs:
+                        continue
+                    new_pred = f"indirectly {p1}" if p1 == p2 else f"{p1} via {mid}"
+                    o_s.append(s)
+                    o_p.append(limit_predicate_length(new_pred))
+                    o_o.append(dst)
+            return _ensure_lineage(
+                pa.table(
+                    {
+                        "subject": pa.array(o_s, pa.string()),
+                        "predicate": pa.array(o_p, pa.string()),
+                        "object": pa.array(o_o, pa.string()),
+                        "inferred": pa.array([True] * len(o_s), pa.bool_()),
+                    }
+                ),
+                "transitive",
+            )
+
+    cap = max_fanout_per_mid
+    edges_in = edges_pd
+    if cap is not None:
+        # Cap the in-edge side too (mirror of the out-edge cap).
+        edges_in = (
+            edges_pd.sort_values(["object", "subject", "predicate"], kind="stable")
+            .groupby("object", sort=False)
+            .head(cap)
+        )
+    ds = ray.data.from_pandas(edges_in.reset_index(drop=True))
+    if ds.num_blocks() < num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds.map_batches(_Compose, batch_format="pyarrow", concurrency=(1, 8))
+
+
 # ---------------------------------------------------------------------------
 # Inferred-aware exact dedup (G5)
 # ---------------------------------------------------------------------------
@@ -267,15 +508,35 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
     the stable order key when one exists, else the first occurrence.
     """
 
-    def _pick(g: pd.DataFrame) -> pa.Table:
-        non_inf = g[~g["inferred"]]
-        if len(non_inf):
-            return pa_from_pandas(non_inf.sort_values(ORDER_COLS, kind="stable").tail(1))
-        return pa_from_pandas(g.sort_values(ORDER_COLS, kind="stable").head(1))
+    key = ["subject", "predicate", "object"]
 
-    return triples.groupby(["subject", "predicate", "object"]).map_groups(
-        _pick, batch_format="pandas"
-    )
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        # Map-side combiner: per (s,p,o) key keep only the two rows that
+        # can still win globally — the max-order non-inferred and the
+        # min-order row — before the shuffle. Cuts shuffle volume from
+        # O(duplicates) to O(2 x distinct keys per block).
+        if len(batch) == 0:
+            return batch
+        b = batch.sort_values(ORDER_COLS, kind="stable")
+        firsts = b.drop_duplicates(key, keep="first")
+        lasts = b[~b["inferred"]].drop_duplicates(key, keep="last")
+        return pd.concat([firsts, lasts], ignore_index=True)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized per-bucket reduce: winner = last non-inferred when
+        # one exists, else the first occurrence.
+        b = g.sort_values(ORDER_COLS, kind="stable")
+        non_inf_last = b[~b["inferred"]].drop_duplicates(key, keep="last")
+        firsts = b.drop_duplicates(key, keep="first")
+        covered = firsts.merge(
+            non_inf_last[key].assign(__hit=1), on=key, how="left"
+        )
+        only_inf = firsts[covered["__hit"].isna().to_numpy()]
+        return pd.concat([non_inf_last, only_inf], ignore_index=True)[
+            list(LINEAGE_SCHEMA.names)
+        ]
+
+    return bucketed_reduce(triples, key, _reduce, LINEAGE_SCHEMA, combiner=_combine)
 
 
 # ---------------------------------------------------------------------------
@@ -464,13 +725,17 @@ def infer_relationships(
         num_partitions = default_num_partitions()
     base = with_lineage(triples, "extracted")
 
-    labels = components_from_triples(base)
+    # Collect the distinct-edge residue ONCE; it drives component
+    # labeling, the broadcast transitive compose, and the lexical
+    # entity/existing-pair sets (SURVEY.md §4.1: aggregate hard, then
+    # work on the small residue).
+    edges_pd = distinct_edges(base).to_pandas()
+    if edges_pd.empty or "subject" not in edges_pd.columns:
+        return base, {}
+    labels = connected_components(
+        list(zip(edges_pd["subject"], edges_pd["object"]))
+    )
     n_comms = (max(labels.values()) + 1) if labels else 0
-
-    if not labels:
-        # No edges at all (empty input): nothing to infer or dedup;
-        # return base as-is so the (empty) lineage schema is preserved.
-        return base, labels
 
     parts: list[ray.data.Dataset] = [base]
 
@@ -495,12 +760,56 @@ def infer_relationships(
                 )
             )
 
-    parts.append(
-        infer_transitive(
-            base, num_partitions=num_partitions, max_fanout_per_mid=max_fanout_per_mid
+    t_mode = inf_cfg.get("transitive_mode", "auto")
+    if t_mode == "auto":
+        # Broadcast while the residue is broadcastable; shuffle join
+        # beyond (~2M distinct pairs ≈ a few hundred MB per worker).
+        t_mode = "broadcast" if len(edges_pd) <= 2_000_000 else "shuffle"
+    if t_mode == "broadcast":
+        parts.append(
+            infer_transitive_broadcast(
+                edges_pd,
+                max_fanout_per_mid=max_fanout_per_mid,
+                num_blocks=num_partitions,
+            )
         )
-    )
-    parts.append(infer_lexical(base, mode=lexical_mode, num_partitions=num_partitions))
+    else:
+        parts.append(
+            infer_transitive(
+                base, num_partitions=num_partitions, max_fanout_per_mid=max_fanout_per_mid
+            )
+        )
+
+    from .lexical import EXACT_THRESHOLD, _exact_lexical, infer_lexical_fast
+
+    entities = sorted(set(edges_pd["subject"]) | set(edges_pd["object"]))
+    existing_pairs = set(zip(edges_pd["subject"], edges_pd["object"]))
+    if lexical_mode == "auto":
+        lexical_mode = "exact" if len(entities) <= EXACT_THRESHOLD else "blocked"
+    if lexical_mode == "exact":
+        rows = _exact_lexical(entities, existing_pairs)
+        tbl = pa.table(
+            {
+                "subject": pa.array([r[0] for r in rows], pa.string()),
+                "predicate": pa.array([r[1] for r in rows], pa.string()),
+                "object": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        parts.append(
+            ray.data.from_arrow(tbl).map_batches(
+                lambda b: _ensure_lineage(
+                    b.append_column("inferred", pa.array([True] * len(b), pa.bool_())),
+                    "lexical",
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    elif lexical_mode == "blocked":
+        parts.append(
+            infer_lexical_fast(entities, existing_pairs, num_blocks=num_partitions)
+        )
+    else:  # "shuffle": join-based scale path (residue too big to collect)
+        parts.append(infer_lexical(base, mode="blocked", num_partitions=num_partitions))
 
     unioned = parts[0].union(*parts[1:])
     deduped = dedup_triples(unioned)

@@ -139,7 +139,9 @@ def _blocked_candidate_pairs(
                 count += 1
                 if cap is not None and count >= cap:
                     return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
-        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+        return pa.table(
+            {"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())}
+        )
 
     def _containment_pairs(g: pd.DataFrame) -> pd.DataFrame:
         needles = sorted(set(g.loc[g["role"] == "n", "entity"]))
@@ -158,10 +160,18 @@ def _blocked_candidate_pairs(
                     count += 1
                     if max_pairs_per_block is not None and count >= max_pairs_per_block:
                         return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
-        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
+        return pa.table(
+            {"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())}
+        )
 
+    from .infer import normalize_blocks
+
+    pair_schema = pa.schema([("e1", pa.string()), ("e2", pa.string())])
     word_blocks = entities.map_batches(_word_tokens, batch_format="pyarrow")
-    word_pairs = word_blocks.groupby("key").map_groups(_pairs_in_block, batch_format="pandas")
+    word_pairs = normalize_blocks(
+        word_blocks.groupby("key").map_groups(_pairs_in_block, batch_format="pandas"),
+        pair_schema,
+    )
 
     hay = entities.map_batches(_gram_haystack, batch_format="pyarrow").map_batches(
         lambda b: b.append_column("role", pa.array(["h"] * len(b), pa.string())),
@@ -171,15 +181,173 @@ def _blocked_candidate_pairs(
         lambda b: b.append_column("role", pa.array(["n"] * len(b), pa.string())),
         batch_format="pyarrow",
     )
-    contain_pairs = (
-        hay.union(needle).groupby("key").map_groups(_containment_pairs, batch_format="pandas")
+    contain_pairs = normalize_blocks(
+        hay.union(needle).groupby("key").map_groups(_containment_pairs, batch_format="pandas"),
+        pair_schema,
     )
 
     all_pairs = word_pairs.union(contain_pairs)
     # Global pair dedup (a pair can be found by many blocks).
-    return (
-        all_pairs.groupby(["e1", "e2"]).count().select_columns(["e1", "e2"])
+    return normalize_blocks(
+        all_pairs.groupby(["e1", "e2"]).count().select_columns(["e1", "e2"]),
+        pair_schema,
     )
+
+
+def infer_lexical_fast(
+    entities: list[str],
+    existing_pairs: set[tuple[str, str]],
+    *,
+    max_pairs_per_block: int | None = 200,
+    num_blocks: int = 16,
+) -> ray.data.Dataset:
+    """Single-shuffle blocked lexical inference over the entity residue.
+
+    The entity list and existing-pair set are the small aggregated
+    residues already on the driver (collected once for component
+    labeling); only ONE distributed shuffle remains — the token/3-gram
+    block groupby. Global pair dedup needs no second shuffle: each
+    pair is emitted only by its canonical block (word pairs: the
+    lexicographically smallest shared >=4-char word; containment
+    pairs: the contained entity's leading 3-gram — unique by
+    construction), and the existing-pair exclusion is a broadcast
+    filter. Caps per block bound degenerate blocks (skew defense).
+    """
+    from .infer import _ensure_lineage, normalize_blocks
+
+    ent_tbl = pa.table({"entity": pa.array(sorted(set(entities)), pa.string())})
+    ds = ray.data.from_arrow(ent_tbl)
+    if ds.num_blocks() < num_blocks:
+        ds = ds.repartition(num_blocks)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        keys, ents, roles = [], [], []
+        for e in batch["entity"].to_pylist():
+            le = e.lower()
+            for w in set(le.split()):
+                if len(w) >= 4:
+                    keys.append(w)
+                    ents.append(e)
+                    roles.append("w")
+            if len(le) >= 3:
+                keys.append("g:" + le[:3])
+                ents.append(e)
+                roles.append("n")
+            seen = set()
+            for i in range(max(0, len(le) - 2)):
+                g = le[i : i + 3]
+                if g not in seen:
+                    seen.add(g)
+                    keys.append("g:" + g)
+                    ents.append(e)
+                    roles.append("h")
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "entity": pa.array(ents, pa.string()),
+                "role": pa.array(roles, pa.string()),
+            }
+        )
+
+    def _canonical_word(e1: str, e2: str) -> str | None:
+        shared = set(e1.lower().split()) & set(e2.lower().split())
+        qual = sorted(w for w in shared if len(w) >= 4)
+        return qual[0] if qual else None
+
+    trip_schema = pa.schema(
+        [("subject", pa.string()), ("predicate", pa.string()), ("object", pa.string())]
+    )
+
+    def _block_triples(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return trip_schema.empty_table()
+        key = g["key"].iloc[0]
+        s_, p_, o_ = [], [], []
+        emitted = 0
+        cap = max_pairs_per_block
+
+        def _push(rule: tuple[str, str, str] | None) -> bool:
+            nonlocal emitted
+            if rule is None:
+                return False
+            s_.append(rule[0])
+            p_.append(rule[1])
+            o_.append(rule[2])
+            emitted += 1
+            return cap is not None and emitted >= cap
+
+        if key.startswith("g:"):
+            needles = sorted(set(g.loc[g["role"] == "n", "entity"]))
+            hays = sorted(set(g.loc[g["role"] == "h", "entity"]))
+            done = False
+            for nd in needles:
+                ln = nd.lower()
+                for hy in hays:
+                    if nd == hy or ln not in hy.lower():
+                        continue
+                    e1, e2 = (nd, hy) if nd < hy else (hy, nd)
+                    if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
+                        continue
+                    # containment branch applies only with NO shared words
+                    if set(e1.lower().split()) & set(e2.lower().split()):
+                        continue
+                    if _push(_pair_rules(e1, e2)):
+                        done = True
+                        break
+                if done:
+                    break
+        else:
+            ents = sorted(set(g.loc[g["role"] == "w", "entity"]))
+            done = False
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    e1, e2 = ents[i], ents[j]
+                    if _canonical_word(e1, e2) != key:
+                        continue  # another block owns this pair
+                    if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
+                        continue
+                    if _push(_pair_rules(e1, e2)):
+                        done = True
+                        break
+                if done:
+                    break
+        return pa.table(
+            {
+                "subject": pa.array(s_, pa.string()),
+                "predicate": pa.array(p_, pa.string()),
+                "object": pa.array(o_, pa.string()),
+            }
+        )
+
+    # Broadcast the existing-pair set through the object store; fetched
+    # once per worker process via a module-level cache.
+    import ray as _ray
+
+    pairs_ref = _ray.put(existing_pairs)
+
+    def _block_triples_with_state(g: pd.DataFrame) -> pa.Table:
+        global _EXISTING
+        if "_EXISTING" not in globals() or _EXISTING_REF[0] is not pairs_ref:
+            _EXISTING = _ray.get(pairs_ref)
+            _EXISTING_REF[0] = pairs_ref
+        return _block_triples(g)
+
+    out = normalize_blocks(
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_block_triples_with_state, batch_format="pandas"),
+        trip_schema,
+    )
+    return out.map_batches(
+        lambda b: _ensure_lineage(
+            b.append_column("inferred", pa.array([True] * len(b), pa.bool_())), "lexical"
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_EXISTING: set = set()
+_EXISTING_REF: list = [None]
 
 
 def infer_lexical(
@@ -241,10 +409,35 @@ def infer_lexical(
             entities,
             max_pairs_per_block=max_pairs_per_block,
             num_partitions=num_partitions,
-        )
+        ).materialize()  # small pair residue; also guards the empty case
+        if cand.count() == 0:
+            empty = pa.table(
+                {
+                    "subject": pa.array([], pa.string()),
+                    "predicate": pa.array([], pa.string()),
+                    "object": pa.array([], pa.string()),
+                }
+            )
+            cand = None
+            out = ray.data.from_arrow(empty)
+            return out.map_batches(
+                lambda b: _ensure_lineage(
+                    b.append_column("inferred", pa.array([True] * len(b), pa.bool_())),
+                    "lexical",
+                ),
+                batch_format="pyarrow",
+            )
         # Symmetric anti-join against existing related pairs.
-        fwd = existing.rename_columns({"subject": "e1", "object": "e2"})
-        rev = existing.rename_columns({"object": "e1", "subject": "e2"})
+        from .infer import sanitize_for_join
+
+        pair_schema = pa.schema([("e1", pa.string()), ("e2", pa.string())])
+        cand = sanitize_for_join(cand, pair_schema)
+        fwd = sanitize_for_join(
+            existing.rename_columns({"subject": "e1", "object": "e2"}), pair_schema
+        )
+        rev = sanitize_for_join(
+            existing.rename_columns({"object": "e1", "subject": "e2"}), pair_schema
+        )
         cand = cand.join(
             fwd, join_type="left_anti", num_partitions=num_partitions, on=("e1", "e2")
         ).join(

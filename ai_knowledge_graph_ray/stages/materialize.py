@@ -64,7 +64,7 @@ def nodes_table(
         .map_batches(_partial, batch_format="pyarrow")
         .groupby("entity")
         .aggregate(Sum("degree", alias_name="degree"))
-    )
+    ).materialize()  # small (one row per entity); reused by max + finish
     max_deg = deg.max("degree") or 1
     comp_ref = ray.put(components or {})
 

@@ -1,0 +1,152 @@
+"""Relational primitives tuned for Ray Data at scale.
+
+- :func:`grouped_sums` — grouped aggregation with a MAP-SIDE PARTIAL:
+  each batch is pre-aggregated with a vectorized pandas groupby (one
+  row per key per batch crosses the shuffle, not one per input row),
+  then a small global combine. This is the combiner pattern the Ray
+  guide prescribes for aggregation at scale.
+- :func:`cogroup_join` — hash join via ONE bucket shuffle + vectorized
+  per-bucket ``pandas.merge``. Benchmarks ~4-6x faster than
+  ``Dataset.join`` at sf0.1 (the Join operator's aggregator-actor
+  fleet has a high fixed cost). Supports ``inner`` and ``left_anti``.
+  Skew note: a hot key lands one bucket; for known-skewed keys, salt
+  the key upstream or raise ``num_buckets``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from .infer import default_num_partitions, normalize_blocks, pa_from_pandas
+
+
+def grouped_sums(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_name: str | None = None,
+) -> ray.data.Dataset:
+    """Group by ``keys``; emit ``{out_name: sum(in_col)}`` per
+    ``sum_cols`` and optionally a row count. Two-level: vectorized
+    per-batch partials, then a tiny global groupby."""
+    aggs = {out: (col, "sum") for out, col in sum_cols.items()}
+    if count_name:
+        any_col = next(iter(sum_cols.values()), None) or keys[0]
+        aggs[count_name] = (any_col, "size")
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(columns=keys + list(aggs))
+        return batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    out_names = list(aggs)
+    agg_fns = [Sum(n, alias_name=n) for n in out_names]
+    return partials.groupby(keys).aggregate(*agg_fns)
+
+
+def cogroup_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Partitioned hash join: tag sides, bucket on ``hash(key) % B``,
+    union, group by bucket, ``pandas.merge`` within each bucket.
+
+    Non-key columns must be disjoint between the sides. ``how`` is
+    ``inner`` or ``left_anti`` (anti returns left columns only).
+    """
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+    assert how in ("inner", "left_anti")
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_extra = [c for c in r_cols if c not in on]
+    overlap = set(c for c in l_cols if c not in on) & set(r_extra)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {overlap}")
+
+    l_arrow = pa.schema(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    )
+    if how == "inner":
+        out_schema = pa.schema(
+            list(l_arrow)
+            + [
+                pa.field(n, t)
+                for n, t in zip(r_schema.names, r_schema.types)
+                if n in r_extra
+            ]
+        )
+    else:
+        out_schema = l_arrow
+
+    l_extra = [c for c in l_cols if c not in on]
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    union_schema = pa.schema(
+        [pa.field(c, l_types[c]) for c in on]
+        + [pa.field(c, l_types[c]) for c in l_extra]
+        + [pa.field(c, r_types[c]) for c in r_extra]
+        + [pa.field("__bucket", pa.int64()), pa.field("__side", pa.string())]
+    )
+
+    def _tag(side: str):
+        def _f(batch: pd.DataFrame) -> pa.Table:
+            n = len(batch)
+            key = (
+                batch[on[0]].astype(str)
+                if len(on) == 1
+                else batch[on].astype(str).agg("\x00".join, axis=1)
+            )
+            bucket = (
+                (pd.util.hash_pandas_object(key, index=False) % num_buckets).astype("int64")
+                if n
+                else pd.Series([], dtype="int64")
+            )
+            arrays = []
+            for field in union_schema:
+                if field.name == "__bucket":
+                    arrays.append(pa.array(bucket, pa.int64()))
+                elif field.name == "__side":
+                    arrays.append(pa.array([side] * n, pa.string()))
+                elif field.name in batch.columns:
+                    arrays.append(pa.Array.from_pandas(batch[field.name], type=field.type))
+                else:
+                    arrays.append(pa.nulls(n, field.type))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+
+        return _f
+
+    lt = left.map_batches(_tag("l"), batch_format="pandas")
+    rt = right.map_batches(_tag("r"), batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        lpart = g[g["__side"] == "l"]
+        rpart = g[g["__side"] == "r"]
+        lpart = lpart[[c for c in l_cols]]
+        if how == "inner":
+            rpart = rpart[on + r_extra]
+            m = lpart.merge(rpart, on=on, how="inner")
+        else:
+            rk = rpart[on].drop_duplicates()
+            m = lpart.merge(rk.assign(__hit=1), on=on, how="left")
+            m = m[m["__hit"].isna()][l_cols]
+        return pa_from_pandas(m[list(out_schema.names)], out_schema)
+
+    uni = lt.union(rt)
+    return normalize_blocks(
+        uni.groupby("__bucket").map_groups(_merge, batch_format="pandas"),
+        out_schema,
+    )

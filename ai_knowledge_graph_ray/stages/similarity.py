@@ -1,0 +1,215 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; each batch computes a vectorized
+  ``numpy`` matmul and emits only its local top-k per query; a final
+  small ``groupby(query_id)`` reduces the per-batch candidates to the
+  global top-k. Work shipped per batch: O(batch x q); network: only
+  k x q x n_batches candidate rows.
+- :func:`knn_ivf` — IVF-style scale path: coarse centroids are fit
+  once (sampled k-means on the driver — deterministic seed), every row
+  is assigned to its nearest centroid inside ``map_batches``, and
+  queries probe only the ``n_probe`` closest centroid partitions.
+
+All math in float64 so results are bit-comparable with the DuckDB
+oracle (``list_cosine_similarity`` computes in double).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .infer import pa_from_pandas
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+
+
+class _BatchTopK:
+    def __init__(self, q_ref, k: int, vec_col: str, id_col: str, exclude_self: bool) -> None:
+        q = ray.get(q_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _unit(q["mat"].astype(np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        mat = _unit(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
+        sims = self.q_mat @ mat.T  # (q, n)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[qi]
+            mask = np.ones(len(ids), dtype=bool)
+            if self.exclude_self:
+                mask &= ids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((ids[idx], -s[idx]))][: self.k]
+            out_q.extend([qid] * len(order))
+            out_id.extend(ids[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {"query_id": out_q, self.id_col: out_id, "score": np.array(out_s, dtype=np.float64)}
+        )
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    with_scores: bool = False,
+) -> ray.data.Dataset:
+    """Exact cosine top-k of each query against the dataset.
+
+    Returns ``(query_id, vec_id[, score])`` with deterministic
+    tie-break (higher score first, then lower vec_id).
+    """
+    q_ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={
+            "q_ref": q_ref,
+            "k": k,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    fields = [("query_id", pa.int64()), (id_col, pa.int64())] + (
+        [("score", pa.float64())] if with_scores else []
+    )
+    out_schema = pa.schema(fields)
+
+    def _reduce(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+        cols = ["query_id", id_col] + (["score"] if with_scores else [])
+        return pa_from_pandas(g[cols], out_schema)
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        cand.groupby("query_id").map_groups(_reduce, batch_format="pandas"), out_schema
+    )
+
+
+def kmeans_fit(
+    sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Small deterministic k-means (Lloyd) on a driver-side sample —
+    fits the IVF coarse quantizer. O(sample x clusters x iters)."""
+    rng = np.random.RandomState(seed)
+    x = _unit(sample.astype(np.float64))
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: IVF coarse quantizer + probed search.
+
+    The centroid fit samples ``sample_size`` rows (one pass), then a
+    single filtered brute pass runs only over rows whose centroid is
+    among each query's ``n_probe`` nearest — at scale the dataset
+    would be pre-partitioned by centroid id so the probe prunes whole
+    blocks/files rather than filtering rows.
+    """
+    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    mat = np.stack([r[vec_col] for r in sample])
+    cents = kmeans_fit(mat, n_clusters)
+    cents_ref = ray.put(cents)
+
+    qm = _unit(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    probe_ref = ray.put(probe_sets)
+    q_ref = ray.put({"ids": np.asarray(query_ids), "mat": qm})
+
+    class _ProbedTopK:
+        def __init__(self) -> None:
+            q = ray.get(q_ref)
+            self.q_ids = q["ids"]
+            self.q_mat = q["mat"]
+            self.cents = ray.get(cents_ref)
+            self.probe_sets = ray.get(probe_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            mat = _unit(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            assign = np.argmax(mat @ self.cents.T, axis=1)
+            sims = self.q_mat @ mat.T
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(assign, list(self.probe_sets[qi]))
+                if exclude_self:
+                    mask &= ids != qid
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                s = sims[qi]
+                order = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(s[order])
+            return pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    id_col: out_id,
+                    "score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        _ProbedTopK, batch_format="pandas", concurrency=(1, 8)
+    )
+
+    out_schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64())])
+
+    def _reduce(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+        return pa_from_pandas(g[["query_id", id_col]], out_schema)
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        cand.groupby("query_id").map_groups(_reduce, batch_format="pandas"), out_schema
+    )

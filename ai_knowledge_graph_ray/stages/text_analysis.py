@@ -1,0 +1,177 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality stats, token counting, document fingerprinting.
+
+These operate on the ``documents``-shaped table (``doc_id, text, lang,
+source, n_chars``) or any table with a text column. All are stateless
+vectorized ``map_batches`` (pandas str kernels over Arrow blocks);
+definitions are chosen to be exactly expressible in ANSI SQL so the
+DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# Language-marker stopwords (standalone words). Order = tie-break
+# preference: en > de > fr > und.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "dans", "une", "des"],
+}
+
+PUNCT_PATTERN = r"[.!?,;:]"
+
+
+def _marker_re(lang: str) -> str:
+    return r"\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+def token_counts(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(id, n_tokens)`` — whitespace tokenization (str.split semantics:
+    runs of whitespace, leading/trailing ignored, empty -> 0)."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        stripped = t.str.strip()
+        n = stripped.str.split().str.len().fillna(0)
+        n = n.where(stripped.str.len() > 0, 0)
+        return pd.DataFrame({id_col: batch[id_col], "n_tokens": n.astype("int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+def doc_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(id, n_chars, n_punct, n_tokens)`` — integer quality stats."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        stripped = t.str.strip()
+        n_tok = stripped.str.split().str.len().fillna(0)
+        n_tok = n_tok.where(stripped.str.len() > 0, 0)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_chars": t.str.len().astype("int64"),
+                "n_punct": t.str.count(PUNCT_PATTERN).astype("int64"),
+                "n_tokens": n_tok.astype("int64"),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+def lang_id(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(id, lang_pred)`` — stopword-marker language heuristic over
+    {en, de, fr}; 'und' when no marker hits. Ties prefer en > de > fr."""
+    regexes = {lang: _marker_re(lang) for lang in LANG_MARKERS}
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        counts = {lang: low.str.count(rx) for lang, rx in regexes.items()}
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        pred = np.where(
+            (en == 0) & (de == 0) & (fr == 0),
+            "und",
+            np.where((en >= de) & (en >= fr), "en", np.where(de >= fr, "de", "fr")),
+        )
+        return pd.DataFrame({id_col: batch[id_col], "lang_pred": pred})
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+def quality_score(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Heuristic quality scoring (length / punct ratio / stopword ratio /
+    mean word length), 0..1. Float-valued — verified rows-only (fp hash
+    instability vs SQL); the integer inputs are oracle-checked via
+    :func:`doc_stats`."""
+    en_re = _marker_re("en")
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        n_chars = t.str.len()
+        toks = t.str.strip().str.split()
+        n_tok = toks.str.len().fillna(0).astype("int64")
+        n_punct = t.str.count(PUNCT_PATTERN)
+        n_stop = t.str.lower().str.count(en_re)
+        mean_wl = (n_chars - n_tok + 1).clip(lower=0) / n_tok.clip(lower=1)
+        len_score = (n_tok.clip(upper=1000) / 1000.0).astype(float)
+        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
+        stop_ratio = (n_stop / n_tok.clip(lower=1)).astype(float)
+        wl_score = 1.0 - (mean_wl - 5.0).abs().clip(upper=5.0) / 5.0
+        score = (
+            0.3 * len_score
+            + 0.3 * stop_ratio.clip(upper=0.5) * 2.0
+            + 0.2 * (1.0 - punct_ratio.clip(upper=0.2) * 5.0)
+            + 0.2 * wl_score
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "quality": score.astype("float64"),
+                "n_tokens": n_tok,
+                "stop_ratio": stop_ratio,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+def fingerprints(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(id, md5, simhash64)`` — exact content hash + 64-bit SimHash
+    over word tokens (rolling document fingerprint)."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        md5s, sims = [], []
+        for t in batch[text_col].fillna(""):
+            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            sims.append(simhash64(t))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "md5": md5s,
+                "simhash64": pd.array(sims, dtype="uint64"),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+_WORD_RE = re.compile(r"\w+")
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over lowercased word tokens (deterministic,
+    seed-free: md5-based token hashes). Vectorized bit counting via
+    unpackbits over the stacked digest bytes."""
+    toks = _WORD_RE.findall(text.lower())
+    if not toks:
+        return 0
+    digests = np.frombuffer(
+        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
+        dtype=np.uint8,
+    ).reshape(len(toks), 8)
+    bits = np.unpackbits(digests, axis=1, bitorder="big")  # (n, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits, bitorder="big").tobytes(), "big")

@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+    {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the headline KG pipeline at num_cpus=8 and 32 in
+fresh subprocesses on the same input and reports both throughputs +
+scaling efficiency (the sandbox proxy for the N vs 4N-node criterion;
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# The driver corpus at sf0.1 is ~5k small docs — too little compute to
+# measure scaling against fixed startup costs. The headline KG run
+# tiles the SAME corpus K times with distinct doc ids/urls (content
+# unchanged; see sources.pages.pages_from_documents) so the measured
+# regime is compute/shuffle-bound like a real crawl slice.
+REPLICATION = int(os.environ.get("GRAFT_BENCH_REPLICATION", "64"))
+# Scaling levels: N and 4N CPUs in fresh processes. 4 vs 16 rather
+# than 8 vs 32 because this sandbox VM shows hypervisor CPU steal
+# (2-3x wall-time variance) when all 32 vCPUs are loaded; 4/16 stays
+# inside the reliably-schedulable region while preserving the 4x
+# ratio the north rule asks for.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "4"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_CPUS_HI", "16"))
+
+# Headline per-query timings (subset chosen to cover the operator
+# families: KG build, dedup sketches, ANN, text analysis, relational).
+BENCH_QUERIES = [
+    "kg_triples_std",
+    "minhash_dedup",
+    "simhash_dedup",
+    "knn_cosine",
+    "doc_stats",
+    "lineitem_agg",
+    "lineitem_orders_join",
+    "events_window",
+]
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ai_knowledge_graph_ray.pipelines.kg import build_graph
+    from ai_knowledge_graph_ray.pipelines.queries import QUERIES
+    from ai_knowledge_graph_ray.sources.pages import pages_from_documents
+
+    # Warm the page cache so we measure compute+shuffle, not cold disk.
+    n_docs = pages_from_documents(SF_DIR, replication=REPLICATION).count()
+
+    t0 = time.time()
+    res = build_graph(
+        pages_from_documents(SF_DIR, replication=REPLICATION),
+        {
+            "chunking": {"chunk_size": 200, "overlap": 40},
+            "runtime": {"lexical_mode": "blocked", "max_fanout_per_mid": 100},
+        },
+    )
+    n_triples = res["triples"].count()
+    n_edges = res["edges"].count()
+    headline = time.time() - t0
+
+    per_query: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "kg_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "replication": REPLICATION,
+            "n_docs": n_docs,
+            "n_triples": n_triples,
+            "n_edges": n_edges,
+            "docs_per_sec": round(n_docs / headline, 2),
+            "triples_per_sec": round(n_triples / headline, 2),
+        }
+    for name in BENCH_QUERIES:
+        tq = time.time()
+        out = QUERIES[name](SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        per_query[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replication": REPLICATION,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "n_edges": n_edges,
+        "docs_per_sec": round(n_docs / headline, 2),
+        "triples_per_sec": round(n_triples / headline, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SKIP_QUERIES="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(SCALE_LO), one(SCALE_HI)
+    eff = (lo["value"] / hi["value"]) / (SCALE_HI / SCALE_LO)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": SCALE_LO,
+        "cpus_hi": SCALE_HI,
+        f"sec_{SCALE_LO}": lo["value"],
+        f"sec_{SCALE_HI}": hi["value"],
+        f"docs_per_sec_{SCALE_LO}": lo["docs_per_sec"],
+        f"docs_per_sec_{SCALE_HI}": hi["docs_per_sec"],
+        "replication": REPLICATION,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
