@@ -38,6 +38,7 @@ from ..stages.docs import extract_docs
 from ..stages.extract import extract_triples
 from ..stages.canonicalize import standardize_triples
 from ..stages.relational import cogroup_join, grouped_sums
+from ..stages.sessions import sessionize
 from ..stages.similarity import knn_brute, knn_ivf
 from ..stages.text_analysis import (
     LANG_MARKERS,
@@ -344,6 +345,187 @@ def q_kg_nodes(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# More relational / text / streaming operators (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_top_tokens(sf_dir: str):
+    """Distributed explode + two-level count + deterministic top-k."""
+    ds = _docs(sf_dir)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        tok_re = _re.compile(r"\w+")
+        counts: dict[str, int] = {}
+        for t in b["text"].fillna(""):
+            for w in tok_re.findall(t.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"token": list(counts), "one": list(counts.values())})
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    agg = grouped_sums(partials, ["token"], {"n": "one"})
+    return agg.sort(["n", "token"], descending=[True, False]).limit(50)
+
+
+def q_events_sessionize(sf_dir: str):
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count-distinct: per-batch distinct pairs, pair-level
+    global dedup via groupby, then a grouped count."""
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["event_type", "user_id"])
+
+    distinct_pairs = (
+        ev.map_batches(_pairs, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+
+    def _one(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array([1] * len(b), pa.int64()),
+            }
+        )
+
+    return grouped_sums(
+        distinct_pairs.map_batches(_one, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_users": "one"},
+    )
+
+
+def q_three_way_join(sf_dir: str):
+    """lineitem x orders x customer: cogroup join on orderkey for the
+    two large sides, broadcast join for the customer dimension."""
+    import ray as _ray
+
+    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "n"})
+
+    li_part = li.map_batches(_partial, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    joined = cogroup_join(li_part, orders, on=["l_orderkey"], how="inner")
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def _seg(b: pa.Table) -> pa.Table:
+        seg = _ray.get(seg_ref) if isinstance(seg_ref, _ray.ObjectRef) else seg_ref
+        vals = [seg.get(k) for k in b["o_custkey"].to_pylist()]
+        out = b.append_column("c_mktsegment", pa.array(vals, pa.string()))
+        return out.filter(pc.is_valid(out["c_mktsegment"]))
+
+    seged = joined.map_batches(_seg, batch_format="pyarrow")
+    return grouped_sums(
+        seged, ["c_mktsegment", "o_orderpriority"], {"n_items": "n"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / training / graph-ops / multimodal (model- or Python-rule
+# dependent -> rows-only checks; conformance is pinned by pytest)
+# ---------------------------------------------------------------------------
+
+def _dirty_corpus_from_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic dirty triple corpus derived from the documents
+    table (FIXTURES.md F4 pathologies planted by doc_id rules)."""
+    from ..sources.triples_io import triples_from_records
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"]).to_pylist()
+    records = []
+    for d in docs:
+        toks = [w for w in (d["text"] or "").lower().split() if w.isalpha()][:8]
+        if len(toks) < 4:
+            continue
+        i = d["doc_id"]
+        records.append(
+            {"subject": toks[0], "predicate": "is", "object": toks[1], "chunk": i}
+        )
+        if i % 3 == 0:  # case-variant duplicate
+            records.append(
+                {"subject": toks[0].title(), "predicate": "IS", "object": toks[1].upper(), "chunk": i}
+            )
+        if i % 5 == 0:  # list object
+            records.append(
+                {"subject": toks[2], "predicate": "contains", "object": toks[2:5], "chunk": i}
+            )
+        if i % 7 == 0:  # noise + short + null
+            records.append({"subject": "it", "predicate": "does", "object": toks[3], "chunk": i})
+            records.append({"subject": toks[3], "predicate": "has", "object": "x", "chunk": i})
+            records.append({"subject": toks[3], "predicate": "uses", "object": None, "chunk": i})
+        if i % 11 == 0:  # stray keys only
+            records.append({"predicate2": "stray", "object2": "keys"})
+    return triples_from_records(records)
+
+
+def q_clean_triples(sf_dir: str):
+    from ..stages.clean import clean_triples
+
+    out, _stats = clean_triples(_dirty_corpus_from_docs(sf_dir), min_pred_count=2)
+    return out.select_columns(["subject", "predicate", "object", "chunk"])
+
+
+def q_relation_counts(sf_dir: str):
+    from ..stages.graph_ops import relation_type_counts
+
+    return relation_type_counts(q_kg_edges(sf_dir))
+
+
+def q_training_qa(sf_dir: str):
+    from ..stages.training import generate_relationship_qa
+
+    return generate_relationship_qa(q_kg_edges(sf_dir), seed=42)
+
+
+def q_concept_extract(sf_dir: str):
+    from ..stages.graph_ops import extract_concepts
+
+    # concept list = most frequent tokens of the corpus itself
+    top = q_top_tokens(sf_dir).take_all()
+    names = [r["token"] for r in top[:30]]
+    return extract_concepts(_docs(sf_dir), names)
+
+
+def q_recursive_split(sf_dir: str):
+    from ..stages.graph_ops import recursive_split
+
+    ds = recursive_split(_docs(sf_dir), chunk_size=800, overlap=150)
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "split_id": pc.cast(b["split_id"], pa.int64()),
+                "n_chars": pc.cast(
+                    pc.utf8_length(b["split_text"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_features(sf_dir: str):
+    from ..stages.multimodal import extract_media_features, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir)
+    return extract_media_features(media, concurrency=(1, 4)).select_columns(
+        ["media_id", "height", "width"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -367,6 +549,16 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_dedup": q_embedding_dedup,
+    "top_tokens": q_top_tokens,
+    "events_sessionize": q_events_sessionize,
+    "distinct_users": q_distinct_users,
+    "three_way_join": q_three_way_join,
+    "clean_triples": q_clean_triples,
+    "relation_counts": q_relation_counts,
+    "training_qa": q_training_qa,
+    "concept_extract": q_concept_extract,
+    "recursive_split": q_recursive_split,
+    "media_features": q_media_features,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,
     "kg_edges": q_kg_edges,
@@ -483,6 +675,40 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "top_tokens": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+            FROM documents
+        ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "events_sessionize": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "three_way_join": """
+        SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
     """,
     "ngram_overlap_pairs": """
         WITH toks AS (

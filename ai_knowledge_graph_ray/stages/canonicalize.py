@@ -281,6 +281,7 @@ def standardize_triples(
                 _ExactApplier,
                 fn_constructor_kwargs={"map_ref": ray.put(llm_map)},
                 batch_format="pyarrow",
+                concurrency=(1, 4),
             )
         out = out.map_batches(
             lambda b: b.filter(pc.invert(pc.equal(b["subject"], b["object"]))),

@@ -153,7 +153,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.8,
     max_pairs_per_bucket: int = 100,
     verify: bool = True,
@@ -166,6 +166,11 @@ def minhash_lsh_dedup(
     Jaccard verify against ``threshold`` -> union-find on the driver
     over surviving pairs (candidate pairs are the tiny residue).
     Returns only rows whose canonical id differs (empty = no dups).
+
+    Default banding 32x4 puts the LSH S-curve threshold at
+    ``(1/32)^(1/4) ~= 0.42`` — deliberately below typical dedup
+    thresholds so candidate recall is high; the exact-Jaccard verify
+    step removes the false positives the loose banding admits.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands

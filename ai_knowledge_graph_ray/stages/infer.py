@@ -340,6 +340,11 @@ def infer_transitive(
         out_edges = edges
         in_edges = edges
 
+    # cogroup_join, not Dataset.join: Ray 2.49's join operator fails
+    # ("No match ... for key field") whenever a hash partition receives
+    # zero rows — guaranteed on sparse keys.
+    from .relational import cogroup_join
+
     left_schema = pa.schema([("src", pa.string()), ("mid", pa.string()), ("p1", pa.string())])
     right_schema = pa.schema([("mid", pa.string()), ("dst", pa.string()), ("p2", pa.string())])
     left = sanitize_for_join(
@@ -350,13 +355,9 @@ def infer_transitive(
         out_edges.rename_columns({"subject": "mid", "object": "dst", "predicate": "p2"}),
         right_schema,
     )
-    paths = left.join(
-        right,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("mid",),
-        left_suffix="_l",
-        right_suffix="_r",
+    paths = cogroup_join(
+        left, right, on=["mid"], how="inner", num_buckets=num_partitions,
+        left_schema=left_schema, right_schema=right_schema,
     )
 
     def _compose(batch: pa.Table) -> pa.Table:
@@ -406,11 +407,13 @@ def infer_transitive(
             [("subject", pa.string()), ("predicate", pa.string()), ("object", pa.string())]
         ),
     )
-    new = candidates.join(
-        existing,
-        join_type="left_anti",
-        num_partitions=num_partitions,
-        on=("subject", "object"),
+    new = cogroup_join(
+        candidates, existing, on=["subject", "object"], how="left_anti",
+        num_buckets=num_partitions,
+        left_schema=pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()), ("object", pa.string())]
+        ),
+        right_schema=pair_schema,
     )
     return new.map_batches(
         lambda b: _ensure_lineage(

@@ -427,8 +427,10 @@ def infer_lexical(
                 ),
                 batch_format="pyarrow",
             )
-        # Symmetric anti-join against existing related pairs.
+        # Symmetric anti-join against existing related pairs —
+        # cogroup_join (Dataset.join breaks on empty hash partitions).
         from .infer import sanitize_for_join
+        from .relational import cogroup_join
 
         pair_schema = pa.schema([("e1", pa.string()), ("e2", pa.string())])
         cand = sanitize_for_join(cand, pair_schema)
@@ -438,10 +440,13 @@ def infer_lexical(
         rev = sanitize_for_join(
             existing.rename_columns({"object": "e1", "subject": "e2"}), pair_schema
         )
-        cand = cand.join(
-            fwd, join_type="left_anti", num_partitions=num_partitions, on=("e1", "e2")
-        ).join(
-            rev, join_type="left_anti", num_partitions=num_partitions, on=("e1", "e2")
+        cand = cogroup_join(
+            cand, fwd, on=["e1", "e2"], how="left_anti", num_buckets=num_partitions,
+            left_schema=pair_schema, right_schema=pair_schema,
+        )
+        cand = cogroup_join(
+            cand, rev, on=["e1", "e2"], how="left_anti", num_buckets=num_partitions,
+            left_schema=pair_schema, right_schema=pair_schema,
         )
 
         def _verify(batch: pa.Table) -> pa.Table:

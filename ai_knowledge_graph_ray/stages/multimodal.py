@@ -1,0 +1,180 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata, the
+standard layout for multimodal training-data pipelines. The actual
+codec work (image decode, resize, audio features, frame sampling) is
+STUBBED — the sandbox ships no imaging/audio libraries — behind a
+deterministic fake so the Ray-side plumbing (schema, actor-pool
+signature, batch sizing for large payloads, output layout) is real and
+tested:
+
+- ``decoder="fake"`` (default): deterministic pseudo-decode — fixed
+  shape + md5-seeded statistics from the bytes; fully testable.
+- ``decoder="pil"`` / ``"ffmpeg"``: raise ``NotImplementedError`` with
+  the dependency name (swap-in point for a real cluster image).
+
+Stages are actor pools (``map_batches(Cls, concurrency=...)``) with a
+small default ``batch_size`` because each row carries a large binary
+payload — the knob that keeps ``batch_size x concurrency x payload``
+inside worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),   # image | audio | video
+        ("content", pa.binary()),
+        ("mime", pa.string()),
+        ("source_url", pa.string()),
+    ]
+)
+
+FEATURE_DIM = 64
+
+
+def synth_media_from_documents(sf_dir: str, media_type: str = "image") -> ray.data.Dataset:
+    """Deterministic media table derived from the documents corpus:
+    content bytes are a pure function of (doc_id, text) — stands in
+    for a WARC media payload at the same schema."""
+    import os
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        blobs = [
+            hashlib.md5(f"{i}:{(t or '')[:64]}".encode()).digest() * 64 for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array([media_type] * len(ids), pa.string()),
+                "content": pa.array(blobs, pa.binary()),
+                "mime": pa.array(
+                    ["image/fake" if media_type == "image" else "audio/fake"] * len(ids),
+                    pa.string(),
+                ),
+                "source_url": pa.array(
+                    [f"https://example.org/media/{i}" for i in ids], pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract one media batch.
+
+    ``__init__`` is where a real deployment loads the codec/model once
+    per actor; the fake decoder derives a deterministic FEATURE_DIM
+    float vector and (h, w) metadata from the content hash.
+    """
+
+    def __init__(self, decoder: str = "fake", target_size: tuple[int, int] = (224, 224)) -> None:
+        self.decoder = decoder
+        self.target_size = target_size
+        if decoder == "fake":
+            self._decode = self._fake_decode
+        elif decoder == "pil":
+            raise NotImplementedError(
+                "real image decode needs Pillow; not available in this sandbox — "
+                "install pillow and implement _pil_decode on a real cluster image"
+            )
+        elif decoder == "ffmpeg":
+            raise NotImplementedError(
+                "real audio/video decode needs ffmpeg bindings; not available here"
+            )
+        else:
+            raise ValueError(f"unknown decoder: {decoder}")
+
+    def _fake_decode(self, blob: bytes) -> tuple[int, int, np.ndarray]:
+        digest = hashlib.md5(blob or b"").digest()
+        h = 128 + digest[0]
+        w = 128 + digest[1]
+        seed = int.from_bytes(digest[:4], "big")
+        rng = np.random.RandomState(seed)
+        feats = rng.randn(FEATURE_DIM).astype(np.float64)
+        return h, w, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        blobs = batch["content"].to_pylist()
+        hs, ws, feats = [], [], []
+        for blob in blobs:
+            h, w, f = self._decode(blob)
+            hs.append(h)
+            ws.append(w)
+            feats.append(f.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "target_h": pa.array([self.target_size[0]] * len(ids), pa.int32()),
+                "target_w": pa.array([self.target_size[1]] * len(ids), pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def extract_media_features(
+    media: ray.data.Dataset,
+    *,
+    decoder: str = "fake",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """media table -> ``(media_id, height, width, target_*, features)``.
+
+    Small ``batch_size`` by design: rows carry the full binary payload,
+    so ``batch_size x concurrency`` bounds peak worker memory.
+    """
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample_stub(
+    media: ray.data.Dataset, *, every_n: int = 10, max_frames: int = 8
+) -> ray.data.Dataset:
+    """Video frame-sampling plumbing: emits one row per (deterministic)
+    sampled frame index with a fake frame payload — the real decoder
+    slot is the same ``MediaFeatureExtractor`` signature."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, blob in zip(batch["media_id"].to_pylist(), batch["content"].to_pylist()):
+            n_frames = 1 + (hashlib.md5(blob or b"").digest()[2] % 100)
+            for k, frame_i in enumerate(range(0, n_frames, every_n)):
+                if k >= max_frames:
+                    break
+                ids.append(mid)
+                fidx.append(frame_i)
+                frames.append(hashlib.md5(f"{mid}:{frame_i}".encode()).digest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+    return media.map_batches(_f, batch_format="pyarrow", batch_size=16)

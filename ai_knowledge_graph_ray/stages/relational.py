@@ -55,19 +55,28 @@ def cogroup_join(
     *,
     how: str = "inner",
     num_buckets: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join: tag sides, bucket on ``hash(key) % B``,
     union, group by bucket, ``pandas.merge`` within each bucket.
 
     Non-key columns must be disjoint between the sides. ``how`` is
     ``inner`` or ``left_anti`` (anti returns left columns only).
+    Pass ``left_schema``/``right_schema`` when a side may be empty
+    (``Dataset.schema()`` returns None for fully-empty pipelines).
     """
     if num_buckets is None:
         num_buckets = default_num_partitions()
     assert how in ("inner", "left_anti")
 
-    l_schema = left.schema()
-    r_schema = right.schema()
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
+    if l_schema is None or r_schema is None:
+        raise ValueError(
+            "cogroup_join: side has unknown schema (empty pipeline?) — "
+            "pass left_schema/right_schema explicitly"
+        )
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     r_extra = [c for c in r_cols if c not in on]

@@ -1,0 +1,144 @@
+"""Dedup/similarity operators on corpora with PLANTED duplicates —
+verifying detection, canonical mapping, and non-detection of unrelated
+content."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from ai_knowledge_graph_ray.stages.similarity import knn_brute, knn_ivf
+
+BASE = (
+    "the steam engine transformed industry across britain powering new "
+    "factories mills and railways while coal mines fed the growing demand "
+    "for energy and ports moved goods to distant markets every year"
+)
+NEAR = BASE.replace("distant markets", "faraway markets")  # 1-word change
+OTHER = (
+    "completely different subject matter entirely about marine biology "
+    "coral reefs fish populations ocean currents and tidal patterns with "
+    "no overlap in vocabulary whatsoever against the industrial corpus"
+)
+
+
+def _docs():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [BASE, NEAR, OTHER, BASE, "short text"],
+            }
+        )
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self):
+        out = exact_dedup(_docs())
+        ids = sorted(r["doc_id"] for r in out.select_columns(["doc_id"]).take_all())
+        assert ids == [1, 2, 3, 5]  # doc 4 == doc 1 dropped
+
+
+class TestMinHash:
+    def test_near_dup_found(self):
+        out = minhash_lsh_dedup(_docs(), threshold=0.5).take_all()
+        mapping = {r["doc_id"]: r["dup_of"] for r in out}
+        # exact copy 4 -> 1; near copy 2 -> 1 (high jaccard)
+        assert mapping.get(4) == 1
+        assert mapping.get(2) == 1
+        assert 3 not in mapping
+        assert jaccard(BASE, NEAR, 5) > 0.5
+
+    def test_no_false_positives_on_disjoint(self):
+        out = minhash_lsh_dedup(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [BASE, OTHER]})
+            )
+        ).take_all()
+        assert out == []
+
+
+class TestSimHash:
+    def test_exact_and_near(self):
+        out = simhash_dedup(_docs()).take_all()
+        mapping = {r["doc_id"]: r["dup_of"] for r in out}
+        assert mapping.get(4) == 1  # identical -> hamming 0
+        assert 3 not in mapping
+
+
+class TestNgramJaccard:
+    def test_pair_counts_exact(self):
+        rows = ngram_jaccard_pairs(_docs(), k=3, threshold=0.5).take_all()
+        pairs = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_union"]) for r in rows}
+        assert (1, 4) in pairs
+        c, u = pairs[(1, 4)]
+        assert c == u  # identical docs share all 3-grams
+        assert (1, 2) in pairs  # near dup above 0.5
+        assert not any(3 in p for p in pairs)
+
+
+class TestEmbeddingDedup:
+    def test_scaled_vector_is_dup(self):
+        rng = np.random.RandomState(3)
+        v = rng.randn(16)
+        w = rng.randn(16)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 3], pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist(), (2.0 * v).tolist(), w.tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+        out = embedding_dedup(ds, threshold=0.99).take_all()
+        mapping = {r["vec_id"]: r["dup_of"] for r in out}
+        assert mapping.get(2) == 1
+        assert 3 not in mapping
+
+
+class TestKnn:
+    def test_ivf_recall_vs_brute(self, sf_dir):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(3)
+        qids = emb["vec_id"].to_numpy()
+        qmat = np.stack(emb["embedding"].to_numpy())
+        brute = knn_brute(ds, qids, qmat, k=10).take_all()
+        approx = knn_ivf(ds, qids, qmat, k=10, n_clusters=8, n_probe=4).take_all()
+        b = {(r["query_id"], r["vec_id"]) for r in brute}
+        a = {(r["query_id"], r["vec_id"]) for r in approx}
+        recall = len(a & b) / len(b)
+        assert recall >= 0.5, recall
+
+    def test_brute_self_excluded(self, sf_dir):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(2)
+        out = knn_brute(
+            ds, emb["vec_id"].to_numpy(), np.stack(emb["embedding"].to_numpy()), k=5
+        ).take_all()
+        assert all(r["query_id"] != r["vec_id"] for r in out)
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += 1
+        assert all(v == 5 for v in per_q.values())

@@ -1,0 +1,244 @@
+"""Tests for training-data generation, graph ops, checkpoint/resume,
+multimodal plumbing (SURVEY.md S5/S10/K6/K7/G9/G10/M14-M16/J4)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ai_knowledge_graph_ray.stages.graph_ops import (
+    coverage_report,
+    extract_concepts,
+    node_degrees,
+    recursive_split,
+    relation_type_counts,
+    tag_signal_noise,
+)
+from ai_knowledge_graph_ray.stages.multimodal import (
+    MediaFeatureExtractor,
+    extract_media_features,
+    frame_sample_stub,
+    synth_media_from_documents,
+)
+from ai_knowledge_graph_ray.stages.training import (
+    format_examples,
+    generate_neighborhood_qa,
+    generate_relationship_qa,
+    merge_training_data,
+    train_test_split,
+)
+from ai_knowledge_graph_ray.state.checkpoint import PartitionedSink, partition_of
+
+
+def _edges_ds():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["steam_engine", "steam_engine", "railway", "coal", "mill", "coal"],
+                "dst": ["factory", "mill", "market", "steam_engine", "cloth", "power"],
+                "predicate": ["powers", "powers", "connects", "fuels", "produces", "fuels"],
+                "inferred": [False] * 6,
+            }
+        )
+    )
+
+
+class TestTraining:
+    def test_relationship_qa_deterministic(self):
+        a = generate_relationship_qa(_edges_ds(), seed=42).take_all()
+        b = generate_relationship_qa(_edges_ds(), seed=42).take_all()
+        key = lambda rows: sorted(r["instruction"] for r in rows)
+        assert key(a) == key(b)
+        assert len(a) == 6
+        assert all("relationship" in r["category"] for r in a)
+
+    def test_relationship_qa_cap(self):
+        n = 100
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": [f"e{i}" for i in range(n)],
+                    "dst": [f"f{i}" for i in range(n)],
+                    "predicate": ["links"] * n,
+                    "inferred": [False] * n,
+                }
+            )
+        )
+        rows = generate_relationship_qa(ds, seed=42, max_per_rel=30).take_all()
+        assert len(rows) == 30
+
+    def test_noise_predicates_skipped(self):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": ["a1", "b1"],
+                    "dst": ["c1", "d1"],
+                    "predicate": ["##", "ok_rel"],
+                    "inferred": [False, False],
+                }
+            )
+        )
+        rows = generate_relationship_qa(ds).take_all()
+        assert len(rows) == 1
+
+    def test_neighborhood_qa(self):
+        rows = generate_neighborhood_qa(_edges_ds()).take_all()
+        by_subject = {r["instruction"]: r for r in rows}
+        assert any("Steam Engine" in k for k in by_subject)
+
+    def test_formats(self):
+        qa = generate_relationship_qa(_edges_ds())
+        for fmt, field in [("chatml", "messages"), ("alpaca", "instruction"), ("sharegpt", "conversations")]:
+            recs = format_examples(qa, fmt=fmt).take_all()
+            parsed = json.loads(recs[0]["record"])
+            assert field in parsed
+
+    def test_merge_dedup(self):
+        a = generate_relationship_qa(_edges_ds())
+        b = generate_relationship_qa(_edges_ds())  # identical -> full dedup
+        merged = merge_training_data([a, b])
+        assert merged.count() == 6
+
+    def test_split(self):
+        qa = generate_relationship_qa(_edges_ds())
+        train, test = train_test_split(qa, test_ratio=0.5, seed=7)
+        assert train.count() + test.count() == 6
+
+
+class TestGraphOps:
+    def test_relation_counts(self):
+        rows = {
+            r["predicate"]: r["n_edges"]
+            for r in relation_type_counts(_edges_ds()).take_all()
+        }
+        assert rows == {"powers": 2, "connects": 1, "fuels": 2, "produces": 1}
+
+    def test_node_degrees(self):
+        deg = {r["entity"]: r["degree"] for r in node_degrees(_edges_ds()).take_all()}
+        assert deg["steam_engine"] == 3
+        assert deg["coal"] == 2
+
+    def test_tag_signal_noise(self):
+        triples = ray.data.from_arrow(
+            pa.table(
+                {
+                    "subject": ["steam engine", "random thing"],
+                    "predicate": ["powers", "does"],
+                    "object": ["factory", "stuff"],
+                }
+            )
+        )
+        tagged, stats = tag_signal_noise(triples, ["steam", "factory"])
+        assert stats == {"total": 2, "signal": 1, "noise": 1}
+
+    def test_extract_concepts(self):
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "The steam engine transformed factory work.",
+                        "Nothing relevant here.",
+                    ],
+                }
+            )
+        )
+        hits = extract_concepts(docs, ["Steam Engine", "coal mine"]).take_all()
+        assert any(h["concept"] == "steam_engine" and h["score"] == 1.0 for h in hits)
+        assert all(h["doc_id"] == 1 for h in hits)
+
+    def test_recursive_split(self):
+        long_text = ("A sentence here. " * 30 + "\n\n") * 5
+        docs = ray.data.from_arrow(pa.table({"doc_id": [1], "text": [long_text]}))
+        rows = recursive_split(docs, chunk_size=200, overlap=40).take_all()
+        assert len(rows) > 3
+        assert all(len(r["split_text"]) <= 1800 for r in rows)
+        # deterministic
+        rows2 = recursive_split(docs, chunk_size=200, overlap=40).take_all()
+        assert [r["split_text"] for r in rows] == [r["split_text"] for r in rows2]
+
+    def test_coverage_report(self):
+        nodes = ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity": ["steam_engine", "coal", "mill"],
+                    "degree": [5, 1, 3],
+                }
+            )
+        )
+        rep = coverage_report(["Steam Engine", "railway", "coal"], nodes)
+        assert rep["present"] == ["coal", "steam_engine"]
+        assert rep["missing"] == ["railway"]
+        assert rep["thin"] == ["coal"]
+
+
+class TestCheckpoint:
+    def test_partition_stable(self):
+        assert partition_of("https://x/1", 8) == partition_of("https://x/1", 8)
+
+    def test_write_resume_no_duplicates(self, tmp_path):
+        tbl = pa.table(
+            {
+                "url": [f"https://e/{i}" for i in range(200)],
+                "value": list(range(200)),
+            }
+        )
+        out = str(tmp_path / "sink")
+        full = ray.data.from_arrow(tbl)
+
+        # First (interrupted) run: only rows of partitions {0,1,2} get
+        # processed before the "crash".
+        sink = PartitionedSink(out, num_partitions=8, key_col="url", run_id="r1")
+        subset = full.filter(lambda r: partition_of(r["url"], 8) in (0, 1, 2))
+        entries1 = sink.write(subset)
+        assert {e["partition_id"] for e in entries1} <= {0, 1, 2}
+
+        # Resume: pending filter drops finished partitions at the read.
+        sink2 = PartitionedSink(out, num_partitions=8, key_col="url", run_id="r2")
+        pending = sink2.filter_pending(full)
+        pend_rows = pending.count()
+        assert pend_rows < 200
+        entries2 = sink2.write(pending)
+        done = sink2.done_partitions()
+        assert sum(e["rows"] for e in done.values()) == 200  # no dupes, no loss
+
+        back = sink2.read_all()
+        vals = sorted(r["value"] for r in back.select_columns(["value"]).take_all())
+        assert vals == list(range(200))
+        # lineage columns present
+        cols = set(back.schema().names)
+        assert {"partition_id", "run_id", "stage"} <= cols
+
+    def test_rerun_is_noop(self, tmp_path):
+        tbl = pa.table({"url": [f"u{i}" for i in range(50)], "v": list(range(50))})
+        out = str(tmp_path / "sink2")
+        sink = PartitionedSink(out, num_partitions=4, key_col="url")
+        sink.write(ray.data.from_arrow(tbl))
+        pending = sink.filter_pending(ray.data.from_arrow(tbl))
+        assert pending.count() == 0
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic(self):
+        ex = MediaFeatureExtractor(decoder="fake")
+        h1, w1, f1 = ex._fake_decode(b"abc")
+        h2, w2, f2 = ex._fake_decode(b"abc")
+        assert (h1, w1) == (h2, w2)
+        assert (f1 == f2).all()
+
+    def test_real_decoders_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(decoder="pil")
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(decoder="ffmpeg")
+
+    def test_pipeline_plumbing(self, sf_dir):
+        media = synth_media_from_documents(sf_dir).limit(32)
+        feats = extract_media_features(media, concurrency=2).take_all()
+        assert len(feats) == 32
+        assert len(feats[0]["features"]) == 64
+        frames = frame_sample_stub(media).take_all()
+        assert all(f["frame_index"] % 10 == 0 for f in frames)
