@@ -1,0 +1,112 @@
+"""Determinism under parallelism (per-url byte identity, stable triple
+output across block layouts) and hot-key skew behavior (FIXTURES.md
+F7, SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ai_knowledge_graph_ray.pipelines.kg import build_graph
+from ai_knowledge_graph_ray.sources.pages import pages_from_documents
+from ai_knowledge_graph_ray.stages.canonicalize import entity_counts
+from ai_knowledge_graph_ray.stages.docs import extract_docs
+from ai_knowledge_graph_ray.stages.infer import (
+    distinct_edges,
+    infer_transitive_broadcast,
+    with_lineage,
+)
+
+CFG = {
+    "chunking": {"chunk_size": 100, "overlap": 20},
+    "runtime": {"lexical_mode": "exact"},
+}
+
+
+class TestDeterminism:
+    def test_extracted_text_byte_identical_across_parallelism(self):
+        a = (
+            extract_docs(pages_from_documents("/root/testdata/sf0.001"))
+            .select_columns(["url", "text"])
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            extract_docs(
+                pages_from_documents("/root/testdata/sf0.001", override_num_blocks=17)
+            )
+            .select_columns(["url", "text"])
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_final_triples_stable_across_block_layouts(self):
+        def spo(num_blocks):
+            pages = pages_from_documents(
+                "/root/testdata/sf0.001", override_num_blocks=num_blocks
+            ).limit(40)
+            res = build_graph(pages, CFG)
+            return sorted(
+                (r["subject"], r["predicate"], r["object"])
+                for r in res["triples"]
+                .select_columns(["subject", "predicate", "object"])
+                .take_all()
+            )
+
+        assert spo(4) == spo(19)
+
+
+def _skew_triples(n_spokes: int = 400):
+    """One hot entity with ~n_spokes edges + a sparse tail."""
+    rows = []
+    for i in range(n_spokes):
+        rows.append(("hub", "links", f"spoke{i:04d}"))
+    for i in range(50):
+        rows.append((f"tail{i}", "touches", f"tail{i+1}"))
+    tbl = pa.table(
+        {
+            "url": pa.array(["u"] * len(rows), pa.string()),
+            "chunk_id": pa.array([1] * len(rows), pa.int32()),
+            "seq": pa.array(list(range(len(rows))), pa.int32()),
+            "subject": pa.array([r[0] for r in rows], pa.string()),
+            "predicate": pa.array([r[1] for r in rows], pa.string()),
+            "object": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return with_lineage(ray.data.from_arrow(tbl), "extracted").materialize()
+
+
+class TestSkew:
+    def test_entity_counts_hot_key(self):
+        base = _skew_triples()
+        counts = dict(
+            (r["entity"], r["count"]) for r in entity_counts(base).take_all()
+        )
+        assert counts["hub"] == 400  # partial-count combine is exact under skew
+
+    def test_transitive_cap_bounds_hot_mid(self):
+        base = _skew_triples()
+        # Add in-edges to the hub so hub is a mid with in x out = 10x400.
+        extra = pa.table(
+            {
+                "url": pa.array(["u"] * 10, pa.string()),
+                "chunk_id": pa.array([2] * 10, pa.int32()),
+                "seq": pa.array(list(range(10)), pa.int32()),
+                "subject": pa.array([f"feeder{i}" for i in range(10)], pa.string()),
+                "predicate": pa.array(["feeds"] * 10, pa.string()),
+                "object": pa.array(["hub"] * 10, pa.string()),
+            }
+        )
+        full = base.union(
+            with_lineage(ray.data.from_arrow(extra), "extracted")
+        ).materialize()
+        edges_pd = distinct_edges(full).to_pandas()
+        uncapped = infer_transitive_broadcast(edges_pd).count()
+        capped = infer_transitive_broadcast(edges_pd, max_fanout_per_mid=20).count()
+        assert uncapped >= 10 * 400  # the quadratic hot-mid blowup is real
+        assert capped <= 10 * 20 + 200  # and the cap bounds it
