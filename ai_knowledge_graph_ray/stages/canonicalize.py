@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -133,6 +134,142 @@ def elect_canonical(entity_count_pairs: list[tuple[str, int]], second_pass: bool
         # alias chains A->B->C are deliberately NOT collapsed.
         alias.update(extra)
     return alias
+
+
+def elect_canonical_distributed(
+    entities: ray.data.Dataset, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """First-pass canonical election fully distributed — the scale
+    path for entity sets too large to collect (billions of variants).
+
+    ``groupby(norm_key)`` with a vectorized per-bucket election using
+    the exact driver tie-break ``(-count, len(variant), variant)``
+    (identical to :func:`elect_canonical` with ``second_pass=False`` —
+    equivalence-tested). The O(k^2) global subset/stem second pass is
+    driver-only by nature (the reference compares ALL standard-form
+    pairs); at this scale it is intentionally unavailable — enable it
+    only when the residue fits the driver.
+
+    Input: ``(entity, count)`` (lowercased). Output: ``(variant,
+    standard)`` alias rows, applied with :func:`apply_alias_map_join`.
+    """
+    from .infer import bucketed_reduce, default_num_partitions
+
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+
+    alias_schema = pa.schema([("variant", pa.string()), ("standard", pa.string())])
+
+    def _with_key(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(norm_key=pd.Series([], dtype="object"))
+        b = batch.copy()
+        b["norm_key"] = [normalize_entity_key(e) for e in b["entity"]]
+        return b[b["norm_key"] != ""]
+
+    def _elect(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values("entity", kind="stable")
+        b = b.assign(__len=b["entity"].str.len(), __neg=-b["count"].astype("int64"))
+        b = b.sort_values(["norm_key", "__neg", "__len", "entity"], kind="stable")
+        standards = b.drop_duplicates("norm_key", keep="first")[["norm_key", "entity"]]
+        out = b.merge(standards.rename(columns={"entity": "standard"}), on="norm_key")
+        return out.rename(columns={"entity": "variant"})[["variant", "standard"]]
+
+    return bucketed_reduce(
+        entities.map_batches(_with_key, batch_format="pandas"),
+        ["norm_key"],
+        _elect,
+        alias_schema,
+        num_buckets=num_buckets,
+    )
+
+
+def apply_alias_map_join(
+    triples: ray.data.Dataset,
+    alias: ray.data.Dataset,
+    *,
+    drop_self_loops: bool = True,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Alias application as a shuffle hash join — for alias maps too
+    large to broadcast. Joins on the lowercased subject, then the
+    lowercased object; predicate limit + self-loop filter as in the
+    broadcast path."""
+    from .infer import LINEAGE_SCHEMA, sanitize_for_join, with_lineage
+    from .relational import cogroup_join
+
+    alias_schema = pa.schema([("variant", pa.string()), ("standard", pa.string())])
+    alias = sanitize_for_join(alias, alias_schema)
+    base = with_lineage(triples, "extracted")
+
+    work_schema = pa.schema(
+        list(LINEAGE_SCHEMA) + [pa.field("__k", pa.string())]
+    )
+
+    def _key_on(col: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            vals = [
+                (v.lower() if v is not None else v)
+                for v in batch[col].to_pylist()
+            ]
+            if "__k" in batch.column_names:
+                batch = batch.drop_columns(["__k"])
+            return batch.append_column("__k", pa.array(vals, pa.string()))
+
+        return _f
+
+    out = base
+    for col in ("subject", "object"):
+        out = sanitize_for_join(
+            out.map_batches(_key_on(col), batch_format="pyarrow"), work_schema
+        )
+        joined = cogroup_join(
+            out,
+            alias.rename_columns({"variant": "__k"}),
+            on=["__k"],
+            how="inner",
+            num_buckets=num_buckets,
+            left_schema=work_schema,
+            right_schema=pa.schema([("__k", pa.string()), ("standard", pa.string())]),
+        )
+        # left rows with no alias fall back to the original value:
+        misses = cogroup_join(
+            out,
+            alias.rename_columns({"variant": "__k"}),
+            on=["__k"],
+            how="left_anti",
+            num_buckets=num_buckets,
+            left_schema=work_schema,
+            right_schema=pa.schema([("__k", pa.string()), ("standard", pa.string())]),
+        )
+
+        def _take_standard(batch: pa.Table, c=col) -> pa.Table:
+            idx = batch.schema.get_field_index(c)
+            return batch.set_column(idx, c, batch["standard"]).drop_columns(
+                ["standard"]
+            )
+
+        out = joined.map_batches(_take_standard, batch_format="pyarrow").union(misses)
+        out = out.map_batches(
+            lambda b: b.drop_columns(["__k"]) if "__k" in b.column_names else b,
+            batch_format="pyarrow",
+        )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [limit_predicate_length(p) for p in batch["predicate"].to_pylist()],
+            pa.string(),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("predicate"), "predicate", preds
+        )
+        if drop_self_loops:
+            batch = batch.filter(
+                pc.invert(pc.equal(batch["subject"], batch["object"]))
+            )
+        return batch
+
+    return out.map_batches(_finish, batch_format="pyarrow")
 
 
 # Per-worker-process cache of the broadcast alias map: stateless map

@@ -44,14 +44,22 @@ TRIPLES_RAW_SCHEMA = pa.schema(
 )
 
 
-def extract_chunk_triples(model: ChatModel, chunk_text: str) -> list[dict] | None:
+def extract_chunk_triples(
+    model: ChatModel,
+    chunk_text: str,
+    _prompts: tuple[str, str] | None = None,
+) -> list[dict] | None:
     """One chunk through the model; parity with ``process_with_llm``.
 
     Returns validated triples or ``None`` when the response yields no
-    parseable/valid triples (chunk skipped).
+    parseable/valid triples (chunk skipped). ``_prompts`` lets the
+    actor pass its per-actor cached (system, user-prefix) pair instead
+    of hitting the registry per chunk.
     """
-    system_prompt = prompts.get_prompt("main_system")
-    user_prompt = prompts.get_prompt("main_user") + f"```\n{chunk_text}```\n"
+    if _prompts is None:
+        _prompts = (prompts.get_prompt("main_system"), prompts.get_prompt("main_user"))
+    system_prompt, user_prefix = _prompts
+    user_prompt = user_prefix + f"```\n{chunk_text}```\n"
     response = model.chat(system_prompt, user_prompt)
     result = extract_json_from_text(response)
     if not result or not isinstance(result, list):
@@ -77,6 +85,11 @@ class TripleExtractor:
     def __init__(self, config: dict | None = None, emit_rejects: bool = False) -> None:
         self.model = make_model(config or {})
         self.emit_rejects = emit_rejects
+        # Prompt strings resolved once per actor, not once per chunk.
+        self.prompts = (
+            prompts.get_prompt("main_system"),
+            prompts.get_prompt("main_user"),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -91,7 +104,7 @@ class TripleExtractor:
             batch["chunk_id"].to_pylist(),
             batch["chunk_text"].to_pylist(),
         ):
-            triples = extract_chunk_triples(self.model, ctext)
+            triples = extract_chunk_triples(self.model, ctext, self.prompts)
             if triples is None:
                 rejects.append((url, cid))
                 continue

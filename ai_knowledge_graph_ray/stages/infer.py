@@ -273,6 +273,121 @@ def connected_components(edges: list[tuple[str, str]]) -> dict[str, int]:
     return labels
 
 
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    *,
+    max_iters: int = 25,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Weakly-connected components via iterative min-label propagation
+    — the scale path for when even the distinct-edge residue outgrows
+    the driver (SURVEY.md §4.2). Returns ``(entity, component)`` where
+    ``component`` is the lexicographically smallest entity of the
+    component (a deterministic representative; equivalence with the
+    driver union-find is on the PARTITION, tested in test_modes).
+
+    Each round: every edge endpoint offers its current label to the
+    other side; labels are min-reduced per entity (one cogroup join +
+    one bucketed min per round); stop when no label changes. Rounds
+    needed = graph diameter in the worst case.
+    """
+    from .relational import cogroup_join
+
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+
+    pair_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    und = edges.select_columns(["subject", "object"]).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b["subject"].combine_chunks(), b["object"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["object"].combine_chunks(), b["subject"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    und = sanitize_for_join(und, pair_schema)
+
+    label_schema = pa.schema([("entity", pa.string()), ("component", pa.string())])
+
+    def _init(batch: pd.DataFrame) -> pd.DataFrame:
+        ents = pd.unique(batch["src"])
+        return pd.DataFrame({"entity": ents, "component": ents})
+
+    def _min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity", as_index=False, sort=False)["component"].min()
+
+    labels = bucketed_reduce(
+        und.map_batches(_init, batch_format="pandas"),
+        ["entity"],
+        _min_reduce,
+        label_schema,
+        num_buckets=num_buckets,
+    )
+    labels = sanitize_for_join(labels, label_schema)
+
+    for _ in range(max_iters):
+        offers = cogroup_join(
+            und,
+            labels.rename_columns({"entity": "src"}),
+            on=["src"],
+            how="inner",
+            num_buckets=num_buckets,
+            left_schema=pair_schema,
+            right_schema=pa.schema([("src", pa.string()), ("component", pa.string())]),
+        ).map_batches(
+            lambda b: pa.table({"entity": b["dst"], "component": b["component"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = bucketed_reduce(
+            labels.union(offers),
+            ["entity"],
+            _min_reduce,
+            label_schema,
+            num_buckets=num_buckets,
+        )
+        new_labels = sanitize_for_join(new_labels, label_schema)
+        # Convergence check: any entity whose label shrank this round?
+        changed = cogroup_join(
+            new_labels.rename_columns({"component": "new_component"}),
+            labels,
+            on=["entity"],
+            how="inner",
+            num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [("entity", pa.string()), ("new_component", pa.string())]
+            ),
+            right_schema=label_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.not_equal(b["new_component"], b["component"]),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def components_from_triples(triples: ray.data.Dataset) -> dict[str, int]:
     """Aggregate distinct (subject, object) pairs distributively, then
     label components on the driver (edge residue is small: unique

@@ -1,0 +1,129 @@
+"""Scale-path equivalence: distributed election vs driver election;
+label-propagation components vs union-find; join-based alias apply vs
+broadcast apply."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.canonicalize import (
+    apply_alias_map,
+    apply_alias_map_join,
+    elect_canonical,
+    elect_canonical_distributed,
+    entity_counts,
+)
+from ai_knowledge_graph_ray.stages.infer import (
+    connected_components,
+    connected_components_distributed,
+    with_lineage,
+)
+
+PAIRS = [
+    ("the steam engine", 5),
+    ("steam engine", 9),
+    ("steam  engine", 1),
+    ("ai", 4),
+    ("an ai", 4),        # count tie with "ai" -> shorter wins
+    ("railway", 2),
+    ("railway network", 2),
+    ("of and", 1),       # empty norm key -> excluded from grouping
+]
+
+
+def test_distributed_election_equals_driver():
+    driver = elect_canonical(PAIRS, second_pass=False)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array([p[0] for p in PAIRS], pa.string()),
+                "count": pa.array([p[1] for p in PAIRS], pa.int64()),
+            }
+        )
+    )
+    dist = {
+        r["variant"]: r["standard"]
+        for r in elect_canonical_distributed(ds).take_all()
+    }
+    assert dist == driver
+
+
+def _triples(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u"] * len(rows), pa.string()),
+                "chunk_id": pa.array([1] * len(rows), pa.int32()),
+                "seq": pa.array(list(range(len(rows))), pa.int32()),
+                "subject": pa.array([r[0] for r in rows], pa.string()),
+                "predicate": pa.array([r[1] for r in rows], pa.string()),
+                "object": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_join_alias_apply_equals_broadcast():
+    ds = with_lineage(
+        _triples(
+            [
+                ("Steam Engine", "powers", "the mill", 1),
+                ("steam engine", "drives", "loom", 2),
+                ("unmapped", "touches", "also unmapped", 3),
+            ]
+        ),
+        "extracted",
+    ).materialize()
+    alias = {"steam engine": "steam engine", "the mill": "mill", "loom": "loom"}
+    bcast = sorted(
+        (r["subject"], r["predicate"], r["object"])
+        for r in apply_alias_map(ds, alias).take_all()
+    )
+    alias_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "variant": pa.array(list(alias), pa.string()),
+                "standard": pa.array(list(alias.values()), pa.string()),
+            }
+        )
+    )
+    joined = sorted(
+        (r["subject"], r["predicate"], r["object"])
+        for r in apply_alias_map_join(ds, alias_ds).take_all()
+    )
+    assert joined == bcast
+    # case-insensitive lookup worked; unmapped rows fell through
+    assert ("steam engine", "powers", "mill") in joined
+    assert ("unmapped", "touches", "also unmapped") in joined
+
+
+def test_label_propagation_equals_union_find():
+    # two chains + one isolated pair + a star
+    rows = [
+        ("a1", "r", "a2", 1),
+        ("a2", "r", "a3", 1),
+        ("a3", "r", "a4", 1),
+        ("b1", "r", "b2", 1),
+        ("hubx", "r", "s1", 1),
+        ("hubx", "r", "s2", 1),
+        ("s2", "r", "s3", 1),
+    ]
+    ds = _triples(rows)
+    uf = connected_components(
+        [(r[0], r[2]) for r in rows]
+    )
+    dist_rows = connected_components_distributed(
+        ds.select_columns(["subject", "object"])
+    ).take_all()
+    dist = {r["entity"]: r["component"] for r in dist_rows}
+    assert set(dist) == set(uf)
+    # same PARTITION: entities grouped identically
+    from collections import defaultdict
+
+    g1, g2 = defaultdict(set), defaultdict(set)
+    for e, lab in uf.items():
+        g1[lab].add(e)
+    for e, lab in dist.items():
+        g2[lab].add(e)
+    assert sorted(map(sorted, g1.values())) == sorted(map(sorted, g2.values()))
