@@ -321,6 +321,20 @@ def _kg_config() -> dict:
     }
 
 
+# The driver calls every query in one process; kg_edges/kg_nodes share
+# one pipeline build per sf_dir instead of re-running extraction.
+_BUILD_CACHE: dict[str, dict] = {}
+
+
+def _kg_build(sf_dir: str) -> dict:
+    if sf_dir not in _BUILD_CACHE:
+        _BUILD_CACHE.clear()
+        res = build_graph(pages_from_documents(sf_dir), _kg_config())
+        res["edges"] = res["edges"].materialize()
+        _BUILD_CACHE[sf_dir] = res
+    return _BUILD_CACHE[sf_dir]
+
+
 def q_kg_triples_raw(sf_dir: str):
     pages = pages_from_documents(sf_dir)
     docs = extract_docs(pages)
@@ -335,13 +349,11 @@ def q_kg_triples_std(sf_dir: str):
 
 
 def q_kg_edges(sf_dir: str):
-    res = build_graph(pages_from_documents(sf_dir), _kg_config())
-    return res["edges"]
+    return _kg_build(sf_dir)["edges"]
 
 
 def q_kg_nodes(sf_dir: str):
-    res = build_graph(pages_from_documents(sf_dir), _kg_config())
-    return res["nodes"]
+    return _kg_build(sf_dir)["nodes"]
 
 
 # ---------------------------------------------------------------------------
@@ -516,6 +528,31 @@ def q_recursive_split(sf_dir: str):
     )
 
 
+def q_doc_embed(sf_dir: str):
+    from ..stages.embed import embed_documents
+
+    out = embed_documents(_docs(sf_dir), concurrency=(1, 4))
+    # project to (doc_id, dim, l2_x_1e6 as int) so the rows-only check
+    # has a stable integer shape
+    def _proj(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dims, norms = [], []
+        for v in b["embedding"].to_pylist():
+            arr = np.asarray(v)
+            dims.append(len(arr))
+            norms.append(int(round(float(np.linalg.norm(arr)) * 1_000_000)))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "dim": pa.array(dims, pa.int64()),
+                "l2_micro": pa.array(norms, pa.int64()),
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     from ..stages.multimodal import extract_media_features, synth_media_from_documents
 
@@ -558,6 +595,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "training_qa": q_training_qa,
     "concept_extract": q_concept_extract,
     "recursive_split": q_recursive_split,
+    "doc_embed": q_doc_embed,
     "media_features": q_media_features,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,

@@ -242,3 +242,38 @@ class TestMultimodal:
         assert len(feats[0]["features"]) == 64
         frames = frame_sample_stub(media).take_all()
         assert all(f["frame_index"] % 10 == 0 for f in frames)
+
+
+class TestEmbedder:
+    def test_hashing_embedder_properties(self, sf_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.embed import HashingEmbedder, embed_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).limit(32)
+        out = embed_documents(docs, concurrency=2).take_all()
+        assert len(out) == 32
+        assert len(out[0]["embedding"]) == 128
+        # deterministic + unit norm
+        e = HashingEmbedder()
+        v1, v2 = e._vec("steam engine power"), e._vec("steam engine power")
+        assert (np.array(v1) == np.array(v2)).all()
+        assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
+        # similar texts more similar than disjoint texts
+        sim_close = float(np.dot(e._vec("steam engine power"), e._vec("steam engine powers")))
+        sim_far = float(np.dot(e._vec("steam engine power"), e._vec("coral reef fish")))
+        assert sim_close > sim_far
+
+    def test_embeddings_feed_knn_and_dedup(self, sf_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.dedup import embedding_dedup
+        from ai_knowledge_graph_ray.stages.embed import embed_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).limit(64)
+        emb = embed_documents(docs, concurrency=2).rename_columns({"doc_id": "vec_id"}).materialize()
+        dups = embedding_dedup(emb, threshold=0.999).take_all()
+        # identical texts (if any) dedup; result is at least well-formed
+        assert all(r["dup_of"] < r["vec_id"] for r in dups)
