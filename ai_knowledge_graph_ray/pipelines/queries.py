@@ -444,6 +444,117 @@ def q_three_way_join(sf_dir: str):
     )
 
 
+def q_supplier_region(sf_dir: str):
+    """Snowflake dimension chain supplier -> nation -> region resolved
+    with chained broadcast lookups (dimensions are tiny), then a
+    grouped sum over the fact-ish side."""
+    import ray as _ray
+
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = _ray.put((n2r, r2name))
+
+    sup = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+
+    def _lookup(b: pa.Table) -> pa.Table:
+        n2r_, r2name_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        names = [r2name_.get(n2r_.get(k)) for k in b["s_nationkey"].to_pylist()]
+        out = pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "acctbal_cents": _cents(b["s_acctbal"]),
+            }
+        )
+        return out.filter(pc.is_valid(out["r_name"]))
+
+    return grouped_sums(
+        sup.map_batches(_lookup, batch_format="pyarrow"),
+        ["r_name"],
+        {"sum_acctbal_cents": "acctbal_cents"},
+        count_name="n_suppliers",
+    )
+
+
+def q_part_type_stats(sf_dir: str):
+    """Grouped stats over the part dimension: count + integer-cent
+    retail price sums + min/max size per brand."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(price_cents=(b["p_retailprice"] * 100).round().astype("int64"))
+        return b.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_size", "size"),
+            sum_price_cents=("price_cents", "sum"),
+            min_size=("p_size", "min"),
+            max_size=("p_size", "max"),
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_brand", as_index=False).agg(
+            n_parts=("n_parts", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+            min_size=("min_size", "min"),
+            max_size=("max_size", "max"),
+        ).astype({"n_parts": "int64", "min_size": "int64", "max_size": "int64"})
+
+    from ..stages.infer import bucketed_reduce
+
+    out_schema = pa.schema(
+        [
+            ("p_brand", pa.string()),
+            ("n_parts", pa.int64()),
+            ("sum_price_cents", pa.int64()),
+            ("min_size", pa.int64()),
+            ("max_size", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(partials, ["p_brand"], _reduce, out_schema)
+
+
+def q_orders_dates(sf_dir: str):
+    """min/max timestamp aggregate per priority (exact-matchable)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"]
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            first_date=("o_orderdate", "min"),
+            last_date=("o_orderdate", "max"),
+            n_orders=("o_orderdate", "size"),
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderpriority", as_index=False).agg(
+            first_date=("first_date", "min"),
+            last_date=("last_date", "max"),
+            n_orders=("n_orders", "sum"),
+        ).astype({"n_orders": "int64"})
+
+    from ..stages.infer import bucketed_reduce
+
+    out_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("first_date", pa.timestamp("us")),
+            ("last_date", pa.timestamp("us")),
+            ("n_orders", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(
+        ds.map_batches(_partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        _reduce,
+        out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cleaning / training / graph-ops / multimodal (model- or Python-rule
 # dependent -> rows-only checks; conformance is pinned by pytest)
@@ -590,6 +701,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessionize": q_events_sessionize,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
+    "supplier_region": q_supplier_region,
+    "part_type_stats": q_part_type_stats,
+    "orders_dates": q_orders_dates,
     "clean_triples": q_clean_triples,
     "relation_counts": q_relation_counts,
     "training_qa": q_training_qa,
@@ -747,6 +861,30 @@ ORACLE_SQL: dict[str, str] = {
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+    "supplier_region": """
+        SELECT r.r_name,
+               sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents,
+               count(*) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "part_type_stats": """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents,
+               CAST(min(p_size) AS BIGINT) AS min_size,
+               CAST(max(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand
+    """,
+    "orders_dates": """
+        SELECT o_orderpriority,
+               min(o_orderdate) AS first_date,
+               max(o_orderdate) AS last_date,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
     """,
     "ngram_overlap_pairs": """
         WITH toks AS (
