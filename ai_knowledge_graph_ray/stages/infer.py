@@ -73,7 +73,9 @@ def normalize_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Datase
     NOTE: Ray's hash-shuffle ``map_groups`` emits ZERO-COLUMN empty
     blocks for partitions that received no groups, and ``map_batches``
     passes those through WITHOUT calling the UDF — use
-    :func:`sanitize_for_join` on anything that feeds ``Dataset.join``.
+    :func:`sanitize_for_join` where an actually-empty-block-free
+    dataset is required (schema introspection, ``cogroup_join`` sides
+    built from groupby residues).
     """
 
     def _fix(batch: pa.Table) -> pa.Table:
