@@ -444,6 +444,15 @@ def q_three_way_join(sf_dir: str):
     )
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate count-distinct per event_type (mergeable-sketch
+    pattern; exact counterpart is the oracle-checked distinct_users)."""
+    from ..stages.sketches import hll_distinct
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    return hll_distinct(ev, "user_id", ["event_type"])
+
+
 def q_supplier_region(sf_dir: str):
     """Snowflake dimension chain supplier -> nation -> region resolved
     with chained broadcast lookups (dimensions are tiny), then a
@@ -701,6 +710,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessionize": q_events_sessionize,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
+    "approx_distinct_users": q_approx_distinct_users,
     "supplier_region": q_supplier_region,
     "part_type_stats": q_part_type_stats,
     "orders_dates": q_orders_dates,
