@@ -384,6 +384,13 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_events_lag(sf_dir: str):
+    from ..stages.sessions import lag_join
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    return lag_join(ev)
+
+
 def q_distinct_users(sf_dir: str):
     """Exact count-distinct: per-batch distinct pairs, pair-level
     global dedup via groupby, then a grouped count."""
@@ -708,6 +715,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dedup": q_embedding_dedup,
     "top_tokens": q_top_tokens,
     "events_sessionize": q_events_sessionize,
+    "events_lag": q_events_lag,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
     "approx_distinct_users": q_approx_distinct_users,
@@ -860,6 +868,13 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
+    """,
+    "events_lag": """
+        SELECT event_id,
+               coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+               coalesce(CAST(date_diff('microseconds', lag(ts) OVER w, ts) AS BIGINT), -1) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -30,6 +30,54 @@ SESSION_SCHEMA = pa.schema(
 )
 
 
+LAG_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("prev_event_id", pa.int64()),
+        ("gap_us", pa.int64()),
+    ]
+)
+
+
+def lag_join(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """As-of self-join: attach each event's most recent PRIOR event in
+    the same key partition — the lag/as-of pattern Ray Data has no
+    native operator for. One bucket shuffle on the key, vectorized
+    sort + shift within the bucket (``pd.merge_asof`` drops into the
+    same slot for two-table as-of joins). Deterministic tie-break
+    ``(ts, event_id)``. ``prev_event_id = -1`` for the first event.
+    Gap reported in exact integer MICROSECONDS (DuckDB's
+    ``date_diff('second', ...)`` counts boundary crossings, not the
+    floored delta — microseconds are exact on both sides).
+    """
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values([user_col, ts_col, id_col], kind="stable")
+        prev_id = b.groupby(user_col, sort=False)[id_col].shift(1)
+        prev_ts = b.groupby(user_col, sort=False)[ts_col].shift(1)
+        gap = (b[ts_col] - prev_ts).dt.total_seconds() * 1_000_000
+        return pd.DataFrame(
+            {
+                "event_id": b[id_col].astype("int64"),
+                "prev_event_id": prev_id.fillna(-1).astype("int64"),
+                "gap_us": gap.round().fillna(-1).astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        events.select_columns([user_col, ts_col, id_col]),
+        [user_col],
+        _reduce,
+        LAG_SCHEMA,
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     *,

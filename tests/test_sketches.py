@@ -46,3 +46,19 @@ def test_hll_distinct_grouped(sf_dir):
     for r in rows:
         ex = exact[r["event_type"]]
         assert abs(r["approx_distinct"] - ex) / ex < 0.15, (r, ex)
+
+
+def test_lag_join_semantics(sf_dir):
+    from ai_knowledge_graph_ray.stages.sessions import lag_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    rows = {r["event_id"]: r for r in lag_join(ev).take_all()}
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = pdf.groupby("user_id")["event_id"].shift(1).fillna(-1).astype(int)
+    for eid, p in zip(pdf["event_id"], prev):
+        assert rows[eid]["prev_event_id"] == p
+    firsts = pdf.groupby("user_id").head(1)["event_id"]
+    assert all(rows[e]["gap_us"] == -1 for e in firsts)
