@@ -384,6 +384,43 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_top_event_per_user(sf_dir: str):
+    """Top-1-per-group (windowed rank): each user's highest-value
+    event. Bucketed vectorized reduce; ordering in integer cents with
+    an id tie-break so the SQL row_number() oracle matches exactly."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "value"]
+    )
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(value_cents=(b["value"] * 100).round().astype("int64"))
+        # map-side combiner: best per user within the batch
+        b = b.sort_values(["value_cents", "event_id"], ascending=[False, True], kind="stable")
+        return b.drop_duplicates("user_id", keep="first")[
+            ["user_id", "event_id", "value_cents"]
+        ]
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_cents", "event_id"], ascending=[False, True], kind="stable")
+        return g.drop_duplicates("user_id", keep="first")[
+            ["user_id", "event_id", "value_cents"]
+        ]
+
+    return bucketed_reduce(
+        ev.map_batches(_pre, batch_format="pandas"), ["user_id"], _reduce, out_schema
+    )
+
+
 def q_events_lag(sf_dir: str):
     from ..stages.sessions import lag_join
 
@@ -715,6 +752,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dedup": q_embedding_dedup,
     "top_tokens": q_top_tokens,
     "events_sessionize": q_events_sessionize,
+    "top_event_per_user": q_top_event_per_user,
     "events_lag": q_events_lag,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
@@ -868,6 +906,14 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
+    """,
+    "top_event_per_user": """
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC
+        ) = 1
     """,
     "events_lag": """
         SELECT event_id,
