@@ -843,24 +843,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_cc,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_cc,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "orders_by_segment": """
         SELECT c.c_mktsegment,
                count(*) AS n_orders,
-               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
     "lineitem_orders_join": """
         SELECT o.o_orderpriority,
                count(*) AS n_items,
-               sum(CAST(round(l.l_quantity) AS BIGINT)) AS sum_qty
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
@@ -871,7 +871,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_window": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
     "knn_cosine": f"""
@@ -935,7 +935,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "supplier_region": """
         SELECT r.r_name,
-               sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents,
+               CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
                count(*) AS n_suppliers
         FROM supplier s
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -945,7 +945,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_type_stats": """
         SELECT p_brand,
                count(*) AS n_parts,
-               sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                CAST(min(p_size) AS BIGINT) AS min_size,
                CAST(max(p_size) AS BIGINT) AS max_size
         FROM part GROUP BY p_brand

@@ -40,6 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) in ("int32", "int16", "int8"):
             df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime64"):
+            # unit normalization only (ns vs us); driver hash is
+            # unit-insensitive (orders_dates passed r1 with this skew)
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -89,7 +93,10 @@ def main() -> None:
             print(f"FAIL  {name}: cols {list(ours.columns)} vs {list(oracle.columns)}")
             continue
         try:
-            pd.testing.assert_frame_equal(ours, oracle, check_dtype=False, check_exact=True)
+            # check_dtype=True: the driver hashes raw values, so an int64
+            # engine column vs a float64 oracle column (e.g. DuckDB
+            # sum(BIGINT) -> HUGEINT -> float64) must FAIL here too.
+            pd.testing.assert_frame_equal(ours, oracle, check_dtype=True, check_exact=True)
             print(f"OK    {name}: {len(ours)} rows [{dt:.1f}s]")
         except AssertionError as ex:
             failures.append(name)
