@@ -13,12 +13,19 @@
 - :func:`embedding_dedup` — cosine near-dup over an embedding column
   (random-hyperplane LSH bucketing at scale; exact within buckets).
 
-All follow the same shape: vectorized per-batch signature extraction,
-one ``groupby`` on the bucket key (the only shuffle), bounded
-within-bucket pairwise work, then a driver-side union-find over the
-(small) surviving candidate-pair set. Pair generation per bucket is
-capped (``max_pairs_per_bucket``) as the skew defense against
-degenerate buckets.
+Scale shape (all near-dup ops): vectorized per-batch signature
+extraction -> ONE bucket shuffle via :func:`bucketed_reduce` (never
+``groupby(key).map_groups`` — that is one Python call per distinct
+band/gram/bucket key, millions at corpus scale) -> within-bucket pair
+generation that drops singleton keys VECTORIZED before any per-group
+work -> pair dedup -> a COUNT-GATED resolve: the candidate-pair
+residue is counted first, collected to the driver only when it is
+provably small, and otherwise verified via distributed joins
+(``cogroup_join`` of texts onto pairs) and component-resolved with
+``connected_components_distributed`` — no unconditional
+``to_pandas``/``take_all`` anywhere. Pair generation per key is capped
+(``max_pairs_per_bucket``) as the skew defense against degenerate
+buckets.
 """
 
 from __future__ import annotations
@@ -31,13 +38,27 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .infer import normalize_blocks, pa_from_pandas
+from .infer import bucketed_reduce, normalize_blocks
 
 _WORD_RE = re.compile(r"\w+")
 
+PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
-def _md5_int(data: bytes) -> int:
-    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+# Driver-collect gates. Candidate PAIRS (two int64s each) are cheap on
+# the driver up to millions; pair TEXTS are not — the distributed
+# verify path kicks in far earlier.
+DRIVER_MAX_PAIRS = 2_000_000
+DRIVER_MAX_VERIFY_PAIRS = 10_000
+
+
+def _hash_strs(values) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hashing (pandas siphash
+    with the fixed default key — stable across processes/machines, no
+    PYTHONHASHSEED dependence)."""
+    arr = np.asarray(values, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr)
 
 
 # ---------------------------------------------------------------------------
@@ -52,8 +73,6 @@ def exact_dedup(
     Hash-partition on md5(text) (the groupby shuffle key is the hash,
     so giant texts don't travel twice), keep min-id per group.
     """
-
-    from .infer import bucketed_reduce
 
     base_schema = ds.schema().base_schema
     out_schema = pa.schema(list(base_schema) + [pa.field("text_md5", pa.string())])
@@ -82,35 +101,69 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# Shared near-dup machinery: pair generation, dedup, resolve
 # ---------------------------------------------------------------------------
 
-def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    prime = (1 << 61) - 1
-    a = rng.randint(1, prime, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, prime, size=num_perm, dtype=np.uint64)
-    return a, b
+def _sorted_group_rows(
+    keys: np.ndarray, ids: np.ndarray, *payload: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Sort rows by (key, id) and drop exact (key, id) duplicates —
+    the fully-vectorized preamble to within-group pair generation."""
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    payload = tuple(p[order] for p in payload)
+    if len(keys):
+        dup = np.zeros(len(keys), dtype=bool)
+        dup[1:] = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        keep = ~dup
+        keys, ids = keys[keep], ids[keep]
+        payload = tuple(p[keep] for p in payload)
+    return (keys, ids, *payload)
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    toks = _WORD_RE.findall(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.fromiter(
-        (_md5_int(g.encode("utf-8")) for g in set(grams)), dtype=np.uint64, count=len(set(grams))
+def _pair_indices_by_size(codes: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices (i, j), i<j, of every within-group upper-triangle
+    pair of a SORTED group-code array — vectorized over groups by
+    iterating distinct group SIZES (broadcast precomputed triu index
+    templates across all groups of that size), never over groups.
+    ``cap`` bounds pairs per group (row-major prefix — skew defense)."""
+    n = len(codes)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    multi = sizes >= 2
+    starts, sizes = starts[multi], sizes[multi]
+    out_i, out_j = [], []
+    for sz in np.unique(sizes):
+        iu, ju = np.triu_indices(int(sz), k=1)
+        if len(iu) > cap:
+            iu, ju = iu[:cap], ju[:cap]
+        s = starts[sizes == sz]
+        out_i.append((s[:, None] + iu[None, :]).reshape(-1))
+        out_j.append((s[:, None] + ju[None, :]).reshape(-1))
+    if not out_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Dedup (id_a, id_b) across bands — map-side combiner + one
+    bucketed shuffle (a pair colliding in many bands crosses once-ish)."""
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id_a", "id_b"])
+
+    return bucketed_reduce(
+        pairs, ["id_a", "id_b"], _dd, PAIR_SCHEMA, combiner=_dd
     )
 
 
-def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    prime = np.uint64((1 << 61) - 1)
-    if len(hashes) == 0:
-        return np.zeros(len(a), dtype=np.uint64)
-    # (num_perm, n_shingles) universal hashing; min over shingles.
-    vals = (np.outer(a, hashes) + b[:, None]) % prime
-    return vals.min(axis=1)
+def _empty_mapping(id_col: str) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
+    )
 
 
 def _resolve_dups(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -136,6 +189,122 @@ def _resolve_dups(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent if find(x) != x}
 
 
+def resolve_dup_mapping(
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    *,
+    n_pairs: int | None = None,
+    driver_max_pairs: int = DRIVER_MAX_PAIRS,
+) -> ray.data.Dataset:
+    """Verified pair set -> ``(id, dup_of=min id of component)``.
+
+    COUNT FIRST, then choose: under ``driver_max_pairs`` the pair
+    residue (two int64s per row) is collected and union-found locally;
+    above it, ids are encoded as zero-padded strings (lexicographic ==
+    numeric order) and resolved with
+    ``connected_components_distributed`` (min-label propagation) — the
+    driver never sees the pair set. Both paths produce the identical
+    min-id-canonical mapping (pinned by test).
+    """
+    from .infer import connected_components_distributed
+
+    if n_pairs is None:
+        pairs = pairs.materialize()  # avoid double-execute on count + use
+        n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _empty_mapping(id_col)
+
+    if n_pairs <= driver_max_pairs:
+        df = pairs.to_pandas()
+        mapping = _resolve_dups(
+            list(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(sorted(mapping), pa.int64()),
+                    "dup_of": pa.array([mapping[k] for k in sorted(mapping)], pa.int64()),
+                }
+            )
+        )
+
+    def _enc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subject": b["id_a"].astype("int64").astype(str).str.zfill(20),
+                "object": b["id_b"].astype("int64").astype(str).str.zfill(20),
+            }
+        )
+
+    labels = connected_components_distributed(
+        pairs.map_batches(_enc, batch_format="pandas")
+    )
+
+    def _dec(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["entity"] != b["component"]]
+        return pd.DataFrame(
+            {
+                id_col: b["entity"].astype("int64"),
+                "dup_of": b["component"].astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("dup_of", pa.int64())])
+    return normalize_blocks(
+        labels.map_batches(_dec, batch_format="pandas"), out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    prime = (1 << 61) - 1
+    a = rng.randint(1, prime, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, prime, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _gram_set(text: str, k: int) -> set[str]:
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Distinct word-k-gram hashes, one vectorized hashing pass."""
+    return _hash_strs(list(_gram_set(text, k)))
+
+
+def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    prime = np.uint64((1 << 61) - 1)
+    if len(hashes) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (num_perm, n_shingles) universal hashing; min over shingles.
+    vals = (np.outer(a, hashes % prime) + b[:, None]) % prime
+    return vals.min(axis=1)
+
+
+def _band_hashes(sig_mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_perm) signature matrix -> (n_docs, bands) band
+    KEYS, FNV-1a-folded across the band's rows (vectorized; no per-band
+    md5 calls). The band index is folded in first, so the key alone
+    identifies (band, hash) — one shuffle column instead of two."""
+    n, num_perm = sig_mat.shape
+    r = num_perm // bands
+    v = sig_mat.reshape(n, bands, r)
+    h = np.full((n, bands), 14695981039346656037, dtype=np.uint64)
+    fnv = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        h = (h ^ np.arange(bands, dtype=np.uint64)[None, :]) * fnv
+        for i in range(r):
+            h = (h ^ v[:, :, i]) * fnv
+    return h
+
+
 def jaccard(text_a: str, text_b: str, k: int) -> float:
     ta = _WORD_RE.findall(text_a.lower())
     tb = _WORD_RE.findall(text_b.lower())
@@ -144,6 +313,89 @@ def jaccard(text_a: str, text_b: str, k: int) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def _verify_pairs_driver(
+    pairs: list[tuple[int, int]],
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> list[tuple[int, int]]:
+    """Small-residue verify: fetch only the candidate texts, compare
+    locally. Only reachable under the pair-count gate."""
+    need = {i for p in pairs for i in p}
+
+    def _need_filter(batch: pa.Table) -> pa.Table:
+        mask = [i in need for i in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    texts = {
+        r[id_col]: r[text_col]
+        for r in ds.select_columns([id_col, text_col])
+        .map_batches(_need_filter, batch_format="pyarrow")
+        .take_all()
+    }
+    return [
+        (x, y)
+        for x, y in pairs
+        if jaccard(texts.get(x) or "", texts.get(y) or "", k) >= threshold
+    ]
+
+
+def _verify_pairs_distributed(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Scale-path verify: cogroup-join the doc texts onto the pair set
+    (by id_a, then id_b) and Jaccard-check each pair where it lands —
+    the pair set never visits the driver."""
+    from .relational import cogroup_join
+
+    def _side(col: str, out: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({col: b[id_col], out: b[text_col]})
+
+        return _f
+
+    texts_a = ds.select_columns([id_col, text_col]).map_batches(
+        _side("id_a", "__text_a"), batch_format="pyarrow"
+    )
+    texts_b = ds.select_columns([id_col, text_col]).map_batches(
+        _side("id_b", "__text_b"), batch_format="pyarrow"
+    )
+    with_a = cogroup_join(
+        pairs,
+        texts_a,
+        on=["id_a"],
+        left_schema=PAIR_SCHEMA,
+        right_schema=pa.schema([("id_a", pa.int64()), ("__text_a", pa.string())]),
+    )
+    with_ab = cogroup_join(
+        with_a,
+        texts_b,
+        on=["id_b"],
+        left_schema=pa.schema(list(PAIR_SCHEMA) + [pa.field("__text_a", pa.string())]),
+        right_schema=pa.schema([("id_b", pa.int64()), ("__text_b", pa.string())]),
+    )
+
+    def _check(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        keep = [
+            jaccard(ta or "", tb or "", k) >= threshold
+            for ta, tb in zip(b["__text_a"], b["__text_b"])
+        ]
+        return b.loc[keep, ["id_a", "id_b"]]
+
+    return normalize_blocks(
+        with_ab.map_batches(_check, batch_format="pandas"), PAIR_SCHEMA
+    )
 
 
 def minhash_lsh_dedup(
@@ -157,14 +409,17 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     max_pairs_per_bucket: int = 100,
     verify: bool = True,
+    driver_max_pairs: int = DRIVER_MAX_PAIRS,
+    driver_max_verify_pairs: int = DRIVER_MAX_VERIFY_PAIRS,
 ) -> ray.data.Dataset:
     """Near-dup mapping ``(doc_id, dup_of)`` via MinHash-LSH.
 
-    Pipeline: per-batch shingle+minhash (vectorized universal hashing)
-    -> explode to one row per (band_id, band_hash) -> groupby band
-    bucket -> candidate pairs (capped per bucket) -> optional exact
-    Jaccard verify against ``threshold`` -> union-find on the driver
-    over surviving pairs (candidate pairs are the tiny residue).
+    Pipeline: per-batch shingle+minhash (vectorized universal hashing,
+    vectorized band folding) -> explode to one row per (band_id,
+    band_hash) -> ONE bucketed shuffle for candidate pairs (capped per
+    bucket) -> pair dedup -> count gate -> exact-Jaccard verify
+    (driver when tiny, text-join distributed otherwise) -> components
+    (driver union-find when tiny, min-label propagation otherwise).
     Returns only rows whose canonical id differs (empty = no dups).
 
     Default banding 32x4 puts the LSH S-curve threshold at
@@ -173,84 +428,66 @@ def minhash_lsh_dedup(
     step removes the false positives the loose banding admits.
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm)
 
     def _sig(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
-            sig = _minhash_sig(_shingles(text, shingle_k), a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                ids.append(doc_id)
-                band_ids.append(bi)
-                band_hashes.append(bh)
-        return pd.DataFrame({id_col: ids, "band_id": band_ids, "band_hash": band_hashes})
-
-    def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(g[id_col]))
-        xs, ys = [], []
-        n = 0
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                xs.append(ids[i])
-                ys.append(ids[j])
-                n += 1
-                if n >= max_pairs_per_bucket:
-                    return pa.table(
-                        {"id_a": pa.array(xs, pa.int64()), "id_b": pa.array(ys, pa.int64())}
-                    )
-        return pa.table(
-            {"id_a": pa.array(xs, pa.int64()), "id_b": pa.array(ys, pa.int64())}
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "band_key": []})
+        sig_mat = np.empty((n, num_perm), dtype=np.uint64)
+        for i, text in enumerate(batch[text_col].fillna("")):
+            sig_mat[i] = _minhash_sig(_shingles(text, shingle_k), a, b)
+        bh = _band_hashes(sig_mat, bands)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                "band_key": bh.reshape(-1),
+            }
         )
 
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ids = _sorted_group_rows(
+            g["band_key"].to_numpy(np.uint64), g[id_col].to_numpy(np.int64)
+        )
+        I, J = _pair_indices_by_size(keys, max_pairs_per_bucket)
+        return pd.DataFrame({"id_a": ids[I], "id_b": ids[J]})
+
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
-    cand = (
-        normalize_blocks(
-            sigs.groupby(["band_id", "band_hash"]).map_groups(
-                _bucket_pairs, batch_format="pandas"
-            ),
-            pair_schema,
-        )
-        .groupby(["id_a", "id_b"])
-        .count()
-        .to_pandas()
+    # materialize the (small) pair residue so the count gate + resolve
+    # don't re-execute the signature pipeline
+    cand = _distinct_pairs(
+        bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
+    ).materialize()
+
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return _empty_mapping(id_col)
+    if verify:
+        if n_pairs <= driver_max_verify_pairs:
+            df = cand.to_pandas()
+            pairs = _verify_pairs_driver(
+                list(zip(df["id_a"].astype(int), df["id_b"].astype(int))),
+                ds, id_col, text_col, shingle_k, threshold,
+            )
+            if not pairs:
+                return _empty_mapping(id_col)
+            cand = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                        "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+                    }
+                )
+            )
+            n_pairs = len(pairs)
+        else:
+            cand = _verify_pairs_distributed(
+                cand, ds, id_col, text_col, shingle_k, threshold
+            )
+            n_pairs = None  # recount inside resolve
+    return resolve_dup_mapping(
+        cand, id_col, n_pairs=n_pairs, driver_max_pairs=driver_max_pairs
     )
-    if cand.empty or "id_a" not in cand.columns:
-        pairs: list[tuple[int, int]] = []
-    else:
-        pairs = list(zip(cand["id_a"].astype(int), cand["id_b"].astype(int)))
-
-    if verify and pairs:
-        # Fetch candidate texts once (candidates are the small residue).
-        need = {i for p in pairs for i in p}
-
-        def _need_filter(batch: pa.Table) -> pa.Table:
-            mask = [i in need for i in batch[id_col].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-        texts = {
-            r[id_col]: r[text_col]
-            for r in ds.select_columns([id_col, text_col])
-            .map_batches(_need_filter, batch_format="pyarrow")
-            .take_all()
-        }
-        pairs = [
-            (x, y)
-            for x, y in pairs
-            if jaccard(texts.get(x, ""), texts.get(y, ""), shingle_k) >= threshold
-        ]
-
-    mapping = _resolve_dups(pairs)
-    tbl = pa.table(
-        {
-            id_col: pa.array(sorted(mapping), pa.int64()),
-            "dup_of": pa.array([mapping[k] for k in sorted(mapping)], pa.int64()),
-        }
-    )
-    return ray.data.from_arrow(tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -264,78 +501,59 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_pairs_per_bucket: int = 200,
+    driver_max_pairs: int = DRIVER_MAX_PAIRS,
 ) -> ray.data.Dataset:
     """``(doc_id, dup_of)`` via 64-bit SimHash with 4x16-bit band
-    blocking (any pair within Hamming distance <=3 of each other
-    shares at least one exact 16-bit band by pigeonhole... for
-    distance <=3 over 4 bands, yes: 3 differing bits touch at most 3
-    bands)."""
+    blocking (for Hamming distance <=3 over 4 bands, pigeonhole
+    guarantees at least one exactly-matching band). Hamming verify is
+    exact and runs inside the bucketed pair reduce; component
+    resolution is count-gated like the other near-dup ops."""
     from .text_analysis import simhash64
 
     def _sig(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_vals, hashes = [], [], [], []
-        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
-            h = simhash64(text)
-            for bi in range(4):
-                ids.append(doc_id)
-                band_ids.append(bi)
-                band_vals.append((h >> (16 * bi)) & 0xFFFF)
-                hashes.append(h)
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "band_key": [], "simhash": []})
+        hashes = np.fromiter(
+            (simhash64(t) for t in batch[text_col].fillna("")),
+            dtype=np.uint64,
+            count=n,
+        )
+        # band_key = 16-bit band value | band index << 16 (exact,
+        # single shuffle column)
+        band_keys = np.stack(
+            [
+                (((hashes >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+                 | (bi << 16))
+                for bi in range(4)
+            ],
+            axis=1,
+        )
         return pd.DataFrame(
             {
-                id_col: ids,
-                "band_id": band_ids,
-                "band_val": band_vals,
-                "simhash": pd.array(hashes, dtype="uint64"),
+                id_col: np.repeat(batch[id_col].to_numpy(), 4),
+                "band_key": band_keys.reshape(-1),
+                "simhash": pd.array(np.repeat(hashes, 4), dtype="uint64"),
             }
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        rows = sorted(set(zip(g[id_col], g["simhash"])))
-        xs, ys = [], []
-        n = 0
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if ham <= max_hamming:
-                    xs.append(int(rows[i][0]))
-                    ys.append(int(rows[j][0]))
-                    n += 1
-                    if n >= max_pairs_per_bucket:
-                        return pa.table(
-                            {"id_a": pa.array(xs, pa.int64()), "id_b": pa.array(ys, pa.int64())}
-                        )
-        return pa.table(
-            {"id_a": pa.array(xs, pa.int64()), "id_b": pa.array(ys, pa.int64())}
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, sims = _sorted_group_rows(
+            g["band_key"].to_numpy(np.int64),
+            g[id_col].to_numpy(np.int64),
+            g["simhash"].to_numpy(dtype=np.uint64),
         )
+        I, J = _pair_indices_by_size(keys, max_pairs_per_bucket)
+        xor = sims[I] ^ sims[J]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[I[keep]], "id_b": ids[J[keep]]})
 
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
-    cand = (
-        normalize_blocks(
-            sigs.groupby(["band_id", "band_val"]).map_groups(
-                _bucket_pairs, batch_format="pandas"
-            ),
-            pair_schema,
-        )
-        .groupby(["id_a", "id_b"])
-        .count()
-        .to_pandas()
+    cand = _distinct_pairs(
+        bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
     )
-    pairs = (
-        list(zip(cand["id_a"].astype(int), cand["id_b"].astype(int)))
-        if not cand.empty and "id_a" in cand.columns
-        else []
-    )
-    mapping = _resolve_dups(pairs)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                id_col: pa.array(sorted(mapping), pa.int64()),
-                "dup_of": pa.array([mapping[k] for k in sorted(mapping)], pa.int64()),
-            }
-        )
-    )
+    return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -358,61 +576,75 @@ def ngram_jaccard_pairs(
     than ``max_docs_per_gram`` docs (stop-gram pruning — a gram shared
     by everyone proves nothing and generates O(n^2) pairs), count
     common grams per pair via groupby, then verify |union| from
-    per-doc gram counts. Integer outputs so the SQL oracle matches
-    exactly.
+    per-doc gram counts. Per-gram pair generation goes through the
+    bucketed reduce (one shuffle, no per-gram Python task). Integer
+    outputs so the SQL oracle matches exactly.
     """
 
     def _grams(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, ghs = [], []
-        gram_counts_ids, gram_counts = [], []
+        ids, ghs, ns = [], [], []
         for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
-            toks = _WORD_RE.findall(text.lower())
-            grams = (
-                {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-                if len(toks) >= k
-                else ({" ".join(toks)} if toks else set())
-            )
-            for g in grams:
-                ids.append(doc_id)
-                ghs.append(hashlib.md5(g.encode("utf-8")).hexdigest()[:16])
-            gram_counts_ids.append(doc_id)
-            gram_counts.append(len(grams))
-        df = pd.DataFrame({id_col: ids, "gram": ghs})
-        df2 = pd.DataFrame({id_col: gram_counts_ids, "n_grams": gram_counts})
-        df = df.merge(df2, on=id_col)
-        return df
-
-    def _gram_pairs(g: pd.DataFrame) -> pa.Table:
-        rows = sorted(set(zip(g[id_col], g["n_grams"])))
-        if len(rows) > max_docs_per_gram:
-            rows = rows[:0]  # stop-gram: drop entirely
-        xs, ys, na, nb = [], [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                xs.append(int(rows[i][0]))
-                ys.append(int(rows[j][0]))
-                na.append(int(rows[i][1]))
-                nb.append(int(rows[j][1]))
-        return pa.table(
+            grams = _gram_set(text, k)
+            gh = _hash_strs(list(grams))
+            ids.append(np.full(len(gh), doc_id, dtype=np.int64))
+            ghs.append(gh)
+            ns.append(np.full(len(gh), len(grams), dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({id_col: [], "gram": [], "n_grams": []})
+        return pd.DataFrame(
             {
-                "id_a": pa.array(xs, pa.int64()),
-                "id_b": pa.array(ys, pa.int64()),
-                "n_a": pa.array(na, pa.int64()),
-                "n_b": pa.array(nb, pa.int64()),
+                id_col: np.concatenate(ids),
+                "gram": np.concatenate(ghs),
+                "n_grams": np.concatenate(ns),
             }
         )
 
     quad_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64())]
     )
-    grams = ds.select_columns([id_col, text_col]).map_batches(_grams, batch_format="pandas")
-    pair_counts = (
-        normalize_blocks(
-            grams.groupby("gram").map_groups(_gram_pairs, batch_format="pandas"),
-            quad_schema,
+
+    def _gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, ngr = _sorted_group_rows(
+            g["gram"].to_numpy(np.uint64),
+            g[id_col].to_numpy(np.int64),
+            g["n_grams"].to_numpy(np.int64),
         )
-        .groupby(["id_a", "id_b", "n_a", "n_b"])
-        .count()
+        # stop-gram pruning: drop whole groups larger than the cap
+        # (vectorized — mark group sizes via run-length boundaries)
+        if len(keys):
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            sizes = np.diff(np.concatenate((starts, [len(keys)])))
+            keep = np.repeat(sizes <= max_docs_per_gram, sizes)
+            keys, ids, ngr = keys[keep], ids[keep], ngr[keep]
+        I, J = _pair_indices_by_size(keys, cap=1 << 62)
+        # local pre-combine: one row per pair per BUCKET crosses the
+        # second shuffle, not one per shared gram
+        return (
+            pd.DataFrame(
+                {"id_a": ids[I], "id_b": ids[J], "n_a": ngr[I], "n_b": ngr[J]}
+            )
+            .groupby(["id_a", "id_b", "n_a", "n_b"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+
+    count_schema = pa.schema(list(quad_schema) + [pa.field("n_shared", pa.int64())])
+
+    def _sum_shared(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b", "n_a", "n_b"], as_index=False, sort=False)[
+            "n_shared"
+        ].sum()
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(_grams, batch_format="pandas")
+    # NOTE: Ray's native multi-key groupby().count() measured ~30x
+    # slower than this two-level bucketed sum on the same pair set.
+    pair_counts = bucketed_reduce(
+        bucketed_reduce(grams, ["gram"], _gram_pairs, count_schema),
+        ["id_a", "id_b"],
+        _sum_shared,
+        count_schema,
+        combiner=_sum_shared,
     )
 
     # Integerized threshold (threshold = T/10000) so the comparison is
@@ -422,7 +654,7 @@ def ngram_jaccard_pairs(
     def _verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        common = pc.cast(batch["count()"], pa.int64())
+        common = pc.cast(batch["n_shared"], pa.int64())
         union = pc.subtract(pc.add(batch["n_a"], batch["n_b"]), common)
         jac_ok = pc.greater_equal(
             pc.multiply(common, 10000), pc.multiply(union, thr_num)
@@ -454,19 +686,18 @@ def embedding_dedup(
     seed: int = 11,
     max_pairs_per_bucket: int = 500,
     exact: bool = False,
+    driver_max_pairs: int = DRIVER_MAX_PAIRS,
 ) -> ray.data.Dataset:
     """``(vec_id, dup_of)`` for pairs with cosine >= threshold.
 
     Scale path: random-hyperplane LSH — bucket by the sign pattern of
     ``n_planes`` fixed random projections, verify cosine exactly within
-    buckets. ``exact=True`` short-circuits to all-pairs (small inputs /
-    test oracle).
-    """
+    buckets (the verify is inside the bucketed pair reduce, so only
+    true near-dup pairs ever leave it). ``exact=True`` short-circuits
+    to all-pairs (small inputs / test oracle)."""
     first = ds.take(1)
     if not first:
-        return ray.data.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
-        )
+        return _empty_mapping(id_col)
     dim = len(first[0][vec_col])
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, n_planes).astype(np.float64)
@@ -487,41 +718,25 @@ def embedding_dedup(
             }
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g["unit"].to_numpy())
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hits = sims[iu, ju] >= threshold
-        xs = ids[iu[hits]][:max_pairs_per_bucket]
-        ys = ids[ju[hits]][:max_pairs_per_bucket]
-        return pa.table(
-            {"id_a": pa.array(xs, pa.int64()), "id_b": pa.array(ys, pa.int64())}
-        )
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        keys = g["bucket"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        mat = np.stack(g["unit"].to_numpy())[order]
+        dup = np.zeros(len(keys), dtype=bool)
+        dup[1:] = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        keep = ~dup
+        keys, ids, mat = keys[keep], ids[keep], mat[keep]
+        I, J = _pair_indices_by_size(keys, max_pairs_per_bucket)
+        sims = np.einsum("ij,ij->i", mat[I], mat[J])
+        hits = sims >= threshold
+        return pd.DataFrame({"id_a": ids[I[hits]], "id_b": ids[J[hits]]})
 
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     buckets = ds.select_columns([id_col, vec_col]).map_batches(_bucket, batch_format="pandas")
-    cand = (
-        normalize_blocks(
-            buckets.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas"),
-            pair_schema,
-        )
-        .groupby(["id_a", "id_b"])
-        .count()
-        .to_pandas()
+    cand = _distinct_pairs(
+        bucketed_reduce(buckets, ["bucket"], _bucket_pairs, PAIR_SCHEMA)
     )
-    pairs = (
-        list(zip(cand["id_a"].astype(int), cand["id_b"].astype(int)))
-        if not cand.empty and "id_a" in cand.columns
-        else []
-    )
-    mapping = _resolve_dups(pairs)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                id_col: pa.array(sorted(mapping), pa.int64()),
-                "dup_of": pa.array([mapping[k] for k in sorted(mapping)], pa.int64()),
-            }
-        )
-    )
+    return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)

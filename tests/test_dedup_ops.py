@@ -142,3 +142,64 @@ class TestKnn:
             per_q.setdefault(r["query_id"], 0)
             per_q[r["query_id"]] += 1
         assert all(v == 5 for v in per_q.values())
+
+
+class TestScalePathEquivalence:
+    """The count-gated driver paths and the distributed paths (text-join
+    verify + min-label-propagation components) must produce identical
+    mappings; force the distributed branch with zero-sized gates."""
+
+    def test_minhash_distributed_equals_driver(self):
+        kw = dict(threshold=0.5)
+        drv = minhash_lsh_dedup(_docs(), **kw).take_all()
+        dist = minhash_lsh_dedup(
+            _docs(), driver_max_pairs=0, driver_max_verify_pairs=0, **kw
+        ).take_all()
+        as_map = lambda rows: {r["doc_id"]: r["dup_of"] for r in rows}
+        assert as_map(drv) == as_map(dist)
+        assert as_map(drv).get(4) == 1
+
+    def test_simhash_distributed_equals_driver(self):
+        drv = simhash_dedup(_docs()).take_all()
+        dist = simhash_dedup(_docs(), driver_max_pairs=0).take_all()
+        as_map = lambda rows: {r["doc_id"]: r["dup_of"] for r in rows}
+        assert as_map(drv) == as_map(dist)
+
+    def test_embedding_distributed_equals_driver(self):
+        rng = np.random.RandomState(3)
+        v, w = rng.randn(16), rng.randn(16)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist(), (2.0 * v).tolist(), w.tolist(), (0.5 * v).tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+        drv = embedding_dedup(ds, threshold=0.99).take_all()
+        dist = embedding_dedup(ds, threshold=0.99, driver_max_pairs=0).take_all()
+        as_map = lambda rows: {r["vec_id"]: r["dup_of"] for r in rows}
+        assert as_map(drv) == as_map(dist)
+        assert as_map(drv) == {2: 1, 4: 1}
+
+    def test_resolve_chain_min_id(self):
+        # chain 5-3, 3-9, plus isolated 7-8: canonical is the component min
+        from ai_knowledge_graph_ray.stages.dedup import resolve_dup_mapping
+
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([5, 3, 7], pa.int64()),
+                    "id_b": pa.array([3, 9, 8], pa.int64()),
+                }
+            )
+        )
+        drv = {r["doc_id"]: r["dup_of"] for r in resolve_dup_mapping(pairs).take_all()}
+        dist = {
+            r["doc_id"]: r["dup_of"]
+            for r in resolve_dup_mapping(pairs, driver_max_pairs=0).take_all()
+        }
+        assert drv == dist == {5: 3, 9: 3, 8: 7}
