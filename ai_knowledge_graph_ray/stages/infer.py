@@ -687,11 +687,39 @@ def _validated_model_triples(response: str) -> list[dict]:
     return out
 
 
+def local_topk_rows(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    limit: int,
+    ascending: bool | list[bool] = True,
+) -> list[dict]:
+    """Global top-``limit`` rows by ``sort_cols`` WITHOUT a global sort:
+    per-batch local top-k (one vectorized sort per batch), then a tiny
+    driver merge over the <= limit x n_batches survivors. The shape to
+    use whenever k is small — ``Dataset.sort`` is an all-to-all
+    shuffle."""
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.sort_values(sort_cols, ascending=ascending, kind="stable").head(limit)
+
+    parts = ds.map_batches(_local, batch_format="pandas").take_all()
+    if not parts:
+        return []
+    df = pd.DataFrame(parts)
+    df = df.sort_values(sort_cols, ascending=ascending, kind="stable").head(limit)
+    return df.to_dict("records")
+
+
 def _context_triples_for(
     triples: ray.data.Dataset, entities: set[str], limit: int = 20
 ) -> list[dict]:
     """First <=20 triples touching ``entities``, by the stable order key
-    (the reference takes the first 20 in list order, ``:491-492``)."""
+    (the reference takes the first 20 in list order, ``:491-492``).
+    Selection is per-block local top-k + driver merge — never a global
+    ``Dataset.sort`` (this runs up to ~13 times per model-assisted
+    run)."""
     ref = ray.put(entities)
 
     class _Filter:
@@ -706,8 +734,7 @@ def _context_triples_for(
             return batch.filter(pa.array(mask, pa.bool_()))
 
     hits = triples.map_batches(_Filter, batch_format="pyarrow", concurrency=2)
-    rows = hits.sort(ORDER_COLS).limit(limit).take_all()
-    return rows
+    return local_topk_rows(hits, ORDER_COLS, limit)
 
 
 def infer_with_model(
@@ -817,6 +844,64 @@ def infer_with_model(
     return new_triples
 
 
+def community_residues(
+    labels: ray.data.Dataset, *, top_k: int = 5, per_comm: int = 200
+) -> list[set[str]]:
+    """Top-``top_k`` components by TRUE member count, each reduced to
+    its ``per_comm`` lexicographically-smallest entities, ordered by
+    true size desc (ties: smaller component label first).
+
+    This is the bounded residue the model-assisted inference needs when
+    the full component labeling no longer fits the driver: the
+    reference's own caps (5 reps per community pair, ``within_cap``
+    entities per community) only ever read the smallest entities of the
+    largest communities, so only those ever leave the cluster.
+    ``labels`` is ``(entity, component)`` from
+    :func:`connected_components_distributed`.
+    """
+
+    def _size_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"component": [], "n": []})
+        out = b.groupby("component", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pandas")
+        .groupby("component")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = local_topk_rows(sizes, ["n", "component"], top_k, ascending=[False, True])
+    if not top:
+        return []
+    comp_order = [r["component"] for r in top]
+    keep = set(comp_order)
+    mem_schema = pa.schema([("component", pa.string()), ("entity", pa.string())])
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["component"].isin(keep)][["component", "entity"]]
+
+    def _heads(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("entity", kind="stable")
+            .groupby("component", sort=False)
+            .head(per_comm)
+        )
+
+    members = bucketed_reduce(
+        labels.map_batches(_filter, batch_format="pandas"),
+        ["component"],
+        _heads,
+        mem_schema,
+    ).take_all()
+    by_comp: dict[str, set[str]] = {c: set() for c in comp_order}
+    for r in members:
+        by_comp[r["component"]].add(r["entity"])
+    return [by_comp[c] for c in comp_order]
+
+
 # ---------------------------------------------------------------------------
 # Phase-3 composition
 # ---------------------------------------------------------------------------
@@ -829,12 +914,23 @@ def infer_relationships(
     lexical_mode: str = "auto",
     num_partitions: int | None = None,
     max_fanout_per_mid: int | None = None,
-) -> tuple[ray.data.Dataset, dict[str, int]]:
+) -> tuple[ray.data.Dataset, "dict[str, int] | ray.data.Dataset"]:
     """Full Phase 3. Returns ``(final_triples, component_labels)``.
 
     Mirrors the reference order (``:230-271``): model-assisted
     inference (if enabled) -> transitive -> lexical -> union ->
     inferred-aware dedup -> final predicate limit -> self-loop filter.
+
+    The distinct-edge residue is COUNTED before anything is collected
+    (``inference.residue_max_edges``, default 2M pairs). Under the gate
+    the residue is pulled to the driver once and drives component
+    labeling, the broadcast transitive compose and the lexical sets
+    (SURVEY.md §4.1: aggregate hard, work on the small residue); over
+    it, NOTHING is collected — components run distributed (min-label
+    propagation), transitive takes the shuffle self-join, lexical takes
+    the join path, and the model-assisted step reads only the bounded
+    ``community_residues``. Labels are returned as a ``dict`` under the
+    gate and as an ``(entity, component)`` Dataset over it.
     """
     from ..functions.model import make_model
     from .lexical import infer_lexical
@@ -845,26 +941,39 @@ def infer_relationships(
         num_partitions = default_num_partitions()
     base = with_lineage(triples, "extracted")
 
-    # Collect the distinct-edge residue ONCE; it drives component
-    # labeling, the broadcast transitive compose, and the lexical
-    # entity/existing-pair sets (SURVEY.md §4.1: aggregate hard, then
-    # work on the small residue).
-    edges_pd = distinct_edges(base).to_pandas()
-    if edges_pd.empty or "subject" not in edges_pd.columns:
+    residue_cap = int(inf_cfg.get("residue_max_edges", 2_000_000))
+    edges = distinct_edges(base).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
         return base, {}
-    labels = connected_components(
-        list(zip(edges_pd["subject"], edges_pd["object"]))
-    )
-    n_comms = (max(labels.values()) + 1) if labels else 0
+
+    driver_residue = n_edges <= residue_cap
+    labels: dict[str, int] | ray.data.Dataset
+    if driver_residue:
+        edges_pd = edges.to_pandas()
+        labels = connected_components(
+            list(zip(edges_pd["subject"], edges_pd["object"]))
+        )
+    else:
+        edges_pd = None
+        labels = connected_components_distributed(edges)
 
     parts: list[ray.data.Dataset] = [base]
 
     if inf_cfg.get("use_llm_for_inference", False):
-        comms: dict[int, set[str]] = {}
-        for ent, lab in labels.items():
-            comms.setdefault(lab, set()).add(ent)
+        if driver_residue:
+            comms: dict[int, set[str]] = {}
+            for ent, lab in labels.items():
+                comms.setdefault(lab, set()).add(ent)
+            communities = list(comms.values())
+        else:
+            communities = community_residues(
+                labels,
+                top_k=5,
+                per_comm=inf_cfg.get("within_community_max_entities", 200),
+            )
         model = model or make_model(config)
-        llm_rows = infer_with_model(base, list(comms.values()), config, model)
+        llm_rows = infer_with_model(base, communities, config, model)
         if llm_rows:
             tbl = pa.table(
                 {
@@ -884,7 +993,9 @@ def infer_relationships(
     if t_mode == "auto":
         # Broadcast while the residue is broadcastable; shuffle join
         # beyond (~2M distinct pairs ≈ a few hundred MB per worker).
-        t_mode = "broadcast" if len(edges_pd) <= 2_000_000 else "shuffle"
+        t_mode = "broadcast" if driver_residue else "shuffle"
+    if t_mode == "broadcast" and edges_pd is None:
+        edges_pd = edges.to_pandas()  # explicit user override of the gate
     if t_mode == "broadcast":
         parts.append(
             infer_transitive_broadcast(
@@ -902,8 +1013,13 @@ def infer_relationships(
 
     from .lexical import EXACT_THRESHOLD, _exact_lexical, infer_lexical_fast
 
-    entities = sorted(set(edges_pd["subject"]) | set(edges_pd["object"]))
-    existing_pairs = set(zip(edges_pd["subject"], edges_pd["object"]))
+    if edges_pd is None and lexical_mode in ("auto", "shuffle"):
+        lexical_mode = "shuffle"  # residue over the gate: join path only
+    if edges_pd is None and lexical_mode in ("exact", "blocked"):
+        edges_pd = edges.to_pandas()  # explicit user override of the gate
+    if lexical_mode != "shuffle":
+        entities = sorted(set(edges_pd["subject"]) | set(edges_pd["object"]))
+        existing_pairs = set(zip(edges_pd["subject"], edges_pd["object"]))
     if lexical_mode == "auto":
         lexical_mode = "exact" if len(entities) <= EXACT_THRESHOLD else "blocked"
     if lexical_mode == "exact":

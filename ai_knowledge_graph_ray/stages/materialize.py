@@ -37,13 +37,18 @@ def edges_table(triples: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def nodes_table(
-    edges: ray.data.Dataset, components: dict[str, int] | None = None
+    edges: ray.data.Dataset,
+    components: "dict[str, int] | ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Distributed degree + community label + display size.
 
     Degree via the same partial-count-then-combine pattern as entity
-    counting (skew-safe). Component labels are broadcast (they are the
-    small entity residue).
+    counting (skew-safe). Component labels are broadcast when they are
+    the small driver dict; when Phase 3 ran over its residue gate they
+    arrive as an ``(entity, component)`` Dataset instead and are
+    JOINED on (community id = stable 32-bit hash of the component
+    representative — dense renumbering would need a global index, and
+    the column is viz-only).
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -66,6 +71,37 @@ def nodes_table(
         .aggregate(Sum("degree", alias_name="degree"))
     ).materialize()  # small (one row per entity); reused by max + finish
     max_deg = deg.max("degree") or 1
+
+    if isinstance(components, ray.data.Dataset):
+        from .infer import sanitize_for_join
+        from .relational import cogroup_join
+
+        label_schema = pa.schema([("entity", pa.string()), ("component", pa.string())])
+        deg_schema = pa.schema([("entity", pa.string()), ("degree", pa.int64())])
+        joined = cogroup_join(
+            sanitize_for_join(deg, deg_schema),
+            sanitize_for_join(components, label_schema),
+            on=["entity"],
+            left_schema=deg_schema,
+            right_schema=label_schema,
+        )
+
+        def _finish_ds(batch: pd.DataFrame) -> pd.DataFrame:
+            comm = (
+                pd.util.hash_array(batch["component"].to_numpy(dtype=object))
+                % (1 << 31)
+            ).astype("int32") if len(batch) else pd.Series([], dtype="int32")
+            return pd.DataFrame(
+                {
+                    "entity": batch["entity"],
+                    "degree": batch["degree"].astype("int64"),
+                    "community": comm,
+                    "size": 10.0 + 20.0 * (batch["degree"] / max_deg),
+                }
+            )
+
+        return joined.map_batches(_finish_ds, batch_format="pandas")
+
     comp_ref = ray.put(components or {})
 
     class _Finish:
@@ -90,7 +126,9 @@ def nodes_table(
 
 
 def graph_stats(
-    edges: ray.data.Dataset, nodes: ray.data.Dataset, components: dict[str, int] | None
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    components: "dict[str, int] | ray.data.Dataset | None",
 ) -> dict:
     """Run metrics (``main.py:305-312`` + ``visualization.py:154-163``)."""
     import pyarrow.compute as pc
@@ -108,7 +146,13 @@ def graph_stats(
         or 0
     )
     n_nodes = nodes.count()
-    n_comms = (max(components.values()) + 1) if components else 0
+    if isinstance(components, ray.data.Dataset):
+        # distinct-component count, distributed (labels over the gate)
+        n_comms = (
+            components.select_columns(["component"]).groupby("component").count().count()
+        )
+    else:
+        n_comms = (max(components.values()) + 1) if components else 0
     return {
         "nodes": n_nodes,
         "edges": n_edges,

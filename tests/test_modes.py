@@ -125,3 +125,109 @@ class TestLexicalModes:
         # shared word "engine" (>=4); neither starts with it ... engine
         # room DOES start with it -> "steam engine" relates to it
         assert res == [("steam engine", "relates to", "engine room")]
+
+
+class TestResidueGate:
+    """``infer_relationships`` with a forced zero residue gate (the
+    full scale path: distributed components + shuffle transitive +
+    join lexical) must produce the same final triples as the driver
+    path, and its Dataset-shaped labels must flow through
+    nodes_table/graph_stats."""
+
+    def test_scale_path_equals_driver_path(self):
+        from ai_knowledge_graph_ray.stages.infer import infer_relationships
+
+        base = _triples_ds()
+        drv_final, drv_labels = infer_relationships(base, {})
+        scl_final, scl_labels = infer_relationships(
+            base, {"inference": {"residue_max_edges": 0}}
+        )
+        assert _spo(drv_final) == _spo(scl_final)
+        assert isinstance(drv_labels, dict)
+        assert isinstance(scl_labels, ray.data.Dataset)
+        # label partitions agree: same entity grouping either way
+        import collections
+
+        drv_groups = collections.defaultdict(set)
+        for ent, lab in drv_labels.items():
+            drv_groups[lab].add(ent)
+        scl_groups = collections.defaultdict(set)
+        for r in scl_labels.take_all():
+            scl_groups[r["component"]].add(r["entity"])
+        assert sorted(map(sorted, drv_groups.values())) == sorted(
+            map(sorted, scl_groups.values())
+        )
+
+    def test_dataset_labels_through_materialize(self):
+        from ai_knowledge_graph_ray.stages.infer import infer_relationships
+        from ai_knowledge_graph_ray.stages.materialize import (
+            edges_table,
+            graph_stats,
+            nodes_table,
+        )
+
+        base = _triples_ds()
+        final, labels = infer_relationships(
+            base, {"inference": {"residue_max_edges": 0}}
+        )
+        final = final.materialize()
+        edges = edges_table(final)
+        nodes = nodes_table(edges, labels)
+        rows = nodes.take_all()
+        assert rows and all(r["community"] >= 0 for r in rows)
+        stats = graph_stats(edges, nodes, labels)
+        assert stats["nodes"] == len(rows)
+        assert stats["communities"] >= 1
+
+    def test_community_residues_bounded_and_ordered(self):
+        from ai_knowledge_graph_ray.stages.infer import (
+            community_residues,
+            connected_components_distributed,
+            distinct_edges,
+        )
+
+        base = _triples_ds()
+        labels = connected_components_distributed(distinct_edges(base))
+        res = community_residues(labels, top_k=5, per_comm=2)
+        assert res  # one component in the fixture
+        assert all(len(s) <= 2 for s in res)
+
+
+class TestContextSelection:
+    def test_local_topk_equals_global_sort(self):
+        """_context_triples_for must pick exactly the rows a global
+        sort().limit() would, on a many-block dataset."""
+        from ai_knowledge_graph_ray.stages.infer import (
+            ORDER_COLS,
+            _context_triples_for,
+            with_lineage,
+        )
+
+        rows = []
+        for u in range(6):
+            for c in range(10):
+                rows.append((f"u{u}", c, c, f"ent{u}", "rel", f"obj{c}"))
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "chunk_id": pa.array([r[1] for r in rows], pa.int32()),
+                "seq": pa.array([r[2] for r in rows], pa.int32()),
+                "subject": pa.array([r[3] for r in rows], pa.string()),
+                "predicate": pa.array([r[4] for r in rows], pa.string()),
+                "object": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        ds = with_lineage(
+            ray.data.from_arrow(tbl).repartition(8), "extracted"
+        ).materialize()
+        ents = {"ent1", "ent3", "ent5"}
+        got = _context_triples_for(ds, ents, limit=7)
+        want = (
+            ds.filter(lambda r: r["subject"] in ents or r["object"] in ents)
+            .sort(ORDER_COLS)
+            .limit(7)
+            .take_all()
+        )
+        key = lambda r: (r["url"], r["chunk_id"], r["seq"])
+        assert [key(r) for r in got] == [key(r) for r in want]
+        assert len(got) == 7
