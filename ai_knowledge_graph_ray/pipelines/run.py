@@ -6,13 +6,18 @@ any heavy work, so a rerun after a mid-job failure only processes the
 partitions that never completed (north rule: resumable mid-pipeline
 with per-partition checkpoints + lineage).
 
-Phase structure per incremental run: phases 1-2 (extraction +
-canonicalization) are per-partition-safe and their output is what gets
-checkpointed. The GLOBAL phases (inference, dedup, materialization)
+Phase structure per incremental run: phase 1 (extraction) is
+per-partition-safe and its RAW output is what gets checkpointed. The
+GLOBAL phases (canonicalization, inference, dedup, materialization)
 operate over the union of all completed partitions — they are
 recomputed from the checkpoint on finalize, which is cheap relative to
 extraction (the reference has the same structure: ``finalize_graph.py``
-re-runs phases 2-3 over the stored corpus).
+re-runs phases 2-3 over the stored corpus). Canonicalization MUST live
+in the finalize section: electing aliases per increment would let run
+r1 and run r2 elect from different entity populations, so a resumed
+run could produce different canonical forms than a single-shot run
+whenever variants straddle the crash boundary (pinned by
+``test_resume_pipeline``'s planted-alias fixture).
 
 CLI (launch with ``ray job submit -- python -m
 ai_knowledge_graph_ray.pipelines.run ...`` on a cluster; standalone
@@ -79,12 +84,17 @@ def run_resumable(
         batch_size=rt["extract_batch_size"],
     ).materialize()
     if raw.count() > 0:
-        std, _alias = standardize_triples(raw, cfg)
-        std = with_lineage(std, "extracted")
-        sink.write(std, stage="triples_std")
+        sink.write(with_lineage(raw, "extracted"), stage="triples_raw")
 
     # Global section: recompute over ALL completed partitions.
-    all_std = sink.read_all().drop_columns(["partition_id", "run_id"])
+    # Standardization runs HERE, over the full corpus, never per
+    # increment — alias election must see the global entity population.
+    all_raw = sink.read_all().drop_columns(["partition_id", "run_id"])
+    if cfg["standardization"].get("enabled", True):
+        all_std, _alias = standardize_triples(all_raw, cfg)
+        all_std = with_lineage(all_std, "extracted")
+    else:
+        all_std = with_lineage(all_raw, "extracted")
     triples, components = infer_relationships(
         all_std,
         cfg,

@@ -59,3 +59,68 @@ def test_kill_and_resume_matches_single_shot(tmp_path):
     # Identical final output.
     assert _spo_set(single) == _spo_set(resumed)
     assert stats_single == stats_resumed
+
+
+def _edges_set(out_dir):
+    import duckdb
+
+    return set(
+        map(
+            tuple,
+            duckdb.sql(
+                f"select src, predicate, dst from '{out_dir}/edges/*.parquet'"
+            ).fetchall(),
+        )
+    )
+
+
+@pytest.mark.slow
+def test_resume_canonicalization_is_global(tmp_path):
+    """Alias variants planted on BOTH sides of the crash boundary:
+    'factories' only in first-half partitions, 'factory' only in
+    second-half ones. Since canonicalization runs in the global
+    finalize (never per increment), the resumed run must elect the
+    same canonical forms as the single-shot run."""
+    from ai_knowledge_graph_ray.sources.pages import PAGES_SCHEMA, wrap_html
+
+    # The mock extractor pairs token[i] -> token[i+2] over significant
+    # tokens, so these texts reliably emit the planted entity.
+    text_a = "factories drive production factories power mills factories shape cities"
+    text_b = "factory builds engines factory makes goods factory employs workers"
+    rows_a, rows_b = [], []
+    i = 0
+    while len(rows_a) < 6 or len(rows_b) < 6:
+        url = f"https://ex.test/p{i}"
+        half = partition_of(url, 8) < 4
+        if half and len(rows_a) < 6:
+            rows_a.append((url, text_a + f" variant{i}"))
+        elif not half and len(rows_b) < 6:
+            rows_b.append((url, text_b + f" variant{i}"))
+        i += 1
+    rows = rows_a + rows_b
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+                "html": pa.array([wrap_html(r[1]) for r in rows], pa.binary()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            },
+            schema=PAGES_SCHEMA,
+        )
+    ).materialize()
+
+    single = str(tmp_path / "single")
+    run_resumable(pages, single, CFG, num_partitions=8, run_id="s")
+
+    resumed = str(tmp_path / "resumed")
+    first_half = pages.filter(lambda r: partition_of(r["url"], 8) < 4)
+    run_resumable(first_half, resumed, CFG, num_partitions=8, run_id="r1")
+    run_resumable(pages, resumed, CFG, num_partitions=8, run_id="r2")
+
+    single_edges = _edges_set(single)
+    assert single_edges == _edges_set(resumed)
+    # the stem merge actually fired: only ONE canonical form survives
+    ents = {e for s, _, d in single_edges for e in (s, d)}
+    assert ("factory" in ents) ^ ("factories" in ents)
