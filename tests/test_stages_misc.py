@@ -277,3 +277,71 @@ class TestEmbedder:
         dups = embedding_dedup(emb, threshold=0.999).take_all()
         # identical texts (if any) dedup; result is at least well-formed
         assert all(r["dup_of"] < r["vec_id"] for r in dups)
+
+
+class TestLouvainAndBlend:
+    """Reference visualization.py:186-227 parity: Louvain communities
+    (with degree-mod-8 fallback) + centrality-blend node sizing, both
+    count-gated driver computations over the distinct edge residue."""
+
+    def _edges(self):
+        import pyarrow as pa
+        import ray.data
+
+        cl_a = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+        cl_b = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+        bridge = [("a1", "b1")]
+        pairs = cl_a + cl_b + bridge
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.string()),
+                    "dst": pa.array([p[1] for p in pairs], pa.string()),
+                    "predicate": pa.array(["rel"] * len(pairs), pa.string()),
+                    "inferred": pa.array([False] * len(pairs), pa.bool_()),
+                    "chunk_id": pa.array([1] * len(pairs), pa.int32()),
+                    "url": pa.array(["u"] * len(pairs), pa.string()),
+                }
+            )
+        )
+
+    def test_louvain_splits_cliques(self):
+        from ai_knowledge_graph_ray.stages.materialize import louvain_communities
+
+        labels = louvain_communities(self._edges())
+        assert labels is not None
+        a = {labels[f"a{i}"] for i in range(1, 5)}
+        b = {labels[f"b{i}"] for i in range(1, 5)}
+        assert len(a) == 1 and len(b) == 1 and a != b
+        # deterministic across calls
+        assert labels == louvain_communities(self._edges())
+
+    def test_louvain_gate_returns_none(self):
+        from ai_knowledge_graph_ray.stages.materialize import louvain_communities
+
+        assert louvain_communities(self._edges(), max_edges=0) is None
+
+    def test_blend_sizes_range_and_bridge_dominance(self):
+        from ai_knowledge_graph_ray.stages.materialize import centrality_blend_sizes
+
+        sizes = centrality_blend_sizes(self._edges())
+        assert sizes is not None
+        assert all(10.0 <= s <= 30.0 for s in sizes.values())
+        # the bridge endpoints carry all betweenness -> biggest nodes
+        top2 = sorted(sizes, key=sizes.get, reverse=True)[:2]
+        assert set(top2) == {"a1", "b1"}
+
+    def test_nodes_table_with_louvain_and_sizes(self):
+        from ai_knowledge_graph_ray.stages.materialize import (
+            centrality_blend_sizes,
+            louvain_communities,
+            nodes_table,
+        )
+
+        edges = self._edges()
+        labels = louvain_communities(edges)
+        rows = nodes_table(edges, labels, sizes=centrality_blend_sizes(edges)).take_all()
+        assert len(rows) == 8
+        comm = {r["entity"]: r["community"] for r in rows}
+        assert comm["a2"] == comm["a3"] and comm["b2"] == comm["b3"]
+        assert comm["a2"] != comm["b2"]
