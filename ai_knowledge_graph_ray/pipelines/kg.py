@@ -28,7 +28,13 @@ from ..stages.docs import extract_docs
 from ..stages.extract import extract_triples
 from ..stages.canonicalize import standardize_triples
 from ..stages.infer import infer_relationships, with_lineage
-from ..stages.materialize import edges_table, graph_stats, nodes_table
+from ..stages.materialize import (
+    centrality_blend_sizes,
+    edges_table,
+    graph_stats,
+    louvain_communities,
+    nodes_table,
+)
 
 DEFAULT_CONFIG: dict[str, Any] = {
     "llm": {"provider": "mock"},
@@ -36,6 +42,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "chunking": {"chunk_size": 500, "overlap": 50},
     "standardization": {"enabled": True, "use_llm_for_entities": False, "second_pass": True},
     "inference": {"enabled": True, "use_llm_for_inference": False},
+    # communities: "components" (weak components, the scale default) or
+    # "louvain" (reference visualization.py:186-205 parity, driver-side
+    # over the count-gated edge residue). sizing: "degree" or "blend"
+    # (reference 0.5·deg + 0.3·btw + 0.2·eig, small graphs only).
+    "materialize": {"communities": "components", "sizing": "degree"},
     "runtime": {
         "extract_concurrency": None,   # None -> autoscale (1, cpus-2)
         "extract_batch_size": 64,
@@ -125,7 +136,15 @@ def build_graph(
         triples = triples.materialize()
 
     edges = edges_table(triples)
-    nodes = nodes_table(edges, components)
+    mat_cfg = cfg.get("materialize", {})
+    if mat_cfg.get("communities") == "louvain":
+        louv = louvain_communities(edges)
+        if louv is not None:  # over the gate: keep weak components
+            components = louv
+    sizes = None
+    if mat_cfg.get("sizing") == "blend":
+        sizes = centrality_blend_sizes(edges)
+    nodes = nodes_table(edges, components, sizes=sizes)
     return {
         "triples": triples,
         "edges": edges,

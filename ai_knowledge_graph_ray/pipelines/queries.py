@@ -356,6 +356,23 @@ def q_kg_nodes(sf_dir: str):
     return _kg_build(sf_dir)["nodes"]
 
 
+def q_kg_nodes_louvain(sf_dir: str):
+    """nodes table with Louvain community labels + centrality-blend
+    sizing (reference visualization.py:186-227 parity; driver-side
+    over the count-gated edge residue)."""
+    from ..stages.materialize import (
+        centrality_blend_sizes,
+        louvain_communities,
+        nodes_table,
+    )
+
+    res = _kg_build(sf_dir)
+    edges = res["edges"]
+    comms = louvain_communities(edges)
+    components = comms if comms is not None else res["components"]
+    return nodes_table(edges, components, sizes=centrality_blend_sizes(edges))
+
+
 # ---------------------------------------------------------------------------
 # More relational / text / streaming operators (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -771,6 +788,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_triples_std": q_kg_triples_std,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
+    "kg_nodes_louvain": q_kg_nodes_louvain,
 }
 
 _N_TOKENS_SQL = (

@@ -39,6 +39,8 @@ def edges_table(triples: ray.data.Dataset) -> ray.data.Dataset:
 def nodes_table(
     edges: ray.data.Dataset,
     components: "dict[str, int] | ray.data.Dataset | None" = None,
+    *,
+    sizes: "dict[str, float] | None" = None,
 ) -> ray.data.Dataset:
     """Distributed degree + community label + display size.
 
@@ -86,33 +88,49 @@ def nodes_table(
             right_schema=label_schema,
         )
 
+        size_ref = ray.put(sizes)
+
         def _finish_ds(batch: pd.DataFrame) -> pd.DataFrame:
             comm = (
                 pd.util.hash_array(batch["component"].to_numpy(dtype=object))
                 % (1 << 31)
             ).astype("int32") if len(batch) else pd.Series([], dtype="int32")
+            sz = ray.get(size_ref) if isinstance(size_ref, ray.ObjectRef) else size_ref
+            deg_size = 10.0 + 20.0 * (batch["degree"] / max_deg)
+            size_col = (
+                [sz.get(e, d) for e, d in zip(batch["entity"], deg_size)]
+                if sz is not None
+                else deg_size
+            )
             return pd.DataFrame(
                 {
                     "entity": batch["entity"],
                     "degree": batch["degree"].astype("int64"),
                     "community": comm,
-                    "size": 10.0 + 20.0 * (batch["degree"] / max_deg),
+                    "size": size_col,
                 }
             )
 
         return joined.map_batches(_finish_ds, batch_format="pandas")
 
     comp_ref = ray.put(components or {})
+    size_ref = ray.put(sizes)
 
     class _Finish:
         def __init__(self) -> None:
             self.comps: dict[str, int] = ray.get(comp_ref)
+            self.sizes: dict[str, float] | None = ray.get(size_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ents = batch["entity"].to_pylist()
             degs = batch["degree"].to_pylist()
             comm = [self.comps.get(e, -1) for e in ents]
-            size = [10.0 + 20.0 * (d / max_deg) for d in degs]
+            size = [
+                self.sizes.get(e, 10.0 + 20.0 * (d / max_deg))
+                if self.sizes is not None
+                else 10.0 + 20.0 * (d / max_deg)
+                for e, d in zip(ents, degs)
+            ]
             return pa.table(
                 {
                     "entity": batch["entity"],
@@ -123,6 +141,99 @@ def nodes_table(
             )
 
     return deg.map_batches(_Finish, batch_format="pyarrow", concurrency=2)
+
+
+def _distinct_undirected_pairs(
+    edges: ray.data.Dataset, *, max_edges: int
+) -> "list[tuple[str, str]] | None":
+    """The distinct (src, dst) edge residue, COUNT-GATED: counted
+    before collection, ``None`` when it exceeds ``max_edges`` (callers
+    fall back to the distributed/degree paths). One bucketed distinct —
+    no multi-key Ray groupby."""
+    from .infer import bucketed_reduce
+
+    pair_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["src", "dst"])
+
+    distinct = bucketed_reduce(
+        edges.select_columns(["src", "dst"]), ["src", "dst"], _dd, pair_schema,
+        combiner=_dd,
+    ).materialize()
+    if distinct.count() > max_edges:
+        return None
+    df = distinct.to_pandas()
+    if df.empty or "src" not in df.columns:
+        return []
+    return list(zip(df["src"], df["dst"]))
+
+
+def louvain_communities(
+    edges: ray.data.Dataset, *, seed: int = 7, max_edges: int = 2_000_000
+) -> "dict[str, int] | None":
+    """Louvain community labels over the final edge list — reference
+    ``visualization.py:186-205`` semantics (python-louvain partition of
+    the undirected graph, degree-mod-8 fallback when detection fails).
+
+    Runs driver-side over the distinct-edge residue exactly like the
+    reference (whose graphs cap at ~10k nodes); the residue is
+    count-gated and the function returns ``None`` over the gate, at
+    which point the caller keeps weak-component labels (the documented
+    scale deviation). Community ids are deterministic: communities
+    ordered by (size desc, smallest member).
+    """
+    import networkx as nx
+
+    pairs = _distinct_undirected_pairs(edges, max_edges=max_edges)
+    if pairs is None:
+        return None
+    if not pairs:
+        return {}
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    try:
+        comms = nx.community.louvain_communities(G, seed=seed)
+    except Exception:
+        # Reference fallback: degree % 8 (visualization.py:197-205).
+        return {n: max(0, int(d)) % 8 for n, d in G.degree()}
+    ordered = sorted(comms, key=lambda c: (-len(c), min(c)))
+    return {n: i for i, c in enumerate(ordered) for n in c}
+
+
+def centrality_blend_sizes(
+    edges: ray.data.Dataset, *, max_edges: int = 200_000
+) -> "dict[str, float] | None":
+    """Reference node sizing (``visualization.py:207-227``): size =
+    10 + 20 * (0.5·degree + 0.3·betweenness + 0.2·eigenvector), each
+    normalized by its max. Betweenness is O(V·E) — strictly a
+    small-residue computation (tighter gate than Louvain's); ``None``
+    over the gate means keep degree-only sizing."""
+    import networkx as nx
+
+    pairs = _distinct_undirected_pairs(edges, max_edges=max_edges)
+    if pairs is None:
+        return None
+    if not pairs:
+        return {}
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    betweenness = nx.betweenness_centrality(G)
+    degree = dict(G.degree())
+    try:
+        eigenvector = nx.eigenvector_centrality(G, max_iter=1000)
+    except Exception:
+        eigenvector = {n: 0.5 for n in G.nodes()}
+    max_b = max(betweenness.values()) if betweenness else 1
+    max_d = max(degree.values()) if degree else 1
+    max_e = max(eigenvector.values()) if eigenvector else 1
+    out = {}
+    for n in G.nodes():
+        dn = degree.get(n, 1) / max_d
+        bn = (betweenness.get(n, 0) / max_b) if max_b > 0 else 0
+        en = (eigenvector.get(n, 0) / max_e) if max_e > 0 else 0
+        out[n] = 10.0 + 20.0 * (0.5 * dn + 0.3 * bn + 0.2 * en)
+    return out
 
 
 def graph_stats(
