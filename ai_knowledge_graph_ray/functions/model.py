@@ -122,10 +122,18 @@ class OpenAIChatModel:
     """OpenAI-compatible HTTP chat client (any ``base_url``).
 
     Same request shape as the reference client (llm.py:6-61): bearer
-    auth, optional system message, user content as a text part. Not
-    reachable in the sandbox (no network) — covered by a unit test that
-    fakes the session.
+    auth, optional system message, user content as a text part — PLUS
+    the retry policy the reference lacks (it raises on the first
+    non-200, ``llm.py:61``, and the caller merely warns and skips the
+    chunk): transient transport failures (connection errors, timeouts,
+    429, 5xx) are retried ``max_retries`` times with exponential
+    backoff; non-retryable statuses (4xx) raise immediately. Semantic
+    retries (re-prompt on unparseable output) live in the extraction
+    caller, not here. Not reachable in the sandbox (no network) —
+    covered by unit tests that fake the session.
     """
+
+    RETRYABLE_STATUSES = frozenset({408, 429, 500, 502, 503, 504})
 
     def __init__(
         self,
@@ -135,6 +143,8 @@ class OpenAIChatModel:
         max_tokens: int = 1000,
         temperature: float = 0.2,
         timeout: float = 120.0,
+        max_retries: int = 3,
+        backoff_base: float = 0.5,
     ) -> None:
         import requests
 
@@ -144,16 +154,12 @@ class OpenAIChatModel:
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
         self.session = requests.Session()  # one session per actor
 
-    def chat(self, system_prompt: str | None, user_prompt: str) -> str:
-        messages = []
-        if system_prompt:
-            messages.append({"role": "system", "content": system_prompt})
-        messages.append(
-            {"role": "user", "content": [{"type": "text", "text": user_prompt}]}
-        )
-        resp = self.session.post(
+    def _post_once(self, messages: list[dict]):
+        return self.session.post(
             self.base_url,
             headers={
                 "Content-Type": "application/json",
@@ -167,6 +173,39 @@ class OpenAIChatModel:
             },
             timeout=self.timeout,
         )
+
+    def chat(self, system_prompt: str | None, user_prompt: str) -> str:
+        import time
+
+        messages = []
+        if system_prompt:
+            messages.append({"role": "system", "content": system_prompt})
+        messages.append(
+            {"role": "user", "content": [{"type": "text", "text": user_prompt}]}
+        )
+        last_err: Exception | None = None
+        resp = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff_base * (2 ** (attempt - 1)))
+            try:
+                resp = self._post_once(messages)
+            except Exception as ex:  # connection error / timeout
+                last_err, resp = ex, None
+                continue
+            if resp.status_code == 200:
+                break
+            if resp.status_code in self.RETRYABLE_STATUSES:
+                last_err = RuntimeError(
+                    f"model API transient failure {resp.status_code}: {resp.text}"
+                )
+                resp = None
+                continue
+            raise RuntimeError(f"model API request failed: {resp.text}")
+        if resp is None:
+            raise RuntimeError(
+                f"model API request failed after {self.max_retries + 1} attempts"
+            ) from last_err
         if resp.status_code != 200:
             raise RuntimeError(f"model API request failed: {resp.text}")
         return resp.json()["choices"][0]["message"]["content"]
@@ -186,4 +225,6 @@ def make_model(config: dict) -> ChatModel:
         base_url=llm["base_url"],
         max_tokens=llm.get("max_tokens", 1000),
         temperature=llm.get("temperature", 0.2),
+        max_retries=llm.get("max_retries", 3),
+        backoff_base=llm.get("backoff_base", 0.5),
     )

@@ -44,24 +44,42 @@ TRIPLES_RAW_SCHEMA = pa.schema(
 )
 
 
+_SEMANTIC_RETRY_SUFFIX = (
+    "\n\nYour previous response could not be parsed as a JSON array of "
+    "triples. Respond with ONLY a JSON array of objects, each with "
+    '"subject", "predicate" and "object" string fields — no prose, no '
+    "code fences."
+)
+
+
 def extract_chunk_triples(
     model: ChatModel,
     chunk_text: str,
     _prompts: tuple[str, str] | None = None,
+    semantic_retries: int = 1,
 ) -> list[dict] | None:
     """One chunk through the model; parity with ``process_with_llm``.
 
     Returns validated triples or ``None`` when the response yields no
-    parseable/valid triples (chunk skipped). ``_prompts`` lets the
-    actor pass its per-actor cached (system, user-prefix) pair instead
-    of hitting the registry per chunk.
+    parseable/valid triples (chunk routed to the rejects side-channel).
+    A response that fails JSON recovery is re-prompted once (the
+    SEMANTIC retry SURVEY §4.1 requires to be explicit — the reference
+    silently skips the chunk, ``main.py:159-160``; transport retries
+    live in the model client). ``_prompts`` lets the actor pass its
+    per-actor cached (system, user-prefix) pair instead of hitting the
+    registry per chunk.
     """
     if _prompts is None:
         _prompts = (prompts.get_prompt("main_system"), prompts.get_prompt("main_user"))
     system_prompt, user_prefix = _prompts
     user_prompt = user_prefix + f"```\n{chunk_text}```\n"
-    response = model.chat(system_prompt, user_prompt)
-    result = extract_json_from_text(response)
+    result = None
+    for attempt in range(semantic_retries + 1):
+        prompt = user_prompt if attempt == 0 else user_prompt + _SEMANTIC_RETRY_SUFFIX
+        response = model.chat(system_prompt, prompt)
+        result = extract_json_from_text(response)
+        if result and isinstance(result, list):
+            break
     if not result or not isinstance(result, list):
         return None
     valid = []
@@ -85,6 +103,7 @@ class TripleExtractor:
     def __init__(self, config: dict | None = None, emit_rejects: bool = False) -> None:
         self.model = make_model(config or {})
         self.emit_rejects = emit_rejects
+        self.semantic_retries = (config or {}).get("llm", {}).get("semantic_retries", 1)
         # Prompt strings resolved once per actor, not once per chunk.
         self.prompts = (
             prompts.get_prompt("main_system"),
@@ -104,7 +123,9 @@ class TripleExtractor:
             batch["chunk_id"].to_pylist(),
             batch["chunk_text"].to_pylist(),
         ):
-            triples = extract_chunk_triples(self.model, ctext, self.prompts)
+            triples = extract_chunk_triples(
+                self.model, ctext, self.prompts, self.semantic_retries
+            )
             if triples is None:
                 rejects.append((url, cid))
                 continue

@@ -180,3 +180,117 @@ class TestMockModel:
             else:
                 kinds.add("other")
         assert {"clean", "fenced", "garbage"} <= kinds
+
+
+class TestModelRetryPolicy:
+    """Transport retries with backoff in OpenAIChatModel (the reference
+    raises on the first non-200, llm.py:61) and the semantic re-prompt
+    in extract_chunk_triples (SURVEY §4.1)."""
+
+    def _client(self, **kw):
+        from ai_knowledge_graph_ray.functions.model import OpenAIChatModel
+
+        c = OpenAIChatModel(
+            model="m", api_key="k", base_url="http://x", backoff_base=0.0, **kw
+        )
+        return c
+
+    class _Resp:
+        def __init__(self, status, content="ok"):
+            self.status_code = status
+            self.text = "err"
+            self._content = content
+
+        def json(self):
+            return {"choices": [{"message": {"content": self._content}}]}
+
+    def test_transient_then_success(self):
+        c = self._client(max_retries=3)
+        calls = []
+
+        class S:
+            def post(s, *a, **k):
+                calls.append(1)
+                if len(calls) < 3:
+                    raise ConnectionError("boom")
+                return TestModelRetryPolicy._Resp(200, "hello")
+
+        c.session = S()
+        assert c.chat("sys", "user") == "hello"
+        assert len(calls) == 3
+
+    def test_retryable_status_then_success(self):
+        c = self._client(max_retries=2)
+        seq = [self._Resp(429), self._Resp(503), self._Resp(200, "done")]
+
+        class S:
+            def post(s, *a, **k):
+                return seq.pop(0)
+
+        c.session = S()
+        assert c.chat(None, "user") == "done"
+
+    def test_non_retryable_raises_immediately(self):
+        import pytest
+
+        c = self._client(max_retries=5)
+        calls = []
+
+        class S:
+            def post(s, *a, **k):
+                calls.append(1)
+                return TestModelRetryPolicy._Resp(401)
+
+        c.session = S()
+        with pytest.raises(RuntimeError):
+            c.chat(None, "user")
+        assert len(calls) == 1
+
+    def test_exhaustion_raises(self):
+        import pytest
+
+        c = self._client(max_retries=2)
+        calls = []
+
+        class S:
+            def post(s, *a, **k):
+                calls.append(1)
+                raise TimeoutError("slow")
+
+        c.session = S()
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            c.chat(None, "user")
+        assert len(calls) == 3
+
+    def test_semantic_retry_reprompts_once(self):
+        from ai_knowledge_graph_ray.stages.extract import (
+            _SEMANTIC_RETRY_SUFFIX,
+            extract_chunk_triples,
+        )
+
+        prompts_seen = []
+
+        class FlakyModel:
+            def chat(self, system, user):
+                prompts_seen.append(user)
+                if len(prompts_seen) == 1:
+                    return "no triples here, sorry"
+                return '[{"subject": "a", "predicate": "uses", "object": "b"}]'
+
+        out = extract_chunk_triples(FlakyModel(), "some chunk", ("s", "u"))
+        assert out == [{"subject": "a", "predicate": "uses", "object": "b"}]
+        assert len(prompts_seen) == 2
+        assert prompts_seen[1].endswith(_SEMANTIC_RETRY_SUFFIX)
+
+    def test_semantic_retry_gives_up(self):
+        from ai_knowledge_graph_ray.stages.extract import extract_chunk_triples
+
+        calls = []
+
+        class GarbageModel:
+            def chat(self, system, user):
+                calls.append(1)
+                return "still nothing"
+
+        assert extract_chunk_triples(GarbageModel(), "chunk", ("s", "u")) is None
+        assert len(calls) == 2  # one retry, then reject

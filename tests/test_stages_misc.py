@@ -345,3 +345,34 @@ class TestLouvainAndBlend:
         comm = {r["entity"]: r["community"] for r in rows}
         assert comm["a2"] == comm["a3"] and comm["b2"] == comm["b3"]
         assert comm["a2"] != comm["b2"]
+
+
+class TestKbCrawler:
+    """S9 — reference graph_retriever.py:102-149 semantics over a tmp
+    tree: recursive walk, extension filter, >2MB skip, utf-8 decode
+    with undecodable-file drop, metadata columns."""
+
+    def test_crawl(self, tmp_path):
+        from ai_knowledge_graph_ray.sources.kb_crawler import crawl_knowledge_base
+
+        kb = tmp_path / "kb"
+        (kb / "sub").mkdir(parents=True)
+        (kb / "a.md").write_text("# alpha doc")
+        (kb / "sub" / "b.yaml").write_text("key: value")
+        (kb / "c.txt").write_text("plain text")
+        (kb / "skip.bin").write_bytes(b"\x00\x01")          # wrong extension
+        (kb / "big.md").write_text("x" * (2 * 1024 * 1024 + 1))  # >2MB
+        (kb / "bad.txt").write_bytes(b"\xff\xfe\x00bad")    # undecodable
+
+        rows = crawl_knowledge_base([str(kb), str(tmp_path / "missing")]).take_all()
+        by_name = {r["filename"]: r for r in rows}
+        assert set(by_name) == {"a.md", "b.yaml", "c.txt"}
+        assert by_name["a.md"]["text"] == "# alpha doc"
+        assert by_name["b.yaml"]["source_dir"] == "sub"
+        assert by_name["b.yaml"]["source"].endswith("sub/b.yaml")
+
+    def test_all_dirs_missing(self, tmp_path):
+        from ai_knowledge_graph_ray.sources.kb_crawler import crawl_knowledge_base
+
+        ds = crawl_knowledge_base([str(tmp_path / "nope")])
+        assert ds.take_all() == []
