@@ -293,6 +293,26 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, qids, qmat, k=KNN_K)
 
 
+def q_knn_ivf_indexed(sf_dir: str):
+    """IVF with a materialized centroid-partitioned index: the probe
+    reads ONLY the probed list directories (file pruning, the scale
+    path knn_ivf's row filter approximates)."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..stages.similarity import ivf_build, knn_ivf_indexed
+
+    qids, qmat = _query_vectors(sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/kgray_ivf_{tag}"
+    if not _os.path.isdir(_os.path.join(idx_dir, "lists")):
+        ds = ray.data.read_parquet(
+            _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+        ivf_build(ds, idx_dir, n_clusters=16)
+    return knn_ivf_indexed(idx_dir, qids, qmat, k=KNN_K, n_probe=4)
+
+
 def q_ngram_overlap_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), k=3, threshold=0.5)
 
@@ -763,6 +783,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_window": q_events_window,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_indexed": q_knn_ivf_indexed,
     "ngram_overlap_pairs": q_ngram_overlap_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,

@@ -130,6 +130,148 @@ def kmeans_fit(
     return cents
 
 
+def ivf_build(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    sample_size: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 5,
+) -> np.ndarray:
+    """Materialize an IVF index: embeddings written as Parquet
+    partitioned BY CENTROID ID (hive layout, one directory per list)
+    plus the centroid matrix. ``knn_ivf_indexed`` then prunes whole
+    partition directories at the read — the probe never scans rows of
+    unprobed lists (the actual I/O saving ``knn_ivf``'s row filter
+    cannot give)."""
+    import os
+
+    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    mat = np.stack([r[vec_col] for r in sample])
+    cents = kmeans_fit(mat, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    class _Assign:
+        def __init__(self) -> None:
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            unit = _unit(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            batch = batch.copy()
+            batch["list_id"] = np.argmax(unit @ self.cents.T, axis=1).astype(np.int64)
+            return batch
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.select_columns([id_col, vec_col]).map_batches(
+        _Assign, batch_format="pandas", concurrency=(1, 8)
+    ).write_parquet(os.path.join(index_dir, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """Probed search over an ``ivf_build`` index: only the partition
+    directories of the probed lists are read (block/file pruning, not
+    row filtering). Pass ``stats={}`` to receive ``lists_read`` /
+    ``n_lists`` / ``scan_fraction``."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_clusters = len(cents)
+    qm = _unit(np.asarray(query_mat, dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    union_lists = sorted(set().union(*probe_sets))
+    paths = [
+        p
+        for c in union_lists
+        if os.path.isdir(p := os.path.join(index_dir, "lists", f"list_id={c}"))
+    ]
+    if stats is not None:
+        stats["lists_read"] = len(paths)
+        stats["n_lists"] = n_clusters
+        stats["scan_fraction"] = len(paths) / max(1, n_clusters)
+    out_schema = pa.schema([("query_id", pa.int64()), (id_col, pa.int64())])
+    if not paths:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # Only the probed partition directories' files are opened; each
+    # row is then scored only for the queries that probed its list
+    # (membership recomputed from the centroids — deterministic argmax,
+    # identical to the build-time assignment).
+    files = [
+        os.path.join(p, f)
+        for p in paths
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    lists_ds = ray.data.read_parquet(files)
+    probe_ref = ray.put(probe_sets)
+    cents_ref = ray.put(cents)
+    q_ref = ray.put({"ids": np.asarray(query_ids), "mat": qm})
+
+    class _ListTopK:
+        def __init__(self) -> None:
+            q = ray.get(q_ref)
+            self.q_ids = q["ids"]
+            self.q_mat = q["mat"]
+            self.probe_sets = ray.get(probe_ref)
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            mat = _unit(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            lists = np.argmax(mat @ self.cents.T, axis=1).astype(np.int64)
+            sims = self.q_mat @ mat.T
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(lists, list(self.probe_sets[qi]))
+                if exclude_self:
+                    mask &= ids != qid
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                s = sims[qi]
+                order = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(s[order])
+            return pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    id_col: out_id,
+                    "score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    cand = lists_ds.map_batches(_ListTopK, batch_format="pandas", concurrency=(1, 8))
+
+    def _reduce(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+        return pa_from_pandas(g[["query_id", id_col]], out_schema)
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        cand.groupby("query_id").map_groups(_reduce, batch_format="pandas"), out_schema
+    )
+
+
 def knn_ivf(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,
