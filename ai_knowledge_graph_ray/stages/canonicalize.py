@@ -381,19 +381,97 @@ class _ExactApplier:
         )
 
 
+def _standardize_over_gate(
+    triples: ray.data.Dataset,
+    counts: ray.data.Dataset,
+    std_cfg: dict,
+    config: dict,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Scale path for entity populations too large to collect: fully
+    distributed election (``elect_canonical_distributed``) + shuffle
+    alias join. The O(k^2) second pass is intentionally unavailable
+    here (it compares ALL standard-form pairs — driver-only by nature,
+    see ``elect_canonical_distributed``); the reference's A3 resolution
+    stays available because its top-100-by-frequency cap is a bounded
+    local-top-k over the POST-alias counts. Returns the alias map as a
+    ``(variant, standard)`` Dataset."""
+    from .infer import local_topk_rows, sanitize_for_join
+    from .relational import cogroup_join
+
+    alias_schema = pa.schema([("variant", pa.string()), ("standard", pa.string())])
+    alias_ds = sanitize_for_join(
+        elect_canonical_distributed(counts), alias_schema
+    )
+    out = apply_alias_map_join(
+        triples, alias_ds,
+        drop_self_loops=not std_cfg.get("use_llm_for_entities", False),
+    )
+
+    if std_cfg.get("use_llm_for_entities", False):
+        count_schema = pa.schema([("entity", pa.string()), ("count", pa.int64())])
+        hits = cogroup_join(
+            sanitize_for_join(counts, count_schema).rename_columns(
+                {"entity": "variant"}
+            ),
+            alias_ds,
+            on=["variant"],
+            left_schema=pa.schema([("variant", pa.string()), ("count", pa.int64())]),
+            right_schema=alias_schema,
+        ).map_batches(
+            lambda b: pa.table({"entity": b["standard"], "count": b["count"]}),
+            batch_format="pyarrow",
+        )
+        misses = cogroup_join(
+            sanitize_for_join(counts, count_schema).rename_columns(
+                {"entity": "variant"}
+            ),
+            alias_ds,
+            on=["variant"],
+            how="left_anti",
+            left_schema=pa.schema([("variant", pa.string()), ("count", pa.int64())]),
+            right_schema=alias_schema,
+        ).rename_columns({"variant": "entity"})
+        from .relational import grouped_sums
+
+        std_counts = grouped_sums(hits.union(misses), ["entity"], {"count": "count"})
+        top = local_topk_rows(std_counts, ["count", "entity"], 100, ascending=[False, True])
+        model = make_model(config)
+        llm_map = llm_resolve_entities([(r["entity"], r["count"]) for r in top], model)
+        if llm_map:
+            out = out.map_batches(
+                _ExactApplier,
+                fn_constructor_kwargs={"map_ref": ray.put(llm_map)},
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+        out = out.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["subject"], b["object"]))),
+            batch_format="pyarrow",
+        )
+    return out, alias_ds
+
+
 def standardize_triples(
     triples: ray.data.Dataset,
     config: dict | None = None,
-) -> tuple[ray.data.Dataset, dict[str, str]]:
+) -> tuple[ray.data.Dataset, "dict[str, str] | ray.data.Dataset"]:
     """Full Phase 2 over a ``triples_raw`` dataset.
 
     Returns ``(standardized_triples, alias_map)``. Config keys mirror
     the reference (``standardization.use_llm_for_entities``,
-    ``standardization.second_pass``).
+    ``standardization.second_pass``) plus the residue gate
+    ``standardization.residue_max_entities`` (default 5M): the
+    aggregated entity population is COUNTED before it is collected;
+    over the gate the fully-distributed election + shuffle alias join
+    run instead and the alias map returns as a Dataset.
     """
     config = config or {}
     std_cfg = config.get("standardization", {})
-    pairs_tbl = entity_counts(triples).to_pandas()
+    residue_cap = int(std_cfg.get("residue_max_entities", 5_000_000))
+    counts = entity_counts(triples).materialize()
+    if counts.count() > residue_cap:
+        return _standardize_over_gate(triples, counts, std_cfg, config)
+    pairs_tbl = counts.to_pandas()
     # An empty groupby result loses its columns — treat as no entities.
     if "entity" not in pairs_tbl.columns or pairs_tbl.empty:
         pairs = []

@@ -127,3 +127,53 @@ def test_label_propagation_equals_union_find():
     for e, lab in dist.items():
         g2[lab].add(e)
     assert sorted(map(sorted, g1.values())) == sorted(map(sorted, g2.values()))
+
+
+def test_standardize_gate_equals_driver_no_second_pass():
+    """standardize_triples over the entity-residue gate (forced with a
+    zero cap) must match the driver path with second_pass=False (the
+    distributed election intentionally has no O(k^2) second pass)."""
+    from ai_knowledge_graph_ray.stages.canonicalize import standardize_triples
+
+    rows = [
+        ("the steam engine", "powers", "textile mill"),
+        ("steam engine", "drives", "locomotive"),
+        ("Steam Engine", "uses", "coal"),
+        ("coal", "fuels", "steam engine"),
+        ("railway", "connects", "cities"),
+    ]
+    tbl = pa.table(
+        {
+            "url": pa.array(["u"] * len(rows), pa.string()),
+            "chunk_id": pa.array([1] * len(rows), pa.int32()),
+            "seq": pa.array(list(range(len(rows))), pa.int32()),
+            "subject": pa.array([r[0] for r in rows], pa.string()),
+            "predicate": pa.array([r[1] for r in rows], pa.string()),
+            "object": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    base = with_lineage(ray.data.from_arrow(tbl), "extracted").materialize()
+
+    def spo(ds):
+        return sorted(
+            (r["subject"], r["predicate"], r["object"])
+            for r in ds.select_columns(["subject", "predicate", "object"]).take_all()
+        )
+
+    drv, drv_alias = standardize_triples(
+        base, {"standardization": {"second_pass": False}}
+    )
+    scl, scl_alias = standardize_triples(
+        base, {"standardization": {"residue_max_entities": 0}}
+    )
+    assert spo(drv) == spo(scl)
+    assert isinstance(drv_alias, dict)
+    assert isinstance(scl_alias, ray.data.Dataset)
+    # same alias decisions (restricted to non-identity rows)
+    scl_map = {
+        r["variant"]: r["standard"]
+        for r in scl_alias.take_all()
+        if r["variant"] != r["standard"]
+    }
+    drv_map = {k: v for k, v in drv_alias.items() if k != v}
+    assert scl_map == drv_map
