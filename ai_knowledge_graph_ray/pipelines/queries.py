@@ -397,6 +397,112 @@ def q_kg_nodes_louvain(sf_dir: str):
 # More relational / text / streaming operators (oracle-checked)
 # ---------------------------------------------------------------------------
 
+PAGERANK_ITERS, PAGERANK_SCALE, PAGERANK_DNUM, PAGERANK_DDEN = 3, 10**12, 85, 100
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the customer->nation->region
+    layered graph — iterated bucketed joins + combined grouped sums,
+    bit-exact vs the unrolled SQL oracle (float PageRank can never
+    hash-match across engines; integer sums commute)."""
+    from ..stages.graph_algos import pagerank_int
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": "c" + b["c_custkey"].astype(str),
+                "dst": "n" + b["c_nationkey"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    nat = ray.data.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": "n" + b["n_nationkey"].astype(str),
+                "dst": "r" + b["n_regionkey"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return pagerank_int(
+        cust.union(nat),
+        iters=PAGERANK_ITERS,
+        scale=PAGERANK_SCALE,
+        d_num=PAGERANK_DNUM,
+        d_den=PAGERANK_DDEN,
+    )
+
+
+def _pagerank_oracle_sql(
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+    d_num: int = PAGERANK_DNUM,
+    d_den: int = PAGERANK_DDEN,
+) -> str:
+    """Unrolled-iteration SQL twin of the integer PageRank recurrence
+    (DuckDB ``//`` = integer floor division, same as Python on
+    non-negatives; every sum cast back to BIGINT)."""
+    head = f"""
+        WITH edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          )
+        ),
+        outdeg AS (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        params AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(((({d_den} - {d_num}) * {scale}) // {d_den}) // count(*) AS BIGINT) AS base
+          FROM nodes
+        ),
+        r0 AS (
+          SELECT node, CAST({scale} // (SELECT n FROM params) AS BIGINT) AS rank_scaled
+          FROM nodes
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        steps.append(f""",
+        dang{k} AS (
+          SELECT CAST(COALESCE(CAST(sum(r.rank_scaled) AS BIGINT), 0)
+                      // (SELECT n FROM params) AS BIGINT) AS d_share
+          FROM {prev} r LEFT JOIN outdeg o ON r.node = o.node
+          WHERE o.node IS NULL
+        ),
+        s{k} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(r.rank_scaled // o.outdeg) AS BIGINT) AS s_v
+          FROM edges e
+          JOIN {prev} r ON e.src = r.node
+          JOIN outdeg o ON e.src = o.node
+          GROUP BY e.dst
+        ),
+        r{k} AS (
+          SELECT v.node,
+                 CAST((SELECT base FROM params)
+                      + ({d_num} * (COALESCE(s.s_v, 0) + (SELECT d_share FROM dang{k})))
+                        // {d_den} AS BIGINT) AS rank_scaled
+          FROM nodes v LEFT JOIN s{k} s ON v.node = s.node
+        )""")
+    return head + "".join(steps) + f"""
+        SELECT node, rank_scaled FROM r{iters}
+    """
+
+
 def q_top_tokens(sf_dir: str):
     """Distributed explode + two-level count + deterministic top-k."""
     ds = _docs(sf_dir)
@@ -784,6 +890,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
+    "pagerank": q_pagerank,
     "ngram_overlap_pairs": q_ngram_overlap_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -996,6 +1103,7 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    "pagerank": _pagerank_oracle_sql(),
     "ngram_overlap_pairs": """
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws

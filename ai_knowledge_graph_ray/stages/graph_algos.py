@@ -1,0 +1,246 @@
+"""Distributed graph algorithms over an ``(src, dst)`` edge table.
+
+:func:`pagerank_int` — PageRank as iterated joins + grouped sums, in
+FIXED-POINT INTEGER arithmetic so the result is bit-exact across
+engines (float summation order makes float PageRank unverifiable
+against a SQL oracle; integer sums commute). The recurrence, per
+iteration, with scale ``S``, damping ``d_num/d_den`` and node count
+``N`` (all integer ops, ``//`` = floor division on non-negatives):
+
+    base     = ((d_den - d_num) * S // d_den) // N
+    contrib(u) = r[u] // outdeg(u)            (u with out-edges)
+    dangling =  sum of r[u] for u without out-edges
+    r'[v]    = base + d_num * (S_v + dangling // N) // d_den
+               where S_v = sum of contrib(u) over in-edges (u, v)
+
+This upgrades the degree-only node-importance signal (the reference
+blends eigenvector centrality driver-side, ``visualization.py:170-178``
+— meaningless at web scale): every step here is a bucketed join or a
+combined grouped sum, so it runs at any node count. Matches
+:func:`pagerank_int_local` (the pure-Python reference used by tests
+and the oracle-SQL generator) exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce, sanitize_for_join
+from .relational import cogroup_join, grouped_sums
+
+EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+RANK_SCHEMA = pa.schema([("node", pa.string()), ("rank_scaled", pa.int64())])
+
+
+def pagerank_int(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 5,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, rank_scaled)`` after ``iters`` integer PageRank steps.
+
+    ``edges`` needs ``src``/``dst`` string columns; parallel edges
+    count with multiplicity (like repeated links in a web graph).
+    COUNT-GATED like every residue collect in this repo: under
+    ``driver_max_edges`` the bit-identical local twin runs on the
+    collected edge list (the distributed plan's ~4 joins x iters of
+    fixed stage cost dwarf a small graph); over it, nothing is
+    collected and the iterated bucketed joins run. Both paths produce
+    identical integers (pinned by test).
+    """
+    node_schema = pa.schema([("node", pa.string())])
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        if df.empty or "src" not in df.columns:  # empty loses its schema
+            return ray.data.from_arrow(RANK_SCHEMA.empty_table())
+        r = pagerank_int_local(
+            list(zip(df["src"], df["dst"])),
+            iters=iters, scale=scale, d_num=d_num, d_den=d_den,
+        )
+        ks = sorted(r)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ks, pa.string()),
+                    "rank_scaled": pa.array([r[k] for k in ks], pa.int64()),
+                }
+            )
+        )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node")
+
+    # Explicit Arrow projections (Dataset.rename_columns breaks on
+    # pandas-backed blocks in this Ray version).
+    def _as_node(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col].combine_chunks().cast(pa.string())})
+
+        return _f
+
+    both = edges.map_batches(_as_node("src"), batch_format="pyarrow").union(
+        edges.map_batches(_as_node("dst"), batch_format="pyarrow")
+    )
+    nodes = sanitize_for_join(
+        bucketed_reduce(both, ["node"], _dd, node_schema, combiner=_dd,
+                        num_buckets=num_buckets),
+        node_schema,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(RANK_SCHEMA.empty_table())
+
+    out_schema = pa.schema([("node", pa.string()), ("outdeg", pa.int64())])
+    outdeg = sanitize_for_join(
+        grouped_sums(
+            edges.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["src"].combine_chunks().cast(pa.string()),
+                        "one": pa.array([1] * len(b), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            {"outdeg": "one"},
+        ),
+        out_schema,
+    ).materialize()
+
+    base = ((d_den - d_num) * scale // d_den) // n
+    r0 = scale // n
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank_scaled", pa.array([r0] * len(b), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    ranks = sanitize_for_join(ranks, RANK_SCHEMA).materialize()
+
+    edges_s = sanitize_for_join(edges.select_columns(["src", "dst"]), EDGE_SCHEMA)
+
+    def _sum_ranks(ds: ray.data.Dataset) -> int:
+        return int(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"s": pa.array([sum(b["rank_scaled"].to_pylist() or [0])], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).sum("s")
+            or 0
+        )
+
+    for _ in range(iters):
+        # linked mass via the join; dangling mass = total - linked
+        # (cheap aggregates instead of a second anti-join per round)
+        with_out = cogroup_join(
+            ranks, outdeg, on=["node"],
+            num_buckets=num_buckets,
+            left_schema=RANK_SCHEMA, right_schema=out_schema,
+        ).materialize()
+        dangling = _sum_ranks(ranks) - _sum_ranks(with_out)
+
+        contrib_schema = pa.schema([("src", pa.string()), ("contrib", pa.int64())])
+        contrib = sanitize_for_join(
+            with_out.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "src": b["node"],
+                        "contrib": (
+                            b["rank_scaled"].astype("int64")
+                            // b["outdeg"].astype("int64")
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            contrib_schema,
+        )
+        edge_contrib = cogroup_join(
+            edges_s, contrib, on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA, right_schema=contrib_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"].combine_chunks().cast(pa.string()),
+                    "contrib": b["contrib"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums_schema = pa.schema([("node", pa.string()), ("s_v", pa.int64())])
+        sums = sanitize_for_join(
+            grouped_sums(edge_contrib, ["node"], {"s_v": "contrib"}),
+            sums_schema,
+        )
+
+        d_share = dangling // n
+        hit = cogroup_join(
+            nodes, sums, on=["node"],
+            num_buckets=num_buckets,
+            left_schema=node_schema, right_schema=sums_schema,
+        )
+        miss = cogroup_join(
+            nodes, sums, on=["node"], how="left_anti",
+            num_buckets=num_buckets,
+            left_schema=node_schema, right_schema=sums_schema,
+        ).map_batches(
+            lambda b: b.append_column("s_v", pa.array([0] * len(b), pa.int64())),
+            batch_format="pyarrow",
+        )
+
+        def _next_rank(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "rank_scaled": base
+                    + d_num * (b["s_v"].astype("int64") + d_share) // d_den,
+                }
+            )
+
+        ranks = sanitize_for_join(
+            hit.union(miss).map_batches(_next_rank, batch_format="pandas"),
+            RANK_SCHEMA,
+        ).materialize()
+
+    return ranks
+
+
+def pagerank_int_local(
+    edge_list: list[tuple[str, str]],
+    *,
+    iters: int = 5,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> dict[str, int]:
+    """Pure-Python reference of the exact same integer recurrence —
+    the unit-test and oracle-construction twin of :func:`pagerank_int`."""
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out: dict[str, int] = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    base = ((d_den - d_num) * scale // d_den) // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        d_share = dangling // n
+        s_v = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            s_v[d] += r[s] // out[s]
+        r = {v: base + d_num * (s_v[v] + d_share) // d_den for v in nodes}
+    return r
