@@ -454,9 +454,12 @@ def minhash_lsh_dedup(
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
     # materialize the (small) pair residue so the count gate + resolve
-    # don't re-execute the signature pipeline
-    cand = _distinct_pairs(
-        bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
+    # don't re-execute the signature pipeline. Multi-band duplicate
+    # pairs are NOT pre-deduped here: union-find and min-label CC both
+    # tolerate them, and the extra shuffle only pays for itself before
+    # the (expensive) distributed Jaccard verify below.
+    cand = bucketed_reduce(
+        sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA
     ).materialize()
 
     n_pairs = cand.count()
@@ -464,7 +467,7 @@ def minhash_lsh_dedup(
         return _empty_mapping(id_col)
     if verify:
         if n_pairs <= driver_max_verify_pairs:
-            df = cand.to_pandas()
+            df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
             pairs = _verify_pairs_driver(
                 list(zip(df["id_a"].astype(int), df["id_b"].astype(int))),
                 ds, id_col, text_col, shingle_k, threshold,
@@ -482,7 +485,7 @@ def minhash_lsh_dedup(
             n_pairs = len(pairs)
         else:
             cand = _verify_pairs_distributed(
-                cand, ds, id_col, text_col, shingle_k, threshold
+                _distinct_pairs(cand), ds, id_col, text_col, shingle_k, threshold
             )
             n_pairs = None  # recount inside resolve
     return resolve_dup_mapping(
@@ -550,9 +553,9 @@ def simhash_dedup(
         return pd.DataFrame({"id_a": ids[I[keep]], "id_b": ids[J[keep]]})
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
-    cand = _distinct_pairs(
-        bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
-    )
+    # duplicate pairs across bands are fine — both resolve paths are
+    # idempotent to them (no pre-dedupe shuffle needed)
+    cand = bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
     return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)
 
 
@@ -736,7 +739,5 @@ def embedding_dedup(
         return pd.DataFrame({"id_a": ids[I[hits]], "id_b": ids[J[hits]]})
 
     buckets = ds.select_columns([id_col, vec_col]).map_batches(_bucket, batch_format="pandas")
-    cand = _distinct_pairs(
-        bucketed_reduce(buckets, ["bucket"], _bucket_pairs, PAIR_SCHEMA)
-    )
+    cand = bucketed_reduce(buckets, ["bucket"], _bucket_pairs, PAIR_SCHEMA)
     return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)
