@@ -397,6 +397,144 @@ def q_kg_nodes_louvain(sf_dir: str):
 # More relational / text / streaming operators (oracle-checked)
 # ---------------------------------------------------------------------------
 
+_W15_US = 15 * 60 * 1_000_000  # 15-minute slide, in microseconds
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour) as three combined grouped
+    sums unioned under sentinel keys ('ALL' / epoch-0 hour) — ints
+    only, so the hash matches the SQL ROLLUP exactly."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start_us": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="hour"), pa.int64()
+                ),
+                "value_cents": _cents(b["value"]),
+            }
+        )
+
+    pre = ds.map_batches(_pre, batch_format="pyarrow")
+    lvl2 = grouped_sums(
+        pre, ["event_type", "window_start_us"], {"sum_value_cents": "value_cents"},
+        count_name="n_events",
+    )
+    lvl1 = grouped_sums(
+        pre, ["event_type"], {"sum_value_cents": "value_cents"}, count_name="n_events"
+    ).map_batches(
+        lambda b: b.append_column("window_start_us", pa.array([0] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+    lvl0 = grouped_sums(
+        pre.map_batches(
+            lambda b: b.append_column("all", pa.array(["ALL"] * len(b), pa.string())),
+            batch_format="pyarrow",
+        ),
+        ["all"],
+        {"sum_value_cents": "value_cents"},
+        count_name="n_events",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["all"].combine_chunks().cast(pa.string()),
+                "window_start_us": pa.array([0] * len(b), pa.int64()),
+                "n_events": b["n_events"],
+                "sum_value_cents": b["sum_value_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cols = ["event_type", "window_start_us", "n_events", "sum_value_cents"]
+    return (
+        lvl2.select_columns(cols).union(lvl1.select_columns(cols), lvl0.select_columns(cols))
+    )
+
+
+def q_events_sliding_window(sf_dir: str):
+    """1-hour windows sliding every 15 minutes: each event belongs to
+    the 4 windows covering it; explode + one combined grouped sum.
+    Window starts as integer epoch-microseconds (hash-exact)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        floor15 = (ts_us // _W15_US) * _W15_US
+        ks = np.arange(4, dtype=np.int64)
+        starts = (floor15[:, None] - ks[None, :] * _W15_US).reshape(-1)
+        return pa.table(
+            {
+                "window_start_us": pa.array(starts, pa.int64()),
+                "value_cents": pa.array(np.repeat(cents, 4), pa.int64()),
+            }
+        )
+
+    return grouped_sums(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        ["window_start_us"],
+        {"sum_value_cents": "value_cents"},
+        count_name="n_events",
+    )
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact discrete p50/p90/p99 of value_cents — histogram + sorted
+    early-stop stream (DuckDB quantile_disc semantics)."""
+    from ..stages.relational import discrete_quantiles
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    cents = ds.map_batches(
+        lambda b: pa.table({"value_cents": _cents(b["value"])}), batch_format="pyarrow"
+    )
+    return discrete_quantiles(cents, "value_cents", [0.5, 0.9, 0.99])
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join at the query surface: customers with no URGENT-
+    priority orders, counted per market segment."""
+    from ..stages.infer import normalize_blocks, sanitize_for_join
+    from ..stages.relational import cogroup_join
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    okeys = sanitize_for_join(
+        orders.map_batches(
+            lambda b: pa.table({"c_custkey": b["o_custkey"]}).filter(
+                pc.equal(b["o_orderpriority"], "1-URGENT")
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+    anti = cogroup_join(
+        cust,
+        okeys,
+        on=["c_custkey"],
+        how="left_anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    out_schema = pa.schema([("c_mktsegment", pa.string()), ("n_customers", pa.int64())])
+    return normalize_blocks(
+        grouped_sums(
+            anti.map_batches(
+                lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["c_mktsegment"],
+            {"n_customers": "one"},
+        ),
+        out_schema,
+    )
+
+
 PAGERANK_ITERS, PAGERANK_SCALE, PAGERANK_DNUM, PAGERANK_DDEN = 3, 10**12, 85, 100
 
 
@@ -887,6 +1025,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_orders_join": q_lineitem_orders_join,
     "top_orders": q_top_orders,
     "events_window": q_events_window,
+    "events_rollup": q_events_rollup,
+    "events_sliding_window": q_events_sliding_window,
+    "events_quantiles": q_events_quantiles,
+    "customers_without_orders": q_customers_without_orders,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
@@ -1104,6 +1246,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "pagerank": _pagerank_oracle_sql(),
+    "events_rollup": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(epoch_us(date_trunc('hour', ts)), 0) AS window_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+    """,
+    "events_sliding_window": f"""
+        SELECT (epoch_us(ts) // {_W15_US}) * {_W15_US} - ks.k * {_W15_US} AS window_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) ks
+        GROUP BY 1
+    """,
+    "events_quantiles": """
+        WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        SELECT CAST(0.5 AS DOUBLE) AS q, CAST(quantile_disc(v, 0.5) AS BIGINT) AS value_cents FROM c
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(v, 0.9) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(v, 0.99) AS BIGINT) FROM c
+    """,
+    "customers_without_orders": """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c.c_mktsegment
+    """,
     "ngram_overlap_pairs": """
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws

@@ -48,6 +48,63 @@ def grouped_sums(
     return partials.groupby(keys).aggregate(*agg_fns)
 
 
+def discrete_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Exact discrete quantiles (DuckDB ``quantile_disc`` semantics:
+    element at index ``max(0, ceil(q*n)-1)`` of the sorted values, the
+    float product evaluated in IEEE double exactly like the engine).
+
+    Distributed shape: a combined value HISTOGRAM (one grouped sum —
+    the residue is the distinct-value domain, far below row count),
+    sorted, then streamed to the driver with early stop once every
+    quantile index is passed — the driver never holds more than one
+    histogram batch. Returns ``(q: double, {value_col}: int64)``.
+    """
+    import math
+
+    with_one = ds.map_batches(
+        lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+    hist = grouped_sums(with_one, [value_col], {"cnt": "one"}).materialize()
+    total = hist.map_batches(
+        lambda b: pa.table({"s": pa.array([sum(b["cnt"].to_pylist() or [0])], pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("s") or 0
+    out_schema = pa.schema([("q", pa.float64()), (value_col, pa.int64())])
+    if total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    want = sorted(
+        ((q, max(0, math.ceil(q * total) - 1)) for q in qs), key=lambda kv: kv[1]
+    )
+    out: dict[float, int] = {}
+    cum = 0
+    pending = list(want)
+    for batch in hist.sort(value_col).iter_batches(batch_format="pandas"):
+        for v, c in zip(batch[value_col], batch["cnt"]):
+            hi = cum + int(c) - 1
+            while pending and pending[0][1] <= hi:
+                q, _ = pending.pop(0)
+                out[q] = int(v)
+            cum += int(c)
+            if not pending:
+                break
+        if not pending:
+            break
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(sorted(out), pa.float64()),
+                value_col: pa.array([out[q] for q in sorted(out)], pa.int64()),
+            }
+        )
+    )
+
+
 def cogroup_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
