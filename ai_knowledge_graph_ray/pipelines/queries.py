@@ -1007,6 +1007,18 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_png_decode(sf_dir: str):
+    """REAL image decode (dependency-free PNG codec): synthesize actual
+    PNG payloads from the documents corpus, decode + feature-extract in
+    the actor pool, report per-image shape + decode status."""
+    from ..stages.multimodal import extract_media_features, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir, media_type="png")
+    return extract_media_features(media, decoder="png", concurrency=(1, 4)).select_columns(
+        ["media_id", "height", "width", "decode_ok"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1054,6 +1066,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "recursive_split": q_recursive_split,
     "doc_embed": q_doc_embed,
     "media_features": q_media_features,
+    "media_png_decode": q_media_png_decode,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,
     "kg_edges": q_kg_edges,

@@ -10,6 +10,10 @@ tested:
 
 - ``decoder="fake"`` (default): deterministic pseudo-decode — fixed
   shape + md5-seeded statistics from the bytes; fully testable.
+- ``decoder="png"``: a REAL decode path — the dependency-free PNG
+  codec in ``functions/png.py`` (zlib scanline filters 0-4, 8-bit
+  RGB/RGBA). Undecodable rows are emitted with ``decode_ok=false``
+  and zero features (rejects side-channel, not a crash).
 - ``decoder="pil"`` / ``"ffmpeg"``: raise ``NotImplementedError`` with
   the dependency name (swap-in point for a real cluster image).
 
@@ -44,28 +48,41 @@ FEATURE_DIM = 64
 def synth_media_from_documents(sf_dir: str, media_type: str = "image") -> ray.data.Dataset:
     """Deterministic media table derived from the documents corpus:
     content bytes are a pure function of (doc_id, text) — stands in
-    for a WARC media payload at the same schema."""
+    for a WARC media payload at the same schema. ``media_type="png"``
+    emits REAL (small) PNG images so the actual codec path is exercised
+    end-to-end."""
     import os
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
+    def _blob(i, t):
+        digest = hashlib.md5(f"{i}:{(t or '')[:64]}".encode()).digest()
+        if media_type == "png":
+            from ..functions.png import encode_png
+
+            rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+            h, w = 8 + digest[4] % 9, 8 + digest[5] % 9
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            return encode_png(img, filter_type=digest[6] % 5)
+        return digest * 64
+
     def _f(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        blobs = [
-            hashlib.md5(f"{i}:{(t or '')[:64]}".encode()).digest() * 64 for i, t in zip(ids, texts)
-        ]
+        blobs = [_blob(i, t) for i, t in zip(ids, texts)]
+        mime = (
+            "image/png"
+            if media_type == "png"
+            else ("image/fake" if media_type == "image" else "audio/fake")
+        )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "media_type": pa.array([media_type] * len(ids), pa.string()),
                 "content": pa.array(blobs, pa.binary()),
-                "mime": pa.array(
-                    ["image/fake" if media_type == "image" else "audio/fake"] * len(ids),
-                    pa.string(),
-                ),
+                "mime": pa.array([mime] * len(ids), pa.string()),
                 "source_url": pa.array(
                     [f"https://example.org/media/{i}" for i in ids], pa.string()
                 ),
@@ -88,6 +105,8 @@ class MediaFeatureExtractor:
         self.target_size = target_size
         if decoder == "fake":
             self._decode = self._fake_decode
+        elif decoder == "png":
+            self._decode = self._png_decode
         elif decoder == "pil":
             raise NotImplementedError(
                 "real image decode needs Pillow; not available in this sandbox — "
@@ -100,24 +119,35 @@ class MediaFeatureExtractor:
         else:
             raise ValueError(f"unknown decoder: {decoder}")
 
-    def _fake_decode(self, blob: bytes) -> tuple[int, int, np.ndarray]:
+    def _fake_decode(self, blob: bytes) -> tuple[int, int, np.ndarray, bool]:
         digest = hashlib.md5(blob or b"").digest()
         h = 128 + digest[0]
         w = 128 + digest[1]
         seed = int.from_bytes(digest[:4], "big")
         rng = np.random.RandomState(seed)
         feats = rng.randn(FEATURE_DIM).astype(np.float64)
-        return h, w, feats
+        return h, w, feats, True
+
+    def _png_decode(self, blob: bytes) -> tuple[int, int, np.ndarray, bool]:
+        from ..functions.png import UnsupportedPngError, decode_png, png_features
+
+        try:
+            img = decode_png(blob or b"")
+        except Exception:  # UnsupportedPngError, corrupt zlib, ...
+            return 0, 0, np.zeros(FEATURE_DIM, dtype=np.float64), False
+        h, w = img.shape[:2]
+        return h, w, png_features(img, FEATURE_DIM), True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         blobs = batch["content"].to_pylist()
-        hs, ws, feats = [], [], []
+        hs, ws, feats, oks = [], [], [], []
         for blob in blobs:
-            h, w, f = self._decode(blob)
+            h, w, f, ok = self._decode(blob)
             hs.append(h)
             ws.append(w)
             feats.append(f.tolist())
+            oks.append(ok)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -126,6 +156,7 @@ class MediaFeatureExtractor:
                 "target_h": pa.array([self.target_size[0]] * len(ids), pa.int32()),
                 "target_w": pa.array([self.target_size[1]] * len(ids), pa.int32()),
                 "features": pa.array(feats, pa.list_(pa.float64())),
+                "decode_ok": pa.array(oks, pa.bool_()),
             }
         )
 

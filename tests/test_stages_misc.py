@@ -224,8 +224,8 @@ class TestCheckpoint:
 class TestMultimodal:
     def test_fake_decode_deterministic(self):
         ex = MediaFeatureExtractor(decoder="fake")
-        h1, w1, f1 = ex._fake_decode(b"abc")
-        h2, w2, f2 = ex._fake_decode(b"abc")
+        h1, w1, f1, ok1 = ex._fake_decode(b"abc")
+        h2, w2, f2, ok2 = ex._fake_decode(b"abc")
         assert (h1, w1) == (h2, w2)
         assert (f1 == f2).all()
 
@@ -376,3 +376,84 @@ class TestKbCrawler:
 
         ds = crawl_knowledge_base([str(tmp_path / "nope")])
         assert ds.take_all() == []
+
+
+class TestPngCodec:
+    """Dependency-free PNG codec: exact round-trips through every
+    scanline filter, RGBA, unsupported-input rejection, and the real
+    decode path through the actor-pool stage."""
+
+    def _img(self, h=11, w=7, ch=3, seed=5):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def test_roundtrip_all_filters(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.functions.png import decode_png, encode_png
+
+        img = self._img()
+        for ftype in range(5):
+            out = decode_png(encode_png(img, filter_type=ftype))
+            np.testing.assert_array_equal(out, img, err_msg=f"filter {ftype}")
+
+    def test_roundtrip_rgba_and_gradient(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.functions.png import decode_png, encode_png
+
+        rgba = self._img(ch=4)
+        np.testing.assert_array_equal(decode_png(encode_png(rgba, filter_type=4)), rgba)
+        # smooth gradient exercises wraparound-free prediction paths
+        grad = np.stack(
+            [np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))] * 3, axis=2
+        )
+        np.testing.assert_array_equal(decode_png(encode_png(grad, filter_type=3)), grad)
+
+    def test_unsupported_rejected(self):
+        import pytest as _pytest
+
+        from ai_knowledge_graph_ray.functions.png import UnsupportedPngError, decode_png
+
+        with _pytest.raises(UnsupportedPngError):
+            decode_png(b"not a png at all")
+        with _pytest.raises(UnsupportedPngError):
+            decode_png(b"")
+
+    def test_png_decoder_stage(self, sf_dir):
+        from ai_knowledge_graph_ray.stages.multimodal import (
+            extract_media_features,
+            synth_media_from_documents,
+        )
+
+        media = synth_media_from_documents(sf_dir, media_type="png").limit(24)
+        rows = extract_media_features(media, decoder="png", concurrency=2).take_all()
+        assert len(rows) == 24
+        assert all(r["decode_ok"] for r in rows)
+        assert all(8 <= r["height"] <= 16 and 8 <= r["width"] <= 16 for r in rows)
+        assert all(len(r["features"]) == 64 for r in rows)
+        # features are real image statistics, not hashes: grid means in [0,1]
+        assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"][:48])
+
+    def test_corrupt_payload_flagged_not_crashed(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.multimodal import extract_media_features
+
+        media = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array([1, 2], pa.int64()),
+                    "media_type": pa.array(["png", "png"], pa.string()),
+                    "content": pa.array([b"garbage", b""], pa.binary()),
+                    "mime": pa.array(["image/png"] * 2, pa.string()),
+                    "source_url": pa.array(["u1", "u2"], pa.string()),
+                }
+            )
+        )
+        rows = extract_media_features(media, decoder="png", concurrency=1).take_all()
+        assert [r["decode_ok"] for r in rows] == [False, False]
+        assert all(r["height"] == 0 for r in rows)
