@@ -946,6 +946,28 @@ def q_training_qa(sf_dir: str):
     return generate_relationship_qa(q_kg_edges(sf_dir), seed=42)
 
 
+def q_training_stratified_split(sf_dir: str):
+    """Per-category stratified 80/10/10 split of the generated QA set
+    (split proportions hold within EVERY category stratum; assignment
+    is deterministic and partitioning-independent)."""
+    from ..stages.training import generate_relationship_qa, stratified_split
+
+    qa = generate_relationship_qa(q_kg_edges(sf_dir), seed=42).materialize()
+    labeled = stratified_split(
+        qa, "category", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    from ..stages.relational import grouped_sums
+
+    return grouped_sums(
+        labeled.map_batches(
+            lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["category", "split"],
+        {"n": "one"},
+    )
+
+
 def q_concept_extract(sf_dir: str):
     from ..stages.graph_ops import extract_concepts
 
@@ -1062,6 +1084,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "clean_triples": q_clean_triples,
     "relation_counts": q_relation_counts,
     "training_qa": q_training_qa,
+    "training_stratified_split": q_training_stratified_split,
     "concept_extract": q_concept_extract,
     "recursive_split": q_recursive_split,
     "doc_embed": q_doc_embed,

@@ -23,6 +23,7 @@ import json
 import random
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -242,6 +243,70 @@ def train_test_split(
     shuffled = qa.random_shuffle(seed=seed)
     train, test = shuffled.split_proportionately([1.0 - test_ratio])
     return train, test
+
+
+def stratified_split(
+    ds: ray.data.Dataset,
+    strata_col: str,
+    ratios: "dict[str, float]",
+    *,
+    seed: int = 42,
+    key_cols: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """Per-stratum proportional split: adds a ``split`` column whose
+    values follow ``ratios`` WITHIN every stratum (a global
+    random-shuffle split under-represents small strata; per-class
+    eval sets need the per-stratum guarantee).
+
+    Deterministic and partitioning-independent: rows are ordered inside
+    each stratum by a seeded stable hash of ``key_cols`` (default: all
+    non-strata columns) and sliced at the cumulative ratio boundaries —
+    same input, same seed => same assignment, regardless of block
+    layout. One bucketed shuffle on the stratum key.
+    """
+    from .infer import bucketed_reduce
+
+    names = list(ds.schema().names)
+    keys = key_cols or [c for c in names if c != strata_col]
+    out_schema = pa.schema(
+        [(f.name, f.type) for f in ds.schema().base_schema]
+        + [pa.field("split", pa.string())]
+    )
+    splits = list(ratios)
+    cum = []
+    acc = 0.0
+    for s in splits:
+        acc += ratios[s]
+        cum.append(acc)
+    if abs(acc - 1.0) > 1e-9:
+        raise ValueError("ratios must sum to 1")
+
+    def _label(g: pd.DataFrame) -> pd.DataFrame:
+        def _per_stratum(sub: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                sub[keys].astype(str).agg("\x00".join, axis=1) + f"\x00{seed}",
+                index=False,
+            )
+            sub = sub.assign(__h=h.to_numpy()).sort_values(
+                ["__h"] + keys, kind="stable"
+            )
+            n = len(sub)
+            bounds = [int(round(c * n)) for c in cum]
+            bounds[-1] = n
+            labels = np.empty(n, dtype=object)
+            lo = 0
+            for name, hi in zip(splits, bounds):
+                labels[lo:hi] = name
+                lo = max(lo, hi)
+            return sub.assign(split=labels).drop(columns="__h")
+
+        return (
+            g.groupby(strata_col, sort=False, group_keys=False)
+            .apply(_per_stratum)
+            .reset_index(drop=True)
+        )
+
+    return bucketed_reduce(ds, [strata_col], _label, out_schema)
 
 
 def export_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:

@@ -457,3 +457,55 @@ class TestPngCodec:
         rows = extract_media_features(media, decoder="png", concurrency=1).take_all()
         assert [r["decode_ok"] for r in rows] == [False, False]
         assert all(r["height"] == 0 for r in rows)
+
+
+class TestStratifiedSplit:
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [("a", i) for i in range(100)] + [("b", i) for i in range(10)]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "cls": pa.array([r[0] for r in rows], pa.string()),
+                    "id": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_per_stratum_proportions(self):
+        from collections import Counter
+
+        from ai_knowledge_graph_ray.stages.training import stratified_split
+
+        out = stratified_split(
+            self._ds(), "cls", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).take_all()
+        assert len(out) == 110
+        per = Counter((r["cls"], r["split"]) for r in out)
+        assert per[("a", "train")] == 80 and per[("a", "val")] == 10 and per[("a", "test")] == 10
+        # the small stratum is ALSO split 8/1/1 — a global shuffle could not guarantee this
+        assert per[("b", "train")] == 8 and per[("b", "val")] == 1 and per[("b", "test")] == 1
+
+    def test_deterministic_across_partitionings(self):
+        from ai_knowledge_graph_ray.stages.training import stratified_split
+
+        a = {
+            (r["cls"], r["id"]): r["split"]
+            for r in stratified_split(self._ds(), "cls", {"train": 0.9, "test": 0.1}).take_all()
+        }
+        b = {
+            (r["cls"], r["id"]): r["split"]
+            for r in stratified_split(
+                self._ds().repartition(7), "cls", {"train": 0.9, "test": 0.1}
+            ).take_all()
+        }
+        assert a == b
+        c = {
+            (r["cls"], r["id"]): r["split"]
+            for r in stratified_split(
+                self._ds(), "cls", {"train": 0.9, "test": 0.1}, seed=7
+            ).take_all()
+        }
+        assert c != a  # seed changes the assignment
