@@ -538,13 +538,9 @@ def q_customers_without_orders(sf_dir: str):
 PAGERANK_ITERS, PAGERANK_SCALE, PAGERANK_DNUM, PAGERANK_DDEN = 3, 10**12, 85, 100
 
 
-def q_pagerank(sf_dir: str):
-    """Integer fixed-point PageRank over the customer->nation->region
-    layered graph — iterated bucketed joins + combined grouped sums,
-    bit-exact vs the unrolled SQL oracle (float PageRank can never
-    hash-match across engines; integer sums commute)."""
-    from ..stages.graph_algos import pagerank_int
-
+def _cnr_edges(sf_dir: str) -> ray.data.Dataset:
+    """customer->nation->region layered edge list with namespaced node
+    ids (shared by the pagerank and k_hop queries)."""
     cust = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(
@@ -567,13 +563,32 @@ def q_pagerank(sf_dir: str):
         ),
         batch_format="pandas",
     )
+    return cust.union(nat)
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the customer->nation->region
+    layered graph — iterated bucketed joins + combined grouped sums,
+    bit-exact vs the unrolled SQL oracle (float PageRank can never
+    hash-match across engines; integer sums commute)."""
+    from ..stages.graph_algos import pagerank_int
+
     return pagerank_int(
-        cust.union(nat),
+        _cnr_edges(sf_dir),
         iters=PAGERANK_ITERS,
         scale=PAGERANK_SCALE,
         d_num=PAGERANK_DNUM,
         d_den=PAGERANK_DDEN,
     )
+
+
+def q_khop_region(sf_dir: str):
+    """Undirected 2-hop BFS neighborhood of region node r0 over the
+    customer graph — distributed frontier expansion, hash-exact vs an
+    unrolled-CTE BFS oracle."""
+    from ..stages.graph_algos import k_hop_neighbors
+
+    return k_hop_neighbors(_cnr_edges(sf_dir), ["r0"], 2)
 
 
 def _pagerank_oracle_sql(
@@ -1067,6 +1082,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "pagerank": q_pagerank,
+    "khop_region": q_khop_region,
     "ngram_overlap_pairs": q_ngram_overlap_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -1282,6 +1298,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "pagerank": _pagerank_oracle_sql(),
+    "khop_region": """
+        WITH edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        h0 AS (SELECT 'r0' AS entity),
+        h1 AS (
+          SELECT DISTINCT u.dst AS entity FROM und u JOIN h0 ON u.src = h0.entity
+          WHERE u.dst NOT IN (SELECT entity FROM h0)
+        ),
+        h2 AS (
+          SELECT DISTINCT u.dst AS entity FROM und u JOIN h1 ON u.src = h1.entity
+          WHERE u.dst NOT IN (SELECT entity FROM h0)
+            AND u.dst NOT IN (SELECT entity FROM h1)
+        )
+        SELECT entity, CAST(0 AS BIGINT) AS hop FROM h0
+        UNION ALL SELECT entity, CAST(1 AS BIGINT) FROM h1
+        UNION ALL SELECT entity, CAST(2 AS BIGINT) FROM h2
+    """,
     "events_rollup": """
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(epoch_us(date_trunc('hour', ts)), 0) AS window_start_us,

@@ -217,6 +217,289 @@ def pagerank_int(
     return ranks
 
 
+def _undirect(edges: ray.data.Dataset) -> ray.data.Dataset:
+    return edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        b["src"].combine_chunks().cast(pa.string()),
+                        b["dst"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        b["dst"].combine_chunks().cast(pa.string()),
+                        b["src"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+HOP_SCHEMA = pa.schema([("entity", pa.string()), ("hop", pa.int64())])
+
+
+def k_hop_neighbors(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    hops: int,
+    *,
+    directed: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(entity, hop)`` — minimal hop distance (<= ``hops``) from any
+    seed; the distributed twin of the reference's BFS neighborhood
+    (``graph_store.py:436-456``, undirected by default there too).
+
+    One frontier expansion per hop: cogroup-join the frontier onto the
+    edge list, dedupe, anti-join the visited set. Frontiers and the
+    visited set stay datasets — nothing scales with graph size on the
+    driver."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    und = sanitize_for_join(
+        edges.select_columns(["src", "dst"]) if directed else _undirect(edges),
+        EDGE_SCHEMA,
+    ).materialize()
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("entity")
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(sorted(set(seeds)), pa.string()),
+                "hop": pa.array([0] * len(set(seeds)), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = visited
+
+    for h in range(1, hops + 1):
+        hit = cogroup_join(
+            und,
+            frontier.select_columns(["entity"]).map_batches(
+                lambda b: pa.table({"src": b["entity"]}), batch_format="pyarrow"
+            ),
+            on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema([("src", pa.string())]),
+        ).map_batches(
+            lambda b, hh=h: pa.table(
+                {
+                    "entity": b["dst"].combine_chunks().cast(pa.string()),
+                    "hop": pa.array([hh] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        hit = bucketed_reduce(hit, ["entity"], _dd, HOP_SCHEMA, combiner=_dd,
+                              num_buckets=num_buckets)
+        new = sanitize_for_join(
+            cogroup_join(
+                sanitize_for_join(hit, HOP_SCHEMA),
+                visited.select_columns(["entity"]),
+                on=["entity"],
+                how="left_anti",
+                num_buckets=num_buckets,
+                left_schema=HOP_SCHEMA,
+                right_schema=pa.schema([("entity", pa.string())]),
+            ),
+            HOP_SCHEMA,
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited
+
+
+def shortest_path(
+    edges: ray.data.Dataset,
+    source: str,
+    target: str,
+    *,
+    directed: bool = False,
+    max_hops: int = 10,
+    driver_max_visited: int = 2_000_000,
+) -> list[str]:
+    """One shortest path ``source -> ... -> target`` (BFS hop count —
+    reference ``find_path``, ``graph_store.py:458-469``), ``[]`` when
+    unreachable within ``max_hops``.
+
+    The BFS runs distributed exactly like :func:`k_hop_neighbors` but
+    carries a deterministic parent per newly-reached entity (min
+    parent). Only the bounded parent residue of the VISITED set is
+    collected for reconstruction, and only after counting it against
+    ``driver_max_visited``."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    if source == target:
+        return [source]
+    und = sanitize_for_join(
+        edges.select_columns(["src", "dst"]) if directed else _undirect(edges),
+        EDGE_SCHEMA,
+    ).materialize()
+
+    parent_schema = pa.schema([("entity", pa.string()), ("parent", pa.string())])
+
+    def _min_parent(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["entity", "parent"], kind="stable")
+            .drop_duplicates("entity", keep="first")
+        )
+
+    visited = ray.data.from_arrow(
+        pa.table({"entity": pa.array([source], pa.string()),
+                  "parent": pa.array([""], pa.string())})
+    ).materialize()
+    frontier = visited
+    found = False
+    for _ in range(max_hops):
+        hit = cogroup_join(
+            und,
+            frontier.select_columns(["entity"]).map_batches(
+                lambda b: pa.table({"src": b["entity"]}), batch_format="pyarrow"
+            ),
+            on=["src"],
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema([("src", pa.string())]),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "entity": b["dst"].combine_chunks().cast(pa.string()),
+                    "parent": b["src"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        hit = bucketed_reduce(
+            hit, ["entity"], _min_parent, parent_schema, combiner=_min_parent
+        )
+        new = sanitize_for_join(
+            cogroup_join(
+                sanitize_for_join(hit, parent_schema),
+                visited.select_columns(["entity"]),
+                on=["entity"],
+                how="left_anti",
+                left_schema=parent_schema,
+                right_schema=pa.schema([("entity", pa.string())]),
+            ),
+            parent_schema,
+        ).materialize()
+        if new.count() == 0:
+            return []
+        visited = visited.union(new).materialize()
+        frontier = new
+        if new.filter(lambda r: r["entity"] == target).count() > 0:
+            found = True
+            break
+    if not found:
+        return []
+    if visited.count() > driver_max_visited:
+        raise ValueError(
+            "visited parent residue exceeds driver_max_visited; raise the "
+            "gate or lower max_hops"
+        )
+    parents = {r["entity"]: r["parent"] for r in visited.take_all()}
+    path = [target]
+    while path[-1] != source:
+        path.append(parents[path[-1]])
+    return list(reversed(path))
+
+
+def graph_search(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    query: str,
+    *,
+    top_k: int = 20,
+) -> list[dict]:
+    """Reference node search (``graph_store.py:567-593``): +10 for
+    substring in the node id, +50 for exact match, +5 for substring in
+    the definition; ordered by (-score, -degree). Scoring is a
+    vectorized distributed scan; degrees are joined onto the (small)
+    scored survivors, and only the top-k reach the driver (per-batch
+    local top-k + merge)."""
+    import json as _json
+
+    from .infer import local_topk_rows, sanitize_for_join
+    from .materialize import nodes_table
+    from .relational import cogroup_join
+
+    q = query.lower()
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"node": [], "type": [], "score": []})
+        ent = b["entity"].astype(str)
+        score = (
+            ent.str.contains(q, regex=False).astype(int) * 10
+            + (ent == q).astype(int) * 50
+        )
+        if "attrs" in b.columns:
+            defs = b["attrs"].map(
+                lambda a: (_json.loads(a).get("definition", "") if a else "") or ""
+            )
+            score = score + defs.astype(str).str.lower().str.contains(q, regex=False).astype(int) * 5
+        out = pd.DataFrame(
+            {
+                "node": ent,
+                "type": (
+                    b["type"] if "type" in b.columns else pd.Series(["unknown"] * len(b))
+                ),
+                "score": score.astype("int64"),
+            }
+        )
+        return out[out["score"] > 0]
+
+    scored_schema = pa.schema(
+        [("node", pa.string()), ("type", pa.string()), ("score", pa.int64())]
+    )
+    scored = sanitize_for_join(
+        nodes.map_batches(_score, batch_format="pandas"), scored_schema
+    )
+    deg = nodes_table(edges).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["entity"].combine_chunks().cast(pa.string()),
+                "degree": b["degree"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hit = cogroup_join(
+        scored,
+        sanitize_for_join(deg, pa.schema([("node", pa.string()), ("degree", pa.int64())])),
+        on=["node"],
+        left_schema=scored_schema,
+        right_schema=pa.schema([("node", pa.string()), ("degree", pa.int64())]),
+    )
+    miss = cogroup_join(
+        scored,
+        sanitize_for_join(deg, pa.schema([("node", pa.string()), ("degree", pa.int64())])),
+        on=["node"],
+        how="left_anti",
+        left_schema=scored_schema,
+        right_schema=pa.schema([("node", pa.string()), ("degree", pa.int64())]),
+    ).map_batches(
+        lambda b: b.append_column("degree", pa.array([0] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+    return local_topk_rows(
+        hit.union(miss),
+        ["score", "degree", "node"],
+        top_k,
+        ascending=[False, False, True],
+    )
+
+
 def pagerank_int_local(
     edge_list: list[tuple[str, str]],
     *,

@@ -7,6 +7,9 @@ import pyarrow as pa
 import ray.data
 
 from ai_knowledge_graph_ray.stages.graph_algos import (
+    graph_search,
+    k_hop_neighbors,
+    shortest_path,
     pagerank_int,
     pagerank_int_local,
 )
@@ -58,3 +61,86 @@ class TestPagerankInt:
     def test_empty(self):
         assert pagerank_int(_ds([])).take_all() == []
         assert pagerank_int_local([]) == {}
+
+
+class TestGraphQueries:
+    """k-hop BFS, shortest path, and node search vs networkx / the
+    reference's scoring rules."""
+
+    PAIRS = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("a", "x"), ("x", "e"),                      # shortcut a-x-e
+        ("isolated1", "isolated2"),
+    ]
+
+    def test_k_hop_matches_networkx(self):
+        import networkx as nx
+
+        hops = {
+            r["entity"]: r["hop"]
+            for r in k_hop_neighbors(_ds(self.PAIRS), ["a"], 2).take_all()
+        }
+        G = nx.Graph()
+        G.add_edges_from(self.PAIRS)
+        want = nx.single_source_shortest_path_length(G, "a", cutoff=2)
+        assert hops == dict(want)
+
+    def test_k_hop_directed(self):
+        hops = {
+            r["entity"]: r["hop"]
+            for r in k_hop_neighbors(_ds(self.PAIRS), ["c"], 3, directed=True).take_all()
+        }
+        assert hops == {"c": 0, "d": 1, "e": 2}  # no backward edges
+
+    def test_shortest_path(self):
+        import networkx as nx
+
+        path = shortest_path(_ds(self.PAIRS), "a", "e")
+        G = nx.Graph()
+        G.add_edges_from(self.PAIRS)
+        assert len(path) == len(nx.shortest_path(G, "a", "e"))  # == 3 via x
+        assert path[0] == "a" and path[-1] == "e"
+        for u, v in zip(path, path[1:]):
+            assert G.has_edge(u, v)
+        assert shortest_path(_ds(self.PAIRS), "a", "isolated1") == []
+        assert shortest_path(_ds(self.PAIRS), "a", "a") == ["a"]
+
+    def test_graph_search_scoring(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        nodes = rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(
+                        ["order_block", "block", "blocker", "other"], pa.string()
+                    ),
+                    "type": pa.array(["concept"] * 4, pa.string()),
+                    "label": pa.array([""] * 4, pa.string()),
+                    "attrs": pa.array(
+                        ['{"definition": "a block of orders"}', "{}", "{}",
+                         '{"definition": "mentions block here"}'],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        edges = _ds([("order_block", "block"), ("order_block", "blocker")]).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"], "dst": b["dst"],
+                    "predicate": pa.array(["rel"] * len(b), pa.string()),
+                    "inferred": pa.array([False] * len(b), pa.bool_()),
+                    "chunk_id": pa.array([1] * len(b), pa.int32()),
+                    "url": pa.array(["u"] * len(b), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        res = graph_search(nodes, edges, "block", top_k=3)
+        assert [r["node"] for r in res][:1] == ["block"]  # exact match wins (50+10)
+        scores = {r["node"]: r["score"] for r in res}
+        assert scores["block"] == 60
+        assert scores["order_block"] == 15  # substring + definition
+        # 'other' (definition only, score 5) ranks below substring hits
+        assert [r["node"] for r in res] == ["block", "order_block", "blocker"]
