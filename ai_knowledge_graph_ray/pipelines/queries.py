@@ -983,6 +983,50 @@ def q_training_stratified_split(sf_dir: str):
     )
 
 
+def q_training_concept_qa(sf_dir: str):
+    """Concept QA synthesized from the KG's own edges (definition QAs
+    appear when a source supplies definitions; the KG-built graph
+    contributes fact-list + classification QAs)."""
+    from ..stages.training import generate_concept_qa
+
+    edges = _kg_build(sf_dir)["edges"].map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "dst": b["dst"], "predicate": b["predicate"]}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = _kg_build(sf_dir)["nodes"].map_batches(
+        lambda b: pa.table(
+            {
+                "entity": b["entity"],
+                "type": pa.array(["concept"] * len(b), pa.string()),
+                "attrs": pa.array(["{}"] * len(b), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return generate_concept_qa(nodes, edges)
+
+
+def q_training_chains(sf_dir: str):
+    from ..stages.training import generate_reasoning_chain_qa
+
+    edges = _kg_build(sf_dir)["edges"].map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "dst": b["dst"], "predicate": b["predicate"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return generate_reasoning_chain_qa(edges)
+
+
+def q_training_comparisons(sf_dir: str):
+    from ..stages.training import generate_comparison_qa
+
+    edges = _kg_build(sf_dir)["edges"]
+    return generate_comparison_qa(edges)
+
+
 def q_concept_extract(sf_dir: str):
     from ..stages.graph_ops import extract_concepts
 
@@ -1101,6 +1145,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "relation_counts": q_relation_counts,
     "training_qa": q_training_qa,
     "training_stratified_split": q_training_stratified_split,
+    "training_concept_qa": q_training_concept_qa,
+    "training_chains": q_training_chains,
+    "training_comparisons": q_training_comparisons,
     "concept_extract": q_concept_extract,
     "recursive_split": q_recursive_split,
     "doc_embed": q_doc_embed,

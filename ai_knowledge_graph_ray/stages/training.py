@@ -245,6 +245,304 @@ def train_test_split(
     return train, test
 
 
+def generate_concept_qa(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    max_facts: int = 5,
+) -> ray.data.Dataset:
+    """Concept-definition QA (reference ``training_generator.py:123-163``
+    semantics, domain wording generalized): nodes with a definition
+    (>= 10 chars, from the ``attrs`` JSON) get a definition QA; nodes
+    without one but with >= 2 outgoing edges get a synthesized
+    fact-list QA from their first ``max_facts`` out-edges; nodes with a
+    non-generic type additionally get a classification QA.
+
+    Distributed: out-edge fact lists are reduced per source entity via
+    one bucketed shuffle (capped, deterministic order), then joined
+    onto the node table."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    fact_schema = pa.schema([("entity", pa.string()), ("facts", pa.string()), ("n_out", pa.int64())])
+
+    def _facts(g: pd.DataFrame) -> pd.DataFrame:
+        def _per_src(sub: pd.DataFrame) -> pd.DataFrame:
+            sub = sub.sort_values(["predicate", "dst"], kind="stable").head(max_facts)
+            lines = "\n".join(
+                f"- {str(p).replace('_', ' ')} {_title(str(d))}"
+                for p, d in zip(sub["predicate"], sub["dst"])
+            )
+            return pd.DataFrame(
+                {"entity": [sub["src"].iloc[0]], "facts": [lines], "n_out": [len(sub)]}
+            )
+
+        out = [
+            _per_src(sub)
+            for _, sub in g.drop_duplicates(["src", "predicate", "dst"]).groupby(
+                "src", sort=False
+            )
+        ]
+        if not out:
+            return pd.DataFrame({"entity": [], "facts": [], "n_out": []})
+        return pd.concat(out, ignore_index=True)
+
+    facts = sanitize_for_join(
+        bucketed_reduce(
+            edges.select_columns(["src", "dst", "predicate"]), ["src"], _facts, fact_schema
+        ),
+        fact_schema,
+    )
+
+    node_schema = pa.schema(
+        [("entity", pa.string()), ("type", pa.string()), ("attrs", pa.string())]
+    )
+    nodes_p = sanitize_for_join(
+        nodes.select_columns(["entity", "type", "attrs"]), node_schema
+    )
+    joined = cogroup_join(
+        nodes_p, facts, on=["entity"], left_schema=node_schema, right_schema=fact_schema
+    )
+    missing = cogroup_join(
+        nodes_p, facts, on=["entity"], how="left_anti",
+        left_schema=node_schema, right_schema=fact_schema,
+    ).map_batches(
+        lambda b: b.append_column("facts", pa.array([""] * len(b), pa.string()))
+        .append_column("n_out", pa.array([0] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+    full_schema = pa.schema(
+        list(node_schema) + [pa.field("facts", pa.string()), pa.field("n_out", pa.int64())]
+    )
+    joined = normalize_blocks(joined, full_schema)
+    missing = normalize_blocks(missing, full_schema)
+
+    def _emit(b: pd.DataFrame) -> pd.DataFrame:
+        ins, inp, out, cat = [], [], [], []
+        for ent, typ, attrs, facts_txt, n_out in zip(
+            b["entity"], b["type"], b["attrs"], b["facts"], b["n_out"]
+        ):
+            label = _title(str(ent))
+            defn = ""
+            try:
+                defn = (json.loads(attrs or "{}") or {}).get("definition", "") or ""
+            except Exception:
+                pass
+            if isinstance(defn, str) and len(defn) >= 10:
+                ins.append(f"What is {label}?")
+                out.append(f"{label} is defined as: {defn}")
+                inp.append("")
+                cat.append("concept_definition")
+            elif n_out >= 2:
+                ins.append(f"What is {label}?")
+                out.append(
+                    f"{label} is a concept with these key relationships:\n{facts_txt}"
+                )
+                inp.append("")
+                cat.append("concept_from_graph")
+            if typ and typ not in ("concept", "unknown"):
+                ins.append(f"What category does {label} belong to?")
+                out.append(f"{label} is classified as a {typ}.")
+                inp.append("")
+                cat.append("concept_classification")
+        return pd.DataFrame(
+            {"instruction": ins, "input": inp, "output": out, "category": cat}
+        )
+
+    return normalize_blocks(
+        joined.union(missing).map_batches(_emit, batch_format="pandas"), QA_SCHEMA
+    )
+
+
+def generate_reasoning_chain_qa(
+    edges: ray.data.Dataset,
+    *,
+    max_per_mid: int = 2,
+    max_chains: int = 200,
+) -> ray.data.Dataset:
+    """Chain-of-reasoning QA from 2-hop graph paths a->b->c (reference
+    ``generate_reasoning_chains`` reads its chains from schema YAML;
+    the generic engine derives them from the edge list itself).
+
+    Distributed: one capped cogroup self-join on the mid entity (the
+    transitive-join shape), deterministic pair selection, global cap
+    via local top-k."""
+    from .infer import local_topk_rows, sanitize_for_join
+    from .relational import cogroup_join
+
+    left_schema = pa.schema([("mid", pa.string()), ("a", pa.string()), ("p1", pa.string())])
+    right_schema = pa.schema([("mid", pa.string()), ("c", pa.string()), ("p2", pa.string())])
+    lhs = sanitize_for_join(
+        edges.select_columns(["src", "dst", "predicate"]).map_batches(
+            lambda b: pa.table(
+                {"mid": b["dst"], "a": b["src"], "p1": b["predicate"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_schema,
+    )
+    rhs = sanitize_for_join(
+        edges.select_columns(["src", "dst", "predicate"]).map_batches(
+            lambda b: pa.table(
+                {"mid": b["src"], "c": b["dst"], "p2": b["predicate"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        right_schema,
+    )
+
+    def _cap(ds, cols, schema, ascending=True):
+        from .infer import bucketed_reduce
+
+        def _r(g: pd.DataFrame) -> pd.DataFrame:
+            return (
+                g.sort_values(cols, ascending=ascending, kind="stable")
+                .groupby("mid", sort=False)
+                .head(max_per_mid)
+            )
+
+        return sanitize_for_join(bucketed_reduce(ds, ["mid"], _r, schema), schema)
+
+    # lhs takes the lexicographically SMALLEST in-neighbors, rhs the
+    # LARGEST out-neighbors — de-correlated picks, otherwise a dense
+    # graph selects the same entity on both sides of every mid and the
+    # a != c filter kills every chain.
+    chains = cogroup_join(
+        _cap(lhs, ["a", "p1"], left_schema),
+        _cap(rhs, ["c", "p2"], right_schema, ascending=False),
+        on=["mid"],
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+
+    def _emit(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["a"] != b["mid"]) & (b["mid"] != b["c"]) & (b["a"] != b["c"])]
+        ins, inp, out, cat, key = [], [], [], [], []
+        for a, p1, m, p2, c in zip(b["a"], b["p1"], b["mid"], b["p2"], b["c"]):
+            ta, tm, tc = _title(str(a)), _title(str(m)), _title(str(c))
+            ins.append(f"Explain the connection between {ta} and {tc} step by step.")
+            inp.append("")
+            out.append(
+                f"Step 1: {ta} {str(p1).replace('_', ' ')} {tm}.\n"
+                f"Step 2: {tm} {str(p2).replace('_', ' ')} {tc}.\n"
+                f"Therefore {ta} is connected to {tc} through {tm}."
+            )
+            cat.append("reasoning_chain")
+            key.append(f"{a}\x00{m}\x00{c}")
+        return pd.DataFrame(
+            {
+                "instruction": ins,
+                "input": inp,
+                "output": out,
+                "category": cat,
+                "__key": key,
+            }
+        )
+
+    rows = local_topk_rows(
+        chains.map_batches(_emit, batch_format="pandas"), ["__key"], max_chains
+    )
+    tbl = pd.DataFrame(rows).drop(columns="__key") if rows else pd.DataFrame(
+        columns=["instruction", "input", "output", "category"]
+    )
+    return normalize_blocks(
+        ray.data.from_pandas(tbl.drop_duplicates()), QA_SCHEMA
+    )
+
+
+def generate_comparison_qa(
+    edges: ray.data.Dataset,
+    *,
+    max_neighbors_per_node: int = 10,
+    max_examples: int = 200,
+) -> ray.data.Dataset:
+    """Comparison QA between concepts sharing a common neighbor
+    (reference ``generate_concept_comparisons``,
+    ``training_generator.py:946-1000``). Pair generation reuses the
+    vectorized size-class machinery from the dedup family: group the
+    undirected edge list by the COMMON node (capped neighbors each),
+    emit neighbor pairs, dedupe, cap globally with deterministic
+    order."""
+    from .dedup import _pair_indices_by_size  # vectorized within-group pairs
+    from .infer import bucketed_reduce, local_topk_rows
+
+    und = edges.select_columns(["src", "dst"]).map_batches(
+        lambda b: pa.table(
+            {
+                "common": pa.concat_arrays(
+                    [
+                        b["src"].combine_chunks().cast(pa.string()),
+                        b["dst"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "neighbor": pa.concat_arrays(
+                    [
+                        b["dst"].combine_chunks().cast(pa.string()),
+                        b["src"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("common", pa.string())]
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        def _per_common(sub: pd.DataFrame) -> pd.DataFrame:
+            nbrs = np.sort(sub["neighbor"].unique())[:max_neighbors_per_node]
+            codes = np.zeros(len(nbrs), dtype=np.int64)
+            I, J = _pair_indices_by_size(codes, cap=1 << 62)
+            return pd.DataFrame(
+                {"a": nbrs[I], "b": nbrs[J], "common": sub["common"].iloc[0]}
+            )
+
+        out = [
+            _per_common(sub)
+            for _, sub in g.drop_duplicates(["common", "neighbor"]).groupby(
+                "common", sort=False
+            )
+        ]
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "common": []})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = bucketed_reduce(und, ["common"], _pairs, pair_schema)
+    # dedupe (a, b) across commons, keep the smallest common for determinism
+    dd = bucketed_reduce(
+        pairs,
+        ["a", "b"],
+        lambda g: g.sort_values(["a", "b", "common"], kind="stable").drop_duplicates(
+            ["a", "b"], keep="first"
+        ),
+        pair_schema,
+        combiner=lambda b: b.sort_values(["a", "b", "common"], kind="stable").drop_duplicates(
+            ["a", "b"], keep="first"
+        ),
+    )
+    rows = local_topk_rows(dd, ["a", "b"], max_examples)
+    ins, inp, out, cat = [], [], [], []
+    for r in rows:
+        ta, tb, tc = _title(str(r["a"])), _title(str(r["b"])), _title(str(r["common"]))
+        ins.append(f"Compare and contrast {ta} and {tb}.")
+        inp.append("")
+        out.append(
+            f"{ta} and {tb} are related concepts: both connect to {tc}. "
+            f"They play distinct roles but share this common neighbor in the graph."
+        )
+        cat.append("concept_comparison")
+    tbl = pa.table(
+        {
+            "instruction": pa.array(ins, pa.string()),
+            "input": pa.array(inp, pa.string()),
+            "output": pa.array(out, pa.string()),
+            "category": pa.array(cat, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
 def stratified_split(
     ds: ray.data.Dataset,
     strata_col: str,

@@ -509,3 +509,114 @@ class TestStratifiedSplit:
             ).take_all()
         }
         assert c != a  # seed changes the assignment
+
+
+class TestNewGenerators:
+    """Concept-definition, reasoning-chain, and comparison QA
+    generators (reference training_generator semantics, generic
+    wording)."""
+
+    def _graph(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        edge_rows = [
+            ("sweep", "displacement", "precedes"),
+            ("displacement", "gap", "creates"),
+            ("momentum", "gap", "creates"),
+            ("gap", "entry", "enables"),
+        ]
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([r[0] for r in edge_rows], pa.string()),
+                    "dst": pa.array([r[1] for r in edge_rows], pa.string()),
+                    "predicate": pa.array([r[2] for r in edge_rows], pa.string()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(
+                        ["sweep", "displacement", "gap", "momentum", "entry"], pa.string()
+                    ),
+                    "type": pa.array(
+                        ["concept", "event", "concept", "concept", "concept"], pa.string()
+                    ),
+                    "attrs": pa.array(
+                        ['{"definition": "a run through resting liquidity"}',
+                         "{}", "{}", "{}", "{}"],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        return nodes, edges
+
+    def test_concept_qa(self):
+        from ai_knowledge_graph_ray.stages.training import generate_concept_qa
+
+        nodes, edges = self._graph()
+        rows = generate_concept_qa(nodes, edges).take_all()
+        by_cat = {}
+        for r in rows:
+            by_cat.setdefault(r["category"], []).append(r)
+        # sweep has a definition; displacement gets type classification
+        # (and a from-graph QA needs >=2 out-edges, which displacement lacks)
+        defs = [r for r in by_cat.get("concept_definition", [])]
+        assert any("Sweep is defined as" in r["output"] for r in defs)
+        assert any(
+            "classified as a event" in r["output"]
+            for r in by_cat.get("concept_classification", [])
+        )
+
+    def test_concept_qa_from_graph_facts(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.training import generate_concept_qa
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["hub", "hub"], pa.string()),
+                    "dst": pa.array(["a", "b"], pa.string()),
+                    "predicate": pa.array(["uses", "creates"], pa.string()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(["hub", "a", "b"], pa.string()),
+                    "type": pa.array(["concept"] * 3, pa.string()),
+                    "attrs": pa.array(["{}"] * 3, pa.string()),
+                }
+            )
+        )
+        rows = generate_concept_qa(nodes, edges).take_all()
+        fg = [r for r in rows if r["category"] == "concept_from_graph"]
+        assert len(fg) == 1 and "- uses A" in fg[0]["output"] and "- creates B" in fg[0]["output"]
+
+    def test_reasoning_chains(self):
+        from ai_knowledge_graph_ray.stages.training import generate_reasoning_chain_qa
+
+        _, edges = self._graph()
+        rows = generate_reasoning_chain_qa(edges).take_all()
+        outs = {r["output"] for r in rows}
+        assert any("Sweep precedes Displacement" in o and "Displacement creates Gap" in o for o in outs)
+        assert all(r["category"] == "reasoning_chain" for r in rows)
+        # deterministic across runs
+        again = {r["output"] for r in generate_reasoning_chain_qa(edges).take_all()}
+        assert outs == again
+
+    def test_comparisons(self):
+        from ai_knowledge_graph_ray.stages.training import generate_comparison_qa
+
+        _, edges = self._graph()
+        rows = generate_comparison_qa(edges).take_all()
+        ins = {r["instruction"] for r in rows}
+        # displacement and momentum share the common neighbor 'gap'
+        assert "Compare and contrast Displacement and Momentum." in ins
+        assert all(r["category"] == "concept_comparison" for r in rows)
