@@ -42,10 +42,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "chunking": {"chunk_size": 500, "overlap": 50},
     "standardization": {"enabled": True, "use_llm_for_entities": False, "second_pass": True},
     "inference": {"enabled": True, "use_llm_for_inference": False},
-    # communities: "components" (weak components, the scale default) or
+    # communities: "components" (weak components, the scale default),
     # "louvain" (reference visualization.py:186-205 parity, driver-side
-    # over the count-gated edge residue). sizing: "degree" or "blend"
-    # (reference 0.5·deg + 0.3·btw + 0.2·eig, small graphs only).
+    # over the count-gated edge residue), or "lpa" (distributed label
+    # propagation — the community-detection path that works at any edge
+    # count). sizing: "degree" or "blend" (reference
+    # 0.5·deg + 0.3·btw + 0.2·eig, small graphs only).
     "materialize": {"communities": "components", "sizing": "degree"},
     "runtime": {
         "extract_concurrency": None,   # None -> autoscale (1, cpus-2)
@@ -141,6 +143,10 @@ def build_graph(
         louv = louvain_communities(edges)
         if louv is not None:  # over the gate: keep weak components
             components = louv
+    elif mat_cfg.get("communities") == "lpa":
+        from ..stages.graph_algos import label_propagation_communities
+
+        components = label_propagation_communities(edges)
     sizes = None
     if mat_cfg.get("sizing") == "blend":
         sizes = centrality_blend_sizes(edges)

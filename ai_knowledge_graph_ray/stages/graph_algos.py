@@ -500,6 +500,114 @@ def graph_search(
     )
 
 
+LABEL_SCHEMA = pa.schema([("entity", pa.string()), ("component", pa.string())])
+
+
+def label_propagation_communities(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 5,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Community labels via synchronous label propagation — the
+    DISTRIBUTED community-detection path for graphs whose edge residue
+    exceeds the Louvain gate (weak components merge everything that
+    touches; LPA converges to modularity-correlated communities and is
+    expressible as joins + grouped counts at any scale).
+
+    Deterministic: every node starts as its own label; each round all
+    nodes simultaneously adopt the most frequent label among their
+    neighbors PLUS their own current label (the self-vote breaks the
+    classic synchronous-LPA oscillation on bipartite-ish structures —
+    a 2-node component would otherwise swap labels forever), ties
+    broken by the smallest label string. Returns ``(entity,
+    component)`` — the same shape ``connected_components_distributed``
+    emits, so ``nodes_table`` accepts it directly."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join, grouped_sums
+
+    und = sanitize_for_join(_undirect(edges), EDGE_SCHEMA).materialize()
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("entity")
+
+    nodes = sanitize_for_join(
+        bucketed_reduce(
+            und.map_batches(
+                lambda b: pa.table({"entity": b["src"].combine_chunks().cast(pa.string())}),
+                batch_format="pyarrow",
+            ),
+            ["entity"],
+            _dd,
+            pa.schema([("entity", pa.string())]),
+            combiner=_dd,
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("entity", pa.string())]),
+    ).materialize()
+
+    labels = sanitize_for_join(
+        nodes.map_batches(
+            lambda b: pa.table({"entity": b["entity"], "component": b["entity"]}),
+            batch_format="pyarrow",
+        ),
+        LABEL_SCHEMA,
+    ).materialize()
+
+    vote_schema = pa.schema(
+        [("entity", pa.string()), ("component", pa.string()), ("n", pa.int64())]
+    )
+
+    def _top1(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["entity", "n", "component"],
+                          ascending=[True, False, True], kind="stable")
+            .drop_duplicates("entity", keep="first")
+        )
+
+    for _ in range(iters):
+        neigh = cogroup_join(
+            und,
+            labels.map_batches(
+                lambda b: pa.table({"src": b["entity"], "component": b["component"]}),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema([("src", pa.string()), ("component", pa.string())]),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "entity": b["dst"].combine_chunks().cast(pa.string()),
+                    "component": b["component"].combine_chunks().cast(pa.string()),
+                    "one": pa.array([1] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        self_votes = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "entity": b["entity"],
+                    "component": b["component"],
+                    "one": pa.array([1] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        votes = grouped_sums(
+            neigh.union(self_votes), ["entity", "component"], {"n": "one"}
+        )
+        labels = sanitize_for_join(
+            bucketed_reduce(
+                votes, ["entity"], _top1, vote_schema, num_buckets=num_buckets
+            ).select_columns(["entity", "component"]),
+            LABEL_SCHEMA,
+        ).materialize()
+    return labels
+
+
 def pagerank_int_local(
     edge_list: list[tuple[str, str]],
     *,

@@ -144,3 +144,62 @@ class TestGraphQueries:
         assert scores["order_block"] == 15  # substring + definition
         # 'other' (definition only, score 5) ranks below substring hits
         assert [r["node"] for r in res] == ["block", "order_block", "blocker"]
+
+
+class TestLabelPropagation:
+    def test_two_cliques_split(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            label_propagation_communities,
+        )
+
+        cl_a = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+        cl_b = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+        labels = {
+            r["entity"]: r["component"]
+            for r in label_propagation_communities(
+                _ds(cl_a + cl_b + [("a1", "b1")]), iters=4
+            ).take_all()
+        }
+        a = {labels[f"a{i}"] for i in range(1, 5)}
+        b = {labels[f"b{i}"] for i in range(1, 5)}
+        assert len(a) == 1 and len(b) == 1 and a != b
+
+    def test_deterministic_and_nodes_table_compatible(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            label_propagation_communities,
+        )
+        from ai_knowledge_graph_ray.stages.materialize import nodes_table
+
+        pairs = [("x", "y"), ("y", "z"), ("p", "q")]
+        l1 = sorted(
+            (r["entity"], r["component"])
+            for r in label_propagation_communities(_ds(pairs), iters=3).take_all()
+        )
+        l2 = sorted(
+            (r["entity"], r["component"])
+            for r in label_propagation_communities(
+                _ds(pairs).repartition(4), iters=3
+            ).take_all()
+        )
+        assert l1 == l2
+        import pyarrow as pa
+
+        edges_full = _ds(pairs).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"], "dst": b["dst"],
+                    "predicate": pa.array(["r"] * len(b), pa.string()),
+                    "inferred": pa.array([False] * len(b), pa.bool_()),
+                    "chunk_id": pa.array([1] * len(b), pa.int32()),
+                    "url": pa.array(["u"] * len(b), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        rows = nodes_table(
+            edges_full, label_propagation_communities(_ds(pairs), iters=3)
+        ).take_all()
+        assert len(rows) == 5
+        comm = {r["entity"]: r["community"] for r in rows}
+        assert comm["p"] == comm["q"]
+        assert comm["x"] != comm["p"]
