@@ -167,6 +167,16 @@ class PartitionedSink:
         return entries
 
     def read_all(self) -> ray.data.Dataset:
-        """Read back every completed partition."""
+        """Read back every completed partition (an empty manifest —
+        e.g. a finalize after an all-empty input — yields an empty
+        lineage-shaped dataset rather than a read error)."""
         paths = [e["path"] for e in self.done_partitions().values()]
+        if not paths:
+            from ..stages.infer import LINEAGE_SCHEMA
+
+            empty = pa.schema(
+                list(LINEAGE_SCHEMA)
+                + [pa.field("partition_id", pa.int64()), pa.field("run_id", pa.string())]
+            )
+            return ray.data.from_arrow(empty.empty_table())
         return ray.data.read_parquet(paths)

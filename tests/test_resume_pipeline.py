@@ -124,3 +124,19 @@ def test_resume_canonicalization_is_global(tmp_path):
     # the stem merge actually fired: only ONE canonical form survives
     ents = {e for s, _, d in single_edges for e in (s, d)}
     assert ("factory" in ents) ^ ("factories" in ents)
+
+
+def test_empty_input_finalizes_cleanly(tmp_path):
+    """An all-empty input (or a finalize with nothing checkpointed)
+    must produce zeroed stats, not a read error."""
+    from ai_knowledge_graph_ray.sources.pages import PAGES_SCHEMA
+
+    empty = ray.data.from_arrow(PAGES_SCHEMA.empty_table())
+    stats = run_resumable(
+        empty, str(tmp_path / "empty"), {"runtime": {"lexical_mode": "exact"}},
+        num_partitions=4,
+    )
+    assert stats == {
+        "nodes": 0, "edges": 0, "original_edges": 0,
+        "inferred_edges": 0, "communities": 0,
+    }
