@@ -202,7 +202,10 @@ def bucketed_reduce(
         return pa_from_pandas(out, out_schema)
 
     return normalize_blocks(
-        ds.map_batches(_with_bucket, batch_format="pandas")
+        # batch_size=None => the UDF sees the WHOLE block: the map-side
+        # combiner collapses duplicates across the full block instead of
+        # 1024-row slivers (measured: the dedup shuffle input shrinks ~2x)
+        ds.map_batches(_with_bucket, batch_format="pandas", batch_size=None)
         .groupby("__bucket")
         .map_groups(_reduce, batch_format="pandas"),
         out_schema,

@@ -42,7 +42,8 @@ def grouped_sums(
             return pd.DataFrame(columns=keys + list(aggs))
         return batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    # whole-block batches: one partial row per key per BLOCK
+    partials = ds.map_batches(_partial, batch_format="pandas", batch_size=None)
     out_names = list(aggs)
     agg_fns = [Sum(n, alias_name=n) for n in out_names]
     return partials.groupby(keys).aggregate(*agg_fns)
@@ -193,8 +194,8 @@ def cogroup_join(
 
         return _f
 
-    lt = left.map_batches(_tag("l"), batch_format="pandas")
-    rt = right.map_batches(_tag("r"), batch_format="pandas")
+    lt = left.map_batches(_tag("l"), batch_format="pandas", batch_size=None)
+    rt = right.map_batches(_tag("r"), batch_format="pandas", batch_size=None)
 
     def _merge(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
