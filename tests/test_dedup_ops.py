@@ -5,6 +5,7 @@ content."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -245,3 +246,53 @@ class TestIvfIndex:
         knn_ivf_indexed(idx_dir, qids[:1], qmat[:1], k=10, n_probe=2, stats=single)
         assert single["lists_read"] == 2
         assert single["scan_fraction"] == 2 / 8
+
+
+@pytest.mark.slow
+def test_dup_heavy_corpus_distributed_path():
+    """Crawl-like dup rate (50% of docs are near-copies of a small set
+    of originals): the FORCED distributed verify + components path must
+    recover the same canonical mapping as the driver path, with a pair
+    set that is O(corpus), not a tiny residue."""
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(800)]
+    originals = [
+        " ".join(rng.choice(vocab, size=60, replace=True)) for _ in range(40)
+    ]
+    rows = []
+    doc_id = 0
+    for i, base in enumerate(originals):
+        rows.append((doc_id, base)); doc_id += 1
+        for _ in range(25):  # 25 near-copies each -> ~96% dup mass
+            toks = base.split()
+            j = int(rng.randint(0, len(toks)))
+            toks[j] = str(rng.choice(vocab))
+            rows.append((doc_id, " ".join(toks))); doc_id += 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(8).materialize()
+
+    drv = {
+        r["doc_id"]: r["dup_of"]
+        for r in minhash_lsh_dedup(ds, threshold=0.5).take_all()
+    }
+    dist = {
+        r["doc_id"]: r["dup_of"]
+        for r in minhash_lsh_dedup(
+            ds, threshold=0.5, driver_max_pairs=0, driver_max_verify_pairs=0
+        ).take_all()
+    }
+    assert drv == dist
+    # the clusters actually formed: most copies resolve to their original
+    n_mapped = len(dist)
+    assert n_mapped > 800  # out of 1000 copies
+    # no cross-cluster merges: a canonical id is always an original's id
+    import pytest as _p
+
+    originals_ids = set(range(0, len(rows), 26))
+    assert set(dist.values()) <= originals_ids
