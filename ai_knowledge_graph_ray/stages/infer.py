@@ -318,6 +318,12 @@ def connected_components_distributed(
     und = sanitize_for_join(und, pair_schema)
 
     label_schema = pa.schema([("entity", pa.string()), ("component", pa.string())])
+    tagged_schema = pa.schema(
+        [("entity", pa.string()), ("component", pa.string()), ("is_old", pa.bool_())]
+    )
+    changed_schema = pa.schema(
+        [("entity", pa.string()), ("component", pa.string()), ("changed", pa.int64())]
+    )
 
     def _init(batch: pd.DataFrame) -> pd.DataFrame:
         ents = pd.unique(batch["src"])
@@ -335,6 +341,16 @@ def connected_components_distributed(
     )
     labels = sanitize_for_join(labels, label_schema)
 
+    def _min_and_changed(g: pd.DataFrame) -> pd.DataFrame:
+        # The old label rides along tagged is_old; convergence detection
+        # happens INSIDE the min reduce (no extra per-round join). Two
+        # vectorized groupby-mins — no per-key Python.
+        new_min = g.groupby("entity", sort=False)["component"].min()
+        old_min = g[g["is_old"]].groupby("entity", sort=False)["component"].min()
+        out = new_min.to_frame("component").join(old_min.to_frame("old"))
+        out["changed"] = (out["component"] < out["old"]).astype("int64")
+        return out.reset_index()[["entity", "component", "changed"]]
+
     for _ in range(max_iters):
         offers = cogroup_join(
             und,
@@ -345,49 +361,39 @@ def connected_components_distributed(
             left_schema=pair_schema,
             right_schema=pa.schema([("src", pa.string()), ("component", pa.string())]),
         ).map_batches(
-            lambda b: pa.table({"entity": b["dst"], "component": b["component"]}),
-            batch_format="pyarrow",
-        )
-        new_labels = bucketed_reduce(
-            labels.union(offers),
-            ["entity"],
-            _min_reduce,
-            label_schema,
-            num_buckets=num_buckets,
-        )
-        new_labels = sanitize_for_join(new_labels, label_schema)
-        # Convergence check: any entity whose label shrank this round?
-        changed = cogroup_join(
-            new_labels.rename_columns({"component": "new_component"}),
-            labels,
-            on=["entity"],
-            how="inner",
-            num_buckets=num_buckets,
-            left_schema=pa.schema(
-                [("entity", pa.string()), ("new_component", pa.string())]
-            ),
-            right_schema=label_schema,
-        ).map_batches(
             lambda b: pa.table(
                 {
-                    "n": pa.array(
-                        [
-                            int(
-                                pc.sum(
-                                    pc.cast(
-                                        pc.not_equal(b["new_component"], b["component"]),
-                                        pa.int64(),
-                                    )
-                                ).as_py()
-                                or 0
-                            )
-                        ]
-                    )
+                    "entity": b["dst"],
+                    "component": b["component"],
+                    "is_old": pa.array([False] * len(b), pa.bool_()),
                 }
             ),
             batch_format="pyarrow",
-        ).sum("n")
-        labels = new_labels
+        )
+        old_tagged = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "entity": b["entity"],
+                    "component": b["component"],
+                    "is_old": pa.array([True] * len(b), pa.bool_()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        merged = sanitize_for_join(
+            bucketed_reduce(
+                old_tagged.union(offers),
+                ["entity"],
+                _min_and_changed,
+                changed_schema,
+                num_buckets=num_buckets,
+            ),
+            changed_schema,
+        )
+        changed = merged.sum("changed") or 0
+        labels = sanitize_for_join(
+            merged.select_columns(["entity", "component"]), label_schema
+        )
         if not changed:
             break
     return labels

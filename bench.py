@@ -95,6 +95,15 @@ def run_bench() -> dict:
         dt = time.time() - t0
         headline = dt if headline is None else min(headline, dt)
 
+    stats_file = None
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        # per-operator breakdown of the final headline run ("measure,
+        # don't guess") — written to a side file; the stdout contract
+        # stays ONE JSON line.
+        stats_file = "/tmp/kgray_bench_stats.txt"
+        with open(stats_file, "w", encoding="utf-8") as f:
+            f.write(res["triples"].stats())
+
     per_query: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
         ray.shutdown()
@@ -124,6 +133,7 @@ def run_bench() -> dict:
         "metric": "kg_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        **({"stats_file": stats_file} if stats_file else {}),
         "queries": per_query,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
