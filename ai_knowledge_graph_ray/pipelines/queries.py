@@ -1100,6 +1100,17 @@ def q_media_png_decode(sf_dir: str):
     )
 
 
+def q_media_wav_decode(sf_dir: str):
+    """REAL audio decode (stdlib WAV/PCM codec): synthesize genuine WAV
+    payloads, decode + feature-extract in the actor pool."""
+    from ..stages.multimodal import extract_media_features, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir, media_type="wav")
+    return extract_media_features(media, decoder="wav", concurrency=(1, 4)).select_columns(
+        ["media_id", "height", "width", "decode_ok"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1153,6 +1164,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_embed": q_doc_embed,
     "media_features": q_media_features,
     "media_png_decode": q_media_png_decode,
+    "media_wav_decode": q_media_wav_decode,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,
     "kg_edges": q_kg_edges,

@@ -66,17 +66,26 @@ def synth_media_from_documents(sf_dir: str, media_type: str = "image") -> ray.da
             h, w = 8 + digest[4] % 9, 8 + digest[5] % 9
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             return encode_png(img, filter_type=digest[6] % 5)
+        if media_type == "wav":
+            from ..functions.wav import encode_wav
+
+            rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+            n = 400 + int(digest[4]) * 8
+            tone = (
+                10000 * np.sin(2 * np.pi * (100 + digest[5]) * np.arange(n) / 8000.0)
+            ).astype(np.int16)
+            return encode_wav(tone, rate=8000)
         return digest * 64
 
     def _f(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         blobs = [_blob(i, t) for i, t in zip(ids, texts)]
-        mime = (
-            "image/png"
-            if media_type == "png"
-            else ("image/fake" if media_type == "image" else "audio/fake")
-        )
+        mime = {
+            "png": "image/png",
+            "wav": "audio/wav",
+            "image": "image/fake",
+        }.get(media_type, "audio/fake")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -107,6 +116,8 @@ class MediaFeatureExtractor:
             self._decode = self._fake_decode
         elif decoder == "png":
             self._decode = self._png_decode
+        elif decoder == "wav":
+            self._decode = self._wav_decode
         elif decoder == "pil":
             raise NotImplementedError(
                 "real image decode needs Pillow; not available in this sandbox — "
@@ -137,6 +148,16 @@ class MediaFeatureExtractor:
             return 0, 0, np.zeros(FEATURE_DIM, dtype=np.float64), False
         h, w = img.shape[:2]
         return h, w, png_features(img, FEATURE_DIM), True
+
+    def _wav_decode(self, blob: bytes) -> tuple[int, int, np.ndarray, bool]:
+        from ..functions.wav import decode_wav, wav_features
+
+        try:
+            samples, rate = decode_wav(blob or b"")
+        except Exception:
+            return 0, 0, np.zeros(FEATURE_DIM, dtype=np.float64), False
+        # (height, width) repurposed as (n_frames, sample_rate)
+        return len(samples), rate, wav_features(samples, rate, FEATURE_DIM), True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()

@@ -620,3 +620,45 @@ class TestNewGenerators:
         # displacement and momentum share the common neighbor 'gap'
         assert "Compare and contrast Displacement and Momentum." in ins
         assert all(r["category"] == "concept_comparison" for r in rows)
+
+
+class TestWavCodec:
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.functions.wav import decode_wav, encode_wav
+
+        mono = (20000 * np.sin(np.arange(800) / 10.0)).astype(np.int16)
+        out, rate = decode_wav(encode_wav(mono, rate=8000))
+        assert rate == 8000 and out.shape == (800, 1)
+        np.testing.assert_allclose(out[:, 0], mono / 32768.0, atol=1e-9)
+
+        stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+        out2, _ = decode_wav(encode_wav(stereo, rate=16000))
+        assert out2.shape == (800, 2)
+        np.testing.assert_allclose(out2[:, 1], -mono / 32768.0, atol=1e-9)
+
+    def test_unsupported_rejected(self):
+        import pytest as _pytest
+
+        from ai_knowledge_graph_ray.functions.wav import UnsupportedWavError, decode_wav
+
+        with _pytest.raises(UnsupportedWavError):
+            decode_wav(b"not audio")
+        with _pytest.raises(UnsupportedWavError):
+            decode_wav(b"")
+
+    def test_wav_decoder_stage(self, sf_dir):
+        from ai_knowledge_graph_ray.stages.multimodal import (
+            extract_media_features,
+            synth_media_from_documents,
+        )
+
+        media = synth_media_from_documents(sf_dir, media_type="wav").limit(16)
+        rows = extract_media_features(media, decoder="wav", concurrency=2).take_all()
+        assert len(rows) == 16
+        assert all(r["decode_ok"] for r in rows)
+        assert all(r["width"] == 8000 for r in rows)  # sample rate slot
+        assert all(r["height"] >= 400 for r in rows)  # frame count slot
+        # rms of a loud sine is substantial, first 4 features real-valued
+        assert all(0.1 < r["features"][1] < 1.0 for r in rows)
