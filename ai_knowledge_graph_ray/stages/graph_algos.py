@@ -414,6 +414,56 @@ def shortest_path(
     return list(reversed(path))
 
 
+def shortest_path_with_relations(
+    edges: ray.data.Dataset,
+    source: str,
+    target: str,
+    *,
+    max_hops: int = 10,
+) -> list[dict]:
+    """Reference ``find_path_with_relations``
+    (``graph_store.py:470-499``): the shortest path annotated per hop
+    with an edge relation — forward edge preferred, reverse edge
+    reported with ``reversed: true``. The reference picks the "first"
+    parallel edge (MultiDiGraph insertion order, not reproducible);
+    here the lexicographically smallest relation wins (deterministic).
+    Relations for the <= max_hops consecutive pairs are fetched with
+    ONE filtered distributed scan."""
+    path = shortest_path(edges, source, target, directed=False, max_hops=max_hops)
+    if len(path) < 2:
+        return []
+    pairs = list(zip(path, path[1:]))
+    want = set(pairs) | {(b, a) for a, b in pairs}
+    want_ref = ray.put(want)
+
+    def _hit(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(want_ref) if not isinstance(want_ref, set) else want_ref
+        keep = [
+            (s, d) in w for s, d in zip(b["src"].astype(str), b["dst"].astype(str))
+        ]
+        return b.loc[keep, ["src", "dst", "predicate"]]
+
+    hits = (
+        edges.select_columns(["src", "dst", "predicate"])
+        .map_batches(_hit, batch_format="pandas")
+        .take_all()
+    )
+    best: dict[tuple[str, str], str] = {}
+    for r in hits:
+        k = (r["src"], r["dst"])
+        if k not in best or r["predicate"] < best[k]:
+            best[k] = r["predicate"]
+    out = []
+    for a, b in pairs:
+        if (a, b) in best:
+            out.append({"from": a, "to": b, "relation": best[(a, b)]})
+        elif (b, a) in best:
+            out.append(
+                {"from": b, "to": a, "relation": best[(b, a)], "reversed": True}
+            )
+    return out
+
+
 def graph_search(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,

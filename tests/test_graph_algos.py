@@ -203,3 +203,30 @@ class TestLabelPropagation:
         comm = {r["entity"]: r["community"] for r in rows}
         assert comm["p"] == comm["q"]
         assert comm["x"] != comm["p"]
+
+
+class TestPathWithRelations:
+    def test_relations_and_direction(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            shortest_path_with_relations,
+        )
+
+        rows = [("a", "b", "starts"), ("c", "b", "feeds"), ("c", "d", "ends")]
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([r[0] for r in rows], pa.string()),
+                    "dst": pa.array([r[1] for r in rows], pa.string()),
+                    "predicate": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+        out = shortest_path_with_relations(edges, "a", "d")
+        assert [o["relation"] for o in out] == ["starts", "feeds", "ends"]
+        # the b->c hop only exists as the reverse edge c->b
+        assert out[1] == {"from": "c", "to": "b", "relation": "feeds", "reversed": True}
+        assert "reversed" not in out[0]
+        assert shortest_path_with_relations(edges, "a", "zzz") == []
