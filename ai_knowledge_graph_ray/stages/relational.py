@@ -49,6 +49,123 @@ def grouped_sums(
     return partials.groupby(keys).aggregate(*agg_fns)
 
 
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    hot_keys: "list | None" = None,
+    hot_key_threshold: int = 100_000,
+    num_buckets: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Inner join that survives HOT KEYS (the north rule's skew
+    handling at the join, made explicit).
+
+    ``cogroup_join`` lands every row of a key in one bucket — a
+    crawl-scale hot entity (the "agent" node problem) serializes that
+    bucket. Here the hot keys take a BROADCAST bypass: their right-side
+    rows are collected once (bounded — hot keys are few by definition;
+    the right side is the smaller/dimension side) and map-side-merged
+    into the left's hot rows with zero shuffle, while the cold
+    remainder takes the normal bucketed join. ``hot_keys=None`` detects
+    them from the left side's per-block partial counts (keys whose
+    count exceeds ``hot_key_threshold``)."""
+    from .infer import local_topk_rows, sanitize_for_join
+
+    if num_buckets is None:
+        num_buckets = default_num_partitions()
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
+
+    if hot_keys is None:
+        counts = grouped_sums(
+            left.map_batches(
+                lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
+                batch_format="pyarrow",
+            ).select_columns(on + ["one"]),
+            on,
+            {"n": "one"},
+        )
+        # hot keys are by definition a handful — top-k by count, filter
+        hot_rows = local_topk_rows(counts, ["n"], 64, ascending=False)
+        hot_keys = [
+            tuple(r[c] for c in on) for r in hot_rows if r["n"] > hot_key_threshold
+        ]
+    else:
+        hot_keys = [k if isinstance(k, tuple) else (k,) for k in hot_keys]
+    hot_set = set(hot_keys)
+
+    if not hot_set:
+        return cogroup_join(
+            left, right, on=on, num_buckets=num_buckets,
+            left_schema=l_schema, right_schema=r_schema,
+        )
+
+    import ray as _ray
+
+    hot_set_ref = _ray.put(hot_set)
+
+    def _split(want_hot: bool):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            hs = _ray.get(hot_set_ref) if not isinstance(hot_set_ref, set) else hot_set_ref
+            mask = [tuple(row) in hs for row in b[on].itertuples(index=False)]
+            mask = pd.Series(mask, index=b.index)
+            return b[mask] if want_hot else b[~mask]
+
+        return _f
+
+    # broadcast the right side's hot rows once
+    right_hot = (
+        right.map_batches(_split(True), batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    right_hot_ref = _ray.put(right_hot)
+    r_extra = [c for c in r_schema.names if c not in on]
+    out_schema = pa.schema(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [
+            pa.field(n, t)
+            for n, t in zip(r_schema.names, r_schema.types)
+            if n in r_extra
+        ]
+    )
+
+    def _merge_hot(b: pd.DataFrame) -> pa.Table:
+        rh = _ray.get(right_hot_ref) if not isinstance(right_hot_ref, pd.DataFrame) else right_hot_ref
+        if len(b) == 0 or len(rh) == 0:
+            return out_schema.empty_table()
+        m = b.merge(rh[on + r_extra], on=on, how="inner")
+        from .infer import pa_from_pandas
+
+        return pa_from_pandas(m[list(out_schema.names)], out_schema)
+
+    left_hot_joined = left.map_batches(
+        _split(True), batch_format="pandas", batch_size=None
+    ).map_batches(_merge_hot, batch_format="pandas", batch_size=None)
+
+    cold = cogroup_join(
+        sanitize_for_join(
+            left.map_batches(_split(False), batch_format="pandas", batch_size=None),
+            pa.schema([(n, t) for n, t in zip(l_schema.names, l_schema.types)]),
+        ),
+        sanitize_for_join(
+            right.map_batches(_split(False), batch_format="pandas", batch_size=None),
+            pa.schema([(n, t) for n, t in zip(r_schema.names, r_schema.types)]),
+        ),
+        on=on,
+        num_buckets=num_buckets,
+        left_schema=l_schema,
+        right_schema=r_schema,
+    )
+    from .infer import normalize_blocks
+
+    return normalize_blocks(left_hot_joined, out_schema).union(
+        normalize_blocks(cold, out_schema)
+    )
+
+
 def discrete_quantiles(
     ds: ray.data.Dataset,
     value_col: str,

@@ -110,3 +110,72 @@ class TestSkew:
         capped = infer_transitive_broadcast(edges_pd, max_fanout_per_mid=20).count()
         assert uncapped >= 10 * 400  # the quadratic hot-mid blowup is real
         assert capped <= 10 * 20 + 200  # and the cap bounds it
+
+
+class TestSkewJoin:
+    """skew_join: hot keys take the broadcast bypass, cold keys the
+    bucketed join — output identical to the plain join on a corpus with
+    a planted 100x-hot key."""
+
+    def _sides(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        left_rows = [("hot", i) for i in range(500)] + [
+            (f"k{i % 20}", i) for i in range(200)
+        ]
+        right_rows = [("hot", "H")] + [(f"k{i}", f"V{i}") for i in range(20)]
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array([r[0] for r in left_rows], pa.string()),
+                    "val": pa.array([r[1] for r in left_rows], pa.int64()),
+                }
+            )
+        ).repartition(6)
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array([r[0] for r in right_rows], pa.string()),
+                    "rv": pa.array([r[1] for r in right_rows], pa.string()),
+                }
+            )
+        )
+        return left, right
+
+    def test_equals_plain_join(self):
+        from ai_knowledge_graph_ray.stages.relational import cogroup_join, skew_join
+
+        left, right = self._sides()
+        plain = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in cogroup_join(left, right, on=["key"]).take_all()
+        )
+        explicit = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in skew_join(left, right, on=["key"], hot_keys=["hot"]).take_all()
+        )
+        auto = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in skew_join(
+                left, right, on=["key"], hot_key_threshold=100
+            ).take_all()
+        )
+        assert plain == explicit == auto
+        assert len(plain) == 700
+
+    def test_no_hot_keys_falls_through(self):
+        from ai_knowledge_graph_ray.stages.relational import cogroup_join, skew_join
+
+        left, right = self._sides()
+        out = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in skew_join(
+                left, right, on=["key"], hot_key_threshold=10_000
+            ).take_all()
+        )
+        want = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in cogroup_join(left, right, on=["key"]).take_all()
+        )
+        assert out == want
