@@ -91,29 +91,35 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     channels = 0
     idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise UnsupportedPngError(f"bit depth {depth}")
-            if color_type not in (2, 6):
-                raise UnsupportedPngError(f"color type {color_type}")
-            if interlace != 0:
-                raise UnsupportedPngError("interlaced")
-            channels = 3 if color_type == 2 else 4
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    if width is None or not idat:
-        raise UnsupportedPngError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    # Truncated/corrupt chunk payloads raise struct.error / zlib.error;
+    # re-raise everything as the documented UnsupportedPngError so
+    # direct callers can rely on one exception contract.
+    try:
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8:
+                    raise UnsupportedPngError(f"bit depth {depth}")
+                if color_type not in (2, 6):
+                    raise UnsupportedPngError(f"color type {color_type}")
+                if interlace != 0:
+                    raise UnsupportedPngError("interlaced")
+                channels = 3 if color_type == 2 else 4
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+        if width is None or not idat:
+            raise UnsupportedPngError("missing IHDR/IDAT")
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as exc:
+        raise UnsupportedPngError(f"corrupt PNG: {exc}") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise UnsupportedPngError("scanline size mismatch")

@@ -296,19 +296,36 @@ def q_knn_ivf(sf_dir: str):
 def q_knn_ivf_indexed(sf_dir: str):
     """IVF with a materialized centroid-partitioned index: the probe
     reads ONLY the probed list directories (file pruning, the scale
-    path knn_ivf's row filter approximates)."""
+    path knn_ivf's row filter approximates).
+
+    The cached /tmp index is keyed on a DATA fingerprint (embeddings
+    file names + sizes + mtimes, not just the path) and trusted only
+    when ``ivf_build``'s atomic ``_SUCCESS`` marker is present —
+    regenerated data at the same path or an interrupted build must
+    force a rebuild, never silently serve stale/partial lists."""
     import hashlib as _hl
     import os as _os
 
     from ..stages.similarity import ivf_build, knn_ivf_indexed
 
     qids, qmat = _query_vectors(sf_dir)
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
-    idx_dir = f"/tmp/kgray_ivf_{tag}"
-    if not _os.path.isdir(_os.path.join(idx_dir, "lists")):
-        ds = ray.data.read_parquet(
-            _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    emb_path = _t(sf_dir, "embeddings")
+    fp = _hl.md5(sf_dir.encode())
+    paths = (
+        sorted(
+            _os.path.join(emb_path, f)
+            for f in _os.listdir(emb_path)
+            if f.endswith(".parquet")
         )
+        if _os.path.isdir(emb_path)
+        else [emb_path]
+    )
+    for p in paths:
+        st = _os.stat(p)
+        fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    idx_dir = f"/tmp/kgray_ivf_{fp.hexdigest()[:16]}"
+    if not _os.path.isfile(_os.path.join(idx_dir, "_SUCCESS")):
+        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
         ivf_build(ds, idx_dir, n_clusters=16)
     return knn_ivf_indexed(idx_dir, qids, qmat, k=KNN_K, n_probe=4)
 
@@ -1027,6 +1044,21 @@ def q_training_comparisons(sf_dir: str):
     return generate_comparison_qa(edges)
 
 
+def q_training_counterfactuals(sf_dir: str):
+    """Edge-negation counterfactual QA over the materialized graph
+    (negative sampling; deterministic per-relation seeded RNG)."""
+    from ..stages.training import generate_counterfactual_qa
+
+    return generate_counterfactual_qa(q_kg_edges(sf_dir), seed=42)
+
+
+def q_training_anti_patterns(sf_dir: str):
+    """Wrong-pairing anti-pattern QA over the materialized graph."""
+    from ..stages.training import generate_anti_pattern_qa
+
+    return generate_anti_pattern_qa(q_kg_edges(sf_dir), seed=42)
+
+
 def q_concept_extract(sf_dir: str):
     from ..stages.graph_ops import extract_concepts
 
@@ -1159,6 +1191,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "training_concept_qa": q_training_concept_qa,
     "training_chains": q_training_chains,
     "training_comparisons": q_training_comparisons,
+    "training_counterfactuals": q_training_counterfactuals,
+    "training_anti_patterns": q_training_anti_patterns,
     "concept_extract": q_concept_extract,
     "recursive_split": q_recursive_split,
     "doc_embed": q_doc_embed,

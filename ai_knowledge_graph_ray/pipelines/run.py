@@ -89,7 +89,9 @@ def run_resumable(
     # Global section: recompute over ALL completed partitions.
     # Standardization runs HERE, over the full corpus, never per
     # increment — alias election must see the global entity population.
-    all_raw = sink.read_all().drop_columns(["partition_id", "run_id"])
+    all_raw = sink.read_all(expected_stage="triples_raw").drop_columns(
+        ["partition_id", "run_id"]
+    )
     if cfg["standardization"].get("enabled", True):
         all_std, _alias = standardize_triples(all_raw, cfg)
         all_std = with_lineage(all_std, "extracted")

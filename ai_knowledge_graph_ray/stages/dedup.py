@@ -288,6 +288,59 @@ def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return vals.min(axis=1)
 
 
+# Per-slab gram budget for the batched signature kernel: bounds the
+# (num_perm x grams) universal-hash matrix to ~64 MB at num_perm=128.
+_SIG_SLAB_GRAMS = 1 << 16
+
+
+def _batch_minhash_sigs(
+    texts, k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signatures for a WHOLE batch of documents, vectorized
+    across documents: all grams of all docs are hashed in ONE
+    ``pd.util.hash_array`` call, then the universal-hash + per-doc min
+    runs slab-wise with ``np.minimum.reduceat`` (offsets split the flat
+    gram array back into documents). Bit-identical to mapping
+    ``_minhash_sig(_shingles(t))`` per doc: minhash is invariant to
+    gram multiplicity, so the per-doc set() dedup is dropped."""
+    num_perm = len(a)
+    sig = np.zeros((len(texts), num_perm), dtype=np.uint64)
+    counts = np.zeros(len(texts), dtype=np.int64)
+    gram_lists: list[list[str]] = []
+    for i, text in enumerate(texts):
+        toks = _WORD_RE.findall(text.lower())
+        if not toks:
+            continue
+        if len(toks) < k:
+            g = [" ".join(toks)]
+        else:
+            g = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        counts[i] = len(g)
+        gram_lists.append(g)
+    if not gram_lists:
+        return sig
+    flat = [g for doc in gram_lists for g in doc]
+    prime = np.uint64((1 << 61) - 1)
+    hm = _hash_strs(flat) % prime
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    doc_idx = np.flatnonzero(counts > 0)
+    s = 0
+    while s < len(doc_idx):
+        e = s + 1
+        total = counts[doc_idx[s]]
+        while e < len(doc_idx) and total + counts[doc_idx[e]] <= _SIG_SLAB_GRAMS:
+            total += counts[doc_idx[e]]
+            e += 1
+        docs = doc_idx[s:e]
+        lo = offsets[docs[0]]
+        hi = offsets[docs[-1]] + counts[docs[-1]]
+        vals = (np.outer(a, hm[lo:hi]) + b[:, None]) % prime
+        starts = (offsets[docs] - lo).astype(np.int64)
+        sig[docs] = np.minimum.reduceat(vals, starts, axis=1).T
+        s = e
+    return sig
+
+
 def _band_hashes(sig_mat: np.ndarray, bands: int) -> np.ndarray:
     """(n_docs, num_perm) signature matrix -> (n_docs, bands) band
     KEYS, FNV-1a-folded across the band's rows (vectorized; no per-band
@@ -434,9 +487,9 @@ def minhash_lsh_dedup(
         n = len(batch)
         if n == 0:
             return pd.DataFrame({id_col: [], "band_key": []})
-        sig_mat = np.empty((n, num_perm), dtype=np.uint64)
-        for i, text in enumerate(batch[text_col].fillna("")):
-            sig_mat[i] = _minhash_sig(_shingles(text, shingle_k), a, b)
+        sig_mat = _batch_minhash_sigs(
+            list(batch[text_col].fillna("")), shingle_k, a, b
+        )
         bh = _band_hashes(sig_mat, bands)
         return pd.DataFrame(
             {
@@ -453,13 +506,15 @@ def minhash_lsh_dedup(
         return pd.DataFrame({"id_a": ids[I], "id_b": ids[J]})
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
-    # materialize the (small) pair residue so the count gate + resolve
-    # don't re-execute the signature pipeline. Multi-band duplicate
-    # pairs are NOT pre-deduped here: union-find and min-label CC both
-    # tolerate them, and the extra shuffle only pays for itself before
-    # the (expensive) distributed Jaccard verify below.
-    cand = bucketed_reduce(
-        sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA
+    # Dedup the multi-band duplicate pairs BEFORE the gate and
+    # materialize the (small) distinct-pair residue: the driver-vs-
+    # distributed verify decision must see the DISTINCT pair count
+    # (dup-heavy corpora collide in many bands; gating on the raw
+    # collision count would push a tiny distinct set onto the expensive
+    # distributed text-join verify). The extra bucketed shuffle runs
+    # over two-int64 rows — negligible next to either verify path.
+    cand = _distinct_pairs(
+        bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
     ).materialize()
 
     n_pairs = cand.count()
@@ -467,7 +522,7 @@ def minhash_lsh_dedup(
         return _empty_mapping(id_col)
     if verify:
         if n_pairs <= driver_max_verify_pairs:
-            df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+            df = cand.to_pandas()
             pairs = _verify_pairs_driver(
                 list(zip(df["id_a"].astype(int), df["id_b"].astype(int))),
                 ds, id_col, text_col, shingle_k, threshold,
@@ -485,7 +540,7 @@ def minhash_lsh_dedup(
             n_pairs = len(pairs)
         else:
             cand = _verify_pairs_distributed(
-                _distinct_pairs(cand), ds, id_col, text_col, shingle_k, threshold
+                cand, ds, id_col, text_col, shingle_k, threshold
             )
             n_pairs = None  # recount inside resolve
     return resolve_dup_mapping(

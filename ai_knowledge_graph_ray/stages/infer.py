@@ -399,21 +399,6 @@ def connected_components_distributed(
     return labels
 
 
-def components_from_triples(triples: ray.data.Dataset) -> dict[str, int]:
-    """Aggregate distinct (subject, object) pairs distributively, then
-    label components on the driver (edge residue is small: unique
-    entity pairs)."""
-    pairs = (
-        triples.select_columns(["subject", "object"])
-        .groupby(["subject", "object"])
-        .count()
-        .to_pandas()
-    )
-    if "subject" not in pairs.columns or pairs.empty:
-        return {}
-    return connected_components(list(zip(pairs["subject"], pairs["object"])))
-
-
 # ---------------------------------------------------------------------------
 # Transitive inference (J2)
 # ---------------------------------------------------------------------------
@@ -814,11 +799,24 @@ def infer_with_model(
                 ]
                 return batch.filter(pa.array(mask, pa.bool_()))
 
+        # Reduce to DISTINCT (subject, object) pairs before collecting:
+        # the entity subset is capped (<= within_cap) so distinct pairs
+        # are bounded <= within_cap^2, but raw triples between a hot
+        # pair are not — a pair with 10^6 duplicate edges must not ship
+        # them all to the driver.
+        member_pairs = triples.map_batches(
+            _Member, batch_format="pyarrow", concurrency=2
+        ).select_columns(["subject", "object"])
+
+        def _dd(b: pd.DataFrame) -> pd.DataFrame:
+            return b.drop_duplicates(["subject", "object"])
+
+        pair_schema = pa.schema([("subject", pa.string()), ("object", pa.string())])
         connected = {
             (r["subject"], r["object"])
-            for r in triples.map_batches(_Member, batch_format="pyarrow", concurrency=2)
-            .select_columns(["subject", "object"])
-            .take_all()
+            for r in bucketed_reduce(
+                member_pairs, ["subject", "object"], _dd, pair_schema, combiner=_dd
+            ).take_all()
         }
         pairs = []
         for a in ents:

@@ -18,14 +18,25 @@ Distributed plan (SparkER-style token blocking, cf. PAPERS.md):
 
 - The "relates to" family fires iff the pair shares a >=4-char word —
   exactly the token-blocking join condition. Explode entities to
-  ``(token, entity)`` for tokens >=4 chars, group by token, emit pairs
-  within each block (capped per block for scale), dedup pairs
-  globally, verify/direction per pair.
+  ``(token, entity)`` for tokens >=4 chars, emit pairs within each
+  block (capped per block for scale), dedup pairs globally,
+  verify/direction per pair.
 - Containment pairs share NO word, so token blocks never find them;
   they are blocked on character 3-grams: an entity ``e1`` contained in
   ``e2`` must have its leading 3-gram among ``e2``'s 3-grams.
 - Existing-pair exclusion is a symmetric anti-join against the
   distinct related-pair set.
+
+Scale shape (mirrors ``stages/dedup.py``): every per-block reduce goes
+through :func:`~.infer.bucketed_reduce` — ONE coarse-bucket shuffle
+whose reducer sees many blocks at once and generates within-block
+pairs VECTORIZED (:func:`~.dedup._pair_indices_by_size` templates for
+the word blocks, a C-level ``pandas.merge`` cross product + elementwise
+``np.char.find`` containment for the 3-gram blocks). Never
+``groupby(key).map_groups`` (one Python task per distinct token/gram —
+millions at corpus scale) and never Ray's native multi-key
+``groupby().count()`` for pair dedup (measured ~30x slower than a
+bucketed ``drop_duplicates`` — NOTES.md item 9).
 
 ``mode="exact"`` replicates the reference loop on the driver
 (deterministic ``sorted(entities)`` order) — used for parity tests and
@@ -35,11 +46,14 @@ by entity count.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
 EXACT_THRESHOLD = 1200
+
+_NO_CAP = 1 << 62
 
 
 def _pair_rules(e1: str, e2: str) -> tuple[str, str, str] | None:
@@ -86,6 +100,66 @@ def _exact_lexical(
     return out
 
 
+def _word_block_pairs(g: pd.DataFrame, cap: int | None) -> pd.DataFrame:
+    """Within-block upper-triangle pairs for word-token blocks,
+    vectorized over ALL blocks in the bucket: rows ``(key, entity)`` ->
+    ``(key, e1, e2)`` with ``e1 < e2``. Pair indices come from
+    :func:`~.dedup._pair_indices_by_size` size-template broadcasting —
+    no per-key Python. ``cap`` bounds pairs per block (skew defense)."""
+    from .dedup import _pair_indices_by_size
+
+    empty = pd.DataFrame({"key": pd.Series(dtype=object),
+                          "e1": pd.Series(dtype=object),
+                          "e2": pd.Series(dtype=object)})
+    if len(g) == 0:
+        return empty
+    g = g.drop_duplicates(["key", "entity"]).sort_values(
+        ["key", "entity"], kind="stable"
+    )
+    codes = pd.factorize(g["key"].to_numpy())[0]  # monotonic: sorted input
+    I, J = _pair_indices_by_size(codes, _NO_CAP if cap is None else cap)
+    if len(I) == 0:
+        return empty
+    keys = g["key"].to_numpy()
+    ents = g["entity"].to_numpy()
+    return pd.DataFrame({"key": keys[I], "e1": ents[I], "e2": ents[J]})
+
+
+def _gram_block_pairs(
+    needles: pd.DataFrame, hays: pd.DataFrame, cap: int | None
+) -> pd.DataFrame:
+    """Containment candidates, vectorized over ALL 3-gram blocks in the
+    bucket: a C-level per-key (needle x haystack) cross product via
+    ``pandas.merge``, then an elementwise ``np.char.find`` substring
+    check. Output ``(e1, e2)`` with ``e1 < e2``; a pair can only appear
+    in its needle's leading-3-gram block, so no cross-block dups."""
+    empty = pd.DataFrame({"e1": pd.Series(dtype=object),
+                          "e2": pd.Series(dtype=object)})
+    if len(needles) == 0 or len(hays) == 0:
+        return empty
+    m = needles.drop_duplicates(["key", "entity"]).merge(
+        hays.drop_duplicates(["key", "entity"]), on="key", suffixes=("_n", "_h")
+    )
+    if cap is not None and len(m):
+        m = m.groupby("key", sort=False).head(cap)
+    if len(m) == 0:
+        return empty
+    nd = m["entity_n"].to_numpy()
+    hy = m["entity_h"].to_numpy()
+    neq = nd != hy
+    nd, hy = nd[neq], hy[neq]
+    if len(nd) == 0:
+        return empty
+    contained = np.char.find(
+        np.char.lower(hy.astype("U")), np.char.lower(nd.astype("U"))
+    ) >= 0
+    nd, hy = nd[contained], hy[contained]
+    if len(nd) == 0:
+        return empty
+    lo = nd < hy
+    return pd.DataFrame({"e1": np.where(lo, nd, hy), "e2": np.where(lo, hy, nd)})
+
+
 def _blocked_candidate_pairs(
     entities: ray.data.Dataset,
     *,
@@ -93,7 +167,11 @@ def _blocked_candidate_pairs(
     num_partitions: int,
 ) -> ray.data.Dataset:
     """Candidate (e1, e2) pairs (e1 < e2) from word-token blocks and
-    3-gram containment blocks, deduplicated."""
+    3-gram containment blocks, deduplicated. Each block family is ONE
+    ``bucketed_reduce`` shuffle with vectorized within-block pair
+    generation; the global pair dedup is a bucketed
+    ``drop_duplicates`` (never native multi-key groupby — NOTES.md 9)."""
+    from .infer import bucketed_reduce
 
     def _word_tokens(batch: pa.Table) -> pa.Table:
         keys, ents = [], []
@@ -126,51 +204,15 @@ def _blocked_candidate_pairs(
             {"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())}
         )
 
-    def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        ents = sorted(set(g["entity"]))
-        a, b = [], []
-        n = len(ents)
-        cap = max_pairs_per_block
-        count = 0
-        for i in range(n):
-            for j in range(i + 1, n):
-                a.append(ents[i])
-                b.append(ents[j])
-                count += 1
-                if cap is not None and count >= cap:
-                    return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
-        return pa.table(
-            {"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())}
-        )
-
-    def _containment_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        needles = sorted(set(g.loc[g["role"] == "n", "entity"]))
-        hays = sorted(set(g.loc[g["role"] == "h", "entity"]))
-        a, b = [], []
-        count = 0
-        for nd in needles:
-            ln = nd.lower()
-            for hy in hays:
-                if nd == hy:
-                    continue
-                if ln in hy.lower():
-                    x, y = (nd, hy) if nd < hy else (hy, nd)
-                    a.append(x)
-                    b.append(y)
-                    count += 1
-                    if max_pairs_per_block is not None and count >= max_pairs_per_block:
-                        return pa.table({"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())})
-        return pa.table(
-            {"e1": pa.array(a, pa.string()), "e2": pa.array(b, pa.string())}
-        )
-
-    from .infer import normalize_blocks
-
     pair_schema = pa.schema([("e1", pa.string()), ("e2", pa.string())])
+
     word_blocks = entities.map_batches(_word_tokens, batch_format="pyarrow")
-    word_pairs = normalize_blocks(
-        word_blocks.groupby("key").map_groups(_pairs_in_block, batch_format="pandas"),
+    word_pairs = bucketed_reduce(
+        word_blocks,
+        ["key"],
+        lambda g: _word_block_pairs(g, max_pairs_per_block)[["e1", "e2"]],
         pair_schema,
+        num_buckets=num_partitions,
     )
 
     hay = entities.map_batches(_gram_haystack, batch_format="pyarrow").map_batches(
@@ -181,16 +223,30 @@ def _blocked_candidate_pairs(
         lambda b: b.append_column("role", pa.array(["n"] * len(b), pa.string())),
         batch_format="pyarrow",
     )
-    contain_pairs = normalize_blocks(
-        hay.union(needle).groupby("key").map_groups(_containment_pairs, batch_format="pandas"),
+    contain_pairs = bucketed_reduce(
+        hay.union(needle),
+        ["key"],
+        lambda g: _gram_block_pairs(
+            g.loc[g["role"] == "n", ["key", "entity"]],
+            g.loc[g["role"] == "h", ["key", "entity"]],
+            max_pairs_per_block,
+        ),
         pair_schema,
+        num_buckets=num_partitions,
     )
 
-    all_pairs = word_pairs.union(contain_pairs)
-    # Global pair dedup (a pair can be found by many blocks).
-    return normalize_blocks(
-        all_pairs.groupby(["e1", "e2"]).count().select_columns(["e1", "e2"]),
+    # Global pair dedup (a pair can be found by many blocks) — map-side
+    # combiner + one bucketed shuffle.
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["e1", "e2"])
+
+    return bucketed_reduce(
+        word_pairs.union(contain_pairs),
+        ["e1", "e2"],
+        _dd,
         pair_schema,
+        combiner=_dd,
+        num_buckets=num_partitions,
     )
 
 
@@ -205,15 +261,18 @@ def infer_lexical_fast(
 
     The entity list and existing-pair set are the small aggregated
     residues already on the driver (collected once for component
-    labeling); only ONE distributed shuffle remains — the token/3-gram
-    block groupby. Global pair dedup needs no second shuffle: each
-    pair is emitted only by its canonical block (word pairs: the
-    lexicographically smallest shared >=4-char word; containment
-    pairs: the contained entity's leading 3-gram — unique by
-    construction), and the existing-pair exclusion is a broadcast
-    filter. Caps per block bound degenerate blocks (skew defense).
+    labeling); only ONE distributed shuffle remains — the
+    ``bucketed_reduce`` over token/3-gram block keys, whose reducer
+    generates within-block candidate pairs VECTORIZED across all the
+    blocks in its bucket (no per-key Python task). Global pair dedup
+    needs no second shuffle: each pair is emitted only by its canonical
+    block (word pairs: the lexicographically smallest shared >=4-char
+    word; containment pairs: the contained entity's leading 3-gram —
+    unique by construction), and the existing-pair exclusion is a
+    broadcast filter. Caps per block bound degenerate blocks (skew
+    defense).
     """
-    from .infer import _ensure_lineage, normalize_blocks
+    from .infer import _ensure_lineage, bucketed_reduce
 
     ent_tbl = pa.table({"entity": pa.array(sorted(set(entities)), pa.string())})
     ds = ray.data.from_arrow(ent_tbl)
@@ -258,85 +317,60 @@ def infer_lexical_fast(
         [("subject", pa.string()), ("predicate", pa.string()), ("object", pa.string())]
     )
 
-    def _block_triples(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
-            return trip_schema.empty_table()
-        key = g["key"].iloc[0]
-        s_, p_, o_ = [], [], []
-        emitted = 0
-        cap = max_pairs_per_block
-
-        def _push(rule: tuple[str, str, str] | None) -> bool:
-            nonlocal emitted
-            if rule is None:
-                return False
-            s_.append(rule[0])
-            p_.append(rule[1])
-            o_.append(rule[2])
-            emitted += 1
-            return cap is not None and emitted >= cap
-
-        if key.startswith("g:"):
-            needles = sorted(set(g.loc[g["role"] == "n", "entity"]))
-            hays = sorted(set(g.loc[g["role"] == "h", "entity"]))
-            done = False
-            for nd in needles:
-                ln = nd.lower()
-                for hy in hays:
-                    if nd == hy or ln not in hy.lower():
-                        continue
-                    e1, e2 = (nd, hy) if nd < hy else (hy, nd)
-                    if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
-                        continue
-                    # containment branch applies only with NO shared words
-                    if set(e1.lower().split()) & set(e2.lower().split()):
-                        continue
-                    if _push(_pair_rules(e1, e2)):
-                        done = True
-                        break
-                if done:
-                    break
-        else:
-            ents = sorted(set(g.loc[g["role"] == "w", "entity"]))
-            done = False
-            for i in range(len(ents)):
-                for j in range(i + 1, len(ents)):
-                    e1, e2 = ents[i], ents[j]
-                    if _canonical_word(e1, e2) != key:
-                        continue  # another block owns this pair
-                    if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
-                        continue
-                    if _push(_pair_rules(e1, e2)):
-                        done = True
-                        break
-                if done:
-                    break
-        return pa.table(
-            {
-                "subject": pa.array(s_, pa.string()),
-                "predicate": pa.array(p_, pa.string()),
-                "object": pa.array(o_, pa.string()),
-            }
-        )
-
     # Broadcast the existing-pair set through the object store; fetched
     # once per worker process via a module-level cache.
     import ray as _ray
 
     pairs_ref = _ray.put(existing_pairs)
 
-    def _block_triples_with_state(g: pd.DataFrame) -> pa.Table:
+    def _bucket_triples(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket reducer: vectorized candidate generation over all
+        word blocks and all 3-gram blocks in the bucket, then the
+        per-candidate rule checks (bounded by the per-block caps)."""
         global _EXISTING
-        if "_EXISTING" not in globals() or _EXISTING_REF[0] is not pairs_ref:
+        if _EXISTING_REF[0] is not pairs_ref:
             _EXISTING = _ray.get(pairs_ref)
             _EXISTING_REF[0] = pairs_ref
-        return _block_triples(g)
+        s_, p_, o_ = [], [], []
 
-    out = normalize_blocks(
-        ds.map_batches(_explode, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(_block_triples_with_state, batch_format="pandas"),
+        def _push(rule: tuple[str, str, str] | None) -> None:
+            if rule is not None:
+                s_.append(rule[0])
+                p_.append(rule[1])
+                o_.append(rule[2])
+
+        wp = _word_block_pairs(
+            g.loc[g["role"] == "w", ["key", "entity"]], max_pairs_per_block
+        )
+        for key, e1, e2 in zip(wp["key"], wp["e1"], wp["e2"]):
+            if _canonical_word(e1, e2) != key:
+                continue  # another block owns this pair
+            if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
+                continue
+            _push(_pair_rules(e1, e2))
+
+        grams = g[g["role"] != "w"]
+        gp = _gram_block_pairs(
+            grams.loc[grams["role"] == "n", ["key", "entity"]],
+            grams.loc[grams["role"] == "h", ["key", "entity"]],
+            max_pairs_per_block,
+        )
+        for e1, e2 in zip(gp["e1"], gp["e2"]):
+            if (e1, e2) in _EXISTING or (e2, e1) in _EXISTING:
+                continue
+            # containment branch applies only with NO shared words
+            if set(e1.lower().split()) & set(e2.lower().split()):
+                continue
+            _push(_pair_rules(e1, e2))
+
+        return pd.DataFrame({"subject": s_, "predicate": p_, "object": o_})
+
+    out = bucketed_reduce(
+        ds.map_batches(_explode, batch_format="pyarrow"),
+        ["key"],
+        _bucket_triples,
         trip_schema,
+        num_buckets=num_blocks,
     )
     return out.map_batches(
         lambda b: _ensure_lineage(
@@ -359,23 +393,35 @@ def infer_lexical(
 ) -> ray.data.Dataset:
     """Entities of ``triples`` -> inferred lexical-similarity triples
     ``(subject, predicate, object, inferred=True, stage='lexical')``."""
-    from .infer import _ensure_lineage, default_num_partitions
+    from .infer import _ensure_lineage, bucketed_reduce, default_num_partitions
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
 
-    entities = (
+    # Distinct entities / distinct (subject, object) pairs via bucketed
+    # drop_duplicates — never the native (multi-key) groupby (NOTES.md 9).
+    def _dd_ent(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["entity"])
+
+    def _dd_pair(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["subject", "object"])
+
+    entities = bucketed_reduce(
         triples.select_columns(["subject"]).rename_columns({"subject": "entity"})
-        .union(triples.select_columns(["object"]).rename_columns({"object": "entity"}))
-        .groupby("entity")
-        .count()
-        .select_columns(["entity"])
+        .union(triples.select_columns(["object"]).rename_columns({"object": "entity"})),
+        ["entity"],
+        _dd_ent,
+        pa.schema([("entity", pa.string())]),
+        combiner=_dd_ent,
+        num_buckets=num_partitions,
     )
-    existing = (
-        triples.select_columns(["subject", "object"])
-        .groupby(["subject", "object"])
-        .count()
-        .select_columns(["subject", "object"])
+    existing = bucketed_reduce(
+        triples.select_columns(["subject", "object"]),
+        ["subject", "object"],
+        _dd_pair,
+        pa.schema([("subject", pa.string()), ("object", pa.string())]),
+        combiner=_dd_pair,
+        num_buckets=num_partitions,
     )
 
     if mode == "auto":

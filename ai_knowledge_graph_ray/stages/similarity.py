@@ -145,8 +145,15 @@ def ivf_build(
     plus the centroid matrix. ``knn_ivf_indexed`` then prunes whole
     partition directories at the read — the probe never scans rows of
     unprobed lists (the actual I/O saving ``knn_ivf``'s row filter
-    cannot give)."""
+    cannot give).
+
+    The index is built into a fresh temp dir and atomically swapped
+    into place (``write_parquet`` APPENDS into existing partition dirs
+    — NOTES.md item 6 — so building over a prior or interrupted index
+    would duplicate vectors). A ``_SUCCESS`` marker is written last;
+    readers must treat a marker-less directory as incomplete."""
     import os
+    import shutil
 
     sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
     mat = np.stack([r[vec_col] for r in sample])
@@ -163,11 +170,19 @@ def ivf_build(
             batch["list_id"] = np.argmax(unit @ self.cents.T, axis=1).astype(np.int64)
             return batch
 
-    os.makedirs(index_dir, exist_ok=True)
+    tmp_dir = f"{index_dir}.build.{os.getpid()}"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     ds.select_columns([id_col, vec_col]).map_batches(
         _Assign, batch_format="pandas", concurrency=(1, 8)
-    ).write_parquet(os.path.join(index_dir, "lists"), partition_cols=["list_id"])
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    ).write_parquet(os.path.join(tmp_dir, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp_dir, index_dir)
     return cents
 
 

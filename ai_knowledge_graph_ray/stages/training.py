@@ -543,6 +543,157 @@ def generate_comparison_qa(
     return ray.data.from_arrow(tbl)
 
 
+def generate_counterfactual_qa(
+    edges: ray.data.Dataset,
+    *,
+    seed: int = 42,
+    max_per_rel: int = MAX_PER_REL,
+) -> ray.data.Dataset:
+    """Edge-negation counterfactual QA (generalized reference Type 6,
+    ``training_generator.py:665-721`` — there, "why did this trade
+    fail?" from negative examples; here, the negatives are synthesized
+    by NEGATIVE SAMPLING over the materialized graph): per predicate,
+    for each kept edge ``(s, p, o)``, draw a wrong object ``o'`` from
+    the same predicate's object pool such that ``(s, p, o')`` is NOT an
+    edge, and ask whether the negated statement holds. The answer
+    refutes it and states the recorded fact.
+
+    Distributed like the other generators: one ``map_groups`` per
+    predicate (bounded key domain), order-independent per-relation
+    seeded RNG, seeded sampling caps.
+    """
+
+    def _per_relation(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return QA_SCHEMA.empty_table()
+        rel = str(g["predicate"].iloc[0])
+        clean = bool(_CLEAN_PRED_RE.match(rel.replace(" ", "_").lower()))
+        if not clean:
+            return QA_SCHEMA.empty_table()
+        edge_set = {(str(s), str(d)) for s, d in zip(g["src"], g["dst"])}
+        objects = sorted({d for _, d in edge_set})
+        if len(objects) < 2:
+            return QA_SCHEMA.empty_table()  # no wrong object exists
+        rows = sorted(edge_set)
+        rng = _rel_rng(seed, "cf:" + rel)
+        if len(rows) > max_per_rel:
+            rows = sorted(rng.sample(rows, max_per_rel))
+        pretty_rel = rel.replace("_", " ")
+        ins, inp, out, cat = [], [], [], []
+        for s, d in rows:
+            # deterministic wrong-object draw: first non-edge object in
+            # a seeded rotation of the pool
+            start = rng.randrange(len(objects))
+            wrong = None
+            for k in range(len(objects)):
+                c = objects[(start + k) % len(objects)]
+                if c != d and (s, c) not in edge_set:
+                    wrong = c
+                    break
+            if wrong is None:
+                continue  # s relates to every object; no negative exists
+            ins.append(f"Is it true that {_title(s)} {pretty_rel} {_title(wrong)}?")
+            inp.append("")
+            out.append(
+                f"No. The graph does not record that {_title(s)} {pretty_rel} "
+                f"{_title(wrong)}. The recorded relationship is: {_title(s)} "
+                f"{pretty_rel} {_title(d)}."
+            )
+            cat.append("counterfactual_qa")
+        return pa.table(
+            {
+                "instruction": pa.array(ins, pa.string()),
+                "input": pa.array(inp, pa.string()),
+                "output": pa.array(out, pa.string()),
+                "category": pa.array(cat, pa.string()),
+            }
+        )
+
+    return normalize_blocks(
+        edges.select_columns(["src", "dst", "predicate"])
+        .groupby("predicate")
+        .map_groups(_per_relation, batch_format="pandas"),
+        QA_SCHEMA,
+    )
+
+
+def generate_anti_pattern_qa(
+    edges: ray.data.Dataset,
+    *,
+    seed: int = 42,
+    max_per_rel: int = MAX_PER_REL,
+) -> ray.data.Dataset:
+    """Wrong-pairing anti-pattern QA (generalized reference Type 8,
+    ``training_generator.py:796-826`` — there, curated anti-pattern
+    node cards; here, the anti-pattern instances are synthesized from
+    the graph itself): per predicate, CROSS-PAIR two distinct edges
+    ``(s1, p, o1)`` and ``(s2, p, o2)`` into the corrupted statement
+    ``(s1, p, o2)`` (verified NOT to be an edge) and ask what is wrong
+    with it. The answer names the error class (mixed-up pairing) and
+    both recorded facts. Same distributed shape as the other
+    generators; per-relation seeded RNG keeps output independent of
+    partitioning.
+    """
+
+    def _per_relation(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return QA_SCHEMA.empty_table()
+        rel = str(g["predicate"].iloc[0])
+        clean = bool(_CLEAN_PRED_RE.match(rel.replace(" ", "_").lower()))
+        if not clean:
+            return QA_SCHEMA.empty_table()
+        edge_set = {(str(s), str(d)) for s, d in zip(g["src"], g["dst"])}
+        rows = sorted(edge_set)
+        if len(rows) < 2:
+            return QA_SCHEMA.empty_table()
+        rng = _rel_rng(seed, "ap:" + rel)
+        picks = rows
+        if len(picks) > max_per_rel:
+            picks = sorted(rng.sample(picks, max_per_rel))
+        pretty_rel = rel.replace("_", " ")
+        ins, inp, out, cat = [], [], [], []
+        for s1, o1 in picks:
+            # seeded rotation over the OTHER edges for the cross pair
+            start = rng.randrange(len(rows))
+            partner = None
+            for k in range(len(rows)):
+                s2, o2 = rows[(start + k) % len(rows)]
+                if s2 != s1 and o2 != o1 and (s1, o2) not in edge_set:
+                    partner = (s2, o2)
+                    break
+            if partner is None:
+                continue
+            s2, o2 = partner
+            ins.append(
+                f"What is wrong with this statement: "
+                f"\"{_title(s1)} {pretty_rel} {_title(o2)}\"?"
+            )
+            inp.append("")
+            out.append(
+                f"The statement mixes up two separate facts (a wrong-pairing "
+                f"error). The graph records {_title(s1)} {pretty_rel} "
+                f"{_title(o1)} and {_title(s2)} {pretty_rel} {_title(o2)}; "
+                f"it does not connect {_title(s1)} to {_title(o2)} via "
+                f"'{pretty_rel}'."
+            )
+            cat.append("anti_pattern_qa")
+        return pa.table(
+            {
+                "instruction": pa.array(ins, pa.string()),
+                "input": pa.array(inp, pa.string()),
+                "output": pa.array(out, pa.string()),
+                "category": pa.array(cat, pa.string()),
+            }
+        )
+
+    return normalize_blocks(
+        edges.select_columns(["src", "dst", "predicate"])
+        .groupby("predicate")
+        .map_groups(_per_relation, batch_format="pandas"),
+        QA_SCHEMA,
+    )
+
+
 def stratified_split(
     ds: ray.data.Dataset,
     strata_col: str,

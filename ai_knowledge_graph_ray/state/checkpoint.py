@@ -166,11 +166,29 @@ class PartitionedSink:
         self._record(entries)
         return entries
 
-    def read_all(self) -> ray.data.Dataset:
+    def read_all(self, expected_stage: str | None = None) -> ray.data.Dataset:
         """Read back every completed partition (an empty manifest —
         e.g. a finalize after an all-empty input — yields an empty
-        lineage-shaped dataset rather than a read error)."""
-        paths = [e["path"] for e in self.done_partitions().values()]
+        lineage-shaped dataset rather than a read error).
+
+        ``expected_stage`` guards resume across sink-format versions:
+        if any manifest entry was written under a DIFFERENT stage name,
+        refuse loudly instead of silently mixing differently-processed
+        triples in one finalize (e.g. feeding already-standardized
+        rows back through standardization)."""
+        entries = self.done_partitions().values()
+        if expected_stage is not None:
+            bad = sorted(
+                {e.get("stage", "<missing>") for e in entries} - {expected_stage}
+            )
+            if bad:
+                raise ValueError(
+                    f"sink {self.out_dir!r} contains partitions from stage(s) "
+                    f"{bad}, expected {expected_stage!r}; refusing to resume a "
+                    "mixed-stage checkpoint — finalize with the version that "
+                    "wrote it, or start a fresh out_dir"
+                )
+        paths = [e["path"] for e in entries]
         if not paths:
             from ..stages.infer import LINEAGE_SCHEMA
 

@@ -52,6 +52,20 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the host ``/proc/stat`` cpu
+    line. Only the STEAL column is informative in this container
+    (NOTES.md: busy% does not reflect Ray worker usage); a window's
+    steal fraction = delta_steal / delta_total."""
+    try:
+        with open("/proc/stat", encoding="ascii") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_bench() -> dict:
     import logging
 
@@ -76,12 +90,19 @@ def run_bench() -> dict:
     # Warm the page cache so we measure compute+shuffle, not cold disk.
     n_docs = pages_from_documents(SF_DIR, replication=REPLICATION).count()
 
-    # Best-of-N headline: this sandbox VM suffers hypervisor CPU steal
-    # with multi-x wall-clock swings between identical runs; min-of-2
-    # reports the machine's capability, not the neighbor's load.
-    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
-    headline = None
-    for _ in range(max(1, trials)):
+    # Best-of-N headline, STEAL-AWARE: this sandbox VM suffers
+    # hypervisor CPU steal with multi-x wall-clock swings between
+    # identical runs (NOTES.md: /proc/stat steal 10-21% under dirty
+    # windows vs 0-0.5% clean). Each trial samples the steal counter
+    # around its window; if even the best trial ran dirty (>2% steal),
+    # ONE bounded extra trial is attempted. The JSON line carries every
+    # trial's (sec, steal_pct) so a degraded number exculpates itself.
+    trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))
+    steal_dirty_pct = float(os.environ.get("GRAFT_BENCH_STEAL_DIRTY", "2.0"))
+    runs: list[dict] = []
+    planned, retry_left = trials, 1
+    while len(runs) < planned:
+        s0, tk0 = _cpu_ticks()
         t0 = time.time()
         res = build_graph(
             pages_from_documents(SF_DIR, replication=REPLICATION),
@@ -93,7 +114,18 @@ def run_bench() -> dict:
         n_triples = res["triples"].count()
         n_edges = res["edges"].count()
         dt = time.time() - t0
-        headline = dt if headline is None else min(headline, dt)
+        s1, tk1 = _cpu_ticks()
+        steal_pct = 100.0 * (s1 - s0) / max(1, tk1 - tk0)
+        runs.append({"sec": round(dt, 3), "steal_pct": round(steal_pct, 2)})
+        if (
+            len(runs) == planned
+            and retry_left
+            and min(runs, key=lambda r: r["sec"])["steal_pct"] > steal_dirty_pct
+        ):
+            planned += 1
+            retry_left = 0
+    best = min(runs, key=lambda r: r["sec"])
+    headline = best["sec"]
 
     stats_file = None
     if os.environ.get("GRAFT_BENCH_STATS"):
@@ -111,6 +143,8 @@ def run_bench() -> dict:
             "metric": "kg_pipeline_sec",
             "value": round(headline, 3),
             "unit": "sec",
+            "steal_pct": best["steal_pct"],
+            "headline_runs": runs,
             "queries": {},
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
@@ -133,6 +167,8 @@ def run_bench() -> dict:
         "metric": "kg_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "steal_pct": best["steal_pct"],
+        "headline_runs": runs,
         **({"stats_file": stats_file} if stats_file else {}),
         "queries": per_query,
         "sf": SF_DIR,
@@ -176,6 +212,8 @@ def run_scaling() -> dict:
         "cpus_hi": SCALE_HI,
         f"sec_{SCALE_LO}": lo["value"],
         f"sec_{SCALE_HI}": hi["value"],
+        f"steal_pct_{SCALE_LO}": lo.get("steal_pct"),
+        f"steal_pct_{SCALE_HI}": hi.get("steal_pct"),
         f"docs_per_sec_{SCALE_LO}": lo["docs_per_sec"],
         f"docs_per_sec_{SCALE_HI}": hi["docs_per_sec"],
         "replication": lo.get("replication"),

@@ -296,3 +296,33 @@ def test_dup_heavy_corpus_distributed_path():
 
     originals_ids = set(range(0, len(rows), 26))
     assert set(dist.values()) <= originals_ids
+
+
+class TestBatchedSignatures:
+    def test_bit_equal_to_per_doc(self, monkeypatch):
+        """The across-document vectorized signature kernel must be
+        bit-identical to the per-doc reference (minhash is invariant to
+        gram multiplicity), including across slab boundaries and with
+        empty/short/duplicate-heavy docs interleaved."""
+        import ai_knowledge_graph_ray.stages.dedup as dd
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "",
+            "one two",  # shorter than k -> single gram
+            "dup dup dup dup dup dup dup dup dup dup",
+            "the quick brown fox jumps over the lazy dog again and again",
+            "   ",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        ]
+        a, b = dd._minhash_params(64)
+        want = np.stack(
+            [dd._minhash_sig(dd._shingles(t, 3), a, b) for t in texts]
+        )
+        got = dd._batch_minhash_sigs(texts, 3, a, b)
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, want)
+        # force multiple slabs (each doc has < 10 grams)
+        monkeypatch.setattr(dd, "_SIG_SLAB_GRAMS", 10)
+        got_slabbed = dd._batch_minhash_sigs(texts, 3, a, b)
+        assert np.array_equal(got_slabbed, want)

@@ -80,7 +80,7 @@ def test_standardize_with_llm(monkeypatch):
     ds = _triples(
         [
             ("steamx", "powers", "millx", 1),
-            ("steamy", "drives", "loomx", 2),
+            ("steamy", "propels", "loomx", 2),
         ]
     )
     out, alias = standardize_triples(
@@ -133,3 +133,49 @@ def test_llm_inference_accepts_valid_triples(monkeypatch):
     assert rows[(s, p, o)]["inferred"] is True
     assert not any(k[0] == "self" and k[2] == "self" for k in rows)
     assert "inference" in scripted.calls
+
+
+def test_a5_hot_pair_duplicates_gated():
+    """The A5 within-community connected-pair collect must see only
+    DISTINCT (subject, object) pairs: a hot pair duplicated hundreds of
+    times yields the same candidate-pair prompt as a single edge (and
+    the duplicated edges never change which pairs are proposed)."""
+    from ai_knowledge_graph_ray.stages.infer import infer_with_model, with_lineage
+
+    class RecordingModel:
+        def __init__(self):
+            self.user_prompts = []
+
+        def chat(self, system_prompt, user_prompt):
+            self.user_prompts.append(user_prompt)
+            return "[]"
+
+    community = {
+        "steam engine",
+        "steam power",
+        "steam boiler",
+        "steam valve",
+        "steam pipe",
+    }
+
+    def _run(hot_copies: int):
+        rows = [("steam engine", "generates", "steam power", 1)] * hot_copies
+        rows += [("steam boiler", "feeds", "steam pipe", 2)]
+        ds = with_lineage(_triples(rows), "extracted").materialize()
+        model = RecordingModel()
+        infer_with_model(ds, [community], {}, model)
+        return model.user_prompts
+
+    single = _run(1)
+    hot = _run(400)
+    assert len(hot) == 1 and len(single) == 1
+    # The candidate-pair section (everything before the context
+    # triples) is identical: duplicates are invisible to the collect.
+    # The context section legitimately differs (reference semantics
+    # keep duplicate context triples).
+    pairs_of = lambda p: p.split("Existing relationships")[0]
+    assert pairs_of(single[0]) == pairs_of(hot[0])
+    # connected pairs are excluded from the proposed pairs
+    assert "steam engine and steam power" not in hot[0]
+    # unconnected word-sharing pairs are proposed
+    assert "steam boiler and steam engine" in hot[0]

@@ -69,7 +69,7 @@ def test_join_alias_apply_equals_broadcast():
         _triples(
             [
                 ("Steam Engine", "powers", "the mill", 1),
-                ("steam engine", "drives", "loom", 2),
+                ("steam engine", "propels", "loom", 2),
                 ("unmapped", "touches", "also unmapped", 3),
             ]
         ),
@@ -137,7 +137,7 @@ def test_standardize_gate_equals_driver_no_second_pass():
 
     rows = [
         ("the steam engine", "powers", "textile mill"),
-        ("steam engine", "drives", "locomotive"),
+        ("steam engine", "propels", "locomotive"),
         ("Steam Engine", "uses", "coal"),
         ("coal", "fuels", "steam engine"),
         ("railway", "connects", "cities"),

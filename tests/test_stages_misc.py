@@ -422,6 +422,26 @@ class TestPngCodec:
         with _pytest.raises(UnsupportedPngError):
             decode_png(b"")
 
+    def test_corrupt_rejected_with_documented_error(self):
+        """Truncated IHDR / corrupt IDAT must raise the documented
+        UnsupportedPngError, not leak struct.error / zlib.error."""
+        import numpy as np
+        import pytest as _pytest
+
+        from ai_knowledge_graph_ray.functions.png import (
+            UnsupportedPngError,
+            decode_png,
+            encode_png,
+        )
+
+        good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        with _pytest.raises(UnsupportedPngError):
+            decode_png(good[:20])  # truncated mid-IHDR
+        corrupt = bytearray(good)
+        corrupt[40] ^= 0xFF  # flip a byte inside IDAT
+        with _pytest.raises(UnsupportedPngError):
+            decode_png(bytes(corrupt))
+
     def test_png_decoder_stage(self, sf_dir):
         from ai_knowledge_graph_ray.stages.multimodal import (
             extract_media_features,
