@@ -1143,6 +1143,35 @@ def q_media_wav_decode(sf_dir: str):
     )
 
 
+def q_scenario_eval(sf_dir: str):
+    """§3.3 consumer contract (reference logic_engine.py:165-224):
+    batch scenario evaluation against the materialized graph. Models =
+    top hub nodes with their out-neighbor sets as requirements;
+    scenarios = per-chunk detected-concept sets from the raw triples;
+    red flags / confluence weights derived deterministically from the
+    same blueprint (rows-only: milli-point scores are Python-rule-
+    dependent, pinned by the fixture pytest)."""
+    from ..stages.scenario import (
+        evaluate_scenarios,
+        rules_from_edges,
+        scenarios_from_chunks,
+    )
+
+    raw = q_kg_triples_raw(sf_dir).materialize()
+    scenarios = scenarios_from_chunks(raw)
+    rules = rules_from_edges(q_kg_edges(sf_dir), n_models=8).materialize()
+    blueprint = rules.to_pandas().sort_values(["model", "requirement"])
+    models = sorted(blueprint["model"].unique())
+    # deterministic consumer config: top-3 models are weighted
+    # confluence factors; the last model doubles as a red flag
+    # (exercises the disqualifier anti-join on real data)
+    weights = {m: 2.0 - i * 0.5 for i, m in enumerate(models[:3])}
+    red_flags = models[-1:] if len(models) > 3 else []
+    return evaluate_scenarios(
+        scenarios, rules, red_flags=red_flags, weights=weights, min_score=5.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1204,6 +1233,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "kg_nodes_louvain": q_kg_nodes_louvain,
+    "scenario_eval": q_scenario_eval,
 }
 
 _N_TOKENS_SQL = (
