@@ -82,9 +82,14 @@ def run_resumable(
     raw = extract_triples(
         chunks, cfg, concurrency=rt["extract_concurrency"],
         batch_size=rt["extract_batch_size"],
-    ).materialize()
-    if raw.count() > 0:
-        sink.write(with_lineage(raw, "extracted"), stage="triples_raw")
+    )
+    # STREAMING into the sink: no materialize barrier — the sink's own
+    # consumption is the single execution of the extraction pipeline,
+    # so blocks flow read -> extract -> partition shuffle -> atomic
+    # per-partition write with backpressure, never holding the whole
+    # raw-triples set in the object store. An all-done (empty) pending
+    # set writes nothing and adds no manifest entries.
+    sink.write(with_lineage(raw, "extracted"), stage="triples_raw")
 
     # Global section: recompute over ALL completed partitions.
     # Standardization runs HERE, over the full corpus, never per
