@@ -255,9 +255,11 @@ def k_hop_neighbors(
     (``graph_store.py:436-456``, undirected by default there too).
 
     One frontier expansion per hop: cogroup-join the frontier onto the
-    edge list, dedupe, anti-join the visited set. Frontiers and the
-    visited set stay datasets — nothing scales with graph size on the
-    driver."""
+    edge list, then ONE fused bucketed pass that both dedupes the new
+    hits and anti-joins the visited set (visited rows ride along with
+    ``hop=-1`` as the exclusion markers — two shuffles per hop total,
+    not three). Frontiers and the visited set stay datasets — nothing
+    scales with graph size on the driver."""
     from .infer import bucketed_reduce, sanitize_for_join
     from .relational import cogroup_join
 
@@ -267,7 +269,24 @@ def k_hop_neighbors(
     ).materialize()
 
     def _dd(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates("entity")
+        return b.drop_duplicates(["entity", "hop"])
+
+    def _new_only(g: pd.DataFrame) -> pd.DataFrame:
+        """Fused dedup + anti-join: keep one row per fresh entity with
+        no visited (hop=-1) marker row."""
+        seen = g.loc[g["hop"] < 0, "entity"]
+        fresh = g[g["hop"] >= 0]
+        if len(seen):
+            fresh = fresh[~fresh["entity"].isin(set(seen.to_numpy()))]
+        return fresh.drop_duplicates("entity")
+
+    def _mark_visited(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": b["entity"].combine_chunks().cast(pa.string()),
+                "hop": pa.array([-1] * len(b), pa.int64()),
+            }
+        )
 
     visited = ray.data.from_arrow(
         pa.table(
@@ -298,19 +317,13 @@ def k_hop_neighbors(
             ),
             batch_format="pyarrow",
         )
-        hit = bucketed_reduce(hit, ["entity"], _dd, HOP_SCHEMA, combiner=_dd,
-                              num_buckets=num_buckets)
-        new = sanitize_for_join(
-            cogroup_join(
-                sanitize_for_join(hit, HOP_SCHEMA),
-                visited.select_columns(["entity"]),
-                on=["entity"],
-                how="left_anti",
-                num_buckets=num_buckets,
-                left_schema=HOP_SCHEMA,
-                right_schema=pa.schema([("entity", pa.string())]),
-            ),
+        new = bucketed_reduce(
+            hit.union(visited.map_batches(_mark_visited, batch_format="pyarrow")),
+            ["entity"],
+            _new_only,
             HOP_SCHEMA,
+            combiner=_dd,
+            num_buckets=num_buckets,
         ).materialize()
         if new.count() == 0:
             break
@@ -349,10 +362,36 @@ def shortest_path(
 
     parent_schema = pa.schema([("entity", pa.string()), ("parent", pa.string())])
 
-    def _min_parent(b: pd.DataFrame) -> pd.DataFrame:
-        return (
-            b.sort_values(["entity", "parent"], kind="stable")
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        """Map-side combine: one marker row per visited entity, one
+        min-parent row per fresh entity."""
+        vis = b[b["vis"] == 1].drop_duplicates("entity")
+        fresh = (
+            b[b["vis"] == 0]
+            .sort_values(["entity", "parent"], kind="stable")
             .drop_duplicates("entity", keep="first")
+        )
+        return pd.concat([vis, fresh], ignore_index=True)
+
+    def _new_min_parent(g: pd.DataFrame) -> pd.DataFrame:
+        """Fused min-parent dedup + visited anti-join in one bucketed
+        pass (two shuffles per hop, not three)."""
+        seen = g.loc[g["vis"] == 1, "entity"]
+        fresh = g[g["vis"] == 0]
+        if len(seen):
+            fresh = fresh[~fresh["entity"].isin(set(seen.to_numpy()))]
+        return (
+            fresh.sort_values(["entity", "parent"], kind="stable")
+            .drop_duplicates("entity", keep="first")[["entity", "parent"]]
+        )
+
+    def _mark_visited(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": b["entity"].combine_chunks().cast(pa.string()),
+                "parent": b["parent"].combine_chunks().cast(pa.string()),
+                "vis": pa.array([1] * len(b), pa.int64()),
+            }
         )
 
     visited = ray.data.from_arrow(
@@ -375,23 +414,17 @@ def shortest_path(
                 {
                     "entity": b["dst"].combine_chunks().cast(pa.string()),
                     "parent": b["src"].combine_chunks().cast(pa.string()),
+                    "vis": pa.array([0] * len(b), pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
-        hit = bucketed_reduce(
-            hit, ["entity"], _min_parent, parent_schema, combiner=_min_parent
-        )
-        new = sanitize_for_join(
-            cogroup_join(
-                sanitize_for_join(hit, parent_schema),
-                visited.select_columns(["entity"]),
-                on=["entity"],
-                how="left_anti",
-                left_schema=parent_schema,
-                right_schema=pa.schema([("entity", pa.string())]),
-            ),
+        new = bucketed_reduce(
+            hit.union(visited.map_batches(_mark_visited, batch_format="pyarrow")),
+            ["entity"],
+            _new_min_parent,
             parent_schema,
+            combiner=_comb,
         ).materialize()
         if new.count() == 0:
             return []
