@@ -1059,6 +1059,15 @@ def q_training_anti_patterns(sf_dir: str):
     return generate_anti_pattern_qa(q_kg_edges(sf_dir), seed=42)
 
 
+def q_training_model_selection(sf_dir: str):
+    """Model-selection QA over the graph-derived rule blueprint
+    (generalized reference Type 4)."""
+    from ..stages.scenario import rules_from_edges
+    from ..stages.training import generate_model_selection_qa
+
+    return generate_model_selection_qa(rules_from_edges(q_kg_edges(sf_dir)))
+
+
 def q_concept_extract(sf_dir: str):
     from ..stages.graph_ops import extract_concepts
 
@@ -1222,6 +1231,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "training_comparisons": q_training_comparisons,
     "training_counterfactuals": q_training_counterfactuals,
     "training_anti_patterns": q_training_anti_patterns,
+    "training_model_selection": q_training_model_selection,
     "concept_extract": q_concept_extract,
     "recursive_split": q_recursive_split,
     "doc_embed": q_doc_embed,

@@ -694,6 +694,74 @@ def generate_anti_pattern_qa(
     )
 
 
+def generate_model_selection_qa(
+    rules: ray.data.Dataset,
+    *,
+    max_requirements_listed: int = 10,
+) -> ray.data.Dataset:
+    """Model-selection QA (generalized reference Type 4,
+    ``training_generator.py:539-586`` — there, curated ICT model
+    blueprints from YAML; here, the blueprint is DERIVED from the
+    materialized graph via :func:`~.scenario.rules_from_edges`):
+    per model, a "when does this apply?" card listing its requirements,
+    and — when it has >= 2 requirements — an "I see these concepts,
+    which model applies?" example from the first three requirements
+    (reference takes ``required[:3]`` the same way).
+
+    Distributed as one ``map_groups`` per model (blueprint-bounded key
+    domain); requirement order is sorted, so output is deterministic
+    and partition-independent.
+    """
+
+    def _per_model(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return QA_SCHEMA.empty_table()
+        model = str(g["model"].iloc[0])
+        label = _title(model)
+        reqs = sorted(set(map(str, g["requirement"])))
+        if not reqs:
+            return QA_SCHEMA.empty_table()
+        listed = reqs[:max_requirements_listed]
+        req_text = "\n".join(f"  - {_title(r)}" for r in listed)
+        more = (
+            f"\n  (+{len(reqs) - len(listed)} more)" if len(reqs) > len(listed) else ""
+        )
+        ins, inp, out, cat = [], [], [], []
+        ins.append(f"When does the {label} model apply?")
+        inp.append("")
+        out.append(
+            f"The {label} model requires:\n\n{req_text}{more}\n\n"
+            "All conditions must be met. If any requirement is missing, "
+            "do not force the match."
+        )
+        cat.append("model_requirements")
+        if len(reqs) >= 2:
+            subset = ", ".join(_title(r) for r in reqs[:3])
+            ins.append(
+                f"These concepts are present: {subset}. Which model applies?"
+            )
+            inp.append("")
+            out.append(
+                f"Based on these concepts, the {label} model is the best "
+                f"fit.\n\nThis model specifically requires:\n{req_text}{more}\n\n"
+                "Confirm the remaining requirements before concluding."
+            )
+            cat.append("model_selection")
+        return pa.table(
+            {
+                "instruction": pa.array(ins, pa.string()),
+                "input": pa.array(inp, pa.string()),
+                "output": pa.array(out, pa.string()),
+                "category": pa.array(cat, pa.string()),
+            }
+        )
+
+    return normalize_blocks(
+        rules.groupby("model").map_groups(_per_model, batch_format="pandas"),
+        QA_SCHEMA,
+    )
+
+
 def stratified_split(
     ds: ray.data.Dataset,
     strata_col: str,

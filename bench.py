@@ -182,6 +182,90 @@ def run_bench() -> dict:
     }
 
 
+def run_dedup_stress() -> dict:
+    """Dup-heavy near-dup benchmark (NOTES.md round-3 item): the sf
+    corpora have few near-dups, so the driver verify/resolve gates
+    always win and the DISTRIBUTED verify + connected-components path
+    never gets a wall-clock number. This mode synthesizes a ~2/3-dup
+    corpus (each doc tiled: one original + K near-identical variants
+    with distinct ids) and times minhash twice on the SAME input:
+    gates at defaults (driver path) and gates forced to 0 (distributed
+    text-join verify + min-label CC). Prints ONE JSON line."""
+    import logging
+
+    import pandas as pd
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ai_knowledge_graph_ray.stages.dedup import minhash_lsh_dedup
+
+    copies = int(os.environ.get("GRAFT_DEDUP_COPIES", "3"))
+
+    def _expand(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "text": []}
+        for did, text in zip(b["doc_id"], b["text"].fillna("")):
+            base = int(did) * (copies + 1)
+            rows["doc_id"].append(base)
+            rows["text"].append(text)
+            for c in range(1, copies + 1):
+                rows["doc_id"].append(base + c)
+                # near-identical variant: one extra trailing token —
+                # high Jaccard, still crosses the verify step
+                rows["text"].append(f"{text} variant{c}")
+        return pd.DataFrame(rows)
+
+    corpus = (
+        ray.data.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(_expand, batch_format="pandas")
+        .materialize()
+    )
+    n_docs = corpus.count()
+
+    def _one(forced: bool) -> tuple[float, int]:
+        t0 = time.time()
+        kw = (
+            {"driver_max_pairs": 0, "driver_max_verify_pairs": 0}
+            if forced
+            else {}
+        )
+        mapping = minhash_lsh_dedup(corpus, threshold=0.5, **kw)
+        n = mapping.count()
+        return time.time() - t0, n
+
+    s0, tk0 = _cpu_ticks()
+    driver_sec, driver_dups = _one(False)
+    dist_sec, dist_dups = _one(True)
+    s1, tk1 = _cpu_ticks()
+    assert driver_dups == dist_dups, (driver_dups, dist_dups)
+    ray.shutdown()
+    return {
+        "metric": "dedup_stress_sec",
+        "value": round(dist_sec, 3),
+        "unit": "sec",
+        "driver_path_sec": round(driver_sec, 3),
+        "distributed_path_sec": round(dist_sec, 3),
+        "n_docs": n_docs,
+        "n_dup_rows": dist_dups,
+        "dup_rate": round(dist_dups / max(1, n_docs), 3),
+        "steal_pct": round(100.0 * (s1 - s0) / max(1, tk1 - tk0), 2),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(
@@ -224,5 +308,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-stress" in sys.argv:
+        print(json.dumps(run_dedup_stress()))
     else:
         print(json.dumps(run_bench()))

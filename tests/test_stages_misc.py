@@ -641,6 +641,112 @@ class TestNewGenerators:
         assert "Compare and contrast Displacement and Momentum." in ins
         assert all(r["category"] == "concept_comparison" for r in rows)
 
+    def _cf_edges(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        edge_rows = [
+            ("displacement", "gap", "creates"),
+            ("momentum", "thrust", "creates"),
+            ("pressure", "flow", "creates"),
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([r[0] for r in edge_rows], pa.string()),
+                    "dst": pa.array([r[1] for r in edge_rows], pa.string()),
+                    "predicate": pa.array([r[2] for r in edge_rows], pa.string()),
+                }
+            )
+        )
+
+    def test_counterfactuals(self):
+        from ai_knowledge_graph_ray.stages.training import generate_counterfactual_qa
+
+        edges = self._cf_edges()
+        rows = generate_counterfactual_qa(edges, seed=42).take_all()
+        assert rows and all(r["category"] == "counterfactual_qa" for r in rows)
+        # every negated statement names a NON-edge of that predicate,
+        # and the answer restates the recorded fact
+        edge_set = {
+            ("displacement", "gap"),
+            ("momentum", "thrust"),
+            ("pressure", "flow"),
+        }
+        for r in (x for x in rows if "creates" in x["instruction"]):
+            q = r["instruction"]
+            assert q.startswith("Is it true that ")
+            subj = q[len("Is it true that "):].split(" creates ")[0].lower()
+            wrong = q.rstrip("?").split(" creates ")[1].lower()
+            assert (subj, wrong) not in edge_set
+            assert "No. The graph does not record" in r["output"]
+        # seeded determinism: same seed same rows; different seed may
+        # draw different wrong objects but never crashes
+        again = generate_counterfactual_qa(edges, seed=42).take_all()
+        assert sorted(r["instruction"] for r in rows) == sorted(
+            r["instruction"] for r in again
+        )
+        # partition-independent
+        repart = generate_counterfactual_qa(
+            edges.repartition(3), seed=42
+        ).take_all()
+        assert sorted(r["instruction"] for r in rows) == sorted(
+            r["instruction"] for r in repart
+        )
+
+    def test_anti_patterns(self):
+        from ai_knowledge_graph_ray.stages.training import generate_anti_pattern_qa
+
+        edges = self._cf_edges()
+        rows = generate_anti_pattern_qa(edges, seed=42).take_all()
+        assert rows and all(r["category"] == "anti_pattern_qa" for r in rows)
+        # corrupted statements cross-pair two edges of one predicate
+        # into a verified non-edge
+        for r in (x for x in rows if "creates" in x["instruction"]):
+            assert "wrong-pairing" in r["output"]
+        again = generate_anti_pattern_qa(edges, seed=42).take_all()
+        assert sorted(r["instruction"] for r in rows) == sorted(
+            r["instruction"] for r in again
+        )
+
+    def test_model_selection(self):
+        import ray.data as rd
+
+        from ai_knowledge_graph_ray.stages.training import (
+            generate_model_selection_qa,
+        )
+
+        rules = rd.from_items(
+            [
+                {"model": "steam_engine", "requirement": "mill"},
+                {"model": "steam_engine", "requirement": "pump"},
+                {"model": "steam_engine", "requirement": "boiler"},
+                {"model": "loom", "requirement": "thread"},
+            ]
+        )
+        rows = generate_model_selection_qa(rules).take_all()
+        by_cat = {}
+        for r in rows:
+            by_cat.setdefault(r["category"], []).append(r)
+        reqs = {r["instruction"]: r for r in by_cat["model_requirements"]}
+        assert "When does the Steam Engine model apply?" in reqs
+        assert "When does the Loom model apply?" in reqs
+        assert "  - Mill" in reqs["When does the Steam Engine model apply?"]["output"]
+        # selection example only for models with >= 2 requirements,
+        # built from the first three sorted requirements
+        sel = by_cat.get("model_selection", [])
+        assert len(sel) == 1
+        assert (
+            sel[0]["instruction"]
+            == "These concepts are present: Boiler, Mill, Pump. Which model applies?"
+        )
+        assert "Steam Engine model is the best fit" in sel[0]["output"]
+        # partition-independent
+        again = generate_model_selection_qa(rules.repartition(3)).take_all()
+        assert sorted(r["output"] for r in rows) == sorted(
+            r["output"] for r in again
+        )
+
 
 class TestWavCodec:
     def test_roundtrip_mono_and_stereo(self):
