@@ -921,6 +921,7 @@ def infer_relationships(
     lexical_mode: str = "auto",
     num_partitions: int | None = None,
     max_fanout_per_mid: int | None = None,
+    prededup_input: bool = True,
 ) -> tuple[ray.data.Dataset, "dict[str, int] | ray.data.Dataset"]:
     """Full Phase 3. Returns ``(final_triples, component_labels)``.
 
@@ -937,7 +938,24 @@ def infer_relationships(
     propagation), transitive takes the shuffle self-join, lexical takes
     the join path, and the model-assisted step reads only the bounded
     ``community_residues``. Labels are returned as a ``dict`` under the
-    gate and as an ``(entity, component)`` Dataset over it.
+    gate and as an ``(entity, component)`` Dataset under/over it.
+
+    ``prededup_input`` (default on): collapse exact duplicates with the
+    G5 rule in ONE full-table pass up front, so the edge residue, the
+    shuffle-mode transitive/lexical scans, and the final dedup all run
+    over the distinct residue instead of each re-scanning the raw
+    table (Phase-1 output is massively duplicated: every chunk of
+    every tiled page re-emits its triples). Output-identical because
+    Phase-2 output is all ``inferred=False``, for which G5 keeps
+    exactly the max-order-key row per (s, p, o) — the same row every
+    downstream last-wins rule would pick from the raw table (pinned by
+    ``test_prededup_equivalence``). The model-assisted step still
+    reads the RAW table: reference context selection deliberately
+    keeps duplicate context triples. Set ``prededup_input=False`` when
+    feeding a table that already carries ``inferred=True`` rows (e.g.
+    re-running Phase 3 over a FINAL output) — there G5's
+    first-occurrence fallback for only-inferred keys can pick a
+    different (s, o)-last predicate than the raw scan would.
     """
     from ..functions.model import make_model
     from .lexical import infer_lexical
@@ -947,9 +965,10 @@ def infer_relationships(
     if num_partitions is None:
         num_partitions = default_num_partitions()
     base = with_lineage(triples, "extracted")
+    scan = dedup_triples(base).materialize() if prededup_input else base
 
     residue_cap = int(inf_cfg.get("residue_max_edges", 2_000_000))
-    edges = distinct_edges(base).materialize()
+    edges = distinct_edges(scan).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return base, {}
@@ -965,7 +984,10 @@ def infer_relationships(
         edges_pd = None
         labels = connected_components_distributed(edges)
 
-    parts: list[ray.data.Dataset] = [base]
+    # NB: parts[0] is the pre-deduped scan table — the final dedup
+    # collapses identically either way; base is kept only for the
+    # model-assisted context selection below.
+    parts: list[ray.data.Dataset] = [scan]
 
     if inf_cfg.get("use_llm_for_inference", False):
         if driver_residue:
@@ -1014,7 +1036,7 @@ def infer_relationships(
     else:
         parts.append(
             infer_transitive(
-                base, num_partitions=num_partitions, max_fanout_per_mid=max_fanout_per_mid
+                scan, num_partitions=num_partitions, max_fanout_per_mid=max_fanout_per_mid
             )
         )
 
@@ -1052,7 +1074,7 @@ def infer_relationships(
             infer_lexical_fast(entities, existing_pairs, num_blocks=num_partitions)
         )
     else:  # "shuffle": join-based scale path (residue too big to collect)
-        parts.append(infer_lexical(base, mode="blocked", num_partitions=num_partitions))
+        parts.append(infer_lexical(scan, mode="blocked", num_partitions=num_partitions))
 
     unioned = parts[0].union(*parts[1:])
     deduped = dedup_triples(unioned)

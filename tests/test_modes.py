@@ -231,3 +231,70 @@ class TestContextSelection:
         key = lambda r: (r["url"], r["chunk_id"], r["seq"])
         assert [key(r) for r in got] == [key(r) for r in want]
         assert len(got) == 7
+
+
+class TestPrededupEquivalence:
+    """``infer_relationships(prededup_input=True)`` (ONE full-table
+    pass, everything downstream over the distinct residue) must be
+    output-identical to the two-pass path on Phase-2-shaped input —
+    including heavy duplication with shuffled order keys."""
+
+    def _dup_triples(self):
+        rows = [
+            ("alpha", "leads to", "beta"),
+            ("beta", "leads to", "gamma"),
+            ("gamma", "creates", "delta"),
+            ("alpha", "creates", "delta"),
+            ("epsilon", "uses", "beta"),
+            ("delta", "feeds", "epsilon"),
+        ]
+        # every triple 7x, interleaved, distinct (url, chunk_id, seq)
+        url, cid, seq, s, p, o = [], [], [], [], [], []
+        k = 0
+        for copy in range(7):
+            for i, (a, b, c) in enumerate(rows):
+                url.append(f"u{(k * 13) % 3}")
+                cid.append((k * 7) % 11)
+                seq.append(k)
+                s.append(a)
+                p.append(b)
+                o.append(c)
+                k += 1
+        tbl = pa.table(
+            {
+                "url": pa.array(url, pa.string()),
+                "chunk_id": pa.array(cid, pa.int32()),
+                "seq": pa.array(seq, pa.int32()),
+                "subject": pa.array(s, pa.string()),
+                "predicate": pa.array(p, pa.string()),
+                "object": pa.array(o, pa.string()),
+            }
+        )
+        return with_lineage(ray.data.from_arrow(tbl), "extracted").materialize()
+
+    def test_identical_output_and_labels(self):
+        from ai_knowledge_graph_ray.stages.infer import infer_relationships
+
+        base = self._dup_triples()
+        cfg = {"inference": {"enabled": True}}
+        fast, labels_fast = infer_relationships(
+            base, cfg, lexical_mode="blocked", num_partitions=4,
+            prededup_input=True,
+        )
+        slow, labels_slow = infer_relationships(
+            base, cfg, lexical_mode="blocked", num_partitions=4,
+            prededup_input=False,
+        )
+        assert labels_fast == labels_slow
+        cols = ["url", "chunk_id", "seq", "subject", "predicate", "object",
+                "inferred", "stage"]
+        a = sorted(
+            tuple(r[c] for c in cols)
+            for r in fast.select_columns(cols).take_all()
+        )
+        b = sorted(
+            tuple(r[c] for c in cols)
+            for r in slow.select_columns(cols).take_all()
+        )
+        # full row equality INCLUDING which duplicate's lineage survived
+        assert a == b and len(a) > 0
