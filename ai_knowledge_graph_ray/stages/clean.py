@@ -115,6 +115,7 @@ def clean_triples(
     ds: ray.data.Dataset,
     *,
     min_pred_count: int = 2,
+    residue_max_predicates: int = 5_000_000,
 ) -> tuple[ray.data.Dataset, dict]:
     """Run the 7-step cleaner; returns ``(clean_ds, stats)``.
 
@@ -122,6 +123,14 @@ def clean_triples(
     flattened_lists, removed_null, removed_short, removed_noise,
     merged_predicates, removed_duplicate, removed_singleton_pred,
     total_raw, total_final.
+
+    Step 7 (singleton predicates) is COUNT-GATED like every other
+    residue: the distinct-predicate histogram is collected and
+    broadcast only while it has <= ``residue_max_predicates`` rows; a
+    junk-predicate-heavy crawl corpus past the gate takes a
+    ``skew_join`` semi-join against the keep-set instead (hot
+    predicates — "related to" at crawl scale — get the broadcast
+    bypass rather than serializing one join bucket).
     """
     total_raw = ds.count()
 
@@ -186,26 +195,42 @@ def clean_triples(
         - n_after_dedup
     )
 
-    # Step 7: singleton predicates — two-pass: small predicate counts
-    # broadcast, then filter.
-    pred_counts = (
-        deduped.groupby("predicate").count().to_pandas()
-    )
-    keep = set(
-        pred_counts.loc[pred_counts["count()"] >= min_pred_count, "predicate"]
-        if len(pred_counts)
-        else []
-    )
+    # Step 7: singleton predicates — two-pass: predicate counts, then
+    # filter. COUNT-GATED: broadcast set under the gate, skew_join
+    # semi-join over it.
+    pred_counts_ds = deduped.groupby("predicate").count().materialize()
+    n_preds = pred_counts_ds.count()
     import ray as _ray
 
-    keep_ref = _ray.put(keep)
+    if n_preds <= residue_max_predicates:
+        pred_counts = pred_counts_ds.to_pandas()
+        keep = set(
+            pred_counts.loc[pred_counts["count()"] >= min_pred_count, "predicate"]
+            if len(pred_counts)
+            else []
+        )
+        keep_ref = _ray.put(keep)
 
-    def _keep_filter(batch: pa.Table) -> pa.Table:
-        kp = _ray.get(keep_ref) if isinstance(keep_ref, _ray.ObjectRef) else keep_ref
-        mask = [p in kp for p in batch["predicate"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        def _keep_filter(batch: pa.Table) -> pa.Table:
+            kp = _ray.get(keep_ref) if isinstance(keep_ref, _ray.ObjectRef) else keep_ref
+            mask = [p in kp for p in batch["predicate"].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
 
-    final = deduped.map_batches(_keep_filter, batch_format="pyarrow").materialize()
+        final = deduped.map_batches(_keep_filter, batch_format="pyarrow")
+    else:
+        from .relational import skew_join
+
+        keep_ds = pred_counts_ds.filter(
+            lambda r: r["count()"] >= min_pred_count
+        ).select_columns(["predicate"])
+        final = skew_join(
+            deduped,
+            keep_ds,
+            on=["predicate"],
+            left_schema=CLEAN_SCHEMA,
+            right_schema=pa.schema([("predicate", pa.string())]),
+        )
+    final = final.materialize()
     n_final = final.count()
     stats["removed_singleton_pred"] = n_after_dedup - n_final
     stats["total_raw"] = total_raw

@@ -59,6 +59,7 @@ def skew_join(
     num_buckets: int | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    broadcast_max_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Inner join that survives HOT KEYS (the north rule's skew
     handling at the join, made explicit).
@@ -116,11 +117,23 @@ def skew_join(
 
         return _f
 
-    # broadcast the right side's hot rows once
-    right_hot = (
-        right.map_batches(_split(True), batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+    # broadcast the right side's hot rows once — COUNT-GATED: the
+    # bypass assumes the right is the dimension side (few rows per hot
+    # key); a right side that is itself heavy on the hot keys would
+    # make the broadcast the new bottleneck, so refuse loudly instead
+    # of silently shipping it to every task.
+    right_hot_ds = right.map_batches(
+        _split(True), batch_format="pandas", batch_size=None
+    ).materialize()
+    n_hot_right = right_hot_ds.count()
+    if n_hot_right > broadcast_max_rows:
+        raise ValueError(
+            f"skew_join: {n_hot_right} right-side rows fall on the "
+            f"{len(hot_set)} hot key(s) (broadcast_max_rows="
+            f"{broadcast_max_rows}); the right side is not a dimension "
+            "side for these keys — pre-aggregate it or raise the cap"
+        )
+    right_hot = right_hot_ds.to_pandas()
     right_hot_ref = _ray.put(right_hot)
     r_extra = [c for c in r_schema.names if c not in on]
     out_schema = pa.schema(

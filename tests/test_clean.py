@@ -92,3 +92,19 @@ def test_clean_empty_corpus():
     out, stats = clean_triples(triples_from_records([]), min_pred_count=2)
     assert out.count() == 0
     assert stats["total_final"] == 0
+
+
+def test_singleton_gate_join_path_equals_broadcast():
+    """Step 7 over the predicate-residue gate (skew_join semi-join)
+    must keep exactly the rows the broadcast keep-set keeps."""
+    ds = triples_from_records(DIRTY)
+    broad, stats_b = clean_triples(ds)
+    joined, stats_j = clean_triples(ds, residue_max_predicates=0)
+
+    cols = ["subject", "predicate", "object", "chunk", "seq"]
+
+    def rows(d):
+        return sorted(tuple(r[c] for c in cols) for r in d.take_all())
+
+    assert rows(broad) == rows(joined)
+    assert stats_b == stats_j
