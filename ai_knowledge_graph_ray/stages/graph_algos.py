@@ -23,6 +23,7 @@ and the oracle-SQL generator) exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -99,66 +100,81 @@ def pagerank_int(
     if n == 0:
         return ray.data.from_arrow(RANK_SCHEMA.empty_table())
 
-    out_schema = pa.schema([("node", pa.string()), ("outdeg", pa.int64())])
-    outdeg = sanitize_for_join(
-        grouped_sums(
-            edges.map_batches(
-                lambda b: pa.table(
-                    {
-                        "node": b["src"].combine_chunks().cast(pa.string()),
-                        "one": pa.array([1] * len(b), pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            ),
-            ["node"],
-            {"outdeg": "one"},
-        ),
-        out_schema,
-    ).materialize()
-
+    # STATE table (node, outdeg, rank_scaled): outdeg rides along with
+    # the rank so no per-iteration rank<->outdeg join is needed, and
+    # the per-iteration inner+anti join pair against the node universe
+    # collapses into the contribution sum itself (every node
+    # contributes a carrier row with s_v=0, so nodes without in-links
+    # come out of the SAME grouped sum with s_v=0). 2 shuffles per
+    # iteration (edge join + contribution sum) instead of 5.
+    state_schema = pa.schema(
+        [("node", pa.string()), ("outdeg", pa.int64()), ("rank_scaled", pa.int64())]
+    )
     base = ((d_den - d_num) * scale // d_den) // n
     r0 = scale // n
-    ranks = nodes.map_batches(
-        lambda b: b.append_column(
-            "rank_scaled", pa.array([r0] * len(b), pa.int64())
+
+    deg_rows = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["src"].combine_chunks().cast(pa.string()),
+                "one": pa.array([1] * len(b), pa.int64()),
+            }
         ),
         batch_format="pyarrow",
+    ).union(
+        nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "one": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
-    ranks = sanitize_for_join(ranks, RANK_SCHEMA).materialize()
+    state = sanitize_for_join(
+        grouped_sums(deg_rows, ["node"], {"outdeg": "one"}).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "outdeg": b["outdeg"].astype("int64"),
+                    "rank_scaled": np.full(len(b), r0, dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        state_schema,
+    ).materialize()
 
     edges_s = sanitize_for_join(edges.select_columns(["src", "dst"]), EDGE_SCHEMA)
+    contrib_schema = pa.schema([("src", pa.string()), ("contrib", pa.int64())])
 
-    def _sum_ranks(ds: ray.data.Dataset) -> int:
-        return int(
-            ds.map_batches(
-                lambda b: pa.table(
-                    {"s": pa.array([sum(b["rank_scaled"].to_pylist() or [0])], pa.int64())}
-                ),
-                batch_format="pyarrow",
-            ).sum("s")
-            or 0
+    def _masses(st: ray.data.Dataset) -> tuple[int, int]:
+        """(total, linked) rank mass in one pass over the state."""
+        agg = st.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "total": [int(b["rank_scaled"].sum())],
+                    "linked": [int(b.loc[b["outdeg"] > 0, "rank_scaled"].sum())],
+                }
+            ),
+            batch_format="pandas",
         )
+        return int(agg.sum("total") or 0), int(agg.sum("linked") or 0)
 
     for _ in range(iters):
-        # linked mass via the join; dangling mass = total - linked
-        # (cheap aggregates instead of a second anti-join per round)
-        with_out = cogroup_join(
-            ranks, outdeg, on=["node"],
-            num_buckets=num_buckets,
-            left_schema=RANK_SCHEMA, right_schema=out_schema,
-        ).materialize()
-        dangling = _sum_ranks(ranks) - _sum_ranks(with_out)
+        total, linked = _masses(state)
+        dangling = total - linked
+        d_share = dangling // n
 
-        contrib_schema = pa.schema([("src", pa.string()), ("contrib", pa.int64())])
         contrib = sanitize_for_join(
-            with_out.map_batches(
+            state.map_batches(
                 lambda b: pd.DataFrame(
                     {
-                        "src": b["node"],
+                        "src": b.loc[b["outdeg"] > 0, "node"],
                         "contrib": (
-                            b["rank_scaled"].astype("int64")
-                            // b["outdeg"].astype("int64")
+                            b.loc[b["outdeg"] > 0, "rank_scaled"].astype("int64")
+                            // b.loc[b["outdeg"] > 0, "outdeg"].astype("int64")
                         ),
                     }
                 ),
@@ -174,47 +190,42 @@ def pagerank_int(
             lambda b: pa.table(
                 {
                     "node": b["dst"].combine_chunks().cast(pa.string()),
-                    "contrib": b["contrib"].combine_chunks().cast(pa.int64()),
+                    "odeg": pa.array([0] * len(b), pa.int64()),
+                    "s_v": b["contrib"].combine_chunks().cast(pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
-        sums_schema = pa.schema([("node", pa.string()), ("s_v", pa.int64())])
-        sums = sanitize_for_join(
-            grouped_sums(edge_contrib, ["node"], {"s_v": "contrib"}),
-            sums_schema,
+        carrier = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "odeg": b["outdeg"].astype("int64"),
+                    "s_v": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
         )
 
-        d_share = dangling // n
-        hit = cogroup_join(
-            nodes, sums, on=["node"],
-            num_buckets=num_buckets,
-            left_schema=node_schema, right_schema=sums_schema,
-        )
-        miss = cogroup_join(
-            nodes, sums, on=["node"], how="left_anti",
-            num_buckets=num_buckets,
-            left_schema=node_schema, right_schema=sums_schema,
-        ).map_batches(
-            lambda b: b.append_column("s_v", pa.array([0] * len(b), pa.int64())),
-            batch_format="pyarrow",
-        )
-
-        def _next_rank(b: pd.DataFrame) -> pd.DataFrame:
+        def _next(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "node": b["node"],
+                    "outdeg": b["outdeg"].astype("int64"),
                     "rank_scaled": base
                     + d_num * (b["s_v"].astype("int64") + d_share) // d_den,
                 }
             )
 
-        ranks = sanitize_for_join(
-            hit.union(miss).map_batches(_next_rank, batch_format="pandas"),
-            RANK_SCHEMA,
+        state = sanitize_for_join(
+            grouped_sums(
+                edge_contrib.union(carrier), ["node"],
+                {"outdeg": "odeg", "s_v": "s_v"},
+            ).map_batches(_next, batch_format="pandas"),
+            state_schema,
         ).materialize()
 
-    return ranks
+    return state.select_columns(["node", "rank_scaled"])
 
 
 def _undirect(edges: ray.data.Dataset) -> ray.data.Dataset:
