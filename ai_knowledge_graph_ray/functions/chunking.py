@@ -24,7 +24,26 @@ from __future__ import annotations
 
 
 def chunk_text(text: str, chunk_size: int = 500, overlap: int = 50) -> list[str]:
-    """Split ``text`` into overlapping word windows (reference parity)."""
+    """Split ``text`` into overlapping word windows (reference parity).
+
+    Deliberate deviation: the reference (``text_utils.py:28-41``)
+    INFINITE-LOOPS when ``chunk_size < 2 * overlap`` and the window
+    reaches the tail (the tail-exit test ``start + chunk_size -
+    overlap >= n`` can never fire, so ``start = end - overlap`` stops
+    advancing — e.g. 4 words at size=3/overlap=2). We emit the same
+    chunk sequence — the tail chunk included — and break the first
+    time ``start`` fails to advance; on every terminating input the
+    output is byte-identical (pinned by the property suite's
+    hypothesis parity tests). ``overlap >= chunk_size`` (the window
+    cannot advance AT ALL; the reference re-emits the first window
+    forever) is rejected as a config error.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size}); "
+            "the window could never advance (the reference implementation "
+            "hangs on this configuration)"
+        )
     words = text.split()
     if len(words) <= chunk_size:
         return [text]
@@ -35,9 +54,12 @@ def chunk_text(text: str, chunk_size: int = 500, overlap: int = 50) -> list[str]
     while start < n:
         end = min(start + chunk_size, n)
         chunks.append(" ".join(words[start:end]))
+        prev = start
         start = end - overlap
         if start < n and start + chunk_size - overlap >= n:
             chunks.append(" ".join(words[start:]))
+            break
+        if start <= prev:  # reference would loop forever here
             break
     return chunks
 
