@@ -1141,6 +1141,18 @@ def q_media_png_decode(sf_dir: str):
     )
 
 
+def q_media_png_resize(sf_dir: str):
+    """REAL image resize: decode the synthesized PNGs, nearest-neighbor
+    resize to 32x32 in the actor pool, re-encode; emits the resized
+    payloads + dims."""
+    from ..stages.multimodal import resize_images, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir, media_type="png")
+    return resize_images(media, target_size=(32, 32), concurrency=(1, 4)).select_columns(
+        ["media_id", "height", "width", "resize_ok"]
+    )
+
+
 def q_media_wav_decode(sf_dir: str):
     """REAL audio decode (stdlib WAV/PCM codec): synthesize genuine WAV
     payloads, decode + feature-extract in the actor pool."""
@@ -1237,6 +1249,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_embed": q_doc_embed,
     "media_features": q_media_features,
     "media_png_decode": q_media_png_decode,
+    "media_png_resize": q_media_png_resize,
     "media_wav_decode": q_media_wav_decode,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,

@@ -204,6 +204,77 @@ def extract_media_features(
     )
 
 
+def resize_nearest(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) uint8 array — pure
+    numpy index mapping (source index = floor(i * h / th)), no PIL
+    dependency. Deterministic and shape-exact."""
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    return img[rows][:, cols]
+
+
+class ImageResizer:
+    """Actor-pool stage: REAL decode -> nearest-neighbor resize ->
+    re-encode through the stdlib PNG codec. A real deployment swaps
+    the codec in ``__init__`` (PIL/turbojpeg) and keeps the identical
+    batch contract: (media_id, content) -> (media_id, content,
+    height, width, resize_ok)."""
+
+    def __init__(self, target_size: tuple[int, int] = (64, 64)) -> None:
+        from ..functions import png as _png  # codec bound once per actor
+
+        self._png = _png
+        self.th, self.tw = int(target_size[0]), int(target_size[1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_blobs: list[bytes] = []
+        ok: list[bool] = []
+        for blob in batch["content"].to_pylist():
+            try:
+                img = self._png.decode_png(blob or b"")
+                out_blobs.append(
+                    self._png.encode_png(resize_nearest(img, self.th, self.tw))
+                )
+                ok.append(True)
+            except Exception:
+                out_blobs.append(b"")
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "content": pa.array(out_blobs, pa.binary()),
+                "height": pa.array(
+                    [self.th if o else 0 for o in ok], pa.int32()
+                ),
+                "width": pa.array([self.tw if o else 0 for o in ok], pa.int32()),
+                "resize_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def resize_images(
+    media: ray.data.Dataset,
+    *,
+    target_size: tuple[int, int] = (64, 64),
+    concurrency=(1, 8),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Distributed image resize over a binary ``content`` column:
+    stateful actor pool (codec bound in ``__init__``), small batches —
+    decoded frames are the memory hot spot, not the encoded payloads."""
+    return media.select_columns(["media_id", "content"]).map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_stub(
     media: ray.data.Dataset, *, every_n: int = 10, max_frames: int = 8
 ) -> ray.data.Dataset:

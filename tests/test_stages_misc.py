@@ -442,6 +442,52 @@ class TestPngCodec:
         with _pytest.raises(UnsupportedPngError):
             decode_png(bytes(corrupt))
 
+    def test_resize_nearest_exact(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.stages.multimodal import resize_nearest
+
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out = resize_nearest(img, 2, 3)
+        assert out.shape == (2, 3, 3)
+        # index map: rows [0,2], cols [0,2,4]
+        np.testing.assert_array_equal(out, img[[0, 2]][:, [0, 2, 4]])
+        # upscale replicates pixels
+        up = resize_nearest(img, 8, 12)
+        assert up.shape == (8, 12, 3)
+        np.testing.assert_array_equal(up[0, 0], img[0, 0])
+        np.testing.assert_array_equal(up[7, 11], img[3, 5])
+
+    def test_resize_stage_roundtrip(self, sf_dir):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.functions.png import decode_png
+        from ai_knowledge_graph_ray.stages.multimodal import (
+            resize_images,
+            synth_media_from_documents,
+        )
+
+        media = synth_media_from_documents(sf_dir, media_type="png").limit(8)
+        rows = resize_images(media, target_size=(16, 16), concurrency=2).take_all()
+        assert len(rows) == 8 and all(r["resize_ok"] for r in rows)
+        for r in rows:
+            img = decode_png(r["content"])
+            assert img.shape[:2] == (16, 16)
+        # corrupt payloads come back resize_ok=False, not a crash
+        import pyarrow as _pa
+        import ray.data as rd
+
+        bad = rd.from_arrow(
+            _pa.table(
+                {
+                    "media_id": _pa.array([1, 2], _pa.int64()),
+                    "content": _pa.array([b"not a png", None], _pa.binary()),
+                }
+            )
+        )
+        out = resize_images(bad, concurrency=1).take_all()
+        assert [r["resize_ok"] for r in out] == [False, False]
+
     def test_png_decoder_stage(self, sf_dir):
         from ai_knowledge_graph_ray.stages.multimodal import (
             extract_media_features,
