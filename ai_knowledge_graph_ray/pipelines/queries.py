@@ -1164,6 +1164,17 @@ def q_media_wav_decode(sf_dir: str):
     )
 
 
+def q_media_wav_resample(sf_dir: str):
+    """REAL audio resample: decode the synthesized WAVs, linear
+    resample 8 kHz -> 4 kHz in the actor pool, re-encode."""
+    from ..stages.multimodal import resample_audio, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir, media_type="wav")
+    return resample_audio(media, target_rate=4000, concurrency=(1, 4)).select_columns(
+        ["media_id", "height", "width", "resample_ok"]
+    )
+
+
 def q_scenario_eval(sf_dir: str):
     """§3.3 consumer contract (reference logic_engine.py:165-224):
     batch scenario evaluation against the materialized graph. Models =
@@ -1251,6 +1262,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_png_decode": q_media_png_decode,
     "media_png_resize": q_media_png_resize,
     "media_wav_decode": q_media_wav_decode,
+    "media_wav_resample": q_media_wav_resample,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,
     "kg_edges": q_kg_edges,

@@ -275,6 +275,82 @@ def resize_images(
     )
 
 
+def resample_linear(samples: np.ndarray, rate: int, target_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of (n, channels) float samples to
+    ``target_rate`` — pure ``np.interp`` per channel, no scipy. Output
+    length = round(n * target_rate / rate)."""
+    n = samples.shape[0]
+    if n == 0 or rate <= 0 or target_rate <= 0:
+        raise ValueError("need non-empty samples and positive rates")
+    m = max(1, int(round(n * target_rate / rate)))
+    src_t = np.arange(n, dtype=np.float64) / rate
+    dst_t = np.arange(m, dtype=np.float64) / target_rate
+    return np.stack(
+        [np.interp(dst_t, src_t, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )
+
+
+class AudioResampler:
+    """Actor-pool stage: REAL WAV decode -> linear resample ->
+    re-encode (int16). Same contract shape as :class:`ImageResizer`:
+    (media_id, content) -> (media_id, content, height=n_samples,
+    width=rate, resample_ok)."""
+
+    def __init__(self, target_rate: int = 8000) -> None:
+        from ..functions import wav as _wav
+
+        self._wav = _wav
+        self.target_rate = int(target_rate)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_blobs: list[bytes] = []
+        n_out: list[int] = []
+        ok: list[bool] = []
+        for blob in batch["content"].to_pylist():
+            try:
+                samples, rate = self._wav.decode_wav(blob or b"")
+                res = resample_linear(samples, rate, self.target_rate)
+                pcm = np.clip(np.round(res * 32767.0), -32768, 32767).astype(np.int16)
+                out_blobs.append(self._wav.encode_wav(pcm, rate=self.target_rate))
+                n_out.append(len(pcm))
+                ok.append(True)
+            except Exception:
+                out_blobs.append(b"")
+                n_out.append(0)
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "content": pa.array(out_blobs, pa.binary()),
+                "height": pa.array(n_out, pa.int32()),
+                "width": pa.array(
+                    [self.target_rate if o else 0 for o in ok], pa.int32()
+                ),
+                "resample_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def resample_audio(
+    media: ray.data.Dataset,
+    *,
+    target_rate: int = 8000,
+    concurrency=(1, 8),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Distributed audio resample over a binary ``content`` column
+    (actor pool, codec bound once per actor)."""
+    return media.select_columns(["media_id", "content"]).map_batches(
+        AudioResampler,
+        fn_constructor_kwargs={"target_rate": target_rate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_stub(
     media: ray.data.Dataset, *, every_n: int = 10, max_frames: int = 8
 ) -> ray.data.Dataset:

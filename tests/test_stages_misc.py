@@ -820,6 +820,48 @@ class TestWavCodec:
         with _pytest.raises(UnsupportedWavError):
             decode_wav(b"")
 
+    def test_resample_linear_exact(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.stages.multimodal import resample_linear
+
+        # downsample a ramp by 2: picks every other instant exactly
+        ramp = np.arange(10, dtype=np.float64)[:, None] / 10.0
+        half = resample_linear(ramp, 8000, 4000)
+        assert half.shape == (5, 1)
+        np.testing.assert_allclose(half[:, 0], ramp[::2, 0], atol=1e-12)
+        # upsample: linear midpoints appear
+        up = resample_linear(ramp, 8000, 16000)
+        assert up.shape == (20, 1)
+        np.testing.assert_allclose(up[1, 0], (ramp[0, 0] + ramp[1, 0]) / 2, atol=1e-12)
+
+    def test_resample_stage_roundtrip(self, sf_dir):
+        from ai_knowledge_graph_ray.functions.wav import decode_wav
+        from ai_knowledge_graph_ray.stages.multimodal import (
+            resample_audio,
+            synth_media_from_documents,
+        )
+
+        media = synth_media_from_documents(sf_dir, media_type="wav").limit(8)
+        rows = resample_audio(media, target_rate=4000, concurrency=2).take_all()
+        assert len(rows) == 8 and all(r["resample_ok"] for r in rows)
+        for r in rows:
+            samples, rate = decode_wav(r["content"])
+            assert rate == 4000 and len(samples) == r["height"]
+        import pyarrow as _pa
+        import ray.data as rd
+
+        bad = rd.from_arrow(
+            _pa.table(
+                {
+                    "media_id": _pa.array([1], _pa.int64()),
+                    "content": _pa.array([b"junk"], _pa.binary()),
+                }
+            )
+        )
+        out = resample_audio(bad, concurrency=1).take_all()
+        assert out[0]["resample_ok"] is False
+
     def test_wav_decoder_stage(self, sf_dir):
         from ai_knowledge_graph_ray.stages.multimodal import (
             extract_media_features,
