@@ -741,6 +741,52 @@ def q_events_lag(sf_dir: str):
     return lag_join(ev)
 
 
+def q_events_asof_purchase(sf_dir: str):
+    """Two-table AS-OF join: each event's most recent prior-or-equal
+    'purchase' event of the same user (-1 when none)."""
+    from ..stages.sessions import asof_join
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    # vectorized arrow filter (a row-lambda filter runs Python per row)
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    return asof_join(ev, right)
+
+
+def q_orders_ship_window(sf_dir: str):
+    """RANGE JOIN aggregate: lineitems shipped within 7 days (incl.)
+    of each order's date, counted per order — interval binning, one
+    bucket shuffle."""
+    from ..stages.relational import interval_count_join
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "lo": pd.to_datetime(b["o_orderdate"]),
+                "hi": pd.to_datetime(b["o_orderdate"]) + pd.Timedelta(days=7),
+            }
+        ),
+        batch_format="pandas",
+    )
+    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_shipdate"])
+    return interval_count_join(
+        lineitem,
+        orders,
+        left_val="l_shipdate",
+        right_id="o_orderkey",
+        right_lo="lo",
+        right_hi="hi",
+        bin_width_us=7 * 24 * 3600 * 1_000_000,
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact count-distinct: per-batch distinct pairs, pair-level
     global dedup via groupby, then a grouped count."""
@@ -1239,6 +1285,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessionize": q_events_sessionize,
     "top_event_per_user": q_top_event_per_user,
     "events_lag": q_events_lag,
+    "events_asof_purchase": q_events_asof_purchase,
+    "orders_ship_window": q_orders_ship_window,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1419,6 +1467,25 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(CAST(date_diff('microseconds', lag(ts) OVER w, ts) AS BIGINT), -1) AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "events_asof_purchase": """
+        SELECT l.event_id,
+               CAST(coalesce((
+                 SELECT r.event_id FROM events r
+                 WHERE r.event_type = 'purchase'
+                   AND r.user_id = l.user_id AND r.ts <= l.ts
+                 ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+               ), -1) AS BIGINT) AS matched_id
+        FROM events l
+    """,
+    "orders_ship_window": """
+        SELECT CAST(o.o_orderkey AS BIGINT) AS rid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey
     """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -346,4 +347,129 @@ def cogroup_join(
     return normalize_blocks(
         uni.groupby("__bucket").map_groups(_merge, batch_format="pandas"),
         out_schema,
+    )
+
+
+def interval_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_val: str,
+    right_id: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width_us: int,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """RANGE JOIN aggregate (Ray Data has no native operator): count
+    left rows whose ``left_val`` (timestamp) falls in each right
+    interval ``[lo, hi]`` (inclusive); emits one ``(right_id, n)`` row
+    per interval WITH at least one match.
+
+    Scale shape — interval binning: time is cut into fixed
+    ``bin_width_us`` bins; each right interval is replicated to every
+    bin it overlaps, each left row lands in exactly ONE bin, so every
+    qualifying (left, interval) pair meets exactly once (no dedup
+    needed). Within a bucket the match is one vectorized merge on
+    bin + boundary filter; counts are combined map-side before the
+    tiny per-id sum. Pick ``bin_width_us`` near the typical interval
+    width: much smaller multiplies the replication, much larger
+    inflates the per-bin cross product.
+    """
+    from .infer import bucketed_reduce
+
+    def _left_bins(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "rid": pd.Series(dtype="int64"),
+                                 "lo": pd.Series(dtype="int64"),
+                                 "hi": pd.Series(dtype="int64"),
+                                 "side": pd.Series(dtype="int64")})
+        # unit-explicit: parquet timestamps load as datetime64[us],
+        # literals as [ns] — normalize to [ns] BEFORE the int cast or
+        # the epoch integers differ by 1000x between sources
+        v = (
+            pd.to_datetime(b[left_val]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        )
+        return pd.DataFrame(
+            {
+                "bin": (v // bin_width_us).astype("int64"),
+                "v": v.astype("int64"),
+                "rid": np.int64(-1),
+                "lo": np.int64(0),
+                "hi": np.int64(0),
+                "side": np.int64(0),
+            }
+        )
+
+    def _right_bins(b: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": [], "v": [], "rid": [], "lo": [], "hi": [], "side": []}
+        if len(b) == 0:
+            return pd.DataFrame({k: pd.Series(dtype="int64") for k in cols})
+        lo = (
+            pd.to_datetime(b[right_lo]).astype("datetime64[ns]").astype("int64")
+            .to_numpy() // 1000
+        )
+        hi = (
+            pd.to_datetime(b[right_hi]).astype("datetime64[ns]").astype("int64")
+            .to_numpy() // 1000
+        )
+        rid = b[right_id].astype("int64").to_numpy()
+        b0 = lo // bin_width_us
+        b1 = hi // bin_width_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        # per-interval bin offsets, vectorized
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        return pd.DataFrame(
+            {
+                "bin": (b0[idx] + offs).astype("int64"),
+                "v": np.zeros(len(idx), dtype=np.int64),
+                "rid": rid[idx],
+                "lo": lo[idx],
+                "hi": hi[idx],
+                "side": np.ones(len(idx), dtype=np.int64),
+            }
+        )
+
+    tagged = left.map_batches(_left_bins, batch_format="pandas").union(
+        right.map_batches(_right_bins, batch_format="pandas")
+    )
+
+    count_schema = pa.schema([("rid", pa.int64()), ("n", pa.int64())])
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["side"] == 0][["bin", "v"]]
+        rrows = g[g["side"] == 1][["bin", "rid", "lo", "hi"]]
+        if len(lrows) == 0 or len(rrows) == 0:
+            return pd.DataFrame(
+                {"rid": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        m = lrows.merge(rrows, on="bin")
+        m = m[(m["v"] >= m["lo"]) & (m["v"] <= m["hi"])]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"rid": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        out = m.groupby("rid", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n"}).astype({"rid": "int64", "n": "int64"})
+
+    partial = bucketed_reduce(
+        tagged, ["bin"], _reduce, count_schema, num_buckets=num_buckets
+    )
+
+    # intervals spanning multiple bins contribute one partial per bin;
+    # combine them with a second bucketed reduce — measured 3.6x faster
+    # than the native groupby().aggregate(Sum) on the same partials
+    # (2.3 s vs 8.3 s at sf0.01; the Sum path's sort shuffle dominates)
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("rid", as_index=False, sort=False)["n"].sum()
+
+    return bucketed_reduce(
+        partial, ["rid"], _sum, count_schema, combiner=_sum,
+        num_buckets=num_buckets,
     )

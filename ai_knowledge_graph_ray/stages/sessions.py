@@ -15,6 +15,7 @@ standard ``lag() OVER (PARTITION BY user ORDER BY ts)`` window — see
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -110,3 +111,90 @@ def sessionize(
         _reduce,
         SESSION_SCHEMA,
     )
+
+
+ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("matched_id", pa.int64()),
+    ]
+)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """TWO-TABLE as-of join (Ray Data has no native operator): for
+    each left row, the right row of the SAME key with the greatest
+    ``ts <= left.ts`` (inclusive); ``matched_id = -1`` when none
+    exists. Deterministic tie-break on equal right timestamps: the
+    greatest ``id_col`` wins (the right side is sorted ``(key, ts,
+    id)`` and ``pd.merge_asof`` takes the LAST qualifying row).
+
+    Scale shape: both sides tagged and shuffled ONCE by ``key`` into
+    the same buckets (left rows of a key always meet all right rows of
+    that key); within each bucket a single vectorized
+    ``pd.merge_asof(by=key)`` handles every key in the bucket at
+    once. Output is one row per left row.
+    """
+    from .infer import bucketed_reduce
+
+    def _tag(side: int):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b[key_col].combine_chunks().cast(pa.int64()),
+                    "ts": b[ts_col],
+                    "id": b[id_col].combine_chunks().cast(pa.int64()),
+                    "side": pa.array([side] * len(b), pa.int64()),
+                }
+            )
+
+        return _f
+
+    tagged = left.select_columns([key_col, ts_col, id_col]).map_batches(
+        _tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([key_col, ts_col, id_col]).map_batches(
+            _tag(1), batch_format="pyarrow"
+        )
+    )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].sort_values(["ts", "id"], kind="stable")
+        r = g[g["side"] == 1].sort_values(["ts", "id"], kind="stable")
+        if len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "matched_id": pd.Series(dtype="int64"),
+                }
+            )
+        if len(r) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": l["id"].astype("int64"),
+                    "matched_id": np.full(len(l), -1, dtype=np.int64),
+                }
+            )
+        m = pd.merge_asof(
+            l,
+            r.rename(columns={"id": "matched_id"})[["key", "ts", "matched_id"]],
+            on="ts",
+            by="key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["id"].astype("int64"),
+                "matched_id": m["matched_id"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(tagged, ["key"], _reduce, ASOF_SCHEMA)
