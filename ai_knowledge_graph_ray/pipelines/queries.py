@@ -552,6 +552,68 @@ def q_customers_without_orders(sf_dir: str):
     )
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join at the query surface: every customer with its
+    order count, zero for customers that never ordered (the unmatched
+    left rows the inner join would drop)."""
+    from ..stages.infer import normalize_blocks, sanitize_for_join
+    from ..stages.relational import cogroup_join, grouped_sums
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    counts = sanitize_for_join(
+        grouped_sums(
+            orders.map_batches(
+                lambda b: pa.table(
+                    {
+                        "c_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+                        "one": pa.array([1] * len(b), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["c_custkey"],
+            {"n_orders": "one"},
+        ),
+        pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())]),
+    )
+    joined = cogroup_join(
+        cust,
+        counts,
+        on=["c_custkey"],
+        how="left_outer",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+    return normalize_blocks(
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_mktsegment": b["c_mktsegment"],
+                    "n_orders": pc.coalesce(
+                        b["n_orders"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )
+
+
 PAGERANK_ITERS, PAGERANK_SCALE, PAGERANK_DNUM, PAGERANK_DDEN = 3, 10**12, 85, 100
 
 
@@ -785,6 +847,97 @@ def q_orders_ship_window(sf_dir: str):
         right_hi="hi",
         bin_width_us=7 * 24 * 3600 * 1_000_000,
     )
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running total of the (integerized) event value —
+    ``SUM(cents) OVER (PARTITION BY user ORDER BY ts, id)``."""
+    from ..stages.sessions import running_sum
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "val": _cents(b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return running_sum(ev).map_batches(
+        lambda b: b.rename_columns(["event_id", "cum_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_semi_lineitem(sf_dir: str):
+    """SEMI join with a Bloom runtime filter: orders having >=1
+    high-quantity lineitem, counted per priority. The bloom bitmap of
+    qualifying orderkeys broadcasts once and drops non-matching orders
+    map-side BEFORE the join shuffle; the exact bucketed left_semi on
+    the survivors removes false positives, so the result is exact."""
+    from ..stages.bloom import semi_join_bloom
+    from ..stages.infer import normalize_blocks, sanitize_for_join
+    from ..stages.relational import grouped_sums
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    likeys = sanitize_for_join(
+        ray.data.read_parquet(
+            _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+        ).map_batches(
+            lambda b: pa.table(
+                {"o_orderkey": b["l_orderkey"].combine_chunks().cast(pa.int64())}
+            ).filter(pc.greater(b["l_quantity"], 45.0)),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("o_orderkey", pa.int64())]),
+    )
+    semi = semi_join_bloom(
+        orders,
+        likeys,
+        on=["o_orderkey"],
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+    out_schema = pa.schema([("o_orderpriority", pa.string()), ("n_orders", pa.int64())])
+    return normalize_blocks(
+        grouped_sums(
+            semi.map_batches(
+                lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
+                batch_format="pyarrow",
+            ),
+            ["o_orderpriority"],
+            {"n_orders": "one"},
+        ),
+        out_schema,
+    )
+
+
+def q_events_sample_per_type(sf_dir: str):
+    """Deterministic per-group sample: 20 events per event_type by
+    Lehmer-hash order — reproducible in SQL, so fully oracle-checked
+    (unlike seeded-RNG sampling)."""
+    from ..stages.relational import sample_per_group
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "event_id"]
+    )
+    return sample_per_group(ev, "event_type", "event_id", 20)
 
 
 def q_distinct_users(sf_dir: str):
@@ -1272,6 +1425,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sliding_window": q_events_sliding_window,
     "events_quantiles": q_events_quantiles,
     "customers_without_orders": q_customers_without_orders,
+    "customer_order_counts": q_customer_order_counts,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
@@ -1287,6 +1441,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_lag": q_events_lag,
     "events_asof_purchase": q_events_asof_purchase,
     "orders_ship_window": q_orders_ship_window,
+    "events_running_total": q_events_running_total,
+    "events_sample_per_type": q_events_sample_per_type,
+    "orders_semi_lineitem": q_orders_semi_lineitem,
     "distinct_users": q_distinct_users,
     "three_way_join": q_three_way_join,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1487,6 +1644,33 @@ ORACLE_SQL: dict[str, str] = {
          AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
         GROUP BY o.o_orderkey
     """,
+    "events_running_total": """
+        SELECT event_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS cum_cents
+        FROM events
+    """,
+    "events_sample_per_type": """
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id * 48271) % 2147483647, event_id
+                 ) AS rn
+          FROM events
+        ) WHERE rn <= 20
+    """,
+    "orders_semi_lineitem": """
+        SELECT o.o_orderpriority AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o.o_orderpriority
+    """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
@@ -1578,6 +1762,15 @@ ORACLE_SQL: dict[str, str] = {
           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
         )
         GROUP BY c.c_mktsegment
+    """,
+    "customer_order_counts": """
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+               c.c_mktsegment AS c_mktsegment,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (
+          SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        ) o ON o.o_custkey = c.c_custkey
     """,
     "ngram_overlap_pairs": """
         WITH toks AS (

@@ -251,13 +251,15 @@ def cogroup_join(
     union, group by bucket, ``pandas.merge`` within each bucket.
 
     Non-key columns must be disjoint between the sides. ``how`` is
-    ``inner`` or ``left_anti`` (anti returns left columns only).
+    ``inner``, ``left_outer`` (unmatched left rows kept, right extras
+    null), ``left_semi`` (left rows with >=1 match, left columns only)
+    or ``left_anti`` (anti returns left columns only).
     Pass ``left_schema``/``right_schema`` when a side may be empty
     (``Dataset.schema()`` returns None for fully-empty pipelines).
     """
     if num_buckets is None:
         num_buckets = default_num_partitions()
-    assert how in ("inner", "left_anti")
+    assert how in ("inner", "left_outer", "left_semi", "left_anti")
 
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
@@ -276,7 +278,7 @@ def cogroup_join(
     l_arrow = pa.schema(
         [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
     )
-    if how == "inner":
+    if how in ("inner", "left_outer"):
         out_schema = pa.schema(
             list(l_arrow)
             + [
@@ -337,6 +339,22 @@ def cogroup_join(
         if how == "inner":
             rpart = rpart[on + r_extra]
             m = lpart.merge(rpart, on=on, how="inner")
+        elif how == "left_outer":
+            rpart = rpart[on + r_extra]
+            m = lpart.merge(rpart, on=on, how="left")
+            # unmatched right extras are NaN — build arrays with
+            # from_pandas=True so they land as arrow NULLs even in
+            # integer columns (a float-NaN cast to int64 would throw)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(m[f.name], type=f.type, from_pandas=True)
+                    for f in out_schema
+                ],
+                schema=out_schema,
+            )
+        elif how == "left_semi":
+            rk = rpart[on].drop_duplicates()
+            m = lpart.merge(rk, on=on, how="inner")[l_cols]
         else:
             rk = rpart[on].drop_duplicates()
             m = lpart.merge(rk.assign(__hit=1), on=on, how="left")
@@ -347,6 +365,48 @@ def cogroup_join(
     return normalize_blocks(
         uni.groupby("__bucket").map_groups(_merge, batch_format="pandas"),
         out_schema,
+    )
+
+
+def sample_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+    *,
+    mult: int = 48271,
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Deterministic pseudo-random sample of ``k`` rows per group: the
+    rows with the smallest ``(id * mult) % mod`` rank (a Lehmer-style
+    mixer — reproducible in ANY engine with 64-bit integers, so the
+    sample is SQL-oracle-checkable, unlike seeded RNG draws). Ties
+    break on ``id``.
+
+    Scale shape: map-side combiner takes each batch's per-group top-k
+    (only ``k`` rows per group per block cross the shuffle), then one
+    bucketed reduce re-takes the global per-group top-k vectorized.
+    """
+    out_schema = pa.schema([(group_col, pa.string()), (id_col, pa.int64())])
+    from .infer import bucketed_reduce
+
+    def _topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[[group_col, id_col]] if len(b.columns) else b
+        b = b[[group_col, id_col]].copy()
+        b["__rank"] = (b[id_col].astype("int64") * mult) % mod
+        b = b.sort_values(["__rank", id_col], kind="stable")
+        return b.groupby(group_col, sort=False).head(k)[[group_col, id_col]]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk(g)
+
+    return bucketed_reduce(
+        ds.select_columns([group_col, id_col]),
+        [group_col],
+        _reduce,
+        out_schema,
+        combiner=_topk,
     )
 
 

@@ -113,6 +113,50 @@ def sessionize(
     )
 
 
+RUNNING_SUM_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("cum", pa.int64()),
+    ]
+)
+
+
+def running_sum(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "val",
+) -> ray.data.Dataset:
+    """Per-key running total — ``SUM(val) OVER (PARTITION BY key ORDER
+    BY ts, id)`` — over an INTEGER value column (callers integerize
+    floats upstream so the sum is exact and order-independent to
+    verify). One bucket shuffle on ``key``; within a bucket one
+    vectorized sort + ``groupby(key).cumsum()`` covers every key in
+    the bucket. Output: ``(event_id, cum)``, one row per input row.
+    """
+    from .infer import bucketed_reduce
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        return pd.DataFrame(
+            {
+                "event_id": s[id_col].astype("int64"),
+                "cum": s.groupby(key_col, sort=False)[val_col]
+                .cumsum()
+                .astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([key_col, ts_col, id_col, val_col]),
+        [key_col],
+        _reduce,
+        RUNNING_SUM_SCHEMA,
+    )
+
+
 ASOF_SCHEMA = pa.schema(
     [
         ("event_id", pa.int64()),

@@ -1,0 +1,132 @@
+"""Bloom semi-join prefilter, left_semi join, per-group hash sampling,
+per-key running sums — semantics vs driver-side pandas ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ai_knowledge_graph_ray.stages.bloom import (
+    bloom_contains,
+    bloom_prefilter,
+    build_bloom,
+    semi_join_bloom,
+)
+from ai_knowledge_graph_ray.stages.relational import (
+    cogroup_join,
+    sample_per_group,
+)
+from ai_knowledge_graph_ray.stages.sessions import running_sum
+
+
+def _arrow_ds(df: pd.DataFrame) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        keys = pd.DataFrame({"k": [f"key{i}" for i in range(5000)]})
+        bm = build_bloom(_arrow_ds(keys), ["k"], num_bits=1 << 16)
+        mask = bloom_contains(bm, keys["k"].astype(str))
+        assert mask.all()
+
+    def test_low_false_positive_rate(self):
+        members = pd.DataFrame({"k": [f"in{i}" for i in range(2000)]})
+        others = pd.Series([f"out{i}" for i in range(20000)])
+        bm = build_bloom(_arrow_ds(members), ["k"], num_bits=1 << 16)
+        fpr = bloom_contains(bm, others).mean()
+        # 2000 keys in 2^16 bits, 4 hashes -> theoretical FPR ~ 0.2%
+        assert fpr < 0.02, fpr
+
+    def test_prefilter_drops_nonmembers(self):
+        right = _arrow_ds(pd.DataFrame({"k": list(range(0, 100))}))
+        left = _arrow_ds(pd.DataFrame({"k": list(range(0, 10000)), "v": range(10000)}))
+        bm_ref = ray.put(build_bloom(right, ["k"]))
+        kept = bloom_prefilter(left, ["k"], bm_ref).count()
+        assert 100 <= kept < 300, kept  # all members + few false positives
+
+    def test_semi_join_bloom_exact(self):
+        rng = np.random.default_rng(3)
+        l = pd.DataFrame({"k": rng.integers(0, 1000, 5000), "v": np.arange(5000)})
+        r = pd.DataFrame({"k": rng.integers(0, 100, 500)})
+        got = sorted(
+            (x["k"], x["v"])
+            for x in semi_join_bloom(_arrow_ds(l), _arrow_ds(r), on=["k"]).take_all()
+        )
+        want = sorted(
+            (k, v) for k, v in zip(l["k"], l["v"]) if k in set(r["k"])
+        )
+        assert got == want
+
+
+class TestLeftSemiJoin:
+    def test_matches_pandas(self):
+        l = pd.DataFrame({"k": ["a", "b", "c", "a"], "v": [1, 2, 3, 4]})
+        r = pd.DataFrame({"k": ["a", "a", "x"], "rv": [1, 2, 3]})
+        got = sorted(
+            (x["k"], x["v"])
+            for x in cogroup_join(
+                _arrow_ds(l), _arrow_ds(r), on=["k"], how="left_semi"
+            ).take_all()
+        )
+        assert got == [("a", 1), ("a", 4)]
+
+
+class TestSamplePerGroup:
+    def test_matches_driver_rank(self):
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(list("abcd"), 2000),
+                "id": np.arange(2000, dtype=np.int64),
+            }
+        )
+        got = sorted(
+            (r["g"], r["id"])
+            for r in sample_per_group(_arrow_ds(df), "g", "id", 7).take_all()
+        )
+        d = df.copy()
+        d["rank"] = (d["id"] * 48271) % 2147483647
+        want = sorted(
+            (g, i)
+            for g, i in d.sort_values(["rank", "id"])
+            .groupby("g", sort=False)
+            .head(7)[["g", "id"]]
+            .itertuples(index=False)
+        )
+        assert got == want
+
+    def test_small_groups_returned_whole(self):
+        df = pd.DataFrame({"g": ["x", "x", "y"], "id": [1, 2, 3]})
+        got = sorted(
+            (r["g"], r["id"])
+            for r in sample_per_group(_arrow_ds(df), "g", "id", 10).take_all()
+        )
+        assert got == [("x", 1), ("x", 2), ("y", 3)]
+
+
+class TestRunningSum:
+    def test_matches_pandas_cumsum(self, sf_dir):
+        cols = ["event_id", "ts", "user_id", "value"]
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        pdf["val"] = (pdf["value"] * 100).round().astype("int64")
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "event_id": b["event_id"],
+                    "ts": b["ts"],
+                    "user_id": b["user_id"],
+                    "val": (b["value"] * 100).round().astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        got = {r["event_id"]: r["cum"] for r in running_sum(ds).take_all()}
+        s = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        want = s.groupby("user_id", sort=False)["val"].cumsum()
+        assert len(got) == len(pdf)
+        for eid, w in zip(s["event_id"], want):
+            assert got[eid] == w

@@ -179,3 +179,57 @@ class TestSkewJoin:
             for r in cogroup_join(left, right, on=["key"]).take_all()
         )
         assert out == want
+
+
+class TestLeftOuterJoin:
+    def test_left_outer_keeps_unmatched_with_nulls(self):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.relational import cogroup_join
+
+        import pyarrow as pa
+
+        left = ray.data.from_arrow(
+            pa.table({"key": ["a", "b", "c", "a"], "val": [1, 2, 3, 4]})
+        )
+        right = ray.data.from_arrow(pa.table({"key": ["a", "x"], "rv": [10, 99]}))
+        rows = sorted(
+            (r["key"], r["val"], r["rv"])
+            for r in cogroup_join(left, right, on=["key"], how="left_outer").take_all()
+        )
+        assert rows == [
+            ("a", 1, 10),
+            ("a", 4, 10),
+            ("b", 2, None),
+            ("c", 3, None),
+        ]
+
+    def test_left_outer_matches_pandas_merge(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.relational import cogroup_join
+
+        rng = np.random.default_rng(7)
+        l = pd.DataFrame(
+            {"key": rng.integers(0, 50, 400).astype(str), "val": np.arange(400)}
+        )
+        r = pd.DataFrame({"key": [str(k) for k in range(0, 50, 3)],
+                          "rv": list(range(0, 50, 3))})
+        got = sorted(
+            (x["key"], x["val"], x["rv"])
+            for x in cogroup_join(
+                ray.data.from_arrow(pa.Table.from_pandas(l)),
+                ray.data.from_arrow(pa.Table.from_pandas(r)),
+                on=["key"], how="left_outer",
+            ).take_all()
+        )
+        m = l.merge(r, on="key", how="left")
+        want = sorted(
+            (k, v, None if pd.isna(rv) else int(rv))
+            for k, v, rv in zip(m["key"], m["val"], m["rv"])
+        )
+        assert got == want
