@@ -102,6 +102,33 @@ def build_graph(
         concurrency=rt["extract_concurrency"],
         batch_size=rt["extract_batch_size"],
     )
+
+    # Weighted collapse fast path: Phase-1 output is massively
+    # duplicated (every chunk of every page re-emits its triples —
+    # bench corpus: 3.2M raw rows -> 9k distinct). Collapsing ONCE
+    # here to (distinct key, representative row, raw multiplicity)
+    # lets Phase 2's alias apply and Phase 3's scans run over the
+    # distinct residue instead of re-scanning the raw table twice.
+    # Output-identical (max-of-maxes; weighted entity frequencies) —
+    # pinned by test_weighted_collapse. Disabled when model-assisted
+    # inference is on: the reference's context selection deliberately
+    # reads duplicate context triples from the raw table.
+    weighted = (
+        rt.get("weighted_collapse", True)
+        and cfg["standardization"].get("enabled", True)
+        # Phase 3's final dedup is what makes the collapse invisible in
+        # the output; with inference disabled the contract is the raw
+        # standardized table (duplicates included) — keep it.
+        and cfg["inference"].get("enabled", True)
+        and not cfg["inference"].get("use_llm_for_inference", False)
+    )
+    weight_col = None
+    if weighted:
+        from ..stages.infer import dedup_triples_weighted
+
+        triples = dedup_triples_weighted(with_lineage(triples, "extracted"))
+        weight_col = "weight"
+
     # Phase boundary: Phases 2/3 fan out into several consumers
     # (entity counts, component residue, transitive self-join, lexical
     # blocking) — pin the triple table in the object store once so the
@@ -113,10 +140,19 @@ def build_graph(
         triples = triples.materialize()
 
     if cfg["standardization"].get("enabled", True):
-        triples, _alias = standardize_triples(triples, cfg)
+        triples, _alias = standardize_triples(triples, cfg, weight_col=weight_col)
         # Attach lineage before the phase boundary so Phase 3's several
         # consumers share one already-lineaged materialization.
         triples = with_lineage(triples, "extracted")
+        if weighted:
+            # multiplicities served the election; drop them before the
+            # phase boundary (Phase 3 re-dedups post-alias keys anyway)
+            triples = triples.map_batches(
+                lambda b: b.drop_columns(["weight"])
+                if "weight" in b.column_names
+                else b,
+                batch_format="pyarrow",
+            )
         if rt.get("materialize_intermediates", True):
             triples = triples.materialize()
 

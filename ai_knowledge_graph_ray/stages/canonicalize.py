@@ -54,12 +54,18 @@ from ..functions.model import ChatModel, make_model
 from ..functions.textnorm import limit_predicate_length, normalize_entity_key
 
 
-def entity_counts(triples: ray.data.Dataset) -> ray.data.Dataset:
+def entity_counts(
+    triples: ray.data.Dataset, weight_col: str | None = None
+) -> ray.data.Dataset:
     """Distributed lower-cased entity frequency over subject+object.
 
     Emits ``(entity, count)``. Hot-entity skew is absorbed by the
     per-batch partial count (one row per distinct entity per batch)
     before the global groupby.
+
+    ``weight_col``: when the input is a pre-collapsed distinct table
+    (``dedup_triples_weighted``), each row counts ``weight`` times —
+    the sums are then EXACTLY the raw-table frequencies.
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -69,15 +75,31 @@ def entity_counts(triples: ray.data.Dataset) -> ray.data.Dataset:
                 pc.utf8_lower(batch["object"]).combine_chunks(),
             ]
         )
-        vc = ents.value_counts()
+        if weight_col is None:
+            vc = ents.value_counts()
+            return pa.table(
+                {
+                    "entity": vc.field("values"),
+                    "count": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+        w = batch[weight_col].combine_chunks().cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "entity": ents.to_pandas(),
+                "count": pa.concat_arrays([w, w]).to_pandas(),
+            }
+        )
+        part = df.groupby("entity", as_index=False, sort=False)["count"].sum()
         return pa.table(
             {
-                "entity": vc.field("values"),
-                "count": pc.cast(vc.field("counts"), pa.int64()),
+                "entity": pa.array(part["entity"], pa.string()),
+                "count": pa.array(part["count"], pa.int64()),
             }
         )
 
-    partials = triples.select_columns(["subject", "object"]).map_batches(
+    cols = ["subject", "object"] + ([weight_col] if weight_col else [])
+    partials = triples.select_columns(cols).map_batches(
         _partial, batch_format="pyarrow"
     )
     return partials.groupby("entity").aggregate(Sum("count", alias_name="count"))
@@ -202,8 +224,19 @@ def apply_alias_map_join(
     alias = sanitize_for_join(alias, alias_schema)
     base = with_lineage(triples, "extracted")
 
+    # carry non-lineage passthrough columns (e.g. the weighted-collapse
+    # ``weight``) through the join untouched
+    try:
+        in_names = list(base.schema().names)
+    except Exception:
+        in_names = list(LINEAGE_SCHEMA.names)
+    extra_fields = [
+        pa.field("weight", pa.int64())
+        for n in ["weight"]
+        if n in in_names and n not in LINEAGE_SCHEMA.names
+    ]
     work_schema = pa.schema(
-        list(LINEAGE_SCHEMA) + [pa.field("__k", pa.string())]
+        list(LINEAGE_SCHEMA) + extra_fields + [pa.field("__k", pa.string())]
     )
 
     def _key_on(col: str):
@@ -454,6 +487,8 @@ def _standardize_over_gate(
 def standardize_triples(
     triples: ray.data.Dataset,
     config: dict | None = None,
+    *,
+    weight_col: str | None = None,
 ) -> tuple[ray.data.Dataset, "dict[str, str] | ray.data.Dataset"]:
     """Full Phase 2 over a ``triples_raw`` dataset.
 
@@ -464,11 +499,17 @@ def standardize_triples(
     aggregated entity population is COUNTED before it is collected;
     over the gate the fully-distributed election + shuffle alias join
     run instead and the alias map returns as a Dataset.
+
+    ``weight_col``: input is a pre-collapsed distinct table whose rows
+    carry their raw multiplicity (see ``dedup_triples_weighted``) —
+    the election sees identical frequencies, the alias map is applied
+    to the (much smaller) distinct table, and the weight column passes
+    through to the output.
     """
     config = config or {}
     std_cfg = config.get("standardization", {})
     residue_cap = int(std_cfg.get("residue_max_entities", 5_000_000))
-    counts = entity_counts(triples).materialize()
+    counts = entity_counts(triples, weight_col=weight_col).materialize()
     if counts.count() > residue_cap:
         return _standardize_over_gate(triples, counts, std_cfg, config)
     pairs_tbl = counts.to_pandas()

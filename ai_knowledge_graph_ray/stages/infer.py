@@ -37,6 +37,7 @@ and its helpers, re-expressed on Ray Data:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pandas as pd
@@ -653,6 +654,66 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
     return bucketed_reduce(triples, key, _reduce, LINEAGE_SCHEMA, combiner=_combine)
 
 
+WEIGHTED_LINEAGE_SCHEMA = pa.schema(
+    list(LINEAGE_SCHEMA) + [pa.field("weight", pa.int64())]
+)
+
+
+def dedup_triples_weighted(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """G5 exact dedup that ALSO emits ``weight`` = how many raw rows
+    each (s, p, o) key collapsed (its raw multiplicity).
+
+    This is the enabler for running Phases 2/3 over the distinct
+    residue instead of the raw table: Phase-2 entity frequencies are
+    recovered exactly as weighted sums, and the representative row per
+    key is the SAME row the raw-table dedup would keep (max-of-maxes:
+    the per-key winner under the G5 rule is the max-order non-inferred
+    row; the max over per-group maxes equals the global max, so
+    collapsing before alias/predicate merges and re-deduping after is
+    output-identical — pinned by ``test_weighted_collapse``).
+    """
+
+    key = ["subject", "predicate", "object"]
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            if "weight" not in batch.columns:
+                batch = batch.assign(weight=pd.Series([], dtype="int64"))
+            return batch
+        b = batch.sort_values(ORDER_COLS, kind="stable")
+        if "weight" not in b.columns:
+            b = b.assign(weight=1)
+        # per-key partial weight rides on the "first" candidate row;
+        # the non-inferred "last" candidate carries 0 so re-combining
+        # never double-counts
+        w = b.groupby(key, sort=False)["weight"].transform("sum")
+        firsts_mask = ~b.duplicated(key, keep="first")
+        b = b.assign(weight=np.where(firsts_mask, w, 0))
+        firsts = b[firsts_mask]
+        lasts = b[~b["inferred"]].drop_duplicates(key, keep="last")
+        lasts = lasts[~lasts.index.isin(firsts.index)]
+        return pd.concat([firsts, lasts], ignore_index=True)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if "weight" not in g.columns:
+            g = g.assign(weight=1)
+        b = g.sort_values(ORDER_COLS, kind="stable")
+        totals = b.groupby(key, as_index=False, sort=False)["weight"].sum()
+        non_inf_last = b[~b["inferred"]].drop_duplicates(key, keep="last")
+        firsts = b.drop_duplicates(key, keep="first")
+        covered = firsts.merge(
+            non_inf_last[key].assign(__hit=1), on=key, how="left"
+        )
+        only_inf = firsts[covered["__hit"].isna().to_numpy()]
+        winners = pd.concat([non_inf_last, only_inf], ignore_index=True)
+        out = winners.drop(columns="weight").merge(totals, on=key)
+        return out[list(WEIGHTED_LINEAGE_SCHEMA.names)]
+
+    return bucketed_reduce(
+        triples, key, _reduce, WEIGHTED_LINEAGE_SCHEMA, combiner=_combine
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-assisted inference (A4 cross-community, A5 within-community)
 # ---------------------------------------------------------------------------
@@ -1076,8 +1137,20 @@ def infer_relationships(
     else:  # "shuffle": join-based scale path (residue too big to collect)
         parts.append(infer_lexical(scan, mode="blocked", num_partitions=num_partitions))
 
-    unioned = parts[0].union(*parts[1:])
-    deduped = dedup_triples(unioned)
+    # Under the driver gate the inferred parts are bounded (fanout
+    # caps / capped pair sets) — materialize them and, when inference
+    # added NOTHING (common on well-canonicalized corpora), skip the
+    # final union+dedup shuffle outright: ``scan`` is already G5-
+    # deduped when ``prededup_input`` ran. Over the gate the parts are
+    # unbounded — keep the streaming union.
+    if driver_residue and prededup_input:
+        extras = [p.materialize() for p in parts[1:]]
+        if sum(p.count() for p in extras) == 0:
+            deduped = parts[0]
+        else:
+            deduped = dedup_triples(parts[0].union(*extras))
+    else:
+        deduped = dedup_triples(parts[0].union(*parts[1:]))
 
     def _final(batch: pa.Table) -> pa.Table:
         preds = pa.array(
