@@ -101,6 +101,50 @@ def q_doc_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Webtext corpus hygiene (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_doc_repetition(sf_dir: str):
+    from ..stages.webtext import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_doc_line_dedup(sf_dir: str):
+    from ..stages.webtext import line_dedup_stats
+
+    return line_dedup_stats(_docs(sf_dir), min_docs=2)
+
+
+DECON_K, DECON_BENCH_MOD = 3, 20
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Train docs flagged when any word 3-gram also appears in the
+    held-out benchmark slice (doc_id % 20 == 0)."""
+    from ..stages.webtext import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def _part(keep_bench: bool):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["doc_id"] % DECON_BENCH_MOD == 0) == keep_bench
+            return b[m]
+
+        return _f
+
+    bench = docs.map_batches(_part(True), batch_format="pandas")
+    train = docs.map_batches(_part(False), batch_format="pandas")
+    return decontaminate(train, bench, k=DECON_K)
+
+
+def q_doc_pii_redact(sf_dir: str):
+    from ..stages.webtext import pii_redact
+
+    return pii_redact(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Chunking (oracle-checked via recursive-CTE loop simulation)
 # ---------------------------------------------------------------------------
 
@@ -1415,6 +1459,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_quality": q_doc_quality,
     "doc_simhash": q_doc_simhash,
+    "doc_repetition": q_doc_repetition,
+    "doc_line_dedup": q_doc_line_dedup,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_pii_redact": q_doc_pii_redact,
     "kg_chunk_stats": q_kg_chunk_stats,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
@@ -1509,6 +1557,96 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "doc_fingerprint": "SELECT doc_id, md5(coalesce(text,'')) AS md5 FROM documents",
+    "doc_repetition": r"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        bi AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS glen
+          FROM toks
+        ),
+        tok_stats AS (
+          SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct_tokens,
+                 max(length(tok)) AS max_word_len
+          FROM toks GROUP BY doc_id
+        ),
+        top_tok AS (
+          SELECT doc_id, max(c) AS top_token_count FROM (
+            SELECT doc_id, tok, count(*) c FROM toks GROUP BY 1, 2) GROUP BY doc_id
+        ),
+        top_bi AS (
+          SELECT doc_id, max(c) AS top_bigram_count FROM (
+            SELECT doc_id, gram, count(*) c FROM bi WHERE glen = 2 GROUP BY 1, 2) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(t.n_tokens, 0) AS n_tokens,
+               coalesce(t.n_distinct_tokens, 0) AS n_distinct_tokens,
+               coalesce(t.max_word_len, 0) AS max_word_len,
+               coalesce(tt.top_token_count, 0) AS top_token_count,
+               coalesce(tb.top_bigram_count, 0) AS top_bigram_count
+        FROM documents d
+        LEFT JOIN tok_stats t USING (doc_id)
+        LEFT JOIN top_tok tt USING (doc_id)
+        LEFT JOIN top_bi tb USING (doc_id)
+    """,
+    "doc_line_dedup": r"""
+        WITH lines AS (
+          SELECT doc_id, u.line, u.pos
+          FROM documents,
+               LATERAL (SELECT unnest(string_split(coalesce(text,''), chr(10))) AS line,
+                               generate_subscripts(string_split(coalesce(text,''), chr(10)), 1) AS pos) u
+        ),
+        common AS (
+          SELECT line FROM lines WHERE trim(line) <> ''
+          GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE line IN (SELECT line FROM common)) AS n_removed,
+               md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE line NOT IN (SELECT line FROM common)), '')) AS clean_md5
+        FROM lines GROUP BY doc_id
+    """,
+    "doc_decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        grams AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS glen
+          FROM toks
+        ),
+        full_grams AS (SELECT doc_id, gram FROM grams WHERE glen = 3),
+        bench AS (SELECT DISTINCT gram FROM full_grams WHERE doc_id % 20 = 0)
+        SELECT f.doc_id,
+               count(DISTINCT f.gram) FILTER (WHERE f.gram IN (SELECT gram FROM bench)) AS n_shared_grams,
+               (count(DISTINCT f.gram) FILTER (WHERE f.gram IN (SELECT gram FROM bench)) > 0)::BIGINT AS contaminated
+        FROM full_grams f
+        WHERE f.doc_id % 20 <> 0
+        GROUP BY f.doc_id
+    """,
+    "doc_pii_redact": r"""
+        SELECT doc_id,
+          len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+          len(regexp_extract_all(coalesce(text,''), '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+          len(regexp_extract_all(coalesce(text,''), '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+          md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text,''),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        FROM documents
+    """,
     "doc_exact_dedup": """
         SELECT min(doc_id) AS doc_id, md5(coalesce(text,'')) AS text_md5
         FROM documents GROUP BY md5(coalesce(text,''))

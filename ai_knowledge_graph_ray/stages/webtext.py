@@ -1,0 +1,527 @@
+"""Webtext corpus-hygiene operators for training-data pipelines:
+CCNet-style cross-document line dedup, GPT-3-style n-gram test-set
+decontamination, Gopher-style repetition signals, and PII redaction.
+
+The reference repo (sixscripts-ai/ai-knowledge-graph) has no corpus-
+hygiene layer; these extend the SURVEY §2 LLM-data-pipeline family
+with the standard public webtext operators (CCNet line-level dedup,
+GPT-3 appendix-C n-gram decontamination, Gopher repetition filters,
+regex PII scrubbing), expressed Ray-Data-first:
+
+- Per-document signals (:func:`repetition_stats`, :func:`pii_redact`)
+  are stateless vectorized ``map_batches`` — zero shuffles.
+- Corpus-level passes (:func:`line_dedup_stats`,
+  :func:`decontaminate`) build their small side (common-line set /
+  benchmark-gram set) with ONE bucketed shuffle whose residue is
+  COUNTED before collection: under the gate the set is broadcast via
+  ``ray.put`` and the second pass is shuffle-free; over the gate a
+  fully-distributed bucketed-join path runs instead (equivalence
+  pinned by forcing the gate to 0 in tests).
+
+All integer/hash output columns are chosen to be exactly expressible
+in ANSI SQL so the DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .infer import bucketed_reduce, normalize_blocks
+
+# Same driver-collect budget as stages.dedup: a small-side set under
+# this many entries ships to the driver and broadcasts; over it, the
+# distributed join path runs.
+DRIVER_MAX_SMALL_SIDE = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# Shared vectorized explode helpers
+# ---------------------------------------------------------------------------
+
+def _explode_lines(batch: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+    """``(id, pos, line)`` — one row per '\\n'-split line, 1-based pos.
+
+    Matches ``str.split('\\n')`` / DuckDB ``string_split(text,
+    chr(10))`` exactly: an empty document yields ONE empty line.
+    """
+    t = batch[text_col].fillna("")
+    lists = t.str.split("\n")
+    n = lists.str.len().to_numpy()
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in lists]) if len(t) else np.empty(0, object)
+    pos = np.concatenate([np.arange(1, c + 1) for c in n]) if len(t) else np.empty(0, np.int64)
+    return pd.DataFrame(
+        {
+            id_col: np.repeat(batch[id_col].to_numpy(), n),
+            "pos": pos.astype("int64"),
+            "line": flat,
+        }
+    )
+
+
+def _doc_distinct_gram_hashes(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``(row_idx, gram_hash)`` for every per-document DISTINCT word
+    ``k``-gram (lowercased, whitespace-run tokenized).
+
+    Grams are materialized as strings batch-wide (C-level ``str.cat``
+    over shifted token columns) and hashed with
+    ``pd.util.hash_array`` — deterministic across processes, 64-bit
+    (cross-gram collisions ~ n²/2⁶⁴, negligible vs corpus sizes).
+    """
+    t = texts.fillna("").str.strip().str.lower()
+    toks = t.str.split()
+    n = toks.str.len().fillna(0).astype(int).to_numpy()
+    if n.sum() == 0 or len(t) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    rows = np.repeat(np.arange(len(t)), n)
+    flat = pd.Series(
+        np.concatenate([np.asarray(x, dtype=object) for x in toks if len(x)]),
+    )
+    if len(flat) < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    gram = flat.str.cat([flat.shift(-j) for j in range(1, k)], sep=" ")
+    # a window is a real gram only when it doesn't cross a doc boundary
+    valid = (rows[: len(rows) - k + 1] == rows[k - 1 :]) & gram.notna().to_numpy()[
+        : len(rows) - k + 1
+    ]
+    g_rows = rows[: len(rows) - k + 1][valid]
+    g_hash = pd.util.hash_array(gram.to_numpy(object)[: len(rows) - k + 1][valid])
+    dd = pd.DataFrame({"row": g_rows, "gh": g_hash}).drop_duplicates()
+    return dd["row"].to_numpy(np.int64), dd["gh"].to_numpy(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (stateless, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(id, n_tokens, n_distinct_tokens, max_word_len,
+    top_token_count, top_bigram_count)`` — integer repetition signals
+    (Gopher-style duplicate-content filters decide on ratios of these;
+    integers are emitted so the SQL oracle hash-matches).
+
+    Tokens: ``lower(trim(text))`` split on whitespace runs. Documents
+    with no tokens emit all-zero rows (they still appear).
+    """
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        m = len(batch)
+        t = batch[text_col].fillna("").str.strip().str.lower()
+        toks = t.str.split()
+        n_tok = toks.str.len().fillna(0).astype(int).to_numpy()
+        out = {
+            "n_tokens": n_tok.astype("int64"),
+            "n_distinct_tokens": np.zeros(m, np.int64),
+            "max_word_len": np.zeros(m, np.int64),
+            "top_token_count": np.zeros(m, np.int64),
+            "top_bigram_count": np.zeros(m, np.int64),
+        }
+        if n_tok.sum() > 0:
+            rows = np.repeat(np.arange(m), n_tok)
+            flat = pd.Series(
+                np.concatenate([np.asarray(x, dtype=object) for x in toks if len(x)])
+            )
+            df = pd.DataFrame({"row": rows, "tok": flat.to_numpy(object)})
+            per_tok = df.groupby(["row", "tok"], sort=False).size()
+            by_row = per_tok.groupby(level=0)
+            out["n_distinct_tokens"][by_row.size().index] = by_row.size().to_numpy()
+            out["top_token_count"][by_row.max().index] = by_row.max().to_numpy()
+            wl = df.assign(l=flat.str.len().to_numpy()).groupby("row")["l"].max()
+            out["max_word_len"][wl.index] = wl.to_numpy()
+            # adjacent bigrams within a document
+            nxt = flat.shift(-1)
+            same = rows[:-1] == rows[1:] if len(rows) > 1 else np.empty(0, bool)
+            if same.any():
+                bg = pd.DataFrame(
+                    {
+                        "row": rows[:-1][same],
+                        "gram": flat.iloc[:-1].str.cat(nxt.iloc[:-1], sep=" ").to_numpy(
+                            object
+                        )[same],
+                    }
+                )
+                top_bg = bg.groupby(["row", "gram"], sort=False).size().groupby(level=0).max()
+                out["top_bigram_count"][top_bg.index] = top_bg.to_numpy()
+        return pd.DataFrame({id_col: batch[id_col], **out})
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (stateless, oracle-checked; RE2-compatible patterns)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the RE2-compatible subset (no lookarounds /
+# backrefs) so the DuckDB oracle applies the IDENTICAL regexes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+_PII_RES = [
+    (re.compile(PII_EMAIL), "<EMAIL>"),
+    (re.compile(PII_PHONE), "<PHONE>"),
+    (re.compile(PII_IPV4), "<IP>"),
+]
+
+
+def pii_redact(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    with_text: bool = False,
+) -> ray.data.Dataset:
+    """``(id, n_emails, n_phones, n_ipv4, redacted_md5[, redacted])``.
+
+    Replacement ORDER is part of the contract (email → phone → ip:
+    emails may contain digits; phone/ip never overlap). Counts are
+    non-overlapping leftmost matches — identical semantics in Python
+    ``re`` and RE2, pinned against DuckDB in tests.
+    """
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        counts = {
+            "n_emails": t.str.count(PII_EMAIL).astype("int64"),
+            "n_phones": t.str.count(PII_PHONE).astype("int64"),
+            "n_ipv4": t.str.count(PII_IPV4).astype("int64"),
+        }
+        red = t
+        for rx, repl in _PII_RES:
+            red = red.str.replace(rx, repl, regex=True)
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in red]
+        out = pd.DataFrame({id_col: batch[id_col], **counts, "redacted_md5": md5s})
+        if with_text:
+            out["redacted"] = red
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup (gated two-pass)
+# ---------------------------------------------------------------------------
+
+_LINE_STATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("clean_md5", pa.string()),
+    ]
+)
+
+
+def _common_lines(
+    ds: ray.data.Dataset, text_col: str, id_col: str, min_docs: int
+) -> ray.data.Dataset:
+    """Lines (non-whitespace-only) appearing in >= ``min_docs`` DISTINCT
+    documents. One bucketed shuffle over per-batch-distinct
+    ``(id, line)`` pairs."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _explode_lines(batch, text_col, id_col)[[id_col, "line"]]
+        df = df[df["line"].str.strip() != ""]
+        return df.drop_duplicates()
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.drop_duplicates().groupby("line", sort=False)[id_col].size()
+        keep = cnt[cnt >= min_docs]
+        return pd.DataFrame({"line": keep.index.to_numpy(object)})
+
+    return bucketed_reduce(
+        pairs, ["line"], _reduce, pa.schema([("line", pa.string())]), combiner=_dd
+    )
+
+
+class _LineFilter:
+    """Broadcast common-line set; per-batch split → flag → reassemble
+    (a document's lines never leave its batch — no shuffle)."""
+
+    def __init__(self, common_ref, text_col: str, id_col: str):
+        self._common = ray.get(common_ref)
+        self._text_col, self._id_col = text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        df = _explode_lines(batch, self._text_col, self._id_col)
+        removed = df["line"].isin(self._common).to_numpy()
+        return _assemble_line_stats(df, removed, self._id_col)
+
+
+def _assemble_line_stats(
+    lines: pd.DataFrame, removed: np.ndarray, id_col: str
+) -> pd.DataFrame:
+    """Per-doc (n_lines, n_removed, md5 of kept lines re-joined)."""
+    lines = lines.assign(__rm=removed)
+    out_rows = []
+    for did, g in lines.sort_values([id_col, "pos"], kind="stable").groupby(
+        id_col, sort=False
+    ):
+        kept = g.loc[~g["__rm"], "line"]
+        clean = "\n".join(kept)
+        out_rows.append(
+            (did, len(g), int(g["__rm"].sum()), hashlib.md5(clean.encode()).hexdigest())
+        )
+    return pd.DataFrame(
+        out_rows, columns=[id_col, "n_lines", "n_removed", "clean_md5"]
+    )
+
+
+def line_dedup_stats(
+    ds: ray.data.Dataset,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_max_common: int = DRIVER_MAX_SMALL_SIDE,
+) -> ray.data.Dataset:
+    """CCNet-style boilerplate-line removal report: ``(doc_id, n_lines,
+    n_removed, clean_md5)`` where removed lines are those occurring in
+    >= ``min_docs`` distinct documents (whitespace-only lines exempt)
+    and ``clean_md5`` hashes the kept lines re-joined with '\\n'.
+
+    Gated: the common-line residue is COUNTED; <= ``driver_max_common``
+    collects once and broadcasts (second pass shuffle-free), else the
+    distributed path flags lines via a bucketed join on the line value
+    and reassembles documents with a doc-keyed bucketed reduce.
+    """
+    docs = ds.select_columns([id_col, text_col])
+    common = _common_lines(docs, text_col, id_col, min_docs).materialize()
+
+    if common.count() <= driver_max_common:
+        common_set = frozenset(r["line"] for r in common.take_all())
+        ref = ray.put(common_set)
+        return docs.map_batches(
+            _LineFilter,
+            fn_constructor_kwargs={
+                "common_ref": ref,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+
+    # --- distributed path: line-keyed flag join, then doc-keyed reassembly
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _explode_lines(batch, text_col, id_col)
+        df["__marker"] = False
+        return df
+
+    marker = common.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: np.full(len(b), -1, np.int64),
+                "pos": np.zeros(len(b), np.int64),
+                "line": b["line"].to_numpy(object),
+                "__marker": np.ones(len(b), bool),
+            }
+        ),
+        batch_format="pandas",
+    )
+    union = docs.map_batches(_explode, batch_format="pandas").union(marker)
+
+    flagged_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pos", pa.int64()),
+            ("line", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+
+    def _flag(g: pd.DataFrame) -> pd.DataFrame:
+        commons = set(g.loc[g["__marker"], "line"])
+        rows = g[~g["__marker"]]
+        return pd.DataFrame(
+            {
+                id_col: rows[id_col].to_numpy(),
+                "pos": rows["pos"].to_numpy(),
+                "line": rows["line"].to_numpy(object),
+                "removed": rows["line"].isin(commons).to_numpy(),
+            }
+        )
+
+    flagged = bucketed_reduce(union, ["line"], _flag, flagged_schema)
+
+    def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        return _assemble_line_stats(
+            g[[id_col, "pos", "line"]], g["removed"].to_numpy(), id_col
+        )
+
+    return bucketed_reduce(flagged, [id_col], _reassemble, _LINE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# N-gram test-set decontamination (gated two-pass)
+# ---------------------------------------------------------------------------
+
+_DECON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_shared_grams", pa.int64()),
+        ("contaminated", pa.int64()),
+    ]
+)
+
+
+class _DeconScore:
+    """Broadcast benchmark-gram hash array; per-batch searchsorted hit
+    counting over each train doc's distinct grams."""
+
+    def __init__(self, bench_ref, k: int, text_col: str, id_col: str):
+        self._bench = ray.get(bench_ref)  # sorted uint64 array
+        self._k, self._text_col, self._id_col = k, text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows, gh = _doc_distinct_gram_hashes(batch[self._text_col], self._k)
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {
+                    self._id_col: pd.Series([], dtype="int64"),
+                    "n_shared_grams": pd.Series([], dtype="int64"),
+                    "contaminated": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.searchsorted(self._bench, gh)
+        idx = np.clip(idx, 0, len(self._bench) - 1) if len(self._bench) else idx
+        hit = (
+            self._bench[idx] == gh if len(self._bench) else np.zeros(len(gh), bool)
+        )
+        n_shared = np.bincount(rows, weights=hit, minlength=len(batch)).astype(
+            np.int64
+        )
+        present = np.zeros(len(batch), bool)
+        present[rows] = True
+        ids = batch[self._id_col].to_numpy()[present]
+        shared = n_shared[present]
+        return pd.DataFrame(
+            {
+                self._id_col: ids,
+                "n_shared_grams": shared,
+                "contaminated": (shared > 0).astype("int64"),
+            }
+        )
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    *,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_max_grams: int = DRIVER_MAX_SMALL_SIDE,
+) -> ray.data.Dataset:
+    """GPT-3-style n-gram decontamination report: for every train doc
+    with at least one complete word ``k``-gram, ``(doc_id,
+    n_shared_grams, contaminated)`` — the count of its DISTINCT grams
+    that also occur anywhere in the benchmark set.
+
+    The benchmark's distinct-gram residue is COUNTED: under
+    ``driver_max_grams`` it collects once, sorts, and broadcasts (the
+    train pass is then a shuffle-free searchsorted per batch); over the
+    gate a fully-distributed two-shuffle path runs (gram-keyed flag
+    join, then doc-keyed sum).
+    """
+
+    def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, gh = _doc_distinct_gram_hashes(batch[text_col], k)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[rows]
+                if len(rows)
+                else pd.Series([], dtype="int64"),
+                "gh": gh,
+            }
+        )
+
+    def _dd_gh(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("gh")[["gh"]] if "gh" in b.columns else b
+
+    bench_grams = bucketed_reduce(
+        bench.select_columns([id_col, text_col]).map_batches(
+            _gram_rows, batch_format="pandas"
+        ),
+        ["gh"],
+        lambda g: g.drop_duplicates("gh")[["gh"]],
+        pa.schema([("gh", pa.uint64())]),
+        combiner=_dd_gh,
+    ).materialize()
+
+    train_docs = train.select_columns([id_col, text_col])
+    if bench_grams.count() <= driver_max_grams:
+        arr = np.sort(
+            np.fromiter(
+                (r["gh"] for r in bench_grams.take_all()), dtype=np.uint64
+            )
+        )
+        ref = ray.put(arr)
+        return train_docs.map_batches(
+            _DeconScore,
+            fn_constructor_kwargs={
+                "bench_ref": ref,
+                "k": k,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+
+    # --- distributed path: gram-keyed flag, then doc-keyed aggregation
+    train_grams = train_docs.map_batches(_gram_rows, batch_format="pandas")
+    marker = bench_grams.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: np.full(len(b), -1, np.int64), "gh": b["gh"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+    hit_schema = pa.schema([(id_col, pa.int64()), ("hit", pa.int64())])
+
+    def _flag(g: pd.DataFrame) -> pd.DataFrame:
+        bench_gh = set(g.loc[g[id_col] == -1, "gh"])
+        rows = g[g[id_col] != -1]
+        return pd.DataFrame(
+            {
+                id_col: rows[id_col].to_numpy(),
+                "hit": rows["gh"].isin(bench_gh).astype("int64").to_numpy(),
+            }
+        )
+
+    flagged = bucketed_reduce(train_grams.union(marker), ["gh"], _flag, hit_schema)
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(id_col, sort=False)["hit"].sum()
+        return pd.DataFrame(
+            {
+                id_col: s.index.to_numpy(np.int64),
+                "n_shared_grams": s.to_numpy(np.int64),
+                "contaminated": (s.to_numpy() > 0).astype("int64"),
+            }
+        )
+
+    def _agg_combine(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(id_col, sort=False, as_index=False)["hit"].sum()
+        return s
+
+    return bucketed_reduce(
+        flagged, [id_col], _agg, _DECON_SCHEMA, combiner=_agg_combine
+    )

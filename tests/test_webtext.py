@@ -1,0 +1,216 @@
+"""Webtext corpus-hygiene operators: planted-fixture behavior,
+driver-vs-distributed gate equivalence, and Python-vs-DuckDB regex
+dialect parity."""
+
+from __future__ import annotations
+
+import duckdb
+import hashlib
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.webtext import (
+    decontaminate,
+    line_dedup_stats,
+    pii_redact,
+    repetition_stats,
+)
+
+BOILER = "subscribe to our newsletter"
+COOKIE = "this site uses cookies"
+
+
+def _line_docs():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    f"unique opening one\n{BOILER}\nunique closing one",
+                    f"{COOKIE}\nanother body line\n{BOILER}",
+                    f"{COOKIE}\nsolo content here",
+                    "",  # empty doc -> one empty line, never removed
+                ],
+            }
+        )
+    )
+
+
+def _sorted(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values("doc_id", kind="stable").reset_index(drop=True)
+
+
+class TestLineDedup:
+    def test_removes_cross_doc_boilerplate(self):
+        out = _sorted(line_dedup_stats(_line_docs(), min_docs=2))
+        assert out["n_lines"].tolist() == [3, 3, 2, 1]
+        # BOILER in docs 1+2, COOKIE in docs 2+3; doc 4's empty line exempt
+        assert out["n_removed"].tolist() == [1, 2, 1, 0]
+        exp1 = hashlib.md5(b"unique opening one\nunique closing one").hexdigest()
+        exp2 = hashlib.md5(b"another body line").hexdigest()
+        exp3 = hashlib.md5(b"solo content here").hexdigest()
+        exp4 = hashlib.md5(b"").hexdigest()
+        assert out["clean_md5"].tolist() == [exp1, exp2, exp3, exp4]
+
+    def test_distributed_path_bit_equal(self):
+        a = _sorted(line_dedup_stats(_line_docs(), min_docs=2))
+        b = _sorted(line_dedup_stats(_line_docs(), min_docs=2, driver_max_common=0))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_duckdb_on_fixture(self):
+        fix = _line_docs().to_pandas()
+        con = duckdb.connect()
+        con.register("documents", fix)
+        from ai_knowledge_graph_ray.pipelines.queries import ORACLE_SQL
+
+        oracle = (
+            con.sql(ORACLE_SQL["doc_line_dedup"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ours = _sorted(line_dedup_stats(_line_docs(), min_docs=2))
+        pd.testing.assert_frame_equal(
+            ours[sorted(ours.columns)].astype({"n_lines": "int64"}),
+            oracle[sorted(oracle.columns)],
+            check_dtype=False,
+        )
+
+
+def _decon_tables():
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely separate benchmark content here",
+                ],
+            }
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "watch the quick brown fox run",  # shares 'the quick brown' + 'quick brown fox'
+                    "no overlap with anything else at all",
+                    "separate benchmark content appears again today",  # shares 1 gram
+                    "xy",  # < k tokens: no complete gram -> absent from output
+                ],
+            }
+        )
+    )
+    return train, bench
+
+
+class TestDecontaminate:
+    def test_planted_overlap_counts(self):
+        train, bench = _decon_tables()
+        out = _sorted(decontaminate(train, bench, k=3))
+        assert out["doc_id"].tolist() == [1, 2, 3]  # doc 4 has no 3-gram
+        assert out["n_shared_grams"].tolist() == [2, 0, 1]
+        assert out["contaminated"].tolist() == [1, 0, 1]
+
+    def test_distributed_path_bit_equal(self):
+        train, bench = _decon_tables()
+        a = _sorted(decontaminate(train, bench, k=3))
+        b = _sorted(decontaminate(train, bench, k=3, driver_max_grams=0))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_duplicate_grams_counted_once(self):
+        bench = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([9], pa.int64()), "text": ["a b c"]})
+        )
+        train = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1], pa.int64()), "text": ["a b c a b c a b c"]}
+            )
+        )
+        out = decontaminate(train, bench, k=3).to_pandas()
+        # 'a b c' occurs 3x in the train doc but is ONE distinct shared gram
+        assert out["n_shared_grams"].tolist() == [1]
+
+
+class TestRepetition:
+    def test_hand_computed(self):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": ["spam spam spam eggs", "  ", "one two one two one"],
+                }
+            )
+        )
+        out = _sorted(repetition_stats(ds))
+        assert out["n_tokens"].tolist() == [4, 0, 5]
+        assert out["n_distinct_tokens"].tolist() == [2, 0, 2]
+        assert out["max_word_len"].tolist() == [4, 0, 3]
+        assert out["top_token_count"].tolist() == [3, 0, 3]
+        # doc 1 bigrams: 'spam spam' x2, 'spam eggs'; doc 3: 'one two' x2,
+        # 'two one' x2
+        assert out["top_bigram_count"].tolist() == [2, 0, 2]
+
+    def test_matches_duckdb_on_fixture(self, sf_dir):
+        import os
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+        )
+        from ai_knowledge_graph_ray.pipelines.queries import ORACLE_SQL, q_doc_repetition
+
+        oracle = (
+            con.sql(ORACLE_SQL["doc_repetition"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ours = _sorted(q_doc_repetition(sf_dir))
+        pd.testing.assert_frame_equal(
+            ours[sorted(ours.columns)], oracle[sorted(oracle.columns)], check_dtype=False
+        )
+
+
+PII_TEXT = (
+    "reach a.b+c@ex-ample.org or admin@sub.domain.io, backup 10.0.0.1 "
+    "(call 555-123-4567 or 020.555.1234 but not 12-34-56) end 1.2.3.4"
+)
+
+
+class TestPiiRedact:
+    def test_counts_and_redaction(self):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1, 2], pa.int64()), "text": [PII_TEXT, "clean"]}
+            )
+        )
+        out = _sorted(pii_redact(ds, with_text=True))
+        assert out["n_emails"].tolist() == [2, 0]
+        assert out["n_ipv4"].tolist() == [2, 0]
+        assert out["n_phones"].tolist() == [2, 0]
+        red = out["redacted"].iloc[0]
+        assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+        assert "@" not in red and "10.0.0.1" not in red and "555-123-4567" not in red
+
+    def test_dialect_parity_vs_duckdb(self):
+        """Python re and DuckDB RE2 must agree byte-for-byte on the
+        redacted text (same leftmost non-overlapping semantics)."""
+        fix = pd.DataFrame({"doc_id": [1, 2], "text": [PII_TEXT, "clean"]})
+        con = duckdb.connect()
+        con.register("documents", fix)
+        from ai_knowledge_graph_ray.pipelines.queries import ORACLE_SQL
+
+        oracle = (
+            con.sql(ORACLE_SQL["doc_pii_redact"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ours = _sorted(pii_redact(ray.data.from_pandas(fix)))
+        pd.testing.assert_frame_equal(
+            ours[sorted(ours.columns)], oracle[sorted(oracle.columns)], check_dtype=False
+        )
