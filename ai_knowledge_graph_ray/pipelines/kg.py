@@ -124,8 +124,25 @@ def build_graph(
     )
     weight_col = None
     if weighted:
+        import ray
+
         from ..stages.infer import dedup_triples_weighted
 
+        # The collapse shuffle's input is (distinct keys x input
+        # blocks): extraction emits one small block per task, so
+        # coalescing to ~1 block/CPU first shrinks the map-side
+        # combiner residue — and the shuffle — ~4x (measured 7.2 s ->
+        # 2.0 s on the 320k-doc bench). Coalesce BEFORE attaching
+        # lineage columns: the raw table moves ~5x fewer bytes. At
+        # corpus scale, where Phase-1 blocks already reach the target
+        # block size, set runtime.collapse_coalesce = 0 to disable
+        # (coalescing 100 TB into cpus blocks would create oversized
+        # blocks).
+        n_coalesce = rt.get("collapse_coalesce")
+        if n_coalesce is None:
+            n_coalesce = int(ray.cluster_resources().get("CPU", 8))
+        if n_coalesce:
+            triples = triples.repartition(int(n_coalesce))
         triples = dedup_triples_weighted(with_lineage(triples, "extracted"))
         weight_col = "weight"
 
