@@ -714,6 +714,153 @@ def q_khop_region(sf_dir: str):
     return k_hop_neighbors(_cnr_edges(sf_dir), ["r0"], 2)
 
 
+def _cnrs_edges(sf_dir: str) -> ray.data.Dataset:
+    """Triangle-bearing fixture graph: customers and suppliers linked to
+    BOTH their nation and that nation's region (so every c/s closes a
+    triangle through n->r). The customer->region / supplier->region legs
+    need the nation dimension — a FIXED-size table (25 rows at every
+    TPC-H scale factor), so it broadcasts by construction, never joins.
+    """
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    n2r_ref = ray.put(n2r)
+
+    def _fan(prefix: str, key_col: str, nat_col: str):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            n2r_map = ray.get(n2r_ref)
+            k = b[key_col].astype(int)
+            n = b[nat_col].astype(int)
+            r = n.map(n2r_map)
+            return pd.DataFrame(
+                {
+                    "src": np.concatenate(
+                        [(prefix + k.astype(str)).to_numpy(object)] * 2
+                    ),
+                    "dst": np.concatenate(
+                        [
+                            ("n" + n.astype(str)).to_numpy(object),
+                            ("r" + r.astype(str)).to_numpy(object),
+                        ]
+                    ),
+                }
+            )
+
+        return _f
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_fan("c", "c_custkey", "c_nationkey"), batch_format="pandas")
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_fan("s", "s_suppkey", "s_nationkey"), batch_format="pandas")
+    nre = ray.data.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": "n" + b["n_nationkey"].astype(str),
+                "dst": "r" + b["n_regionkey"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return cust.union(supp).union(nre)
+
+
+_CNRS_EDGES_SQL = """
+        WITH base AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS x,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS y FROM customer
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR)
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR)
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ),
+        und AS (
+          SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+          FROM base WHERE x <> y
+        )"""
+
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts over the customer/supplier/nation/region
+    fixture graph — degree-ordered orientation, wedge + closing-edge
+    bucketed shuffles, hash-exact vs a three-way self-join oracle."""
+    from ..stages.graph_algos import triangle_counts
+
+    return triangle_counts(_cnrs_edges(sf_dir))
+
+
+def q_degree_distribution(sf_dir: str):
+    """``(degree, n_nodes)`` histogram of the same undirected simple
+    graph — two bucketed sums, zero driver residue."""
+    from ..stages.graph_algos import degree_histogram
+
+    return degree_histogram(_cnrs_edges(sf_dir))
+
+
+def q_part_copurchase(sf_dir: str):
+    """Top-100 part pairs by the number of distinct orders containing
+    both (market-basket co-occurrence over lineitem) — pair explosion
+    bounded per basket, deterministic tie-break, SQL-oracle-exact."""
+    from ..stages.cooccur import cooccur_pairs
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    # explicit Arrow projection, not rename_columns (NOTES.md item 10)
+    return cooccur_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2, top_k=100
+    ).map_batches(
+        lambda b: pa.table(
+            {"part_a": b["item_a"], "part_b": b["item_b"], "n_orders": b["n_baskets"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-source corpus profile (docs, chars, tokens, distinct langs)."""
+    from ..stages.webtext import domain_stats
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "lang", "text"]
+    )
+    return domain_stats(docs)
+
+
+def q_doc_gopher(sf_dir: str):
+    """Gopher-style integer quality gate per document."""
+    from ..stages.webtext import gopher_filter
+
+    return gopher_filter(_docs(sf_dir))
+
+
+DUP_SPAN_K = 5
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """Word-5-gram duplicate-span report per document (exact-substring
+    dedup proxy; corpus-wide gram multiplicity >= 2 marks a window)."""
+    from ..stages.webtext import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir), k=DUP_SPAN_K)
+
+
 def _pagerank_oracle_sql(
     iters: int = PAGERANK_ITERS,
     scale: int = PAGERANK_SCALE,
@@ -1522,6 +1669,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_nodes": q_kg_nodes,
     "kg_nodes_louvain": q_kg_nodes_louvain,
     "scenario_eval": q_scenario_eval,
+    "graph_triangles": q_graph_triangles,
+    "degree_distribution": q_degree_distribution,
+    "part_copurchase": q_part_copurchase,
+    "domain_stats": q_domain_stats,
+    "doc_gopher": q_doc_gopher,
+    "doc_dup_spans": q_doc_dup_spans,
 }
 
 _N_TOKENS_SQL = (
@@ -1536,6 +1689,102 @@ def _lang_count(lang: str) -> str:
 
 
 _CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+def _gopher_oracle_sql() -> str:
+    """SQL twin of :func:`~..stages.webtext.gopher_filter` — same
+    lower(trim) whitespace tokenization as the doc_repetition oracle,
+    thresholds imported from the stage so the two can never drift."""
+    from ..stages.webtext import (
+        GOPHER_DISTINCT_DEN,
+        GOPHER_MAX_MEAN_WORD_X,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_WORD_X,
+        GOPHER_MIN_TOKENS,
+        GOPHER_TOP_BIGRAM_DEN,
+    )
+
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        bi AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS glen
+          FROM toks
+        ),
+        tok_stats AS (
+          SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+                 sum(length(tok)) AS twc
+          FROM toks GROUP BY doc_id
+        ),
+        top_bi AS (
+          SELECT doc_id, max(c) AS top_bigram FROM (
+            SELECT doc_id, gram, count(*) c FROM bi WHERE glen = 2 GROUP BY 1, 2) GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 coalesce(t.n_tokens, 0) AS nt,
+                 coalesce(t.twc, 0) AS twc,
+                 coalesce(t.n_distinct, 0) AS nd,
+                 coalesce(tb.top_bigram, 0) AS tbg
+          FROM documents d
+          LEFT JOIN tok_stats t USING (doc_id)
+          LEFT JOIN top_bi tb USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(nt AS BIGINT) AS n_tokens,
+               CAST(twc AS BIGINT) AS total_word_chars,
+               CAST((CASE WHEN nt < {GOPHER_MIN_TOKENS} OR nt > {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END)
+                  + (CASE WHEN {GOPHER_MIN_MEAN_WORD_X} * nt > twc OR twc > {GOPHER_MAX_MEAN_WORD_X} * nt THEN 2 ELSE 0 END)
+                  + (CASE WHEN {GOPHER_TOP_BIGRAM_DEN} * tbg > nt THEN 4 ELSE 0 END)
+                  + (CASE WHEN {GOPHER_DISTINCT_DEN} * nd < nt THEN 8 ELSE 0 END) AS BIGINT) AS reason_mask,
+               CAST(CASE WHEN nt >= {GOPHER_MIN_TOKENS} AND nt <= {GOPHER_MAX_TOKENS}
+                          AND {GOPHER_MIN_MEAN_WORD_X} * nt <= twc AND twc <= {GOPHER_MAX_MEAN_WORD_X} * nt
+                          AND {GOPHER_TOP_BIGRAM_DEN} * tbg <= nt
+                          AND {GOPHER_DISTINCT_DEN} * nd >= nt
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM sig
+    """
+
+
+_GOPHER_ORACLE_SQL = _gopher_oracle_sql()
+
+_DUP_SPANS_ORACLE_SQL = rf"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        win AS (
+          SELECT doc_id,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {DUP_SPAN_K - 1} FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {DUP_SPAN_K - 1} FOLLOWING) AS glen
+          FROM toks
+        ),
+        grams AS (
+          SELECT doc_id, gram,
+                 count(*) OVER (PARTITION BY gram) AS corpus_count
+          FROM win WHERE glen = {DUP_SPAN_K}
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 count(*) AS n_grams,
+                 count(*) FILTER (WHERE corpus_count >= 2) AS n_dup
+          FROM grams GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
 
 ORACLE_SQL: dict[str, str] = {
     "doc_token_counts": f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
@@ -1940,4 +2189,46 @@ ORACLE_SQL: dict[str, str] = {
         JOIN doc_sizes sb ON p.id_b = sb.doc_id
         WHERE 2 * p.n_common >= sa.n_grams + sb.n_grams - p.n_common
     """,
+    "graph_triangles": _CNRS_EDGES_SQL + """,
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    """,
+    "degree_distribution": _CNRS_EDGES_SQL + """,
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    "part_copurchase": """
+        WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM pairs a
+        JOIN pairs b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+    """,
+    "domain_stats": f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars,
+               CAST(sum({_N_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source
+    """,
+    "doc_gopher": _GOPHER_ORACLE_SQL,
+    "doc_dup_spans": _DUP_SPANS_ORACLE_SQL,
 }

@@ -1,0 +1,121 @@
+"""Market-basket co-occurrence: top item pairs by the number of
+baskets containing both.
+
+The reference repo has no co-occurrence operator; this extends the
+SURVEY §2 relational/aggregation family with the classic
+co-occurrence / association-mining primitive (the building block of
+"related entities", co-citation and co-purchase analyses over a KG's
+edge provenance — e.g. entities co-mentioned in a chunk).
+
+Scale shape: pair generation is keyed by BASKET, so the explosion per
+basket is C(|basket|, 2) — bounded by basket size, never by corpus
+size. Two bucketed shuffles end to end:
+
+1. basket-keyed bucketed reduce: per-batch distinct ``(basket, item)``
+   combiner, then vectorized within-bucket ordered-pair generation
+   (:func:`~.dedup._pair_indices_by_size` templates — no per-basket
+   Python) with map-side pair pre-aggregation;
+2. pair-keyed bucketed sum with a ``min_count`` filter inside the
+   reduce, then per-block local top-k so the final global sort+limit
+   runs over at most ``num_blocks * top_k`` rows.
+
+``max_basket_size`` optionally DROPS oversized baskets (a skew guard —
+a degenerate basket holding half the catalog would alone emit O(n²)
+pairs; dropping is the standard practice and is reported honestly by
+the caller's contract, not silently truncated pairs). Leave ``None``
+for exact results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce
+
+PAIR_COUNT_SCHEMA = pa.schema(
+    [("item_a", pa.int64()), ("item_b", pa.int64()), ("n_baskets", pa.int64())]
+)
+
+
+def cooccur_pairs(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    top_k: int = 100,
+    max_basket_size: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(item_a, item_b, n_baskets)`` — the ``top_k`` item pairs
+    (``item_a < item_b``, int64 ids) by the number of DISTINCT baskets
+    containing both, ties broken ``(n_baskets desc, item_a, item_b)``
+    so the result set is fully deterministic (and SQL-oracle-exact).
+    Pairs below ``min_count`` baskets are dropped before the top-k.
+    """
+
+    def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[basket_col, item_col]].drop_duplicates()
+
+    pairs_schema = PAIR_COUNT_SCHEMA
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="stable"
+        )
+        if max_basket_size is not None:
+            sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
+            g = g[sizes <= max_basket_size]
+        codes = g[basket_col].to_numpy()
+        i, j = _pair_indices_by_size(codes, 1 << 62)
+        items = g[item_col].to_numpy(np.int64)
+        out = pd.DataFrame({"item_a": items[i], "item_b": items[j]})
+        # map-side pre-aggregation: a hot pair crosses once per bucket
+        vc = out.groupby(["item_a", "item_b"], sort=False).size()
+        return pd.DataFrame(
+            {
+                "item_a": vc.index.get_level_values(0).to_numpy(np.int64),
+                "item_b": vc.index.get_level_values(1).to_numpy(np.int64),
+                "n_baskets": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = bucketed_reduce(
+        ds.select_columns([basket_col, item_col]).map_batches(
+            _dedup, batch_format="pandas", batch_size=None
+        ),
+        [basket_col],
+        _pairs,
+        pairs_schema,
+        combiner=_dedup,
+        num_buckets=num_buckets,
+    )
+
+    def _sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["item_a", "item_b"], sort=False)["n_baskets"].sum()
+        s = s[s >= min_count]
+        df = pd.DataFrame(
+            {
+                "item_a": s.index.get_level_values(0).to_numpy(np.int64),
+                "item_b": s.index.get_level_values(1).to_numpy(np.int64),
+                "n_baskets": s.to_numpy(np.int64),
+            }
+        )
+        # local top-k: every key of a pair lands in ONE bucket, so the
+        # global winners survive any per-bucket prefix of length top_k
+        return df.sort_values(
+            ["n_baskets", "item_a", "item_b"], ascending=[False, True, True]
+        ).head(top_k)
+
+    counts = bucketed_reduce(
+        partials, ["item_a", "item_b"], _sum_topk, PAIR_COUNT_SCHEMA,
+        num_buckets=num_buckets,
+    )
+    return counts.sort(
+        ["n_baskets", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(top_k)

@@ -729,3 +729,299 @@ def pagerank_int_local(
             s_v[d] += r[s] // out[s]
         r = {v: base + d_num * (s_v[v] + d_share) // d_den for v in nodes}
     return r
+
+
+# ---------------------------------------------------------------------------
+# Structural analytics: degree histogram + triangle counting
+# ---------------------------------------------------------------------------
+
+UND_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+DEG_SCHEMA = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+DEG_HIST_SCHEMA = pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())])
+TRI_SCHEMA = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+
+
+def undirected_simple_edges(
+    edges: ray.data.Dataset, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """``(a, b)`` with ``a < b`` — the distinct undirected simple graph
+    under an ``(src, dst)`` edge table: self-loops dropped, direction
+    and multiplicity collapsed. One bucketed shuffle with a map-side
+    drop-duplicates combiner (a hot edge crosses once per block, not
+    once per occurrence)."""
+
+    def _canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].astype(str)
+        d = batch["dst"].astype(str)
+        lo = s.where(s < d, d)
+        hi = d.where(s < d, s)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    pairs = edges.select_columns(["src", "dst"]).map_batches(
+        _canon, batch_format="pandas", batch_size=None
+    )
+    return bucketed_reduce(
+        pairs,
+        ["a", "b"],
+        lambda g: g.drop_duplicates(),
+        UND_SCHEMA,
+        combiner=lambda b: b.drop_duplicates(),
+        num_buckets=num_buckets,
+    )
+
+
+def undirected_degrees(
+    und: ray.data.Dataset, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """``(node, degree)`` — distinct-neighbor degree over the simple
+    graph produced by :func:`undirected_simple_edges`. Map-side partial
+    counts, one bucketed sum."""
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([batch["a"], batch["b"]], ignore_index=True)
+        vc = nodes.value_counts(sort=False)
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(object), "degree": vc.to_numpy(np.int64)}
+        )
+
+    partials = und.map_batches(_explode, batch_format="pandas", batch_size=None)
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["degree"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(object), "degree": s.to_numpy(np.int64)}
+        )
+
+    return bucketed_reduce(
+        partials,
+        ["node"],
+        _sum,
+        DEG_SCHEMA,
+        combiner=lambda b: b.groupby("node", sort=False, as_index=False)["degree"].sum(),
+        num_buckets=num_buckets,
+    )
+
+
+def degree_histogram(
+    edges: ray.data.Dataset, *, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """``(degree, n_nodes)`` — how many nodes have each distinct-neighbor
+    degree in the undirected simple graph. Two bucketed sums end to end
+    (edge dedup -> per-node degree -> per-degree count); nothing ever
+    lands on the driver."""
+    deg = undirected_degrees(
+        undirected_simple_edges(edges, num_buckets=num_buckets),
+        num_buckets=num_buckets,
+    )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby("degree", sort=False)["n_nodes"].sum()
+        return pd.DataFrame(
+            {"degree": vc.index.to_numpy(np.int64), "n_nodes": vc.to_numpy(np.int64)}
+        )
+
+    partials = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "degree": b["degree"].value_counts(sort=False).index.to_numpy(np.int64),
+                "n_nodes": b["degree"].value_counts(sort=False).to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return bucketed_reduce(
+        partials, ["degree"], _count, DEG_HIST_SCHEMA, num_buckets=num_buckets
+    )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_nodes: int = 2_000_000,
+    max_wedges_per_node: int = 1 << 62,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(node, n_triangles)`` — per-node triangle participation counts
+    over the undirected simple graph (nodes in zero triangles are
+    omitted). The classic degree-ordered orientation: every edge is
+    directed from its lower ``(degree, node)`` endpoint to the higher,
+    so each node's out-degree is O(sqrt(m)) and total wedge work is
+    O(m^1.5) regardless of hot-node skew (a celebrity node's edges
+    point INTO it; its fans enumerate the wedges). Each triangle is
+    counted exactly once as apex->v->w with the closing oriented edge
+    (v, w).
+
+    COUNT-GATED per house policy: the (node, degree) table is counted;
+    under ``driver_max_nodes`` it broadcasts once via ``ray.put`` and
+    orientation is map-side (zero joins), over the gate orientation
+    runs as two bucketed hash joins. Wedge generation and wedge-edge
+    closing are bucketed shuffles on both paths. ``max_wedges_per_node``
+    optionally caps per-apex wedge generation (an APPROXIMATION under
+    extreme skew — leave at the default for exact counts)."""
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+    deg = undirected_degrees(und, num_buckets=num_buckets).materialize()
+
+    if deg.count() <= driver_max_nodes:
+        dd = deg.to_pandas()
+        deg_map = dict(zip(dd["node"], dd["degree"].astype(int))) if len(dd) else {}
+        ref = ray.put(deg_map)
+
+        class _Orient:
+            def __init__(self, deg_ref):
+                self._deg = ray.get(deg_ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return pd.DataFrame(
+                        {
+                            "u": pd.Series([], dtype=object),
+                            "v": pd.Series([], dtype=object),
+                            "deg_v": pd.Series([], dtype="int64"),
+                        }
+                    )
+                da = batch["a"].map(self._deg).to_numpy(np.int64)
+                db = batch["b"].map(self._deg).to_numpy(np.int64)
+                return _orient_frame(batch, da, db)
+
+        oriented = und.map_batches(
+            _Orient,
+            fn_constructor_kwargs={"deg_ref": ref},
+            batch_format="pandas",
+            batch_size=None,
+            concurrency=(1, 8),
+        )
+    else:
+        da = cogroup_join(
+            und,
+            deg.map_batches(
+                lambda b: pd.DataFrame(
+                    {"a": b["node"], "deg_a": b["degree"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            ["a"],
+            num_buckets=num_buckets,
+        )
+        both = cogroup_join(
+            da,
+            deg.map_batches(
+                lambda b: pd.DataFrame(
+                    {"b": b["node"], "deg_b": b["degree"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            ["b"],
+            num_buckets=num_buckets,
+        )
+        oriented = both.map_batches(
+            lambda batch: _orient_frame(
+                batch,
+                batch["deg_a"].to_numpy(np.int64),
+                batch["deg_b"].to_numpy(np.int64),
+            )
+            if len(batch)
+            else pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=object),
+                    "v": pd.Series([], dtype=object),
+                    "deg_v": pd.Series([], dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    # consumed twice (wedge generation + closing-edge markers) — pin it
+    # so the orientation joins run once (NOTES.md item 11)
+    oriented = oriented.materialize()
+
+    wedge_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("apex", pa.string())]
+    )
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.sort_values(["u", "deg_v", "v"], kind="stable")
+        codes = g["u"].to_numpy(object)
+        i, j = _pair_indices_by_size(codes, max_wedges_per_node)
+        v = g["v"].to_numpy(object)
+        return pd.DataFrame({"x": v[i], "y": v[j], "apex": codes[i]})
+
+    wedges = bucketed_reduce(
+        oriented, ["u"], _wedges, wedge_schema, num_buckets=num_buckets
+    )
+
+    closer_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("apex", pa.string())]
+    )
+    edge_marker = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "x": b["u"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "y": b["v"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "apex": pd.Series([None] * len(b), dtype=object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    count_schema = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+
+    def _close(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["apex"].isna()
+        closed = g[~is_edge].merge(
+            g.loc[is_edge, ["x", "y"]].drop_duplicates(), on=["x", "y"], how="inner"
+        )
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=object),
+                    "n_triangles": pd.Series([], dtype="int64"),
+                }
+            )
+        corners = pd.concat(
+            [closed["apex"], closed["x"], closed["y"]], ignore_index=True
+        )
+        vc = corners.value_counts(sort=False)
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(object), "n_triangles": vc.to_numpy(np.int64)}
+        )
+
+    partials = bucketed_reduce(
+        wedges.union(edge_marker), ["x", "y"], _close, count_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["n_triangles"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(object), "n_triangles": s.to_numpy(np.int64)}
+        )
+
+    return bucketed_reduce(
+        partials,
+        ["node"],
+        _sum,
+        TRI_SCHEMA,
+        combiner=lambda b: b.groupby("node", sort=False, as_index=False)[
+            "n_triangles"
+        ].sum(),
+        num_buckets=num_buckets,
+    )
+
+
+def _orient_frame(
+    batch: pd.DataFrame, da: np.ndarray, db: np.ndarray
+) -> pd.DataFrame:
+    """Direct each undirected edge from its lower ``(degree, node)``
+    endpoint to the higher; carry the head's degree so the wedge stage
+    can order neighbor pairs by the same total rank."""
+    a = batch["a"].to_numpy(object)
+    b = batch["b"].to_numpy(object)
+    a_first = (da < db) | ((da == db) & (a < b))
+    u = np.where(a_first, a, b)
+    v = np.where(a_first, b, a)
+    deg_v = np.where(a_first, db, da)
+    return pd.DataFrame({"u": u, "v": v, "deg_v": deg_v.astype("int64")})

@@ -525,3 +525,375 @@ def decontaminate(
     return bucketed_reduce(
         flagged, [id_col], _agg, _DECON_SCHEMA, combiner=_agg_combine
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level corpus stats (stateless partials + one bucketed reduce)
+# ---------------------------------------------------------------------------
+
+DOMAIN_STATS_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("total_chars", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("n_langs", pa.int64()),
+    ]
+)
+
+
+def domain_stats(
+    ds: ray.data.Dataset,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> ray.data.Dataset:
+    """``(source, n_docs, total_chars, total_tokens, n_langs)`` — the
+    per-domain corpus profile every curation pipeline starts from
+    (which domains dominate, which are boilerplate-heavy). Map-side
+    partial aggregation per ``(domain, lang)`` collapses each block to
+    at most |domains|x|langs| rows before ONE bucketed shuffle; the
+    distinct-lang count is exact because all partials of a domain land
+    in its one bucket. Token semantics match :func:`~.text_analysis.
+    token_counts` (trimmed whitespace-run split, empty -> 0)."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        stripped = t.str.strip()
+        n_tok = stripped.str.split().str.len().fillna(0)
+        n_tok = n_tok.where(stripped.str.len() > 0, 0).astype("int64")
+        df = pd.DataFrame(
+            {
+                domain_col: batch[domain_col],
+                lang_col: batch[lang_col].fillna(""),
+                "n_docs": np.ones(len(batch), np.int64),
+                "total_chars": t.str.len().astype("int64"),
+                "total_tokens": n_tok,
+            }
+        )
+        return df.groupby([domain_col, lang_col], sort=False, as_index=False).sum()
+
+    partials = ds.select_columns([domain_col, text_col, lang_col]).map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        byl = g.groupby([domain_col, lang_col], sort=False, as_index=False).sum()
+        agg = byl.groupby(domain_col, sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            total_tokens=("total_tokens", "sum"),
+            n_langs=(lang_col, "nunique"),
+        )
+        return agg.reset_index().rename(columns={domain_col: "source"})
+
+    return bucketed_reduce(
+        partials, [domain_col], _reduce, DOMAIN_STATS_SCHEMA,
+        combiner=lambda b: b.groupby(
+            [domain_col, lang_col], sort=False, as_index=False
+        ).sum(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate (stateless, oracle-checked)
+# ---------------------------------------------------------------------------
+
+GOPHER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("total_word_chars", pa.int64()),
+        ("reason_mask", pa.int64()),
+        ("keep", pa.int64()),
+    ]
+)
+
+# Integerized Gopher-rule thresholds (Rae et al. 2021 §A1.1 shapes,
+# fractions expressed as exact integer cross-multiplications so the
+# SQL oracle hash-matches):
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_X = 2  # mean word length < 2  <=>  2*n_tok > chars
+GOPHER_MAX_MEAN_WORD_X = 12  # mean word length > 12 <=>  chars > 12*n_tok
+GOPHER_TOP_BIGRAM_DEN = 5  # top bigram > 1/5 of tokens
+GOPHER_DISTINCT_DEN = 5  # distinct tokens < 1/5 of tokens
+
+
+def gopher_filter(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """``(doc_id, n_tokens, total_word_chars, reason_mask, keep)`` —
+    a Gopher-style repetition/shape quality gate as ONE stateless
+    vectorized pass (zero shuffles). ``reason_mask`` bits:
+
+    - 1: token count outside [{min}, {max}]
+    - 2: mean word length outside [{lo}, {hi}] (integer cross-multiplied)
+    - 4: most common bigram covers > 1/{bden} of tokens
+    - 8: distinct tokens < 1/{dden} of tokens (heavy repetition)
+
+    ``keep = 1`` iff no bit fires. Tokens are ``lower(trim(text))``
+    split on whitespace runs (same contract as
+    :func:`repetition_stats`, so the two reports line up row-for-row).
+    """
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        m = len(batch)
+        t = batch[text_col].fillna("").str.strip().str.lower()
+        toks = t.str.split()
+        n_tok = toks.str.len().fillna(0).astype(int).to_numpy()
+        twc = np.zeros(m, np.int64)
+        n_distinct = np.zeros(m, np.int64)
+        top_bigram = np.zeros(m, np.int64)
+        if n_tok.sum() > 0:
+            rows = np.repeat(np.arange(m), n_tok)
+            flat = pd.Series(
+                np.concatenate([np.asarray(x, dtype=object) for x in toks if len(x)])
+            )
+            lens = flat.str.len().to_numpy(np.int64)
+            np.add.at(twc, rows, lens)
+            df = pd.DataFrame({"row": rows, "tok": flat.to_numpy(object)})
+            nd = df.drop_duplicates().groupby("row", sort=False).size()
+            n_distinct[nd.index] = nd.to_numpy()
+            same = rows[:-1] == rows[1:] if len(rows) > 1 else np.empty(0, bool)
+            if same.any():
+                bg = pd.DataFrame(
+                    {
+                        "row": rows[:-1][same],
+                        "gram": flat.iloc[:-1].str.cat(
+                            flat.shift(-1).iloc[:-1], sep=" "
+                        ).to_numpy(object)[same],
+                    }
+                )
+                tb = bg.groupby(["row", "gram"], sort=False).size().groupby(level=0).max()
+                top_bigram[tb.index] = tb.to_numpy()
+        nt = n_tok.astype(np.int64)
+        mask = np.where((nt < GOPHER_MIN_TOKENS) | (nt > GOPHER_MAX_TOKENS), 1, 0)
+        mask += np.where(
+            (GOPHER_MIN_MEAN_WORD_X * nt > twc) | (twc > GOPHER_MAX_MEAN_WORD_X * nt),
+            2,
+            0,
+        )
+        mask += np.where(GOPHER_TOP_BIGRAM_DEN * top_bigram > nt, 4, 0)
+        mask += np.where(GOPHER_DISTINCT_DEN * n_distinct < nt, 8, 0)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_tokens": nt,
+                "total_word_chars": twc,
+                "reason_mask": mask.astype("int64"),
+                "keep": (mask == 0).astype("int64"),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+gopher_filter.__doc__ = gopher_filter.__doc__.format(
+    min=GOPHER_MIN_TOKENS,
+    max=GOPHER_MAX_TOKENS,
+    lo=GOPHER_MIN_MEAN_WORD_X,
+    hi=GOPHER_MAX_MEAN_WORD_X,
+    bden=GOPHER_TOP_BIGRAM_DEN,
+    dden=GOPHER_DISTINCT_DEN,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact k-gram duplicate-span stats (gated two-pass)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_dup_grams", pa.int64()),
+    ]
+)
+
+
+def _doc_gram_hash_counts(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``(row_idx, gram_hash, count)`` — per-document word ``k``-gram
+    occurrence counts (multiplicity kept, unlike
+    :func:`_doc_distinct_gram_hashes`)."""
+    t = texts.fillna("").str.strip().str.lower()
+    toks = t.str.split()
+    n = toks.str.len().fillna(0).astype(int).to_numpy()
+    if n.sum() == 0 or len(t) == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int64),)
+    rows = np.repeat(np.arange(len(t)), n)
+    flat = pd.Series(
+        np.concatenate([np.asarray(x, dtype=object) for x in toks if len(x)]),
+    )
+    if len(flat) < k:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int64),)
+    gram = flat.str.cat([flat.shift(-j) for j in range(1, k)], sep=" ")
+    valid = (rows[: len(rows) - k + 1] == rows[k - 1 :]) & gram.notna().to_numpy()[
+        : len(rows) - k + 1
+    ]
+    g_rows = rows[: len(rows) - k + 1][valid]
+    g_hash = pd.util.hash_array(gram.to_numpy(object)[: len(rows) - k + 1][valid])
+    cc = (
+        pd.DataFrame({"row": g_rows, "gh": g_hash})
+        .groupby(["row", "gh"], sort=False)
+        .size()
+    )
+    return (
+        cc.index.get_level_values(0).to_numpy(np.int64),
+        cc.index.get_level_values(1).to_numpy(np.uint64),
+        cc.to_numpy(np.int64),
+    )
+
+
+class _DupSpanScore:
+    """Broadcast common-gram hash array; per-batch searchsorted scoring
+    (total windows + windows whose gram repeats anywhere in the corpus)."""
+
+    def __init__(self, common_ref, k: int, text_col: str, id_col: str):
+        self._common = ray.get(common_ref)  # sorted uint64
+        self._k, self._text_col, self._id_col = k, text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = len(batch)
+        rows, gh, cnt = _doc_gram_hash_counts(batch[self._text_col], self._k)
+        n_grams = np.zeros(m, np.int64)
+        n_dup = np.zeros(m, np.int64)
+        if len(rows):
+            np.add.at(n_grams, rows, cnt)
+            if len(self._common):
+                idx = np.clip(np.searchsorted(self._common, gh), 0, len(self._common) - 1)
+                hit = self._common[idx] == gh
+                np.add.at(n_dup, rows[hit], cnt[hit])
+        return pd.DataFrame(
+            {
+                self._id_col: batch[self._id_col],
+                "n_grams": n_grams,
+                "n_dup_grams": n_dup,
+            }
+        )
+
+
+def dup_span_stats(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_max_common: int = DRIVER_MAX_SMALL_SIDE,
+) -> ray.data.Dataset:
+    """Exact-substring duplication report at word-``k``-gram
+    granularity (the scalable proxy for suffix-array substring dedup,
+    Lee et al. 2022): ``(doc_id, n_grams, n_dup_grams)`` where
+    ``n_grams`` counts the document's k-token windows and
+    ``n_dup_grams`` those whose gram occurs >= 2 times ANYWHERE in the
+    corpus (other docs or elsewhere in the same doc — multiplicity
+    counts). Every doc appears; docs shorter than ``k`` tokens emit
+    zeros.
+
+    Gram identity is a 64-bit hash (cross-gram collision odds are
+    ~n²/2⁶⁴ — negligible at real corpus sizes, same contract as
+    :func:`decontaminate`). Gated like the other corpus passes: the
+    repeated-gram residue is COUNTED, broadcast under
+    ``driver_max_common``, else a fully-distributed gram-keyed flag
+    join + doc-keyed sum runs.
+    """
+    docs = ds.select_columns([id_col, text_col])
+
+    def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, gh, cnt = _doc_gram_hash_counts(batch[text_col], k)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[rows]
+                if len(rows)
+                else pd.Series([], dtype="int64"),
+                "gh": gh,
+                "cnt": cnt,
+            }
+        )
+
+    grams = docs.map_batches(_gram_rows, batch_format="pandas")
+
+    def _psum(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("gh", sort=False, as_index=False)["cnt"].sum()
+
+    common = bucketed_reduce(
+        grams.map_batches(
+            lambda b: b[["gh", "cnt"]], batch_format="pandas"
+        ),
+        ["gh"],
+        lambda g: pd.DataFrame(
+            {"gh": (s := g.groupby("gh", sort=False)["cnt"].sum())[s >= 2].index.to_numpy(
+                np.uint64
+            )}
+        ),
+        pa.schema([("gh", pa.uint64())]),
+        combiner=_psum,
+    ).materialize()
+
+    if common.count() <= driver_max_common:
+        arr = np.sort(
+            np.fromiter((r["gh"] for r in common.take_all()), dtype=np.uint64)
+        )
+        ref = ray.put(arr)
+        return docs.map_batches(
+            _DupSpanScore,
+            fn_constructor_kwargs={
+                "common_ref": ref,
+                "k": k,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+
+    # --- distributed path: gram-keyed flag join, then doc-keyed sums,
+    # with per-doc window totals carried as base rows
+    marker = common.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: np.full(len(b), -1, np.int64),
+                "gh": b["gh"].to_numpy(np.uint64),
+                "cnt": np.zeros(len(b), np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    part_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_grams", pa.int64()), ("n_dup_grams", pa.int64())]
+    )
+
+    def _flag(g: pd.DataFrame) -> pd.DataFrame:
+        common_gh = set(g.loc[g[id_col] == -1, "gh"])
+        rows = g[g[id_col] != -1]
+        hit = rows["gh"].isin(common_gh).to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: rows[id_col].to_numpy(),
+                "n_grams": rows["cnt"].to_numpy(np.int64),
+                "n_dup_grams": np.where(hit, rows["cnt"].to_numpy(np.int64), 0),
+            }
+        )
+
+    flagged = bucketed_reduce(grams.union(marker), ["gh"], _flag, part_schema)
+    base = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "n_grams": np.zeros(len(b), np.int64),
+                "n_dup_grams": np.zeros(len(b), np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(id_col, sort=False, as_index=False)[["n_grams", "n_dup_grams"]].sum()
+        return s
+
+    return bucketed_reduce(
+        base.union(flagged), [id_col], _agg, DUP_SPAN_SCHEMA, combiner=_agg
+    )

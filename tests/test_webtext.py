@@ -214,3 +214,122 @@ class TestPiiRedact:
         pd.testing.assert_frame_equal(
             ours[sorted(ours.columns)], oracle[sorted(oracle.columns)], check_dtype=False
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: domain stats, Gopher filter, dup-span stats
+# ---------------------------------------------------------------------------
+
+from ai_knowledge_graph_ray.stages.webtext import (  # noqa: E402
+    GOPHER_MIN_TOKENS,
+    domain_stats,
+    dup_span_stats,
+    gopher_filter,
+)
+
+
+class TestDomainStats:
+    def test_against_pandas_twin(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "source": ["a.com", "a.com", "b.org", "b.org", "b.org", "c.net"],
+                "lang": ["en", "de", "en", "en", "fr", "en"],
+                "text": ["one two", "drei", "x y z", "", "  un  deux ", None],
+            }
+        )
+        out = (
+            domain_stats(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert out["source"].tolist() == ["a.com", "b.org", "c.net"]
+        assert out["n_docs"].tolist() == [2, 3, 1]
+        assert out["total_chars"].tolist() == [7 + 4, 5 + 0 + 11, 0]
+        assert out["total_tokens"].tolist() == [3, 5, 0]
+        assert out["n_langs"].tolist() == [2, 2, 1]
+
+
+class TestGopherFilter:
+    def _run(self, texts):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return gopher_filter(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def test_reason_bits(self):
+        ok = " ".join(f"word{i}" for i in range(30))  # 30 tokens, healthy
+        short = "too few tokens"  # bit 1
+        skinny = " ".join(["a"] * 40)  # mean word len 1 -> bit 2 (+8: 1 distinct)
+        bigram = " ".join(["alpha", "beta"] * 20)  # top bigram 20/40 -> bit 4 (+8)
+        repeat = " ".join(["same"] * 40)  # 1 distinct of 40 -> bit 8 (+2? len4 ok, +4)
+        out = self._run([ok, short, skinny, bigram, repeat])
+        assert out.loc[0, "reason_mask"] == 0 and out.loc[0, "keep"] == 1
+        assert out.loc[1, "reason_mask"] & 1
+        assert out.loc[2, "reason_mask"] & 2
+        assert out.loc[3, "reason_mask"] & 4
+        assert out.loc[4, "reason_mask"] & 8
+        assert (out.loc[1:, "keep"] == 0).all()
+
+    def test_empty_doc_only_bit1(self):
+        out = self._run(["", None])
+        assert out["reason_mask"].tolist() == [1, 1]
+        assert out["n_tokens"].tolist() == [0, 0]
+
+    def test_threshold_boundary(self):
+        exactly_min = " ".join(f"tok{i:02d}" for i in range(GOPHER_MIN_TOKENS))
+        out = self._run([exactly_min])
+        assert out.loc[0, "reason_mask"] == 0
+
+
+class TestDupSpanStats:
+    DUP = "alpha bravo charlie delta echo"  # one 5-gram, planted twice
+
+    def _docs(self):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4, 5],
+                    "text": [
+                        f"{self.DUP} unique tail one",
+                        f"different head words {self.DUP}",
+                        "totally fresh words never once repeated anywhere else",
+                        "short doc",  # < k tokens -> zeros
+                        f"{self.DUP} and again {self.DUP}",  # within-doc repeat
+                    ],
+                }
+            )
+        )
+
+    def test_planted_spans(self):
+        out = (
+            dup_span_stats(self._docs(), k=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+        # every doc appears; n_grams = n_tokens - 4 (0 when < 5 tokens)
+        assert out["n_grams"].tolist() == [4, 4, 4, 0, 8]
+        # the planted gram occurs 4x corpus-wide (docs 1, 2, 5x2)
+        assert out.loc[0, "n_dup_grams"] == 1
+        assert out.loc[1, "n_dup_grams"] == 1
+        assert out.loc[2, "n_dup_grams"] == 0
+        assert out.loc[3, "n_dup_grams"] == 0
+        assert out.loc[4, "n_dup_grams"] == 2
+
+    def test_gate_equivalence(self):
+        base = (
+            dup_span_stats(self._docs(), k=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        forced = (
+            dup_span_stats(self._docs(), k=5, driver_max_common=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, forced)
