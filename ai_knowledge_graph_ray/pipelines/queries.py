@@ -833,6 +833,38 @@ def q_part_copurchase(sf_dir: str):
     )
 
 
+def q_node_similarity(sf_dir: str):
+    """Top-100 node pairs by common-neighbor count (link-prediction /
+    entity-blocking signal) — expressed as co-occurrence with the
+    MIDDLE node as basket and its neighbors as items, so per-middle
+    explosion is deg², never corpus-sized; deterministic tie-break."""
+    from ..stages.cooccur import cooccur_pairs
+    from ..stages.graph_algos import undirected_simple_edges
+
+    und = undirected_simple_edges(_cnrs_edges(sf_dir))
+    neigh = und.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+                "nb": pd.concat([b["b"], b["a"]], ignore_index=True),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return cooccur_pairs(
+        neigh, "node", "nb", min_count=2, top_k=100, item_type=pa.string()
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "node_a": b["item_a"],
+                "node_b": b["item_b"],
+                "n_common": b["n_baskets"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_domain_stats(sf_dir: str):
     """Per-source corpus profile (docs, chars, tokens, distinct langs)."""
     from ..stages.webtext import domain_stats
@@ -1672,6 +1704,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_triangles": q_graph_triangles,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
+    "node_similarity": q_node_similarity,
     "domain_stats": q_domain_stats,
     "doc_gopher": q_doc_gopher,
     "doc_dup_spans": q_doc_dup_spans,
@@ -2210,6 +2243,17 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY degree
+    """,
+    "node_similarity": _CNRS_EDGES_SQL + """,
+        nb AS (
+          SELECT a AS node, b AS nb FROM und
+          UNION ALL SELECT b, a FROM und
+        )
+        SELECT x.nb AS node_a, y.nb AS node_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM nb x JOIN nb y ON x.node = y.node AND x.nb < y.nb
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY n_common DESC, node_a, node_b LIMIT 100
     """,
     "part_copurchase": """
         WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

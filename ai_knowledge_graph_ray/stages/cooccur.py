@@ -48,19 +48,25 @@ def cooccur_pairs(
     min_count: int = 2,
     top_k: int = 100,
     max_basket_size: int | None = None,
+    item_type: pa.DataType | None = None,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """``(item_a, item_b, n_baskets)`` — the ``top_k`` item pairs
-    (``item_a < item_b``, int64 ids) by the number of DISTINCT baskets
-    containing both, ties broken ``(n_baskets desc, item_a, item_b)``
-    so the result set is fully deterministic (and SQL-oracle-exact).
-    Pairs below ``min_count`` baskets are dropped before the top-k.
+    (``item_a < item_b``) by the number of DISTINCT baskets containing
+    both, ties broken ``(n_baskets desc, item_a, item_b)`` so the
+    result set is fully deterministic (and SQL-oracle-exact). Pairs
+    below ``min_count`` baskets are dropped before the top-k.
+    ``item_type`` is the Arrow item dtype (default int64; pass
+    ``pa.string()`` for string ids — e.g. common-neighbor node
+    similarity, where baskets are middle nodes and items neighbors).
     """
+    itype = item_type if item_type is not None else pa.int64()
+    pairs_schema = pa.schema(
+        [("item_a", itype), ("item_b", itype), ("n_baskets", pa.int64())]
+    )
 
     def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[[basket_col, item_col]].drop_duplicates()
-
-    pairs_schema = PAIR_COUNT_SCHEMA
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         from .dedup import _pair_indices_by_size
@@ -73,14 +79,14 @@ def cooccur_pairs(
             g = g[sizes <= max_basket_size]
         codes = g[basket_col].to_numpy()
         i, j = _pair_indices_by_size(codes, 1 << 62)
-        items = g[item_col].to_numpy(np.int64)
+        items = g[item_col].to_numpy()
         out = pd.DataFrame({"item_a": items[i], "item_b": items[j]})
         # map-side pre-aggregation: a hot pair crosses once per bucket
         vc = out.groupby(["item_a", "item_b"], sort=False).size()
         return pd.DataFrame(
             {
-                "item_a": vc.index.get_level_values(0).to_numpy(np.int64),
-                "item_b": vc.index.get_level_values(1).to_numpy(np.int64),
+                "item_a": vc.index.get_level_values(0).to_numpy(),
+                "item_b": vc.index.get_level_values(1).to_numpy(),
                 "n_baskets": vc.to_numpy(np.int64),
             }
         )
@@ -101,8 +107,8 @@ def cooccur_pairs(
         s = s[s >= min_count]
         df = pd.DataFrame(
             {
-                "item_a": s.index.get_level_values(0).to_numpy(np.int64),
-                "item_b": s.index.get_level_values(1).to_numpy(np.int64),
+                "item_a": s.index.get_level_values(0).to_numpy(),
+                "item_b": s.index.get_level_values(1).to_numpy(),
                 "n_baskets": s.to_numpy(np.int64),
             }
         )
@@ -113,7 +119,7 @@ def cooccur_pairs(
         ).head(top_k)
 
     counts = bucketed_reduce(
-        partials, ["item_a", "item_b"], _sum_topk, PAIR_COUNT_SCHEMA,
+        partials, ["item_a", "item_b"], _sum_topk, pairs_schema,
         num_buckets=num_buckets,
     )
     return counts.sort(

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .infer import bucketed_reduce, sanitize_for_join
+from .infer import bucketed_reduce, pa_from_pandas, sanitize_for_join
 from .relational import cogroup_join, grouped_sums
 
 EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
@@ -839,6 +839,7 @@ def degree_histogram(
 def triangle_counts(
     edges: ray.data.Dataset,
     *,
+    driver_max_edges: int = 2_000_000,
     driver_max_nodes: int = 2_000_000,
     max_wedges_per_node: int = 1 << 62,
     num_buckets: int | None = None,
@@ -853,14 +854,27 @@ def triangle_counts(
     counted exactly once as apex->v->w with the closing oriented edge
     (v, w).
 
-    COUNT-GATED per house policy: the (node, degree) table is counted;
-    under ``driver_max_nodes`` it broadcasts once via ``ray.put`` and
+    DOUBLE COUNT-GATED per house policy (same tiering as
+    :func:`pagerank_int`): a simple graph under ``driver_max_edges``
+    runs the bit-identical local twin on the collected edge list (the
+    distributed plan's ~5 bucketed shuffles of fixed stage cost dwarf a
+    small graph). Over that, the (node, degree) table is counted; under
+    ``driver_max_nodes`` it broadcasts once via ``ray.put`` and
     orientation is map-side (zero joins), over the gate orientation
     runs as two bucketed hash joins. Wedge generation and wedge-edge
-    closing are bucketed shuffles on both paths. ``max_wedges_per_node``
-    optionally caps per-apex wedge generation (an APPROXIMATION under
-    extreme skew — leave at the default for exact counts)."""
+    closing are bucketed shuffles on both distributed paths.
+    ``max_wedges_per_node`` optionally caps per-apex wedge generation
+    (an APPROXIMATION under extreme skew — leave at the default for
+    exact counts)."""
     und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    if und.count() <= driver_max_edges:
+        df = und.to_pandas()
+        if df.empty or "a" not in df.columns:  # empty loses its schema
+            return ray.data.from_arrow(TRI_SCHEMA.empty_table())
+        out = _triangle_counts_local(df, max_wedges_per_node)
+        return ray.data.from_arrow(pa_from_pandas(out, TRI_SCHEMA))
+
     deg = undirected_degrees(und, num_buckets=num_buckets).materialize()
 
     if deg.count() <= driver_max_nodes:
@@ -1025,3 +1039,33 @@ def _orient_frame(
     v = np.where(a_first, b, a)
     deg_v = np.where(a_first, db, da)
     return pd.DataFrame({"u": u, "v": v, "deg_v": deg_v.astype("int64")})
+
+
+def _triangle_counts_local(und: pd.DataFrame, max_wedges_per_node: int) -> pd.DataFrame:
+    """Pandas twin of the distributed triangle plan — the SAME
+    orientation, wedge templates and closing merge, run on the
+    collected simple-edge list (bit-equal by construction; pinned by
+    the gate-equivalence test)."""
+    from .dedup import _pair_indices_by_size
+
+    nodes = pd.concat([und["a"], und["b"]], ignore_index=True)
+    degs = nodes.value_counts(sort=False)
+    da = und["a"].map(degs).to_numpy(np.int64)
+    db = und["b"].map(degs).to_numpy(np.int64)
+    ori = _orient_frame(und, da, db).sort_values(
+        ["u", "deg_v", "v"], kind="stable"
+    )
+    codes = ori["u"].to_numpy(object)
+    i, j = _pair_indices_by_size(codes, max_wedges_per_node)
+    v = ori["v"].to_numpy(object)
+    wedges = pd.DataFrame({"x": v[i], "y": v[j], "apex": codes[i]})
+    closed = wedges.merge(
+        ori[["u", "v"]].rename(columns={"u": "x", "v": "y"}),
+        on=["x", "y"],
+        how="inner",
+    )
+    corners = pd.concat([closed["apex"], closed["x"], closed["y"]], ignore_index=True)
+    vc = corners.value_counts(sort=False).sort_index()
+    return pd.DataFrame(
+        {"node": vc.index.to_numpy(object), "n_triangles": vc.to_numpy(np.int64)}
+    )

@@ -39,10 +39,17 @@ class TestTriangles:
         assert out["node"].tolist() == ["a", "b", "c", "d"]  # e,f,g: zero
         assert out["n_triangles"].tolist() == [3, 3, 3, 3]
 
-    def test_gate_equivalence(self):
-        base = _tri_df(triangle_counts(_edges_ds(K4_PLUS)))
-        forced = _tri_df(triangle_counts(_edges_ds(K4_PLUS), driver_max_nodes=0))
-        pd.testing.assert_frame_equal(base, forced)
+    def test_gate_equivalence_all_tiers(self):
+        # local twin (default) vs broadcast-orient vs join-orient
+        local = _tri_df(triangle_counts(_edges_ds(K4_PLUS)))
+        bcast = _tri_df(triangle_counts(_edges_ds(K4_PLUS), driver_max_edges=0))
+        joined = _tri_df(
+            triangle_counts(
+                _edges_ds(K4_PLUS), driver_max_edges=0, driver_max_nodes=0
+            )
+        )
+        pd.testing.assert_frame_equal(local, bcast)
+        pd.testing.assert_frame_equal(local, joined)
 
     def test_networkx_pin(self):
         import networkx as nx
@@ -52,7 +59,8 @@ class TestTriangles:
         pairs = [(f"n{u}", f"n{v}") for u, v in g.edges]
         # shuffle in duplicates/reversals
         extra = [(b, a) for a, b in pairs[::3]]
-        out = _tri_df(triangle_counts(_edges_ds(pairs + extra)))
+        # force the distributed (broadcast-orient) tier for the pin
+        out = _tri_df(triangle_counts(_edges_ds(pairs + extra), driver_max_edges=0))
         want = {f"n{v}": c for v, c in nx.triangles(g).items() if c > 0}
         got = dict(zip(out["node"], out["n_triangles"]))
         assert got == want
@@ -125,3 +133,24 @@ class TestCooccur:
         got = list(zip(out["item_a"], out["item_b"], out["n_baskets"]))
         # only size-<=2 baskets remain: 2:(10,20), 4/5:(30,40)
         assert got == [(30, 40, 2), (10, 20, 1)]
+
+    def test_string_items_common_neighbors(self):
+        # common-neighbor counting IS cooccur with middle node = basket
+        import pyarrow as pa
+
+        neigh = ray.data.from_items(
+            [
+                # square a-b-c-d-a: (a,c) and (b,d) share 2 middles each
+                {"node": m, "nb": x}
+                for m, xs in {
+                    "a": ["b", "d"], "b": ["a", "c"],
+                    "c": ["b", "d"], "d": ["c", "a"],
+                }.items()
+                for x in xs
+            ]
+        )
+        out = cooccur_pairs(
+            neigh, "node", "nb", min_count=2, top_k=10, item_type=pa.string()
+        ).to_pandas()
+        got = list(zip(out["item_a"], out["item_b"], out["n_baskets"]))
+        assert got == [("a", "c", 2), ("b", "d", 2)]
