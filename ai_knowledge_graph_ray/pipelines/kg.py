@@ -71,13 +71,20 @@ def _merged(config: dict | None) -> dict:
 
 
 def build_graph(
-    pages: ray.data.Dataset, config: dict | None = None
+    pages: ray.data.Dataset,
+    config: dict | None = None,
+    *,
+    extra_raw: ray.data.Dataset | None = None,
 ) -> dict[str, Any]:
     """Run the full pipeline over a ``pages`` dataset.
 
     Returns ``{"triples": Dataset, "edges": Dataset, "nodes": Dataset,
     "components": dict, "config": dict}`` — all datasets lazy until
     consumed. Call :func:`collect_stats` for run metrics.
+
+    ``extra_raw`` optionally unions a stored raw-triples corpus into
+    Phase 1's output before the global phases (see
+    :func:`update_graph`).
     """
     cfg = _merged(config)
     rt = cfg["runtime"]
@@ -102,6 +109,14 @@ def build_graph(
         concurrency=rt["extract_concurrency"],
         batch_size=rt["extract_batch_size"],
     )
+    if extra_raw is not None:
+        from ..stages.extract import TRIPLES_RAW_SCHEMA
+
+        # align to the raw schema (drop lineage/extra columns a stored
+        # corpus may carry) so the union is exactly Phase 1's multiset
+        triples = triples.union(
+            extra_raw.select_columns([f.name for f in TRIPLES_RAW_SCHEMA])
+        )
 
     # Weighted collapse fast path: Phase-1 output is massively
     # duplicated (every chunk of every page re-emits its triples —
@@ -211,6 +226,29 @@ def build_graph(
         "components": components,
         "config": cfg,
     }
+
+
+def update_graph(
+    prior_raw: ray.data.Dataset,
+    new_pages: ray.data.Dataset,
+    config: dict | None = None,
+) -> dict[str, Any]:
+    """Incremental corpus growth: extract triples from the NEW pages
+    only, union the stored raw-triples corpus (``scripts/
+    finalize_graph.py``'s re-finalize lifecycle, Ray-native), and
+    re-run the global phases. The global phases always see the full
+    population — alias election and inference are corpus-level by the
+    reference's contract — so only Phase 1's per-page work is saved.
+
+    Output is IDENTICAL to a full rebuild over old+new pages:
+    extraction is per-page deterministic and every order-sensitive
+    phase keys on explicit ``(url, chunk_id, seq)`` columns, so the
+    union multiset equals the one-shot Phase-1 output (pinned by
+    ``TestIncrementalUpdate``). For resumable on-disk increments use
+    ``pipelines/run.py``, which is this same shape with a partitioned
+    checkpoint sink.
+    """
+    return build_graph(new_pages, config, extra_raw=prior_raw)
 
 
 def collect_stats(result: dict[str, Any]) -> dict:
