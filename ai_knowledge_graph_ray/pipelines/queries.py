@@ -1630,6 +1630,32 @@ def q_scenario_eval(sf_dir: str):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+
+def q_events_props_sum(sf_dir: str):
+    """Per-event-type aggregate of the integer JSON property ``k`` in
+    the ``props`` blob column — vectorized regex fast path with a
+    json.loads fallback, NULL-on-missing semantics matching DuckDB
+    json_extract + BIGINT cast."""
+    from ..stages.jsonfield import json_field_int
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "k_val": b["k"].fillna(0).astype("int64"),
+                "has_k": b["k"].notna().astype("int64"),
+            }
+        )
+
+    return grouped_sums(
+        json_field_int(ev, "props", "k").map_batches(_pre, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": "k_val", "n_with_k": "has_k"},
+        count_name="n_events",
+    )
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1708,6 +1734,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_stats": q_domain_stats,
     "doc_gopher": q_doc_gopher,
     "doc_dup_spans": q_doc_dup_spans,
+    "events_props_sum": q_events_props_sum,
 }
 
 _N_TOKENS_SQL = (
@@ -2274,5 +2301,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "doc_gopher": _GOPHER_ORACLE_SQL,
+    "events_props_sum": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL) AS BIGINT) AS n_with_k,
+               CAST(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
     "doc_dup_spans": _DUP_SPANS_ORACLE_SQL,
 }

@@ -819,16 +819,16 @@ def dup_span_stats(
     def _psum(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("gh", sort=False, as_index=False)["cnt"].sum()
 
+    def _keep_repeated(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("gh", sort=False)["cnt"].sum()
+        return pd.DataFrame({"gh": totals[totals >= 2].index.to_numpy(np.uint64)})
+
     common = bucketed_reduce(
         grams.map_batches(
             lambda b: b[["gh", "cnt"]], batch_format="pandas"
         ),
         ["gh"],
-        lambda g: pd.DataFrame(
-            {"gh": (s := g.groupby("gh", sort=False)["cnt"].sum())[s >= 2].index.to_numpy(
-                np.uint64
-            )}
-        ),
+        _keep_repeated,
         pa.schema([("gh", pa.uint64())]),
         combiner=_psum,
     ).materialize()

@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "lineitem_agg",
     "lineitem_orders_join",
     "events_window",
+    # round-3 third-session families (webtext hygiene, co-occurrence,
+    # structural graph analytics) — keep the original eight untouched
+    # so per-query numbers stay comparable across rounds
+    "doc_dup_spans",
+    "part_copurchase",
+    "graph_triangles",
 ]
 
 
