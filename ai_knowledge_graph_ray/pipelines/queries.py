@@ -1656,6 +1656,51 @@ def q_events_props_sum(sf_dir: str):
         count_name="n_events",
     )
 
+def q_doc_pack_shards(sf_dir: str):
+    """Fixed-token-budget shard assignment (distributed prefix sum):
+    shard_id = exclusive running token total in doc_id order // 2048."""
+    from ..stages.packing import pack_shards
+    from ..stages.text_analysis import token_counts
+
+    return pack_shards(token_counts(_docs(sf_dir)), budget=2048)
+
+
+def q_doc_token_quantiles(sf_dir: str):
+    """Exact corpus-wide token-count quantiles off one histogram
+    shuffle (discrete 'lower' definition: smallest value whose
+    cumulative count reaches ceil(q*n))."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text_analysis import token_counts
+
+    return exact_quantiles(
+        token_counts(_docs(sf_dir)), "n_tokens", (0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
+def q_source_token_quantiles(sf_dir: str):
+    """Per-source token-count quantiles — one group-keyed bucketed
+    shuffle, vectorized grouped-histogram reduce."""
+    from ..stages.quantiles import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "text"]
+    )
+
+    def _tok(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        stripped = t.str.strip()
+        n = stripped.str.split().str.len().fillna(0)
+        n = n.where(stripped.str.len() > 0, 0)
+        return pd.DataFrame({"source": b["source"], "n_tokens": n.astype("int64")})
+
+    return grouped_quantiles(
+        docs.map_batches(_tok, batch_format="pandas"),
+        "source",
+        "n_tokens",
+        (0.5, 0.9, 0.99),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1735,6 +1780,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_gopher": q_doc_gopher,
     "doc_dup_spans": q_doc_dup_spans,
     "events_props_sum": q_events_props_sum,
+    "doc_pack_shards": q_doc_pack_shards,
+    "doc_token_quantiles": q_doc_token_quantiles,
+    "source_token_quantiles": q_source_token_quantiles,
 }
 
 _N_TOKENS_SQL = (
@@ -2309,4 +2357,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "doc_dup_spans": _DUP_SPANS_ORACLE_SQL,
+    "doc_pack_shards": f"""
+        WITH t AS (SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) // 2048 AS BIGINT) AS shard_id
+        FROM t
+    """,
+    "doc_token_quantiles": f"""
+        WITH t AS (SELECT {_N_TOKENS_SQL} AS v FROM documents),
+             c AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+             s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+             n AS (SELECT count(*) AS tot FROM t),
+             q(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (0.5), (0.75), (0.9), (0.99))
+        SELECT q.q AS q, min(s.v) AS value
+        FROM q, s, n
+        WHERE s.cum >= greatest(1, CAST(ceil(q.q * n.tot) AS BIGINT))
+        GROUP BY q.q
+    """,
+    "source_token_quantiles": f"""
+        WITH t AS (SELECT source, {_N_TOKENS_SQL} AS v FROM documents),
+             c AS (SELECT source, v, count(*) AS cnt FROM t GROUP BY source, v),
+             s AS (SELECT source, v,
+                          sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+                          sum(cnt) OVER (PARTITION BY source) AS tot
+                   FROM c),
+             q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (0.9), (0.99))
+        SELECT s.source AS source, q.q AS q, min(s.v) AS value
+        FROM q, s
+        WHERE s.cum >= greatest(1, CAST(ceil(q.q * s.tot) AS BIGINT))
+        GROUP BY s.source, q.q
+    """,
 }

@@ -1,0 +1,180 @@
+"""Token-budget shard packing via a distributed prefix sum (scan).
+
+Training-data pipelines pack documents into fixed-token-budget shards
+before tokenization/writing. The deterministic spec here: order docs
+by an integer id and assign ``shard_id = exclusive_prefix_sum(tokens)
+// budget`` — the contiguous greedy packing a sequential writer would
+produce (splitting one doc across a shard boundary is a writer
+concern, not an assignment concern). The reference has no counterpart
+(its training writer is a driver loop, ``training_generator.py``);
+this is the scan primitive that makes the same layout possible at
+corpus scale.
+
+Ray Data has no scan operator, so this builds one from two passes:
+
+1. **Range sums.** ``range_id = id // range_size``; one
+   ``bucketed_reduce`` (map-side combiner) yields ``(range_id,
+   tok_sum)``. The residue is ``#distinct ranges`` rows of two int64s
+   — count-gated, and if over the gate the SUMS TABLE ITSELF is
+   re-aggregated at ``range_id // 2`` (no rescan of the data; floor
+   division composes: ``id//r//2 == id//(2r)``) until it fits.
+2. **Driver scan.** Sort the range sums, exclusive-cumsum into a base
+   offset per range, broadcast both arrays once with ``ray.put``.
+3. **Per-range cumsum.** One bucketed shuffle keyed on the (final)
+   range id; each range group sorts by id, takes its local exclusive
+   cumsum, adds the broadcast base offset, and divides by the budget.
+
+At 100 TB: the driver residue is bounded by the gate (default 5M
+ranges ≈ 80 MB), the pass-2 shuffle moves only ``(id, tokens)``
+pairs, and every per-group step is vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .infer import bucketed_reduce, pa_from_pandas
+
+DRIVER_MAX_RANGES = 5_000_000
+
+
+def _range_sums(
+    ds: ray.data.Dataset, id_col: str, tokens_col: str, range_size: int
+) -> ray.data.Dataset:
+    """``(range_id, tok_sum)`` partial sums, one row per non-empty range."""
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        rid = batch[id_col].to_numpy(np.int64) // range_size
+        return (
+            pd.DataFrame({"range_id": rid, "tok_sum": batch[tokens_col].to_numpy(np.int64)})
+            .groupby("range_id", sort=False, as_index=False)["tok_sum"]
+            .sum()
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, tokens_col]),
+        ["range_id"],
+        lambda g: g.groupby("range_id", sort=False, as_index=False)["tok_sum"].sum(),
+        pa.schema([("range_id", pa.int64()), ("tok_sum", pa.int64())]),
+        combiner=_combine,
+    )
+
+
+def _coarsen(sums: ray.data.Dataset) -> ray.data.Dataset:
+    """Halve the range resolution by re-aggregating the sums table."""
+
+    def _half(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["range_id"] = out["range_id"].to_numpy(np.int64) // 2
+        return out.groupby("range_id", sort=False, as_index=False)["tok_sum"].sum()
+
+    return bucketed_reduce(
+        sums,
+        ["range_id"],
+        lambda g: g.groupby("range_id", sort=False, as_index=False)["tok_sum"].sum(),
+        pa.schema([("range_id", pa.int64()), ("tok_sum", pa.int64())]),
+        combiner=_half,
+    )
+
+
+def pack_shards(
+    ds: ray.data.Dataset,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    range_size: int = 4096,
+    driver_max_ranges: int = DRIVER_MAX_RANGES,
+) -> ray.data.Dataset:
+    """Append ``shard_id``: the fixed-token-budget training shard each
+    row lands in when rows are packed in ``id_col`` order.
+
+    ``shard_id = (sum of tokens_col over all rows with smaller id) //
+    budget`` — SQL-oracle-exact (a window function), deterministic
+    under any parallelism. Requires an integer id column; duplicate
+    ids within one range are summed in stable id order (their relative
+    order is unspecified, matching SQL's).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (tokens_col, pa.int64()), ("shard_id", pa.int64())]
+    )
+    sums = _range_sums(ds, id_col, tokens_col, range_size).materialize()
+    if sums.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    scale = 0
+    while sums.count() > driver_max_ranges:
+        sums = _coarsen(sums).materialize()
+        scale += 1
+    final_range = range_size << scale
+
+    df = sums.to_pandas().sort_values("range_id", kind="stable")
+    rids = df["range_id"].to_numpy(np.int64)
+    tok = df["tok_sum"].to_numpy(np.int64)
+    base = np.cumsum(tok) - tok  # exclusive scan over range totals
+    ref = ray.put((rids, base))
+
+    def _with_range(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__range"] = batch[id_col].to_numpy(np.int64) // final_range
+        return batch
+
+    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+        rids_l, base_l = ray.get(ref)
+        g = g.sort_values(["__range", id_col], kind="stable")
+        t = g[tokens_col].to_numpy(np.int64)
+        rng = g["__range"].to_numpy(np.int64)
+        # exclusive cumsum restarting at each range boundary
+        cum = np.cumsum(t)
+        starts = np.flatnonzero(np.r_[True, rng[1:] != rng[:-1]])
+        offsets = np.repeat(cum[starts] - t[starts], np.diff(np.r_[starts, len(t)]))
+        excl = cum - t - offsets
+        pos = np.searchsorted(rids_l, rng[starts])
+        excl += np.repeat(base_l[pos], np.diff(np.r_[starts, len(t)]))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                tokens_col: t,
+                "shard_id": excl // budget,
+            }
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, tokens_col]).map_batches(
+            _with_range, batch_format="pandas"
+        ),
+        ["__range"],
+        _assign,
+        out_schema,
+    )
+
+
+def shard_stats(packed: ray.data.Dataset) -> ray.data.Dataset:
+    """``(shard_id, n_docs, tokens)`` summary of a packing."""
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("shard_id", sort=False).agg(
+            n_docs=("shard_id", "size"), tokens=("n_tokens", "sum")
+        )
+        return out.reset_index()
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("shard_id", sort=False, as_index=False)[
+            ["n_docs", "tokens"]
+        ].sum()
+
+    return bucketed_reduce(
+        packed,
+        ["shard_id"],
+        _reduce,
+        pa.schema(
+            [("shard_id", pa.int64()), ("n_docs", pa.int64()), ("tokens", pa.int64())]
+        ),
+        combiner=_combine,
+    )

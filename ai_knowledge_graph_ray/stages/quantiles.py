@@ -1,0 +1,198 @@
+"""Exact distributed quantiles over an integer column.
+
+Percentile cutoffs (median doc length, p99 token count) drive corpus
+quality gates, but naive quantiles sort the whole dataset. For the
+integer measures this engine produces (token counts, char lengths,
+degrees) the DISTINCT-value domain is tiny next to the row count, so
+the exact answer needs only a value histogram:
+
+1. ``(value, cnt)`` via one ``bucketed_reduce`` (map-side combiner
+   collapses each block to its distinct values first).
+2. Count-gate the histogram. Under the gate (default 5M distinct
+   values = ~80 MB) the driver sorts it and reads each quantile off
+   the cumulative counts. Over the gate, coarse ``value // range``
+   prefix sums (the :mod:`packing` scan machinery) locate the single
+   range containing each target rank; only those ranges' histogram
+   rows are collected (bounded by gate/#ranges each).
+
+Definition (discrete, "lower" interpolation): quantile ``q`` is the
+smallest value whose cumulative count reaches ``ceil(q * n)`` — exact
+and SQL-oracle-expressible with a window cumsum, unlike interpolating
+variants whose float semantics drift across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce
+
+DRIVER_MAX_DISTINCT = 5_000_000
+
+_HIST_SCHEMA = pa.schema([("v", pa.int64()), ("cnt", pa.int64())])
+
+
+def value_histogram(
+    ds: ray.data.Dataset, value_col: str
+) -> ray.data.Dataset:
+    """``(v, cnt)`` — exact distinct-value counts of an int64 column."""
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": u, "cnt": c.astype("int64")})
+
+    return bucketed_reduce(
+        ds.select_columns([value_col]),
+        ["v"],
+        lambda g: g.groupby("v", sort=False, as_index=False)["cnt"].sum(),
+        _HIST_SCHEMA,
+        combiner=_combine,
+    )
+
+
+def _targets(qs: tuple[float, ...], n: int) -> list[int]:
+    return [max(1, math.ceil(q * n)) for q in qs]
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    *,
+    driver_max_distinct: int = DRIVER_MAX_DISTINCT,
+    range_size: int = 4096,
+) -> pa.Table:
+    """``(q, value)`` — exact discrete quantiles of an int64 column.
+
+    Returns a small Arrow table (len(qs) rows); the heavy work is the
+    one histogram shuffle. ``qs`` must be in (0, 1].
+    """
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    hist = value_histogram(ds, value_col).materialize()
+    n_distinct = hist.count()
+    if n_distinct == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], pa.int64())})
+
+    if n_distinct <= driver_max_distinct:
+        df = hist.to_pandas().sort_values("v", kind="stable")
+        v = df["v"].to_numpy(np.int64)
+        cum = df["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        idx = np.searchsorted(cum, _targets(qs, n))
+        return pa.table(
+            {"q": pa.array(list(qs), pa.float64()), "value": pa.array(v[idx], pa.int64())}
+        )
+
+    # Over the gate: coarse range prefix sums locate each target rank's
+    # range; collect only those ranges' histogram rows.
+    def _to_range(batch: pd.DataFrame) -> pd.DataFrame:
+        rid = batch["v"].to_numpy(np.int64) // range_size
+        return (
+            pd.DataFrame({"range_id": rid, "cnt": batch["cnt"].to_numpy(np.int64)})
+            .groupby("range_id", sort=False, as_index=False)["cnt"]
+            .sum()
+        )
+
+    ranges = bucketed_reduce(
+        hist,
+        ["range_id"],
+        lambda g: g.groupby("range_id", sort=False, as_index=False)["cnt"].sum(),
+        pa.schema([("range_id", pa.int64()), ("cnt", pa.int64())]),
+        combiner=_to_range,
+    ).to_pandas().sort_values("range_id", kind="stable")
+    rids = ranges["range_id"].to_numpy(np.int64)
+    rcnt = ranges["cnt"].to_numpy(np.int64)
+    rcum = rcnt.cumsum()
+    n = int(rcum[-1])
+    targets = _targets(qs, n)
+    need = np.unique(rids[np.searchsorted(rcum, targets)])
+
+    def _prune(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(b["v"].to_numpy(np.int64) // range_size, need)
+        return b[keep]
+
+    sub = (
+        hist.map_batches(_prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values("v", kind="stable")
+    )
+    sv = sub["v"].to_numpy(np.int64)
+    srid = sv // range_size
+    scnt = sub["cnt"].to_numpy(np.int64)
+    vals = []
+    for t in targets:
+        pos = int(np.searchsorted(rcum, t))
+        ri = int(rids[pos])
+        before = int(rcum[pos]) - int(rcnt[pos])  # rows in earlier ranges
+        mask = srid == ri
+        local_cum = scnt[mask].cumsum() + before
+        vals.append(int(sv[mask][np.searchsorted(local_cum, t)]))
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()), "value": pa.array(vals, pa.int64())}
+    )
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> ray.data.Dataset:
+    """``(group, q, value)`` — exact discrete quantiles per group.
+
+    One bucketed shuffle keyed on the group; the per-bucket reduce is
+    fully vectorized (grouped histogram -> grouped cumsum -> first row
+    per (group, target) via a C-level groupby head), so a bucket may
+    hold millions of groups without a per-group Python call. Skewed
+    hot groups cost one histogram per distinct value, not per row —
+    the map-side combiner collapses duplicates before the shuffle.
+    """
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"g": batch[group_col], "v": batch[value_col].to_numpy(np.int64)}
+            )
+            .groupby(["g", "v"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            g.groupby(["g", "v"], sort=False, as_index=False)["cnt"]
+            .sum()
+            .sort_values(["g", "v"], kind="stable")
+        )
+        cum = h.groupby("g", sort=False)["cnt"].cumsum()
+        tot = h.groupby("g", sort=False)["cnt"].transform("sum")
+        outs = []
+        for q in qs:
+            target = np.maximum(1, np.ceil(q * tot.to_numpy()).astype(np.int64))
+            hit = h[cum.to_numpy() >= target]
+            first = hit.groupby("g", sort=False, as_index=False).head(1)
+            outs.append(
+                pd.DataFrame({"g": first["g"], "q": float(q), "value": first["v"]})
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out_schema = pa.schema(
+        [("g", pa.string()), ("q", pa.float64()), ("value", pa.int64())]
+    )
+    return bucketed_reduce(
+        ds.select_columns([group_col, value_col]),
+        ["g"],
+        _reduce,
+        out_schema,
+        combiner=_combine,
+    ).rename_columns({"g": group_col})

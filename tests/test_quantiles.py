@@ -1,0 +1,93 @@
+"""Exact distributed quantiles: sorted-array reference equivalence,
+forced over-gate range-pruned path, edge quantiles, negatives."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ai_knowledge_graph_ray.stages.quantiles import (
+    exact_quantiles,
+    grouped_quantiles,
+    value_histogram,
+)
+
+
+def _ref(vals: np.ndarray, qs) -> list[int]:
+    v = np.sort(vals)
+    n = len(v)
+    return [int(v[max(1, math.ceil(q * n)) - 1]) for q in qs]
+
+
+QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_reference(self):
+        rng = np.random.RandomState(3)
+        vals = np.concatenate(
+            [
+                rng.randint(-500, 500, size=3_000),
+                np.full(400, 77),  # heavy duplicate mass
+            ]
+        ).astype("int64")
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(9)
+        out = exact_quantiles(ds, "x", QS).to_pandas()
+        assert list(out["value"]) == _ref(vals, QS)
+        assert list(out["q"]) == list(QS)
+
+    def test_over_gate_path_equivalent(self):
+        rng = np.random.RandomState(5)
+        vals = rng.randint(-2_000, 2_000, size=5_000).astype("int64")
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+        out = exact_quantiles(
+            ds, "x", QS, driver_max_distinct=10, range_size=64
+        ).to_pandas()
+        assert list(out["value"]) == _ref(vals, QS)
+
+    def test_q1_is_max_and_tiny_input(self):
+        ds = ray.data.from_pandas(pd.DataFrame({"x": [9, 2, 5]}))
+        out = exact_quantiles(ds, "x", (0.01, 1.0)).to_pandas()
+        assert list(out["value"]) == [2, 9]
+
+    def test_grouped_matches_per_group_reference(self):
+        rng = np.random.RandomState(13)
+        groups = rng.choice(list("abcde"), size=4_000)
+        vals = rng.randint(0, 300, size=4_000).astype("int64")
+        df = pd.DataFrame({"src": groups, "x": vals})
+        qs = (0.5, 0.9, 1.0)
+        out = (
+            grouped_quantiles(
+                ray.data.from_pandas(df).repartition(11), "src", "x", qs
+            )
+            .to_pandas()
+            .sort_values(["src", "q"])
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for g in sorted(df["src"].unique()):
+            sub = df.loc[df["src"] == g, "x"].to_numpy()
+            for q, v in zip(qs, _ref(sub, qs)):
+                want_rows.append((g, q, v))
+        got = list(out.itertuples(index=False, name=None))
+        assert sorted(got) == sorted(want_rows)
+
+    def test_grouped_single_row_groups(self):
+        df = pd.DataFrame({"src": ["a", "b"], "x": [5, 9]})
+        out = (
+            grouped_quantiles(ray.data.from_pandas(df), "src", "x", (0.5,))
+            .to_pandas()
+            .sort_values("src")
+        )
+        assert list(out["value"]) == [5, 9]
+
+    def test_histogram_counts(self):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"x": [4, 4, 4, 1, 1, 7]})
+        ).repartition(3)
+        h = value_histogram(ds, "x").to_pandas().sort_values("v")
+        assert list(h["v"]) == [1, 4, 7]
+        assert list(h["cnt"]) == [2, 3, 1]
