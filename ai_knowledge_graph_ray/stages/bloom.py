@@ -15,8 +15,9 @@ non-members before the exchange — the classic runtime-filter push-down
              the composed ``semi_join_bloom`` is EXACT, the filter
              only cuts shuffle volume.
 
-The filter is over string-rendered keys (same rendering as
-``cogroup_join``'s bucket hash), so any key dtype works.
+The filter hashes the same dtype-stable key frame as
+``cogroup_join``'s bucket hash, so any key dtype works and the build
+and probe sides always agree.
 """
 
 from __future__ import annotations
@@ -27,32 +28,54 @@ import pyarrow as pa
 import ray
 import ray.data
 
-# independent seeds for the two base hashes of the Kirsch-Mitzenmacher
-# double-hashing scheme (h2 derived FROM h1 correlates the probes and
-# measurably inflates the false-positive rate ~10x)
-_SEED1 = "bloomseed1......"
-_SEED2 = "bloomseed2......"
+from .infer import stable_key_frame
+
+def _key_series(batch: pd.DataFrame, on: list[str]) -> pd.DataFrame:
+    # dtype-stable frame hash: build and probe sides must agree, and
+    # canonical-int hashing skips the 5-50x str-render tax
+    return stable_key_frame(batch, on)
 
 
-def _key_series(batch: pd.DataFrame, on: list[str]) -> pd.Series:
-    if len(on) == 1:
-        return batch[on[0]].astype(str)
-    return batch[on].astype(str).agg("\x00".join, axis=1)
+def _mix(h: np.ndarray, c1: int, c2: int) -> np.ndarray:
+    """splitmix64-style finalizer — a cheap vectorized bijection that
+    decorrelates two derived hashes from one base hash. (pandas'
+    ``hash_key`` seeds OBJECT columns only, so two seeded
+    ``hash_pandas_object`` passes over integer keys return the SAME
+    values — the Kirsch-Mitzenmacher base hashes must come from
+    distinct mixers instead.)"""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(c1)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(c2)
+        return h ^ (h >> np.uint64(31))
 
 
-def _positions(keys: pd.Series, num_bits: int, num_hashes: int) -> np.ndarray:
+def _canon_keys(keys):
+    """Collapse 1-column key frames to a canonical-dtype Series so a
+    caller passing a raw key Series to :func:`bloom_contains` hashes
+    identically to the frame-built bitmap (frame-hash of one column
+    != series-hash of the same column in pandas)."""
+    if isinstance(keys, pd.DataFrame):
+        if keys.shape[1] != 1:
+            return keys  # multi-key: stable frame, frame hash
+        keys = keys.iloc[:, 0]
+    dt = keys.dtype
+    if isinstance(dt, np.dtype) and dt.kind in ("i", "b"):
+        return keys.astype("int64")
+    if isinstance(dt, np.dtype) and dt.kind == "u":
+        return keys.astype("uint64")
+    return keys.astype(str)
+
+
+def _positions(keys, num_bits: int, num_hashes: int) -> np.ndarray:
     """(len(keys) * num_hashes,) bit positions via double hashing —
-    one vectorized hash pass, k derived probes."""
-    h1 = (
-        pd.util.hash_pandas_object(keys, index=False, hash_key=_SEED1)
+    one vectorized hash pass, two independent mixes, k derived probes."""
+    base = (
+        pd.util.hash_pandas_object(_canon_keys(keys), index=False)
         .to_numpy()
         .astype(np.uint64)
     )
-    h2 = (
-        pd.util.hash_pandas_object(keys, index=False, hash_key=_SEED2)
-        .to_numpy()
-        .astype(np.uint64)
-    ) | np.uint64(1)  # odd => full-period stride
+    h1 = _mix(base, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+    h2 = _mix(base, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53) | np.uint64(1)
     with np.errstate(over="ignore"):
         probes = [
             (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
@@ -101,7 +124,7 @@ def build_bloom(
 
 
 def bloom_contains(
-    bitmap: np.ndarray, keys: pd.Series, *, num_hashes: int = 4
+    bitmap: np.ndarray, keys, *, num_hashes: int = 4
 ) -> np.ndarray:
     """Vectorized membership mask (true = POSSIBLY present)."""
     num_bits = len(bitmap) * 8

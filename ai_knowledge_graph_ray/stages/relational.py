@@ -21,7 +21,12 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .infer import default_num_partitions, normalize_blocks, pa_from_pandas
+from .infer import (
+    default_num_partitions,
+    normalize_blocks,
+    pa_from_pandas,
+    stable_key_frame,
+)
 
 
 def grouped_sums(
@@ -303,13 +308,16 @@ def cogroup_join(
     def _tag(side: str):
         def _f(batch: pd.DataFrame) -> pa.Table:
             n = len(batch)
-            key = (
-                batch[on[0]].astype(str)
-                if len(on) == 1
-                else batch[on].astype(str).agg("\x00".join, axis=1)
-            )
+            # dtype-stable row hash (int64/uint64 canonical widths) so
+            # both sides bucket identically even at different key
+            # widths — and ints skip the 5-50x str-render tax
             bucket = (
-                (pd.util.hash_pandas_object(key, index=False) % num_buckets).astype("int64")
+                (
+                    pd.util.hash_pandas_object(
+                        stable_key_frame(batch, on), index=False
+                    )
+                    % num_buckets
+                ).astype("int64")
                 if n
                 else pd.Series([], dtype="int64")
             )
