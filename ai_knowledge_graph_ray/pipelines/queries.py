@@ -1701,6 +1701,88 @@ def q_source_token_quantiles(sf_dir: str):
     )
 
 
+def q_events_rolling_window(sf_dir: str):
+    """Per-user rolling 3-row sum of the integerized event value —
+    ``SUM(cents) OVER (PARTITION BY user ORDER BY ts, id ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW)``."""
+    from ..stages.sessions import rolling_sum
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "val": _cents(b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rolling_sum(ev, window=3).map_batches(
+        lambda b: b.rename_columns(["event_id", "win_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_vs_ship_by_date(sf_dir: str):
+    """FULL OUTER join of two date-keyed aggregates: orders placed vs
+    lineitems shipped per day. Ship dates run past the last order date
+    and order dates precede the first ship date, so BOTH sides
+    contribute orphan rows -- nulls coalesced to 0 for exact hashing.
+
+    Dates travel as int64 epoch-microseconds end to end: the native
+    ``groupby().aggregate()`` on a timestamp key measured ~19s of
+    fixed stage cost at sf0.01 (vs <1s for a bucketed int count), and
+    int keys also take the canonical fast path of the join's bucket
+    hash. One ``bucketed_reduce`` count per side, one bucketed
+    full-outer join."""
+    from ..stages.infer import bucketed_reduce
+    from ..stages.relational import cogroup_join
+
+    def _counts(table: str, col: str, out: str) -> ray.data.Dataset:
+        def _combine(b: pd.DataFrame) -> pd.DataFrame:
+            d = b[col].to_numpy("datetime64[us]").astype("int64")
+            u, c = np.unique(d, return_counts=True)
+            return pd.DataFrame({"d": u, out: c.astype("int64")})
+
+        return bucketed_reduce(
+            ray.data.read_parquet(_t(sf_dir, table), columns=[col]),
+            ["d"],
+            lambda g: g.groupby("d", sort=False, as_index=False)[out].sum(),
+            pa.schema([("d", pa.int64()), (out, pa.int64())]),
+            combiner=_combine,
+        )
+
+    joined = cogroup_join(
+        _counts("orders", "o_orderdate", "n_orders"),
+        _counts("lineitem", "l_shipdate", "n_shipped"),
+        on=["d"],
+        how="full_outer",
+        left_schema=pa.schema([("d", pa.int64()), ("n_orders", pa.int64())]),
+        right_schema=pa.schema([("d", pa.int64()), ("n_shipped", pa.int64())]),
+    )
+
+    def _fill(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "d": pa.array(
+                    b["d"].to_numpy("int64").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "n_orders": pa.array(
+                    b["n_orders"].fillna(0).astype("int64"), pa.int64()
+                ),
+                "n_shipped": pa.array(
+                    b["n_shipped"].fillna(0).astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(_fill, batch_format="pandas")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1783,6 +1865,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_pack_shards": q_doc_pack_shards,
     "doc_token_quantiles": q_doc_token_quantiles,
     "source_token_quantiles": q_source_token_quantiles,
+    "events_rolling_window": q_events_rolling_window,
+    "orders_vs_ship_by_date": q_orders_vs_ship_by_date,
 }
 
 _N_TOKENS_SQL = (
@@ -2376,6 +2460,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM q, s, n
         WHERE s.cum >= greatest(1, CAST(ceil(q.q * n.tot) AS BIGINT))
         GROUP BY q.q
+    """,
+    "events_rolling_window": """
+        SELECT event_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS win_cents
+        FROM events
+    """,
+    "orders_vs_ship_by_date": """
+        WITH o AS (SELECT o_orderdate AS d, count(*) AS n_orders
+                   FROM orders GROUP BY 1),
+             l AS (SELECT l_shipdate AS d, count(*) AS n_shipped
+                   FROM lineitem GROUP BY 1)
+        SELECT coalesce(o.d, l.d) AS d,
+               CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(l.n_shipped, 0) AS BIGINT) AS n_shipped
+        FROM o FULL OUTER JOIN l ON o.d = l.d
     """,
     "source_token_quantiles": f"""
         WITH t AS (SELECT source, {_N_TOKENS_SQL} AS v FROM documents),

@@ -194,52 +194,15 @@ def discrete_quantiles(
     element at index ``max(0, ceil(q*n)-1)`` of the sorted values, the
     float product evaluated in IEEE double exactly like the engine).
 
-    Distributed shape: a combined value HISTOGRAM (one grouped sum —
-    the residue is the distinct-value domain, far below row count),
-    sorted, then streamed to the driver with early stop once every
-    quantile index is passed — the driver never holds more than one
-    histogram batch. Returns ``(q: double, {value_col}: int64)``.
+    Thin adapter over :func:`~.quantiles.exact_quantiles` (one
+    histogram shuffle, vectorized count-gated driver readoff with a
+    range-pruned over-the-gate path) kept for its Dataset-shaped
+    return. Returns ``(q: double, {value_col}: int64)``.
     """
-    import math
+    from .quantiles import exact_quantiles
 
-    with_one = ds.map_batches(
-        lambda b: b.append_column("one", pa.array([1] * len(b), pa.int64())),
-        batch_format="pyarrow",
-    )
-    hist = grouped_sums(with_one, [value_col], {"cnt": "one"}).materialize()
-    total = hist.map_batches(
-        lambda b: pa.table({"s": pa.array([sum(b["cnt"].to_pylist() or [0])], pa.int64())}),
-        batch_format="pyarrow",
-    ).sum("s") or 0
-    out_schema = pa.schema([("q", pa.float64()), (value_col, pa.int64())])
-    if total == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
-
-    want = sorted(
-        ((q, max(0, math.ceil(q * total) - 1)) for q in qs), key=lambda kv: kv[1]
-    )
-    out: dict[float, int] = {}
-    cum = 0
-    pending = list(want)
-    for batch in hist.sort(value_col).iter_batches(batch_format="pandas"):
-        for v, c in zip(batch[value_col], batch["cnt"]):
-            hi = cum + int(c) - 1
-            while pending and pending[0][1] <= hi:
-                q, _ = pending.pop(0)
-                out[q] = int(v)
-            cum += int(c)
-            if not pending:
-                break
-        if not pending:
-            break
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "q": pa.array(sorted(out), pa.float64()),
-                value_col: pa.array([out[q] for q in sorted(out)], pa.int64()),
-            }
-        )
-    )
+    t = exact_quantiles(ds, value_col, tuple(sorted(qs)))
+    return ray.data.from_arrow(t.rename_columns(["q", value_col]))
 
 
 def cogroup_join(
@@ -257,14 +220,16 @@ def cogroup_join(
 
     Non-key columns must be disjoint between the sides. ``how`` is
     ``inner``, ``left_outer`` (unmatched left rows kept, right extras
-    null), ``left_semi`` (left rows with >=1 match, left columns only)
-    or ``left_anti`` (anti returns left columns only).
+    null), ``full_outer`` (unmatched rows of BOTH sides kept, the
+    other side's extras null — key values survive from whichever side
+    has them), ``left_semi`` (left rows with >=1 match, left columns
+    only) or ``left_anti`` (anti returns left columns only).
     Pass ``left_schema``/``right_schema`` when a side may be empty
     (``Dataset.schema()`` returns None for fully-empty pipelines).
     """
     if num_buckets is None:
         num_buckets = default_num_partitions()
-    assert how in ("inner", "left_outer", "left_semi", "left_anti")
+    assert how in ("inner", "left_outer", "full_outer", "left_semi", "left_anti")
 
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
@@ -283,7 +248,7 @@ def cogroup_join(
     l_arrow = pa.schema(
         [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
     )
-    if how in ("inner", "left_outer"):
+    if how in ("inner", "left_outer", "full_outer"):
         out_schema = pa.schema(
             list(l_arrow)
             + [
@@ -347,9 +312,11 @@ def cogroup_join(
         if how == "inner":
             rpart = rpart[on + r_extra]
             m = lpart.merge(rpart, on=on, how="inner")
-        elif how == "left_outer":
+        elif how in ("left_outer", "full_outer"):
             rpart = rpart[on + r_extra]
-            m = lpart.merge(rpart, on=on, how="left")
+            m = lpart.merge(
+                rpart, on=on, how="left" if how == "left_outer" else "outer"
+            )
             # unmatched right extras are NaN — build arrays with
             # from_pandas=True so they land as arrow NULLs even in
             # integer columns (a float-NaN cast to int64 would throw)

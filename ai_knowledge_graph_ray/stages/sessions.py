@@ -157,6 +157,53 @@ def running_sum(
     )
 
 
+ROLLING_SUM_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("win_sum", pa.int64()),
+    ]
+)
+
+
+def rolling_sum(
+    ds: ray.data.Dataset,
+    *,
+    window: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "val",
+) -> ray.data.Dataset:
+    """Per-key rolling sum over the last ``window`` rows (inclusive) —
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` — over an INTEGER value
+    column. Same one-bucket-shuffle shape as :func:`running_sum`; the
+    rolling window is cumsum minus its per-key ``shift(window)``
+    (both C-level grouped kernels), never a Python loop.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .infer import bucketed_reduce
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        cum = s.groupby(key_col, sort=False)[val_col].cumsum()
+        lag = cum.groupby(s[key_col], sort=False).shift(window).fillna(0)
+        return pd.DataFrame(
+            {
+                "event_id": s[id_col].astype("int64"),
+                "win_sum": (cum - lag).astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([key_col, ts_col, id_col, val_col]),
+        [key_col],
+        _reduce,
+        ROLLING_SUM_SCHEMA,
+    )
+
+
 ASOF_SCHEMA = pa.schema(
     [
         ("event_id", pa.int64()),

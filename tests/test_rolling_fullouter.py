@@ -1,0 +1,137 @@
+"""Rolling-window sums vs a pandas reference; full-outer join with
+planted orphans on both sides and null right/left extras."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.relational import cogroup_join
+from ai_knowledge_graph_ray.stages.sessions import rolling_sum
+
+
+class TestRollingSum:
+    def _frame(self):
+        rng = np.random.RandomState(23)
+        n = 3_000
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": rng.randint(0, 10_000, size=n).astype("int64"),
+                "user_id": rng.randint(0, 40, size=n).astype("int64"),
+                "val": rng.randint(-50, 200, size=n).astype("int64"),
+            }
+        )
+
+    def test_matches_pandas_rolling(self):
+        df = self._frame()
+        out = (
+            rolling_sum(ray.data.from_pandas(df).repartition(9), window=3)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        want = (
+            s.assign(
+                win_sum=s.groupby("user_id", sort=False)["val"]
+                .rolling(3, min_periods=1)
+                .sum()
+                .reset_index(level=0, drop=True)
+                .astype("int64")
+            )[["event_id", "win_sum"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_window_one_is_identity(self):
+        df = self._frame()
+        out = (
+            rolling_sum(ray.data.from_pandas(df), window=1)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert (out["win_sum"].to_numpy() == df["val"].to_numpy()).all()
+
+    def test_window_larger_than_group_equals_running(self):
+        from ai_knowledge_graph_ray.stages.sessions import running_sum
+
+        df = self._frame()
+        roll = (
+            rolling_sum(ray.data.from_pandas(df), window=10_000)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        run = (
+            running_sum(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert (roll["win_sum"].to_numpy() == run["cum"].to_numpy()).all()
+
+
+class TestFullOuterJoin:
+    def test_orphans_both_sides(self):
+        left = pd.DataFrame({"k": [1, 2, 3], "lx": [10, 20, 30]})
+        right = pd.DataFrame({"k": [2, 3, 4, 4], "rx": [200, 300, 400, 401]})
+        out = (
+            cogroup_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on=["k"],
+                how="full_outer",
+            )
+            .to_pandas()
+            .sort_values(["k", "rx"], na_position="first")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="outer")
+            .sort_values(["k", "rx"], na_position="first")
+            .reset_index(drop=True)
+        )
+        assert list(out["k"]) == list(want["k"])
+        # left orphan k=1 has null rx; right orphans k=4 have null lx
+        assert out.loc[out["k"] == 1, "rx"].isna().all()
+        assert out.loc[out["k"] == 4, "lx"].isna().all()
+        assert len(out) == 5
+        # matched rows carry both sides
+        m = out[out["k"] == 2]
+        assert list(m["lx"]) == [20] and list(m["rx"]) == [200]
+
+    def test_full_outer_reduces_to_inner_plus_orphans(self):
+        rng = np.random.RandomState(31)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 60, size=400).astype("int64"),
+             "lx": np.arange(400, dtype="int64")}
+        ).drop_duplicates("k")
+        right = pd.DataFrame(
+            {"k": (rng.randint(0, 60, size=400) + 30).astype("int64"),
+             "rx": np.arange(400, dtype="int64")}
+        ).drop_duplicates("k")
+        out = (
+            cogroup_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right).repartition(3),
+                on=["k"],
+                how="full_outer",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="outer")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(want)
+        assert list(out["k"]) == list(want["k"])
+        assert out["lx"].isna().sum() == want["lx"].isna().sum()
+        assert out["rx"].isna().sum() == want["rx"].isna().sum()
