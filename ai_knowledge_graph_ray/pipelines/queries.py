@@ -278,8 +278,13 @@ def q_top_orders(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    # Deterministic tie-break: price desc, key asc.
-    return ds.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(100)
+    # Deterministic tie-break: price desc, key asc. Per-block local
+    # top-k + driver merge — not an all-to-all Dataset.sort for 100 rows.
+    from ..stages.relational import topk_dataset
+
+    return topk_dataset(
+        ds, ["price_cents", "o_orderkey"], 100, descending=[True, False]
+    )
 
 
 def q_events_window(sf_dir: str):
@@ -974,7 +979,9 @@ def q_top_tokens(sf_dir: str):
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     agg = grouped_sums(partials, ["token"], {"n": "one"})
-    return agg.sort(["n", "token"], descending=[True, False]).limit(50)
+    from ..stages.relational import topk_dataset
+
+    return topk_dataset(agg, ["n", "token"], 50, descending=[True, False])
 
 
 def q_events_sessionize(sf_dir: str):

@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .infer import bucketed_reduce
+from .infer import bucketed_reduce, pa_from_pandas
 
 PAIR_COUNT_SCHEMA = pa.schema(
     [("item_a", pa.int64()), ("item_b", pa.int64()), ("n_baskets", pa.int64())]
@@ -122,6 +122,17 @@ def cooccur_pairs(
         partials, ["item_a", "item_b"], _sum_topk, pairs_schema,
         num_buckets=num_buckets,
     )
-    return counts.sort(
-        ["n_baskets", "item_a", "item_b"], descending=[True, False, False]
-    ).limit(top_k)
+    # final global top-k: every bucket already returned at most top_k
+    # rows, so the survivor set is <= num_buckets * top_k — a driver
+    # merge, not a third all-to-all exchange (Dataset.sort costs ~2-3s
+    # of fixed stage latency regardless of input size)
+    df = (
+        counts.to_pandas()
+        .sort_values(
+            ["n_baskets", "item_a", "item_b"],
+            ascending=[False, True, True],
+            kind="stable",
+        )
+        .head(top_k)
+    )
+    return ray.data.from_arrow(pa_from_pandas(df, pairs_schema))

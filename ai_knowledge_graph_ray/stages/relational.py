@@ -185,6 +185,38 @@ def skew_join(
     )
 
 
+def topk_dataset(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    k: int,
+    *,
+    descending: bool | list[bool] = False,
+    schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Global deterministic top-``k`` rows WITHOUT ``Dataset.sort`` —
+    per-block local top-k (one vectorized sort each), then a driver
+    merge over the <= k x n_blocks survivors. ``Dataset.sort`` is an
+    all-to-all exchange with seconds of fixed stage latency; when k is
+    small this shape wins at every scale. ``sort_cols`` must be a
+    total order (include a tie-break key) for a deterministic result.
+    """
+    desc = [descending] * len(sort_cols) if isinstance(descending, bool) else list(descending)
+    asc = [not d for d in desc]
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.sort_values(sort_cols, ascending=asc, kind="stable").head(k)
+
+    survivors = ds.map_batches(
+        _local, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out = survivors.sort_values(sort_cols, ascending=asc, kind="stable").head(k)
+    if schema is not None:
+        return ray.data.from_arrow(pa_from_pandas(out, schema))
+    return ray.data.from_arrow(pa_from_pandas(out.reset_index(drop=True)))
+
+
 def discrete_quantiles(
     ds: ray.data.Dataset,
     value_col: str,
