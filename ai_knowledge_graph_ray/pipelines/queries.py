@@ -1790,6 +1790,29 @@ def q_orders_vs_ship_by_date(sf_dir: str):
     return joined.map_batches(_fill, batch_format="pandas")
 
 
+def q_doc_shuffle_shards(sf_dir: str):
+    """Deterministic pseudo-random shuffle-to-shards assignment
+    (Lehmer rank, map-side only — the writer's partitioned sink is the
+    only data movement)."""
+    from ..stages.packing import shuffle_shards
+
+    return shuffle_shards(
+        ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]),
+        n_shards=16,
+    )
+
+
+def q_graph_kcore(sf_dir: str):
+    """2-core of the customer/supplier/nation/region fixture graph
+    (its 3-core is provably empty: every customer/supplier has exactly
+    two edges) — iterative peeling (degree reduce + gated membership
+    filter per round); no SQL oracle (aggregation inside a recursive
+    CTE is not expressible), pinned against networkx in pytest."""
+    from ..stages.graph_algos import k_core
+
+    return k_core(_cnrs_edges(sf_dir), 2)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1874,6 +1897,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_token_quantiles": q_source_token_quantiles,
     "events_rolling_window": q_events_rolling_window,
     "orders_vs_ship_by_date": q_orders_vs_ship_by_date,
+    "doc_shuffle_shards": q_doc_shuffle_shards,
+    "graph_kcore": q_graph_kcore,
 }
 
 _N_TOKENS_SQL = (
@@ -2475,6 +2500,12 @@ ORACLE_SQL: dict[str, str] = {
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS win_cents
         FROM events
+    """,
+    "doc_shuffle_shards": """
+        SELECT doc_id,
+               ((doc_id * 48271) % 2147483647) % 16 AS shard_id,
+               (doc_id * 48271) % 2147483647 AS shard_rank
+        FROM documents
     """,
     "orders_vs_ship_by_date": """
         WITH o AS (SELECT o_orderdate AS d, count(*) AS n_orders

@@ -1069,3 +1069,137 @@ def _triangle_counts_local(und: pd.DataFrame, max_wedges_per_node: int) -> pd.Da
     return pd.DataFrame(
         {"node": vc.index.to_numpy(object), "n_triangles": vc.to_numpy(np.int64)}
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_SCHEMA = pa.schema([("node", pa.string())])
+
+
+def k_core_local(und_df: pd.DataFrame, k: int) -> list[str]:
+    """Pure-pandas peeling over an ``(a, b)`` simple-edge frame — the
+    count-gated local twin AND the reference the distributed loop and
+    the networkx pin are tested against."""
+    edges = und_df[["a", "b"]]
+    while True:
+        deg = pd.concat([edges["a"], edges["b"]], ignore_index=True).value_counts(
+            sort=False
+        )
+        keep = set(deg[deg >= k].index)
+        nxt = edges[edges["a"].isin(keep) & edges["b"].isin(keep)]
+        if len(nxt) == len(edges):
+            return sorted(keep) if len(edges) else []
+        edges = nxt
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    *,
+    driver_max_edges: int = 2_000_000,
+    driver_max_nodes: int = 2_000_000,
+    max_iters: int = 200,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(node,)`` — the k-core of the undirected simple graph under
+    the edge table (the maximal subgraph where every node keeps degree
+    >= k). Classic peeling, distributed:
+
+    Each round is one degree reduce (:func:`undirected_degrees`) plus
+    one membership filter over the surviving edges. The keep-set is
+    count-gated: under ``driver_max_nodes`` it broadcasts once via
+    ``ray.put`` (sorted array + ``searchsorted`` — no shuffle); over
+    the gate the filter runs as two bucketed ``left_semi`` joins.
+    Under ``driver_max_edges`` the whole graph runs through the
+    bit-identical local twin instead (a few peel rounds of fixed
+    ~3s/exchange stage latency dwarf a toy graph). Rounds are bounded
+    by ``max_iters``; peeling converges in few rounds on real graphs
+    but is O(n) adversarially — the bound fails loudly rather than
+    looping forever.
+    """
+    import ray as _ray
+
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+    if und.count() <= driver_max_edges:
+        nodes = k_core_local(und.to_pandas(), k)
+        if not nodes:
+            return ray.data.from_arrow(KCORE_SCHEMA.empty_table())
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.string())})
+        )
+
+    cur = und
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        deg = undirected_degrees(cur, num_buckets=num_buckets)
+        keep = deg.map_batches(
+            lambda b: b[b["degree"] >= k], batch_format="pandas"
+        ).materialize()
+        n_keep = keep.count()
+        if n_keep == 0:
+            return ray.data.from_arrow(KCORE_SCHEMA.empty_table())
+        if n_keep <= driver_max_nodes:
+            arr = np.sort(keep.to_pandas()["node"].to_numpy(object))
+            ref = _ray.put(arr)
+
+            def _filt(b: pd.DataFrame) -> pd.DataFrame:
+                ks = _ray.get(ref)
+                a = b["a"].to_numpy(object)
+                bb = b["b"].to_numpy(object)
+                ia = np.searchsorted(ks, a)
+                ib = np.searchsorted(ks, bb)
+                ok_a = (ia < len(ks)) & (ks[np.minimum(ia, len(ks) - 1)] == a)
+                ok_b = (ib < len(ks)) & (ks[np.minimum(ib, len(ks) - 1)] == bb)
+                return b[ok_a & ok_b]
+
+            nxt = cur.map_batches(_filt, batch_format="pandas").materialize()
+        else:
+            keep_t = sanitize_for_join(
+                keep.select_columns(["node"]), pa.schema([("node", pa.string())])
+            )
+            nxt = cogroup_join(
+                cur.map_batches(
+                    lambda b: b.rename(columns={"a": "node"}), batch_format="pandas"
+                ),
+                keep_t,
+                on=["node"],
+                how="left_semi",
+                left_schema=pa.schema([("node", pa.string()), ("b", pa.string())]),
+                right_schema=pa.schema([("node", pa.string())]),
+                num_buckets=num_buckets,
+            ).map_batches(
+                lambda b: b.rename(columns={"node": "a", "b": "node"}),
+                batch_format="pandas",
+            )
+            nxt = cogroup_join(
+                nxt,
+                keep_t,
+                on=["node"],
+                how="left_semi",
+                left_schema=pa.schema([("a", pa.string()), ("node", pa.string())]),
+                right_schema=pa.schema([("node", pa.string())]),
+                num_buckets=num_buckets,
+            ).map_batches(
+                lambda b: b.rename(columns={"node": "b"}), batch_format="pandas"
+            ).materialize()
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            # stable: every surviving node has degree >= k
+            def _nodes(b: pd.DataFrame) -> pd.DataFrame:
+                u = pd.unique(pd.concat([b["a"], b["b"]], ignore_index=True))
+                return pd.DataFrame({"node": u})
+
+            return bucketed_reduce(
+                cur.map_batches(_nodes, batch_format="pandas", batch_size=None),
+                ["node"],
+                lambda g: g.drop_duplicates("node"),
+                KCORE_SCHEMA,
+                combiner=lambda b: b.drop_duplicates("node"),
+                num_buckets=num_buckets,
+            )
+        cur, n_edges = nxt, n_nxt
+        if n_edges == 0:
+            return ray.data.from_arrow(KCORE_SCHEMA.empty_table())
+    raise RuntimeError(f"k_core did not converge within {max_iters} peel rounds")

@@ -155,6 +155,46 @@ def pack_shards(
     )
 
 
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    mult: int = 48271,
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Deterministic pseudo-random shuffle of rows into ``n_shards``
+    training shards: ``rank = (id * mult) % mod`` (the Lehmer-style
+    mixer :func:`~.relational.sample_per_group` already uses —
+    reproducible in ANY engine with 64-bit integers, so the assignment
+    is SQL-oracle-checkable, unlike seeded RNG), ``shard = rank %
+    n_shards``, within-shard order ``(rank, id)``. Map-side only: no
+    shuffle at all — the sink's partition-by-shard write is the only
+    data movement, exactly what a 100 TB shuffled-training-data writer
+    wants (vs ``random_shuffle``'s full all-to-all).
+
+    Output: ``(id, shard_id, shard_rank)``; write with
+    ``write_parquet(..., partition_cols=["shard_id"])`` and read each
+    shard ordered by ``(shard_rank, id)`` for a reproducible global
+    permutation.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        rank = (ids * mult) % mod
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard_id": (rank % n_shards).astype("int64"),
+                "shard_rank": rank.astype("int64"),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(_assign, batch_format="pandas")
+
+
 def shard_stats(packed: ray.data.Dataset) -> ray.data.Dataset:
     """``(shard_id, n_docs, tokens)`` summary of a packing."""
 
