@@ -102,6 +102,14 @@ def cooccur_pairs(
         num_buckets=num_buckets,
     )
 
+    # the first reduce emits one small block per shuffle partition;
+    # coalescing to ~1 block/2 CPUs before the pair-keyed exchange
+    # cuts its block-count-scaled fixed cost (measured 3.1-7.6 s ->
+    # 2.7 s on the sf0.1 co-purchase pipeline, identical output)
+    from .infer import default_num_partitions
+
+    partials = partials.repartition(default_num_partitions())
+
     def _sum_topk(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(["item_a", "item_b"], sort=False)["n_baskets"].sum()
         s = s[s >= min_count]
