@@ -1829,6 +1829,22 @@ def q_graph_kcore(sf_dir: str):
     return k_core(_cnrs_edges(sf_dir), 2)
 
 
+def q_events_type_pivot(sf_dir: str):
+    """Per-user wide count pivot over the declared event-type domain
+    (count(*) FILTER per type) -- map-side crosstab partials, one
+    combined grouped sum."""
+    from ..stages.relational import pivot_counts
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ev, "user_id", "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+        key_type=pa.int64(),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1914,6 +1930,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_rolling_window": q_events_rolling_window,
     "orders_vs_ship_by_date": q_orders_vs_ship_by_date,
     "doc_shuffle_shards": q_doc_shuffle_shards,
+    "events_type_pivot": q_events_type_pivot,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2516,6 +2533,15 @@ ORACLE_SQL: dict[str, str] = {
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS win_cents
         FROM events
+    """,
+    "events_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM events GROUP BY user_id
     """,
     "doc_shuffle_shards": """
         SELECT doc_id,

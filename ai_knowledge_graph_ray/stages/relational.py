@@ -185,6 +185,59 @@ def skew_join(
     )
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    *,
+    out_prefix: str = "n_",
+    key_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Wide count pivot: one row per ``row_key``, one int64 column per
+    entry of ``col_values`` counting rows with that ``col_key`` value
+    (values outside the list are ignored — the column set must be
+    DECLARED, a pivot whose width depends on the data is a schema
+    hazard at scale). ``key_type`` is the Arrow type of ``row_key``
+    (default string; passed explicitly so the builder never has to
+    execute a lazy input just to learn its schema). Map-side crosstab partials (each block emits at
+    most one row per row-key), then one combined grouped sum — the
+    same two-level shape as :func:`grouped_sums`, equivalent to SQL
+    ``count(*) FILTER (WHERE col = v)`` per value.
+    """
+    names = [f"{out_prefix}{v}" for v in col_values]
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        col = batch[col_key]
+        frame = pd.DataFrame(
+            {row_key: batch[row_key]}
+            | {n: (col == v).astype("int64") for n, v in zip(names, col_values)}
+        )
+        return frame.groupby(row_key, as_index=False, sort=False).sum()
+
+    partials = ds.select_columns([row_key, col_key]).map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    )
+    # combine via bucketed_reduce, not Dataset.groupby().aggregate():
+    # the native Aggregate on a non-string key measured 12s of fixed
+    # stage cost at sf0.01 vs ~2s for the bucketed sum
+    from .infer import bucketed_reduce
+
+    out_schema = pa.schema(
+        [(row_key, key_type if key_type is not None else pa.string())]
+        + [(n, pa.int64()) for n in names]
+    )
+    return bucketed_reduce(
+        partials,
+        [row_key],
+        lambda g: g.groupby(row_key, as_index=False, sort=False)[names].sum(),
+        out_schema,
+        combiner=lambda b: b.groupby(row_key, as_index=False, sort=False)[
+            names
+        ].sum(),
+    )
+
+
 def topk_dataset(
     ds: ray.data.Dataset,
     sort_cols: list[str],

@@ -135,3 +135,35 @@ class TestFullOuterJoin:
         assert list(out["k"]) == list(want["k"])
         assert out["lx"].isna().sum() == want["lx"].isna().sum()
         assert out["rx"].isna().sum() == want["rx"].isna().sum()
+
+
+class TestPivotCounts:
+    def test_matches_crosstab(self):
+        from ai_knowledge_graph_ray.stages.relational import pivot_counts
+
+        rng = np.random.RandomState(41)
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 30, size=2_000).astype("int64"),
+                "t": rng.choice(["x", "y", "z", "other"], size=2_000),
+            }
+        )
+        out = (
+            pivot_counts(
+                ray.data.from_pandas(df).repartition(6),
+                "g",
+                "t",
+                ["x", "y", "z"],
+                key_type=pa.int64(),
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        ct = pd.crosstab(df["g"], df["t"])
+        for v in ("x", "y", "z"):
+            assert (
+                out.set_index("g")[f"n_{v}"] == ct[v].reindex(out["g"]).fillna(0)
+            ).all(), v
+        # undeclared column values are ignored, not columns
+        assert "n_other" not in out.columns
