@@ -136,6 +136,27 @@ class TestFullOuterJoin:
         assert out["lx"].isna().sum() == want["lx"].isna().sum()
         assert out["rx"].isna().sum() == want["rx"].isna().sum()
 
+    def test_full_outer_empty_left(self):
+        left = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                             "lx": pd.Series([], dtype="int64")})
+        right = pd.DataFrame({"k": [7, 8], "rx": [70, 80]})
+        out = (
+            cogroup_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on=["k"],
+                how="full_outer",
+                left_schema=pa.schema([("k", pa.int64()), ("lx", pa.int64())]),
+                right_schema=pa.schema([("k", pa.int64()), ("rx", pa.int64())]),
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out["k"]) == [7, 8]
+        assert out["lx"].isna().all()
+        assert list(out["rx"]) == [70, 80]
+
 
 class TestPivotCounts:
     def test_matches_crosstab(self):
