@@ -1845,6 +1845,62 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_nations_both_cust_supp(sf_dir: str):
+    """SQL INTERSECT: nation keys present among BOTH customers and
+    suppliers -- one bucketed shuffle with map-side distinct."""
+    from ..stages.setops import intersect_distinct
+
+    return intersect_distinct(
+        ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+        .map_batches(lambda b: pa.table({"nationkey": b["c_nationkey"]}),
+                     batch_format="pyarrow"),
+        ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"])
+        .map_batches(lambda b: pa.table({"nationkey": b["s_nationkey"]}),
+                     batch_format="pyarrow"),
+        ["nationkey"],
+        pa.schema([("nationkey", pa.int64())]),
+    )
+
+
+def q_custkeys_no_urgent(sf_dir: str):
+    """SQL EXCEPT: customer keys with no 1-URGENT order (every customer
+    in the fixture has SOME order, so the unfiltered variant is the
+    empty set -- the priority filter keeps the result non-trivial)."""
+    from ..stages.setops import except_distinct
+
+    def _urgent(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": b.filter(mask)["o_custkey"]})
+
+    return except_distinct(
+        ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]),
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+        ).map_batches(_urgent, batch_format="pyarrow"),
+        ["c_custkey"],
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
+def q_events_latest(sf_dir: str):
+    """Keyed upsert compaction: each user's LATEST event (greatest
+    event_id) -- the distributed MERGE-INTO-style last-wins pass."""
+    from ..stages.setops import upsert_latest
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return upsert_latest(
+        ev,
+        ["user_id"],
+        "event_id",
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("event_type", pa.string())]
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1931,6 +1987,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_vs_ship_by_date": q_orders_vs_ship_by_date,
     "doc_shuffle_shards": q_doc_shuffle_shards,
     "events_type_pivot": q_events_type_pivot,
+    "nations_both_cust_supp": q_nations_both_cust_supp,
+    "custkeys_no_urgent": q_custkeys_no_urgent,
+    "events_latest": q_events_latest,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2533,6 +2592,24 @@ ORACLE_SQL: dict[str, str] = {
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS win_cents
         FROM events
+    """,
+    "nations_both_cust_supp": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "custkeys_no_urgent": """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "events_latest": """
+        SELECT event_id, user_id, event_type FROM (
+          SELECT event_id, user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
     """,
     "events_type_pivot": """
         SELECT user_id,

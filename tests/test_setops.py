@@ -1,0 +1,91 @@
+"""INTERSECT / EXCEPT / keyed upsert: SQL-set-semantics equivalence,
+duplicate collapsing, empty results, last-wins determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.setops import (
+    except_distinct,
+    intersect_distinct,
+    upsert_latest,
+)
+
+K_SCHEMA = pa.schema([("k", pa.int64())])
+
+
+def _ds(vals, col="k"):
+    return ray.data.from_pandas(pd.DataFrame({col: vals})).repartition(3)
+
+
+class TestSetOps:
+    def test_intersect_distinct_collapses_duplicates(self):
+        out = intersect_distinct(
+            _ds([1, 1, 2, 3, 3]), _ds([3, 3, 4, 1]), ["k"], K_SCHEMA
+        ).to_pandas()
+        assert sorted(out["k"]) == [1, 3]
+
+    def test_except_distinct(self):
+        out = except_distinct(
+            _ds([1, 1, 2, 3]), _ds([3, 4]), ["k"], K_SCHEMA
+        ).to_pandas()
+        assert sorted(out["k"]) == [1, 2]
+
+    def test_empty_results_are_legal(self):
+        assert except_distinct(_ds([1, 2]), _ds([1, 2, 3]), ["k"], K_SCHEMA).count() == 0
+        assert intersect_distinct(_ds([1]), _ds([2]), ["k"], K_SCHEMA).count() == 0
+
+    def test_matches_sql_semantics_random(self):
+        import duckdb
+
+        rng = np.random.RandomState(17)
+        a = rng.randint(0, 200, size=1_000).astype("int64")
+        b = rng.randint(100, 300, size=1_000).astype("int64")
+        con = duckdb.connect()
+        con.register("ta", pd.DataFrame({"k": a}))
+        con.register("tb", pd.DataFrame({"k": b}))
+        want_i = sorted(r[0] for r in con.execute("SELECT k FROM ta INTERSECT SELECT k FROM tb").fetchall())
+        want_e = sorted(r[0] for r in con.execute("SELECT k FROM ta EXCEPT SELECT k FROM tb").fetchall())
+        got_i = sorted(intersect_distinct(_ds(a), _ds(b), ["k"], K_SCHEMA).to_pandas()["k"])
+        got_e = sorted(except_distinct(_ds(a), _ds(b), ["k"], K_SCHEMA).to_pandas()["k"])
+        assert got_i == want_i and got_e == want_e
+
+
+class TestUpsertLatest:
+    SCHEMA = pa.schema(
+        [("key", pa.string()), ("ver", pa.int64()), ("val", pa.int64())]
+    )
+
+    def test_last_wins_per_key(self):
+        rng = np.random.RandomState(29)
+        n = 2_000
+        df = pd.DataFrame(
+            {
+                "key": rng.choice(list("abcdefgh"), size=n),
+                "ver": rng.permutation(n).astype("int64"),  # unique versions
+                "val": np.arange(n, dtype="int64"),
+            }
+        )
+        out = (
+            upsert_latest(
+                ray.data.from_pandas(df).repartition(7), ["key"], "ver", self.SCHEMA
+            )
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values("ver", kind="stable")
+            .drop_duplicates("key", keep="last")
+            .sort_values("key")
+            .reset_index(drop=True)[["key", "ver", "val"]]
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_single_version_identity(self):
+        df = pd.DataFrame({"key": ["x", "y"], "ver": [1, 2], "val": [10, 20]})
+        out = upsert_latest(ray.data.from_pandas(df), ["key"], "ver", self.SCHEMA)
+        assert out.count() == 2
