@@ -1901,6 +1901,27 @@ def q_events_latest(sf_dir: str):
     )
 
 
+def q_events_rank(sf_dir: str):
+    """Per-type SQL rank() over coarse value buckets (ties share the
+    first tied row's position -- the bucketing guarantees heavy ties so
+    the tie path is actually exercised by the oracle)."""
+    from ..stages.sessions import rank_in_group
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "vbucket": pc.divide(_cents(b["value"]), 1000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rank_in_group(ev, group_col="event_type", order_cols=["vbucket"])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -1990,6 +2011,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nations_both_cust_supp": q_nations_both_cust_supp,
     "custkeys_no_urgent": q_custkeys_no_urgent,
     "events_latest": q_events_latest,
+    "events_rank": q_events_rank,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2602,6 +2624,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "events_rank": """
+        SELECT event_id,
+               rank() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT) // 1000
+                           ) AS rnk
+        FROM events
     """,
     "events_latest": """
         SELECT event_id, user_id, event_type FROM (

@@ -204,6 +204,58 @@ def rolling_sum(
     )
 
 
+RANK_IN_GROUP_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("rnk", pa.int64()),
+    ]
+)
+
+
+def rank_in_group(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    order_cols: list[str] | None = None,
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-group dense ordering rank — ``rank() OVER (PARTITION BY
+    group ORDER BY order_cols)`` with SQL's tie semantics (equal keys
+    share a rank; the next distinct key resumes at row position). Pass
+    a tie-breaking final order column (e.g. the id) for a fully
+    deterministic ordering when ranks must be unique. One bucket
+    shuffle on the group; in-bucket work is one stable sort plus a
+    grouped cumcount/duplicated scan — all C-level kernels.
+    """
+    order_cols = order_cols or [id_col]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([group_col] + order_cols, kind="stable")
+        pos = s.groupby(group_col, sort=False).cumcount() + 1
+        # SQL rank(): rows tied on ALL order cols share the FIRST tied
+        # row's position
+        new_key = ~s.duplicated([group_col] + order_cols, keep="first")
+        rnk = pos.where(new_key).groupby(s[group_col], sort=False).ffill()
+        return pd.DataFrame(
+            {
+                "event_id": s[id_col].astype("int64"),
+                "rnk": rnk.astype("int64"),
+            }
+        )
+
+    from .infer import bucketed_reduce
+
+    return bucketed_reduce(
+        ds.select_columns(
+            [group_col] + [c for c in order_cols if c != group_col]
+            + ([id_col] if id_col not in order_cols else [])
+        ),
+        [group_col],
+        _reduce,
+        RANK_IN_GROUP_SCHEMA,
+    )
+
+
 ASOF_SCHEMA = pa.schema(
     [
         ("event_id", pa.int64()),

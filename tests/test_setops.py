@@ -89,3 +89,38 @@ class TestUpsertLatest:
         df = pd.DataFrame({"key": ["x", "y"], "ver": [1, 2], "val": [10, 20]})
         out = upsert_latest(ray.data.from_pandas(df), ["key"], "ver", self.SCHEMA)
         assert out.count() == 2
+
+
+class TestRankInGroup:
+    def test_sql_rank_tie_semantics(self):
+        from ai_knowledge_graph_ray.stages.sessions import rank_in_group
+
+        rng = np.random.RandomState(37)
+        n = 1_500
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "event_type": rng.choice(["a", "b", "c"], size=n),
+                "vbucket": rng.randint(0, 12, size=n).astype("int64"),  # heavy ties
+            }
+        )
+        out = (
+            rank_in_group(
+                ray.data.from_pandas(df).repartition(6),
+                group_col="event_type",
+                order_cols=["vbucket"],
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.assign(
+                rnk=df.groupby("event_type")["vbucket"]
+                .rank(method="min")
+                .astype("int64")
+            )[["event_id", "rnk"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, want)
