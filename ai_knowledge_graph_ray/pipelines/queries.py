@@ -972,24 +972,23 @@ def _pagerank_oracle_sql(
 
 
 def q_top_tokens(sf_dir: str):
-    """Distributed explode + two-level count + deterministic top-k."""
-    ds = _docs(sf_dir)
-
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        import re as _re
-
-        tok_re = _re.compile(r"\w+")
-        counts: dict[str, int] = {}
-        for t in b["text"].fillna(""):
-            for w in tok_re.findall(t.lower()):
-                counts[w] = counts.get(w, 0) + 1
-        return pd.DataFrame({"token": list(counts), "one": list(counts.values())})
-
-    partials = ds.map_batches(_partial, batch_format="pandas")
-    agg = grouped_sums(partials, ["token"], {"n": "one"})
+    """Distributed explode + two-level count + deterministic top-k
+    (vectorized str.findall/value_counts partials -- the earlier
+    per-row Python dict loop was this query's whole hot stage)."""
     from ..stages.relational import topk_dataset
+    from ..stages.vocab import term_counts
 
-    return topk_dataset(agg, ["n", "token"], 50, descending=[True, False])
+    return topk_dataset(
+        term_counts(_docs(sf_dir)), ["n", "token"], 50, descending=[True, False]
+    )
+
+
+def q_doc_vocab(sf_dir: str):
+    """Tokenizer-style vocabulary: contiguous 1-based ids in
+    (count desc, token) order over tokens seen >= 5 times."""
+    from ..stages.vocab import vocab_build
+
+    return vocab_build(_docs(sf_dir), min_count=5)
 
 
 def q_events_sessionize(sf_dir: str):
@@ -2012,6 +2011,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "custkeys_no_urgent": q_custkeys_no_urgent,
     "events_latest": q_events_latest,
     "events_rank": q_events_rank,
+    "doc_vocab": q_doc_vocab,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2311,6 +2311,17 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "doc_vocab": """
+        WITH c AS (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+            FROM documents
+          ) GROUP BY token HAVING count(*) >= 5
+        )
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token ASC) AS vocab_id
+        FROM c
     """,
     "top_tokens": """
         SELECT token, count(*) AS n FROM (

@@ -124,3 +124,42 @@ class TestRankInGroup:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, want)
+
+
+class TestVocab:
+    def test_term_counts_match_naive(self):
+        import re
+
+        from ai_knowledge_graph_ray.stages.vocab import term_counts
+
+        texts = [
+            "The quick brown fox",
+            "the lazy dog! The DOG.",
+            None,
+            "",
+            "fox fox fox",
+        ]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"text": texts})
+        ).repartition(3)
+        out = term_counts(ds).to_pandas().set_index("token")["n"].to_dict()
+        naive: dict = {}
+        for t in texts:
+            for w in re.findall(r"\w+", (t or "").lower()):
+                naive[w] = naive.get(w, 0) + 1
+        assert out == naive
+
+    def test_vocab_ids_deterministic_and_gated(self):
+        import pytest
+
+        from ai_knowledge_graph_ray.stages.vocab import vocab_build
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"text": ["a b b c c c", "a b c"] * 10})
+        )
+        v = vocab_build(ds, min_count=1).to_pandas()
+        # (n desc, token asc): c=40? no -- c appears 4x/pair * 10
+        assert list(v["token"]) == ["c", "b", "a"]
+        assert list(v["vocab_id"]) == [1, 2, 3]
+        with pytest.raises(ValueError, match="driver_max_vocab"):
+            vocab_build(ds, min_count=1, driver_max_vocab=1)
