@@ -1921,6 +1921,16 @@ def q_events_rank(sf_dir: str):
     return rank_in_group(ev, group_col="event_type", order_cols=["vbucket"])
 
 
+def q_graph_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus over the fixture graph: one
+    4-step walk per node, neighbor choice by a Lehmer mixer so the
+    full corpus is hash-exact against a recursive-CTE SQL oracle that
+    re-walks the graph."""
+    from ..stages.walks import random_walks
+
+    return random_walks(_cnrs_edges(sf_dir), length=4)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2012,6 +2022,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_latest": q_events_latest,
     "events_rank": q_events_rank,
     "doc_vocab": q_doc_vocab,
+    "graph_walks": q_graph_walks,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2311,6 +2322,30 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "graph_walks": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base") + """,
+        adj AS (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und),
+        nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS nid
+                  FROM (SELECT DISTINCT node FROM adj) t),
+        iadj AS (SELECT n1.nid AS node, n2.nid AS nbr
+                 FROM adj JOIN nodes n1 ON adj.node = n1.node
+                          JOIN nodes n2 ON adj.nbr = n2.node),
+        radj AS (SELECT node, nbr,
+                        row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk,
+                        count(*) OVER (PARTITION BY node) AS deg
+                 FROM iadj),
+        walk(walk_id, step, cur) AS (
+          SELECT nid, CAST(0 AS BIGINT), nid FROM nodes
+          UNION ALL
+          SELECT w.walk_id, w.step + 1, r.nbr
+          FROM walk w JOIN radj r
+            ON r.node = w.cur
+           AND r.rnk = ((w.walk_id * 48271 + (w.step + 1) * 9973) % 2147483647) % r.deg
+          WHERE w.step < 4
+        )
+        SELECT w.walk_id, w.step, n.node
+        FROM walk w JOIN nodes n ON n.nid = w.cur
     """,
     "doc_vocab": """
         WITH c AS (

@@ -163,3 +163,76 @@ class TestVocab:
         assert list(v["vocab_id"]) == [1, 2, 3]
         with pytest.raises(ValueError, match="driver_max_vocab"):
             vocab_build(ds, min_count=1, driver_max_vocab=1)
+
+
+class TestRandomWalks:
+    @staticmethod
+    def _ref_walks(df: pd.DataFrame, length: int):
+        # pure-Python twin of the Lehmer walk spec
+        und = set()
+        for a, b in zip(df["src"], df["dst"]):
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+        adjm: dict = {}
+        for a, b in und:
+            adjm.setdefault(a, set()).add(b)
+            adjm.setdefault(b, set()).add(a)
+        nodes = sorted(adjm)
+        nid = {n: i for i, n in enumerate(nodes)}
+        rows = []
+        for n in nodes:
+            w = nid[n]
+            cur = n
+            rows.append((w, 0, cur))
+            for t in range(1, length + 1):
+                nbrs = sorted(nid[x] for x in adjm[cur])
+                r = ((w * 48271 + t * 9973) % 2147483647) % len(nbrs)
+                cur = nodes[nbrs[r]]
+                rows.append((w, t, cur))
+        return sorted(rows)
+
+    def test_matches_reference_twin_both_paths(self):
+        from ai_knowledge_graph_ray.stages.walks import random_walks
+
+        rng = np.random.RandomState(43)
+        df = pd.DataFrame(
+            {
+                "src": [f"n{i}" for i in rng.randint(0, 40, size=250)],
+                "dst": [f"n{i}" for i in rng.randint(0, 40, size=250)],
+            }
+        )
+        want = self._ref_walks(df, 4)
+        for gate in (2_000_000, 0):  # broadcast-CSR path / forced join path
+            out = random_walks(
+                ray.data.from_pandas(df).repartition(5),
+                length=4,
+                driver_max_adj=gate,
+            ).to_pandas()
+            got = sorted(zip(out["walk_id"], out["step"], out["node"]))
+            assert got == want, f"gate={gate}"
+
+    def test_walk_edges_exist(self):
+        import networkx as nx
+
+        from ai_knowledge_graph_ray.stages.walks import random_walks
+
+        rng = np.random.RandomState(47)
+        df = pd.DataFrame(
+            {
+                "src": [f"n{i}" for i in rng.randint(0, 30, size=150)],
+                "dst": [f"n{i}" for i in rng.randint(0, 30, size=150)],
+            }
+        )
+        g = nx.Graph()
+        g.add_edges_from(
+            (a, b) for a, b in zip(df["src"], df["dst"]) if a != b
+        )
+        out = (
+            random_walks(ray.data.from_pandas(df), length=3)
+            .to_pandas()
+            .sort_values(["walk_id", "step"])
+        )
+        for _, wdf in out.groupby("walk_id"):
+            seq = list(wdf.sort_values("step")["node"])
+            for a, b in zip(seq, seq[1:]):
+                assert g.has_edge(a, b), (a, b)
