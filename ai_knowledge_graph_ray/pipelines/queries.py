@@ -1931,6 +1931,16 @@ def q_graph_walks(sf_dir: str):
     return random_walks(_cnrs_edges(sf_dir), length=4)
 
 
+def q_graph_skipgrams(sf_dir: str):
+    """Skip-gram training table over the deterministic walk corpus
+    (window 2): vectorized pair templates per walk, pair-keyed sum."""
+    from ..stages.walks import random_walks, walk_skipgrams
+
+    return walk_skipgrams(
+        random_walks(_cnrs_edges(sf_dir), length=4), window=2
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2023,6 +2033,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_rank": q_events_rank,
     "doc_vocab": q_doc_vocab,
     "graph_walks": q_graph_walks,
+    "graph_skipgrams": q_graph_skipgrams,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2346,6 +2357,35 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT w.walk_id, w.step, n.node
         FROM walk w JOIN nodes n ON n.nid = w.cur
+    """,
+    "graph_skipgrams": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base") + """,
+        adj AS (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und),
+        nodes AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS nid
+                  FROM (SELECT DISTINCT node FROM adj) t),
+        iadj AS (SELECT n1.nid AS node, n2.nid AS nbr
+                 FROM adj JOIN nodes n1 ON adj.node = n1.node
+                          JOIN nodes n2 ON adj.nbr = n2.node),
+        radj AS (SELECT node, nbr,
+                        row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk,
+                        count(*) OVER (PARTITION BY node) AS deg
+                 FROM iadj),
+        walk(walk_id, step, cur) AS (
+          SELECT nid, CAST(0 AS BIGINT), nid FROM nodes
+          UNION ALL
+          SELECT w.walk_id, w.step + 1, r.nbr
+          FROM walk w JOIN radj r
+            ON r.node = w.cur
+           AND r.rnk = ((w.walk_id * 48271 + (w.step + 1) * 9973) % 2147483647) % r.deg
+          WHERE w.step < 4
+        ),
+        wn AS (SELECT w.walk_id, w.step, n.node
+               FROM walk w JOIN nodes n ON n.nid = w.cur)
+        SELECT a.node AS center, b.node AS context, count(*) AS n
+        FROM wn a JOIN wn b
+          ON a.walk_id = b.walk_id AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
     """,
     "doc_vocab": """
         WITH c AS (

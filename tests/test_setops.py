@@ -236,3 +236,30 @@ class TestRandomWalks:
             seq = list(wdf.sort_values("step")["node"])
             for a, b in zip(seq, seq[1:]):
                 assert g.has_edge(a, b), (a, b)
+
+    def test_skipgrams_match_naive(self):
+        from ai_knowledge_graph_ray.stages.walks import random_walks, walk_skipgrams
+
+        rng = np.random.RandomState(53)
+        df = pd.DataFrame(
+            {
+                "src": [f"n{i}" for i in rng.randint(0, 25, size=120)],
+                "dst": [f"n{i}" for i in rng.randint(0, 25, size=120)],
+            }
+        )
+        walks = random_walks(ray.data.from_pandas(df), length=3)
+        out = (
+            walk_skipgrams(walks, window=2)
+            .to_pandas()
+            .set_index(["center", "context"])["n"]
+            .to_dict()
+        )
+        naive: dict = {}
+        wdf = walks.to_pandas().sort_values(["walk_id", "step"])
+        for _, g in wdf.groupby("walk_id"):
+            seq = list(g["node"])
+            for i, a in enumerate(seq):
+                for j in range(max(0, i - 2), min(len(seq), i + 3)):
+                    if j != i:
+                        naive[(a, seq[j])] = naive.get((a, seq[j]), 0) + 1
+        assert out == naive
