@@ -1941,6 +1941,40 @@ def q_graph_skipgrams(sf_dir: str):
     )
 
 
+def q_customers_per_region(sf_dir: str):
+    """Classic star-schema rollup through TWO broadcast dimension
+    joins (nation, region are fixed-size tables) -- zero join
+    shuffles; the only exchange is the final tiny grouped count."""
+    from ..stages.relational import broadcast_join, grouped_sums
+
+    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    nat = ray.data.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pa.table({"c_nationkey": b["n_nationkey"], "n_regionkey": b["n_regionkey"]}),
+        batch_format="pyarrow",
+    )
+    reg = ray.data.read_parquet(
+        _t(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    ).map_batches(
+        lambda b: pa.table({"n_regionkey": b["r_regionkey"], "r_name": b["r_name"]}),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(broadcast_join(cust, nat, ["c_nationkey"]), reg, ["n_regionkey"])
+    return grouped_sums(joined.select_columns(["r_name"]), ["r_name"], {}, count_name="n_customers")
+
+
+def q_source_top_terms(sf_dir: str):
+    """Each source's top-10 tokens by (count desc, token) -- one
+    group-keyed bucketed shuffle, vectorized per-group head."""
+    from ..stages.vocab import top_terms_per_group
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    return top_terms_per_group(docs, "source", k=10).rename_columns(
+        {"group": "source"}
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2034,6 +2068,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_vocab": q_doc_vocab,
     "graph_walks": q_graph_walks,
     "graph_skipgrams": q_graph_skipgrams,
+    "customers_per_region": q_customers_per_region,
+    "source_top_terms": q_source_top_terms,
     "graph_kcore": q_graph_kcore,
 }
 
@@ -2386,6 +2422,28 @@ ORACLE_SQL: dict[str, str] = {
           ON a.walk_id = b.walk_id AND a.step <> b.step
          AND abs(a.step - b.step) <= 2
         GROUP BY 1, 2
+    """,
+    "customers_per_region": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "source_top_terms": """
+        WITH c AS (
+          SELECT source, token, count(*) AS n FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+            FROM documents
+          ) GROUP BY source, token
+        )
+        SELECT source, token, n FROM (
+          SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, token ASC) AS rn
+          FROM c
+        ) WHERE rn <= 10
     """,
     "doc_vocab": """
         WITH c AS (

@@ -185,6 +185,45 @@ def skew_join(
     )
 
 
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    *,
+    how: str = "inner",
+    broadcast_max_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Map-side (broadcast) join for a SMALL right side: the right
+    table is counted, collected once, shipped via ``ray.put`` and
+    merged into every left batch — ZERO shuffle, the canonical
+    dimension-table join at any scale. Count-gated: a right side over
+    ``broadcast_max_rows`` refuses loudly (use :func:`cogroup_join`).
+    ``how``: ``inner`` or ``left_outer``. Non-key columns must be
+    disjoint. The pattern appears inline all over this repo (alias
+    apply, decontaminate, skew bypass); this is the public operator.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("broadcast_join supports inner/left_outer")
+    right = right.materialize()
+    n = right.count()
+    if n > broadcast_max_rows:
+        raise ValueError(
+            f"broadcast_join: right side has {n} rows "
+            f"(broadcast_max_rows={broadcast_max_rows}) — not a "
+            "dimension table; use cogroup_join"
+        )
+    import ray as _ray
+
+    rdf = right.to_pandas()
+    ref = _ray.put(rdf)
+
+    def _merge(b: pd.DataFrame) -> pd.DataFrame:
+        r = _ray.get(ref)
+        return b.merge(r, on=on, how="inner" if how == "inner" else "left")
+
+    return left.map_batches(_merge, batch_format="pandas")
+
+
 def pivot_counts(
     ds: ray.data.Dataset,
     row_key: str,

@@ -55,6 +55,67 @@ def term_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     )
 
 
+GROUP_TERM_SCHEMA = pa.schema(
+    [("group", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+)
+
+
+def top_terms_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    k: int = 10,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(group, token, n)`` — each group's top-``k`` tokens by
+    ``(count desc, token asc)``. ONE bucketed shuffle: map-side
+    per-(group, token) count partials, group-keyed reduce does the
+    final sum plus a vectorized per-group head(k) (every group's rows
+    land in one bucket, so the local top-k is the global one)."""
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        lens = toks.str.len().to_numpy()
+        arrs = [t for t in toks.to_numpy() if t]
+        if not arrs:
+            return pd.DataFrame(
+                {
+                    "group": pd.Series([], dtype=object),
+                    "token": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        grp = np.repeat(b[group_col].to_numpy(object), lens)
+        vc = (
+            pd.DataFrame({"group": grp, "token": np.concatenate(arrs)})
+            .groupby(["group", "token"], sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "group": vc.index.get_level_values(0).to_numpy(object),
+                "token": vc.index.get_level_values(1).to_numpy(object),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["group", "token"], sort=False, as_index=False)["n"].sum()
+        s = s.sort_values(["group", "n", "token"], ascending=[True, False, True], kind="stable")
+        return s.groupby("group", sort=False).head(k)
+
+    return bucketed_reduce(
+        ds.select_columns([group_col, text_col]).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["group"],
+        _reduce,
+        GROUP_TERM_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+
 def vocab_build(
     ds: ray.data.Dataset,
     *,

@@ -263,3 +263,67 @@ class TestRandomWalks:
                     if j != i:
                         naive[(a, seq[j])] = naive.get((a, seq[j]), 0) + 1
         assert out == naive
+
+
+class TestBroadcastJoin:
+    def test_inner_and_left_outer_match_pandas(self):
+        import pytest
+
+        from ai_knowledge_graph_ray.stages.relational import broadcast_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4, 2], "lx": [10, 20, 30, 40, 21]})
+        right = pd.DataFrame({"k": [2, 3], "rx": ["b", "c"]})
+        lds = ray.data.from_pandas(left).repartition(3)
+        rds = ray.data.from_pandas(right)
+        inner = (
+            broadcast_join(lds, rds, ["k"])
+            .to_pandas()
+            .sort_values(["k", "lx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            inner,
+            left.merge(right, on="k").sort_values(["k", "lx"]).reset_index(drop=True),
+        )
+        outer = broadcast_join(lds, rds, ["k"], how="left_outer").to_pandas()
+        assert len(outer) == 5
+        assert outer.loc[outer["k"] == 1, "rx"].isna().all()
+        with pytest.raises(ValueError, match="broadcast_max_rows"):
+            broadcast_join(lds, rds, ["k"], broadcast_max_rows=1)
+
+
+class TestTopTermsPerGroup:
+    def test_matches_naive(self):
+        import re
+
+        from ai_knowledge_graph_ray.stages.vocab import top_terms_per_group
+
+        rng = np.random.RandomState(59)
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = []
+        for i in range(300):
+            g = f"s{i % 4}"
+            text = " ".join(rng.choice(words, size=rng.randint(1, 9)))
+            rows.append((g, text))
+        df = pd.DataFrame(rows, columns=["source", "text"])
+        out = (
+            top_terms_per_group(
+                ray.data.from_pandas(df).repartition(5), "source", k=3
+            )
+            .to_pandas()
+            .sort_values(["group", "n", "token"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        naive: dict = {}
+        for g, t in rows:
+            for w in re.findall(r"\w+", t.lower()):
+                naive[(g, w)] = naive.get((g, w), 0) + 1
+        want_rows = []
+        ndf = pd.DataFrame(
+            [(g, w, n) for (g, w), n in naive.items()],
+            columns=["group", "token", "n"],
+        ).sort_values(["group", "n", "token"], ascending=[True, False, True])
+        want = ndf.groupby("group").head(3).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out, want.astype({"n": "int64"}), check_dtype=False
+        )
