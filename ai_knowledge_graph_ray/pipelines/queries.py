@@ -1975,6 +1975,197 @@ def q_source_top_terms(sf_dir: str):
     )
 
 
+def q_graph_components(sf_dir: str):
+    """Weakly-connected components of the customer->nation->region
+    fixture graph (5 components, one per region subtree) via the
+    DISTRIBUTED min-label propagation path — hash-exact vs a
+    recursive-CTE reachability oracle (component = lexicographically
+    smallest reachable entity on both sides). Count-gated: driver
+    union-find under 2M edges, min-label propagation over (forced-path
+    equivalence in test_graph_analytics)."""
+    from ..stages.graph_algos import weak_components
+
+    edges = _cnr_edges(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "subject": b["src"].combine_chunks().cast(pa.string()),
+                "object": b["dst"].combine_chunks().cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return weak_components(edges)
+
+
+REVENUE_CUT = pd.Timestamp("1998-01-01")
+
+
+def _rev_e4(b: pd.DataFrame) -> np.ndarray:
+    """Line revenue in integer 1e-4 dollars: cents(extendedprice) x
+    (100 - cents(discount)). Integer products/sums commute across any
+    partitioning, so the distributed total hash-matches DuckDB."""
+    price = np.round(b["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    disc = np.round(b["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    return price * (100 - disc)
+
+
+def q_unshipped_revenue(sf_dir: str):
+    """TPC-H Q3 shape: top-10 not-yet-shipped BUILDING orders by
+    revenue. Plan: the filtered customer key set is tiny (one segment)
+    -> broadcast semi-filter on orders (the Bloom path covers the
+    over-the-gate case); lineitem revenue partials are pre-aggregated
+    per orderkey BELOW the join; one cogroup exchange; trailing top-10
+    via per-block top-k + driver merge (no global sort)."""
+    import ray as _ray
+
+    from ..stages.infer import default_num_partitions
+    from ..stages.relational import topk_dataset
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    keys_ref = _ray.put(keys)
+    cut = REVENUE_CUT
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def _o_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        b = b[b["o_orderdate"] < cut]
+        idx = np.searchsorted(ks, b["o_custkey"].to_numpy())
+        idx = np.clip(idx, 0, len(ks) - 1)
+        b = b[ks[idx] == b["o_custkey"].to_numpy()]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"],
+                "o_orderdate_us": b["o_orderdate"].to_numpy("datetime64[us]").astype("int64"),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    o_side = orders.map_batches(_o_filter, batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _l_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        if len(b) == 0:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "rev": pd.Series([], dtype="int64")})
+        part = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(), "rev": _rev_e4(b)})
+        return part.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    l_part = li.map_batches(_l_partial, batch_format="pandas")
+    joined = cogroup_join(
+        l_part, o_side, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate_us", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    summed = grouped_sums(
+        joined,
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+        {"revenue_e4": "rev"},
+    )
+    return topk_dataset(
+        summed,
+        ["revenue_e4", "o_orderdate_us", "l_orderkey"],
+        10,
+        descending=[True, False, False],
+    )
+
+
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: per-region 1997 revenue where the supplying
+    nation equals the customer nation. Plan: supplier/nation/region
+    are broadcast dimensions (fixed or SF-proportional-small);
+    lineitem revenue rows are pre-aggregated per (orderkey, supplier
+    nation) BELOW the single large-large cogroup exchange with the
+    date-filtered orders; the customer nation lookup is a broadcast
+    dict (the documented scale path for a 10^9-row customer table is a
+    second cogroup join on custkey — same shape as three_way_join)."""
+    import ray as _ray
+
+    from ..stages.infer import default_num_partitions
+
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    supp_ref = _ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype(np.int64))))
+    cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype(np.int64))))
+    nat2reg = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_regionkey"]))
+    reg_names = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    nation_region = {int(k): reg_names[v] for k, v in nat2reg.items()}
+
+    lo, hi = pd.Timestamp("1997-01-01"), REVENUE_CUT
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _l_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sup = _ray.get(supp_ref) if isinstance(supp_ref, _ray.ObjectRef) else supp_ref
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "s_nationkey": b["l_suppkey"].map(sup).astype(np.int64),
+                "rev": _rev_e4(b),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return part.groupby(["l_orderkey", "s_nationkey"], as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum")
+        )
+
+    l_part = li.map_batches(_l_partial, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _o_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return pd.DataFrame({"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]})
+
+    o_side = orders.map_batches(_o_filter, batch_format="pandas")
+    joined = cogroup_join(
+        l_part, o_side, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+    )
+
+    def _match_nation(b: pd.DataFrame) -> pd.DataFrame:
+        cus = _ray.get(cust_ref) if isinstance(cust_ref, _ray.ObjectRef) else cust_ref
+        c_nat = b["o_custkey"].map(cus).astype(np.int64)
+        b = b[c_nat.to_numpy() == b["s_nationkey"].to_numpy()]
+        if len(b) == 0:
+            return pd.DataFrame({"r_name": pd.Series([], dtype="object"),
+                                 "rev": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {
+                "r_name": b["s_nationkey"].map(nation_region),
+                "rev": b["rev"].to_numpy(),
+                "n": b["n"].to_numpy(),
+            }
+        )
+
+    matched = joined.map_batches(_match_nation, batch_format="pandas")
+    return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2071,6 +2262,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customers_per_region": q_customers_per_region,
     "source_top_terms": q_source_top_terms,
     "graph_kcore": q_graph_kcore,
+    "graph_components": q_graph_components,
+    "unshipped_revenue": q_unshipped_revenue,
+    "region_revenue": q_region_revenue,
 }
 
 _N_TOKENS_SQL = (
@@ -2428,6 +2622,61 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "graph_components": """
+        WITH RECURSIVE base AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        reach AS (
+          SELECT src AS entity, src AS r FROM und
+          UNION
+          SELECT reach.entity, u.dst FROM reach JOIN und u ON u.src = reach.r
+        )
+        SELECT entity, min(r) AS component FROM reach GROUP BY entity
+    """,
+    "unshipped_revenue": """
+        WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        o AS (
+          SELECT o_orderkey, o_orderdate, o_orderpriority
+          FROM orders JOIN b ON o_custkey = b.c_custkey
+          WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        l AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+        )
+        SELECT l.l_orderkey,
+               CAST(sum(rev) AS BIGINT) AS revenue_e4,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+               o.o_orderpriority
+        FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 3, 4
+        ORDER BY revenue_e4 DESC, o_orderdate_us ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY r_name
     """,
     "source_top_terms": """

@@ -597,6 +597,48 @@ def graph_search(
 LABEL_SCHEMA = pa.schema([("entity", pa.string()), ("component", pa.string())])
 
 
+def weak_components(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Weakly-connected components as ``(entity, component)`` where
+    ``component`` is the lexicographically smallest entity of the
+    component — the public, count-gated face of
+    :func:`~.infer.connected_components_distributed`.
+
+    Gate: edge count under ``driver_max_edges`` -> collect the (small)
+    edge list and run the driver union-find, then relabel each class
+    by its min entity (identical labels to the distributed min-label
+    propagation — pinned by the forced-path equivalence test). Over
+    the gate -> iterative distributed min-label propagation (one
+    cogroup join + one bucketed min per round, rounds = diameter)."""
+    from .infer import connected_components, connected_components_distributed
+
+    pairs = edges.select_columns(["subject", "object"]).materialize()
+    if pairs.count() > driver_max_edges:
+        return connected_components_distributed(pairs, num_buckets=num_buckets)
+
+    rows = pairs.to_pandas()
+    labels = connected_components(
+        list(zip(rows["subject"].astype(str), rows["object"].astype(str)))
+    )
+    by_class: dict[int, str] = {}
+    for entity, cls in labels.items():
+        cur = by_class.get(cls)
+        if cur is None or entity < cur:
+            by_class[cls] = entity
+    ents = sorted(labels)
+    out = pa.table(
+        {
+            "entity": pa.array(ents, pa.string()),
+            "component": pa.array([by_class[labels[e]] for e in ents], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(out.cast(LABEL_SCHEMA))
+
+
 def label_propagation_communities(
     edges: ray.data.Dataset,
     *,

@@ -154,3 +154,28 @@ class TestCooccur:
         ).to_pandas()
         got = list(zip(out["item_a"], out["item_b"], out["n_baskets"]))
         assert got == [("a", "c", 2), ("b", "d", 2)]
+
+
+class TestWeakComponents:
+    # two components: a-b-c chain (min label "a") and x-y (min "x"),
+    # plus duplicate/reversed edges that must collapse
+    PAIRS = [("b", "a"), ("b", "c"), ("c", "b"), ("x", "y"), ("x", "y")]
+
+    def _ds(self):
+        return ray.data.from_items(
+            [{"subject": s, "object": o} for s, o in self.PAIRS]
+        )
+
+    def _run(self, **kw) -> list[tuple[str, str]]:
+        from ai_knowledge_graph_ray.stages.graph_algos import weak_components
+
+        df = weak_components(self._ds(), **kw).to_pandas()
+        return sorted(zip(df["entity"], df["component"]))
+
+    def test_driver_path(self):
+        assert self._run() == [
+            ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+        ]
+
+    def test_forced_distributed_equivalence(self):
+        assert self._run(driver_max_edges=0) == self._run()
