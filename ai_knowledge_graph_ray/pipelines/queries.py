@@ -2166,6 +2166,31 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed spherical k-means assignments (k=10, 5 Lloyd
+    rounds). Fixed-point integer partial sums make the fit
+    layout-independent (bit-identical at any parallelism — pinned in
+    test_clustering); no SQL oracle (iterative float argmin is not
+    SQL-expressible), rows-only."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit_distributed
+
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cents = kmeans_fit_distributed(ds, 10, iters=5)
+    return kmeans_assign(ds, cents)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup mapping: k-means cluster, then
+    within-cluster cosine >= 0.95 pairs keep the min id. The fixture
+    embeddings are geometrically random (max off-diagonal cosine 0.51)
+    so 0 rows here is the CORRECT answer — detection behavior is
+    pinned by planted-dup tests in test_clustering."""
+    from ..stages.clustering import semantic_dedup
+
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=10, iters=5, threshold=0.95)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2265,6 +2290,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_components": q_graph_components,
     "unshipped_revenue": q_unshipped_revenue,
     "region_revenue": q_region_revenue,
+    "embedding_clusters": q_embedding_clusters,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _N_TOKENS_SQL = (

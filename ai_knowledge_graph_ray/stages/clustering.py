@@ -1,0 +1,287 @@
+"""Distributed spherical k-means (Lloyd's) and SemDeDup-style
+semantic deduplication over an embedding column (``list<float>``).
+
+Layout independence: every vector is unit-normalized and rounded ONCE
+to fixed-point int64 (scale 2^20); per-batch partial sums are integer,
+so the cross-batch reduction commutes — the fitted centroids, and
+therefore every assignment, are identical at any block layout /
+parallelism (the ``pagerank_int`` trick applied to Lloyd's).
+Distances are evaluated in float64 FROM those deterministic integers.
+
+Residue policy (repo rule: count, then collect): per-iteration
+partials are one row per (block, cluster); they are collected on the
+driver under ``driver_max_partials`` and combined through a bucketed
+integer reduce over it — both paths bit-equal (``test_clustering``).
+
+Semantic dedup follows SemDeDup (Abbas et al. 2023, arXiv:2303.09540,
+public): cluster with k-means, then mark within-cluster pairs with
+cosine >= threshold as duplicates and keep the smallest id. Pairs
+split across clusters are not compared — that is the method's
+documented recall trade (it is what makes it O(n^2/k) instead of
+O(n^2)). Within-cluster comparison is capped against the
+``max_anchors`` smallest ids, bounding hot-cluster work the same way
+``dedup.py`` caps per-bucket pairs.
+
+The reference has no clustering operator; this extends the engine's
+near-dup family (SURVEY.md §2.7) down the embedding axis at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .infer import bucketed_reduce, normalize_blocks
+
+FIXED_SCALE = 1 << 20
+
+ASSIGN_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+_PARTIAL_SCHEMA = pa.schema(
+    [("cluster", pa.int64()), ("count", pa.int64()), ("sums", pa.binary())]
+)
+
+_LEHMER_MULT = 48271
+_LEHMER_MOD = (1 << 31) - 1
+
+
+def _fixed_unit(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows and round once to int64 fixed point — the
+    single lossy step; everything downstream is exact."""
+    mat = mat.astype(np.float64)
+    unit = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    return np.round(unit * FIXED_SCALE).astype(np.int64)
+
+
+def _assign(fixed: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest (max cosine) centroid per row; first-max tie-break.
+    ``cents`` is float64 derived deterministically from integer sums,
+    ``fixed`` is exact int64 — the product is the same everywhere."""
+    return np.argmax((fixed / FIXED_SCALE) @ cents.T, axis=1)
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Deterministic, partition-independent seeds: the k rows with the
+    smallest Lehmer rank of id (a fixed pseudo-random permutation —
+    reproducible in any engine, unlike RandomState over a sample whose
+    content depends on block layout)."""
+    from .infer import local_topk_rows
+
+    ranked = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "rank": (b[id_col].to_numpy().astype(np.int64) * _LEHMER_MULT)
+                % _LEHMER_MOD,
+                id_col: b[id_col],
+                vec_col: b[vec_col],
+            }
+        ),
+        batch_format="pandas",
+    )
+    rows = local_topk_rows(ranked, ["rank", id_col], k, ascending=True)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return (_fixed_unit(mat) / FIXED_SCALE).astype(np.float64)
+
+
+def kmeans_fit_distributed(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    driver_max_partials: int = 200_000,
+) -> np.ndarray:
+    """Fit ``k`` unit-sphere centroids with ``iters`` Lloyd rounds.
+
+    Each round: broadcast centroids -> one map pass emits per-block
+    integer partial sums (<= k rows/block) -> combine (driver under
+    the gate, bucketed integer reduce over it) -> recompute unit
+    centroids from the EXACT global integer sums. Empty clusters keep
+    their previous centroid."""
+    dim_probe = ds.take(1)
+    if not dim_probe:
+        raise ValueError("kmeans over an empty dataset")
+    dim = len(dim_probe[0][vec_col])
+    cents = _init_centroids(ds, k, vec_col, id_col)
+    k = len(cents)
+
+    vecs = ds.select_columns([id_col, vec_col]).materialize()
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def _partial(b: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+            c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            fixed = _fixed_unit(np.stack(b[vec_col].to_numpy()))
+            a = _assign(fixed, c)
+            out_c, out_n, out_s = [], [], []
+            for cl in np.unique(a):
+                m = fixed[a == cl]
+                out_c.append(int(cl))
+                out_n.append(len(m))
+                out_s.append(m.sum(axis=0, dtype=np.int64).tobytes())
+            return pd.DataFrame({"cluster": out_c, "count": out_n, "sums": out_s})
+
+        partials = normalize_blocks(
+            vecs.map_batches(_partial, batch_format="pandas", batch_size=None),
+            _PARTIAL_SCHEMA,
+        ).materialize()
+
+        def _combine_frame(g: pd.DataFrame) -> pd.DataFrame:
+            out_c, out_n, out_s = [], [], []
+            for cl, grp in g.groupby("cluster", sort=True):
+                out_c.append(int(cl))
+                out_n.append(int(grp["count"].sum()))
+                mats = np.stack(
+                    [np.frombuffer(x, dtype=np.int64) for x in grp["sums"]]
+                )
+                out_s.append(mats.sum(axis=0, dtype=np.int64).tobytes())
+            return pd.DataFrame({"cluster": out_c, "count": out_n, "sums": out_s})
+
+        if partials.count() <= driver_max_partials:
+            combined = _combine_frame(partials.to_pandas())
+        else:
+            combined = bucketed_reduce(
+                partials,
+                ["cluster"],
+                _combine_frame,
+                _PARTIAL_SCHEMA,
+                combiner=_combine_frame,
+            ).to_pandas()
+
+        new = cents.copy()
+        for _, row in combined.iterrows():
+            sums = np.frombuffer(row["sums"], dtype=np.int64).astype(np.float64)
+            mean = sums / (row["count"] * FIXED_SCALE)
+            norm = np.linalg.norm(mean)
+            if norm > 1e-12:
+                new[int(row["cluster"])] = mean / norm
+        cents = new
+        if cents.shape[1] != dim:
+            raise ValueError("embedding dim changed mid-dataset")
+    return cents
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """``(vec_id, cluster)`` — one stateless map pass against the
+    broadcast centroid matrix."""
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _map(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        fixed = _fixed_unit(np.stack(b[vec_col].to_numpy()))
+        return pd.DataFrame(
+            {
+                "vec_id": b[id_col].to_numpy().astype(np.int64),
+                "cluster": _assign(fixed, c).astype(np.int64),
+            }
+        )
+
+    return normalize_blocks(
+        ds.select_columns([id_col, vec_col]).map_batches(_map, batch_format="pandas"),
+        ASSIGN_SCHEMA,
+    )
+
+
+MAPPING_SCHEMA = pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64())])
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    iters: int = 5,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_anchors: int = 10_000,
+    driver_max_partials: int = 200_000,
+) -> ray.data.Dataset:
+    """SemDeDup: ``(vec_id, dup_of)`` for embedding near-duplicates,
+    comparing only WITHIN k-means clusters (O(n^2/k) verify work).
+
+    One bucketed shuffle keyed by cluster id; inside each cluster the
+    cosine matrix is evaluated against the ``max_anchors`` smallest
+    ids (bounding a hot cluster exactly like ``max_pairs_per_bucket``
+    bounds a hot LSH bucket), duplicate groups are closed with a local
+    union-find, and each non-representative member maps to its group's
+    min id. Same output contract as :func:`~.dedup.embedding_dedup`."""
+    cents = kmeans_fit_distributed(
+        ds,
+        k,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        driver_max_partials=driver_max_partials,
+    )
+    cents_ref = ray.put(cents)
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        fixed = _fixed_unit(np.stack(b[vec_col].to_numpy()))
+        return pd.DataFrame(
+            {
+                "vec_id": b[id_col].to_numpy().astype(np.int64),
+                "cluster": _assign(fixed, c).astype(np.int64),
+                "vec": [v.tobytes() for v in fixed],
+            }
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        _tag, batch_format="pandas"
+    )
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out_id: list[int] = []
+        out_rep: list[int] = []
+        for _, grp in g.groupby("cluster", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id", kind="stable")
+            ids = grp["vec_id"].to_numpy()
+            mat = (
+                np.stack([np.frombuffer(v, dtype=np.int64) for v in grp["vec"]])
+                / FIXED_SCALE
+            )
+            anchors = min(len(ids), max_anchors)
+            sims = mat @ mat[:anchors].T  # (n, anchors)
+            # local union-find over threshold edges (i > j anchor)
+            parent = np.arange(len(ids))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                if i <= j:
+                    continue
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+            for i in range(len(ids)):
+                r = find(i)
+                if r != i:
+                    out_id.append(int(ids[i]))
+                    out_rep.append(int(ids[r]))
+        return pd.DataFrame({"vec_id": out_id, "dup_of": out_rep})
+
+    return bucketed_reduce(
+        tagged,
+        ["cluster"],
+        _dedup_cluster,
+        MAPPING_SCHEMA,
+    )
