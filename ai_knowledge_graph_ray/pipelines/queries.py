@@ -2166,6 +2166,44 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+# corpus-mixing rates (integer milli-probabilities) shared between the
+# Ray stage and the SQL oracle builder so they cannot drift
+MIXTURE_RATES_MILLI = {f"src{i}": (1000, 500, 250, 100)[i % 4] for i in range(20)}
+MIXTURE_DEFAULT_MILLI = 200
+# 48271^3 mod 2^31-1: one Lehmer round leaves small sequential ids
+# unwrapped (monotone rank -> threshold keeps a prefix, not a sample)
+_LEHMER_MULT, _LEHMER_MOD = 1291394886, 2147483647
+
+
+def q_doc_mixture_sample(sf_dir: str):
+    """Per-source corpus mixing (The Pile / DoReMi reweighting shape):
+    deterministic Bernoulli keep decision from an all-integer Lehmer
+    rank of doc_id vs the source's milli-rate threshold — map-only
+    (zero shuffle), layout-independent, and exactly reproducible in
+    SQL."""
+    from ..stages.relational import bernoulli_mixture_sample
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    return bernoulli_mixture_sample(
+        docs, "doc_id", "source", MIXTURE_RATES_MILLI,
+        default_milli=MIXTURE_DEFAULT_MILLI,
+    )
+
+
+def _mixture_sample_sql() -> str:
+    cases = "\n".join(
+        f"            WHEN '{g}' THEN {(m * _LEHMER_MOD) // 1000}"
+        for g, m in MIXTURE_RATES_MILLI.items()
+    )
+    default_thr = (MIXTURE_DEFAULT_MILLI * _LEHMER_MOD) // 1000
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id % {_LEHMER_MOD}) * {_LEHMER_MULT}) % {_LEHMER_MOD} < CASE source
+{cases}
+            ELSE {default_thr} END
+    """
+
+
 def q_embedding_clusters(sf_dir: str):
     """Distributed spherical k-means assignments (k=10, 5 Lloyd
     rounds). Fixed-point integer partial sums make the fit
@@ -2292,6 +2330,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "region_revenue": q_region_revenue,
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "doc_mixture_sample": q_doc_mixture_sample,
 }
 
 _N_TOKENS_SQL = (
@@ -2651,6 +2690,7 @@ ORACLE_SQL: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
+    "doc_mixture_sample": _mixture_sample_sql(),
     "graph_components": """
         WITH RECURSIVE base AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,

@@ -521,6 +521,47 @@ def sample_per_group(
     )
 
 
+def bernoulli_mixture_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    group_col: str,
+    rates_milli: dict[str, int],
+    *,
+    default_milli: int = 0,
+    mult: int = 1291394886,  # 48271^3 mod 2^31-1
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Deterministic per-group Bernoulli sampling — the corpus-mixing
+    primitive of LLM training pipelines (source reweighting a la The
+    Pile / DoReMi, public): keep a row iff its Lehmer rank
+    ``((id % mod) * mult) % mod`` falls under the group's integer
+    milli-rate threshold ``(rate_milli * mod) // 1000``.
+
+    The multiplier is 48271 CUBED (mod m): one 48271 round leaves
+    small sequential ids unwrapped (rank = 48271*id, monotone — a
+    threshold then keeps a prefix, not a sample); the cubed multiplier
+    wraps from id 2 up. ``id % mod`` first keeps the product within
+    int64 for any 64-bit id (2^31 * 1.3e9 < 2^63) — numpy would wrap
+    silently, SQL BIGINT would error.
+
+    All-integer and keyed on the row id, so the decision is
+    reproducible in ANY engine (SQL-oracle-checkable) and independent
+    of block layout, partitioning, or visit order — unlike
+    ``Dataset.random_sample``. Map-only: zero shuffle at any scale.
+    Unknown groups fall back to ``default_milli``."""
+    thresholds = {g: (int(m) * mod) // 1000 for g, m in rates_milli.items()}
+    default_thr = (int(default_milli) * mod) // 1000
+
+    def _keep(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        rank = ((b[id_col].to_numpy().astype(np.int64) % mod) * mult) % mod
+        thr = b[group_col].map(thresholds).fillna(default_thr).to_numpy(np.int64)
+        return b[rank < thr]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
 def interval_count_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

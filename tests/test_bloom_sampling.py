@@ -130,3 +130,48 @@ class TestRunningSum:
         assert len(got) == len(pdf)
         for eid, w in zip(s["event_id"], want):
             assert got[eid] == w
+
+
+class TestMixtureSample:
+    def _ds(self, n=4000, blocks=4):
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "g": np.where(np.arange(n) % 2 == 0, "half", "none"),
+            }
+        )
+        return ray.data.from_pandas(df).repartition(blocks)
+
+    def test_rates_and_unknown_default(self):
+        from ai_knowledge_graph_ray.stages.relational import bernoulli_mixture_sample
+
+        out = bernoulli_mixture_sample(
+            self._ds(), "id", "g", {"half": 500, "none": 0}, default_milli=0
+        ).to_pandas()
+        assert (out["g"] == "half").all()  # rate-0 group fully dropped
+        # 2000 candidates at 50%: binomial well inside +-5 sigma
+        assert 850 <= len(out) <= 1150
+
+    def test_full_rate_keeps_all_and_layout_independent(self):
+        from ai_knowledge_graph_ray.stages.relational import bernoulli_mixture_sample
+
+        full = bernoulli_mixture_sample(
+            self._ds(), "id", "g", {"half": 1000, "none": 1000}
+        ).to_pandas()
+        assert len(full) == 4000
+        a = bernoulli_mixture_sample(
+            self._ds(blocks=1), "id", "g", {"half": 300}, default_milli=700
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        b = bernoulli_mixture_sample(
+            self._ds(blocks=7), "id", "g", {"half": 300}, default_milli=700
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_large_ids_no_overflow(self):
+        from ai_knowledge_graph_ray.stages.relational import bernoulli_mixture_sample
+
+        df = pd.DataFrame({"id": np.int64([2**62, 2**62 + 1, 7]), "g": ["a"] * 3})
+        out = bernoulli_mixture_sample(
+            ray.data.from_pandas(df), "id", "g", {"a": 1000}
+        ).to_pandas()
+        assert len(out) == 3  # rate 1000 keeps everything, no wraparound
