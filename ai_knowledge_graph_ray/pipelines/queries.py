@@ -2166,6 +2166,76 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+HITS_ITERS, HITS_SCALE = 3, 10**6
+
+
+def q_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the customer->nation->region
+    graph — per-round max renormalization in exact integers, so the
+    result is hash-exact vs the unrolled SQL oracle (count-gated local
+    twin under 2M edges; iterated bucketed joins over, bit-equal)."""
+    from ..stages.graph_algos import hits_int
+
+    return hits_int(_cnr_edges(sf_dir), iters=HITS_ITERS, scale=HITS_SCALE)
+
+
+_CNR_EDGES_SQL = """
+        edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        )"""
+
+
+def _hits_oracle_sql(iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> str:
+    """Unrolled-iteration SQL twin of the integer HITS recurrence
+    (DuckDB ``//`` = floor division, matching Python on
+    non-negatives)."""
+    head = f"""
+        WITH {_CNR_EDGES_SQL},
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          )
+        ),
+        h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS val FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+        sa{k} AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(sum(h.val) AS BIGINT) AS val
+          FROM edges e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst
+        ),
+        araw{k} AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(s.val, 0) AS BIGINT) AS val
+          FROM nodes n LEFT JOIN sa{k} s ON n.node = s.node
+        ),
+        a{k} AS MATERIALIZED (
+          SELECT node, CAST(CASE WHEN (SELECT max(val) FROM araw{k}) > 0
+            THEN (val * {scale}) // (SELECT max(val) FROM araw{k})
+            ELSE 0 END AS BIGINT) AS val FROM araw{k}
+        ),
+        sh{k} AS MATERIALIZED (
+          SELECT e.src AS node, CAST(sum(a.val) AS BIGINT) AS val
+          FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+        ),
+        hraw{k} AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(s.val, 0) AS BIGINT) AS val
+          FROM nodes n LEFT JOIN sh{k} s ON n.node = s.node
+        ),
+        h{k} AS MATERIALIZED (
+          SELECT node, CAST(CASE WHEN (SELECT max(val) FROM hraw{k}) > 0
+            THEN (val * {scale}) // (SELECT max(val) FROM hraw{k})
+            ELSE 0 END AS BIGINT) AS val FROM hraw{k}
+        )""")
+    return head + "".join(steps) + f"""
+        SELECT h.node, h.val AS hub_scaled, a.val AS auth_scaled
+        FROM h{iters} h JOIN a{iters} a ON h.node = a.node
+    """
+
+
 # corpus-mixing rates (integer milli-probabilities) shared between the
 # Ray stage and the SQL oracle builder so they cannot drift
 MIXTURE_RATES_MILLI = {f"src{i}": (1000, 500, 250, 100)[i % 4] for i in range(20)}
@@ -2331,6 +2401,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup": q_semantic_dedup,
     "doc_mixture_sample": q_doc_mixture_sample,
+    "hits": q_hits,
 }
 
 _N_TOKENS_SQL = (
@@ -2691,6 +2762,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY r_name
     """,
     "doc_mixture_sample": _mixture_sample_sql(),
+    "hits": _hits_oracle_sql(),
     "graph_components": """
         WITH RECURSIVE base AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,

@@ -228,6 +228,183 @@ def pagerank_int(
     return state.select_columns(["node", "rank_scaled"])
 
 
+HITS_SCHEMA = pa.schema(
+    [("node", pa.string()), ("hub_scaled", pa.int64()), ("auth_scaled", pa.int64())]
+)
+
+
+def hits_int_local(
+    edge_list: list[tuple[str, str]], *, iters: int = 3, scale: int = 10**6
+) -> dict[str, tuple[int, int]]:
+    """Pure-Python reference of the integer HITS recurrence — the
+    unit-test and oracle-construction twin of :func:`hits_int`.
+
+    Per round: auth = in-sum of hubs, renormalized to ``scale`` by
+    INTEGER division by the round's max; hubs symmetric from the new
+    auths. Max-normalization in exact integers keeps every value
+    <= max_in_degree * scale, so the recurrence never overflows as
+    long as ``max_degree * scale^2 < 2^63`` — and, unlike float L2
+    normalization, is bit-reproducible in any engine."""
+    nodes = sorted({x for e in edge_list for x in e})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            a_raw[d] += h[s]
+        am = max(a_raw.values(), default=0)
+        a = {v: (x * scale) // am if am > 0 else 0 for v, x in a_raw.items()}
+        h_raw = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            h_raw[s] += a[d]
+        hm = max(h_raw.values(), default=0)
+        h = {v: (x * scale) // hm if hm > 0 else 0 for v, x in h_raw.items()}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def hits_int(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 3,
+    scale: int = 10**6,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, hub_scaled, auth_scaled)`` after ``iters`` integer
+    HITS rounds (Kleinberg 1999) — hash-exact vs an unrolled SQL
+    oracle, same fixed-point discipline as :func:`pagerank_int`.
+
+    Count-gated: under ``driver_max_edges`` the bit-identical local
+    twin runs on the collected edge list; over it, each round is two
+    bucketed edge joins + two combined grouped sums + two global
+    integer maxes (tree-reduced, nothing collected). Parallel edges
+    count with multiplicity."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        if df.empty or "src" not in df.columns:
+            return ray.data.from_arrow(HITS_SCHEMA.empty_table())
+        r = hits_int_local(list(zip(df["src"], df["dst"])), iters=iters, scale=scale)
+        ks = sorted(r)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ks, pa.string()),
+                    "hub_scaled": pa.array([r[k][0] for k in ks], pa.int64()),
+                    "auth_scaled": pa.array([r[k][1] for k in ks], pa.int64()),
+                }
+            )
+        )
+
+    node_schema = pa.schema([("node", pa.string())])
+    val_schema = pa.schema([("node", pa.string()), ("val", pa.int64())])
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node")
+
+    def _as_node(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col].combine_chunks().cast(pa.string())})
+
+        return _f
+
+    both = edges.map_batches(_as_node("src"), batch_format="pyarrow").union(
+        edges.map_batches(_as_node("dst"), batch_format="pyarrow")
+    )
+    nodes = sanitize_for_join(
+        bucketed_reduce(both, ["node"], _dd, node_schema, combiner=_dd,
+                        num_buckets=num_buckets),
+        node_schema,
+    ).materialize()
+
+    def _const(v: int):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "val": pa.array([v] * len(b), pa.int64()),
+                }
+            )
+
+        return _f
+
+    edges_s = sanitize_for_join(edges, EDGE_SCHEMA)
+    h = sanitize_for_join(
+        nodes.map_batches(_const(scale), batch_format="pyarrow"), val_schema
+    ).materialize()
+    a = sanitize_for_join(
+        nodes.map_batches(_const(0), batch_format="pyarrow"), val_schema
+    ).materialize()
+
+    def _pulse(src_vals: ray.data.Dataset, join_col: str, emit_col: str):
+        """Sum the joined side's values onto the other endpoint, with a
+        zero carrier row per node so the output covers the universe."""
+        tagged = src_vals.map_batches(
+            lambda b, c=join_col: pa.table(
+                {
+                    c: b["node"].combine_chunks().cast(pa.string()),
+                    "val": b["val"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cogroup_join(
+            edges_s, sanitize_for_join(tagged, pa.schema([(join_col, pa.string()), ("val", pa.int64())])),
+            on=[join_col], num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema([(join_col, pa.string()), ("val", pa.int64())]),
+        ).map_batches(
+            lambda b, e=emit_col: pa.table(
+                {
+                    "node": b[e].combine_chunks().cast(pa.string()),
+                    "val": b["val"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        carrier = nodes.map_batches(_const(0), batch_format="pyarrow")
+        return sanitize_for_join(
+            grouped_sums(joined.union(carrier), ["node"], {"val": "val"}),
+            val_schema,
+        ).materialize()
+
+    def _renorm(vals: ray.data.Dataset) -> ray.data.Dataset:
+        m = int(vals.max("val") or 0)
+        if m <= 0:
+            return vals
+        return sanitize_for_join(
+            vals.map_batches(
+                lambda b, mm=m: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "val": (b["val"].astype("int64") * scale) // mm,
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            val_schema,
+        ).materialize()
+
+    for _ in range(iters):
+        a = _renorm(_pulse(h, "src", "dst"))
+        h = _renorm(_pulse(a, "dst", "src"))
+
+    merged = cogroup_join(
+        h.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "hub_scaled": b["val"]}),
+            batch_format="pandas",
+        ),
+        a.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "auth_scaled": b["val"]}),
+            batch_format="pandas",
+        ),
+        on=["node"], num_buckets=num_buckets,
+        left_schema=pa.schema([("node", pa.string()), ("hub_scaled", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()), ("auth_scaled", pa.int64())]),
+    )
+    return sanitize_for_join(merged, HITS_SCHEMA)
+
+
 def _undirect(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.map_batches(
         lambda b: pa.table(

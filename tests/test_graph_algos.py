@@ -4,6 +4,7 @@ count gate, and sanity of the rank ordering."""
 from __future__ import annotations
 
 import pyarrow as pa
+import pytest
 import ray.data
 
 from ai_knowledge_graph_ray.stages.graph_algos import (
@@ -230,3 +231,73 @@ class TestPathWithRelations:
         assert out[1] == {"from": "c", "to": "b", "relation": "feeds", "reversed": True}
         assert "reversed" not in out[0]
         assert shortest_path_with_relations(edges, "a", "zzz") == []
+
+
+class TestHitsInt:
+    EDGES = [("a", "b"), ("a", "c"), ("d", "b")]
+
+    def _ds(self, pairs):
+        return ray.data.from_items([{"src": s, "dst": d} for s, d in pairs])
+
+    def test_hand_case_one_iter(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import hits_int_local
+
+        # a points to both authorities -> top hub; b has in-degree 2 ->
+        # top authority; d's single link to b scores 1e6*1e6//1.5e6
+        assert hits_int_local(self.EDGES, iters=1, scale=10**6) == {
+            "a": (1000000, 0),
+            "b": (0, 1000000),
+            "c": (0, 500000),
+            "d": (666666, 0),
+        }
+
+    def test_gate_equivalence_random_graph(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.stages.graph_algos import hits_int
+
+        rng = np.random.RandomState(0)
+        pairs = [(f"n{rng.randint(30)}", f"n{rng.randint(30)}") for _ in range(150)]
+        ds = self._ds(pairs)
+        local = hits_int(ds, iters=2).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            hits_int(ds, iters=2, driver_max_edges=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert local.equals(dist)
+
+    def test_float_power_iteration_pin(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.stages.graph_algos import hits_int_local
+
+        # independent float HITS (classic power iteration, max-norm)
+        rng = np.random.RandomState(5)
+        pairs = list({(f"n{rng.randint(25)}", f"n{rng.randint(25)}") for _ in range(120)})
+        pairs = [(s, d) for s, d in pairs if s != d]
+        nodes = sorted({x for e in pairs for x in e})
+        ix = {v: i for i, v in enumerate(nodes)}
+        m = np.zeros((len(nodes), len(nodes)))
+        for s, d in pairs:
+            m[ix[s], ix[d]] = 1.0
+        h = np.ones(len(nodes))
+        for _ in range(200):
+            a = m.T @ h
+            a /= a.max()
+            h = m @ a
+            h /= h.max()
+        ours = hits_int_local(pairs, iters=50, scale=10**9)
+        # same top hub/authority, and scaled scores within 1e-6 relative
+        assert max(ours, key=lambda v: (ours[v][0], v)) == nodes[int(np.argmax(h))]
+        assert max(ours, key=lambda v: (ours[v][1], v)) == nodes[int(np.argmax(a))]
+        for v in nodes:
+            assert abs(ours[v][0] / 10**9 - h[ix[v]]) < 1e-6
+            assert abs(ours[v][1] / 10**9 - a[ix[v]]) < 1e-6
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import hits_int
+
+        out = hits_int(self._ds([]).filter(lambda r: False), iters=2)
+        assert out.count() == 0
