@@ -2166,6 +2166,25 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_top_tokens_approx(sf_dir: str):
+    """Count-min-sketch heavy-hitter tokens (the mergeable-sketch
+    counterpart of the exact, oracle-checked ``top_tokens``): per-block
+    exact counts feed one bounded-constant bucketed cell sum; estimates
+    never undercount. Rows-only by design (approximate); accuracy and
+    no-undercount are pinned in test_sketches."""
+    from ..stages.sketches import cms_heavy_hitters
+
+    def _explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        arrs = [t for t in toks.to_numpy() if t]
+        return pd.DataFrame(
+            {"token": np.concatenate(arrs) if arrs else pd.Series([], dtype=object)}
+        )
+
+    tokens = _docs(sf_dir).map_batches(_explode, batch_format="pandas")
+    return cms_heavy_hitters(tokens, "token", k=50)
+
+
 HITS_ITERS, HITS_SCALE = 3, 10**6
 
 
@@ -2402,6 +2421,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "semantic_dedup": q_semantic_dedup,
     "doc_mixture_sample": q_doc_mixture_sample,
     "hits": q_hits,
+    "top_tokens_approx": q_top_tokens_approx,
 }
 
 _N_TOKENS_SQL = (

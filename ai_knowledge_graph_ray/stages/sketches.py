@@ -122,3 +122,133 @@ def hll_distinct(
     # global: tiny — merge on the driver
     pdf = partials.to_pandas()
     return ray.data.from_pandas(_merge(pdf))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+HH_SCHEMA = pa.schema([("value", pa.string()), ("est_count", pa.int64())])
+
+
+def _cms_positions(values: pd.Series, depth: int, width: int) -> np.ndarray:
+    """(n, depth) cell columns via Kirsch-Mitzenmacher double hashing —
+    one base hash pass + two DISTINCT splitmix finalizers (pandas'
+    hash_key seeds object columns only; see stages/bloom.py)."""
+    from .bloom import _mix
+
+    base = pd.util.hash_pandas_object(values.astype(str), index=False).to_numpy(
+        np.uint64
+    )
+    h1 = _mix(base, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+    h2 = _mix(base, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53) | np.uint64(1)
+    d = np.arange(depth, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + d[None, :] * h2[:, None]) % np.uint64(width)).astype(
+            np.int64
+        )
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    candidates_per_block: int = 256,
+) -> ray.data.Dataset:
+    """Approximate top-``k`` heavy hitters of ``value_col`` with
+    count-min-sketch estimates: ``(value, est_count)``, est_count >=
+    true count, overestimate bounded by ~e*N/width per hash row.
+
+    Fully distributed, no driver gate needed: per-block exact
+    value_counts feed (a) nonzero CMS cell increments — ONE bucketed
+    integer sum over at most depth x width cells, collected as a
+    bounded-constant table — and (b) a block-local candidate top-m.
+    The candidate union is estimated against the merged sketch and
+    the global top-k taken by (est desc, value).
+
+    Caveat (documented, standard for sketch heavy-hitters): a value
+    only reaches the candidate set if it is in the top-``m`` of at
+    least one block; for the skewed distributions heavy-hitter queries
+    target this always holds, but an adversarially uniform spread can
+    hide a key. Raise ``candidates_per_block`` (or use the exact
+    top-k operators) when in doubt."""
+    from .infer import bucketed_reduce, normalize_blocks
+
+    cell_schema = pa.schema([("cell", pa.int64()), ("n", pa.int64())])
+    cand_schema = pa.schema([("value", pa.string())])
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        counts = b[value_col].astype(str).value_counts()
+        pos = _cms_positions(counts.index.to_series(), depth, width)
+        rows = depth * len(counts)
+        return pd.DataFrame(
+            {
+                "cell": (pos + (np.arange(depth) * width)[None, :]).ravel(),
+                "n": np.repeat(counts.to_numpy(np.int64), depth),
+            }
+        ) if rows else pd.DataFrame({"cell": [], "n": []})
+
+    def _sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "cell" not in g.columns:  # empty blocks lose cols
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return g.groupby("cell", as_index=False).agg(n=("n", "sum"))
+
+    src = ds.select_columns([value_col]).materialize()
+    cells = bucketed_reduce(
+        src.map_batches(_cells, batch_format="pandas", batch_size=None),
+        ["cell"],
+        _sum_cells,
+        cell_schema,
+        combiner=_sum_cells,
+    ).to_pandas()  # bounded: <= depth x width rows
+
+    def _cands(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"value": pd.Series([], dtype="object")})
+        top = (
+            b[value_col].astype(str).value_counts().head(candidates_per_block)
+        )
+        return pd.DataFrame({"value": top.index})
+
+    def _dd(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "value" not in g.columns:
+            return pd.DataFrame({"value": pd.Series([], dtype="object")})
+        return g.drop_duplicates("value")
+
+    cand = (
+        bucketed_reduce(
+            normalize_blocks(
+                src.map_batches(_cands, batch_format="pandas", batch_size=None),
+                cand_schema,
+            ),
+            ["value"],
+            _dd,
+            cand_schema,
+            combiner=_dd,
+        )
+        .to_pandas()  # bounded: <= candidates_per_block x n_blocks
+    )
+
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    if len(cells) and "cell" in cells.columns:  # empty result loses cols
+        sketch[cells["cell"].to_numpy(np.int64)] = cells["n"].to_numpy(np.int64)
+    sketch = sketch.reshape(depth, width)
+
+    if len(cand) == 0:
+        return ray.data.from_arrow(HH_SCHEMA.empty_table())
+    pos = _cms_positions(cand["value"], depth, width)
+    est = sketch[np.arange(depth)[None, :], pos].min(axis=1)
+    out = (
+        pd.DataFrame({"value": cand["value"], "est_count": est.astype(np.int64)})
+        .sort_values(["est_count", "value"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_arrow(pa.Table.from_pandas(out, schema=HH_SCHEMA, preserve_index=False))

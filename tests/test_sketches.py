@@ -62,3 +62,53 @@ def test_lag_join_semantics(sf_dir):
         assert rows[eid]["prev_event_id"] == p
     firsts = pdf.groupby("user_id").head(1)["event_id"]
     assert all(rows[e]["gap_us"] == -1 for e in firsts)
+
+
+class TestCmsHeavyHitters:
+    def _corpus(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(0)
+        vals = [f"hot{i}" for i in range(5) for _ in range(1000 - i * 100)]
+        vals += [f"cold{rng.randint(5000)}" for _ in range(8000)]
+        rng.shuffle(vals)
+        return pd.DataFrame({"v": vals})
+
+    def test_topk_and_overestimate_bound(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.sketches import cms_heavy_hitters
+
+        df = self._corpus()
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = cms_heavy_hitters(ds, "v", k=5).to_pandas()
+        true = df["v"].value_counts()
+        # exact top-5 recovered in order; CMS never undercounts and the
+        # overestimate stays within e*N/width per row (generous 2x)
+        assert out["value"].tolist() == [f"hot{i}" for i in range(5)]
+        for v, est in zip(out["value"], out["est_count"]):
+            assert est >= true[v]
+            assert est - true[v] <= 2 * 2.72 * len(df) / 2048
+
+    def test_layout_independent_with_full_candidates(self):
+        from ai_knowledge_graph_ray.stages.sketches import cms_heavy_hitters
+
+        df = self._corpus()
+        outs = []
+        for blocks in (1, 8):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            outs.append(
+                cms_heavy_hitters(
+                    ds, "v", k=50, candidates_per_block=10**6
+                ).to_pandas()
+            )
+        # cell sums commute; with the candidate union saturated the
+        # whole output is layout-independent
+        assert outs[0].equals(outs[1])
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.sketches import cms_heavy_hitters
+
+        ds = ray.data.from_items([{"v": "x"}]).filter(lambda r: False)
+        assert cms_heavy_hitters(ds, "v").count() == 0
