@@ -2166,6 +2166,72 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+BUCKET_QS = (1 / 3, 2 / 3)
+
+
+def q_doc_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split of each language's corpus by
+    token-count terciles: one grouped-quantile shuffle for the (tiny,
+    count-gated) per-language thresholds, broadcast once, map-side
+    bucket tags — hash-exact vs the quantile_disc SQL twin."""
+    from ..stages.quantiles import quantile_buckets
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    def _tok(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        stripped = t.str.strip()
+        n = stripped.str.split().str.len().fillna(0)
+        n = n.where(stripped.str.len() > 0, 0)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "n_tokens": n.astype("int64"),
+            }
+        )
+
+    return quantile_buckets(
+        docs.map_batches(_tok, batch_format="pandas"),
+        "lang",
+        "n_tokens",
+        qs=BUCKET_QS,
+        passthrough_cols=["doc_id"],
+    )
+
+
+def _quality_buckets_sql() -> str:
+    q1, q2 = (repr(float(q)) for q in BUCKET_QS)
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens FROM documents),
+        c AS (SELECT lang, n_tokens AS v, count(*) AS cnt FROM t GROUP BY 1, 2),
+        s AS (SELECT lang, v,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS tot
+              FROM c),
+        q(q) AS (VALUES (CAST({q1} AS DOUBLE)), ({q2})),
+        thr AS (
+          SELECT s.lang, q.q, min(s.v) AS value
+          FROM q, s
+          WHERE s.cum >= greatest(1, CAST(ceil(q.q * s.tot) AS BIGINT))
+          GROUP BY s.lang, q.q
+        ),
+        w AS (
+          SELECT lang,
+                 min(value) FILTER (q = {q1}) AS t1,
+                 min(value) FILTER (q = {q2}) AS t2
+          FROM thr GROUP BY lang
+        )
+        SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN t.n_tokens <= w.t1 THEN 'head'
+                    WHEN t.n_tokens <= w.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM t JOIN w USING (lang)
+    """
+
+
 def q_top_tokens_approx(sf_dir: str):
     """Count-min-sketch heavy-hitter tokens (the mergeable-sketch
     counterpart of the exact, oracle-checked ``top_tokens``): per-block
@@ -2422,6 +2488,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "hits": q_hits,
     "top_tokens_approx": q_top_tokens_approx,
+    "doc_quality_buckets": q_doc_quality_buckets,
 }
 
 _N_TOKENS_SQL = (
@@ -2783,6 +2850,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
+    "doc_quality_buckets": _quality_buckets_sql(),
     "graph_components": """
         WITH RECURSIVE base AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,

@@ -196,3 +196,65 @@ def grouped_quantiles(
         out_schema,
         combiner=_combine,
     ).rename_columns({"g": group_col})
+
+
+def quantile_buckets(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    qs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    passthrough_cols: list[str] | None = None,
+    max_groups: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Tag every row with its group's quantile bucket — the CCNet-style
+    head/middle/tail corpus split (Wenzek et al. 2020), generalized to
+    any integer signal: rows with ``value <= q_i threshold`` get
+    ``labels[i]``, the rest the last label.
+
+    Two passes: :func:`grouped_quantiles` (one bucketed shuffle)
+    produces the per-group thresholds — a residue of ``len(qs)`` rows
+    per group, count-gated by ``max_groups`` (group domains here are
+    languages/sources; a corpus-sized group column is a caller error,
+    not a spill case) — which broadcast once; bucket assignment is
+    map-side vectorized, zero further shuffle."""
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need len(qs)+1 labels")
+    import ray
+
+    thr = grouped_quantiles(ds, group_col, value_col, qs)
+    thr_df = thr.to_pandas()
+    if thr_df[group_col].nunique() > max_groups:
+        raise ValueError(
+            f"quantile_buckets: {thr_df[group_col].nunique()} groups exceed "
+            f"max_groups={max_groups} — bucket by a bounded group column"
+        )
+    pivot: dict[str, list[int]] = {}
+    for g, grp in thr_df.groupby(group_col, sort=False):
+        byq = dict(zip(grp["q"], grp["value"]))
+        pivot[g] = [int(byq[float(q)]) for q in qs]
+    thr_ref = ray.put(pivot)
+
+    keep = [c for c in (passthrough_cols or []) if c not in (group_col, value_col)]
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref) if isinstance(thr_ref, ray.ObjectRef) else thr_ref
+        v = b[value_col].to_numpy(np.int64)
+        out = np.full(len(b), labels[-1], dtype=object)
+        groups = b[group_col].to_numpy()
+        # vectorized per threshold level, iterating groups once each
+        bounds = np.full((len(b), len(qs)), np.iinfo(np.int64).max, dtype=np.int64)
+        for g, ts in t.items():
+            m = groups == g
+            if m.any():
+                bounds[m] = ts
+        for i in range(len(qs) - 1, -1, -1):
+            out[v <= bounds[:, i]] = labels[i]
+        cols = {c: b[c] for c in keep}
+        cols[group_col] = b[group_col]
+        cols[value_col] = v
+        cols["bucket"] = out
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(_tag, batch_format="pandas")

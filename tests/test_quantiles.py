@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data
 
@@ -91,3 +92,40 @@ class TestExactQuantiles:
         h = value_histogram(ds, "x").to_pandas().sort_values("v")
         assert list(h["v"]) == [1, 4, 7]
         assert list(h["cnt"]) == [2, 3, 1]
+
+
+class TestQuantileBuckets:
+    def _ds(self):
+        import pandas as pd
+
+        rows = []
+        # lang "en": values 1..9 -> terciles at 3 and 6
+        for i, v in enumerate(range(1, 10)):
+            rows.append({"id": i, "g": "en", "v": v})
+        # lang "de": all equal -> everything lands in head
+        for i in range(3):
+            rows.append({"id": 100 + i, "g": "de", "v": 7})
+        return ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    def test_tercile_assignment(self):
+        from ai_knowledge_graph_ray.stages.quantiles import quantile_buckets
+
+        out = quantile_buckets(
+            self._ds(), "g", "v", passthrough_cols=["id"]
+        ).to_pandas()
+        en = out[out["g"] == "en"].set_index("id")["bucket"]
+        assert list(en.sort_index()) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        de = out[out["g"] == "de"]["bucket"]
+        assert (de == "head").all()
+
+    def test_label_arity_checked(self):
+        from ai_knowledge_graph_ray.stages.quantiles import quantile_buckets
+
+        with pytest.raises(ValueError):
+            quantile_buckets(self._ds(), "g", "v", qs=(0.5,), labels=("a", "b", "c"))
+
+    def test_group_gate_trips(self):
+        from ai_knowledge_graph_ray.stages.quantiles import quantile_buckets
+
+        with pytest.raises(ValueError, match="max_groups"):
+            quantile_buckets(self._ds(), "g", "v", max_groups=1).to_pandas()
