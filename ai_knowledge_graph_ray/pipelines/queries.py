@@ -2166,6 +2166,17 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_token_postings(sf_dir: str):
+    """Inverted-index materialization: per token, document frequency
+    and the ascending comma-joined posting list (df >= 5) — one
+    bucketed shuffle over map-side-distinct (token, doc) pairs,
+    hash-exact vs a string_agg SQL twin."""
+    from ..stages.vocab import token_postings
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_postings(docs, min_df=5)
+
+
 BUCKET_QS = (1 / 3, 2 / 3)
 
 
@@ -2489,6 +2500,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hits": q_hits,
     "top_tokens_approx": q_top_tokens_approx,
     "doc_quality_buckets": q_doc_quality_buckets,
+    "token_postings": q_token_postings,
 }
 
 _N_TOKENS_SQL = (
@@ -2851,6 +2863,18 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "token_postings": """
+        WITH pairs AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+            FROM documents
+          )
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM pairs GROUP BY token HAVING count(*) >= 5
+    """,
     "graph_components": """
         WITH RECURSIVE base AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,

@@ -155,3 +155,67 @@ def vocab_build(
             }
         )
     )
+
+
+POSTINGS_SCHEMA = pa.schema(
+    [("token", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+)
+
+
+def token_postings(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> ray.data.Dataset:
+    """Inverted-index build: ``(token, df, postings)`` where
+    ``postings`` is the comma-joined ascending list of distinct doc
+    ids containing the token — the search-index materialization shape.
+
+    One bucketed shuffle over (token, doc) pairs: blocks emit their
+    DISTINCT pairs (map-side combiner — a token repeated 100x in one
+    doc crosses the exchange once), the token-keyed reduce sorts and
+    joins. ``min_df``/``max_df`` drop hapax noise and stop-word
+    postings (the classic IR cap that also bounds the hottest key's
+    list length at corpus scale)."""
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        ids = b[id_col].to_numpy()
+        arrs = [(i, t) for i, t in zip(ids, toks.to_numpy()) if len(t)]
+        if not arrs:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype="int64")}
+            )
+        rep = np.concatenate([np.full(len(t), i, dtype=np.int64) for i, t in arrs])
+        return pd.DataFrame(
+            {"token": np.concatenate([t for _, t in arrs]), id_col: rep}
+        ).drop_duplicates()
+
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs(b) if text_col in b.columns else b
+        if "token" in out.columns and text_col not in out.columns:
+            out = out.drop_duplicates()
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["token", id_col], kind="stable")
+        agg = g.groupby("token", sort=False).agg(
+            df=(id_col, "size"),
+            postings=(id_col, lambda s: ",".join(s.astype(str))),
+        )
+        agg = agg[agg["df"] >= min_df]
+        if max_df is not None:
+            agg = agg[agg["df"] <= max_df]
+        return agg.reset_index()
+
+    return bucketed_reduce(
+        ds.select_columns([id_col, text_col]),
+        ["token"],
+        _reduce,
+        POSTINGS_SCHEMA,
+        combiner=_combine,
+    )

@@ -327,3 +327,36 @@ class TestTopTermsPerGroup:
         pd.testing.assert_frame_equal(
             out, want.astype({"n": "int64"}), check_dtype=False
         )
+
+
+class TestTokenPostings:
+    def test_postings_sorted_distinct_and_df_filters(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.vocab import token_postings
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2, 4],
+                "text": [
+                    "apple apple banana",  # apple repeated in-doc: one posting
+                    "apple cherry",
+                    "apple banana",
+                    "Cherry date",  # case-folded
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(docs).repartition(3)
+        out = (
+            token_postings(ds, min_df=2)
+            .to_pandas()
+            .set_index("token")
+            .sort_index()
+        )
+        assert out.loc["apple", "postings"] == "1,2,3"
+        assert out.loc["apple", "df"] == 3
+        assert out.loc["banana", "postings"] == "2,3"
+        assert out.loc["cherry", "postings"] == "1,4"
+        assert "date" not in out.index  # df=1 dropped
+        capped = token_postings(ds, min_df=2, max_df=2).to_pandas()
+        assert set(capped["token"]) == {"banana", "cherry"}
