@@ -2166,6 +2166,18 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_unigram_ppl(sf_dir: str):
+    """Per-document mean NLL (milli-nats) under a corpus-fit unigram
+    model — the CCNet quality-signal shape with the broadcast-model
+    scoring pass. Rows-only (log-prob floats are not hash-portable
+    across engines); exact behavior pinned against an independent
+    pure-Python twin in test_webtext."""
+    from ..stages.webtext import unigram_nll
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return unigram_nll(docs)
+
+
 def q_token_postings(sf_dir: str):
     """Inverted-index materialization: per token, document frequency
     and the ascending comma-joined posting list (df >= 5) — one
@@ -2501,6 +2513,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_tokens_approx": q_top_tokens_approx,
     "doc_quality_buckets": q_doc_quality_buckets,
     "token_postings": q_token_postings,
+    "doc_unigram_ppl": q_doc_unigram_ppl,
 }
 
 _N_TOKENS_SQL = (

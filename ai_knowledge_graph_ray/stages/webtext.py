@@ -897,3 +897,90 @@ def dup_span_stats(
     return bucketed_reduce(
         base.union(flagged), [id_col], _agg, DUP_SPAN_SCHEMA, combiner=_agg
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet's quality signal, with the KenLM
+# 5-gram model replaced by a corpus-fit unigram model — the sandbox-
+# honest variant; the broadcast-model shape is identical for any
+# n-gram order)
+# ---------------------------------------------------------------------------
+
+PPL_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("nll_milli", pa.int64())]
+)
+
+DRIVER_MAX_PPL_VOCAB = 5_000_000
+
+
+def unigram_nll(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+    driver_max_vocab: int = DRIVER_MAX_PPL_VOCAB,
+) -> ray.data.Dataset:
+    """Per-document mean negative log-likelihood under a corpus-fit
+    unigram model, in integer milli-nats: ``(doc_id, n_tokens,
+    nll_milli)``. Low = fluent/common tokens (CCNet keeps the head of
+    this score's distribution; compose with
+    :func:`~.quantiles.quantile_buckets` for the full CCNet split).
+
+    Two passes: ONE bucketed token-count shuffle fits the model (the
+    vocabulary residue is count-gated like ``vocab_build`` — Heap's
+    law keeps it driver-sized; it trips loudly otherwise) and
+    broadcasts it as sorted arrays via ``ray.put``; scoring is
+    map-side ``searchsorted`` — zero further shuffle. Unseen tokens
+    (possible when ``min_count`` > 1) score as count ``0.5``
+    (Laplace-half smoothing against the same total). Per-doc float
+    reduction order is fixed by token order, so scores are identical
+    at any block layout."""
+    from .vocab import term_counts
+
+    counts = term_counts(ds, text_col).materialize()
+    n_vocab = counts.count()
+    if n_vocab > driver_max_vocab:
+        raise ValueError(
+            f"unigram_nll: vocabulary {n_vocab} exceeds the driver gate "
+            f"({driver_max_vocab}); raise min_count"
+        )
+    vocab = counts.to_pandas()
+    if len(vocab) == 0:
+        return ray.data.from_arrow(PPL_SCHEMA.empty_table())
+    vocab = vocab[vocab["n"] >= min_count].sort_values("token", kind="stable")
+    total = float(vocab["n"].sum())
+    model_ref = ray.put(
+        {
+            "tokens": vocab["token"].to_numpy(object),
+            "logp": np.log(vocab["n"].to_numpy(np.float64) / total),
+            "unk": float(np.log(0.5 / total)),
+        }
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        out_n = np.zeros(len(b), dtype=np.int64)
+        out_milli = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(toks.to_numpy()):
+            if not len(t):
+                continue
+            arr = np.asarray(t, dtype=object)
+            idx = np.searchsorted(m["tokens"], arr)
+            idx = np.clip(idx, 0, len(m["tokens"]) - 1)
+            hit = m["tokens"][idx] == arr
+            lp = np.where(hit, m["logp"][idx], m["unk"])
+            out_n[i] = len(arr)
+            out_milli[i] = int(round(float(-lp.mean()) * 1000.0))
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_tokens": out_n,
+                "nll_milli": out_milli,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pandas"
+    )

@@ -333,3 +333,77 @@ class TestDupSpanStats:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(base, forced)
+
+
+class TestUnigramNll:
+    def test_matches_pure_python_twin(self):
+        import math
+
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.webtext import unigram_nll
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat sat on the mat",
+                    "the the the",
+                    "rare unicorn words",
+                    "",
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(docs).repartition(3)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["nll_milli"])
+            for r in unigram_nll(ds).take_all()
+        }
+
+        # independent twin: collections.Counter + math.log
+        from collections import Counter
+
+        toks = {r.doc_id: r.text.lower().split() for r in docs.itertuples()}
+        c = Counter(t for ts in toks.values() for t in ts)
+        total = sum(c.values())
+        for did, ts in toks.items():
+            if not ts:
+                assert got[did] == (0, 0)
+                continue
+            nll = -sum(math.log(c[t] / total) for t in ts) / len(ts)
+            assert got[did] == (len(ts), round(nll * 1000))
+        # the all-common-token doc scores more fluent (lower NLL)
+        assert got[2][1] < got[3][1]
+
+    def test_unseen_token_smoothing(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.webtext import unigram_nll
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["common common common common", "common hapax"]}
+        )
+        ds = ray.data.from_pandas(docs)
+        out = {
+            r["doc_id"]: r["nll_milli"]
+            for r in unigram_nll(ds, min_count=2).take_all()
+        }
+        # hapax falls below min_count -> scored as unk (0.5/total), so
+        # doc 2 is strictly less fluent
+        assert out[2] > out[1]
+
+    def test_layout_independent(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.webtext import unigram_nll
+
+        docs = pd.DataFrame(
+            {"doc_id": range(50), "text": [f"tok{i % 7} tok{i % 3} filler" for i in range(50)]}
+        )
+        outs = []
+        for blocks in (1, 8):
+            ds = ray.data.from_pandas(docs).repartition(blocks)
+            outs.append(
+                unigram_nll(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])
