@@ -2166,6 +2166,15 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_nfc_normalize(sf_dir: str):
+    """Unicode NFC ingest hygiene: md5 of the normalized text + a
+    changed flag, map-only — hash-exact vs DuckDB nfc_normalize."""
+    from ..stages.webtext import nfc_normalize_stats
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return nfc_normalize_stats(docs)
+
+
 def q_doc_unigram_ppl(sf_dir: str):
     """Per-document mean NLL (milli-nats) under a corpus-fit unigram
     model — the CCNet quality-signal shape with the broadcast-model
@@ -2514,6 +2523,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_quality_buckets": q_doc_quality_buckets,
     "token_postings": q_token_postings,
     "doc_unigram_ppl": q_doc_unigram_ppl,
+    "doc_nfc_normalize": q_doc_nfc_normalize,
 }
 
 _N_TOKENS_SQL = (
@@ -2876,6 +2886,13 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "doc_nfc_normalize": """
+        SELECT doc_id,
+               md5(nfc_normalize(coalesce(text, ''))) AS norm_md5,
+               CAST(CASE WHEN nfc_normalize(coalesce(text, '')) = coalesce(text, '')
+                         THEN 0 ELSE 1 END AS BIGINT) AS changed
+        FROM documents
+    """,
     "token_postings": """
         WITH pairs AS (
           SELECT DISTINCT doc_id, token FROM (

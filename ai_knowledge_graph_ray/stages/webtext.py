@@ -984,3 +984,48 @@ def unigram_nll(
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (ingest hygiene: composed/decomposed forms
+# of the same text must dedup and tokenize identically)
+# ---------------------------------------------------------------------------
+
+NFC_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("norm_md5", pa.string()), ("changed", pa.int64())]
+)
+
+
+def nfc_normalize_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(doc_id, norm_md5, changed)`` — md5 of the NFC-normalized
+    text plus a 0/1 flag for texts the normalization changed. Map-only
+    (zero shuffle); Python ``unicodedata`` NFC and DuckDB
+    ``nfc_normalize`` agree byte-for-byte (pinned by the oracle and a
+    composed/decomposed fixture test), so the md5 column is hash-exact
+    cross-engine. Compose with :func:`~.dedup.exact_dedup` on
+    ``norm_md5`` for normalization-insensitive dedup."""
+    import unicodedata
+
+    def _norm(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("")
+        md5s, changed = [], []
+        for t in texts:
+            n = unicodedata.normalize("NFC", t)
+            md5s.append(hashlib.md5(n.encode("utf-8")).hexdigest())
+            changed.append(1 if n != t else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "norm_md5": md5s,
+                "changed": np.asarray(changed, dtype=np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _norm, batch_format="pandas"
+    )

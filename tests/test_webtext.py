@@ -407,3 +407,30 @@ class TestUnigramNll:
                 unigram_nll(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+
+class TestNfcNormalize:
+    def test_composed_decomposed_and_flags(self):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.webtext import nfc_normalize_stats
+
+        composed = "café résumé"
+        decomposed = "café résumé"
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [composed, decomposed, "plain ascii"]}
+        )
+        out = {
+            r["doc_id"]: (r["norm_md5"], r["changed"])
+            for r in nfc_normalize_stats(ray.data.from_pandas(docs)).take_all()
+        }
+        # both forms normalize to the SAME md5 -> dedup-able
+        assert out[1][0] == out[2][0]
+        assert out[1][1] == 0 and out[2][1] == 1 and out[3][1] == 0
+        want = hashlib.md5(
+            unicodedata.normalize("NFC", decomposed).encode()
+        ).hexdigest()
+        assert out[2][0] == want
