@@ -2166,6 +2166,26 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_token_percentile(sf_dir: str):
+    """Integer cume_dist of each document's token count (exact
+    thousandths — float cume_dist never hash-matches): one histogram
+    shuffle, gated distinct-value broadcast, map-side searchsorted."""
+    from ..stages.quantiles import percentile_ranks
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _tok(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        stripped = t.str.strip()
+        n = stripped.str.split().str.len().fillna(0)
+        n = n.where(stripped.str.len() > 0, 0)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens": n.astype("int64")})
+
+    return percentile_ranks(
+        docs.map_batches(_tok, batch_format="pandas"), "doc_id", "n_tokens"
+    )
+
+
 def q_doc_nfc_normalize(sf_dir: str):
     """Unicode NFC ingest hygiene: md5 of the normalized text + a
     changed flag, map-only — hash-exact vs DuckDB nfc_normalize."""
@@ -2524,6 +2544,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_postings": q_token_postings,
     "doc_unigram_ppl": q_doc_unigram_ppl,
     "doc_nfc_normalize": q_doc_nfc_normalize,
+    "doc_token_percentile": q_doc_token_percentile,
 }
 
 _N_TOKENS_SQL = (
@@ -2886,6 +2907,13 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "doc_token_percentile": f"""
+        WITH t AS (SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((count(*) OVER (ORDER BY n_tokens) * 1000)
+                    // (SELECT count(*) FROM t) AS BIGINT) AS pct_milli
+        FROM t
+    """,
     "doc_nfc_normalize": """
         SELECT doc_id,
                md5(nfc_normalize(coalesce(text, ''))) AS norm_md5,

@@ -258,3 +258,53 @@ def quantile_buckets(
         return pd.DataFrame(cols)
 
     return ds.map_batches(_tag, batch_format="pandas")
+
+
+def percentile_ranks(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    driver_max_values: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Integer cume_dist: ``(id, value, pct_milli)`` where
+    ``pct_milli = (rows with value <= v) * 1000 // total`` — the SQL
+    window ``cume_dist()`` in exact integer thousandths, so it is
+    hash-portable across engines (float cume_dist is not).
+
+    One :func:`value_histogram` shuffle builds the (distinct value ->
+    cumulative count) table; that residue is the DISTINCT VALUE domain
+    (count-gated, trips loudly — an int64 signal column with more
+    distinct values than the gate wants a coarser signal), broadcast
+    once; ranking is map-side ``searchsorted``."""
+    import ray
+
+    hist = value_histogram(ds, value_col).to_pandas()
+    if len(hist) > driver_max_values:
+        raise ValueError(
+            f"percentile_ranks: {len(hist)} distinct values exceed the "
+            f"gate ({driver_max_values}); bucket the signal first"
+        )
+    hist = hist.sort_values("v", kind="stable")
+    values = hist["v"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    table_ref = ray.put({"values": values, "cum": cum, "total": total})
+
+    def _rank(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+        v = b[value_col].to_numpy(np.int64)
+        idx = np.searchsorted(t["values"], v, side="right") - 1
+        le = np.where(idx >= 0, t["cum"][np.clip(idx, 0, None)], 0)
+        pct = (le * 1000) // t["total"] if t["total"] else np.zeros(len(b), np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                value_col: v,
+                "pct_milli": pct.astype(np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, value_col]).map_batches(
+        _rank, batch_format="pandas"
+    )

@@ -129,3 +129,26 @@ class TestQuantileBuckets:
 
         with pytest.raises(ValueError, match="max_groups"):
             quantile_buckets(self._ds(), "g", "v", max_groups=1).to_pandas()
+
+
+class TestPercentileRanks:
+    def test_matches_naive_cume_dist(self):
+        from ai_knowledge_graph_ray.stages.quantiles import percentile_ranks
+
+        vals = [5, 1, 3, 3, 9, 1, 7]
+        df = pd.DataFrame({"id": range(len(vals)), "v": vals})
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = {r["id"]: r["pct_milli"] for r in percentile_ranks(ds, "id", "v").take_all()}
+        n = len(vals)
+        for i, v in enumerate(vals):
+            le = sum(1 for x in vals if x <= v)
+            assert out[i] == (le * 1000) // n
+
+    def test_distinct_gate_trips(self):
+        from ai_knowledge_graph_ray.stages.quantiles import percentile_ranks
+
+        df = pd.DataFrame({"id": range(10), "v": range(10)})
+        with pytest.raises(ValueError, match="distinct"):
+            percentile_ranks(
+                ray.data.from_pandas(df), "id", "v", driver_max_values=2
+            ).take_all()
