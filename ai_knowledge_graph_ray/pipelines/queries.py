@@ -2166,6 +2166,16 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_events_hourly_gapfill(sf_dir: str):
+    """Hourly event counts over the complete min..max spine — quiet
+    hours emit 0 (date-spine gap fill; a plain groupby drops them).
+    Count-gated driver reindex vs distributed range-spine left join."""
+    from ..stages.sessions import gapfill_counts
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    return gapfill_counts(ev, "ts")
+
+
 def q_doc_token_percentile(sf_dir: str):
     """Integer cume_dist of each document's token count (exact
     thousandths — float cume_dist never hash-matches): one histogram
@@ -2545,6 +2555,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_unigram_ppl": q_doc_unigram_ppl,
     "doc_nfc_normalize": q_doc_nfc_normalize,
     "doc_token_percentile": q_doc_token_percentile,
+    "events_hourly_gapfill": q_events_hourly_gapfill,
 }
 
 _N_TOKENS_SQL = (
@@ -2907,6 +2918,22 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "events_hourly_gapfill": """
+        WITH b AS (
+          SELECT (epoch_us(ts) // 3600000000) AS h, count(*) AS n
+          FROM events GROUP BY 1
+        ),
+        lim AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+        spine AS (
+          -- range() rejects subquery params; the scalar generate_series
+          -- (list) + lateral unnest accepts column arguments
+          SELECT u.h
+          FROM lim, LATERAL (SELECT unnest(generate_series(lim.lo, lim.hi)) AS h) u
+        )
+        SELECT spine.h * 3600000000 AS bucket_start_us,
+               CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
+        FROM spine LEFT JOIN b USING (h)
+    """,
     "doc_token_percentile": f"""
         WITH t AS (SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents)
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -188,3 +188,49 @@ class TestPivotCounts:
             ).all(), v
         # undeclared column values are ignored, not columns
         assert "n_other" not in out.columns
+
+
+class TestGapfillCounts:
+    def _ds(self):
+        import pandas as pd
+
+        # hours 0, 0, 3 (two empty hours in between)
+        ts = pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 03:05"]
+        )
+        return ray.data.from_pandas(pd.DataFrame({"ts": ts}))
+
+    def test_fills_gaps_with_zero(self):
+        from ai_knowledge_graph_ray.stages.sessions import gapfill_counts
+
+        out = (
+            gapfill_counts(self._ds(), "ts")
+            .to_pandas()
+            .sort_values("bucket_start_us")
+            .reset_index(drop=True)
+        )
+        assert out["n_events"].tolist() == [2, 0, 0, 1]
+        hrs = out["bucket_start_us"].to_numpy()
+        assert ((hrs[1:] - hrs[:-1]) == 3_600_000_000).all()
+
+    def test_forced_distributed_spine(self):
+        from ai_knowledge_graph_ray.stages.sessions import gapfill_counts
+
+        a = (
+            gapfill_counts(self._ds(), "ts")
+            .to_pandas()
+            .sort_values("bucket_start_us")
+            .reset_index(drop=True)
+        )
+        b = (
+            gapfill_counts(self._ds(), "ts", driver_max_buckets=0)
+            .to_pandas()
+            .sort_values("bucket_start_us")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.sessions import gapfill_counts
+
+        assert gapfill_counts(self._ds().filter(lambda r: False), "ts").count() == 0
