@@ -2166,6 +2166,17 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_cap_per_source(sf_dir: str):
+    """Per-source document cap (keep the 10 smallest doc_ids per
+    source) — the per-host curation rule that stops one domain from
+    dominating a training mix; map-side head-k combiner, one bucketed
+    reduce, hash-exact vs a row_number SQL twin."""
+    from ..stages.relational import cap_per_group
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "doc_id"])
+    return cap_per_group(docs, "source", "doc_id", 10)
+
+
 def q_events_hourly_gapfill(sf_dir: str):
     """Hourly event counts over the complete min..max spine — quiet
     hours emit 0 (date-spine gap fill; a plain groupby drops them).
@@ -2556,6 +2567,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_nfc_normalize": q_doc_nfc_normalize,
     "doc_token_percentile": q_doc_token_percentile,
     "events_hourly_gapfill": q_events_hourly_gapfill,
+    "doc_cap_per_source": q_doc_cap_per_source,
 }
 
 _N_TOKENS_SQL = (
@@ -2918,6 +2930,13 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "doc_cap_per_source": """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 10
+    """,
     "events_hourly_gapfill": """
         WITH b AS (
           SELECT (epoch_us(ts) // 3600000000) AS h, count(*) AS n

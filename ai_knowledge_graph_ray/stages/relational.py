@@ -479,6 +479,41 @@ def cogroup_join(
     )
 
 
+def cap_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Keep each group's ``k`` smallest-id rows — the per-host document
+    cap of web-corpus curation (one domain must not dominate the
+    training mix). Deterministic and SQL-oracle-checkable (row_number
+    twin), unlike sampled caps.
+
+    Same scale shape as :func:`sample_per_group`: map-side per-group
+    head-k combiner (only k rows per group per block cross the
+    exchange), one bucketed reduce re-takes the global head-k."""
+    out_schema = pa.schema([(group_col, pa.string()), (id_col, pa.int64())])
+    from .infer import bucketed_reduce
+
+    def _head(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or group_col not in b.columns:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype="object"),
+                 id_col: pd.Series([], dtype="int64")}
+            )
+        b = b[[group_col, id_col]].sort_values(id_col, kind="stable")
+        return b.groupby(group_col, sort=False).head(k)
+
+    return bucketed_reduce(
+        ds.select_columns([group_col, id_col]),
+        [group_col],
+        _head,
+        out_schema,
+        combiner=_head,
+    )
+
+
 def sample_per_group(
     ds: ray.data.Dataset,
     group_col: str,

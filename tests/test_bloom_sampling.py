@@ -175,3 +175,21 @@ class TestMixtureSample:
             ray.data.from_pandas(df), "id", "g", {"a": 1000}
         ).to_pandas()
         assert len(out) == 3  # rate 1000 keeps everything, no wraparound
+
+
+class TestCapPerGroup:
+    def test_head_k_and_layouts(self):
+        from ai_knowledge_graph_ray.stages.relational import cap_per_group
+
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 5 + ["b"] * 2,
+                "id": [50, 10, 30, 20, 40, 7, 3],
+            }
+        )
+        for blocks in (1, 4):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            got = sorted(
+                (r["g"], r["id"]) for r in cap_per_group(ds, "g", "id", 3).take_all()
+            )
+            assert got == [("a", 10), ("a", 20), ("a", 30), ("b", 3), ("b", 7)]
