@@ -2166,6 +2166,22 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase conversion funnel (strict
+    timestamp order, earliest-qualifying chain) — one user-keyed
+    bucketed shuffle, vectorized chain closure, hash-exact vs a
+    chained min-after-join SQL twin."""
+    from ..stages.sessions import funnel_counts
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(ev, FUNNEL_STAGES)
+
+
 def q_doc_cap_per_source(sf_dir: str):
     """Per-source document cap (keep the 10 smallest doc_ids per
     source) — the per-host curation rule that stops one domain from
@@ -2568,6 +2584,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_percentile": q_doc_token_percentile,
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "doc_cap_per_source": q_doc_cap_per_source,
+    "events_funnel": q_events_funnel,
 }
 
 _N_TOKENS_SQL = (
@@ -2930,6 +2947,25 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
+    "events_funnel": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
     "doc_cap_per_source": """
         SELECT source, doc_id FROM (
           SELECT source, doc_id,

@@ -429,3 +429,68 @@ def gapfill_counts(
         ),
         batch_format="pandas",
     )
+
+
+FUNNEL_SCHEMA = pa.schema([("stage", pa.string()), ("n_users", pa.int64())])
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    stages: tuple[str, ...],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Ordered-funnel conversion: ``(stage, n_users)`` — users counted
+    at stage i if they performed stage events in strict timestamp
+    order (earliest-qualifying chain: t_i = min ts of a stage-i event
+    AFTER t_{i-1}; ties at identical timestamps do not advance).
+
+    ONE bucketed shuffle keyed on the user; within each bucket the
+    chain is closed with vectorized per-stage groupby-min + merge
+    passes (no per-user Python); per-bucket partial counts reduce in a
+    tiny final grouped sum."""
+    from .relational import grouped_sums
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[type_col].isin(stages)]
+        return pd.DataFrame(
+            {
+                "u": b[user_col].to_numpy(np.int64),
+                "t": b[ts_col].to_numpy("datetime64[us]").astype("int64"),
+                "s": b[type_col].to_numpy(object),
+            }
+        )
+
+    def _chain(g: pd.DataFrame) -> pd.DataFrame:
+        out_stage, out_n = [], []
+        cur = None  # DataFrame (u, t_prev)
+        for i, stage in enumerate(stages):
+            ev = g[g["s"] == stage]
+            if i == 0:
+                cur = ev.groupby("u", as_index=False)["t"].min()
+            else:
+                m = ev.merge(cur, on="u", suffixes=("", "_prev"))
+                m = m[m["t"] > m["t_prev"]]
+                cur = m.groupby("u", as_index=False)["t"].min()
+            out_stage.append(stage)
+            out_n.append(len(cur))
+            if len(cur) == 0:
+                for rest in stages[i + 1:]:
+                    out_stage.append(rest)
+                    out_n.append(0)
+                break
+        return pd.DataFrame({"stage": out_stage, "n": np.asarray(out_n, np.int64)})
+
+    from .infer import bucketed_reduce
+
+    partials = bucketed_reduce(
+        ds.select_columns([user_col, ts_col, type_col]).map_batches(
+            _pre, batch_format="pandas", batch_size=None
+        ),
+        ["u"],
+        _chain,
+        pa.schema([("stage", pa.string()), ("n", pa.int64())]),
+    )
+    return grouped_sums(partials, ["stage"], {"n_users": "n"})

@@ -234,3 +234,51 @@ class TestGapfillCounts:
         from ai_knowledge_graph_ray.stages.sessions import gapfill_counts
 
         assert gapfill_counts(self._ds().filter(lambda r: False), "ts").count() == 0
+
+
+class TestFunnelCounts:
+    def test_hand_case_strict_order(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.sessions import funnel_counts
+
+        def ev(u, t, s):
+            return {"user_id": u, "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t), "event_type": s}
+
+        rows = [
+            # u1 full chain in order
+            ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "purchase"),
+            # u2 clicks BEFORE viewing -> stops at view
+            ev(2, 5, "click"), ev(2, 9, "view"),
+            # u3 view+click but purchase at the SAME ts as click (strict >)
+            ev(3, 0, "view"), ev(3, 4, "click"), ev(3, 4, "purchase"),
+            # u4 never views
+            ev(4, 0, "click"), ev(4, 1, "purchase"),
+            # noise types ignored
+            ev(1, 2, "error"),
+        ]
+        out = {
+            r["stage"]: r["n_users"]
+            for r in funnel_counts(
+                ray.data.from_items(rows).repartition(3),
+                ("view", "click", "purchase"),
+            ).take_all()
+        }
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_multiple_qualifying_events_use_earliest(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.sessions import funnel_counts
+
+        def ev(u, t, s):
+            return {"user_id": u, "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t), "event_type": s}
+
+        # second view at t=6 would invalidate the t=5 click if the chain
+        # wrongly used the LAST view; earliest-qualifying must pass
+        rows = [ev(1, 0, "view"), ev(1, 6, "view"), ev(1, 5, "click"), ev(1, 7, "purchase")]
+        out = {
+            r["stage"]: r["n_users"]
+            for r in funnel_counts(ray.data.from_items(rows), ("view", "click", "purchase")).take_all()
+        }
+        assert out == {"view": 1, "click": 1, "purchase": 1}
