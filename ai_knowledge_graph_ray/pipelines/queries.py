@@ -2166,6 +2166,17 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per document — df table fit in one
+    bucketed shuffle (Heap's-law-gated vocab broadcast), scoring +
+    per-doc top-k map-side. Rows-only (ln floats aren't
+    hash-portable); pinned by a pure-Python twin in test_setops."""
+    from ..stages.vocab import tfidf_keywords
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_keywords(docs, k=5)
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -2585,6 +2596,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "doc_cap_per_source": q_doc_cap_per_source,
     "events_funnel": q_events_funnel,
+    "doc_tfidf_keywords": q_doc_tfidf_keywords,
 }
 
 _N_TOKENS_SQL = (

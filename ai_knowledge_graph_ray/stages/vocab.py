@@ -219,3 +219,106 @@ def token_postings(
         POSTINGS_SCHEMA,
         combiner=_combine,
     )
+
+
+KEYWORD_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("token", pa.string()), ("score_milli", pa.int64())]
+)
+
+DRIVER_MAX_DF_VOCAB = 5_000_000
+
+
+def tfidf_keywords(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    driver_max_vocab: int = DRIVER_MAX_DF_VOCAB,
+) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF keywords per document: ``(doc_id, token,
+    score_milli)`` with ``score = tf * ln(N / df)`` in integer
+    milli-units, ties broken ``(score desc, token asc)``.
+
+    Two passes: ONE bucketed shuffle counts document frequencies (the
+    df table is the vocabulary — Heap's-law count-gated like
+    ``vocab_build``, broadcast once as sorted arrays); scoring +
+    per-doc top-k is map-side vectorized, zero further shuffle.
+    Rows-only vs SQL (ln floats are not hash-portable); behavior is
+    pinned by an independent pure-Python twin test."""
+
+    def _doc_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        arrs = [np.unique(np.asarray(t, dtype=object)) for t in toks.to_numpy() if len(t)]
+        if not arrs:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "one": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"token": np.concatenate(arrs), "one": np.int64(1)}
+        ).groupby("token", as_index=False)["one"].sum()
+
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
+        if text_col in b.columns:
+            return _doc_pairs(b)
+        if len(b) == 0 or "token" not in b.columns:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object), "one": pd.Series([], dtype="int64")}
+            )
+        return b.groupby("token", as_index=False)["one"].sum()
+
+    df_table = bucketed_reduce(
+        ds.select_columns([text_col]),
+        ["token"],
+        lambda g: g.groupby("token", sort=False, as_index=False)["one"].sum(),
+        pa.schema([("token", pa.string()), ("one", pa.int64())]),
+        combiner=_combine,
+    ).materialize()
+    n_vocab = df_table.count()
+    if n_vocab > driver_max_vocab:
+        raise ValueError(
+            f"tfidf_keywords: vocabulary {n_vocab} exceeds the driver gate"
+        )
+    n_docs = ds.count()
+    vocab = df_table.to_pandas().sort_values("token", kind="stable")
+    import ray as _ray
+
+    model_ref = _ray.put(
+        {
+            "tokens": vocab["token"].to_numpy(object),
+            "idf": np.log(float(n_docs) / vocab["one"].to_numpy(np.float64)),
+        }
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(model_ref) if isinstance(model_ref, _ray.ObjectRef) else model_ref
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        out_id, out_tok, out_sc = [], [], []
+        for did, t in zip(b[id_col].to_numpy(np.int64), toks.to_numpy()):
+            if not len(t):
+                continue
+            u, tf = np.unique(np.asarray(t, dtype=object), return_counts=True)
+            idx = np.searchsorted(m["tokens"], u)
+            idx = np.clip(idx, 0, len(m["tokens"]) - 1)
+            score = tf * m["idf"][idx]
+            milli = np.round(score * 1000.0).astype(np.int64)
+            order = np.lexsort((u, -milli))[:k]
+            out_id.extend([did] * len(order))
+            out_tok.extend(u[order])
+            out_sc.extend(milli[order])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "token": np.asarray(out_tok, object),
+                "score_milli": np.asarray(out_sc, np.int64),
+            }
+        )
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _score, batch_format="pandas"
+        ),
+        KEYWORD_SCHEMA,
+    )

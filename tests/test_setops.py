@@ -360,3 +360,65 @@ class TestTokenPostings:
         assert "date" not in out.index  # df=1 dropped
         capped = token_postings(ds, min_df=2, max_df=2).to_pandas()
         assert set(capped["token"]) == {"banana", "cherry"}
+
+
+class TestTfidfKeywords:
+    def test_matches_pure_python_twin(self):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.vocab import tfidf_keywords
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "apple banana apple cherry",
+                    "banana banana date",
+                    "apple elderberry elderberry",
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(docs).repartition(2)
+        out = tfidf_keywords(ds, k=2).to_pandas()
+        got = {
+            d: list(zip(g["token"], g["score_milli"]))
+            for d, g in out.groupby("doc_id")
+        }
+
+        # independent twin
+        n = len(docs)
+        df = Counter()
+        toks = {r.doc_id: r.text.lower().split() for r in docs.itertuples()}
+        for ts in toks.values():
+            df.update(set(ts))
+        want = {}
+        for did, ts in toks.items():
+            tf = Counter(ts)
+            scored = sorted(
+                ((round(tf[t] * math.log(n / df[t]) * 1000), t) for t in tf),
+                key=lambda x: (-x[0], x[1]),
+            )[:2]
+            want[did] = [(t, s) for s, t in scored]
+        assert got == want
+
+    def test_layout_independent(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.vocab import tfidf_keywords
+
+        docs = pd.DataFrame(
+            {"doc_id": range(30), "text": [f"w{i%5} w{i%3} shared common" for i in range(30)]}
+        )
+        outs = []
+        for blocks in (1, 6):
+            ds = ray.data.from_pandas(docs).repartition(blocks)
+            outs.append(
+                tfidf_keywords(ds, k=3)
+                .to_pandas()
+                .sort_values(["doc_id", "token"])
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])
