@@ -2166,6 +2166,18 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_doc_dup_span_redact(sf_dir: str):
+    """All-but-one duplicate-span REMOVAL (the acting counterpart of
+    the oracle-checked doc_dup_spans stats): repeated word-5-grams are
+    dropped except at their canonical (min doc, first position)
+    occurrence. Rows-only (token-level text surgery isn't
+    SQL-expressible); both gate paths equivalence-tested."""
+    from ..stages.webtext import dup_span_redact
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dup_span_redact(docs, k=5)
+
+
 def q_doc_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document — df table fit in one
     bucketed shuffle (Heap's-law-gated vocab broadcast), scoring +
@@ -2597,6 +2609,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_cap_per_source": q_doc_cap_per_source,
     "events_funnel": q_events_funnel,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
+    "doc_dup_span_redact": q_doc_dup_span_redact,
 }
 
 _N_TOKENS_SQL = (

@@ -1029,3 +1029,264 @@ def nfc_normalize_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         _norm, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (the acting counterpart of dup_span_stats —
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better", proxied at word-k-gram granularity)
+# ---------------------------------------------------------------------------
+
+REDACT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("text_redacted", pa.string()),
+    ]
+)
+
+
+def _doc_gram_occurrences(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``(row_idx, pos, gram_hash)`` — every word ``k``-gram occurrence
+    with its 0-based token position inside its document."""
+    t = texts.fillna("").str.strip().str.lower()
+    toks = t.str.split()
+    n = toks.str.len().fillna(0).astype(int).to_numpy()
+    if n.sum() == 0 or len(t) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64))
+    rows = np.repeat(np.arange(len(t)), n)
+    flat = pd.Series(
+        np.concatenate([np.asarray(x, dtype=object) for x in toks if len(x)])
+    )
+    if len(flat) < k:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64))
+    gram = flat.str.cat([flat.shift(-j) for j in range(1, k)], sep=" ")
+    valid = (rows[: len(rows) - k + 1] == rows[k - 1 :]) & gram.notna().to_numpy()[
+        : len(rows) - k + 1
+    ]
+    g_rows = rows[: len(rows) - k + 1][valid]
+    # position within the doc: global token index minus the doc's start
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    pos = np.flatnonzero(np.ones(len(rows)))[: len(rows) - k + 1][valid] - starts[g_rows]
+    g_hash = pd.util.hash_array(gram.to_numpy(object)[: len(rows) - k + 1][valid])
+    return g_rows.astype(np.int64), pos.astype(np.int64), g_hash.astype(np.uint64)
+
+
+def _redact_tokens(tokens: list, remove_starts: np.ndarray, k: int) -> tuple[str, int]:
+    """Drop every token covered by a window starting at ``remove_starts``
+    (interval-diff marking); returns (joined text, n_removed)."""
+    nt = len(tokens)
+    if nt == 0 or len(remove_starts) == 0:
+        return " ".join(tokens), 0
+    diff = np.zeros(nt + 1, np.int64)
+    np.add.at(diff, remove_starts, 1)
+    np.add.at(diff, np.minimum(remove_starts + k, nt), -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    kept = [tok for tok, c in zip(tokens, covered) if not c]
+    return " ".join(kept), int(covered.sum())
+
+
+def dup_span_redact(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_max_common: int = DRIVER_MAX_SMALL_SIDE,
+) -> ray.data.Dataset:
+    """REMOVE duplicated spans: every occurrence of a corpus-repeated
+    word-``k``-gram is dropped except its canonical one (the smallest
+    doc_id containing the gram, first position within that doc) —
+    deterministic all-but-one span dedup. Output ``(doc_id, n_tokens,
+    n_removed, text_redacted)``; the redacted text is the surviving
+    tokens space-joined (tokenized reconstruction — original
+    whitespace is not preserved, same contract as the tokenizer the
+    grams are defined over).
+
+    One bucketed reduce builds ``gram -> (owner doc, owner position)``
+    for repeated grams; that residue is COUNTED: under
+    ``driver_max_common`` it broadcasts and redaction is one map pass;
+    over the gate a gram-keyed flag join + doc-keyed cogroup join of
+    removal positions back onto the documents runs instead (both
+    paths share the redact kernel; forced-gate equivalence tested)."""
+    docs = ds.select_columns([id_col, text_col]).materialize()
+
+    def _occ_rows(b: pd.DataFrame) -> pd.DataFrame:
+        rows, pos, gh = _doc_gram_occurrences(b[text_col], k)
+        return pd.DataFrame(
+            {
+                "gh": gh,
+                "doc": b[id_col].to_numpy(np.int64)[rows]
+                if len(rows)
+                else pd.Series([], dtype="int64"),
+                "pos": pos,
+            }
+        )
+
+    occ = docs.map_batches(_occ_rows, batch_format="pandas").materialize()
+
+    def _owner_combine(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "gh" not in b.columns:
+            return pd.DataFrame(
+                {"gh": pd.Series([], dtype="uint64"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "doc": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64")}
+            )
+        if "cnt" not in b.columns:
+            b = b.assign(cnt=np.int64(1))
+        # min (doc, pos) lexicographically + total count per gram
+        b = b.sort_values(["gh", "doc", "pos"], kind="stable")
+        agg = b.groupby("gh", sort=False).agg(
+            cnt=("cnt", "sum"), doc=("doc", "first"), pos=("pos", "first")
+        )
+        return agg.reset_index()
+
+    def _owner_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = _owner_combine(g)
+        return out[out["cnt"] >= 2]
+
+    owners = bucketed_reduce(
+        occ,
+        ["gh"],
+        _owner_reduce,
+        pa.schema(
+            [("gh", pa.uint64()), ("cnt", pa.int64()),
+             ("doc", pa.int64()), ("pos", pa.int64())]
+        ),
+        combiner=_owner_combine,
+    ).materialize()
+
+    def _redact_batch_with(table: dict):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            rows, pos, gh = _doc_gram_occurrences(b[text_col], k)
+            toks = b[text_col].fillna("").str.strip().str.lower().str.split()
+            docids = b[id_col].to_numpy(np.int64)
+            out_text, out_rm, out_nt = [], [], []
+            # removal starts per batch row
+            remove_by_row: dict[int, list] = {}
+            if len(rows) and len(table["gh"]):
+                idx = np.searchsorted(table["gh"], gh)
+                idx = np.clip(idx, 0, len(table["gh"]) - 1)
+                hit = table["gh"][idx] == gh
+                own_doc = np.where(hit, table["doc"][idx], -1)
+                own_pos = np.where(hit, table["pos"][idx], -1)
+                d = docids[rows]
+                rm = hit & ~((d == own_doc) & (pos == own_pos))
+                for r, p in zip(rows[rm], pos[rm]):
+                    remove_by_row.setdefault(int(r), []).append(int(p))
+            for i in range(len(b)):
+                tk = toks.iloc[i] if isinstance(toks.iloc[i], list) else []
+                text, n_rm = _redact_tokens(
+                    tk, np.asarray(remove_by_row.get(i, []), np.int64), k
+                )
+                out_text.append(text)
+                out_rm.append(n_rm)
+                out_nt.append(len(tk))
+            return pd.DataFrame(
+                {
+                    "doc_id": docids,
+                    "n_tokens": np.asarray(out_nt, np.int64),
+                    "n_removed": np.asarray(out_rm, np.int64),
+                    "text_redacted": out_text,
+                }
+            )
+
+        return _f
+
+    n_common = owners.count()
+    if n_common <= driver_max_common:
+        df = owners.to_pandas().sort_values("gh", kind="stable")
+        table = {
+            "gh": df["gh"].to_numpy(np.uint64),
+            "doc": df["doc"].to_numpy(np.int64),
+            "pos": df["pos"].to_numpy(np.int64),
+        }
+        ref = ray.put(table)
+
+        def _map(b: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return _redact_batch_with(t)(b)
+
+        return normalize_blocks(
+            docs.map_batches(_map, batch_format="pandas"), REDACT_SCHEMA
+        )
+
+    # --- over the gate: gram-keyed flag join -> (doc, pos) removals,
+    # doc-keyed cogroup join back onto the documents, shared kernel
+    from .relational import cogroup_join
+
+    occ_schema = pa.schema(
+        [("gh", pa.uint64()), ("doc", pa.int64()), ("pos", pa.int64())]
+    )
+    own_schema = pa.schema(
+        [("gh", pa.uint64()), ("odoc", pa.int64()), ("opos", pa.int64())]
+    )
+    owners_j = owners.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "gh": b["gh"].to_numpy(np.uint64),
+                "odoc": b["doc"].to_numpy(np.int64),
+                "opos": b["pos"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    flagged = cogroup_join(
+        occ, owners_j, on=["gh"], how="inner",
+        left_schema=occ_schema, right_schema=own_schema,
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc"].to_numpy(np.int64),
+                "pos": b["pos"].to_numpy(np.int64),
+            }
+        )[
+            ~(
+                (b["doc"].to_numpy(np.int64) == b["odoc"].to_numpy(np.int64))
+                & (b["pos"].to_numpy(np.int64) == b["opos"].to_numpy(np.int64))
+            )
+        ],
+        batch_format="pandas",
+    )
+    rm_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), (text_col, pa.string())])
+    docs_keyed = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b[id_col].to_numpy(np.int64), text_col: b[text_col]}
+        ),
+        batch_format="pandas",
+    )
+    joined = cogroup_join(
+        docs_keyed, flagged, on=["doc_id"], how="left_outer",
+        left_schema=doc_schema, right_schema=rm_schema,
+    )
+
+    def _redact_joined(b: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_nt, out_rm, out_text = [], [], [], []
+        for did, g in b.groupby("doc_id", sort=False):
+            tk = str(g[text_col].iloc[0] or "").strip().lower().split()
+            starts = g["pos"].dropna().to_numpy()
+            text, n_rm = _redact_tokens(tk, starts.astype(np.int64), k)
+            out_id.append(did)
+            out_nt.append(len(tk))
+            out_rm.append(n_rm)
+            out_text.append(text)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "n_tokens": np.asarray(out_nt, np.int64),
+                "n_removed": np.asarray(out_rm, np.int64),
+                "text_redacted": out_text,
+            }
+        )
+
+    return normalize_blocks(
+        bucketed_reduce(
+            joined, ["doc_id"], _redact_joined, REDACT_SCHEMA
+        ),
+        REDACT_SCHEMA,
+    )

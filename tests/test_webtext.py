@@ -434,3 +434,67 @@ class TestNfcNormalize:
             unicodedata.normalize("NFC", decomposed).encode()
         ).hexdigest()
         assert out[2][0] == want
+
+
+class TestDupSpanRedact:
+    SPAN = "the quick brown fox jumps over the lazy dog tonight"
+
+    def _ds(self, blocks=2):
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"alpha beta {self.SPAN} gamma delta epsilon zeta",
+                    f"one two three {self.SPAN} four five six",
+                    "totally unique text with no repeats anywhere at all ok",
+                ],
+            }
+        )
+        return ray.data.from_pandas(docs).repartition(blocks)
+
+    def test_owner_keeps_duplicate_loses(self):
+        from ai_knowledge_graph_ray.stages.webtext import dup_span_redact
+
+        out = (
+            dup_span_redact(self._ds(), k=5)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert self.SPAN in out.loc[1, "text_redacted"]  # canonical owner
+        assert out.loc[1, "n_removed"] == 0
+        assert out.loc[2, "text_redacted"] == "one two three four five six"
+        assert out.loc[2, "n_removed"] == 10
+        assert out.loc[3, "n_removed"] == 0
+
+    def test_within_doc_repeat_keeps_first(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.webtext import dup_span_redact
+
+        docs = pd.DataFrame(
+            {"doc_id": [7], "text": [f"{self.SPAN} middle words here {self.SPAN}"]}
+        )
+        out = dup_span_redact(ray.data.from_pandas(docs), k=5).to_pandas()
+        t = out.loc[0, "text_redacted"]
+        assert t.startswith(self.SPAN) and t.endswith("middle words here")
+        assert out.loc[0, "n_removed"] == 10
+
+    def test_forced_distributed_equivalence(self):
+        from ai_knowledge_graph_ray.stages.webtext import dup_span_redact
+
+        a = (
+            dup_span_redact(self._ds(), k=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            dup_span_redact(self._ds(3), k=5, driver_max_common=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
