@@ -818,6 +818,46 @@ def q_graph_triangles(sf_dir: str):
     return triangle_counts(_cnrs_edges(sf_dir))
 
 
+def q_graph_clustering(sf_dir: str):
+    """Global clustering coefficient in exact integer thousandths:
+    closed wedges (= sum of per-node triangle counts = 3T) over total
+    wedges (= sum of C(degree, 2)) — composes the oracle-green
+    triangle and degree operators into one 1-row summary, hash-exact
+    because both numerator and denominator are integers."""
+    from ..stages.graph_algos import (
+        triangle_counts,
+        undirected_degrees,
+        undirected_simple_edges,
+    )
+
+    tri = triangle_counts(_cnrs_edges(sf_dir))
+    closed = int(tri.sum("n_triangles") or 0)
+    deg = undirected_degrees(undirected_simple_edges(_cnrs_edges(sf_dir)))
+    wedges = int(
+        deg.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "w": b["degree"].to_numpy(np.int64)
+                    * (b["degree"].to_numpy(np.int64) - 1)
+                    // 2
+                }
+            ),
+            batch_format="pandas",
+        ).sum("w")
+        or 0
+    )
+    coeff = (closed * 1000) // wedges if wedges else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_closed": pa.array([closed], pa.int64()),
+                "n_wedges": pa.array([wedges], pa.int64()),
+                "coeff_milli": pa.array([coeff], pa.int64()),
+            }
+        )
+    )
+
+
 def q_degree_distribution(sf_dir: str):
     """``(degree, n_nodes)`` histogram of the same undirected simple
     graph — two bucketed sums, zero driver residue."""
@@ -2610,6 +2650,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_funnel": q_events_funnel,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_dup_span_redact": q_doc_dup_span_redact,
+    "graph_clustering": q_graph_clustering,
 }
 
 _N_TOKENS_SQL = (
@@ -3348,6 +3389,33 @@ ORACLE_SQL: dict[str, str] = {
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri
         ) GROUP BY node
+    """,
+    "graph_clustering": _CNRS_EDGES_SQL + """,
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pernode AS (
+          SELECT node, count(*) AS t FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        ),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        agg AS (
+          SELECT (SELECT CAST(sum(t) AS BIGINT) FROM pernode) AS closed,
+                 (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) FROM deg) AS wedges
+        )
+        SELECT closed AS n_closed, wedges AS n_wedges,
+               CAST((closed * 1000) // wedges AS BIGINT) AS coeff_milli
+        FROM agg
     """,
     "degree_distribution": _CNRS_EDGES_SQL + """,
         deg AS (

@@ -1070,7 +1070,7 @@ def _doc_gram_occurrences(
     g_rows = rows[: len(rows) - k + 1][valid]
     # position within the doc: global token index minus the doc's start
     starts = np.concatenate([[0], np.cumsum(n)[:-1]])
-    pos = np.flatnonzero(np.ones(len(rows)))[: len(rows) - k + 1][valid] - starts[g_rows]
+    pos = np.arange(len(rows))[: len(rows) - k + 1][valid] - starts[g_rows]
     g_hash = pd.util.hash_array(gram.to_numpy(object)[: len(rows) - k + 1][valid])
     return g_rows.astype(np.int64), pos.astype(np.int64), g_hash.astype(np.uint64)
 
