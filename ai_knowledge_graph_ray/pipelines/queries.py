@@ -344,6 +344,23 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+RRF_K_CONST = 60
+
+
+def q_knn_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the cosine and L2 top-10 retrieval
+    lists per query (all-integer fusion points, hash-exact vs a
+    double-window SQL twin) — rank fusion is how multi-retriever
+    search stacks combine lexical/dense/metric variants."""
+    from ..stages.similarity import rrf_fuse
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cos = knn_brute(ds, qids, qmat, k=KNN_K, with_scores=True, metric="cosine")
+    l2 = knn_brute(ds, qids, qmat, k=KNN_K, with_scores=True, metric="l2")
+    return rrf_fuse([cos, l2], k_const=RRF_K_CONST, top_k=KNN_K)
+
+
 def q_knn_ivf(sf_dir: str):
     qids, qmat = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -2560,6 +2577,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customers_without_orders": q_customers_without_orders,
     "customer_order_counts": q_customer_order_counts,
     "knn_cosine": q_knn_cosine,
+    "knn_rrf": q_knn_rrf,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "pagerank": q_pagerank,
@@ -2948,6 +2966,43 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+        ) <= {KNN_K}
+    """,
+    "knn_rrf": f"""
+        WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}),
+        cosr AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id ASC
+                 ) AS rnk
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.vec_id
+          QUALIFY rnk <= {KNN_K}
+        ),
+        l2r AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding, e.embedding) ASC,
+                            e.vec_id ASC
+                 ) AS rnk
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.vec_id
+          QUALIFY rnk <= {KNN_K}
+        ),
+        pts AS (
+          SELECT query_id, vec_id,
+                 CAST(1000000 // ({RRF_K_CONST} + rnk) AS BIGINT) AS p FROM cosr
+          UNION ALL
+          SELECT query_id, vec_id,
+                 CAST(1000000 // ({RRF_K_CONST} + rnk) AS BIGINT) FROM l2r
+        )
+        SELECT query_id, vec_id, CAST(sum(p) AS BIGINT) AS rrf_micro
+        FROM pts GROUP BY 1, 2
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY sum(p) DESC, vec_id ASC
         ) <= {KNN_K}
     """,
     "graph_walks": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base") + """,

@@ -31,10 +31,15 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    def __init__(self, q_ref, k: int, vec_col: str, id_col: str, exclude_self: bool) -> None:
+    def __init__(
+        self, q_ref, k: int, vec_col: str, id_col: str, exclude_self: bool,
+        metric: str = "cosine",
+    ) -> None:
         q = ray.get(q_ref)
         self.q_ids = q["ids"]
-        self.q_mat = _unit(q["mat"].astype(np.float64))
+        self.metric = metric
+        raw = q["mat"].astype(np.float64)
+        self.q_mat = _unit(raw) if metric == "cosine" else raw
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
@@ -42,8 +47,15 @@ class _BatchTopK:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[self.id_col].to_numpy()
-        mat = _unit(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
-        sims = self.q_mat @ mat.T  # (q, n)
+        raw = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        if self.metric == "cosine":
+            sims = self.q_mat @ _unit(raw).T  # (q, n)
+        else:  # l2: higher score = closer (negated squared distance)
+            sims = -(
+                (self.q_mat**2).sum(1)[:, None]
+                - 2.0 * (self.q_mat @ raw.T)
+                + (raw**2).sum(1)[None, :]
+            )
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(self.q_ids):
             s = sims[qi]
@@ -72,12 +84,16 @@ def knn_brute(
     id_col: str = "vec_id",
     exclude_self: bool = True,
     with_scores: bool = False,
+    metric: str = "cosine",
 ) -> ray.data.Dataset:
-    """Exact cosine top-k of each query against the dataset.
+    """Exact top-k of each query against the dataset — ``metric`` is
+    ``"cosine"`` (unit-normalized dot) or ``"l2"`` (euclidean; scores
+    are negated squared distances so "higher = closer" holds for both).
 
     Returns ``(query_id, vec_id[, score])`` with deterministic
     tie-break (higher score first, then lower vec_id).
     """
+    assert metric in ("cosine", "l2")
     q_ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
     cand = ds.select_columns([id_col, vec_col]).map_batches(
         _BatchTopK,
@@ -87,6 +103,7 @@ def knn_brute(
             "vec_col": vec_col,
             "id_col": id_col,
             "exclude_self": exclude_self,
+            "metric": metric,
         },
         batch_format="pandas",
         concurrency=(1, 8),
@@ -369,4 +386,73 @@ def knn_ivf(
 
     return normalize_blocks(
         cand.groupby("query_id").map_groups(_reduce, batch_format="pandas"), out_schema
+    )
+
+
+RRF_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("rrf_micro", pa.int64())]
+)
+
+
+def rrf_fuse(
+    ranked: list[ray.data.Dataset],
+    *,
+    k_const: int = 60,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists: per query, each list contributes
+    ``1_000_000 // (k_const + rank)`` to every item it ranked (rank
+    1-based by ``(score desc, id asc)``), summed and re-ranked —
+    all-integer, so the fused list is hash-exact cross-engine.
+
+    Inputs are ``(query_id, id_col, score)`` datasets (e.g. two
+    :func:`knn_brute` runs under different metrics). ONE bucketed
+    shuffle keyed on the query: every list's rows for a query land in
+    the same bucket, ranks + fusion + per-query top-k all vectorized
+    inside the reduce."""
+    import pandas as _pd
+
+    from .infer import bucketed_reduce, normalize_blocks
+
+    tagged = None
+    for i, r in enumerate(ranked):
+        t = r.map_batches(
+            lambda b, src=i: _pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy(np.int64),
+                    id_col: b[id_col].to_numpy(np.int64),
+                    "score": b["score"].to_numpy(np.float64),
+                    "src": np.full(len(b), src, np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        tagged = t if tagged is None else tagged.union(t)
+
+    def _fuse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["src", "query_id", "score", id_col],
+            ascending=[True, True, False, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby(["src", "query_id"], sort=False).cumcount() + 1
+        g["pts"] = (1_000_000 // (k_const + g["rank"])).astype(np.int64)
+        fused = g.groupby(["query_id", id_col], as_index=False)["pts"].sum()
+        fused = fused.sort_values(
+            ["query_id", "pts", id_col], ascending=[True, False, True], kind="stable"
+        )
+        out = fused.groupby("query_id", sort=False).head(top_k)
+        return pd.DataFrame(
+            {
+                "query_id": out["query_id"].to_numpy(np.int64),
+                id_col: out[id_col].to_numpy(np.int64),
+                "rrf_micro": out["pts"].to_numpy(np.int64),
+            }
+        )
+
+    return normalize_blocks(
+        bucketed_reduce(tagged, ["query_id"], _fuse, RRF_SCHEMA),
+        RRF_SCHEMA,
     )

@@ -326,3 +326,48 @@ class TestBatchedSignatures:
         monkeypatch.setattr(dd, "_SIG_SLAB_GRAMS", 10)
         got_slabbed = dd._batch_minhash_sigs(texts, 3, a, b)
         assert np.array_equal(got_slabbed, want)
+
+
+class TestRrfFuse:
+    def test_hand_case(self):
+        import numpy as np
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.similarity import rrf_fuse
+
+        # list A ranks: x(1), y(2); list B ranks: y(1), z(2)
+        a = ray.data.from_pandas(
+            pd.DataFrame(
+                {"query_id": [7, 7], "vec_id": [100, 200], "score": [0.9, 0.5]}
+            )
+        )
+        b = ray.data.from_pandas(
+            pd.DataFrame(
+                {"query_id": [7, 7], "vec_id": [200, 300], "score": [0.8, 0.2]}
+            )
+        )
+        out = rrf_fuse([a, b], k_const=60, top_k=3).to_pandas()
+        got = dict(zip(out["vec_id"], out["rrf_micro"]))
+        p1, p2 = 1_000_000 // 61, 1_000_000 // 62
+        # y appears rank2 in A and rank1 in B -> top fused item
+        assert got == {200: p2 + p1, 100: p1, 300: p2}
+        assert out.iloc[0]["vec_id"] == 200
+
+    def test_l2_metric_ordering(self):
+        import numpy as np
+
+        from ai_knowledge_graph_ray.stages.similarity import knn_brute
+
+        # vectors along one axis: L2 ranks by absolute distance while
+        # cosine sees all three as identical direction
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0]},
+            {"vec_id": 1, "embedding": [2.0, 0.0]},
+            {"vec_id": 2, "embedding": [9.0, 0.0]},
+        ]
+        ds = ray.data.from_items(rows)
+        q = np.array([[1.0, 0.0]])
+        l2 = knn_brute(ds, np.array([0]), q, k=2, metric="l2").to_pandas()
+        assert l2["vec_id"].tolist() == [1, 2]  # nearest first
+        cos = knn_brute(ds, np.array([0]), q, k=2, metric="cosine").to_pandas()
+        assert set(cos["vec_id"]) == {1, 2}  # same direction: tie by id
