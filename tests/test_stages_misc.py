@@ -876,3 +876,55 @@ class TestWavCodec:
         assert all(r["height"] >= 400 for r in rows)  # frame count slot
         # rms of a loud sine is substantial, first 4 features real-valued
         assert all(0.1 < r["features"][1] < 1.0 for r in rows)
+
+
+class TestCompactSink:
+    def test_compacts_preserving_rows_and_keys(self, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.state.checkpoint import (
+            PartitionedSink,
+            compact_sink,
+        )
+
+        src = PartitionedSink(str(tmp_path / "src"), num_partitions=32, key_col="url")
+        df = pd.DataFrame(
+            {"url": [f"u{i}" for i in range(300)], "subject": [f"s{i}" for i in range(300)]}
+        )
+        src.write(ray.data.from_pandas(df), stage="triples")
+        n_src_files = len(list((tmp_path / "src").glob("part=*/data.parquet")))
+        assert n_src_files > 4
+
+        dst = compact_sink(
+            src, str(tmp_path / "dst"), target_partitions=4, expected_stage="triples"
+        )
+        n_dst_files = len(list((tmp_path / "dst").glob("part=*/data.parquet")))
+        assert n_dst_files <= 4
+        back = dst.read_all(expected_stage="triples").to_pandas()
+        assert len(back) == 300
+        assert sorted(back["url"]) == sorted(df["url"])
+        # source untouched, destination has its own manifest
+        assert len(src.done_partitions()) == n_src_files
+        assert os.path.exists(tmp_path / "dst" / "_manifest.json")
+
+    def test_stage_guard_refuses_mixed(self, tmp_path):
+        import pandas as pd
+        import pytest as _pytest
+
+        from ai_knowledge_graph_ray.state.checkpoint import (
+            PartitionedSink,
+            compact_sink,
+        )
+
+        src = PartitionedSink(str(tmp_path / "src2"), num_partitions=8, key_col="url")
+        src.write(ray.data.from_pandas(pd.DataFrame({"url": ["a", "b"]})), stage="raw")
+        with _pytest.raises(ValueError, match="stage"):
+            compact_sink(
+                src, str(tmp_path / "dst2"), target_partitions=2,
+                expected_stage="triples",
+            )
+        import os
+
+        assert not os.path.exists(tmp_path / "dst2")
