@@ -2223,6 +2223,23 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_corpus_curation(sf_dir: str):
+    """Flagship training-data curation chain (NFC -> exact dedup ->
+    Gopher gate -> mixture sample -> shard packing) returning the
+    curated manifest. Rows-only end-to-end (each step is individually
+    oracle- or twin-pinned); funnel monotonicity pinned in
+    test_curation."""
+    from .curation import curate_corpus
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    )
+    return curate_corpus(
+        docs, rates_milli=MIXTURE_RATES_MILLI,
+        default_milli=MIXTURE_DEFAULT_MILLI, shard_budget=20_000,
+    )
+
+
 def q_doc_dup_span_redact(sf_dir: str):
     """All-but-one duplicate-span REMOVAL (the acting counterpart of
     the oracle-checked doc_dup_spans stats): repeated word-5-grams are
@@ -2669,6 +2686,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_dup_span_redact": q_doc_dup_span_redact,
     "graph_clustering": q_graph_clustering,
+    "corpus_curation": q_corpus_curation,
 }
 
 _N_TOKENS_SQL = (
