@@ -2511,6 +2511,50 @@ def _hits_oracle_sql(iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> str:
 # Ray stage and the SQL oracle builder so they cannot drift
 MIXTURE_RATES_MILLI = {f"src{i}": (1000, 500, 250, 100)[i % 4] for i in range(20)}
 MIXTURE_DEFAULT_MILLI = 200
+# resampling rates incl. UPSAMPLING (>1000 = multiple epochs)
+RESAMPLE_RATES_MILLI = {f"src{i}": (2500, 1000, 500, 0)[i % 4] for i in range(20)}
+
+
+def q_doc_mixture_resample(sf_dir: str):
+    """Mixture resampling with upsampling: 2.5 / 1.0 / 0.5 / 0 epochs
+    by source class — full copies plus a Lehmer-thresholded fractional
+    copy, each tagged copy_id. Map-only; hash-exact vs a
+    generate_series SQL twin."""
+    from ..stages.relational import mixture_resample
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    return mixture_resample(
+        docs, "doc_id", "source", RESAMPLE_RATES_MILLI, default_milli=0
+    )
+
+
+def _mixture_resample_sql() -> str:
+    base_cases = "\n".join(
+        f"            WHEN '{g}' THEN {int(m) // 1000}"
+        for g, m in RESAMPLE_RATES_MILLI.items()
+    )
+    frac_cases = "\n".join(
+        f"            WHEN '{g}' THEN {((int(m) % 1000) * _LEHMER_MOD) // 1000}"
+        for g, m in RESAMPLE_RATES_MILLI.items()
+    )
+    return f"""
+        WITH n AS (
+          SELECT doc_id, source,
+                 CAST(CASE source
+{base_cases}
+                 ELSE 0 END
+                 + CASE WHEN ((doc_id % {_LEHMER_MOD}) * {_LEHMER_MULT}) % {_LEHMER_MOD}
+                        < CASE source
+{frac_cases}
+                          ELSE 0 END
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+          FROM documents
+        )
+        SELECT doc_id, source, u.copy_id
+        FROM n, LATERAL (
+          SELECT unnest(generate_series(0, CAST(n.n_copies - 1 AS BIGINT))) AS copy_id
+        ) u
+    """
 # 48271^3 mod 2^31-1: one Lehmer round leaves small sequential ids
 # unwrapped (monotone rank -> threshold keeps a prefix, not a sample)
 _LEHMER_MULT, _LEHMER_MOD = 1291394886, 2147483647
@@ -2687,6 +2731,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_dup_span_redact": q_doc_dup_span_redact,
     "graph_clustering": q_graph_clustering,
     "corpus_curation": q_corpus_curation,
+    "doc_mixture_resample": q_doc_mixture_resample,
 }
 
 _N_TOKENS_SQL = (
@@ -3084,6 +3129,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY r_name
     """,
     "doc_mixture_sample": _mixture_sample_sql(),
+    "doc_mixture_resample": _mixture_resample_sql(),
     "hits": _hits_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """

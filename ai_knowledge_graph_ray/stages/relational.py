@@ -597,6 +597,54 @@ def bernoulli_mixture_sample(
     return ds.map_batches(_keep, batch_format="pandas")
 
 
+def mixture_resample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    group_col: str,
+    rates_milli: dict[str, int],
+    *,
+    default_milli: int = 1000,
+    mult: int = 1291394886,
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Deterministic mixture resampling with UPSAMPLING: a milli-rate
+    of 2500 means ~2.5 epochs of that group (2 full copies always, a
+    3rd for the half of ids whose Lehmer rank clears the fractional
+    threshold); 500 means half an epoch. Emits every surviving copy
+    with a ``copy_id`` (0-based), so downstream shuffling/packing can
+    interleave epochs. Map-only (zero shuffle), layout-independent,
+    and exactly reproducible in SQL (generate_series over the same
+    integer copy count)."""
+    thresholds = {
+        g: (int(m) // 1000, ((int(m) % 1000) * mod) // 1000)
+        for g, m in rates_milli.items()
+    }
+    default_t = (int(default_milli) // 1000, ((int(default_milli) % 1000) * mod) // 1000)
+
+    def _expand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = b.copy()
+            out["copy_id"] = pd.Series([], dtype="int64")
+            return out
+        rank = ((b[id_col].to_numpy().astype(np.int64) % mod) * mult) % mod
+        base = b[group_col].map(lambda g: thresholds.get(g, default_t)[0]).to_numpy(np.int64)
+        frac = b[group_col].map(lambda g: thresholds.get(g, default_t)[1]).to_numpy(np.int64)
+        n_copies = base + (rank < frac)
+        keep = n_copies > 0
+        b = b[keep]
+        n_copies = n_copies[keep]
+        idx = np.repeat(np.arange(len(b)), n_copies)
+        out = b.iloc[idx].copy()
+        # 0-based copy index within each repeated row
+        starts = np.cumsum(n_copies) - n_copies
+        out["copy_id"] = (np.arange(len(idx)) - np.repeat(starts, n_copies)).astype(
+            np.int64
+        )
+        return out
+
+    return ds.map_batches(_expand, batch_format="pandas")
+
+
 def interval_count_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

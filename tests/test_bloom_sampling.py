@@ -193,3 +193,32 @@ class TestCapPerGroup:
                 (r["g"], r["id"]) for r in cap_per_group(ds, "g", "id", 3).take_all()
             )
             assert got == [("a", 10), ("a", 20), ("a", 30), ("b", 3), ("b", 7)]
+
+
+class TestMixtureResample:
+    def test_copies_and_copy_ids(self):
+        from ai_knowledge_graph_ray.stages.relational import mixture_resample
+
+        df = pd.DataFrame(
+            {"id": np.arange(2000, dtype=np.int64), "g": ["up", "down"] * 1000}
+        )
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = mixture_resample(
+            ds, "id", "g", {"up": 2500, "down": 0}
+        ).to_pandas()
+        assert (out["g"] == "up").all()  # rate-0 group fully dropped
+        per = out.groupby("id").size()
+        # every up-row appears 2 or 3 times; ~half get the 3rd copy
+        assert set(per.unique()) == {2, 3}
+        n3 = (per == 3).sum()
+        assert 350 <= n3 <= 650
+        # copy ids are 0..n-1 per row
+        for _, g in out.groupby("id"):
+            assert sorted(g["copy_id"]) == list(range(len(g)))
+
+    def test_exact_integer_epochs(self):
+        from ai_knowledge_graph_ray.stages.relational import mixture_resample
+
+        df = pd.DataFrame({"id": np.arange(50, dtype=np.int64), "g": ["a"] * 50})
+        out = mixture_resample(ray.data.from_pandas(df), "id", "g", {"a": 3000}).to_pandas()
+        assert len(out) == 150 and out.groupby("id").size().eq(3).all()
