@@ -2252,6 +2252,33 @@ def q_doc_dup_span_redact(sf_dir: str):
     return dup_span_redact(docs, k=5)
 
 
+BPE_MERGES = 100
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the corpus: one token-count shuffle
+    (Heap's-law-gated), merge loop on the word-frequency residue (how
+    practical BPE trainers work). Deterministic merge list; rows-only
+    (iterative argmax isn't SQL-expressible); pinned on the Sennrich
+    hand corpus in test_bpe."""
+    from ..stages.vocab import bpe_train
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return bpe_train(docs, n_merges=BPE_MERGES)
+
+
+def q_doc_bpe_token_counts(sf_dir: str):
+    """Per-document token counts under the corpus-trained BPE
+    tokenizer (broadcast merge table, map-only encode with a
+    distinct-word memo per batch)."""
+    from ..stages.vocab import bpe_token_counts, bpe_train
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges_df = bpe_train(docs, n_merges=BPE_MERGES).to_pandas()
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    return bpe_token_counts(docs, merges)
+
+
 def q_doc_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document — df table fit in one
     bucketed shuffle (Heap's-law-gated vocab broadcast), scoring +
@@ -2732,6 +2759,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_clustering": q_graph_clustering,
     "corpus_curation": q_corpus_curation,
     "doc_mixture_resample": q_doc_mixture_resample,
+    "bpe_merges": q_bpe_merges,
+    "doc_bpe_token_counts": q_doc_bpe_token_counts,
 }
 
 _N_TOKENS_SQL = (

@@ -322,3 +322,90 @@ def tfidf_keywords(
         ),
         KEYWORD_SCHEMA,
     )
+
+
+MERGES_SCHEMA = pa.schema(
+    [("rank", pa.int64()), ("left", pa.string()), ("right", pa.string())]
+)
+BPE_COUNT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_bpe_tokens", pa.int64())]
+)
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    n_merges: int = 200,
+    driver_max_vocab: int = DRIVER_MAX_VOCAB,
+) -> ray.data.Dataset:
+    """Train a BPE merge table over the corpus: the corpus-scale work
+    is ONE token-count shuffle (:func:`term_counts`, Heap's-law-gated
+    residue like ``vocab_build``); the merge loop runs on the
+    collected word-frequency table — which is how practical BPE
+    trainers work (they never re-scan the corpus per merge). Returns
+    ``(rank, left, right)``; deterministic (frequency ties break to
+    the lexicographically smallest pair)."""
+    from ..functions.bpe import bpe_train_from_counts
+
+    counts = term_counts(ds, text_col).materialize()
+    n_vocab = counts.count()
+    if n_vocab > driver_max_vocab:
+        raise ValueError(
+            f"bpe_train: {n_vocab} distinct words exceed the driver gate"
+        )
+    wc = dict(zip(*(lambda df: (df["token"], df["n"]))(counts.to_pandas())))
+    merges = bpe_train_from_counts(wc, n_merges)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(range(len(merges)), pa.int64()),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+            }
+        )
+    )
+
+
+def bpe_token_counts(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(doc_id, n_words, n_bpe_tokens)`` — encode every document with
+    the broadcast merge table (map-only; per-batch distinct-word memo
+    so each word is encoded once per batch regardless of repetition)."""
+    import ray as _ray
+
+    from ..functions.bpe import bpe_encode_word
+
+    ranks_ref = _ray.put({tuple(m): i for i, m in enumerate(merges)})
+
+    def _count(b: pd.DataFrame) -> pd.DataFrame:
+        ranks = _ray.get(ranks_ref) if isinstance(ranks_ref, _ray.ObjectRef) else ranks_ref
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        memo: dict[str, int] = {}
+        out_w, out_t = [], []
+        for t in toks.to_numpy():
+            nw, nt = len(t), 0
+            for w in t:
+                n = memo.get(w)
+                if n is None:
+                    n = len(bpe_encode_word(w, ranks))
+                    memo[w] = n
+                nt += n
+            out_w.append(nw)
+            out_t.append(nt)
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_words": np.asarray(out_w, np.int64),
+                "n_bpe_tokens": np.asarray(out_t, np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pandas"
+    )
