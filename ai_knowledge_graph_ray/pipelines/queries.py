@@ -2223,6 +2223,24 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_kg_training_pipeline(sf_dir: str):
+    """Second flagship composite: pages -> knowledge graph -> QA
+    generation -> stratified 80/10/10 split -> chatml-formatted
+    records. Demonstrates the full reference lifecycle (build ->
+    train-data export) as ONE streaming composition; rows-only
+    (model-dependent), each component individually pinned."""
+    from ..stages.training import (
+        format_examples,
+        generate_relationship_qa,
+        stratified_split,
+    )
+
+    edges = q_kg_edges(sf_dir)
+    qa = generate_relationship_qa(edges, seed=42).materialize()
+    labeled = stratified_split(qa, "category", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return format_examples(labeled, fmt="chatml", passthrough_cols=("split",))
+
+
 def q_corpus_curation(sf_dir: str):
     """Flagship training-data curation chain (NFC -> exact dedup ->
     Gopher gate -> mixture sample -> shard packing) returning the
@@ -2761,6 +2779,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_mixture_resample": q_doc_mixture_resample,
     "bpe_merges": q_bpe_merges,
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
+    "kg_training_pipeline": q_kg_training_pipeline,
 }
 
 _N_TOKENS_SQL = (

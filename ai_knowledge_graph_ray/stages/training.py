@@ -197,9 +197,12 @@ def format_examples(
     qa: ray.data.Dataset,
     fmt: str = "chatml",
     system_prompt: str = DEFAULT_SYSTEM_PROMPT,
+    passthrough_cols: tuple = (),
 ) -> ray.data.Dataset:
     """QA rows -> one JSON record string per row in the requested
-    format (chatml/alpaca/sharegpt, ``training_generator.py:1060-1092``)."""
+    format (chatml/alpaca/sharegpt, ``training_generator.py:1060-1092``).
+    ``passthrough_cols`` survive alongside ``record`` (e.g. a split
+    label for per-split JSONL export)."""
     assert fmt in ("chatml", "alpaca", "sharegpt")
 
     def _fmt(batch: pa.Table) -> pa.Table:
@@ -230,7 +233,10 @@ def format_examples(
                     ]
                 }
             recs.append(json.dumps(rec, ensure_ascii=False))
-        return pa.table({"record": pa.array(recs, pa.string())})
+        cols = {"record": pa.array(recs, pa.string())}
+        for c in passthrough_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return qa.map_batches(_fmt, batch_format="pyarrow")
 

@@ -188,3 +188,66 @@ class TestUnionFindProperties:
             comp = reach(n)
             want = {labels[m] for m in comp}
             assert len(want) == 1 and labels[n] in want
+
+
+# ---------------------------------------------------------------------------
+# Fifth-session pure kernels: BPE, RRF points, mixture copy counts
+# ---------------------------------------------------------------------------
+
+from ai_knowledge_graph_ray.functions.bpe import (  # noqa: E402
+    bpe_encode_word,
+    bpe_train_from_counts,
+)
+
+LOWER_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=10
+)
+
+
+class TestBpeProperties:
+    @given(st.dictionaries(LOWER_WORD, st.integers(1, 50), min_size=1, max_size=30),
+           st.integers(0, 40))
+    def test_encode_reconstructs_word(self, counts, n_merges):
+        merges = bpe_train_from_counts(counts, n_merges)
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w in counts:
+            toks = bpe_encode_word(w, ranks)
+            assert "".join(toks) == w + "</w>"
+            assert 1 <= len(toks) <= len(w)
+
+    @given(st.dictionaries(LOWER_WORD, st.integers(1, 50), min_size=1, max_size=30))
+    def test_more_merges_never_lengthen(self, counts):
+        m_few = bpe_train_from_counts(counts, 3)
+        m_many = bpe_train_from_counts(counts, 30)
+        assert m_many[: len(m_few)] == m_few  # merge list is a prefix chain
+        rf = {m: i for i, m in enumerate(m_few)}
+        rm = {m: i for i, m in enumerate(m_many)}
+        for w in counts:
+            assert len(bpe_encode_word(w, rm)) <= len(bpe_encode_word(w, rf))
+
+
+class TestLehmerSamplingProperties:
+    @given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200, unique=True),
+           st.integers(0, 1000))
+    def test_sample_is_subset_and_monotone_in_rate(self, ids, milli):
+        mult, mod = 1291394886, 2147483647
+
+        def keep(i, m):
+            return ((i % mod) * mult) % mod < (m * mod) // 1000
+
+        lo = {i for i in ids if keep(i, milli)}
+        hi = {i for i in ids if keep(i, min(milli + 100, 1000))}
+        assert lo <= hi  # raising the rate only ADDS rows
+        if milli == 1000:
+            assert lo == set(ids)
+
+    @given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200, unique=True),
+           st.integers(0, 3500))
+    def test_resample_copy_count_formula(self, ids, milli):
+        mult, mod = 1291394886, 2147483647
+        base, frac = milli // 1000, ((milli % 1000) * mod) // 1000
+        total = sum(
+            base + (1 if ((i % mod) * mult) % mod < frac else 0) for i in ids
+        )
+        # bounded between floor and ceil epochs
+        assert base * len(ids) <= total <= (base + 1) * len(ids)
