@@ -2374,6 +2374,16 @@ def q_doc_nfc_normalize(sf_dir: str):
     return nfc_normalize_stats(docs)
 
 
+def q_doc_bigram_ppl(sf_dir: str):
+    """Per-document mean transition NLL under a corpus-fit bigram
+    model (the conditional, KenLM-shaped quality signal). Rows-only;
+    pure-Python-twin + forced-gate equivalence in test_webtext."""
+    from ..stages.webtext import bigram_nll
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bigram_nll(docs)
+
+
 def q_doc_unigram_ppl(sf_dir: str):
     """Per-document mean NLL (milli-nats) under a corpus-fit unigram
     model — the CCNet quality-signal shape with the broadcast-model
@@ -2780,6 +2790,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_merges": q_bpe_merges,
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "kg_training_pipeline": q_kg_training_pipeline,
+    "doc_bigram_ppl": q_doc_bigram_ppl,
 }
 
 _N_TOKENS_SQL = (

@@ -352,6 +352,15 @@ def cogroup_join(
     Pass ``left_schema``/``right_schema`` when a side may be empty
     (``Dataset.schema()`` returns None for fully-empty pipelines).
 
+    WARNING — 64-bit carry columns: the transport union holds BOTH
+    sides' columns in one frame, so a column present on only one side
+    gets NaN for the other side's rows and its integer dtype upcasts
+    to float64. Values above 2^53 (uint64/int64 hashes; epoch-us
+    beyond year ~2255) lose low bits SILENTLY and any downstream
+    equality on them misses. Keep 64-bit hashes in the shared join-key
+    columns only (see ``webtext.bigram_nll``'s two-row-kinds shape),
+    or render them as strings for the ride.
+
     ``coalesce``: repartition each tagged side to this many blocks
     before the exchange. The sort-based shuffle's fixed cost scales
     with block count, so sides arriving as many small blocks (e.g.

@@ -1290,3 +1290,241 @@ def dup_span_redact(
         ),
         REDACT_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity (conditional extension of unigram_nll: the
+# KenLM-shaped quality signal with a corpus-fit bigram model)
+# ---------------------------------------------------------------------------
+
+BIGRAM_PPL_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_transitions", pa.int64()), ("nll_milli", pa.int64())]
+)
+
+
+def _tok_lower(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.lower().str.findall(r"\w+")
+
+
+def bigram_nll(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    driver_max_model: int = DRIVER_MAX_SMALL_SIDE,
+) -> ray.data.Dataset:
+    """Per-document mean negative log-likelihood of token TRANSITIONS
+    under a corpus-fit bigram model, integer milli-nats: ``(doc_id,
+    n_transitions, nll_milli)``. ``P(w|v) = c(v w)/c(v)``; transitions
+    with an unseen bigram score ``0.5/(c(v)+1)`` (well-defined even for
+    unseen ``v``). Docs with < 2 tokens emit zeros.
+
+    Model identity is 64-bit hashes of the token / bigram strings
+    (same collision contract as ``decontaminate``). ONE bucketed
+    shuffle builds the two count tables; their combined residue is
+    COUNTED: under ``driver_max_model`` both broadcast as sorted
+    arrays and scoring is map-side; over the gate the transitions are
+    scored by two gram-keyed flag joins + one doc-keyed sum (both
+    paths bit-equal — forced-gate test)."""
+    from .infer import bucketed_reduce, normalize_blocks
+
+    cnt_schema = pa.schema([("gh", pa.uint64()), ("cnt", pa.int64())])
+
+    def _gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok_lower(b[text_col])
+        uni, bi = [], []
+        for t in toks.to_numpy():
+            if not len(t):
+                continue
+            uni.append(np.asarray(t, dtype=object))
+            if len(t) >= 2:
+                arr = np.asarray(t, dtype=object)
+                bi.append(
+                    np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                                arr[1:].astype(str)).astype(object)
+                )
+        out = []
+        if uni:
+            u = pd.Series(np.concatenate(uni)).value_counts(sort=False)
+            out.append(pd.DataFrame(
+                {"gh": pd.util.hash_array(u.index.to_numpy(object)),
+                 "cnt": u.to_numpy(np.int64)}))
+        if bi:
+            v = pd.Series(np.concatenate(bi)).value_counts(sort=False)
+            out.append(pd.DataFrame(
+                {"gh": pd.util.hash_array(v.index.to_numpy(object)),
+                 "cnt": v.to_numpy(np.int64)}))
+        if not out:
+            return pd.DataFrame({"gh": pd.Series([], dtype="uint64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _psum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "gh" not in g.columns:
+            return pd.DataFrame({"gh": pd.Series([], dtype="uint64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return g.groupby("gh", sort=False, as_index=False)["cnt"].sum()
+
+    # unigram "v" and bigram "v w" strings never collide as strings, so
+    # ONE hash-keyed count table serves both lookups
+    model = bucketed_reduce(
+        ds.select_columns([text_col]).map_batches(
+            _gram_rows, batch_format="pandas", batch_size=None
+        ),
+        ["gh"],
+        _psum,
+        cnt_schema,
+        combiner=_psum,
+    ).materialize()
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def _doc_transitions(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok_lower(b[text_col])
+        ids = b[id_col].to_numpy(np.int64)
+        out_id, out_prev, out_bi = [], [], []
+        for did, t in zip(ids, toks.to_numpy()):
+            if len(t) < 2:
+                continue
+            arr = np.asarray(t, dtype=object)
+            prev_h = pd.util.hash_array(arr[:-1])
+            bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                             arr[1:].astype(str)).astype(object)
+            bi_h = pd.util.hash_array(bi)
+            out_id.append(np.full(len(bi), did, np.int64))
+            out_prev.append(prev_h)
+            out_bi.append(bi_h)
+        if not out_id:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ghp": pd.Series([], dtype="uint64"),
+                                 "ghb": pd.Series([], dtype="uint64")})
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(out_id),
+             "ghp": np.concatenate(out_prev),
+             "ghb": np.concatenate(out_bi)}
+        )
+
+    def _nll_from(cp: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        """per-transition nll from prev-count and bigram-count arrays"""
+        p = np.where(
+            (cb > 0) & (cp > 0),
+            cb / np.maximum(cp, 1),
+            0.5 / (cp + 1.0),
+        )
+        return -np.log(p)
+
+    def _zeros_for(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok_lower(b[text_col])
+        short = toks.str.len().fillna(0) < 2
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64)[short.to_numpy()],
+                "n_transitions": np.zeros(int(short.sum()), np.int64),
+                "nll_milli": np.zeros(int(short.sum()), np.int64),
+            }
+        )
+
+    n_model = model.count()
+    if n_model <= driver_max_model:
+        df = model.to_pandas().sort_values("gh", kind="stable")
+        ref = ray.put(
+            {"gh": df["gh"].to_numpy(np.uint64), "cnt": df["cnt"].to_numpy(np.int64)}
+        )
+
+        def _lookup(tbl, h):
+            idx = np.searchsorted(tbl["gh"], h)
+            idx = np.clip(idx, 0, max(len(tbl["gh"]) - 1, 0))
+            hit = tbl["gh"][idx] == h if len(tbl["gh"]) else np.zeros(len(h), bool)
+            return np.where(hit, tbl["cnt"][idx], 0)
+
+        def _score(b: pd.DataFrame) -> pd.DataFrame:
+            tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            toks = _tok_lower(b[text_col])
+            ids = b[id_col].to_numpy(np.int64)
+            out_id, out_n, out_m = [], [], []
+            for did, t in zip(ids, toks.to_numpy()):
+                if len(t) < 2:
+                    out_id.append(did); out_n.append(0); out_m.append(0)
+                    continue
+                arr = np.asarray(t, dtype=object)
+                cp = _lookup(tbl, pd.util.hash_array(arr[:-1]))
+                bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                                 arr[1:].astype(str)).astype(object)
+                cb = _lookup(tbl, pd.util.hash_array(bi))
+                nll = _nll_from(cp.astype(np.float64), cb.astype(np.float64))
+                out_id.append(did)
+                out_n.append(len(nll))
+                out_m.append(int(round(float(nll.mean()) * 1000.0)))
+            return pd.DataFrame(
+                {"doc_id": np.asarray(out_id, np.int64),
+                 "n_transitions": np.asarray(out_n, np.int64),
+                 "nll_milli": np.asarray(out_m, np.int64)}
+            )
+
+        return normalize_blocks(
+            docs.map_batches(_score, batch_format="pandas"), BIGRAM_PPL_SCHEMA
+        )
+
+    # --- over the gate: ONE gram-keyed flag join + doc-keyed mean.
+    # Transitions emit TWO rows each (kind 0 = prev-unigram hash, kind
+    # 1 = bigram hash) so the 64-bit hash only ever travels in the
+    # SHARED join-key column: cogroup_join's transport union gives a
+    # column present on only one side NaNs, upcasting uint64 to
+    # float64 and destroying the low bits (measured: every bigram
+    # lookup missed) — carry columns must never hold 64-bit hashes.
+    # Per-transition float nll is reduced in position order inside the
+    # doc-keyed reduce, bit-equal to the broadcast path.
+    from .relational import cogroup_join
+
+    def _kind_rows(b: pd.DataFrame) -> pd.DataFrame:
+        base = _doc_transitions(b)
+        if len(base) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64"),
+                                 "kind": pd.Series([], dtype="int64"),
+                                 "gh": pd.Series([], dtype="uint64")})
+        base = base.copy()
+        base["pos"] = base.groupby("doc_id", sort=False).cumcount()
+        return pd.concat(
+            [
+                pd.DataFrame({"doc_id": base["doc_id"], "pos": base["pos"],
+                              "kind": np.int64(0), "gh": base["ghp"]}),
+                pd.DataFrame({"doc_id": base["doc_id"], "pos": base["pos"],
+                              "kind": np.int64(1), "gh": base["ghb"]}),
+            ],
+            ignore_index=True,
+        )
+
+    rows = docs.map_batches(_kind_rows, batch_format="pandas")
+    r_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                          ("kind", pa.int64()), ("gh", pa.uint64())])
+    j = cogroup_join(
+        rows, model, on=["gh"], how="left_outer",
+        left_schema=r_schema, right_schema=cnt_schema,
+    )
+
+    def _doc_mean(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos", "kind"], kind="stable")
+        cnt = g["cnt"].fillna(0).to_numpy(np.float64)
+        k = g["kind"].to_numpy(np.int64)
+        cp, cb = cnt[k == 0], cnt[k == 1]
+        sub = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64)[k == 0],
+             "nll": _nll_from(cp, cb)}
+        )
+        agg = sub.groupby("doc_id", sort=False).agg(
+            n_transitions=("nll", "size"), s=("nll", "mean")
+        )
+        return pd.DataFrame(
+            {"doc_id": agg.index.to_numpy(np.int64),
+             "n_transitions": agg["n_transitions"].to_numpy(np.int64),
+             "nll_milli": np.round(agg["s"].to_numpy(np.float64) * 1000.0).astype(np.int64)}
+        )
+
+    from .infer import bucketed_reduce as _br
+
+    scored = _br(j, ["doc_id"], _doc_mean, BIGRAM_PPL_SCHEMA)
+    zeros = normalize_blocks(
+        docs.map_batches(_zeros_for, batch_format="pandas"), BIGRAM_PPL_SCHEMA
+    )
+    return scored.union(zeros)

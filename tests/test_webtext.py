@@ -498,3 +498,66 @@ class TestDupSpanRedact:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestBigramNll:
+    def _docs(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat the cat the cat",
+                    "one totally novel pairing here",
+                    "single",
+                ],
+            }
+        )
+
+    def test_matches_pure_python_twin(self):
+        import math
+        from collections import Counter
+
+        from ai_knowledge_graph_ray.stages.webtext import bigram_nll
+
+        docs = self._docs()
+        ds = ray.data.from_pandas(docs).repartition(3)
+        got = {
+            r["doc_id"]: (r["n_transitions"], r["nll_milli"])
+            for r in bigram_nll(ds).take_all()
+        }
+
+        toks = {r.doc_id: r.text.lower().split() for r in docs.itertuples()}
+        uni = Counter(t for ts in toks.values() for t in ts)
+        bi = Counter(
+            f"{a} {b}" for ts in toks.values() for a, b in zip(ts, ts[1:])
+        )
+        for did, ts in toks.items():
+            if len(ts) < 2:
+                assert got[did] == (0, 0)
+                continue
+            nlls = []
+            for a, b in zip(ts, ts[1:]):
+                cp, cb = uni[a], bi[f"{a} {b}"]
+                p = cb / cp if cb > 0 and cp > 0 else 0.5 / (cp + 1)
+                nlls.append(-math.log(p))
+            want = round(sum(nlls) / len(nlls) * 1000)
+            assert got[did] == (len(ts) - 1, want)
+        # self-trained model: all-hapax transitions score p=1 -> nll 0;
+        # the shared-prefix doc pays for the ambiguous 'the' continuation
+        assert got[3][1] == 0 and got[2][1] > 0
+
+    def test_forced_distributed_equivalence(self):
+        from ai_knowledge_graph_ray.stages.webtext import bigram_nll
+
+        ds = ray.data.from_pandas(self._docs()).repartition(3)
+        a = bigram_nll(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            bigram_nll(ds, driver_max_model=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
