@@ -2335,6 +2335,52 @@ def q_doc_cap_per_source(sf_dir: str):
     return cap_per_group(docs, "source", "doc_id", 10)
 
 
+def q_events_window_distinct(sf_dir: str):
+    """Exact distinct users per (event_type, hour) window — map-side
+    (type, hour, user) distinct partials collapse duplicates before
+    ONE bucketed distinct+count shuffle (the windowed companion of the
+    oracle-green global distinct_users)."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts", "user_id"]
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "ts" not in b.columns:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype="object"),
+                 "window_start_us": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64")}
+            )
+        us = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        hour = (us // 3_600_000_000) * 3_600_000_000
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "window_start_us": hour,
+                "user_id": b["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        agg = g.groupby(["event_type", "window_start_us"], sort=False, as_index=False)[
+            "user_id"
+        ].nunique()
+        return agg.rename(columns={"user_id": "n_users"})
+
+    return bucketed_reduce(
+        ev.map_batches(_partial, batch_format="pandas", batch_size=None),
+        ["event_type", "window_start_us"],
+        _count,
+        pa.schema(
+            [("event_type", pa.string()), ("window_start_us", pa.int64()),
+             ("n_users", pa.int64())]
+        ),
+    )
+
+
 def q_events_hourly_gapfill(sf_dir: str):
     """Hourly event counts over the complete min..max spine — quiet
     hours emit 0 (date-spine gap fill; a plain groupby drops them).
@@ -2791,6 +2837,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "kg_training_pipeline": q_kg_training_pipeline,
     "doc_bigram_ppl": q_doc_bigram_ppl,
+    "events_window_distinct": q_events_window_distinct,
 }
 
 _N_TOKENS_SQL = (
@@ -3216,6 +3263,12 @@ ORACLE_SQL: dict[str, str] = {
                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
           FROM documents
         ) WHERE rn <= 10
+    """,
+    "events_window_distinct": """
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
     """,
     "events_hourly_gapfill": """
         WITH b AS (
