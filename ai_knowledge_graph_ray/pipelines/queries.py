@@ -2420,6 +2420,31 @@ def q_doc_nfc_normalize(sf_dir: str):
     return nfc_normalize_stats(docs)
 
 
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Cross-corpus fuzzy matching (MinHash-LSH between two tables):
+    a synthetic benchmark (every 25th document, lightly paraphrased)
+    is matched against the corpus — the paraphrase-robust companion of
+    the exact n-gram doc_decontaminate. Rows-only; planted-paraphrase
+    and cross-only semantics pinned in test_dedup_ops."""
+    from ..stages.dedup import cross_near_dup
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _bench(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["doc_id"] % 25 == 0
+        t = b.loc[m, "text"].fillna("")
+        return pd.DataFrame(
+            {
+                "bench_id": b.loc[m, "doc_id"].to_numpy(np.int64),
+                # light deterministic paraphrase: prepend a token
+                "text": "benchmark " + t,
+            }
+        )
+
+    bench = docs.map_batches(_bench, batch_format="pandas")
+    return cross_near_dup(docs, bench, threshold=0.7)
+
+
 def q_doc_bigram_ppl(sf_dir: str):
     """Per-document mean transition NLL under a corpus-fit bigram
     model (the conditional, KenLM-shaped quality signal). Rows-only;
@@ -2838,6 +2863,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_training_pipeline": q_kg_training_pipeline,
     "doc_bigram_ppl": q_doc_bigram_ppl,
     "events_window_distinct": q_events_window_distinct,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
 }
 
 _N_TOKENS_SQL = (

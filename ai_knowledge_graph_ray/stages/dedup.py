@@ -796,3 +796,199 @@ def embedding_dedup(
     buckets = ds.select_columns([id_col, vec_col]).map_batches(_bucket, batch_format="pandas")
     cand = bucketed_reduce(buckets, ["bucket"], _bucket_pairs, PAIR_SCHEMA)
     return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus fuzzy matching (MinHash-LSH between TWO tables):
+# paraphrase-robust decontamination — exact n-gram decontamination
+# (webtext.decontaminate) misses benchmark text that was lightly
+# edited; LSH over shingles catches it.
+# ---------------------------------------------------------------------------
+
+CROSS_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _cross_pair_indices(
+    keys: np.ndarray, sides: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices (i, j) of every CROSS-side pair within each key run
+    of arrays sorted by (key, side, id) — side-0 row x side-1 row,
+    vectorized over runs (never a Python loop per key), ``cap`` pairs
+    per key (row-major prefix, skew defense)."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    run_id = np.cumsum(change) - 1
+    run_start = np.flatnonzero(change)
+    run_len = np.diff(np.r_[run_start, n])
+    n0 = np.zeros(len(run_start), np.int64)
+    np.add.at(n0, run_id, (sides == 0).astype(np.int64))
+    n1 = run_len - n0
+    tot = np.minimum(n0 * n1, cap)
+    total = int(tot.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    run_rep = np.repeat(np.arange(len(run_start)), tot)
+    starts = np.cumsum(tot) - tot
+    p = np.arange(total, dtype=np.int64) - np.repeat(starts, tot)
+    b_cnt = n1[run_rep]
+    i = run_start[run_rep] + p // b_cnt
+    j = run_start[run_rep] + n0[run_rep] + p % b_cnt
+    return i, j
+
+
+def cross_near_dup(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_pairs_per_bucket: int = 100,
+    driver_max_verify_pairs: int = DRIVER_MAX_VERIFY_PAIRS,
+) -> ray.data.Dataset:
+    """``(doc_id, bench_id)`` — corpus documents whose shingle Jaccard
+    with a benchmark document reaches ``threshold`` (fuzzy test-set
+    decontamination; the paraphrase-robust companion of the exact
+    n-gram ``decontaminate``).
+
+    Same scale shape as ``minhash_lsh_dedup``, with CROSS-side-only
+    candidate generation inside the band buckets (corpus-corpus and
+    bench-bench collisions never become pairs): vectorized signatures
+    on both sides -> tagged band rows -> ONE bucketed shuffle ->
+    cross-pair template generation (capped per bucket) -> distinct
+    pairs -> count-gated exact-Jaccard verify (driver under the gate,
+    two text cogroup-joins over it)."""
+    a, b = _minhash_params(num_perm)
+
+    def _sig_side(id_name: str, side: int):
+        def _f(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(
+                    {"band_key": pd.Series([], dtype="uint64"),
+                     "side": pd.Series([], dtype="int64"),
+                     "rid": pd.Series([], dtype="int64")}
+                )
+            sig_mat = _batch_minhash_sigs(
+                list(batch[text_col].fillna("")), shingle_k, a, b
+            )
+            bh = _band_hashes(sig_mat, bands)
+            return pd.DataFrame(
+                {
+                    "band_key": bh.reshape(-1),
+                    "side": np.full(len(batch) * bands, side, np.int64),
+                    "rid": np.repeat(batch[id_name].to_numpy(np.int64), bands),
+                }
+            )
+
+        return _f
+
+    tagged = corpus.select_columns([corpus_id, text_col]).map_batches(
+        _sig_side(corpus_id, 0), batch_format="pandas"
+    ).union(
+        benchmark.select_columns([bench_id, text_col]).map_batches(
+            _sig_side(bench_id, 1), batch_format="pandas"
+        )
+    )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["rid"].to_numpy(np.int64), g["side"].to_numpy(np.int64),
+             g["band_key"].to_numpy(np.uint64))
+        )
+        keys = g["band_key"].to_numpy(np.uint64)[order]
+        sides = g["side"].to_numpy(np.int64)[order]
+        ids = g["rid"].to_numpy(np.int64)[order]
+        # drop exact (key, side, id) duplicates
+        if len(keys):
+            dup = np.zeros(len(keys), bool)
+            dup[1:] = (keys[1:] == keys[:-1]) & (sides[1:] == sides[:-1]) & (ids[1:] == ids[:-1])
+            keep = ~dup
+            keys, sides, ids = keys[keep], sides[keep], ids[keep]
+        I, J = _cross_pair_indices(keys, sides, max_pairs_per_bucket)
+        return pd.DataFrame({"id_a": ids[I], "id_b": ids[J]})
+
+    cand = _distinct_pairs(
+        bucketed_reduce(tagged, ["band_key"], _bucket_pairs, CROSS_PAIR_SCHEMA)
+    ).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(CROSS_PAIR_SCHEMA.empty_table())
+
+    if n_pairs <= driver_max_verify_pairs:
+        df = cand.to_pandas()
+        a_ids, b_ids = set(df["id_a"].astype(int)), set(df["id_b"].astype(int))
+        a_ref, b_ref = ray.put(a_ids), ray.put(b_ids)
+
+        def _texts(ds_, idc, ref):
+            def _f(bt: pd.DataFrame) -> pd.DataFrame:
+                want = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                m = bt[idc].isin(want)
+                return pd.DataFrame({idc: bt[idc][m], text_col: bt[text_col][m]})
+
+            return {
+                int(r[idc]): r[text_col]
+                for r in ds_.select_columns([idc, text_col])
+                .map_batches(_f, batch_format="pandas")
+                .take_all()
+            }
+
+        ta = _texts(corpus, corpus_id, a_ref)
+        tb = _texts(benchmark, bench_id, b_ref)
+        keep = [
+            jaccard(ta.get(ia, ""), tb.get(ib, ""), shingle_k) >= threshold
+            for ia, ib in zip(df["id_a"].astype(int), df["id_b"].astype(int))
+        ]
+        out = df.loc[keep]
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array(out["id_a"].astype("int64")),
+                 "id_b": pa.array(out["id_b"].astype("int64"))}
+            ).cast(CROSS_PAIR_SCHEMA)
+        )
+
+    # over the gate: join corpus texts on id_a, benchmark texts on id_b
+    from .relational import cogroup_join
+
+    texts_a = corpus.select_columns([corpus_id, text_col]).map_batches(
+        lambda bt: pa.table(
+            {"id_a": bt[corpus_id].combine_chunks().cast(pa.int64()),
+             "__text_a": bt[text_col].combine_chunks().cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    texts_b = benchmark.select_columns([bench_id, text_col]).map_batches(
+        lambda bt: pa.table(
+            {"id_b": bt[bench_id].combine_chunks().cast(pa.int64()),
+             "__text_b": bt[text_col].combine_chunks().cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    with_a = cogroup_join(
+        cand, texts_a, on=["id_a"],
+        left_schema=CROSS_PAIR_SCHEMA,
+        right_schema=pa.schema([("id_a", pa.int64()), ("__text_a", pa.string())]),
+    )
+    with_ab = cogroup_join(
+        with_a, texts_b, on=["id_b"],
+        left_schema=pa.schema(list(CROSS_PAIR_SCHEMA) + [pa.field("__text_a", pa.string())]),
+        right_schema=pa.schema([("id_b", pa.int64()), ("__text_b", pa.string())]),
+    )
+
+    def _check(bt: pd.DataFrame) -> pd.DataFrame:
+        if len(bt) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        keep = [
+            jaccard(x or "", y or "", shingle_k) >= threshold
+            for x, y in zip(bt["__text_a"], bt["__text_b"])
+        ]
+        return bt.loc[keep, ["id_a", "id_b"]]
+
+    return normalize_blocks(
+        with_ab.map_batches(_check, batch_format="pandas"), CROSS_PAIR_SCHEMA
+    )

@@ -110,3 +110,24 @@ class TestSemanticDedup:
         out = semantic_dedup(_ds(rows), k=3, iters=4, threshold=0.99999).to_pandas()
         got = dict(zip(out["vec_id"], out["dup_of"]))
         assert got == {600: 5, 601: 5}
+
+
+class TestAnchorCap:
+    def test_hot_cluster_capped_but_min_id_wins(self):
+        import numpy as np
+
+        # 60 near-identical vectors: with max_anchors=5 every member is
+        # still compared against the 5 smallest ids (which include the
+        # global min), so ALL map to id 0 despite the bounded work
+        rng = np.random.RandomState(1)
+        base = rng.randn(8) * 10
+        rows = [
+            {"vec_id": i, "embedding": (base + rng.randn(8) * 1e-5).tolist()}
+            for i in range(60)
+        ]
+        out = semantic_dedup(
+            ray.data.from_items(rows).repartition(4),
+            k=1, iters=2, threshold=0.999, max_anchors=5,
+        ).to_pandas()
+        got = dict(zip(out["vec_id"], out["dup_of"]))
+        assert got == {i: 0 for i in range(1, 60)}

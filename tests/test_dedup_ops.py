@@ -371,3 +371,61 @@ class TestRrfFuse:
         assert l2["vec_id"].tolist() == [1, 2]  # nearest first
         cos = knn_brute(ds, np.array([0]), q, k=2, metric="cosine").to_pandas()
         assert set(cos["vec_id"]) == {1, 2}  # same direction: tie by id
+
+
+class TestCrossNearDup:
+    def _tables(self):
+        import pandas as pd
+
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    BASE,                       # light paraphrase of bench 10
+                    OTHER,                      # unrelated
+                    BASE,                       # exact duplicate of doc 1 (corpus-corpus: must NOT pair)
+                    "something else entirely about cooking recipes and baking bread daily",
+                ],
+            }
+        )
+        bench = pd.DataFrame({"bench_id": [10, 11], "text": [NEAR, "quantum chromodynamics lattice gauge theory"]})
+        return corpus, bench
+
+    def test_cross_only_detection(self):
+        from ai_knowledge_graph_ray.stages.dedup import cross_near_dup
+
+        corpus, bench = self._tables()
+        out = cross_near_dup(
+            ray.data.from_pandas(corpus).repartition(2),
+            ray.data.from_pandas(bench),
+            threshold=0.5,
+        ).to_pandas()
+        got = sorted(zip(out["id_a"], out["id_b"]))
+        # both paraphrase-identical corpus docs flag against bench 10;
+        # NO corpus-corpus pair (1,3) despite being exact dups of each other
+        assert got == [(1, 10), (3, 10)]
+
+    def test_forced_distributed_verify(self):
+        from ai_knowledge_graph_ray.stages.dedup import cross_near_dup
+
+        corpus, bench = self._tables()
+        a = cross_near_dup(
+            ray.data.from_pandas(corpus), ray.data.from_pandas(bench), threshold=0.5
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = cross_near_dup(
+            ray.data.from_pandas(corpus), ray.data.from_pandas(bench),
+            threshold=0.5, driver_max_verify_pairs=0,
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_no_candidates(self):
+        from ai_knowledge_graph_ray.stages.dedup import cross_near_dup
+
+        corpus, _ = self._tables()
+        import pandas as pd
+
+        bench = pd.DataFrame({"bench_id": [99], "text": ["zzz qqq vvv www completely disjoint tokens"]})
+        out = cross_near_dup(
+            ray.data.from_pandas(corpus), ray.data.from_pandas(bench), threshold=0.9
+        )
+        assert out.count() == 0
