@@ -2740,6 +2740,117 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, k=10, iters=5, threshold=0.95)
 
 
+def q_doc_bm25_mlt(sf_dir: str):
+    """Integer-exact BM25 "more-like-this": top-10 lexical matches for
+    3 probe documents. Broadcast query vocab, df restricted to it, one
+    shuffle-free scoring pass + a tiny per-query reduce — the shuffle
+    never carries more than (query vocab + k x blocks) rows."""
+    from ..stages.retrieval import bm25_more_like_this
+
+    return bm25_more_like_this(_docs(sf_dir), [0, 7, 42], k=10)
+
+
+def q_events_in_purchase_windows(sf_dir: str):
+    """Interval-containment range join via grid replication: every
+    event falling inside a 10-minute window opened by each purchase
+    event. One cell-keyed exchange; each pair meets in exactly one
+    cell so no post-join dedup."""
+    from ..stages.rangejoin import interval_join
+
+    _WIN_US = 600 * 1_000_000
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+
+    def _points(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    def _windows(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        sub = b.filter(m)
+        start = pc.cast(sub["ts"], pa.int64())
+        return pa.table(
+            {
+                "purchase_id": sub["event_id"],
+                "start_us": start,
+                "end_us": pc.add(start, _WIN_US),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("purchase_id", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+        ]
+    )
+    return interval_join(
+        ev.map_batches(_points, batch_format="pyarrow"),
+        ev.map_batches(_windows, batch_format="pyarrow"),
+        point_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=_WIN_US,  # ~2 cells per interval
+        out_schema=out_schema,
+    )
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    """Keyed snapshot diff between two simulated versions of `orders`
+    (old drops keys %13==0, new drops %11==0 and restates the priority
+    of keys %7==0): added/removed/changed per key off ONE full-outer
+    join of md5 row digests — the wide payload never shuffles."""
+    from ..stages.diff import snapshot_diff
+
+    base = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+    def _render(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_orderstatus": b["o_orderstatus"],
+                "price_cents": _cents(b["o_totalprice"]),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    rendered = base.map_batches(_render, batch_format="pyarrow")
+
+    def _old(b: pa.Table) -> pa.Table:
+        # this pyarrow has no pc.mod — numpy on the zero-copy int column
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keys % 13 != 0))
+
+    def _new(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(keys % 11 != 0))
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        restate = pa.array(keys % 7 == 0)
+        return b.set_column(
+            b.schema.get_field_index("o_orderpriority"),
+            "o_orderpriority",
+            pc.if_else(restate, "0-RESTATED", b["o_orderpriority"]),
+        )
+
+    return snapshot_diff(
+        rendered.map_batches(_old, batch_format="pyarrow"),
+        rendered.map_batches(_new, batch_format="pyarrow"),
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "price_cents", "o_orderpriority"],
+        key_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2864,6 +2975,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_bigram_ppl": q_doc_bigram_ppl,
     "events_window_distinct": q_events_window_distinct,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "doc_bm25_mlt": q_doc_bm25_mlt,
+    "events_in_purchase_windows": q_events_in_purchase_windows,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
 }
 
 _N_TOKENS_SQL = (
@@ -3811,5 +3925,103 @@ ORACLE_SQL: dict[str, str] = {
         FROM q, s
         WHERE s.cum >= greatest(1, CAST(ceil(q.q * s.tot) AS BIGINT))
         GROUP BY s.source, q.q
+    """,
+    # Integer fixed-point BM25 (k1=1.2, b=0.75, ln-free rational IDF
+    # ((N-df)*1000)//df) — every floor division mirrors
+    # stages/retrieval.py bit-for-bit.
+    "doc_bm25_mlt": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS token
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) * 1000 // count(*) AS avgdl_milli
+          FROM dl
+        ),
+        q AS (
+          SELECT DISTINCT doc_id AS query_id, token FROM tok
+          WHERE doc_id IN (0, 7, 42)
+        ),
+        df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM tok
+          WHERE token IN (SELECT token FROM q) GROUP BY token
+        ),
+        idf AS (
+          SELECT token,
+                 ((SELECT n_docs FROM stats) - df) * 1000 // df AS idf_milli
+          FROM df
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 idf.idf_milli
+                   * (tf.tf * 2200 * 1000
+                      // (tf.tf * 1000
+                          + (1200 * (1000 - 750
+                                     + (750 * (dl.dl * 1000000
+                                               // (SELECT avgdl_milli FROM stats)))
+                                       // 1000))
+                            // 1000))
+                   // 1000 AS c
+          FROM q
+          JOIN tf ON tf.token = q.token
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN idf ON idf.token = q.token
+        ),
+        scored AS (
+          SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_milli
+          FROM contrib GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, score_milli,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_milli DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, doc_id, score_milli, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """,
+    "events_in_purchase_windows": """
+        WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          event_type
+                   FROM events),
+             p AS (SELECT event_id AS purchase_id, ts_us AS start_us,
+                          ts_us + 600000000 AS end_us
+                   FROM e WHERE event_type = 'purchase')
+        SELECT e.event_id, e.ts_us, p.purchase_id, p.start_us, p.end_us
+        FROM e JOIN p ON e.ts_us >= p.start_us AND e.ts_us < p.end_us
+    """,
+    "orders_snapshot_diff": """
+        WITH r AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 o_orderpriority
+          FROM orders
+        ),
+        o AS (
+          SELECT o_orderkey,
+                 md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                               CAST(price_cents AS VARCHAR), o_orderpriority)) AS h
+          FROM r WHERE o_orderkey % 13 <> 0
+        ),
+        n AS (
+          SELECT o_orderkey,
+                 md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                               CAST(price_cents AS VARCHAR),
+                               CASE WHEN o_orderkey % 7 = 0 THEN '0-RESTATED'
+                                    ELSE o_orderpriority END)) AS h
+          FROM r WHERE o_orderkey % 11 <> 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               coalesce(o.h, '') AS old_md5,
+               coalesce(n.h, '') AS new_md5
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        WHERE coalesce(o.h, '') <> coalesce(n.h, '')
     """,
 }

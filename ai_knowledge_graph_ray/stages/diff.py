@@ -1,0 +1,120 @@
+"""Keyed snapshot diff between two table versions.
+
+The reference's incremental story is "re-run and overwrite"
+(`scripts/clean_graph.py` rewrites the whole corpus JSON); a 100-TB
+pipeline instead needs to DIFF two snapshot versions — detect
+added / removed / changed rows by key — so downstream stages
+(re-embedding, re-indexing, KG update) can process only the delta.
+
+Plan: each side maps to ``(key cols..., md5-of-rendered-compare-cols)``
+— a map-only projection that drops the wide payload before the
+exchange — then ONE full-outer cogroup join on the keys classifies
+every key. The md5 travels as a hex STRING, immune to the 64-bit
+float-upcast hazard documented on ``cogroup_join``.
+
+Rendering contract (shared with the DuckDB oracle): each compare
+column is cast to its string form (`str(int)` / the string itself)
+and joined with ``'|'`` — i.e. ``md5(concat_ws('|', CAST(c1 AS
+VARCHAR), ...))`` in SQL. Restrict compare columns to integers and
+strings; floats must be integerized first (their SQL rendering is not
+reproducible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import normalize_blocks
+from .relational import cogroup_join
+
+
+def _row_md5(batch: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    if len(batch) == 0:
+        return np.empty(0, dtype=object)
+    rendered = batch[cols[0]].astype(str)
+    for c in cols[1:]:
+        rendered = rendered + "|" + batch[c].astype(str)
+    return np.fromiter(
+        (hashlib.md5(s.encode("utf-8")).hexdigest() for s in rendered.to_numpy()),
+        dtype=object,
+        count=len(batch),
+    )
+
+
+def _hash_side(
+    ds: ray.data.Dataset, key_cols: list[str], compare_cols: list[str], out_col: str
+) -> ray.data.Dataset:
+    def _project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[key_cols].copy()
+        out[out_col] = _row_md5(b, compare_cols)
+        return out
+
+    return ds.map_batches(_project, batch_format="pandas", batch_size=None)
+
+
+DIFF_CHANGE_FIELD = pa.field("change", pa.string())
+
+
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_cols: list[str],
+    compare_cols: list[str],
+    *,
+    key_schema: pa.Schema | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(key cols..., change, old_md5, new_md5)`` for every key whose
+    row was added, removed, or changed between ``old`` and ``new``
+    (unchanged keys are dropped). Missing-side hashes are ``''``.
+
+    ``key_schema`` (the Arrow types of the key columns) is required
+    when either side can be empty.
+    """
+    oh = _hash_side(old, key_cols, compare_cols, "old_md5")
+    nh = _hash_side(new, key_cols, compare_cols, "new_md5")
+    if key_schema is None:
+        # ds.schema().names/types work for both Arrow- and pandas-backed
+        # blocks (base_schema is a PandasBlockSchema namedtuple for the
+        # latter, which is not iterable as fields).
+        sch = old.schema()
+        by_name = dict(zip(sch.names, sch.types))
+        key_schema = pa.schema([pa.field(c, by_name[c]) for c in key_cols])
+    out_schema = pa.schema(
+        list(key_schema)
+        + [DIFF_CHANGE_FIELD, pa.field("old_md5", pa.string()), pa.field("new_md5", pa.string())]
+    )
+    l_schema = pa.schema(list(key_schema) + [pa.field("old_md5", pa.string())])
+    r_schema = pa.schema(list(key_schema) + [pa.field("new_md5", pa.string())])
+    j = cogroup_join(
+        oh,
+        nh,
+        key_cols,
+        how="full_outer",
+        num_buckets=num_buckets,
+        left_schema=l_schema,
+        right_schema=r_schema,
+    )
+
+    def _classify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({f.name: pd.Series([], dtype=object) for f in out_schema})
+        o = b["old_md5"].fillna("")
+        n = b["new_md5"].fillna("")
+        change = np.where(
+            o == "", "added", np.where(n == "", "removed", "changed")
+        )
+        out = b[key_cols].copy()
+        out["change"] = change
+        out["old_md5"] = o
+        out["new_md5"] = n
+        return out[(o != n).to_numpy()]
+
+    return normalize_blocks(
+        j.map_batches(_classify, batch_format="pandas", batch_size=None), out_schema
+    )
