@@ -2851,6 +2851,27 @@ def q_orders_snapshot_diff(sf_dir: str):
     )
 
 
+def q_doc_compression(sf_dir: str):
+    """zlib compression-ratio hygiene signal per document (integer
+    fixed-point, deterministic at level 6). Rows-only: DuckDB has no
+    zlib; determinism + bounds are pinned in test_stages_misc."""
+    from ..stages.text_analysis import compression_ratio
+
+    return compression_ratio(_docs(sf_dir))
+
+
+def q_orders_profile(sf_dir: str):
+    """Per-column data-quality profile of `orders` (nulls, exact
+    distinct, min/max): scalar stats are shuffle-free map-side
+    partials; distinct is one map-side-deduped pair shuffle."""
+    from ..stages.profile import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    return profile_table(
+        ray.data.read_parquet(_t(sf_dir, "orders"), columns=cols), cols
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -2978,6 +2999,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_bm25_mlt": q_doc_bm25_mlt,
     "events_in_purchase_windows": q_events_in_purchase_windows,
     "orders_snapshot_diff": q_orders_snapshot_diff,
+    "orders_profile": q_orders_profile,
+    "doc_compression": q_doc_compression,
 }
 
 _N_TOKENS_SQL = (
@@ -4024,4 +4047,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
         WHERE coalesce(o.h, '') <> coalesce(n.h, '')
     """,
+    "orders_profile": "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_v,
+                   CAST(max({c}) AS VARCHAR) AS max_v
+            FROM orders"""
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ),
 }

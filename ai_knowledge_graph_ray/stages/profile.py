@@ -1,0 +1,150 @@
+"""Distributed per-column data profile: the data-quality summary every
+ingest stage wants before a 100-TB run (null rates, exact distinct
+cardinality, min/max) — one row per profiled column.
+
+The reference's analogue is `health_check_full.py` (driver-side JSON
+integrity scans over the whole corpus); this is the distributed,
+columnar restatement.
+
+Two passes, both scale-safe:
+
+1. **Scalar stats** (count / nulls / min / max): map-side per-block
+   partials — ONE tiny row per (block, column) — reduced on the
+   driver (bounded by ``n_blocks x n_cols``). No shuffle at all.
+2. **Exact distinct counts**: per-block distinct ``(column, value)``
+   pairs (map-side dedup prunes repeats before the exchange), one
+   bucketed shuffle keyed on the pair, per-bucket count per column,
+   then a driver sum of ``<= n_buckets x n_cols`` partial rows.
+
+Values travel RENDERED AS STRINGS in the distinct pass (`str(int)` /
+the string itself), matching the DuckDB oracle's
+``count(DISTINCT col)`` (rendering is injective for ints and strings;
+floats must be integerized by the caller first). min/max compare in
+the NATIVE type (integer order for ints), rendered to strings only in
+the output row — mirror with ``CAST(min(col) AS VARCHAR)`` in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce
+
+PROFILE_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_null", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("min_v", pa.string()),
+        ("max_v", pa.string()),
+    ]
+)
+
+_PAIR_SCHEMA = pa.schema([("column", pa.string()), ("value", pa.string())])
+_DCOUNT_SCHEMA = pa.schema([("column", pa.string()), ("n_distinct", pa.int64())])
+
+
+def _render(s: pd.Series) -> pd.Series:
+    """Injective string rendering for ints and strings (the profile
+    contract); NaN/None stay null."""
+    mask = s.notna()
+    out = pd.Series(np.full(len(s), None, dtype=object), index=s.index)
+    out[mask] = s[mask].astype(str)
+    return out
+
+
+def profile_table(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """One ``(column, n_rows, n_null, n_distinct, min_v, max_v)`` row
+    per profiled column. ``n_distinct`` excludes nulls; ``min_v`` /
+    ``max_v`` are null-skipping and rendered as strings.
+    """
+    slim = ds.select_columns(columns)
+
+    # --- pass 1: scalar stats, no shuffle ----------------------------
+    def _partial_stats(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = b[c] if c in b.columns else pd.Series([], dtype=object)
+            nn = s.notna()
+            sub = s[nn]
+            rows.append(
+                {
+                    "column": c,
+                    "n_rows": len(s),
+                    "n_null": int((~nn).sum()),
+                    "has_vals": len(sub) > 0,
+                    "min_n": sub.min() if len(sub) else None,
+                    "max_n": sub.max() if len(sub) else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = slim.map_batches(
+        _partial_stats, batch_format="pandas", batch_size=None
+    ).to_pandas()  # bounded: n_blocks x n_cols tiny rows
+
+    # --- pass 2: exact distinct via map-side-deduped pair shuffle ----
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            if c not in b.columns:
+                continue
+            vals = _render(b[c]).dropna().drop_duplicates()
+            if len(vals):
+                frames.append(pd.DataFrame({"column": c, "value": vals.to_numpy(object)}))
+        if not frames:
+            return pd.DataFrame(
+                {"column": pd.Series([], dtype=object), "value": pd.Series([], dtype=object)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def _count_per_col(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        vc = d["column"].value_counts(sort=False)
+        return pd.DataFrame(
+            {"column": vc.index.to_numpy(object), "n_distinct": vc.to_numpy(np.int64)}
+        )
+
+    dparts = bucketed_reduce(
+        slim,
+        ["column", "value"],
+        _count_per_col,
+        _DCOUNT_SCHEMA,
+        combiner=_pairs,
+        num_buckets=num_buckets,
+    ).to_pandas()  # bounded: n_buckets x n_cols
+    if "column" not in dparts.columns:  # all-empty result loses schema
+        dparts = pd.DataFrame({"column": [], "n_distinct": []})
+    if "column" not in parts.columns:
+        parts = pd.DataFrame(
+            {"column": [], "n_rows": [], "n_null": [], "has_vals": [],
+             "min_n": [], "max_n": []}
+        )
+
+    # --- assemble on the driver (n_cols rows) -------------------------
+    out_rows = []
+    for c in columns:
+        p = parts[parts["column"] == c]
+        withv = p[p["has_vals"]]
+        d = dparts[dparts["column"] == c]
+        out_rows.append(
+            {
+                "column": c,
+                "n_rows": int(p["n_rows"].sum()),
+                "n_null": int(p["n_null"].sum()),
+                "n_distinct": int(d["n_distinct"].sum()) if len(d) else 0,
+                "min_v": str(withv["min_n"].min()) if len(withv) else None,
+                "max_v": str(withv["max_n"].max()) if len(withv) else None,
+            }
+        )
+    tbl = pa.Table.from_pandas(pd.DataFrame(out_rows), schema=PROFILE_SCHEMA)
+    return ray.data.from_arrow(tbl)

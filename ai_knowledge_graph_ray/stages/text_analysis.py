@@ -175,3 +175,38 @@ def simhash64(text: str) -> int:
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out_bits = (acc > 0).astype(np.uint8)
     return int.from_bytes(np.packbits(out_bits, bitorder="big").tobytes(), "big")
+
+
+def compression_ratio(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the CCNet/RefinedWeb-style
+    "too repetitive / too random" hygiene signal: highly repetitive
+    boilerplate compresses far below ~0.3x, random/binary junk sits
+    near 1x, natural prose lands in between.
+
+    ``ratio_milli = compressed_bytes * 1000 // max(1, raw_bytes)`` —
+    integer fixed-point at zlib level 6 (deterministic: fixed level,
+    single stream, no dictionary). The per-row loop body is C (zlib),
+    same pattern as the md5 ``fingerprints`` kernel; no SQL oracle
+    (DuckDB has no zlib), rows-only + pinned unit tests.
+    """
+    import zlib
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        raw = [s.encode("utf-8") for s in t.to_numpy(dtype=object)]
+        n_bytes = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+        n_comp = np.fromiter(
+            (len(zlib.compress(b, 6)) for b in raw), dtype=np.int64, count=len(raw)
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_bytes": n_bytes,
+                "n_compressed": n_comp,
+                "ratio_milli": n_comp * 1000 // np.maximum(1, n_bytes),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")

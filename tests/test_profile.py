@@ -1,0 +1,67 @@
+"""Table profiler: per-column null/distinct/min/max vs a DuckDB
+UNION-ALL oracle, null handling, partition invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ai_knowledge_graph_ray.stages.profile import profile_table
+
+
+def _frame(rng: np.random.RandomState, n: int = 2000) -> pd.DataFrame:
+    ints = rng.randint(0, 50, n).astype("int64")
+    strs = rng.choice(np.array(["alpha", "beta", "gamma", None], dtype=object), n)
+    nullable_ints = pd.array(
+        [None if rng.rand() < 0.1 else int(v) for v in ints], dtype="Int64"
+    )
+    return pd.DataFrame({"k": ints, "s": strs, "m": nullable_ints})
+
+
+def _oracle(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_v,
+                   CAST(max({c}) AS VARCHAR) AS max_v
+            FROM t"""
+        for c in cols
+    )
+    return con.execute(sql).df()
+
+
+class TestProfileTable:
+    def test_matches_duckdb_oracle(self):
+        df = _frame(np.random.RandomState(5))
+        cols = ["k", "s", "m"]
+        got = (
+            profile_table(ray.data.from_pandas(df).repartition(5), cols)
+            .to_pandas()
+            .sort_values("column")
+            .reset_index(drop=True)
+        )
+        want = _oracle(df, cols).sort_values("column").reset_index(drop=True)
+        for c in ["column", "n_rows", "n_null", "n_distinct", "min_v", "max_v"]:
+            assert got[c].tolist() == want[c].tolist(), c
+
+    def test_all_null_column(self):
+        df = pd.DataFrame({"x": pd.array([None, None, None], dtype="Int64")})
+        got = profile_table(ray.data.from_pandas(df).repartition(2), ["x"]).to_pandas()
+        row = got.iloc[0]
+        assert row["n_rows"] == 3 and row["n_null"] == 3
+        assert row["n_distinct"] == 0
+        assert row["min_v"] is None and row["max_v"] is None
+
+    def test_partition_invariance(self):
+        df = _frame(np.random.RandomState(8), n=500)
+        a = profile_table(ray.data.from_pandas(df).repartition(1), ["k", "s"]).to_pandas()
+        b = profile_table(ray.data.from_pandas(df).repartition(9), ["k", "s"]).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("column").reset_index(drop=True),
+            b.sort_values("column").reset_index(drop=True),
+        )

@@ -928,3 +928,41 @@ class TestCompactSink:
         import os
 
         assert not os.path.exists(tmp_path / "dst2")
+
+
+class TestCompressionRatio:
+    def test_pinned_values_and_determinism(self):
+        import zlib
+
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.text_analysis import compression_ratio
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+                "text": [
+                    "spam " * 200,          # highly repetitive -> tiny ratio
+                    "the quick brown fox jumps over the lazy dog",
+                    "",                      # empty: 0 bytes
+                    None,                    # null treated as ""
+                ],
+            }
+        )
+        out = (
+            compression_ratio(ray.data.from_pandas(docs).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # exact zlib-level-6 twin computed in-test
+        for i, s in enumerate(["spam " * 200,
+                               "the quick brown fox jumps over the lazy dog", "", ""]):
+            raw = s.encode()
+            assert out.loc[i, "n_bytes"] == len(raw)
+            assert out.loc[i, "n_compressed"] == len(zlib.compress(raw, 6))
+            assert out.loc[i, "ratio_milli"] == len(zlib.compress(raw, 6)) * 1000 // max(
+                1, len(raw)
+            )
+        # repetitive text compresses far below prose
+        assert out.loc[0, "ratio_milli"] < 100 < out.loc[1, "ratio_milli"]
