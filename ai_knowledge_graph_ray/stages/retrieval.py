@@ -128,33 +128,30 @@ def bm25_more_like_this(
     qterms = qterms_ds.to_pandas().drop_duplicates()
     qvocab = np.asarray(sorted(qterms["token"].unique()), dtype=object)
 
-    # --- corpus stats: N (docs with >=1 token) and total tokens ------
-    def _stats(b: pd.DataFrame) -> pd.DataFrame:
-        n = _tokens(b[text_col]).str.len().to_numpy(np.int64)
-        return pd.DataFrame(
-            {"n_docs": [int((n > 0).sum())], "total": [int(n.sum())]}
-        )
-
-    stats = slim.map_batches(_stats, batch_format="pandas", batch_size=None).to_pandas()
-    n_docs = int(stats["n_docs"].sum())
-    total_tokens = int(stats["total"].sum())
-    if n_docs == 0:
-        return ray.data.from_arrow(BM25_SCHEMA.empty_table())
-    avgdl_milli = total_tokens * 1000 // n_docs
-
-    # --- df for query-vocab tokens only (one small bucketed sum) -----
+    # --- corpus stats + df in ONE scan: the stats partials (docs with
+    # >=1 token, total tokens) travel as sentinel rows through the same
+    # bucketed sum as the per-token dfs ("#..." can never collide
+    # with a \w+ token), so the corpus is read once here, not twice ----
+    _S_DOCS, _S_TOKENS = "#stats_docs", "#stats_tokens"
     qvocab_ref = ray.put(qvocab)
 
     def _df_partial(b: pd.DataFrame) -> pd.DataFrame:
         qv = ray.get(qvocab_ref) if isinstance(qvocab_ref, ray.ObjectRef) else qvocab_ref
+        n = _tokens(b[text_col]).str.len().to_numpy(np.int64) if len(b) else np.zeros(0, np.int64)
         e = _doc_token_frame(b, id_col, text_col)
         e = e[e["token"].isin(qv)].drop_duplicates()
-        if len(e) == 0:
-            return pd.DataFrame(
-                {"token": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
-            )
         vc = e["token"].value_counts(sort=False)
-        return pd.DataFrame({"token": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
+        return pd.DataFrame(
+            {
+                "token": np.concatenate(
+                    [vc.index.to_numpy(object), np.array([_S_DOCS, _S_TOKENS], object)]
+                ),
+                "df": np.concatenate(
+                    [vc.to_numpy(np.int64),
+                     np.array([int((n > 0).sum()), int(n.sum())], np.int64)]
+                ),
+            }
+        )
 
     df_ds = bucketed_reduce(
         slim,
@@ -163,7 +160,15 @@ def bm25_more_like_this(
         _DF_SCHEMA,
         combiner=_df_partial,
     )
-    df_pd = df_ds.to_pandas()  # bounded by |query vocab| (gated above)
+    df_pd = df_ds.to_pandas()  # bounded by |query vocab| + 2 (gated above)
+    sent = df_pd["token"].isin([_S_DOCS, _S_TOKENS])
+    by_tok = dict(zip(df_pd.loc[sent, "token"], df_pd.loc[sent, "df"]))
+    n_docs = int(by_tok.get(_S_DOCS, 0))
+    total_tokens = int(by_tok.get(_S_TOKENS, 0))
+    df_pd = df_pd[~sent]
+    if n_docs == 0:
+        return ray.data.from_arrow(BM25_SCHEMA.empty_table())
+    avgdl_milli = total_tokens * 1000 // n_docs
 
     # idf_milli = ((N - df) * 1000) // df  — ln-free rational IDF
     df_pd["idf_milli"] = ((n_docs - df_pd["df"].to_numpy(np.int64)) * 1000) // df_pd[
