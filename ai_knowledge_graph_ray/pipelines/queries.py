@@ -2872,6 +2872,106 @@ def q_orders_profile(sf_dir: str):
     )
 
 
+def q_customer_fuzzy_names(sf_dir: str):
+    """Typo-tolerant self-join: all customer-name pairs within
+    Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    (one variant shuffle + one pair dedup; vectorized verify) instead
+    of the O(n²) cross scan the oracle runs."""
+    from ..stages.fuzzy import fuzzy_pairs
+
+    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_name"])
+    return fuzzy_pairs(cust, "c_name")
+
+
+_SKYLINE_SCHEMA = pa.schema(
+    [("o_orderkey", pa.int64()), ("price_cents", pa.int64()), ("date_day", pa.int64())]
+)
+
+
+def q_orders_skyline(sf_dir: str):
+    """Pareto frontier of orders (maximize price, minimize order
+    date): per-block local skyline + one tiny merge — the skyline
+    operator is associative over unions, so nothing shuffles."""
+    from ..stages.skyline import pareto_front
+
+    base = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(b["o_orderdate"], pa.int64()), 86_400_000_000)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "price_cents": _cents(b["o_totalprice"]),
+                "date_day": days,
+            }
+        )
+
+    return pareto_front(
+        base.map_batches(_prep, batch_format="pyarrow"),
+        max_col="price_cents",
+        min_col="date_day",
+        schema=_SKYLINE_SCHEMA,
+    )
+
+
+_TREND_BASE_DAY = 8035  # 1992-01-01 in epoch days (keeps x*y far below 2^63)
+
+
+def q_orders_price_trend(sf_dir: str):
+    """Exact integer-rational OLS slope of order price (cents) over
+    order date (days since 1992-01-01), per priority class — five
+    int64 sufficient statistics map-side, one bucketed exchange,
+    arbitrary-precision final arithmetic on the per-group residue."""
+    from ..stages.regress import grouped_ols_slope
+
+    base = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice", "o_orderdate"]
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(b["o_orderdate"], pa.int64()), 86_400_000_000)
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "x_day": pc.subtract(days, _TREND_BASE_DAY),
+                "y_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    return grouped_ols_slope(
+        base.map_batches(_prep, batch_format="pyarrow"),
+        "o_orderpriority",
+        "x_day",
+        "y_cents",
+    )
+
+
+def q_events_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences with exact integer row probabilities — one user-bucket
+    shuffle emitting pre-aggregated pair counts, one tiny pair
+    exchange."""
+    from ..stages.sessions import transition_counts
+
+    return transition_counts(
+        ray.data.read_parquet(
+            _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+        )
+    )
+
+
+def q_doc_length_outliers(sf_dir: str):
+    """Robust document-length outliers via all-integer median/MAD
+    (|len − med| > 3·MAD): two distinct-value histogram shuffles for
+    the scalars, one map-only flag pass."""
+    from ..stages.quantiles import mad_outliers
+
+    counts = token_counts(_docs(sf_dir)).materialize()
+    return mad_outliers(counts, "doc_id", "n_tokens", k=3)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3001,6 +3101,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "orders_profile": q_orders_profile,
     "doc_compression": q_doc_compression,
+    "customer_fuzzy_names": q_customer_fuzzy_names,
+    "orders_skyline": q_orders_skyline,
+    "orders_price_trend": q_orders_price_trend,
+    "events_transitions": q_events_transitions,
+    "doc_length_outliers": q_doc_length_outliers,
 }
 
 _N_TOKENS_SQL = (
@@ -4056,4 +4161,70 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders"""
         for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     ),
+    "customer_fuzzy_names": """
+        SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+        FROM customer a, customer b
+        WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "orders_skyline": """
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 epoch_us(o_orderdate) // 86400000000 AS date_day
+          FROM orders
+        ),
+        g AS (SELECT price_cents, min(date_day) AS md FROM t GROUP BY price_cents),
+        w AS (
+          SELECT price_cents, md,
+                 min(md) OVER (ORDER BY price_cents DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+          FROM g
+        )
+        SELECT t.o_orderkey, t.price_cents, CAST(t.date_day AS BIGINT) AS date_day
+        FROM t JOIN w ON t.price_cents = w.price_cents AND t.date_day = w.md
+        WHERE w.prev_min IS NULL OR w.md < w.prev_min
+    """,
+    "orders_price_trend": """
+        WITH t AS (
+          SELECT o_orderpriority,
+                 CAST(epoch_us(o_orderdate) // 86400000000 - 8035 AS HUGEINT) AS x,
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS y
+          FROM orders
+        ),
+        a AS (
+          SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+          FROM t GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                    ELSE CAST(((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx) AS BIGINT)
+               END AS slope_micro
+        FROM a
+    """,
+    "events_transitions": """
+        WITH seq AS (
+          SELECT event_type AS next_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ),
+        agg AS (
+          SELECT prev_type, next_type, count(*) AS c
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, CAST(c AS BIGINT) AS cnt,
+               CAST((1000 * c) // sum(c) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_milli
+        FROM agg
+    """,
+    "doc_length_outliers": f"""
+        WITH t AS (SELECT doc_id, CAST({_N_TOKENS_SQL} AS BIGINT) AS v FROM documents),
+        m AS (SELECT quantile_disc(v, 0.5) AS med FROM t),
+        d AS (SELECT doc_id, v, abs(v - (SELECT med FROM m)) AS dev FROM t),
+        md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+        SELECT doc_id AS id, v AS value,
+               CAST((SELECT med FROM m) AS BIGINT) AS med,
+               CAST((SELECT mad FROM md) AS BIGINT) AS mad,
+               CAST(dev > 3 * (SELECT mad FROM md) AS BIGINT) AS is_outlier
+        FROM d
+    """,
 }

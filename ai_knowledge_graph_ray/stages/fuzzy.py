@@ -1,0 +1,216 @@
+"""Fuzzy string self-join: all pairs within Levenshtein distance 1.
+
+The reference's entity standardization matches variants by normalized
+keys, word subsets, and 4-char stem prefixes
+(`src/knowledge_graph/entity_standardization.py:86-151`); it has no
+typo-tolerant matcher. A web-scale curation pipeline needs one — OCR
+noise, near-identical boilerplate ids, entity-name typos — and the
+naive form is an all-pairs O(n^2) edit-distance scan.
+
+This module implements the classic FastSS / deletion-neighborhood
+blocking scheme (Bocek et al., "Fast Similarity Search in Large
+Dictionaries", 2007 — public): two strings with lev(a, b) <= 1 must
+share a member of their depth-1 deletion neighborhoods (the string
+itself plus every single-character deletion). So:
+
+- explode each DISTINCT string into its <= len+1 deletion variants
+  (vectorized per length group via fixed-width char matrices — no
+  per-string Python loop),
+- ONE bucketed shuffle keyed on the variant; within each bucket,
+  candidate pairs come from the same sorted-run pair-template
+  generator dedup.py uses (``cap`` bounds per-variant blowup — skew
+  defense for heavy shared prefixes),
+- dedup candidates across variants (map-side combiner + one bucketed
+  exchange), then a map-only VECTORIZED lev<=1 verification
+  (fixed-width char-matrix compare; no Python-level edit-distance
+  loop) keeps exactly the true pairs.
+
+Shared-variant blocking guarantees candidates have lev <= 2, so the
+verifier only needs the lev<=1 decision procedure: equal lengths ->
+at most one mismatching position; lengths off by one -> the longer
+string minus one char equals the shorter (prefix/suffix match around
+the first mismatch).
+
+The result is exact — the DuckDB oracle is a literal
+``levenshtein(a, b) <= 1`` cross self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce, normalize_blocks
+
+FUZZY_PAIR_SCHEMA = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+_VARIANT_SCHEMA = pa.schema([("variant", pa.string()), ("name", pa.string())])
+
+
+def _char_matrix(strs: np.ndarray, length: int) -> np.ndarray:
+    """(n, length) single-char matrix of equal-length strings."""
+    return np.asarray(strs, dtype=f"U{length}").view("U1").reshape(len(strs), length)
+
+
+def _deletion_variants(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``(variant, original)`` arrays: each string itself plus every
+    single-character deletion. Vectorized per length group; the only
+    Python loop is over distinct lengths x positions."""
+    strs = np.asarray(strs, dtype=object)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    out_v = [strs]  # depth-0: the string itself
+    out_o = [strs]
+    for L in np.unique(lens):
+        L = int(L)
+        if L == 0:
+            continue
+        grp = strs[lens == L]
+        if L == 1:
+            out_v.append(np.full(len(grp), "", dtype=object))
+            out_o.append(grp)
+            continue
+        chars = _char_matrix(grp, L)
+        for i in range(L):
+            var = (
+                np.ascontiguousarray(np.hstack((chars[:, :i], chars[:, i + 1 :])))
+                .view(f"U{L - 1}")
+                .reshape(len(grp))
+            )
+            out_v.append(var.astype(object))
+            out_o.append(grp)
+    return np.concatenate(out_v), np.concatenate(out_o)
+
+
+def _lev_le1_equal_len(a: np.ndarray, b: np.ndarray, L: int) -> np.ndarray:
+    if L == 0:
+        return np.ones(len(a), dtype=bool)
+    A, B = _char_matrix(a, L), _char_matrix(b, L)
+    return (A != B).sum(axis=1) <= 1
+
+
+def _lev_le1_off_by_one(a: np.ndarray, b: np.ndarray, L: int) -> np.ndarray:
+    """a has length L, b has length L+1: is b == a with one insert?"""
+    if L == 0:
+        return np.ones(len(a), dtype=bool)
+    A = _char_matrix(a, L)
+    B = _char_matrix(b, L + 1)
+    eq1 = A == B[:, :L]
+    # first position where a and b disagree (L when b = a + trailing char)
+    p = np.where(eq1.all(axis=1), L, np.argmin(eq1, axis=1))
+    eq2 = A == B[:, 1:]
+    # suffix_all[:, j] == eq2[:, j:].all(); sentinel True column at L
+    suffix_all = np.ones((len(a), L + 1), dtype=bool)
+    suffix_all[:, :L] = np.logical_and.accumulate(eq2[:, ::-1], axis=1)[:, ::-1]
+    return suffix_all[np.arange(len(a)), p]
+
+
+def lev_le1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized ``levenshtein(a, b) <= 1`` for string arrays —
+    processed per (len(a), len(b)) group with fixed-width char
+    matrices, no per-pair Python edit-distance."""
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    la = np.fromiter((len(s) for s in a), dtype=np.int64, count=len(a))
+    lb = np.fromiter((len(s) for s in b), dtype=np.int64, count=len(b))
+    # orient: s = shorter, t = longer
+    swap = la > lb
+    s, t = a.copy(), b.copy()
+    s[swap], t[swap] = b[swap], a[swap]
+    ls, lt = np.minimum(la, lb), np.maximum(la, lb)
+    out = np.zeros(len(a), dtype=bool)
+    eq = ls == lt
+    for L in np.unique(ls[eq]):
+        m = eq & (ls == L)
+        out[m] = _lev_le1_equal_len(s[m], t[m], int(L))
+    off1 = lt == ls + 1
+    for L in np.unique(ls[off1]):
+        m = off1 & (ls == L)
+        out[m] = _lev_le1_off_by_one(s[m], t[m], int(L))
+    return out
+
+
+def fuzzy_pairs(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    per_variant_cap: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """All DISTINCT value pairs of ``ds[col]`` with Levenshtein
+    distance <= 1, as ``(name_a, name_b)`` with ``name_a < name_b``.
+
+    One bucketed exchange over deletion variants + one over candidate
+    pairs; verification is map-only. ``per_variant_cap`` bounds pair
+    generation under a hot shared variant (skew defense; capping can
+    drop true pairs for variants shared by > ~sqrt(2*cap) strings —
+    raise it if exactness under extreme skew matters more than memory).
+    """
+    distinct = bucketed_reduce(
+        ds.select_columns([col]),
+        [col],
+        lambda g: g.drop_duplicates([col]),
+        pa.schema([(col, pa.string())]),
+        combiner=lambda b: b.drop_duplicates([col]),
+        num_buckets=num_buckets,
+    )
+
+    def _variants(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"variant": pd.Series(dtype=object), "name": pd.Series(dtype=object)}
+            )
+        v, o = _deletion_variants(b[col].to_numpy(dtype=object))
+        return pd.DataFrame({"variant": v, "name": o})
+
+    variants = distinct.map_batches(_variants, batch_format="pandas", batch_size=None)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["variant"].to_numpy(dtype=object)
+        names = g["name"].to_numpy(dtype=object)
+        order = np.lexsort((names, keys))
+        keys, names = keys[order], names[order]
+        dup = np.zeros(len(keys), dtype=bool)
+        if len(keys):
+            dup[1:] = (keys[1:] == keys[:-1]) & (names[1:] == names[:-1])
+        keys, names = keys[~dup], names[~dup]
+        from .dedup import _pair_indices_by_size
+
+        codes = pd.factorize(keys)[0]
+        I, J = _pair_indices_by_size(codes, cap=per_variant_cap)
+        a, b = names[I], names[J]
+        # candidates from a shared variant have |len diff| <= 2; only
+        # <= 1 can verify — drop the rest before the pair-dedup exchange
+        la = np.fromiter((len(x) for x in a), dtype=np.int64, count=len(a))
+        lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=len(b))
+        keep = np.abs(la - lb) <= 1
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"name_a": lo, "name_b": hi}).drop_duplicates()
+
+    cand = bucketed_reduce(
+        variants, ["variant"], _bucket_pairs, FUZZY_PAIR_SCHEMA, num_buckets=num_buckets
+    )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["name_a", "name_b"])
+
+    cand = bucketed_reduce(
+        cand, ["name_a", "name_b"], _dd, FUZZY_PAIR_SCHEMA, combiner=_dd,
+        num_buckets=num_buckets,
+    )
+
+    def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        ok = lev_le1_mask(
+            b["name_a"].to_numpy(dtype=object), b["name_b"].to_numpy(dtype=object)
+        )
+        return b[ok]
+
+    return normalize_blocks(
+        cand.map_batches(_verify, batch_format="pandas", batch_size=None),
+        FUZZY_PAIR_SCHEMA,
+    )

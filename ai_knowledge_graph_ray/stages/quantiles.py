@@ -308,3 +308,72 @@ def percentile_ranks(
     return ds.select_columns([id_col, value_col]).map_batches(
         _rank, batch_format="pandas"
     )
+
+
+MAD_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("value", pa.int64()),
+        ("med", pa.int64()),
+        ("mad", pa.int64()),
+        ("is_outlier", pa.int64()),
+    ]
+)
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    *,
+    k: int = 3,
+    driver_max_distinct: int = DRIVER_MAX_DISTINCT,
+) -> ray.data.Dataset:
+    """Robust outlier flags via median absolute deviation, all-integer:
+    ``med = quantile_disc(0.5)`` of the value, ``mad =
+    quantile_disc(0.5)`` of ``|v − med|``, and a row is an outlier iff
+    ``|v − med| > k·mad`` (the integer analogue of the classic
+    3-sigma-equivalent MAD rule — no 1.4826 float constant, so the
+    DuckDB oracle is bit-exact).
+
+    Cost: two histogram shuffles (each over DISTINCT values, tiny for
+    count-like columns) + one map-only flag pass with the two scalars
+    in the task closure. Output columns are generic ``(id, value,
+    med, mad, is_outlier)``.
+    """
+    med = int(
+        exact_quantiles(
+            ds, value_col, (0.5,), driver_max_distinct=driver_max_distinct
+        )["value"][0].as_py()
+    )
+
+    def _dev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"dev": np.abs(b[value_col].to_numpy(np.int64) - med)}
+        )
+
+    devs = ds.map_batches(_dev, batch_format="pandas", batch_size=None)
+    mad = int(
+        exact_quantiles(
+            devs, "dev", (0.5,), driver_max_distinct=driver_max_distinct
+        )["value"][0].as_py()
+    )
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.int64)
+        dev = np.abs(v - med)
+        return pd.DataFrame(
+            {
+                "id": b[id_col].to_numpy(np.int64),
+                "value": v,
+                "med": np.full(len(b), med, np.int64),
+                "mad": np.full(len(b), mad, np.int64),
+                "is_outlier": (dev > k * mad).astype(np.int64),
+            }
+        )
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        ds.map_batches(_flag, batch_format="pandas", batch_size=None), MAD_SCHEMA
+    )

@@ -494,3 +494,66 @@ def funnel_counts(
         pa.schema([("stage", pa.string()), ("n", pa.int64())]),
     )
     return grouped_sums(partials, ["stage"], {"n_users": "n"})
+
+
+TRANSITION_SCHEMA = pa.schema(
+    [
+        ("prev_type", pa.string()),
+        ("next_type", pa.string()),
+        ("cnt", pa.int64()),
+        ("prob_milli", pa.int64()),
+    ]
+)
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(prev_type, next_type, cnt, prob_milli)`` where
+    ``prob_milli = 1000*cnt // Σ cnt over the same prev_type``.
+
+    Plan: ONE bucket shuffle on the user (vectorized within-bucket
+    sort + shift emits per-bucket PRE-AGGREGATED pair counts — the
+    second exchange moves at most ``|types|² × buckets`` rows), then a
+    bucketed sum keyed on ``prev_type`` whose reducer sees every pair
+    of a prev_type and computes the exact integer row-probability.
+    Deterministic event order ``(ts, event_id)`` (duplicate timestamps
+    exist in real logs).
+    """
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values([user_col, ts_col, id_col], kind="stable")
+        prev = b.groupby(user_col, sort=False)[type_col].shift(1)
+        t = pd.DataFrame({"prev_type": prev, "next_type": b[type_col]}).dropna(
+            subset=["prev_type"]
+        )
+        out = t.groupby(["prev_type", "next_type"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    pair_partials = bucketed_reduce(
+        events.select_columns([user_col, ts_col, id_col, type_col]),
+        [user_col],
+        _pairs,
+        pa.schema(
+            [("prev_type", pa.string()), ("next_type", pa.string()), ("cnt", pa.int64())]
+        ),
+    )
+
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["prev_type", "next_type"], sort=False, as_index=False)["cnt"].sum()
+
+    def _probs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["prev_type", "next_type"], sort=False, as_index=False)["cnt"].sum()
+        tot = agg.groupby("prev_type", sort=False)["cnt"].transform("sum")
+        agg["prob_milli"] = (1000 * agg["cnt"].astype("int64")) // tot.astype("int64")
+        return agg
+
+    return bucketed_reduce(
+        pair_partials, ["prev_type"], _probs, TRANSITION_SCHEMA, combiner=_combine
+    )

@@ -1,0 +1,235 @@
+"""Sixth-session operators: fuzzy lev<=1 self-join (FastSS blocking),
+2-D skyline, exact integer OLS trend, Markov transitions, MAD
+outliers. Each is checked against an in-memory brute-force twin."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ai_knowledge_graph_ray.stages.fuzzy import (
+    _deletion_variants,
+    fuzzy_pairs,
+    lev_le1_mask,
+)
+from ai_knowledge_graph_ray.stages.quantiles import mad_outliers
+from ai_knowledge_graph_ray.stages.regress import _trunc_div, grouped_ols_slope
+from ai_knowledge_graph_ray.stages.sessions import transition_counts
+from ai_knowledge_graph_ray.stages.skyline import _local_skyline, pareto_front
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return d[n]
+
+
+class TestFuzzy:
+    def test_lev_le1_mask_vs_bruteforce(self):
+        rng = random.Random(7)
+        strs = sorted(
+            {"".join(rng.choice("abc") for _ in range(rng.randint(0, 5))) for _ in range(120)}
+        )
+        pairs = list(itertools.combinations(strs, 2))
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        got = lev_le1_mask(a, b)
+        want = np.array([_lev(x, y) <= 1 for x, y in pairs])
+        assert (got == want).all()
+
+    def test_deletion_variants(self):
+        v, o = _deletion_variants(np.array(["ab", "x", ""], dtype=object))
+        got = sorted(zip(o, v))
+        assert got == [("", ""), ("ab", "a"), ("ab", "ab"), ("ab", "b"), ("x", ""), ("x", "x")]
+
+    def test_fuzzy_pairs_end_to_end(self):
+        rng = random.Random(13)
+        base = [f"entity{idx:04d}" for idx in range(80)]
+        # planted typos: substitution, deletion, insertion
+        strs = base + ["entity0001x", "entiti0002", "entty0003", "zzzz", "entity0004"]
+        rng.shuffle(strs)
+        ds = ray.data.from_pandas(pd.DataFrame({"c_name": strs}))
+        got = fuzzy_pairs(ds, "c_name").to_pandas()
+        got_set = set(zip(got["name_a"], got["name_b"]))
+        uniq = sorted(set(strs))
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(uniq, 2)
+            if _lev(a, b) <= 1
+        }
+        assert got_set == want
+        assert len(got) == len(got_set)  # no duplicate pairs
+        # sanity: the planted typos are found
+        assert ("entity0001", "entity0001x") in got_set
+        assert ("entiti0002", "entity0002") in got_set
+
+
+def _brute_skyline(df: pd.DataFrame) -> set[tuple[int, int, int]]:
+    rows = list(df.itertuples(index=False))
+    out = set()
+    for r in rows:
+        dominated = any(
+            (s.price_cents >= r.price_cents and s.date_day <= r.date_day)
+            and (s.price_cents > r.price_cents or s.date_day < r.date_day)
+            for s in rows
+        )
+        if not dominated:
+            out.add((r.o_orderkey, r.price_cents, r.date_day))
+    return out
+
+
+class TestSkyline:
+    def _frame(self, seed: int, n: int) -> pd.DataFrame:
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "price_cents": rng.integers(0, 50, n).astype(np.int64),
+                "date_day": rng.integers(0, 50, n).astype(np.int64),
+            }
+        )
+
+    def test_local_skyline_vs_bruteforce(self):
+        for seed in (1, 2, 3):
+            df = self._frame(seed, 200)
+            got = _local_skyline(df, "price_cents", "date_day")
+            assert set(map(tuple, got.to_numpy())) == _brute_skyline(df)
+
+    def test_distributed_equals_local(self):
+        df = self._frame(9, 500)
+        schema = pa.schema(
+            [("o_orderkey", pa.int64()), ("price_cents", pa.int64()), ("date_day", pa.int64())]
+        )
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = pareto_front(
+            ds, max_col="price_cents", min_col="date_day", schema=schema
+        ).to_pandas()
+        assert set(map(tuple, got.to_numpy())) == _brute_skyline(df)
+
+    def test_ties_all_kept(self):
+        df = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "price_cents": [10, 10, 5],
+                "date_day": [3, 3, 1],
+            }
+        ).astype("int64")
+        got = _local_skyline(df, "price_cents", "date_day")
+        assert sorted(got["o_orderkey"]) == [1, 2, 3]
+
+
+class TestOlsSlope:
+    def test_trunc_div_matches_duckdb_semantics(self):
+        assert _trunc_div(7, 2) == 3
+        assert _trunc_div(-7, 2) == -3
+        assert _trunc_div(7, -2) == -3
+        assert _trunc_div(-7, -2) == 3
+
+    def test_exact_vs_fraction(self):
+        rng = np.random.default_rng(4)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                "x": rng.integers(0, 2500, n).astype(np.int64),
+                "y": rng.integers(-(10**7), 10**7, n).astype(np.int64),
+            }
+        )
+        got = (
+            grouped_ols_slope(
+                ray.data.from_pandas(df).repartition(5), "g", "x", "y"
+            )
+            .to_pandas()
+            .set_index("g")
+            .sort_index()
+        )
+        for g, sub in df.groupby("g"):
+            x = [int(v) for v in sub["x"]]
+            y = [int(v) for v in sub["y"]]
+            nn = len(x)
+            num = nn * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+            den = nn * sum(a * a for a in x) - sum(x) ** 2
+            want = _trunc_div(num * 10**6, den)
+            exact = Fraction(num, den) * 10**6
+            assert got.loc[g, "n"] == nn
+            assert got.loc[g, "slope_micro"] == want
+            assert abs(want - exact) < 1  # truncation, not drift
+
+    def test_degenerate_group_null(self):
+        df = pd.DataFrame({"g": ["z", "z"], "x": [5, 5], "y": [1, 2]}).astype(
+            {"x": "int64", "y": "int64"}
+        )
+        got = grouped_ols_slope(ray.data.from_pandas(df), "g", "x", "y").to_pandas()
+        assert len(got) == 1 and pd.isna(got["slope_micro"].iloc[0])
+
+
+class TestTransitions:
+    def test_vs_pandas_twin(self):
+        rng = np.random.default_rng(11)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+                "user_id": rng.integers(0, 12, n).astype(np.int64),
+                "event_type": rng.choice(["view", "click", "buy"], n),
+            }
+        )
+        got = (
+            transition_counts(ray.data.from_pandas(df).repartition(5))
+            .to_pandas()
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True)
+        )
+        b = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = b.groupby("user_id", sort=False)["event_type"].shift(1)
+        t = pd.DataFrame({"prev_type": prev, "next_type": b["event_type"]}).dropna()
+        want = t.groupby(["prev_type", "next_type"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        tot = want.groupby("prev_type")["cnt"].transform("sum")
+        want["prob_milli"] = (1000 * want["cnt"]) // tot
+        want = want.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"cnt": "int64", "prob_milli": "int64"}),
+            want.astype({"cnt": "int64", "prob_milli": "int64"}),
+        )
+
+
+class TestMadOutliers:
+    def test_vs_reference(self):
+        rng = np.random.default_rng(3)
+        vals = np.concatenate(
+            [rng.integers(90, 110, 300), np.array([5, 500, 1000])]
+        ).astype(np.int64)
+        df = pd.DataFrame({"doc_id": np.arange(len(vals), dtype=np.int64), "n": vals})
+        got = (
+            mad_outliers(ray.data.from_pandas(df).repartition(4), "doc_id", "n", k=3)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+        def qdisc(v: np.ndarray) -> int:
+            s = np.sort(v)
+            return int(s[max(1, math.ceil(0.5 * len(s))) - 1])
+
+        med = qdisc(vals)
+        mad = qdisc(np.abs(vals - med))
+        assert (got["med"] == med).all() and (got["mad"] == mad).all()
+        want_flag = (np.abs(vals - med) > 3 * mad).astype(np.int64)
+        assert (got["is_outlier"].to_numpy() == want_flag).all()
+        assert got["is_outlier"].sum() == 3
