@@ -2962,6 +2962,33 @@ def q_events_transitions(sf_dir: str):
     )
 
 
+def q_doc_leakage_split(sf_dir: str):
+    """Leakage-safe train/valid split: near-dup clusters (MinHash-LSH
+    mapping) are atomic — every member lands in the split of its
+    canonical representative (deterministic splitmix64 of rep id).
+    Rows-only: the mapping is model-free but sketch-based."""
+    from ..stages.dedup import minhash_lsh_dedup
+    from ..stages.training import leakage_safe_split
+
+    docs = _docs(sf_dir)
+    mapping = minhash_lsh_dedup(docs)
+    return leakage_safe_split(docs, mapping, train_permille=900, seed=42)
+
+
+def q_approx_users_per_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users PER event type
+    (register partials per batch, one register max-merge exchange).
+    Rows-only: sketch estimate, accuracy pinned by test."""
+    from ..stages.sketches import hll_distinct
+
+    return hll_distinct(
+        ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"]),
+        "user_id",
+        ["event_type"],
+        p=12,
+    )
+
+
 def q_doc_length_outliers(sf_dir: str):
     """Robust document-length outliers via all-integer median/MAD
     (|len − med| > 3·MAD): two distinct-value histogram shuffles for
@@ -3106,6 +3133,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_price_trend": q_orders_price_trend,
     "events_transitions": q_events_transitions,
     "doc_length_outliers": q_doc_length_outliers,
+    "doc_leakage_split": q_doc_leakage_split,
+    "approx_users_per_type": q_approx_users_per_type,
 }
 
 _N_TOKENS_SQL = (

@@ -835,3 +835,94 @@ def stratified_split(
 def export_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
     """JSONL sink (one record object per line via write_json)."""
     ds.write_json(out_dir)
+
+
+LEAKAGE_SPLIT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("rep_id", pa.int64()), ("split", pa.string())]
+)
+
+# mapping entries under this count broadcast; over it, one cogroup join
+DRIVER_MAX_MAPPING = 2_000_000
+
+
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    mapping: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    train_permille: int = 900,
+    seed: int = 42,
+    driver_max_mapping: int = DRIVER_MAX_MAPPING,
+) -> ray.data.Dataset:
+    """Near-dup-cluster-safe train/valid assignment: ``(doc_id,
+    rep_id, split)`` where every document of a near-dup CLUSTER lands
+    in the same split (splitting by raw doc hash leaks paraphrases of
+    training rows into the eval set — the contamination mode
+    decontaminate() exists to catch, prevented here at split time).
+
+    ``mapping`` is a ``(doc_id, dup_of)`` table as produced by the
+    near-dup family (rows only for docs whose canonical differs).
+    Split = splitmix64(rep_id XOR seed-mix) mod 1000 < train_permille
+    — deterministic per cluster, order-independent, no shuffle of the
+    corpus: the (small) mapping is COUNTED then broadcast under
+    ``driver_max_mapping``, else applied with one cogroup join.
+    """
+    from .infer import normalize_blocks
+    from ..stages.bloom import _mix
+
+    def _assign(b: pd.DataFrame, rep: np.ndarray) -> pd.DataFrame:
+        h = _mix(
+            rep.astype(np.uint64) ^ np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64)),
+            0xBF58476D1CE4E5B9,
+            0x94D049BB133111EB,
+        )
+        split = np.where((h % np.uint64(1000)).astype(np.int64) < train_permille,
+                         "train", "valid")
+        return pd.DataFrame(
+            {"doc_id": b[id_col].to_numpy(np.int64), "rep_id": rep, "split": split}
+        )
+
+    mapping = mapping.materialize()
+    n_map = mapping.count()
+    if n_map <= driver_max_mapping:
+        mdf = mapping.to_pandas() if n_map else pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")}
+        )
+        lookup_ref = ray.put(
+            dict(zip(mdf[id_col].astype("int64"), mdf["dup_of"].astype("int64")))
+        )
+
+        def _broadcast(b: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+            ids = b[id_col].to_numpy(np.int64)
+            rep = np.fromiter(
+                (lk.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+            )
+            return _assign(b, rep)
+
+        out = docs.select_columns([id_col]).map_batches(
+            _broadcast, batch_format="pandas", batch_size=None
+        )
+        return normalize_blocks(out, LEAKAGE_SPLIT_SCHEMA)
+
+    # over the gate: one left cogroup join on doc_id
+    from .relational import cogroup_join
+
+    joined = cogroup_join(
+        docs.select_columns([id_col]),
+        mapping,
+        [id_col],
+        how="left_outer",
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("dup_of", pa.int64())]),
+    )
+
+    def _joined(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        rep = b["dup_of"].fillna(pd.Series(ids, index=b.index)).astype("int64").to_numpy()
+        return _assign(b, rep)
+
+    return normalize_blocks(
+        joined.map_batches(_joined, batch_format="pandas", batch_size=None),
+        LEAKAGE_SPLIT_SCHEMA,
+    )

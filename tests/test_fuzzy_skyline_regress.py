@@ -233,3 +233,63 @@ class TestMadOutliers:
         want_flag = (np.abs(vals - med) > 3 * mad).astype(np.int64)
         assert (got["is_outlier"].to_numpy() == want_flag).all()
         assert got["is_outlier"].sum() == 3
+
+
+class TestLeakageSafeSplit:
+    def _fixture(self):
+        # 3 clusters of near-dups + singletons
+        mapping = pd.DataFrame(
+            {"doc_id": [1, 2, 11, 21, 22], "dup_of": [0, 0, 10, 20, 20]}
+        ).astype("int64")
+        docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": "x"})
+        return docs, mapping
+
+    def test_clusters_never_straddle(self):
+        from ai_knowledge_graph_ray.stages.training import leakage_safe_split
+
+        docs, mapping = self._fixture()
+        got = leakage_safe_split(
+            ray.data.from_pandas(docs).repartition(4),
+            ray.data.from_pandas(mapping),
+        ).to_pandas()
+        assert len(got) == 40
+        by_id = got.set_index("doc_id")
+        for cluster in ([0, 1, 2], [10, 11], [20, 21, 22]):
+            assert by_id.loc[cluster, "split"].nunique() == 1
+            assert (by_id.loc[cluster, "rep_id"] == cluster[0]).all()
+        # both splits non-empty at permille 900 over 40 docs is not
+        # guaranteed; determinism is
+        again = leakage_safe_split(
+            ray.data.from_pandas(docs).repartition(2),
+            ray.data.from_pandas(mapping),
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True),
+            again.sort_values("doc_id").reset_index(drop=True),
+        )
+
+    def test_gate_paths_equivalent(self):
+        from ai_knowledge_graph_ray.stages.training import leakage_safe_split
+
+        docs, mapping = self._fixture()
+        under = leakage_safe_split(
+            ray.data.from_pandas(docs), ray.data.from_pandas(mapping)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        over = leakage_safe_split(
+            ray.data.from_pandas(docs),
+            ray.data.from_pandas(mapping),
+            driver_max_mapping=0,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(under, over)
+
+    def test_empty_mapping(self):
+        from ai_knowledge_graph_ray.stages.training import leakage_safe_split
+
+        docs, _ = self._fixture()
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")}
+        )
+        got = leakage_safe_split(
+            ray.data.from_pandas(docs), ray.data.from_pandas(empty)
+        ).to_pandas()
+        assert len(got) == 40 and (got["rep_id"] == got["doc_id"]).all()
