@@ -2962,6 +2962,42 @@ def q_events_transitions(sf_dir: str):
     )
 
 
+def q_session_concurrency(sf_dir: str):
+    """Peak concurrent sessions per hour — distributed sweep-line:
+    sessionize to half-open intervals, ±1 deltas combined per
+    timestamp map-side, ONE time-bucket exchange, cross-bucket prefix
+    offsets over the tiny per-hour residue."""
+    from ..stages.sessions import interval_concurrency, session_intervals
+
+    iv = session_intervals(
+        ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    )
+    return interval_concurrency(iv)
+
+
+def q_part_copurchase_lift(sf_dir: str):
+    """Association lift for the top-100 co-purchased part pairs —
+    per-item basket counts computed only for the winning pairs' items
+    (broadcast filter), exact distinct-order total, Python-int final
+    arithmetic on the ≤100-row residue."""
+    from ..stages.cooccur import cooccur_lift
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccur_lift(li, "l_orderkey", "l_partkey", min_count=2, top_k=100).map_batches(
+        lambda b: pa.table(
+            {
+                "part_a": b["item_a"],
+                "part_b": b["item_b"],
+                "n_baskets": b["n_baskets"],
+                "lift_milli": b["lift_milli"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_leakage_split(sf_dir: str):
     """Leakage-safe train/valid split: near-dup clusters (MinHash-LSH
     mapping) are atomic — every member lands in the split of its
@@ -3135,6 +3171,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_length_outliers": q_doc_length_outliers,
     "doc_leakage_split": q_doc_leakage_split,
     "approx_users_per_type": q_approx_users_per_type,
+    "session_concurrency": q_session_concurrency,
+    "part_copurchase_lift": q_part_copurchase_lift,
 }
 
 _N_TOKENS_SQL = (
@@ -4255,5 +4293,58 @@ ORACLE_SQL: dict[str, str] = {
                CAST((SELECT mad FROM md) AS BIGINT) AS mad,
                CAST(dev > 3 * (SELECT mad FROM md) AS BIGINT) AS is_outlier
         FROM d
+    """,
+    "session_concurrency": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        ),
+        iv AS (
+          SELECT user_id, session_id,
+                 epoch_us(min(ts)) AS s, epoch_us(max(ts)) + 1000000 AS e
+          FROM sess GROUP BY user_id, session_id
+        ),
+        d AS (
+          SELECT s AS t, 1 AS delta FROM iv
+          UNION ALL SELECT e AS t, -1 AS delta FROM iv
+        ),
+        net AS (SELECT t, sum(delta) AS net FROM d GROUP BY t),
+        run AS (
+          SELECT t, sum(net) OVER (ORDER BY t
+                                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+          FROM net
+        )
+        SELECT (t // 3600000000) * 3600000000 AS window_start_us,
+               CAST(max(cur) AS BIGINT) AS peak_concurrent
+        FROM run GROUP BY 1
+    """,
+    "part_copurchase_lift": """
+        WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        top AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*) AS n_baskets
+          FROM pr a JOIN pr b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY n_baskets DESC, part_a, part_b LIMIT 100
+        ),
+        ic AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS c FROM lineitem GROUP BY 1),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM lineitem)
+        SELECT top.part_a, top.part_b, CAST(top.n_baskets AS BIGINT) AS n_baskets,
+               CAST((CAST(top.n_baskets AS HUGEINT) * tot.t * 1000)
+                    // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_milli
+        FROM top
+        CROSS JOIN tot
+        JOIN ic ia ON ia.l_partkey = top.part_a
+        JOIN ic ib ON ib.l_partkey = top.part_b
     """,
 }

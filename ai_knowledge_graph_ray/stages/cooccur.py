@@ -144,3 +144,109 @@ def cooccur_pairs(
         .head(top_k)
     )
     return ray.data.from_arrow(pa_from_pandas(df, pairs_schema))
+
+
+LIFT_SCHEMA = pa.schema(
+    [
+        ("item_a", pa.int64()),
+        ("item_b", pa.int64()),
+        ("n_baskets", pa.int64()),
+        ("lift_milli", pa.int64()),
+    ]
+)
+
+
+def cooccur_lift(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    top_k: int = 100,
+    max_basket_size: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Association LIFT for the top-``top_k`` co-occurring pairs:
+    ``lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` over DISTINCT
+    baskets, reported as truncated integer ``lift_milli`` (>1000 means
+    positively associated) so the DuckDB HUGEINT oracle is bit-exact.
+
+    Cost on top of :func:`cooccur_pairs`: the per-item basket counts
+    are computed ONLY for the ≤ ``2·top_k`` items appearing in the
+    winning pairs (broadcast filter → one distinct exchange → one tiny
+    count exchange), plus one distinct-basket count; the final
+    arithmetic runs driver-side on the ≤ ``top_k`` residue in Python
+    ints (``n_ab·N·1000`` overflows int64 at 100-TB basket counts).
+    """
+    pairs = cooccur_pairs(
+        ds,
+        basket_col,
+        item_col,
+        min_count=min_count,
+        top_k=top_k,
+        max_basket_size=max_basket_size,
+        num_buckets=num_buckets,
+    ).materialize()
+    pdf = pairs.to_pandas()  # <= top_k rows by contract
+    if len(pdf) == 0:
+        return ray.data.from_arrow(LIFT_SCHEMA.empty_table())
+    items = np.unique(
+        np.concatenate([pdf["item_a"].to_numpy(np.int64), pdf["item_b"].to_numpy(np.int64)])
+    )
+    items_ref = ray.put(items)
+
+    slim = ds.select_columns([basket_col, item_col])
+
+    def _filter_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        it = ray.get(items_ref) if isinstance(items_ref, ray.ObjectRef) else items_ref
+        sub = b[np.isin(b[item_col].to_numpy(np.int64), it)]
+        return sub.drop_duplicates([basket_col, item_col])
+
+    pair_rows_schema = pa.schema(
+        [(basket_col, pa.int64()), (item_col, pa.int64())]
+    )
+    distinct_bi = bucketed_reduce(
+        slim.map_batches(_filter_distinct, batch_format="pandas", batch_size=None),
+        [basket_col, item_col],
+        lambda g: g.drop_duplicates([basket_col, item_col]),
+        pair_rows_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _item_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(item_col, sort=False, as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    item_counts = bucketed_reduce(
+        distinct_bi,
+        [item_col],
+        lambda g: g.groupby(item_col, sort=False, as_index=False)["c"].sum(),
+        pa.schema([(item_col, pa.int64()), ("c", pa.int64())]),
+        combiner=_item_partial,
+        num_buckets=num_buckets,
+    ).to_pandas()  # <= 2*top_k rows
+
+    # exact distinct-basket count: map-side unique -> one distinct exchange
+    def _uniq(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[basket_col]].drop_duplicates()
+
+    total = (
+        bucketed_reduce(
+            slim.map_batches(_uniq, batch_format="pandas", batch_size=None),
+            [basket_col],
+            lambda g: g.drop_duplicates([basket_col]),
+            pa.schema([(basket_col, pa.int64())]),
+            combiner=_uniq,
+            num_buckets=num_buckets,
+        ).count()
+    )
+
+    cmap = dict(zip(item_counts[item_col].astype("int64"), item_counts["c"].astype("int64")))
+    lifts = []
+    for a, b_, nab in zip(pdf["item_a"], pdf["item_b"], pdf["n_baskets"]):
+        num = int(nab) * int(total) * 1000
+        den = int(cmap[int(a)]) * int(cmap[int(b_)])
+        lifts.append(num // den)  # all positive: floor == trunc
+    out = pdf.copy()
+    out["lift_milli"] = np.asarray(lifts, dtype=np.int64)
+    return ray.data.from_arrow(pa_from_pandas(out, LIFT_SCHEMA))

@@ -557,3 +557,145 @@ def transition_counts(
     return bucketed_reduce(
         pair_partials, ["prev_type"], _probs, TRANSITION_SCHEMA, combiner=_combine
     )
+
+
+INTERVAL_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("start_us", pa.int64()),
+        ("end_us", pa.int64()),
+    ]
+)
+
+
+def session_intervals(
+    events: ray.data.Dataset,
+    *,
+    gap_minutes: int = 30,
+    pad_us: int = 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Per-user session INTERVALS ``(user_id, session_id, start_us,
+    end_us)`` — same gap rule as :func:`sessionize`, but emitting
+    half-open time spans ``[min ts, max ts + pad_us)`` (a single-event
+    session occupies ``pad_us``)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values([user_col, ts_col], kind="stable")
+        prev_ts = b.groupby(user_col, sort=False)[ts_col].shift(1)
+        new_session = (b[ts_col] - prev_ts > gap) | prev_ts.isna()
+        b = b.assign(
+            session_id=new_session.groupby(b[user_col], sort=False).cumsum().astype("int64"),
+            us=b[ts_col].to_numpy("datetime64[us]").astype("int64"),
+        )
+        out = b.groupby([user_col, "session_id"], as_index=False, sort=False).agg(
+            start_us=("us", "min"), end_us=("us", "max")
+        )
+        out["end_us"] = out["end_us"] + pad_us
+        return out.astype(
+            {user_col: "int64", "session_id": "int64", "start_us": "int64", "end_us": "int64"}
+        )
+
+    return bucketed_reduce(
+        events.select_columns([user_col, ts_col]), [user_col], _reduce, INTERVAL_SCHEMA
+    )
+
+
+CONCURRENCY_SCHEMA = pa.schema(
+    [("window_start_us", pa.int64()), ("peak_concurrent", pa.int64())]
+)
+
+# sweep-line range residue: one row per time bucket that contains a
+# delta — bounded by the covered TIME SPAN, not the data size (2M
+# hour-buckets = 228 years); a span beyond it is a caller error
+DRIVER_MAX_RANGES = 2_000_000
+
+
+def interval_concurrency(
+    intervals: ray.data.Dataset,
+    *,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+    driver_max_ranges: int = DRIVER_MAX_RANGES,
+) -> ray.data.Dataset:
+    """Peak number of concurrently-open intervals per time bucket —
+    the classic sweep-line, distributed: ``(window_start_us,
+    peak_concurrent)`` for every bucket containing an endpoint.
+
+    Plan (ONE shuffle): endpoints become ±1 deltas, combined map-side
+    per timestamp; a bucketed reduce keyed on the TIME BUCKET sorts
+    each bucket's timestamps and emits one row ``(bucket, max of
+    within-bucket running sum, bucket net total)``. The cross-bucket
+    prefix offsets are a cumulative sum over that tiny residue
+    (counted against ``driver_max_ranges`` — it scales with the
+    covered time span, never with row count), exactly the prefix-sum
+    shard-packing shape. Ends sort before starts at equal timestamps
+    (half-open intervals), which the per-ts NET collapse encodes
+    for free. Buckets with no endpoint are omitted (concurrency there
+    equals the previous bucket's closing value).
+    """
+
+    def _deltas(b: pd.DataFrame) -> pd.DataFrame:
+        t = np.concatenate(
+            [b[start_col].to_numpy(np.int64), b[end_col].to_numpy(np.int64)]
+        )
+        d = np.concatenate(
+            [np.ones(len(b), np.int64), -np.ones(len(b), np.int64)]
+        )
+        out = (
+            pd.DataFrame({"t": t, "net": d})
+            .groupby("t", sort=False, as_index=False)["net"]
+            .sum()
+        )
+        out["range_id"] = out["t"].to_numpy(np.int64) // bucket_us
+        return out[["range_id", "t", "net"]]
+
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["range_id", "t"], sort=False, as_index=False)["net"].sum()
+
+    def _range_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["range_id", "t"], sort=False, as_index=False)["net"].sum()
+        agg = agg.sort_values(["range_id", "t"], kind="stable")
+        cum = agg.groupby("range_id", sort=False)["net"].cumsum()
+        per = pd.DataFrame({"range_id": agg["range_id"], "cum": cum}).groupby(
+            "range_id", as_index=False, sort=False
+        )["cum"].max()
+        tot = agg.groupby("range_id", as_index=False, sort=False)["net"].sum()
+        return per.merge(tot, on="range_id").rename(
+            columns={"cum": "max_rel", "net": "total"}
+        )
+
+    residue_schema = pa.schema(
+        [("range_id", pa.int64()), ("max_rel", pa.int64()), ("total", pa.int64())]
+    )
+    residue = bucketed_reduce(
+        intervals.select_columns([start_col, end_col]).map_batches(
+            _deltas, batch_format="pandas", batch_size=None
+        ),
+        ["range_id"],
+        _range_reduce,
+        residue_schema,
+        combiner=_combine,
+    ).materialize()
+    n_ranges = residue.count()
+    if n_ranges > driver_max_ranges:
+        raise ValueError(
+            f"interval_concurrency: {n_ranges} time buckets exceed "
+            f"driver_max_ranges={driver_max_ranges}; widen bucket_us"
+        )
+    if n_ranges == 0:
+        return ray.data.from_arrow(CONCURRENCY_SCHEMA.empty_table())
+    df = residue.to_pandas().sort_values("range_id", kind="stable")
+    offsets = df["total"].cumsum().shift(1, fill_value=0).to_numpy(np.int64)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "window_start_us": df["range_id"].to_numpy(np.int64) * bucket_us,
+                "peak_concurrent": df["max_rel"].to_numpy(np.int64) + offsets,
+            }
+        )
+    )

@@ -293,3 +293,105 @@ class TestLeakageSafeSplit:
             ray.data.from_pandas(docs), ray.data.from_pandas(empty)
         ).to_pandas()
         assert len(got) == 40 and (got["rep_id"] == got["doc_id"]).all()
+
+
+class TestIntervalConcurrency:
+    def _brute(self, iv: pd.DataFrame, bucket_us: int) -> dict[int, int]:
+        deltas: dict[int, int] = {}
+        for s, e in zip(iv["start_us"], iv["end_us"]):
+            deltas[int(s)] = deltas.get(int(s), 0) + 1
+            deltas[int(e)] = deltas.get(int(e), 0) - 1
+        cur, peaks = 0, {}
+        for t in sorted(deltas):
+            cur += deltas[t]
+            b = (t // bucket_us) * bucket_us
+            peaks[b] = max(peaks.get(b, -(10**9)), cur)
+        return peaks
+
+    def test_vs_bruteforce(self):
+        from ai_knowledge_graph_ray.stages.sessions import interval_concurrency
+
+        rng = np.random.default_rng(5)
+        n = 500
+        start = rng.integers(0, 10_000, n).astype(np.int64)
+        dur = rng.integers(1, 3_000, n).astype(np.int64)
+        iv = pd.DataFrame({"start_us": start, "end_us": start + dur})
+        for bucket in (1_000, 100_000):
+            got = (
+                interval_concurrency(
+                    ray.data.from_pandas(iv).repartition(6), bucket_us=bucket
+                )
+                .to_pandas()
+                .set_index("window_start_us")["peak_concurrent"]
+                .to_dict()
+            )
+            assert got == self._brute(iv, bucket)
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.sessions import interval_concurrency
+
+        iv = pd.DataFrame(
+            {"start_us": pd.Series(dtype="int64"), "end_us": pd.Series(dtype="int64")}
+        )
+        got = interval_concurrency(ray.data.from_pandas(iv)).to_pandas()
+        assert len(got) == 0
+
+    def test_session_intervals_pad(self):
+        from ai_knowledge_graph_ray.stages.sessions import session_intervals
+
+        df = pd.DataFrame(
+            {
+                "user_id": np.array([1, 1, 2], dtype=np.int64),
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 02:00:00", "2024-01-01 00:30:00"]
+                ),
+            }
+        )
+        got = session_intervals(ray.data.from_pandas(df)).to_pandas()
+        assert len(got) == 3  # the 2h gap splits user 1
+        single = got[(got.user_id == 2)].iloc[0]
+        assert single["end_us"] - single["start_us"] == 1_000_000
+
+
+class TestCooccurLift:
+    def test_vs_pandas_twin(self):
+        from ai_knowledge_graph_ray.stages.cooccur import cooccur_lift
+
+        rng = np.random.default_rng(21)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "basket": rng.integers(0, 150, n).astype(np.int64),
+                "item": rng.integers(0, 12, n).astype(np.int64),
+            }
+        )
+        got = (
+            cooccur_lift(
+                ray.data.from_pandas(df).repartition(5), "basket", "item",
+                min_count=2, top_k=20,
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+        d = df.drop_duplicates()
+        total = d["basket"].nunique()
+        ic = d.groupby("item")["basket"].nunique()
+        merged = d.merge(d, on="basket")
+        merged = merged[merged["item_x"] < merged["item_y"]]
+        cnt = (
+            merged.drop_duplicates(["basket", "item_x", "item_y"])
+            .groupby(["item_x", "item_y"], as_index=False)
+            .size()
+        )
+        cnt = cnt[cnt["size"] >= 2].sort_values(
+            ["size", "item_x", "item_y"], ascending=[False, True, True]
+        ).head(20)
+        want = {
+            (a, b): (int(c) * int(total) * 1000) // (int(ic[a]) * int(ic[b]))
+            for a, b, c in zip(cnt["item_x"], cnt["item_y"], cnt["size"])
+        }
+        got_map = {
+            (a, b): l for a, b, l in zip(got["item_a"], got["item_b"], got["lift_milli"])
+        }
+        assert got_map == want
