@@ -2998,6 +2998,21 @@ def q_part_copurchase_lift(sf_dir: str):
     )
 
 
+def q_graph_closeness(sf_dir: str):
+    """Sampled closeness-centrality statistics from the 5 region nodes
+    (deterministic source set): one shared multi-source BFS (frontier
+    rows carry the source label — k sources, one sweep per hop), exact
+    integer (n_reached, total_dist) per entity vs a recursive-CTE
+    oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph_algos import sampled_closeness
+
+    regions = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey"]).to_pandas()
+    sources = [f"r{int(k)}" for k in sorted(regions["r_regionkey"])]
+    return sampled_closeness(_cnrs_edges(sf_dir), sources, max_hops=3)
+
+
 def q_doc_leakage_split(sf_dir: str):
     """Leakage-safe train/valid split: near-dup clusters (MinHash-LSH
     mapping) are atomic — every member lands in the split of its
@@ -3173,6 +3188,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_users_per_type": q_approx_users_per_type,
     "session_concurrency": q_session_concurrency,
     "part_copurchase_lift": q_part_copurchase_lift,
+    "graph_closeness": q_graph_closeness,
 }
 
 _N_TOKENS_SQL = (
@@ -4346,5 +4362,23 @@ ORACLE_SQL: dict[str, str] = {
         CROSS JOIN tot
         JOIN ic ia ON ia.l_partkey = top.part_a
         JOIN ic ib ON ib.l_partkey = top.part_b
+    """,
+    "graph_closeness": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base")
+    + """,
+        sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        srcs AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS s FROM region),
+        bfs(source, entity, hop) AS (
+          SELECT s, s, 0 FROM srcs
+          UNION
+          SELECT b.source, y.dst, b.hop + 1
+          FROM bfs b JOIN sym y ON y.src = b.entity
+          WHERE b.hop < 3
+        ),
+        md AS (
+          SELECT source, entity, min(hop) AS minh FROM bfs GROUP BY source, entity
+        )
+        SELECT entity, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(minh) AS BIGINT) AS total_dist
+        FROM md GROUP BY entity
     """,
 }

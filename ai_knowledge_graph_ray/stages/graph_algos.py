@@ -1422,3 +1422,145 @@ def k_core(
         if n_edges == 0:
             return ray.data.from_arrow(KCORE_SCHEMA.empty_table())
     raise RuntimeError(f"k_core did not converge within {max_iters} peel rounds")
+
+
+MS_HOP_SCHEMA = pa.schema(
+    [("source", pa.string()), ("entity", pa.string()), ("hop", pa.int64())]
+)
+
+CLOSENESS_SCHEMA = pa.schema(
+    [("entity", pa.string()), ("n_reached", pa.int64()), ("total_dist", pa.int64())]
+)
+
+
+def multi_source_hops(
+    edges: ray.data.Dataset,
+    sources: list[str],
+    hops: int,
+    *,
+    directed: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(source, entity, hop)`` — minimal hop distance (<= ``hops``)
+    from EACH source independently, in one shared BFS: the frontier
+    carries the source label, so ``k`` sources cost the same number of
+    sweeps as one (row volume k×, sweep count unchanged). Same fused
+    dedup+anti-join shape as :func:`k_hop_neighbors`, keyed on
+    ``(source, entity)``."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    und = sanitize_for_join(
+        edges.select_columns(["src", "dst"]) if directed else _undirect(edges),
+        EDGE_SCHEMA,
+    ).materialize()
+    srcs = sorted(set(sources))
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["source", "entity", "hop"])
+
+    def _new_only(g: pd.DataFrame) -> pd.DataFrame:
+        seen = g.loc[g["hop"] < 0, ["source", "entity"]]
+        fresh = g[g["hop"] >= 0]
+        if len(seen):
+            key = seen["source"] + "\x00" + seen["entity"]
+            fk = fresh["source"] + "\x00" + fresh["entity"]
+            fresh = fresh[~fk.isin(set(key.to_numpy()))]
+        return fresh.drop_duplicates(["source", "entity"])
+
+    def _mark_visited(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"].combine_chunks().cast(pa.string()),
+                "entity": b["entity"].combine_chunks().cast(pa.string()),
+                "hop": pa.array([-1] * len(b), pa.int64()),
+            }
+        )
+
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "entity": pa.array(srcs, pa.string()),
+                "hop": pa.array([0] * len(srcs), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = visited
+
+    for h in range(1, hops + 1):
+        hit = cogroup_join(
+            und,
+            frontier.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["entity"].combine_chunks().cast(pa.string()),
+                        "source": b["source"].combine_chunks().cast(pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema([("src", pa.string()), ("source", pa.string())]),
+        ).map_batches(
+            lambda b, hh=h: pa.table(
+                {
+                    "source": b["source"].combine_chunks().cast(pa.string()),
+                    "entity": b["dst"].combine_chunks().cast(pa.string()),
+                    "hop": pa.array([hh] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new = bucketed_reduce(
+            hit.union(visited.map_batches(_mark_visited, batch_format="pyarrow")),
+            ["source", "entity"],
+            _new_only,
+            MS_HOP_SCHEMA,
+            combiner=_dd,
+            num_buckets=num_buckets,
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited
+
+
+def sampled_closeness(
+    edges: ray.data.Dataset,
+    sources: list[str],
+    *,
+    max_hops: int = 10,
+    directed: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sampled closeness-centrality statistics ``(entity, n_reached,
+    total_dist)``: for every entity reachable from >= 1 of the
+    deterministic ``sources``, how many sources reach it within
+    ``max_hops`` and the sum of those hop distances (Eppstein–Wang
+    sampled closeness, kept as exact integers so the recursive-CTE SQL
+    oracle hash-matches; the float estimate ``n·|S| / (total·n_nodes)``
+    is one map away and deliberately not baked in)."""
+    from .infer import bucketed_reduce
+
+    dists = multi_source_hops(
+        edges, sources, max_hops, directed=directed, num_buckets=num_buckets
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("entity", sort=False, as_index=False).agg(
+            n_reached=("hop", "size"), total_dist=("hop", "sum")
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity", sort=False, as_index=False)[
+            ["n_reached", "total_dist"]
+        ].sum()
+
+    return bucketed_reduce(
+        dists, ["entity"], _reduce, CLOSENESS_SCHEMA, combiner=_partial,
+        num_buckets=num_buckets,
+    )

@@ -395,3 +395,60 @@ class TestCooccurLift:
             (a, b): l for a, b, l in zip(got["item_a"], got["item_b"], got["lift_milli"])
         }
         assert got_map == want
+
+
+class TestSampledCloseness:
+    def _graph(self, seed: int):
+        rng = np.random.default_rng(seed)
+        n, m = 60, 150
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        edges = pd.DataFrame(
+            {"src": [f"v{s}" for s in src], "dst": [f"v{d}" for d in dst]}
+        )
+        return edges[edges["src"] != edges["dst"]]
+
+    def test_vs_networkx(self):
+        import networkx as nx
+
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            multi_source_hops,
+            sampled_closeness,
+        )
+
+        edges = self._graph(17)
+        sources = ["v0", "v1", "v2"]
+        max_hops = 4
+        g = nx.Graph()
+        g.add_edges_from(edges.itertuples(index=False))
+        for s in sources:
+            g.add_node(s)
+        got = (
+            multi_source_hops(
+                ray.data.from_pandas(edges).repartition(3), sources, max_hops
+            )
+            .to_pandas()
+        )
+        want = {}
+        for s in sources:
+            for ent, d in nx.single_source_shortest_path_length(
+                g, s, cutoff=max_hops
+            ).items():
+                want[(s, ent)] = d
+        got_map = {(r.source, r.entity): r.hop for r in got.itertuples(index=False)}
+        assert got_map == want
+
+        clo = (
+            sampled_closeness(
+                ray.data.from_pandas(edges).repartition(3), sources, max_hops=max_hops
+            )
+            .to_pandas()
+            .set_index("entity")
+        )
+        agg: dict[str, list[int]] = {}
+        for (s, ent), d in want.items():
+            agg.setdefault(ent, []).append(d)
+        for ent, ds_ in agg.items():
+            assert clo.loc[ent, "n_reached"] == len(ds_)
+            assert clo.loc[ent, "total_dist"] == sum(ds_)
+        assert len(clo) == len(agg)
