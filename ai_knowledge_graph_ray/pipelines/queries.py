@@ -2998,6 +2998,35 @@ def q_part_copurchase_lift(sf_dir: str):
     )
 
 
+def q_url_normalize(sf_dir: str):
+    """RFC-3986-subset URL canonicalization over a deterministic messy
+    URL per document (case/port/param-order/fragment variants keyed on
+    doc_id, synthesized identically in the SQL oracle): shuffle-free
+    map pass, vectorized regex + explode-sort-join param sort."""
+    from ..stages.urlnorm import url_normalize
+
+    base = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def _synth(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+
+        def _pick(mask: np.ndarray, a: str, b_: str) -> pd.Series:
+            return pd.Series(np.where(mask, a, b_), dtype=object)
+
+        scheme = _pick(d % 3 == 0, "HTTP", "http")
+        host = _pick(d % 2 == 1, "Example.COM", "example.com")
+        port = _pick(d % 5 == 0, ":80", "")
+        ds_ = pd.Series(d).astype(str).astype(object)
+        path = "/docs/" + ds_ + _pick(d % 7 == 0, "/", "")
+        q10 = pd.Series(d % 10).astype(str).astype(object)
+        query = ("?b=2&a=" + q10).where(pd.Series(d % 2 == 0), "?a=" + q10 + "&b=2")
+        frag = _pick(d % 11 == 0, "#s", "")
+        url = scheme + "://" + host + port + path + query + frag
+        return pd.DataFrame({"doc_id": d, "url": url.astype(object)})
+
+    return url_normalize(base.map_batches(_synth, batch_format="pandas"))
+
+
 def q_graph_closeness(sf_dir: str):
     """Sampled closeness-centrality statistics from the 5 region nodes
     (deterministic source set): one shared multi-source BFS (frontier
@@ -3189,6 +3218,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "session_concurrency": q_session_concurrency,
     "part_copurchase_lift": q_part_copurchase_lift,
     "graph_closeness": q_graph_closeness,
+    "url_normalize": q_url_normalize,
 }
 
 _N_TOKENS_SQL = (
@@ -4380,5 +4410,58 @@ ORACLE_SQL: dict[str, str] = {
         SELECT entity, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(minh) AS BIGINT) AS total_dist
         FROM md GROUP BY entity
+    """,
+    "url_normalize": r"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+                 CASE WHEN doc_id % 2 = 1 THEN 'Example.COM' ELSE 'example.com' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+                 '/docs/' || CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+                 CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' || CAST(doc_id % 10 AS VARCHAR)
+                      ELSE '?a=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN '#s' ELSE '' END AS url
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id, url,
+                 regexp_extract(
+                   regexp_replace(trim(url), '#.*$', ''),
+                   '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?(.*))?$',
+                   ['scheme', 'hostport', 'path', 'query']
+                 ) AS g
+          FROM u
+        ),
+        s2 AS (
+          SELECT doc_id, url,
+                 lower(g.scheme) AS sc,
+                 lower(g.hostport) AS hp,
+                 g.path AS p, g.query AS q
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, url, sc,
+                 CASE WHEN sc = 'http' AND hp LIKE '%:80'
+                        THEN regexp_replace(hp, ':80$', '')
+                      WHEN sc = 'https' AND hp LIKE '%:443'
+                        THEN regexp_replace(hp, ':443$', '')
+                      ELSE hp END AS host,
+                 CASE WHEN p = '' THEN '/'
+                      WHEN p <> '/' AND p LIKE '%/' THEN regexp_replace(p, '/$', '')
+                      ELSE p END AS path,
+                 coalesce(
+                   list_aggr(
+                     list_sort(list_filter(string_split(q, '&'), x -> x <> '')),
+                     'string_agg', '&'
+                   ), ''
+                 ) AS qs
+          FROM s2
+        )
+        SELECT doc_id, url,
+               sc || '://' || host || path ||
+                 CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm,
+               CAST(1 AS BIGINT) AS normalized
+        FROM s3
     """,
 }

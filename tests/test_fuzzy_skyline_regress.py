@@ -452,3 +452,52 @@ class TestSampledCloseness:
             assert clo.loc[ent, "n_reached"] == len(ds_)
             assert clo.loc[ent, "total_dist"] == sum(ds_)
         assert len(clo) == len(agg)
+
+
+class TestUrlNormalize:
+    def test_kernel_rules(self):
+        from ai_knowledge_graph_ray.stages.urlnorm import normalize_urls_frame
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(9, dtype=np.int64),
+                "url": [
+                    "HTTP://Example.COM:80/a?b=2&a=1#frag",
+                    "https://example.com:443/",
+                    "https://example.com:8443/x/",
+                    "http://h/p?",
+                    "not a url",
+                    "  http://H/  ",
+                    "ftp://Host:21/f?z=1&y=2",
+                    "http://h",
+                    "http://h/p?c&&a=2&b",
+                ],
+            }
+        )
+        got = normalize_urls_frame(df)
+        want = [
+            "http://example.com/a?a=1&b=2",
+            "https://example.com/",
+            "https://example.com:8443/x",
+            "http://h/p",
+            "not a url",
+            "http://h/",
+            "ftp://host:21/f?y=2&z=1",
+            "http://h/",
+            "http://h/p?a=2&b&c",
+        ]
+        assert got["url_norm"].tolist() == want
+        assert got["normalized"].tolist() == [1, 1, 1, 1, 0, 1, 1, 1, 1]
+
+    def test_distributed_pass(self):
+        from ai_knowledge_graph_ray.stages.urlnorm import url_normalize
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(50, dtype=np.int64),
+                "url": [f"HTTP://H:80/x?b={i}&a=1" for i in range(50)],
+            }
+        )
+        got = url_normalize(ray.data.from_pandas(df).repartition(4)).to_pandas()
+        assert len(got) == 50
+        assert (got["url_norm"] == got["doc_id"].map(lambda i: f"http://h/x?a=1&b={i}")).all()
