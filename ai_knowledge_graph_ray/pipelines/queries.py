@@ -3079,6 +3079,30 @@ def q_doc_length_outliers(sf_dir: str):
     return mad_outliers(counts, "doc_id", "n_tokens", k=3)
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention matrix (distinct users from cohort c
+    active at offset k) — map-side distinct (user, week) partials,
+    one user-keyed bucketed reduce computing each user's cohort, one
+    tiny cell-sum reduce; hash-exact vs a min-over-user SQL twin."""
+    from ..stages.sessions import retention_matrix
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return retention_matrix(ev)
+
+
+def q_customer_rfm(sf_dir: str):
+    """Per-customer RFM segmentation (recency/frequency/monetary 1-5
+    scores + segment label) — one customer-keyed metrics shuffle, three
+    gated histogram broadcasts, integer tie-stable binning; hash-exact
+    vs a count(*)-OVER SQL twin."""
+    from ..stages.segment import rfm_segments
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return rfm_segments(orders)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3219,6 +3243,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_copurchase_lift": q_part_copurchase_lift,
     "graph_closeness": q_graph_closeness,
     "url_normalize": q_url_normalize,
+    "events_retention": q_events_retention,
+    "customer_rfm": q_customer_rfm,
 }
 
 _N_TOKENS_SQL = (
@@ -3650,6 +3676,45 @@ ORACLE_SQL: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
+    """,
+    "customer_rfm": """
+        WITH m AS (
+          SELECT o_custkey,
+                 max(epoch_us(o_orderdate)) AS last_us,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM orders GROUP BY 1
+        ),
+        s AS (
+          SELECT *,
+            1 + least(4, (5 * (count(*) OVER (ORDER BY last_us) - 1))
+                         // count(*) OVER ()) AS r,
+            1 + least(4, (5 * (count(*) OVER (ORDER BY n_orders) - 1))
+                         // count(*) OVER ()) AS f,
+            1 + least(4, (5 * (count(*) OVER (ORDER BY monetary_cents) - 1))
+                         // count(*) OVER ()) AS mm
+          FROM m
+        )
+        SELECT o_custkey, last_us, CAST(n_orders AS BIGINT) AS n_orders,
+               monetary_cents,
+               CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+               CAST(mm AS BIGINT) AS m_score,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(mm AS VARCHAR)
+                 AS segment
+        FROM s
+    """,
+    "events_retention": """
+        WITH up AS (
+          SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS p
+          FROM events
+        ),
+        c AS (SELECT u, min(p) AS cohort_p FROM up GROUP BY u)
+        SELECT c.cohort_p * 604800000000 AS cohort_start_us,
+               up.p - c.cohort_p AS period_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM up JOIN c USING (u)
+        GROUP BY 1, 2
     """,
     "events_hourly_gapfill": """
         WITH b AS (

@@ -699,3 +699,82 @@ def interval_concurrency(
             }
         )
     )
+
+
+RETENTION_SCHEMA = pa.schema(
+    [
+        ("cohort_start_us", pa.int64()),
+        ("period_offset", pa.int64()),
+        ("n_users", pa.int64()),
+    ]
+)
+
+
+def retention_matrix(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 604_800_000_000,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each cell counts distinct users from cohort c
+    active in period c + offset. The classic growth-analytics query —
+    Ray Data has no window functions, so the min-over-user plus the
+    distinct-count per cell are expressed as two bucketed shuffles:
+
+    1. user-keyed ``bucketed_reduce`` over map-side-distinct
+       ``(user, period)`` partials — each user lands whole in one
+       bucket, so the bucket computes the user's cohort (min period)
+       and collapses straight to per-``(cohort, offset)`` partial
+       counts (distinct users need no second dedup: one row per
+       (user, period) survives the map partial).
+    2. a tiny ``(cohort, offset)``-keyed reduce summing the partials
+       (key domain = O(periods²), trivially small next to rows).
+
+    SQL twin: ``min() OVER`` + ``count(DISTINCT ...)`` group — see
+    ``pipelines/queries.py:events_retention``.
+    """
+
+    partial_schema = pa.schema([("u", pa.int64()), ("p", pa.int64())])
+
+    def _distinct_user_period(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or ts_col not in b.columns:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="int64"), "p": pd.Series([], dtype="int64")}
+            )
+        us = b[ts_col].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"u": b[user_col].to_numpy(np.int64), "p": us // period_us}
+        ).drop_duplicates()
+
+    def _per_user_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # map partials from different blocks overlap
+        cohort = g.groupby("u", sort=False)["p"].transform("min")
+        cells = pd.DataFrame(
+            {"cohort_p": cohort.to_numpy(np.int64), "offset": (g["p"] - cohort).to_numpy(np.int64)}
+        )
+        out = cells.groupby(["cohort_p", "offset"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    cell_schema = pa.schema(
+        [("cohort_p", pa.int64()), ("offset", pa.int64()), ("n_users", pa.int64())]
+    )
+    partials = bucketed_reduce(
+        events.map_batches(_distinct_user_period, batch_format="pandas", batch_size=None),
+        ["u"],
+        _per_user_cells,
+        cell_schema,
+    )
+
+    def _sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["cohort_p", "offset"], sort=False, as_index=False)["n_users"].sum()
+        return pd.DataFrame(
+            {
+                "cohort_start_us": agg["cohort_p"].to_numpy(np.int64) * period_us,
+                "period_offset": agg["offset"].to_numpy(np.int64),
+                "n_users": agg["n_users"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_reduce(partials, ["cohort_p", "offset"], _sum_cells, RETENTION_SCHEMA)

@@ -152,3 +152,63 @@ class TestPercentileRanks:
             percentile_ranks(
                 ray.data.from_pandas(df), "id", "v", driver_max_values=2
             ).take_all()
+
+
+class TestRfmSegments:
+    def test_planted_metrics_scores_and_ties(self):
+        from ai_knowledge_graph_ray.stages.segment import rfm_segments
+
+        def o(cust, date, price):
+            return {
+                "o_custkey": cust,
+                "o_orderdate": pd.Timestamp(date),
+                "o_totalprice": price,
+            }
+
+        rows = [
+            o(1, "2024-01-10", 10.00), o(1, "2024-03-05", 5.50),
+            o(2, "2024-02-01", 20.00),
+            o(3, "2024-01-05", 20.00),
+        ]
+        out = (
+            rfm_segments(ray.data.from_items(rows).repartition(3))
+            .to_pandas()
+            .set_index("o_custkey")
+            .sort_index()
+        )
+        # metrics: max-date recency, order count, integer-cents sum
+        assert out.loc[1, "n_orders"] == 2
+        assert out.loc[1, "monetary_cents"] == 1550
+        assert out.loc[2, "monetary_cents"] == 2000
+        # recency: distinct dates rank c3 < c1's Jan order is superseded
+        # by March (max), so order is c3 < c2 < c1
+        assert list(out["r_score"]) == [4, 2, 1]
+        # frequency: c2/c3 tie at 1 order share le=2 -> score 2; c1 -> 4
+        assert list(out["f_score"]) == [4, 2, 2]
+        # monetary: c2/c3 tie at the TOP share le=3 -> score 4; c1 -> 1
+        assert list(out["m_score"]) == [1, 4, 4]
+        assert list(out["segment"]) == ["441", "224", "124"]
+
+    def test_all_tied_metric_lands_in_top_bin(self):
+        from ai_knowledge_graph_ray.stages.segment import rfm_segments
+
+        rows = [
+            {"o_custkey": i, "o_orderdate": pd.Timestamp("2024-01-01"), "o_totalprice": 5.0}
+            for i in range(5)
+        ]
+        out = rfm_segments(ray.data.from_items(rows)).to_pandas()
+        # every metric fully tied: le = n for all -> everyone shares the
+        # top bin (n >= n_bins; with fewer rows the shared bin is lower)
+        assert set(out["segment"]) == {"555"}
+
+    def test_gate_trips(self):
+        from ai_knowledge_graph_ray.stages.segment import rfm_segments
+
+        rows = [
+            {"o_custkey": i, "o_orderdate": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), "o_totalprice": 5.0}
+            for i in range(6)
+        ]
+        with pytest.raises(ValueError, match="distinct"):
+            rfm_segments(
+                ray.data.from_items(rows), driver_max_values=2
+            ).take_all()

@@ -282,3 +282,55 @@ class TestFunnelCounts:
             for r in funnel_counts(ray.data.from_items(rows), ("view", "click", "purchase")).take_all()
         }
         assert out == {"view": 1, "click": 1, "purchase": 1}
+
+
+class TestRetentionMatrix:
+    def test_planted_cohorts(self):
+        import pandas as pd
+
+        from ai_knowledge_graph_ray.stages.sessions import retention_matrix
+
+        week = pd.Timedelta(days=7)
+        t0 = pd.Timestamp("2024-01-04")  # mid-week; floor is epoch-based
+
+        def ev(u, w, minute=0):
+            return {"user_id": u, "ts": t0 + w * week + pd.Timedelta(minutes=minute)}
+
+        rows = [
+            # u1: cohort week 0, active weeks 0, 1, 3 (two events in week 1
+            # must count once)
+            ev(1, 0), ev(1, 1), ev(1, 1, minute=30), ev(1, 3),
+            # u2: cohort week 0, active week 0 only
+            ev(2, 0),
+            # u3: cohort week 1, active weeks 1, 2
+            ev(3, 1), ev(3, 2),
+        ]
+        out = retention_matrix(
+            ray.data.from_items(rows).repartition(3)
+        ).to_pandas()
+        period = 604_800_000_000
+        cohort0 = out["cohort_start_us"].min()
+        cells = {
+            (int((r.cohort_start_us - cohort0) // period), int(r.period_offset)): int(
+                r.n_users
+            )
+            for r in out.itertuples()
+        }
+        assert cells == {
+            (0, 0): 2,  # u1 + u2
+            (0, 1): 1,  # u1 retained in week 1 (double event counts once)
+            (0, 3): 1,  # u1 back in week 3
+            (1, 0): 1,  # u3's own cohort starts a week later
+            (1, 1): 1,  # u3 retained
+        }
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.sessions import retention_matrix
+
+        import pandas as pd
+
+        ev = ray.data.from_pandas(
+            pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "ts": pd.Series([], dtype="datetime64[us]")})
+        )
+        assert retention_matrix(ev).count() == 0
