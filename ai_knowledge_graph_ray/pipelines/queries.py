@@ -1028,6 +1028,105 @@ def _pagerank_oracle_sql(
     """
 
 
+PPR_SEEDS = ("n0", "n7", "r3")
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank from a 3-node seed set over the
+    customer->nation->region graph — teleport (restart + dangling
+    mass) lands only on seeds; integer fixed-point, bit-exact vs the
+    unrolled SQL twin."""
+    from ..stages.graph_algos import ppr_int
+
+    return ppr_int(
+        _cnr_edges(sf_dir),
+        PPR_SEEDS,
+        iters=PAGERANK_ITERS,
+        scale=PAGERANK_SCALE,
+        d_num=PAGERANK_DNUM,
+        d_den=PAGERANK_DDEN,
+    )
+
+
+def _ppr_oracle_sql(
+    seeds: tuple[str, ...] = PPR_SEEDS,
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+    d_num: int = PAGERANK_DNUM,
+    d_den: int = PAGERANK_DDEN,
+) -> str:
+    """Unrolled-iteration SQL twin of the integer personalized-PageRank
+    recurrence (seed-restricted teleport; every CTE step MATERIALIZED —
+    DuckDB inlines chained CTEs and the per-level double reference goes
+    exponential otherwise, see the HITS oracle note)."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    head = f"""
+        WITH edges AS MATERIALIZED (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          )
+        ),
+        outdeg AS MATERIALIZED (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        seeds AS MATERIALIZED (
+          SELECT node FROM nodes WHERE node IN ({seed_list})
+        ),
+        params AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS ns,
+                 CAST(((({d_den} - {d_num}) * {scale}) // {d_den}) // count(*) AS BIGINT) AS base
+          FROM seeds
+        ),
+        r0 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST(CASE WHEN s.node IS NOT NULL
+                      THEN {scale} // (SELECT ns FROM params) ELSE 0 END AS BIGINT)
+                   AS rank_scaled
+          FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        steps.append(f""",
+        dang{k} AS MATERIALIZED (
+          SELECT CAST(COALESCE(CAST(sum(r.rank_scaled) AS BIGINT), 0)
+                      // (SELECT ns FROM params) AS BIGINT) AS d_share
+          FROM {prev} r LEFT JOIN outdeg o ON r.node = o.node
+          WHERE o.node IS NULL
+        ),
+        s{k} AS MATERIALIZED (
+          SELECT e.dst AS node,
+                 CAST(sum(r.rank_scaled // o.outdeg) AS BIGINT) AS s_v
+          FROM edges e
+          JOIN {prev} r ON e.src = r.node
+          JOIN outdeg o ON e.src = o.node
+          GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT v.node,
+                 CAST(CASE WHEN sd.node IS NOT NULL
+                      THEN (SELECT base FROM params)
+                           + ({d_num} * (COALESCE(s.s_v, 0)
+                                         + (SELECT d_share FROM dang{k}))) // {d_den}
+                      ELSE ({d_num} * COALESCE(s.s_v, 0)) // {d_den}
+                      END AS BIGINT) AS rank_scaled
+          FROM nodes v
+          LEFT JOIN s{k} s ON v.node = s.node
+          LEFT JOIN seeds sd ON v.node = sd.node
+        )""")
+    return head + "".join(steps) + f"""
+        SELECT node, rank_scaled AS ppr_scaled FROM r{iters}
+    """
+
+
 def q_top_tokens(sf_dir: str):
     """Distributed explode + two-level count + deterministic top-k
     (vectorized str.findall/value_counts partials -- the earlier
@@ -3103,6 +3202,25 @@ def q_customer_rfm(sf_dir: str):
     return rfm_segments(orders)
 
 
+FD_PAIRS = [
+    ("l_orderkey", "l_returnflag"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_linestatus"),
+]
+
+
+def q_lineitem_fd_audit(sf_dir: str):
+    """Functional-dependency audit (does lhs determine rhs?) over
+    lineitem join keys — per pair one lhs-keyed bucketed shuffle over
+    map-side-distinct (lhs, rhs); hash-exact vs a count(DISTINCT)
+    HAVING SQL twin."""
+    from ..stages.profile import fd_audit
+
+    cols = sorted({c for p in FD_PAIRS for c in p})
+    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    return fd_audit(li, FD_PAIRS)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3245,6 +3363,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_normalize": q_url_normalize,
     "events_retention": q_events_retention,
     "customer_rfm": q_customer_rfm,
+    "lineitem_fd_audit": q_lineitem_fd_audit,
+    "ppr": q_ppr,
 }
 
 _N_TOKENS_SQL = (
@@ -3677,6 +3797,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
     """,
+    "lineitem_fd_audit": """
+        WITH fd1 AS (
+          SELECT l_orderkey AS k, count(DISTINCT l_returnflag) AS d
+          FROM lineitem GROUP BY 1
+        ),
+        fd2 AS (
+          SELECT l_partkey AS k, count(DISTINCT l_suppkey) AS d
+          FROM lineitem GROUP BY 1
+        ),
+        fd3 AS (
+          SELECT l_orderkey AS k, count(DISTINCT l_linestatus) AS d
+          FROM lineitem GROUP BY 1
+        )
+        SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               count(*) FILTER (WHERE d > 1) AS n_violating FROM fd1
+        UNION ALL
+        SELECT 'l_partkey', 'l_suppkey', CAST(count(*) AS BIGINT),
+               count(*) FILTER (WHERE d > 1) FROM fd2
+        UNION ALL
+        SELECT 'l_orderkey', 'l_linestatus', CAST(count(*) AS BIGINT),
+               count(*) FILTER (WHERE d > 1) FROM fd3
+    """,
     "customer_rfm": """
         WITH m AS (
           SELECT o_custkey,
@@ -3959,6 +4102,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "pagerank": _pagerank_oracle_sql(),
+    "ppr": _ppr_oracle_sql(),
     "khop_region": """
         WITH edges AS (
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,

@@ -1564,3 +1564,271 @@ def sampled_closeness(
         dists, ["entity"], _reduce, CLOSENESS_SCHEMA, combiner=_partial,
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (teleport restricted to a seed set)
+# ---------------------------------------------------------------------------
+
+PPR_SCHEMA = pa.schema([("node", pa.string()), ("ppr_scaled", pa.int64())])
+
+
+def ppr_int_local(
+    edge_list: list[tuple[str, str]],
+    seeds: tuple[str, ...],
+    *,
+    iters: int = 3,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> dict[str, int]:
+    """Pure-Python reference of the integer personalized-PageRank
+    recurrence — teleport mass ((1-d) restart AND dangling mass) lands
+    only on the seed set, never uniformly:
+
+        r'(v) = [v in S] * (base + d*(s_v + dangling//|S|)//den)
+              + [v not in S] * (d*s_v//den)
+
+    with ``base = ((den-num)*scale//den)//|S|`` and ``s_v`` the in-sum
+    of ``r(u)//out(u)``. The unit-test and oracle-construction twin of
+    :func:`ppr_int`."""
+    nodes = sorted({x for e in edge_list for x in e})
+    seed_set = sorted(set(seeds) & set(nodes))
+    ns = len(seed_set)
+    if not nodes or ns == 0:
+        return {}
+    out: dict[str, int] = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    base = ((d_den - d_num) * scale // d_den) // ns
+    r = {v: (scale // ns if v in seed_set else 0) for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        d_share = dangling // ns
+        s_v = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            s_v[d] += r[s] // out[s]
+        r = {
+            v: (
+                base + d_num * (s_v[v] + d_share) // d_den
+                if v in seed_set
+                else d_num * s_v[v] // d_den
+            )
+            for v in nodes
+        }
+    return r
+
+
+def ppr_int(
+    edges: ray.data.Dataset,
+    seeds: tuple[str, ...],
+    *,
+    iters: int = 3,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, ppr_scaled)`` after ``iters`` integer personalized
+    PageRank steps from the given seed set (the relevance-to-S ranking
+    behind KG neighborhood expansion and seeded retrieval).
+
+    Same count-gated shape as :func:`pagerank_int`: under the gate the
+    bit-identical local twin runs on the collected edge list; over it
+    the iterated bucketed-join plan runs (2 shuffles per iteration)
+    with the seed set broadcast in the stage closures (it is tiny by
+    contract). Both paths produce identical integers (pinned by test).
+    """
+    node_schema = pa.schema([("node", pa.string())])
+    seed_set = frozenset(seeds)
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        if df.empty or "src" not in df.columns:
+            return ray.data.from_arrow(PPR_SCHEMA.empty_table())
+        r = ppr_int_local(
+            list(zip(df["src"], df["dst"])), seeds,
+            iters=iters, scale=scale, d_num=d_num, d_den=d_den,
+        )
+        ks = sorted(r)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ks, pa.string()),
+                    "ppr_scaled": pa.array([r[k] for k in ks], pa.int64()),
+                }
+            )
+        )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node")
+
+    def _as_node(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col].combine_chunks().cast(pa.string())})
+
+        return _f
+
+    both = edges.map_batches(_as_node("src"), batch_format="pyarrow").union(
+        edges.map_batches(_as_node("dst"), batch_format="pyarrow")
+    )
+    nodes = sanitize_for_join(
+        bucketed_reduce(both, ["node"], _dd, node_schema, combiner=_dd,
+                        num_buckets=num_buckets),
+        node_schema,
+    ).materialize()
+    ns = int(
+        nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [int(b["node"].isin(seed_set).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    if ns == 0:
+        return ray.data.from_arrow(PPR_SCHEMA.empty_table())
+
+    state_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("outdeg", pa.int64()),
+            ("iseed", pa.int64()),
+            ("rank_scaled", pa.int64()),
+        ]
+    )
+    base = ((d_den - d_num) * scale // d_den) // ns
+    r0 = scale // ns
+
+    deg_rows = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["src"].combine_chunks().cast(pa.string()),
+                "one": pa.array([1] * len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "one": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _init(b: pd.DataFrame) -> pd.DataFrame:
+        seed = b["node"].isin(seed_set).to_numpy()
+        return pd.DataFrame(
+            {
+                "node": b["node"],
+                "outdeg": b["outdeg"].astype("int64"),
+                "iseed": seed.astype(np.int64),
+                "rank_scaled": np.where(seed, r0, 0).astype(np.int64),
+            }
+        )
+
+    state = sanitize_for_join(
+        grouped_sums(deg_rows, ["node"], {"outdeg": "one"}).map_batches(
+            _init, batch_format="pandas"
+        ),
+        state_schema,
+    ).materialize()
+
+    edges_s = sanitize_for_join(edges.select_columns(["src", "dst"]), EDGE_SCHEMA)
+    contrib_schema = pa.schema([("src", pa.string()), ("contrib", pa.int64())])
+
+    def _masses(st: ray.data.Dataset) -> tuple[int, int]:
+        agg = st.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "total": [int(b["rank_scaled"].sum())],
+                    "linked": [int(b.loc[b["outdeg"] > 0, "rank_scaled"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        return int(agg.sum("total") or 0), int(agg.sum("linked") or 0)
+
+    for _ in range(iters):
+        total, linked = _masses(state)
+        d_share = (total - linked) // ns
+
+        contrib = sanitize_for_join(
+            state.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "src": b.loc[b["outdeg"] > 0, "node"],
+                        "contrib": (
+                            b.loc[b["outdeg"] > 0, "rank_scaled"].astype("int64")
+                            // b.loc[b["outdeg"] > 0, "outdeg"].astype("int64")
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            contrib_schema,
+        )
+        edge_contrib = cogroup_join(
+            edges_s, contrib, on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA, right_schema=contrib_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"].combine_chunks().cast(pa.string()),
+                    "odeg": pa.array([0] * len(b), pa.int64()),
+                    "isd": pa.array([0] * len(b), pa.int64()),
+                    "s_v": b["contrib"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        carrier = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "odeg": b["outdeg"].astype("int64"),
+                    "isd": b["iseed"].astype("int64"),
+                    "s_v": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def _next(b: pd.DataFrame, d_share=d_share) -> pd.DataFrame:
+            seed = b["iseed"].astype("int64").to_numpy() > 0
+            s_v = b["s_v"].astype("int64").to_numpy()
+            rank = np.where(
+                seed,
+                base + d_num * (s_v + d_share) // d_den,
+                d_num * s_v // d_den,
+            )
+            return pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "outdeg": b["outdeg"].astype("int64"),
+                    "iseed": seed.astype(np.int64),
+                    "rank_scaled": rank.astype(np.int64),
+                }
+            )
+
+        state = sanitize_for_join(
+            grouped_sums(
+                edge_contrib.union(carrier), ["node"],
+                {"outdeg": "odeg", "iseed": "isd", "s_v": "s_v"},
+            ).map_batches(_next, batch_format="pandas"),
+            state_schema,
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "ppr_scaled": b["rank_scaled"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -148,3 +148,78 @@ def profile_table(
         )
     tbl = pa.Table.from_pandas(pd.DataFrame(out_rows), schema=PROFILE_SCHEMA)
     return ray.data.from_arrow(tbl)
+
+
+FD_SCHEMA = pa.schema(
+    [
+        ("lhs", pa.string()),
+        ("rhs", pa.string()),
+        ("n_keys", pa.int64()),
+        ("n_violating", pa.int64()),
+    ]
+)
+
+
+def fd_audit(
+    ds: ray.data.Dataset,
+    pairs: list[tuple[str, str]],
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Functional-dependency audit: for each candidate ``lhs -> rhs``
+    pair, count distinct lhs keys and the keys VIOLATING the
+    dependency (more than one distinct rhs value) — the schema-level
+    integrity check (is order->status single-valued? does part
+    determine supplier?) run before trusting a join key at scale.
+
+    Per pair: map-side distinct ``(lhs, rhs)`` (repeats die before the
+    exchange), one lhs-keyed bucketed shuffle, per-bucket nunique —
+    each lhs whole in one bucket, so bucket partial counts are
+    additive; the residue is ``<= n_buckets`` rows per pair. Values
+    travel rendered as strings (injective for the int/string columns
+    this audits; same contract as :func:`profile_table`).
+
+    SQL twin: ``GROUP BY lhs HAVING count(DISTINCT rhs) > 1`` counts,
+    one UNION ALL branch per pair."""
+    part_schema = pa.schema([("n_keys", pa.int64()), ("n_violating", pa.int64())])
+    out_rows = []
+    for lhs, rhs in pairs:
+
+        def _distinct(b: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            if len(b) == 0 or lhs not in b.columns:
+                return pd.DataFrame(
+                    {"k": pd.Series([], dtype="object"), "v": pd.Series([], dtype="object")}
+                )
+            return pd.DataFrame(
+                {"k": _render(b[lhs]), "v": _render(b[rhs])}
+            ).drop_duplicates()
+
+        def _count(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates()
+            per_key = g.groupby("k", sort=False)["v"].nunique()
+            return pd.DataFrame(
+                {
+                    "n_keys": [int(len(per_key))],
+                    "n_violating": [int((per_key > 1).sum())],
+                }
+            )
+
+        res = bucketed_reduce(
+            ds.select_columns([lhs, rhs]).map_batches(
+                _distinct, batch_format="pandas", batch_size=None
+            ),
+            ["k"],
+            _count,
+            part_schema,
+            num_buckets=num_buckets,
+        ).to_pandas()  # bounded: <= n_buckets rows
+        out_rows.append(
+            {
+                "lhs": lhs,
+                "rhs": rhs,
+                "n_keys": int(res["n_keys"].sum()) if len(res) else 0,
+                "n_violating": int(res["n_violating"].sum()) if len(res) else 0,
+            }
+        )
+    tbl = pa.Table.from_pandas(pd.DataFrame(out_rows), schema=FD_SCHEMA)
+    return ray.data.from_arrow(tbl)

@@ -301,3 +301,46 @@ class TestHitsInt:
 
         out = hits_int(self._ds([]).filter(lambda r: False), iters=2)
         assert out.count() == 0
+
+
+class TestPprInt:
+    def test_distributed_equals_local_bitexact(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import ppr_int, ppr_int_local
+
+        seeds = ("a", "c")
+        local = ppr_int_local(EDGES, seeds, iters=4)
+        dist = {
+            r["node"]: r["ppr_scaled"]
+            for r in ppr_int(_ds(EDGES), seeds, iters=4, driver_max_edges=0).take_all()
+        }
+        assert dist == local
+
+    def test_gate_path_equals_scale_path(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import ppr_int
+
+        seeds = ("b",)
+        gated = {
+            r["node"]: r["ppr_scaled"]
+            for r in ppr_int(_ds(EDGES), seeds, iters=3).take_all()
+        }
+        dist = {
+            r["node"]: r["ppr_scaled"]
+            for r in ppr_int(_ds(EDGES), seeds, iters=3, driver_max_edges=0).take_all()
+        }
+        assert gated == dist
+
+    def test_mass_concentrates_near_seeds(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import ppr_int_local
+
+        # seed at 'a': its direct successor 'b' must outrank the node
+        # 'f' that is unreachable from the seed
+        r = ppr_int_local(EDGES, ("a",), iters=10)
+        assert r["b"] > r["f"]
+        assert r["a"] > 0
+
+    def test_no_seeds_in_graph_empty(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import ppr_int, ppr_int_local
+
+        assert ppr_int_local(EDGES, ("zz",), iters=3) == {}
+        assert ppr_int(_ds(EDGES), ("zz",), iters=3).take_all() == []
+        assert ppr_int(_ds(EDGES), ("zz",), iters=3, driver_max_edges=0).take_all() == []

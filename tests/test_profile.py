@@ -65,3 +65,36 @@ class TestProfileTable:
             a.sort_values("column").reset_index(drop=True),
             b.sort_values("column").reset_index(drop=True),
         )
+
+
+class TestFdAudit:
+    def test_planted_violations(self):
+        from ai_knowledge_graph_ray.stages.profile import fd_audit
+
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3, 3],
+                "v": ["x", "x", "y", "x", "z", "z"],
+            }
+        )
+        out = (
+            fd_audit(
+                ray.data.from_pandas(df).repartition(3),
+                [("k", "v"), ("v", "k")],
+            )
+            .to_pandas()
+            .set_index(["lhs", "rhs"])
+        )
+        # k=1 sees {x,y}; k=2 and k=3 are single-valued
+        assert out.loc[("k", "v"), "n_keys"] == 3
+        assert out.loc[("k", "v"), "n_violating"] == 1
+        # v=x sees keys {1,2}; y and z single-valued
+        assert out.loc[("v", "k"), "n_keys"] == 3
+        assert out.loc[("v", "k"), "n_violating"] == 1
+
+    def test_clean_dependency(self):
+        from ai_knowledge_graph_ray.stages.profile import fd_audit
+
+        df = pd.DataFrame({"k": [1, 1, 2], "v": ["a", "a", "b"]})
+        row = fd_audit(ray.data.from_pandas(df), [("k", "v")]).take_all()[0]
+        assert row["n_keys"] == 2 and row["n_violating"] == 0
