@@ -3126,6 +3126,64 @@ def q_url_normalize(sf_dir: str):
     return url_normalize(base.map_batches(_synth, batch_format="pandas"))
 
 
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup: messy URL variants (case/port/param-order/
+    trailing-slash/fragment, keyed on doc_id but colliding on
+    doc_id % 50) normalize to one canonical form; keep the min doc_id
+    per canonical URL with the collapse count — the crawl-frontier
+    dedup every web pipeline runs before fetch. One url_norm-keyed
+    bucketed reduce after the shuffle-free normalize pass."""
+    from ..stages.infer import bucketed_reduce
+    from ..stages.urlnorm import url_normalize
+
+    base = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def _synth(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        k = d % 50
+
+        def _pick(mask: np.ndarray, a: str, b_: str) -> pd.Series:
+            return pd.Series(np.where(mask, a, b_), dtype=object)
+
+        scheme = _pick(d % 3 == 0, "HTTP", "http")
+        host = _pick(d % 2 == 1, "Example.COM", "example.com")
+        port = _pick(d % 5 == 0, ":80", "")
+        ks = pd.Series(k).astype(str).astype(object)
+        path = "/p/" + ks + _pick(d % 7 == 0, "/", "")
+        q10 = pd.Series(k % 10).astype(str).astype(object)
+        query = ("?b=2&a=" + q10).where(pd.Series(d % 2 == 0), "?a=" + q10 + "&b=2")
+        frag = _pick(d % 11 == 0, "#s", "")
+        url = scheme + "://" + host + port + path + query + frag
+        return pd.DataFrame({"doc_id": d, "url": url.astype(object)})
+
+    normed = url_normalize(base.map_batches(_synth, batch_format="pandas"))
+
+    def _keep(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("url_norm", sort=False, as_index=False)["doc_id"].agg(
+            ["min", "count"]
+        )
+        return pd.DataFrame(
+            {
+                "url_norm": agg["url_norm"],
+                "keeper_doc_id": agg["min"].astype("int64"),
+                "n_docs": agg["count"].astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        normed.select_columns(["url_norm", "doc_id"]),
+        ["url_norm"],
+        _keep,
+        pa.schema(
+            [
+                ("url_norm", pa.string()),
+                ("keeper_doc_id", pa.int64()),
+                ("n_docs", pa.int64()),
+            ]
+        ),
+    )
+
+
 def q_graph_closeness(sf_dir: str):
     """Sampled closeness-centrality statistics from the 5 region nodes
     (deterministic source set): one shared multi-source BFS (frontier
@@ -3219,6 +3277,30 @@ def q_lineitem_fd_audit(sf_dir: str):
     cols = sorted({c for p in FD_PAIRS for c in p})
     li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
     return fd_audit(li, FD_PAIRS)
+
+
+def q_doc_importance(sf_dir: str):
+    """DSIR-shaped importance scores toward the English subset —
+    integer target/raw token-count-ratio features (one token shuffle
+    fitting both count tables, broadcast weights, map-side scoring);
+    hash-exact vs an explode-join SQL twin."""
+    from ..stages.webtext import importance_scores
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    return importance_scores(docs, target_value="en")
+
+
+def q_doc_chars_approx_quantiles(sf_dir: str):
+    """Approximate n_chars quantiles from a mergeable 1000-bin integer
+    histogram — the sketch-based scale path for near-unique signals
+    past the exact-quantile gate; pure integer arithmetic so it is
+    hash-exact vs a width-bucket + window-cumsum SQL twin."""
+    from ..stages.quantiles import approx_quantiles_hist
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+    return approx_quantiles_hist(docs, "n_chars")
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
@@ -3365,6 +3447,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_rfm": q_customer_rfm,
     "lineitem_fd_audit": q_lineitem_fd_audit,
     "ppr": q_ppr,
+    "doc_importance": q_doc_importance,
+    "url_dedup": q_url_dedup,
+    "doc_chars_approx_quantiles": q_doc_chars_approx_quantiles,
 }
 
 _N_TOKENS_SQL = (
@@ -3796,6 +3881,67 @@ ORACLE_SQL: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
+    """,
+    "doc_chars_approx_quantiles": """
+        WITH lim AS (
+          SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+                 CAST(max(n_chars) AS BIGINT) AS hi,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents
+        ),
+        b AS (
+          SELECT ((n_chars - lo) * 1000) // (hi - lo + 1) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM documents, lim GROUP BY 1
+        ),
+        c AS (
+          SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+          FROM b
+        ),
+        qs AS (
+          SELECT unnest([250, 500, 750, 900, 990]) AS q_milli
+        ),
+        ans AS (
+          SELECT q.q_milli,
+                 CAST(min(c.bin) AS BIGINT) AS bin
+          FROM qs q JOIN c
+            ON c.cum >= (q.q_milli * (SELECT n FROM lim) + 999) // 1000
+          GROUP BY 1
+        )
+        SELECT q_milli, bin,
+               (SELECT lo FROM lim)
+                 + bin * ((SELECT hi FROM lim) - (SELECT lo FROM lim) + 1) // 1000
+                 AS approx_value
+        FROM ans
+    """,
+    "doc_importance": """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+'))
+                   AS token
+          FROM documents
+        ),
+        raw AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY 1
+        ),
+        tgt AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS ct
+          FROM toks WHERE lang = 'en' GROUP BY 1
+        ),
+        w AS (
+          SELECT r.token,
+                 (1000000 * (COALESCE(t.ct, 0) + 1)) // (r.cr + 1) AS w
+          FROM raw r LEFT JOIN tgt t ON r.token = t.token
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(w.w) AS BIGINT) AS score
+          FROM toks JOIN w ON toks.token = w.token
+          GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, score // n_tokens AS imp_per_token
+        FROM scored
     """,
     "lineitem_fd_audit": """
         WITH fd1 AS (
@@ -4619,6 +4765,63 @@ ORACLE_SQL: dict[str, str] = {
         SELECT entity, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(minh) AS BIGINT) AS total_dist
         FROM md GROUP BY entity
+    """,
+    "url_dedup": r"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+                 CASE WHEN doc_id % 2 = 1 THEN 'Example.COM' ELSE 'example.com' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+                 '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+                 CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+                 CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' || CAST((doc_id % 50) % 10 AS VARCHAR)
+                      ELSE '?a=' || CAST((doc_id % 50) % 10 AS VARCHAR) || '&b=2' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN '#s' ELSE '' END AS url
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 regexp_extract(
+                   regexp_replace(trim(url), '#.*$', ''),
+                   '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?(.*))?$',
+                   ['scheme', 'hostport', 'path', 'query']
+                 ) AS g
+          FROM u
+        ),
+        s2 AS (
+          SELECT doc_id,
+                 lower(g.scheme) AS sc,
+                 lower(g.hostport) AS hp,
+                 g.path AS p, g.query AS q
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, sc,
+                 CASE WHEN sc = 'http' AND hp LIKE '%:80'
+                        THEN regexp_replace(hp, ':80$', '')
+                      WHEN sc = 'https' AND hp LIKE '%:443'
+                        THEN regexp_replace(hp, ':443$', '')
+                      ELSE hp END AS host,
+                 CASE WHEN p = '' THEN '/'
+                      WHEN p <> '/' AND p LIKE '%/' THEN regexp_replace(p, '/$', '')
+                      ELSE p END AS path,
+                 coalesce(
+                   list_aggr(
+                     list_sort(list_filter(string_split(q, '&'), x -> x <> '')),
+                     'string_agg', '&'
+                   ), ''
+                 ) AS qs
+          FROM s2
+        ),
+        n AS (
+          SELECT doc_id,
+                 sc || '://' || host || path ||
+                   CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm
+          FROM s3
+        )
+        SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM n GROUP BY 1
     """,
     "url_normalize": r"""
         WITH u AS (

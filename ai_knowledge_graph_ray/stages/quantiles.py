@@ -377,3 +377,88 @@ def mad_outliers(
     return normalize_blocks(
         ds.map_batches(_flag, batch_format="pandas", batch_size=None), MAD_SCHEMA
     )
+
+
+APPROX_Q_SCHEMA = pa.schema(
+    [("q_milli", pa.int64()), ("bin", pa.int64()), ("approx_value", pa.int64())]
+)
+
+
+def approx_quantiles_hist(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs_milli: tuple[int, ...] = (250, 500, 750, 900, 990),
+    *,
+    n_bins: int = 1000,
+) -> ray.data.Dataset:
+    """Approximate quantiles from a MERGEABLE fixed-width histogram —
+    the scale path beside :func:`exact_quantiles` for columns whose
+    DISTINCT-value domain exceeds the exact gate (near-unique int64
+    signals). Deterministic and engine-portable because the sketch is
+    pure integer arithmetic, so it still carries a hash-exact SQL twin
+    (width-bucket + window cumsum):
+
+        bin(v)       = ((v - lo) * n_bins) // (hi - lo + 1)
+        answer(q)    = smallest bin with cum >= ceil(q * n)
+        approx_value = lo + bin * (hi - lo + 1) // n_bins   (bin floor)
+
+    Error bound: one bin width = (hi - lo + 1) / n_bins. Two streaming
+    scans (min/max/count partials, then per-block ``np.bincount``
+    partials into one tiny bin-keyed reduce — residue <= n_bins rows);
+    no sort, no full-value shuffle, blocks merge by addition."""
+    if not qs_milli or any(not (0 < q <= 1000) for q in qs_milli):
+        raise ValueError("each q_milli must be in (0, 1000]")
+
+    stats = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "lo": [int(b[value_col].min())],
+                "hi": [int(b[value_col].max())],
+                "n": [int(len(b))],
+            }
+        )
+        if len(b)
+        else pd.DataFrame({"lo": [], "hi": [], "n": []}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()  # bounded: one row per block
+    if len(stats) == 0 or stats["n"].sum() == 0:
+        return ray.data.from_arrow(APPROX_Q_SCHEMA.empty_table())
+    lo = int(stats["lo"].min())
+    hi = int(stats["hi"].max())
+    n = int(stats["n"].sum())
+    width = hi - lo + 1
+
+    def _bins(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"bin": pd.Series([], dtype="int64"), "cnt": pd.Series([], dtype="int64")}
+            )
+        v = b[value_col].to_numpy(np.int64)
+        bins = (v - lo) * n_bins // width
+        cnt = np.bincount(bins, minlength=0)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bin": nz.astype(np.int64), "cnt": cnt[nz].astype(np.int64)})
+
+    hist = (
+        bucketed_reduce(
+            ds.select_columns([value_col]),
+            ["bin"],
+            lambda g: g.groupby("bin", sort=False, as_index=False)["cnt"].sum(),
+            pa.schema([("bin", pa.int64()), ("cnt", pa.int64())]),
+            combiner=_bins,
+        )
+        .to_pandas()  # bounded: <= n_bins rows
+        .sort_values("bin", kind="stable")
+    )
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    bins = hist["bin"].to_numpy(np.int64)
+    rows = []
+    for q in qs_milli:
+        target = (q * n + 999) // 1000
+        i = int(np.searchsorted(cum, target, side="left"))
+        b = int(bins[min(i, len(bins) - 1)])
+        rows.append(
+            {"q_milli": int(q), "bin": b, "approx_value": lo + b * width // n_bins}
+        )
+    return ray.data.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), schema=APPROX_Q_SCHEMA))

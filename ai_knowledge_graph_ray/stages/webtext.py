@@ -1528,3 +1528,144 @@ def bigram_nll(
         docs.map_batches(_zeros_for, batch_format="pandas"), BIGRAM_PPL_SCHEMA
     )
     return scored.union(zeros)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance scoring (target-vs-raw token-ratio features)
+# ---------------------------------------------------------------------------
+
+DSIR_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("imp_per_token", pa.int64()),
+    ]
+)
+
+
+def importance_scores(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    scale: int = 10**6,
+    driver_max_vocab: int = DRIVER_MAX_PPL_VOCAB,
+) -> ray.data.Dataset:
+    """Importance score of every document toward a TARGET subset —
+    the DSIR selection shape (Xie et al., arXiv:2302.03169: estimate
+    importance weights from hashed n-gram LMs, resample the raw pool
+    toward the target). The float log-likelihood ratio is replaced by
+    an integer count-ratio feature so the score is engine-portable and
+    hash-exact:
+
+        w(t)  = (scale * (ct(t) + 1)) // (cr(t) + 1)      <= scale
+        score = sum of w over the doc's token OCCURRENCES
+        imp_per_token = score // n_tokens                 (length-free)
+
+    where ``ct`` counts token occurrences inside the target subset
+    (rows with ``target_col == target_value``) and ``cr`` over the
+    whole pool. High = the doc's tokens are relatively MORE frequent
+    in the target distribution. One bucketed token-count shuffle fits
+    both count tables at once (vocabulary residue count-gated, Heap's
+    law); the weight table broadcasts via ``ray.put``; scoring is
+    map-side searchsorted — zero further shuffle. Docs with zero
+    tokens emit no row (mirrors the SQL twin's explode join)."""
+    count_schema = pa.schema(
+        [("token", pa.string()), ("cr", pa.int64()), ("ct", pa.int64())]
+    )
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or text_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "cr": pd.Series([], dtype="int64"),
+                    "ct": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b.reset_index(drop=True)
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "cr": pd.Series([], dtype="int64"),
+                    "ct": pd.Series([], dtype="int64"),
+                }
+            )
+        is_t = (b[target_col] == target_value).to_numpy()
+        df = pd.DataFrame(
+            {
+                "token": flat.to_numpy(object),
+                "cr": np.ones(len(flat), np.int64),
+                "ct": is_t[flat.index.to_numpy()].astype(np.int64),
+            }
+        )
+        return df.groupby("token", sort=False, as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False, as_index=False)[["cr", "ct"]].sum()
+
+    counts = bucketed_reduce(
+        ds.select_columns([text_col, target_col]),
+        ["token"],
+        _sum,
+        count_schema,
+        combiner=_counts,
+    ).materialize()
+    n_vocab = counts.count()
+    if n_vocab > driver_max_vocab:
+        raise ValueError(
+            f"importance_scores: vocabulary {n_vocab} exceeds the driver "
+            f"gate ({driver_max_vocab}); hash-bucket tokens first"
+        )
+    vocab = counts.to_pandas()
+    if len(vocab) == 0:
+        return ray.data.from_arrow(DSIR_SCHEMA.empty_table())
+    vocab = vocab.sort_values("token", kind="stable")
+    w = (
+        scale * (vocab["ct"].to_numpy(np.int64) + 1)
+    ) // (vocab["cr"].to_numpy(np.int64) + 1)
+    model_ref = ray.put(
+        {"tokens": vocab["token"].to_numpy(object), "w": w.astype(np.int64)}
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        b = b.reset_index(drop=True)
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        flat = toks.explode().dropna()
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "imp_per_token": pd.Series([], dtype="int64"),
+                }
+            )
+        arr = flat.to_numpy(object)
+        idx = np.searchsorted(m["tokens"], arr)
+        idx = np.clip(idx, 0, len(m["tokens"]) - 1)
+        hit = m["tokens"][idx] == arr
+        # every token was counted in the fit pass; the `scale` fallback
+        # (ct=cr=0 -> ratio 1) is unreachable but keeps the kernel total
+        wt = np.where(hit, m["w"][idx], scale).astype(np.int64)
+        per_doc = pd.DataFrame({"i": flat.index.to_numpy(), "w": wt}).groupby(
+            "i", sort=False
+        )["w"].agg(["sum", "count"])
+        rows = per_doc.index.to_numpy()
+        n = per_doc["count"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64)[rows],
+                "n_tokens": n,
+                "imp_per_token": per_doc["sum"].to_numpy(np.int64) // n,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pandas"
+    )

@@ -212,3 +212,43 @@ class TestRfmSegments:
             rfm_segments(
                 ray.data.from_items(rows), driver_max_values=2
             ).take_all()
+
+
+class TestApproxQuantilesHist:
+    def test_within_one_bin_of_exact(self):
+        from ai_knowledge_graph_ray.stages.quantiles import (
+            approx_quantiles_hist,
+            exact_quantiles,
+        )
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 100_000, size=5000)
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+        approx = {
+            r["q_milli"]: r["approx_value"]
+            for r in approx_quantiles_hist(ds, "v", (250, 500, 900)).take_all()
+        }
+        exact = {
+            int(round(r["q"] * 1000)): r["value"]
+            for r in exact_quantiles(ds, "v", (0.25, 0.5, 0.9)).to_pylist()
+        }
+        width = (int(vals.max()) - int(vals.min()) + 1) / 1000
+        for q, av in approx.items():
+            assert abs(av - exact[q]) <= width + 1
+
+    def test_partition_invariance(self):
+        from ai_knowledge_graph_ray.stages.quantiles import approx_quantiles_hist
+
+        vals = pd.DataFrame({"v": np.arange(1, 2001, dtype=np.int64) ** 2 % 7919})
+        a = approx_quantiles_hist(ray.data.from_pandas(vals).repartition(1), "v").to_pandas()
+        b = approx_quantiles_hist(ray.data.from_pandas(vals).repartition(13), "v").to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("q_milli").reset_index(drop=True),
+            b.sort_values("q_milli").reset_index(drop=True),
+        )
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.quantiles import approx_quantiles_hist
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")}))
+        assert approx_quantiles_hist(ds, "v").count() == 0

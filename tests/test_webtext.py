@@ -561,3 +561,50 @@ class TestBigramNll:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestImportanceScores:
+    def test_planted_ratio_math(self):
+        from ai_knowledge_graph_ray.stages.webtext import importance_scores
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "apple banana",
+                    "apple banana",
+                    "zebra xylophone",
+                    "apple zebra",
+                    "",  # zero tokens -> no row
+                ],
+                "lang": ["en", "en", "de", "de", "en"],
+            }
+        )
+        out = (
+            importance_scores(ray.data.from_pandas(docs).repartition(3))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # cr: apple 3, banana 2, zebra 2, xylophone 1; ct(en): apple 2, banana 2
+        # w = 1e6*(ct+1)//(cr+1): apple 750000, banana 1000000,
+        # zebra 333333, xylophone 500000
+        assert list(out.index) == [1, 2, 3, 4]
+        assert out.loc[1, "imp_per_token"] == (750000 + 1000000) // 2
+        assert out.loc[3, "imp_per_token"] == (333333 + 500000) // 2
+        assert out.loc[4, "imp_per_token"] == (750000 + 333333) // 2
+        # target-aligned doc outranks the off-target one
+        assert out.loc[1, "imp_per_token"] > out.loc[3, "imp_per_token"]
+
+    def test_vocab_gate_trips(self):
+        import pytest
+
+        from ai_knowledge_graph_ray.stages.webtext import importance_scores
+
+        docs = pd.DataFrame(
+            {"doc_id": [1], "text": ["a b c d e f"], "lang": ["en"]}
+        )
+        with pytest.raises(ValueError, match="vocabulary"):
+            importance_scores(
+                ray.data.from_pandas(docs), driver_max_vocab=2
+            ).take_all()
