@@ -3303,6 +3303,49 @@ def q_doc_chars_approx_quantiles(sf_dir: str):
     return approx_quantiles_hist(docs, "n_chars")
 
 
+def q_events_skew_profile(sf_dir: str):
+    """Key-skew report over candidate shuffle keys (user_id,
+    event_type): distinct keys, hottest-key count/share, p99 per-key
+    count — the pre-shuffle planning probe; two count exchanges per
+    column, count-of-counts residue only. Hash-exact vs a
+    quantile_disc SQL twin."""
+    from ..stages.profile import skew_profile
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    return skew_profile(ev, ["user_id", "event_type"])
+
+
+def q_orders_scd2(sf_dir: str):
+    """SCD-type-2 history from three simulated order-priority
+    snapshots (restatements + deletions keyed on o_orderkey mods):
+    one validity interval per run of equal values, deletion gaps
+    break runs — one key-bucketed gaps-and-islands shuffle,
+    hash-exact vs a lag()+window-sum SQL twin."""
+    from ..stages.diff import scd2_history
+
+    base = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def _snap(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        p = b["o_orderpriority"].astype(object)
+        v2 = p.where(pd.Series(k % 7 != 0, index=p.index), "0-RESTATED")
+        v3 = v2.where(pd.Series(k % 5 != 0, index=p.index), "9-FINAL")
+        frames = [
+            pd.DataFrame({"key": k, "snap": 1, "val": p}),
+            pd.DataFrame({"key": k, "snap": 2, "val": v2})[k % 11 != 0],
+            pd.DataFrame({"key": k, "snap": 3, "val": v3})[k % 13 != 0],
+        ]
+        out = pd.concat(frames, ignore_index=True)
+        out["snap"] = out["snap"].astype("int64")
+        return out
+
+    return scd2_history(base.map_batches(_snap, batch_format="pandas"))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3450,6 +3493,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_importance": q_doc_importance,
     "url_dedup": q_url_dedup,
     "doc_chars_approx_quantiles": q_doc_chars_approx_quantiles,
+    "events_skew_profile": q_events_skew_profile,
+    "orders_scd2": q_orders_scd2,
 }
 
 _N_TOKENS_SQL = (
@@ -3881,6 +3926,62 @@ ORACLE_SQL: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
+    """,
+    "events_skew_profile": """
+        WITH k1 AS (
+          SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        k2 AS (
+          SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        )
+        SELECT 'user_id' AS key_col,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_cnt,
+               CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cnt,
+               CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top1_share_milli
+        FROM k1
+        UNION ALL
+        SELECT 'event_type', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(max(c) AS BIGINT), CAST(quantile_disc(c, 0.99) AS BIGINT),
+               CAST(max(c) * 1000 // sum(c) AS BIGINT)
+        FROM k2
+    """,
+    "orders_scd2": """
+        WITH snaps AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS key, CAST(1 AS BIGINT) AS snap,
+                 o_orderpriority AS val
+          FROM orders
+          UNION ALL
+          SELECT CAST(o_orderkey AS BIGINT), CAST(2 AS BIGINT),
+                 CASE WHEN o_orderkey % 7 = 0 THEN '0-RESTATED'
+                      ELSE o_orderpriority END
+          FROM orders WHERE o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT CAST(o_orderkey AS BIGINT), CAST(3 AS BIGINT),
+                 CASE WHEN o_orderkey % 5 = 0 THEN '9-FINAL'
+                      WHEN o_orderkey % 7 = 0 THEN '0-RESTATED'
+                      ELSE o_orderpriority END
+          FROM orders WHERE o_orderkey % 13 <> 0
+        ),
+        flagged AS (
+          SELECT key, snap, val,
+                 CASE WHEN lag(val) OVER w IS DISTINCT FROM val
+                        OR snap - lag(snap) OVER w > 1
+                      THEN 1 ELSE 0 END AS chg
+          FROM snaps WINDOW w AS (PARTITION BY key ORDER BY snap)
+        ),
+        grp AS (
+          SELECT key, snap, val,
+                 sum(chg) OVER (PARTITION BY key ORDER BY snap) AS g
+          FROM flagged
+        )
+        SELECT key, val,
+               CAST(min(snap) AS BIGINT) AS valid_from,
+               CAST(max(snap) AS BIGINT) AS valid_to
+        FROM grp GROUP BY key, val, g
     """,
     "doc_chars_approx_quantiles": """
         WITH lim AS (

@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .infer import normalize_blocks
+from .infer import bucketed_reduce, normalize_blocks
 from .relational import cogroup_join
 
 
@@ -117,4 +117,67 @@ def snapshot_diff(
 
     return normalize_blocks(
         j.map_batches(_classify, batch_format="pandas", batch_size=None), out_schema
+    )
+
+
+SCD2_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("val", pa.string()),
+        ("valid_from", pa.int64()),
+        ("valid_to", pa.int64()),
+    ]
+)
+
+
+def scd2_history(
+    snapshots: ray.data.Dataset,
+    *,
+    key_col: str = "key",
+    snap_col: str = "snap",
+    val_col: str = "val",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension (type 2) history from a stack of keyed
+    snapshots ``(key, snap, val)``: one validity interval per run of
+    consecutive snapshots where the key held the same value —
+    ``(key, val, valid_from, valid_to)`` with snapshot ids as the
+    interval bounds (inclusive). A key absent from an intermediate
+    snapshot BREAKS the run (deletion then re-insert opens a new
+    interval), detected by a snapshot-id gap.
+
+    The gaps-and-islands window (lag + running change-count) has no
+    native Ray op; it is one key-bucketed shuffle with a vectorized
+    in-bucket sort + shift + cumsum — the same shape as
+    :func:`~.sessions.sessionize`. SQL twin:
+    ``lag() OVER (PARTITION BY key ORDER BY snap)`` change flags and a
+    window sum."""
+
+    def _islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, snap_col], kind="stable")
+        k = g[key_col].to_numpy(np.int64)
+        s = g[snap_col].to_numpy(np.int64)
+        v = g[val_col].to_numpy(object)
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        chg = np.empty(len(g), dtype=bool)
+        chg[0] = True
+        chg[1:] = new_key[1:] | (v[1:] != v[:-1]) | (s[1:] - s[:-1] > 1)
+        grp = np.cumsum(chg)
+        df = pd.DataFrame({"key": k, "val": v, "snap": s, "grp": grp})
+        agg = df.groupby("grp", sort=False).agg(
+            key=("key", "first"),
+            val=("val", "first"),
+            valid_from=("snap", "min"),
+            valid_to=("snap", "max"),
+        )
+        return agg.reset_index(drop=True)
+
+    return bucketed_reduce(
+        snapshots.select_columns([key_col, snap_col, val_col]),
+        [key_col],
+        _islands,
+        SCD2_SCHEMA,
+        num_buckets=num_buckets,
     )

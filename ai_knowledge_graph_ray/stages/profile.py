@@ -223,3 +223,116 @@ def fd_audit(
         )
     tbl = pa.Table.from_pandas(pd.DataFrame(out_rows), schema=FD_SCHEMA)
     return ray.data.from_arrow(tbl)
+
+
+SKEW_SCHEMA = pa.schema(
+    [
+        ("key_col", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_keys", pa.int64()),
+        ("max_cnt", pa.int64()),
+        ("p99_cnt", pa.int64()),
+        ("top1_share_milli", pa.int64()),
+    ]
+)
+
+
+def skew_profile(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    *,
+    driver_max_distinct_counts: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Key-skew report for shuffle planning: before hash-partitioning
+    100 TB on a key, ask whether one key owns the exchange. Per key
+    column: row count, distinct keys, the hottest key's count, the
+    p99 per-key count (discrete, ceil definition — quantile_disc
+    exact) and the hottest key's share in exact thousandths.
+
+    Two bucketed exchanges per column, neither over raw rows: (1)
+    per-key counts (map-side value_counts combiner), (2) the
+    COUNT-OF-COUNTS histogram keyed on the count value — its residue
+    is the distinct-count-value domain (heavily log-concentrated in
+    real corpora; gated, trips loudly). No per-key rows ever reach
+    the driver."""
+    cc_schema = pa.schema([("c", pa.int64()), ("n_keys", pa.int64())])
+    out_rows = []
+    for col in key_cols:
+
+        def _vc(b: pd.DataFrame, col=col) -> pd.DataFrame:
+            if len(b) == 0 or col not in b.columns:
+                return pd.DataFrame(
+                    {"k": pd.Series([], dtype="object"), "c": pd.Series([], dtype="int64")}
+                )
+            vc = _render(b[col]).value_counts()
+            return pd.DataFrame(
+                {"k": vc.index.to_numpy(object), "c": vc.to_numpy(np.int64)}
+            )
+
+        def _sum_keys(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("k", sort=False, as_index=False)["c"].sum()
+
+        key_counts = bucketed_reduce(
+            ds.select_columns([col]),
+            ["k"],
+            _sum_keys,
+            pa.schema([("k", pa.string()), ("c", pa.int64())]),
+            combiner=_vc,
+            num_buckets=num_buckets,
+        )
+
+        def _cc(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or "c" not in b.columns:  # empty blocks lose columns
+                return pd.DataFrame(
+                    {"c": pd.Series([], dtype="int64"),
+                     "n_keys": pd.Series([], dtype="int64")}
+                )
+            vc = b["c"].value_counts()
+            return pd.DataFrame(
+                {"c": vc.index.to_numpy(np.int64), "n_keys": vc.to_numpy(np.int64)}
+            )
+
+        cc = bucketed_reduce(
+            key_counts,
+            ["c"],
+            lambda g: g.groupby("c", sort=False, as_index=False)["n_keys"].sum(),
+            cc_schema,
+            combiner=_cc,
+            num_buckets=num_buckets,
+        ).to_pandas()
+        if "c" not in cc.columns:  # fully-empty result loses its schema
+            cc = pd.DataFrame({"c": [], "n_keys": []})
+        cc = cc.sort_values("c", kind="stable")
+        if len(cc) > driver_max_distinct_counts:
+            raise ValueError(
+                f"skew_profile: {len(cc)} distinct count values for {col} "
+                f"exceed the gate ({driver_max_distinct_counts})"
+            )
+        if len(cc) == 0:
+            out_rows.append(
+                {"key_col": col, "n_rows": 0, "n_keys": 0, "max_cnt": 0,
+                 "p99_cnt": 0, "top1_share_milli": 0}
+            )
+            continue
+        c = cc["c"].to_numpy(np.int64)
+        nk = cc["n_keys"].to_numpy(np.int64)
+        n_keys = int(nk.sum())
+        n_rows = int((c * nk).sum())
+        max_cnt = int(c[-1])
+        cum = nk.cumsum()
+        target = -(-99 * n_keys // 100)  # ceil(0.99 * n_keys)
+        p99 = int(c[int(np.searchsorted(cum, target, side="left"))])
+        out_rows.append(
+            {
+                "key_col": col,
+                "n_rows": n_rows,
+                "n_keys": n_keys,
+                "max_cnt": max_cnt,
+                "p99_cnt": p99,
+                "top1_share_milli": max_cnt * 1000 // n_rows,
+            }
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(pd.DataFrame(out_rows), schema=SKEW_SCHEMA)
+    )

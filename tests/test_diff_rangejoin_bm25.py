@@ -287,3 +287,86 @@ class TestBm25MoreLikeThis:
             .to_pandas().sort_values("rank").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestScd2History:
+    def _snaps(self) -> pd.DataFrame:
+        # key 1: stable value across all 3 snaps -> one interval
+        # key 2: value change at snap 2 -> two intervals
+        # key 3: absent at snap 2 (delete + re-insert of SAME value)
+        #        -> gap breaks the run -> two intervals
+        # key 4: appears only at snap 3
+        return pd.DataFrame(
+            {
+                "key": [1, 1, 1, 2, 2, 2, 3, 3, 4],
+                "snap": [1, 2, 3, 1, 2, 3, 1, 3, 3],
+                "val": ["a", "a", "a", "x", "y", "y", "m", "m", "z"],
+            }
+        )
+
+    def test_intervals(self):
+        from ai_knowledge_graph_ray.stages.diff import scd2_history
+
+        out = (
+            scd2_history(_ds(self._snaps(), parts=4))
+            .to_pandas()
+            .sort_values(["key", "valid_from"])
+            .reset_index(drop=True)
+        )
+        got = list(
+            zip(out["key"], out["val"], out["valid_from"], out["valid_to"])
+        )
+        assert got == [
+            (1, "a", 1, 3),
+            (2, "x", 1, 1),
+            (2, "y", 2, 3),
+            (3, "m", 1, 1),
+            (3, "m", 3, 3),
+            (4, "z", 3, 3),
+        ]
+
+    def test_sql_twin_randomized(self):
+        from ai_knowledge_graph_ray.stages.diff import scd2_history
+
+        rng = np.random.default_rng(7)
+        n = 400
+        rows = []
+        for key in range(40):
+            for snap in range(1, 11):
+                if rng.random() < 0.25:  # random deletions
+                    continue
+                rows.append((key, snap, str(rng.integers(0, 3))))
+        df = pd.DataFrame(rows, columns=["key", "snap", "val"])
+        df["key"] = df["key"].astype("int64")
+        df["snap"] = df["snap"].astype("int64")
+
+        got = (
+            scd2_history(_ds(df, parts=5))
+            .to_pandas()
+            .sort_values(["key", "valid_from"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("snaps", df)
+        want = con.execute(
+            """
+            WITH flagged AS (
+              SELECT key, snap, val,
+                     CASE WHEN lag(val) OVER w IS DISTINCT FROM val
+                            OR snap - lag(snap) OVER w > 1
+                          THEN 1 ELSE 0 END AS chg
+              FROM snaps WINDOW w AS (PARTITION BY key ORDER BY snap)
+            ),
+            grp AS (
+              SELECT key, snap, val,
+                     sum(chg) OVER (PARTITION BY key ORDER BY snap) AS g
+              FROM flagged
+            )
+            SELECT key, val, CAST(min(snap) AS BIGINT) AS valid_from,
+                   CAST(max(snap) AS BIGINT) AS valid_to
+            FROM grp GROUP BY key, val, g
+            ORDER BY key, valid_from
+            """
+        ).df()
+        want["key"] = want["key"].astype("int64")
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True))

@@ -98,3 +98,37 @@ class TestFdAudit:
         df = pd.DataFrame({"k": [1, 1, 2], "v": ["a", "a", "b"]})
         row = fd_audit(ray.data.from_pandas(df), [("k", "v")]).take_all()[0]
         assert row["n_keys"] == 2 and row["n_violating"] == 0
+
+
+class TestSkewProfile:
+    def test_planted_hot_key(self):
+        from ai_knowledge_graph_ray.stages.profile import skew_profile
+
+        keys = ["hot"] * 90 + [f"k{i}" for i in range(10)]
+        df = pd.DataFrame({"k": keys})
+        row = (
+            skew_profile(ray.data.from_pandas(df).repartition(4), ["k"])
+            .take_all()[0]
+        )
+        assert row["n_rows"] == 100
+        assert row["n_keys"] == 11
+        assert row["max_cnt"] == 90
+        assert row["top1_share_milli"] == 900
+        # counts sorted: ten keys at 1, one at 90; ceil(.99*11)=11 -> 90
+        assert row["p99_cnt"] == 90
+
+    def test_uniform_keys(self):
+        from ai_knowledge_graph_ray.stages.profile import skew_profile
+
+        df = pd.DataFrame({"k": list(range(20)) * 5})
+        row = skew_profile(ray.data.from_pandas(df).repartition(3), ["k"]).take_all()[0]
+        assert row["n_keys"] == 20 and row["max_cnt"] == 5
+        assert row["top1_share_milli"] == 50
+        assert row["p99_cnt"] == 5
+
+    def test_empty(self):
+        from ai_knowledge_graph_ray.stages.profile import skew_profile
+
+        df = pd.DataFrame({"k": pd.Series([], dtype="object")})
+        row = skew_profile(ray.data.from_pandas(df), ["k"]).take_all()[0]
+        assert row["n_rows"] == 0 and row["n_keys"] == 0
