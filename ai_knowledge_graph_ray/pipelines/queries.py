@@ -3346,6 +3346,44 @@ def q_orders_scd2(sf_dir: str):
     return scd2_history(base.map_batches(_snap, batch_format="pandas"))
 
 
+def q_orders_expectations(sf_dir: str):
+    """Declarative data-quality gate over orders (+ lineitem FK):
+    seven checks — null scan, two uniqueness counts, a price range,
+    enum membership, a priority-format regex, and lineitem→orders
+    referential integrity — compiled into one shared row-local pass,
+    two distinct-count shuffles and one anti-join over distinct keys.
+    Hash-exact vs per-check SQL twins."""
+    from ..stages.validate import expectations_report
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority",
+        ],
+    )
+    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    checks = [
+        {"id": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"id": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {"id": "custkey_unique", "kind": "unique", "cols": ["o_custkey"]},
+        {"id": "totalprice_range", "kind": "range", "col": "o_totalprice",
+         "lo": 0, "hi": 400000},
+        {"id": "status_in_set", "kind": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"id": "priority_format", "kind": "regex", "col": "o_orderpriority",
+         "pattern": r"[1-5]-[A-Z]"},
+    ]
+    rep = expectations_report(orders, checks).to_pandas()
+    fk = expectations_report(
+        lineitem,
+        [{"id": "lineitem_fk", "kind": "fk", "col": "l_orderkey",
+          "ref": ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"]),
+          "ref_col": "o_orderkey"}],
+    ).to_pandas()
+    return pd.concat([rep, fk], ignore_index=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3495,6 +3533,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_chars_approx_quantiles": q_doc_chars_approx_quantiles,
     "events_skew_profile": q_events_skew_profile,
     "orders_scd2": q_orders_scd2,
+    "orders_expectations": q_orders_expectations,
 }
 
 _N_TOKENS_SQL = (
@@ -3948,6 +3987,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(c) AS BIGINT), CAST(quantile_disc(c, 0.99) AS BIGINT),
                CAST(max(c) * 1000 // sum(c) AS BIGINT)
         FROM k2
+    """,
+    "orders_expectations": """
+        WITH raw AS (
+          SELECT 'custkey_not_null' AS check_id, 'not_null' AS kind,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating
+          FROM orders
+          UNION ALL
+          SELECT 'orderkey_unique', 'unique', CAST(count(o_orderkey) AS BIGINT),
+                 CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'custkey_unique', 'unique', CAST(count(o_custkey) AS BIGINT),
+                 CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'totalprice_range', 'range', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'status_in_set', 'in_set', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                         AND o_orderstatus NOT IN ('O', 'F')
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'priority_format', 'regex', CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                         AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]')
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem_fk', 'fk', CAST(count(l_orderkey) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN NOT EXISTS (
+                          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem l
+        )
+        SELECT check_id, kind, n_rows, n_violating,
+               n_violating = 0 AS ok
+        FROM raw
     """,
     "orders_scd2": """
         WITH snaps AS (

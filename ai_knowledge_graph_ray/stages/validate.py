@@ -1,0 +1,279 @@
+"""Declarative data-quality expectations over a Dataset — the gate a
+curation pipeline runs before shipping a corpus shard to training
+(schema drift, null floods, broken referential integrity all show up
+here first, not three stages downstream).
+
+A check list compiles into at most three exchange families, none of
+which ever moves raw rows to the driver:
+
+- **row-local checks** (``not_null``, ``range``, ``in_set``,
+  ``regex``) — ONE shared pass over the input: each batch emits a
+  per-check partial ``(check_id, n_rows, n_violating)``; a tiny
+  keyed sum folds the partials (residue = one row per check).
+- **``unique``** — distinct-key count via a key-bucketed reduce
+  (map-side ``drop_duplicates`` combiner; per-bucket distinct counts
+  sum exactly because buckets partition the key space). Violations =
+  rows − distinct keys.
+- **``fk``** — child side reduced to ``(value, multiplicity)``,
+  parent side reduced to distinct values, then one partitioned
+  anti-join; violations = summed multiplicity of orphans. Joins move
+  O(distinct values), never O(rows).
+
+No counterpart in the reference (its pipeline trusts its own
+extractor); this is the "expectations" shape every large-scale
+pipeline bolts on. SQL twin per check kind in
+``pipelines/queries.py:orders_expectations``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce, normalize_blocks
+from .relational import cogroup_join
+
+CHECK_SCHEMA = pa.schema(
+    [
+        ("check_id", pa.string()),
+        ("kind", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_violating", pa.int64()),
+        ("ok", pa.bool_()),
+    ]
+)
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("check_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_violating", pa.int64()),
+    ]
+)
+
+_ROW_LOCAL = ("not_null", "range", "in_set", "regex")
+
+
+def _violations(check: dict, b: pd.DataFrame) -> int:
+    col = b[check["col"]]
+    kind = check["kind"]
+    if kind == "not_null":
+        return int(col.isna().sum())
+    if kind == "range":
+        v = pd.to_numeric(col, errors="coerce")
+        bad = ((v < check["lo"]) | (v > check["hi"])) & col.notna()
+        return int(bad.sum())
+    if kind == "in_set":
+        return int((~col.isin(check["values"]) & col.notna()).sum())
+    if kind == "regex":
+        pat = check["_compiled"]
+        s = col.dropna().astype(str)
+        if len(s) == 0:
+            return 0
+        matched = s.str.match(pat)
+        return int((~matched).sum())
+    raise ValueError(f"unknown row-local check kind: {kind}")
+
+
+def _sum_partials(ds: ray.data.Dataset, num_buckets: int | None) -> pd.DataFrame:
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("check_id", sort=False, as_index=False).sum()
+
+    out = bucketed_reduce(
+        ds, ["check_id"], _sum, _PARTIAL_SCHEMA, num_buckets=num_buckets
+    ).to_pandas()
+    if "check_id" not in out.columns:  # fully-empty pipelines lose schema
+        out = pd.DataFrame({"check_id": [], "n_rows": [], "n_violating": []})
+    return out
+
+
+def expectations_report(
+    ds: ray.data.Dataset,
+    checks: list[dict],
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Evaluate ``checks`` against ``ds``; returns one row per check:
+    ``(check_id, kind, n_rows, n_violating, ok)``.
+
+    Check shapes (dicts)::
+
+        {"id", "kind": "not_null", "col"}
+        {"id", "kind": "range",    "col", "lo", "hi"}   # nulls pass
+        {"id", "kind": "in_set",   "col", "values"}     # nulls pass
+        {"id", "kind": "regex",    "col", "pattern"}    # full-match at
+                                                        # start (re.match)
+        {"id", "kind": "unique",   "cols": [...]}
+        {"id", "kind": "fk", "col", "ref": Dataset, "ref_col"}
+    """
+    row_local = [dict(c) for c in checks if c["kind"] in _ROW_LOCAL]
+    for c in row_local:
+        if c["kind"] == "regex":
+            c["_compiled"] = re.compile(c["pattern"])
+
+    results: list[pd.DataFrame] = []
+
+    if row_local:
+        needed = sorted({c["col"] for c in row_local})
+
+        def _partials(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or any(col not in b.columns for col in needed):
+                return pd.DataFrame(
+                    {
+                        "check_id": pd.Series([], dtype="object"),
+                        "n_rows": pd.Series([], dtype="int64"),
+                        "n_violating": pd.Series([], dtype="int64"),
+                    }
+                )
+            n = len(b)
+            return pd.DataFrame(
+                {
+                    "check_id": [c["id"] for c in row_local],
+                    "n_rows": np.full(len(row_local), n, dtype=np.int64),
+                    "n_violating": np.array(
+                        [_violations(c, b) for c in row_local], dtype=np.int64
+                    ),
+                }
+            )
+
+        partials = ds.select_columns(needed).map_batches(
+            _partials, batch_format="pandas", batch_size=None
+        )
+        agg = _sum_partials(partials, num_buckets)
+        kinds = {c["id"]: c["kind"] for c in row_local}
+        agg["kind"] = agg["check_id"].map(kinds)
+        # checks that saw zero batches (empty input) still report
+        for c in row_local:
+            if c["id"] not in set(agg["check_id"]):
+                agg = pd.concat(
+                    [agg, pd.DataFrame([{"check_id": c["id"], "n_rows": 0,
+                                         "n_violating": 0, "kind": c["kind"]}])],
+                    ignore_index=True,
+                )
+        results.append(agg)
+
+    for c in checks:
+        if c["kind"] == "unique":
+            results.append(_unique_check(ds, c, num_buckets))
+        elif c["kind"] == "fk":
+            results.append(_fk_check(ds, c, num_buckets))
+        elif c["kind"] not in _ROW_LOCAL:
+            raise ValueError(f"unknown check kind: {c['kind']}")
+
+    if not results:
+        return ray.data.from_arrow(CHECK_SCHEMA.empty_table())
+    out = pd.concat(results, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_violating"] = out["n_violating"].astype("int64")
+    out["ok"] = out["n_violating"] == 0
+    out = out[["check_id", "kind", "n_rows", "n_violating", "ok"]]
+    return ray.data.from_arrow(pa.Table.from_pandas(out, schema=CHECK_SCHEMA))
+
+
+def _unique_check(
+    ds: ray.data.Dataset, check: dict, num_buckets: int | None
+) -> pd.DataFrame:
+    cols = list(check["cols"])
+    part_schema = pa.schema([("check_id", pa.string()), ("n_rows", pa.int64()),
+                             ("n_violating", pa.int64())])
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        # carry per-batch row count as multiplicity so one reduce
+        # yields both totals; dedup map-side to shrink the shuffle
+        if len(b) == 0:
+            out = b.copy()
+            out["__mult"] = pd.Series([], dtype="int64")
+            return out
+        g = b.groupby(cols, sort=False, dropna=False).size().reset_index(name="__mult")
+        return g
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(cols, sort=False, dropna=False)["__mult"].sum()
+        return pd.DataFrame(
+            {
+                "check_id": [check["id"]],
+                "n_rows": [int(gg.sum())],
+                "n_violating": [int((gg - 1).clip(lower=0).sum())],
+            }
+        )
+
+    per_bucket = bucketed_reduce(
+        ds.select_columns(cols), cols, _reduce, part_schema,
+        combiner=_comb, num_buckets=num_buckets,
+    ).to_pandas()
+    if "check_id" not in per_bucket.columns:
+        per_bucket = pd.DataFrame({"check_id": [], "n_rows": [], "n_violating": []})
+    return pd.DataFrame(
+        [
+            {
+                "check_id": check["id"],
+                "kind": "unique",
+                "n_rows": int(per_bucket["n_rows"].sum()),
+                "n_violating": int(per_bucket["n_violating"].sum()),
+            }
+        ]
+    )
+
+
+def _fk_check(
+    ds: ray.data.Dataset, check: dict, num_buckets: int | None
+) -> pd.DataFrame:
+    col, ref_col = check["col"], check["ref_col"]
+    val_cnt = pa.schema([("__val", pa.string()), ("__cnt", pa.int64())])
+    val_only = pa.schema([("__val", pa.string())])
+
+    def _as_val(b: pd.DataFrame, src: str) -> pd.DataFrame:
+        if len(b) == 0 or src not in b.columns:
+            return pd.DataFrame({"__val": pd.Series([], dtype="object")})
+        # string-render: fk equality must not depend on dtype skew
+        # between child and parent (int32 child vs int64 parent)
+        return pd.DataFrame({"__val": b[src].dropna().astype(str)})
+
+    def _child_comb(b: pd.DataFrame) -> pd.DataFrame:
+        v = _as_val(b, col)
+        if len(v) == 0:
+            v["__cnt"] = pd.Series([], dtype="int64")
+            return v
+        vc = v["__val"].value_counts()
+        return pd.DataFrame(
+            {"__val": vc.index.to_numpy(object), "__cnt": vc.to_numpy(np.int64)}
+        )
+
+    child = bucketed_reduce(
+        ds.select_columns([col]),
+        ["__val"],
+        lambda g: g.groupby("__val", sort=False, as_index=False)["__cnt"].sum(),
+        val_cnt,
+        combiner=_child_comb,
+        num_buckets=num_buckets,
+    ).materialize()  # consumed twice (join + total); avoid re-execution
+    parent = bucketed_reduce(
+        check["ref"].select_columns([ref_col]),
+        ["__val"],
+        lambda g: g.drop_duplicates(),
+        val_only,
+        combiner=lambda b: _as_val(b, ref_col).drop_duplicates(),
+        num_buckets=num_buckets,
+    )
+    orphans = cogroup_join(
+        child, parent, ["__val"], how="left_anti",
+        left_schema=val_cnt, right_schema=val_only, num_buckets=num_buckets,
+    ).to_pandas()
+    n_orphan_rows = int(orphans["__cnt"].sum()) if "__cnt" in orphans.columns else 0
+    # total child rows (non-null) from the already-reduced child side
+    tot = child.to_pandas()
+    n_rows = int(tot["__cnt"].sum()) if "__cnt" in tot.columns else 0
+    return pd.DataFrame(
+        [
+            {
+                "check_id": check["id"],
+                "kind": "fk",
+                "n_rows": n_rows,
+                "n_violating": n_orphan_rows,
+            }
+        ]
+    )
