@@ -3384,6 +3384,70 @@ def q_orders_expectations(sf_dir: str):
     return pd.concat([rep, fk], ignore_index=True)
 
 
+def q_revenue_rollup(sf_dir: str):
+    """ROLLUP hierarchy (segment, priority) → (segment) → grand total
+    over orders⋈customer revenue in integer cents: one raw-row
+    shuffle at the finest level, each coarser level re-reduces the
+    previous residue. Hash-exact vs GROUP BY ROLLUP."""
+    from ..stages.relational import cogroup_join
+    from ..stages.rollup import rollup_aggregate
+
+    def _ord(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    def _cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(_ord, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_cust, batch_format="pyarrow")
+    joined = cogroup_join(orders, cust, ["custkey"])
+    return rollup_aggregate(
+        joined, ["c_mktsegment", "o_orderpriority"], "price_cents",
+        out_name="total",
+    )
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-user modal event type with a total deterministic tie-break
+    (count desc, then type asc): two bucketed exchanges over distinct
+    (user, type) pairs. Hash-exact vs a row_number window twin."""
+    from ..stages.rollup import grouped_mode
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())]
+    )
+    return grouped_mode(ev, ["user_id"], "event_type", out_schema=schema)
+
+
+def q_doc_span_corruption(sf_dir: str):
+    """T5 span-corruption denoising pairs over documents: map-only,
+    deterministic splitmix64 keyed on (seed, doc_id, position) — any
+    partitioning yields byte-identical pairs. Rows-only (the masking
+    rule is a hash stream, not SQL-expressible); determinism and
+    reconstruction pinned by pytest."""
+    from ..stages.training import generate_span_corruption
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return generate_span_corruption(docs, seed=42)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3534,6 +3598,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_skew_profile": q_events_skew_profile,
     "orders_scd2": q_orders_scd2,
     "orders_expectations": q_orders_expectations,
+    "revenue_rollup": q_revenue_rollup,
+    "user_top_event": q_user_top_event,
+    "doc_span_corruption": q_doc_span_corruption,
 }
 
 _N_TOKENS_SQL = (
@@ -3987,6 +4054,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(c) AS BIGINT), CAST(quantile_disc(c, 0.99) AS BIGINT),
                CAST(max(c) * 1000 // sum(c) AS BIGINT)
         FROM k2
+    """,
+    "revenue_rollup": """
+        SELECT CASE WHEN grouping(c_mktsegment) = 1 THEN '(all)'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CAST(2 - grouping(c_mktsegment) - grouping(o_orderpriority)
+                    AS BIGINT) AS lvl,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+    """,
+    "user_top_event": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM c
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type, cnt
+        FROM r WHERE rn = 1
     """,
     "orders_expectations": """
         WITH raw AS (

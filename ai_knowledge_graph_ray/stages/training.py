@@ -926,3 +926,125 @@ def leakage_safe_split(
         joined.map_batches(_joined, batch_format="pandas", batch_size=None),
         LEAKAGE_SPLIT_SCHEMA,
     )
+
+
+SPAN_CORRUPTION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("input", pa.string()),
+        ("target", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("n_masked", pa.int64()),
+    ]
+)
+
+
+def generate_span_corruption(
+    docs: ray.data.Dataset,
+    *,
+    seed: int = 42,
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """T5-style span corruption (denoising pretraining pairs): mask
+    ~``corruption_rate`` of each document's whitespace tokens in spans
+    of mean length ``mean_span``; ``input`` carries ``<extra_id_k>``
+    sentinels where spans were dropped, ``target`` carries the
+    sentinels followed by the dropped tokens plus a terminal sentinel
+    (the T5 objective, arXiv:1910.10683 §3.1.4).
+
+    Fully deterministic and order-independent: span starts/lengths
+    come from a splitmix64 stream keyed on ``(seed, doc_id, token
+    position)`` — no RNG state crosses rows, so any partitioning
+    yields byte-identical pairs. Map-only (embarrassingly parallel);
+    the span-interval union is computed with a difference-array
+    cumsum, not a per-token Python walk.
+    """
+    from .bloom import _mix
+
+    p_start = corruption_rate / mean_span
+    # deterministic threshold in integer space
+    start_threshold = np.uint64(int(p_start * 2**64))
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or text_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "input": pd.Series([], dtype="object"),
+                    "target": pd.Series([], dtype="object"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_masked": pd.Series([], dtype="int64"),
+                }
+            )
+        out_rows = []
+        ids = b[id_col].to_numpy(np.int64)
+        texts = b[text_col].astype(str).to_numpy(object)
+        for doc_id, text in zip(ids, texts):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                out_rows.append((doc_id, "", "<extra_id_0>", 0, 0))
+                continue
+            pos = np.arange(n, dtype=np.uint64)
+            h = _mix(
+                (np.uint64(doc_id) ^ seed_mix) + pos * np.uint64(0x9E3779B97F4A7C15),
+                0xBF58476D1CE4E5B9,
+                0x94D049BB133111EB,
+            )
+            starts = h < start_threshold
+            # span length in [1, 2*mean_span-1] (mean = mean_span)
+            lens = 1 + (
+                _mix(h, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53)
+                % np.uint64(2 * mean_span - 1)
+            ).astype(np.int64)
+            # interval union via difference array (spans clipped at n)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            s_idx = np.nonzero(starts)[0]
+            np.add.at(diff, s_idx, 1)
+            np.add.at(diff, np.minimum(s_idx + lens[s_idx], n), -1)
+            masked = np.cumsum(diff[:n]) > 0
+            prev = np.empty(n, dtype=bool)
+            prev[0] = False
+            prev[1:] = masked[:-1]
+            run_start = masked & ~prev
+            tok_arr = np.array(toks, dtype=object)
+            inp_parts, tgt_parts = [], []
+            starts_idx = np.nonzero(run_start)[0]
+            run_close = masked & ~np.append(masked[1:], False)
+            ends_idx = np.nonzero(run_close)[0] + 1  # exclusive ends
+            prev_end = 0
+            for k, (st, end) in enumerate(zip(starts_idx, ends_idx)):
+                inp_parts.extend(tok_arr[prev_end:st])
+                inp_parts.append(f"<extra_id_{k}>")
+                tgt_parts.append(f"<extra_id_{k}>")
+                tgt_parts.extend(tok_arr[st:end])
+                prev_end = end
+            inp_parts.extend(tok_arr[prev_end:])
+            tgt_parts.append(f"<extra_id_{len(starts_idx)}>")
+            out_rows.append(
+                (
+                    doc_id,
+                    " ".join(inp_parts),
+                    " ".join(tgt_parts),
+                    n,
+                    int(masked.sum()),
+                )
+            )
+        out = pd.DataFrame(
+            out_rows, columns=["doc_id", "input", "target", "n_tokens", "n_masked"]
+        )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        out["n_masked"] = out["n_masked"].astype("int64")
+        return out
+
+    return normalize_blocks(
+        docs.select_columns([id_col, text_col]).map_batches(
+            _per_batch, batch_format="pandas"
+        ),
+        SPAN_CORRUPTION_SCHEMA,
+    )
