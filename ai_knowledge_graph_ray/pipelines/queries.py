@@ -3448,6 +3448,117 @@ def q_doc_span_corruption(sf_dir: str):
     return generate_span_corruption(docs, seed=42)
 
 
+ZORDER_BITS = 16
+ZORDER_USER_BOUNDS = (0, 4095)
+ZORDER_TS_BOUNDS = (1_704_067_200_000_000, 1_709_251_200_000_000)  # 2024-01..03 µs
+
+
+def q_events_zorder(sf_dir: str):
+    """Morton (z-order) layout key over (user_id, ts): integer
+    quantize + bit interleave, map-only — the physical-clustering key
+    a 100-TB events table would sort by so user×time range scans
+    prune to contiguous key ranges. Hash-exact vs the identical
+    expression unrolled in SQL (shared constants)."""
+    from ..stages.zorder import zorder_key
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def _us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    lo_u, hi_u = ZORDER_USER_BOUNDS
+    lo_t, hi_t = ZORDER_TS_BOUNDS
+    return zorder_key(
+        ev.map_batches(_us, batch_format="pyarrow"),
+        [("user_id", lo_u, hi_u), ("ts_us", lo_t, hi_t)],
+        bits=ZORDER_BITS,
+        keep_cols=["event_id"],
+    )
+
+
+def q_doc_curriculum_shards(sf_dir: str):
+    """Curriculum shard packing: documents ordered shortest-first
+    (n_chars, then doc_id) packed into fixed-token-budget shards —
+    the composite of an order key synthesis and the distributed
+    prefix-sum pack. Hash-exact vs an exclusive window sum ordered by
+    (n_chars, doc_id)."""
+    from ..stages.packing import pack_shards
+    from ..stages.text_analysis import token_counts
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+    toks = token_counts(docs)
+
+    # order key: (n_chars, doc_id) lexicographic packed into one int64
+    chars = docs.select_columns(["doc_id", "n_chars"])
+    from ..stages.relational import cogroup_join
+
+    joined = cogroup_join(
+        toks, chars, ["doc_id"],
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"__key": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+        key = b["n_chars"].to_numpy(np.int64) * (1 << 33) + b["doc_id"].to_numpy(
+            np.int64
+        )
+        return pd.DataFrame({"__key": key, "n_tokens": b["n_tokens"].to_numpy(np.int64)})
+
+    packed = pack_shards(
+        joined.map_batches(_key, batch_format="pandas"),
+        budget=2048, id_col="__key",
+    )
+
+    def _unkey(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "shard_id": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": b["__key"].to_numpy(np.int64) & ((1 << 33) - 1),
+                "n_tokens": b["n_tokens"],
+                "shard_id": b["shard_id"],
+            }
+        )
+
+    return packed.map_batches(_unkey, batch_format="pandas")
+
+
+def q_customer_linkage(sf_dir: str):
+    """Record-linkage scoring over lev<=1 name-blocked customer
+    pairs: integer Fellegi-Sunter-style agreement weights on nation
+    and market segment on top of the FastSS candidate block. The
+    joins move only candidate pairs + the keyed entity table.
+    Hash-exact vs the literal levenshtein cross-join with CASE
+    weights."""
+    from ..stages.fuzzy import record_linkage
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_name", "c_nationkey", "c_mktsegment"]
+    )
+    return record_linkage(
+        cust, "c_name",
+        [("c_nationkey", 8, -3), ("c_mktsegment", 5, -2)],
+        name_weight=12,
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3601,6 +3712,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_rollup": q_revenue_rollup,
     "user_top_event": q_user_top_event,
     "doc_span_corruption": q_doc_span_corruption,
+    "events_zorder": q_events_zorder,
+    "doc_curriculum_shards": q_doc_curriculum_shards,
+    "customer_linkage": q_customer_linkage,
 }
 
 _N_TOKENS_SQL = (
@@ -3709,6 +3823,24 @@ _DUP_SPANS_ORACLE_SQL = rf"""
                CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _zorder_oracle_sql() -> str:
+    """SQL twin of q_events_zorder — the interleave expression is
+    generated by the SAME helper and bounds the stage uses, so stage
+    and oracle cannot drift."""
+    from ..stages.zorder import zorder_sql_expr
+
+    expr = zorder_sql_expr(
+        "user_id", "epoch_us(ts)",
+        [ZORDER_USER_BOUNDS, ZORDER_TS_BOUNDS],
+        bits=ZORDER_BITS,
+    )
+    return f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST({expr} AS BIGINT) AS zvalue
+        FROM events
     """
 
 
@@ -4054,6 +4186,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(c) AS BIGINT), CAST(quantile_disc(c, 0.99) AS BIGINT),
                CAST(max(c) * 1000 // sum(c) AS BIGINT)
         FROM k2
+    """,
+    "events_zorder": _zorder_oracle_sql(),
+    "customer_linkage": """
+        SELECT a.c_name AS name_a, b.c_name AS name_b,
+               CAST(12
+                 + CASE WHEN a.c_nationkey = b.c_nationkey THEN 8 ELSE -3 END
+                 + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 5 ELSE -2 END
+                 AS BIGINT) AS score
+        FROM customer a JOIN customer b
+          ON a.c_name < b.c_name
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "doc_curriculum_shards": f"""
+        WITH t AS (
+          SELECT doc_id, n_chars, {_N_TOKENS_SQL} AS n_tokens FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY n_chars, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) // 2048 AS BIGINT) AS shard_id
+        FROM t
     """,
     "revenue_rollup": """
         SELECT CASE WHEN grouping(c_mktsegment) = 1 THEN '(all)'

@@ -214,3 +214,101 @@ def fuzzy_pairs(
         cand.map_batches(_verify, batch_format="pandas", batch_size=None),
         FUZZY_PAIR_SCHEMA,
     )
+
+
+def record_linkage(
+    ds: ray.data.Dataset,
+    name_col: str,
+    attrs: list[tuple[str, int, int]],
+    *,
+    name_weight: int = 12,
+    per_variant_cap: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Fellegi-Sunter-style record-linkage scoring: candidate pairs
+    from the FastSS lev<=1 name block, then an integer agreement
+    score over ``attrs`` — ``score = name_weight + Σ (agree ?
+    w_agree : w_disagree)`` per ``(col, w_agree, w_disagree)``.
+    Integer log-odds-shaped weights keep the score hash-exact.
+
+    Output ``(name_a, name_b, score)`` with ``name_a < name_b``.
+    Requires ``name_col`` to be unique in ``ds`` (a keyed entity
+    table); the two attribute joins move only the candidate pairs
+    and the entity table's key+attr columns, never a cross product.
+    """
+    from .relational import cogroup_join
+
+    attr_cols = [c for c, _, _ in attrs]
+    pairs = fuzzy_pairs(
+        ds, name_col, per_variant_cap=per_variant_cap, num_buckets=num_buckets
+    )
+
+    ent_schema = pa.schema(
+        [(name_col, pa.string())] + [(c, pa.string()) for c in attr_cols]
+    )
+
+    def _ent(side: str):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=b.index)
+            out[f"name_{side}"] = (
+                b[name_col].astype(str) if name_col in b.columns
+                else pd.Series([], dtype="object")
+            )
+            for c in attr_cols:
+                out[f"{side}_{c}"] = (
+                    b[c].astype(str) if c in b.columns
+                    else pd.Series([], dtype="object")
+                )
+            return out
+
+        return _f
+
+    def _side_schema(side: str) -> pa.Schema:
+        return pa.schema(
+            [(f"name_{side}", pa.string())]
+            + [(f"{side}_{c}", pa.string()) for c in attr_cols]
+        )
+
+    base = ds.select_columns([name_col] + attr_cols)
+    ent_a = base.map_batches(_ent("a"), batch_format="pandas")
+    ent_b = base.map_batches(_ent("b"), batch_format="pandas")
+
+    pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+    j = cogroup_join(
+        pairs, ent_a, ["name_a"],
+        left_schema=pair_schema, right_schema=_side_schema("a"),
+        num_buckets=num_buckets,
+    )
+    j_schema = pa.schema(
+        list(pair_schema) + [(f"a_{c}", pa.string()) for c in attr_cols]
+    )
+    j = cogroup_join(
+        j, ent_b, ["name_b"],
+        left_schema=j_schema, right_schema=_side_schema("b"),
+        num_buckets=num_buckets,
+    )
+
+    out_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("score", pa.int64())]
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "name_a" not in b.columns:
+            return pd.DataFrame(
+                {"name_a": pd.Series([], dtype="object"),
+                 "name_b": pd.Series([], dtype="object"),
+                 "score": pd.Series([], dtype="int64")}
+            )
+        score = np.full(len(b), name_weight, dtype=np.int64)
+        for c, w_agree, w_dis in attrs:
+            agree = (b[f"a_{c}"] == b[f"b_{c}"]).to_numpy()
+            score += np.where(agree, w_agree, w_dis)
+        return pd.DataFrame(
+            {"name_a": b["name_a"], "name_b": b["name_b"], "score": score}
+        )
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        j.map_batches(_score, batch_format="pandas", batch_size=None), out_schema
+    )
