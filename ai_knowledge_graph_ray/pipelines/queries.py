@@ -3559,6 +3559,77 @@ def q_customer_linkage(sf_dir: str):
     )
 
 
+def q_retrieval_hard_negatives(sf_dir: str):
+    """Hard-negative mining for retrieval training: each query doc's
+    top-10 cosine neighbors EXCLUDING candidates from the query's own
+    source (same-source near-positives must not occupy negative
+    slots). The exclusion is attribute-based — one source value per
+    query rides the broadcast query matrix; candidates are masked
+    inside the scan BEFORE top-k selection, so no post-filter re-rank
+    pass. Hash-exact vs the windowed SQL twin."""
+    from ..stages.relational import cogroup_join
+    from ..stages.similarity import knn_brute
+
+    qids, qmat = _query_vectors(sf_dir)
+    # one source value per query: a k-row point lookup, not a scan
+    src = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    src = src[src["doc_id"].isin(qids)]
+    attr_vals = dict(zip(src["doc_id"].astype(int), src["source"]))
+
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": pc.cast(b["doc_id"], pa.int64()), "source": b["source"]}
+        )
+
+    cand = cogroup_join(
+        emb, docs.map_batches(_key, batch_format="pyarrow"), ["vec_id"]
+    )
+    out = knn_brute(
+        cand, qids, qmat, k=KNN_K, exclude_attr=("source", attr_vals)
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b["query_id"], pa.int64()),
+                "neg_id": pc.cast(b["vec_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_zonemap_scan(sf_dir: str):
+    """Zone-map pruned range scan: cluster events by user_id into a
+    fresh per-run layout (atomic build), then serve user_id∈[40,80]
+    opening only the files whose footer min/max intersects — the
+    generic file-level pruning path (the IVF index's centroid pruning,
+    generalized to any orderable column). Hash-exact vs a plain
+    BETWEEN filter."""
+    import tempfile
+
+    from ..sources.zonemap import read_pruned, write_clustered
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="zonemap_events_"), "layout"
+    )
+    write_clustered(ev, "user_id", out_dir, num_files=16)
+    ds, _frac = read_pruned(out_dir, 40, 80)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3715,6 +3786,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_zorder": q_events_zorder,
     "doc_curriculum_shards": q_doc_curriculum_shards,
     "customer_linkage": q_customer_linkage,
+    "retrieval_hard_negatives": q_retrieval_hard_negatives,
+    "events_zonemap_scan": q_events_zonemap_scan,
 }
 
 _N_TOKENS_SQL = (
@@ -4188,6 +4261,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM k2
     """,
     "events_zorder": _zorder_oracle_sql(),
+    "events_zonemap_scan": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id
+        FROM events WHERE user_id BETWEEN 40 AND 80
+    """,
+    "retrieval_hard_negatives": f"""
+        SELECT q.vec_id AS query_id, e.vec_id AS neg_id
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}) q
+        JOIN documents qd ON qd.doc_id = q.vec_id
+        CROSS JOIN embeddings e
+        JOIN documents ed ON ed.doc_id = e.vec_id
+        WHERE e.vec_id <> q.vec_id AND ed.source <> qd.source
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                     e.vec_id ASC
+        ) <= {KNN_K}
+    """,
     "customer_linkage": """
         SELECT a.c_name AS name_a, b.c_name AS name_b,
                CAST(12

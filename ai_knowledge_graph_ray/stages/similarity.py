@@ -44,6 +44,18 @@ class _BatchTopK:
         self.vec_col = vec_col
         self.id_col = id_col
         self.exclude_self = exclude_self
+        # per-query excluded candidate ids (e.g. near-dups of the
+        # query) — masked BEFORE top-k selection, once per actor
+        self.exclude = {
+            int(qid): np.asarray(sorted(vals), dtype=np.int64)
+            for qid, vals in (q.get("exclude") or {}).items()
+        }
+        # attribute-based exclusion: candidates whose attr_col value
+        # equals the query's are masked (hard negatives must come
+        # from a different source/group). Scales without id lists —
+        # one value per query rides the broadcast.
+        self.attr_col = q.get("attr_col")
+        self.attr_vals = q.get("attr_vals") or {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[self.id_col].to_numpy()
@@ -62,6 +74,13 @@ class _BatchTopK:
             mask = np.ones(len(ids), dtype=bool)
             if self.exclude_self:
                 mask &= ids != qid
+            exc = self.exclude.get(int(qid))
+            if exc is not None and len(exc):
+                mask &= ~np.isin(ids, exc, assume_unique=False)
+            if self.attr_col is not None and int(qid) in self.attr_vals:
+                mask &= (
+                    batch[self.attr_col].to_numpy() != self.attr_vals[int(qid)]
+                )
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue
@@ -85,17 +104,33 @@ def knn_brute(
     exclude_self: bool = True,
     with_scores: bool = False,
     metric: str = "cosine",
+    exclude: dict | None = None,
+    exclude_attr: tuple[str, dict] | None = None,
 ) -> ray.data.Dataset:
     """Exact top-k of each query against the dataset — ``metric`` is
     ``"cosine"`` (unit-normalized dot) or ``"l2"`` (euclidean; scores
     are negated squared distances so "higher = closer" holds for both).
 
     Returns ``(query_id, vec_id[, score])`` with deterministic
-    tie-break (higher score first, then lower vec_id).
-    """
+    tie-break (higher score first, then lower vec_id). ``exclude``
+    maps query id -> candidate ids to mask BEFORE top-k selection
+    (hard-negative mining: drop the query's near-dups so they can't
+    occupy negative slots); it is broadcast once with the query
+    matrix, not re-shipped per batch. ``exclude_attr=(attr_col,
+    {query_id: value})`` masks candidates whose ``attr_col`` equals
+    the query's value (same-source exclusion) — scales without id
+    lists."""
     assert metric in ("cosine", "l2")
-    q_ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
-    cand = ds.select_columns([id_col, vec_col]).map_batches(
+    attr_col = exclude_attr[0] if exclude_attr else None
+    q_ref = ray.put(
+        {"ids": np.asarray(query_ids), "mat": np.asarray(query_mat),
+         "exclude": exclude,
+         "attr_col": attr_col,
+         "attr_vals": ({int(k): v for k, v in exclude_attr[1].items()}
+                       if exclude_attr else None)}
+    )
+    scan_cols = [id_col, vec_col] + ([attr_col] if attr_col else [])
+    cand = ds.select_columns(scan_cols).map_batches(
         _BatchTopK,
         fn_constructor_kwargs={
             "q_ref": q_ref,
