@@ -3630,6 +3630,91 @@ def q_events_zonemap_scan(sf_dir: str):
     return ds.map_batches(_proj, batch_format="pyarrow")
 
 
+def q_doc_length_drift(sf_dir: str):
+    """Distribution-drift monitor between two corpus slices (sources
+    src0-src9 vs src10-src19) over 200-char length bins: per-bin
+    counts, per-mille rates and |Δ| (integer L1 drift — the
+    accept/reject signal for a new crawl snapshot). One shared pass
+    per side + one bin-keyed reduce. Hash-exact vs a full-outer
+    histogram join."""
+    from ..stages.drift import histogram_drift
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "n_chars"]
+    )
+
+    def _side(which: str):
+        lo, hi = (0, 9) if which == "a" else (10, 19)
+
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"bucket": pd.Series([], dtype="int64")})
+            idx = b["source"].str.slice(3).astype(int)
+            sel = (idx >= lo) & (idx <= hi)
+            return pd.DataFrame(
+                {"bucket": (b.loc[sel, "n_chars"].to_numpy(np.int64) // 200)}
+            )
+
+        return _f
+
+    a = docs.map_batches(_side("a"), batch_format="pandas")
+    b = docs.map_batches(_side("b"), batch_format="pandas")
+    return histogram_drift(a, b, "bucket")
+
+
+def q_customer_k_anon(sf_dir: str):
+    """K-anonymity suppression (k=8) on the (nation, segment)
+    quasi-identifier: combinations naming fewer than 8 customers are
+    masked before release. One distinct-combination count + a gated
+    broadcast/join mask. Hash-exact vs a window-count CASE twin."""
+    from ..stages.validate import k_anonymize
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+
+    def _s(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.string()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_nationkey", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+    return k_anonymize(
+        cust.map_batches(_s, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"],
+        k=8,
+        out_schema=schema,
+    )
+
+
+WEIGHTED_SAMPLE_CAP = 400  # tokens; p(keep) = min(n_tokens, cap)/cap
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Length-proportional deterministic subsample: keep each doc
+    with probability min(n_tokens, 400)/400 off the shared Lehmer
+    stream — the importance-weighted resampling step (DSIR-shaped)
+    made layout-independent and integer-exact. Map-only, zero
+    shuffle. Hash-exact vs the same threshold inequality in SQL."""
+    from ..stages.relational import bernoulli_weighted_sample
+    from ..stages.text_analysis import token_counts
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bernoulli_weighted_sample(
+        token_counts(docs), "doc_id", "n_tokens", weight_cap=WEIGHTED_SAMPLE_CAP
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3788,6 +3873,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_linkage": q_customer_linkage,
     "retrieval_hard_negatives": q_retrieval_hard_negatives,
     "events_zonemap_scan": q_events_zonemap_scan,
+    "doc_length_drift": q_doc_length_drift,
+    "customer_k_anon": q_customer_k_anon,
+    "doc_weighted_sample": q_doc_weighted_sample,
 }
 
 _N_TOKENS_SQL = (
@@ -4261,6 +4349,54 @@ ORACLE_SQL: dict[str, str] = {
         FROM k2
     """,
     "events_zorder": _zorder_oracle_sql(),
+    "doc_weighted_sample": f"""
+        WITH t AS (
+          SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM t
+        WHERE ((doc_id % {_LEHMER_MOD}) * {_LEHMER_MULT}) % {_LEHMER_MOD}
+              * {WEIGHTED_SAMPLE_CAP}
+              < least(n_tokens, {WEIGHTED_SAMPLE_CAP}) * {_LEHMER_MOD}
+    """,
+    "customer_k_anon": """
+        WITH w AS (
+          SELECT c_custkey, c_nationkey, c_mktsegment,
+                 count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt
+          FROM customer
+        )
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CASE WHEN cnt < 8 THEN '(suppressed)'
+                    ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey,
+               CASE WHEN cnt < 8 THEN '(suppressed)'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM w
+    """,
+    "doc_length_drift": """
+        WITH s AS (
+          SELECT n_chars // 200 AS bucket,
+                 CAST(substr(source, 4) AS BIGINT) AS si
+          FROM documents
+        ),
+        ha AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM s
+               WHERE si BETWEEN 0 AND 9 GROUP BY 1),
+        hb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM s
+               WHERE si BETWEEN 10 AND 19 GROUP BY 1),
+        na AS (SELECT greatest(1, coalesce(sum(c), 0)) AS n FROM ha),
+        nb AS (SELECT greatest(1, coalesce(sum(c), 0)) AS n FROM hb)
+        SELECT CAST(coalesce(ha.bucket, hb.bucket) AS BIGINT) AS bucket,
+               CAST(coalesce(ha.c, 0) AS BIGINT) AS cnt_a,
+               CAST(coalesce(hb.c, 0) AS BIGINT) AS cnt_b,
+               CAST(coalesce(ha.c, 0) * 1000 // (SELECT n FROM na) AS BIGINT)
+                 AS rate_a_milli,
+               CAST(coalesce(hb.c, 0) * 1000 // (SELECT n FROM nb) AS BIGINT)
+                 AS rate_b_milli,
+               CAST(abs(coalesce(ha.c, 0) * 1000 // (SELECT n FROM na)
+                      - coalesce(hb.c, 0) * 1000 // (SELECT n FROM nb))
+                    AS BIGINT) AS drift_milli
+        FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+    """,
     "events_zonemap_scan": """
         SELECT CAST(event_id AS BIGINT) AS event_id,
                CAST(user_id AS BIGINT) AS user_id

@@ -1,0 +1,114 @@
+"""Distribution-drift report between two corpus slices — the monitor
+a continuously-ingesting training pipeline runs before accepting a
+new crawl snapshot (did the length / language / quality mix shift?).
+
+All-integer: per-bin per-mille rates and their absolute difference
+(the L1 / total-variation drift, scaled by 1000) — float divergences
+(PSI, KL) can never hash-match an oracle; the milli-L1 carries the
+same signal and is SQL-exact.
+
+One shared pass over each side (map-side bucket×side counts), one
+bucketed sum keyed on the bin, rates finished vectorized inside the
+reduce — the residue is the bin domain, never rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .infer import bucketed_reduce, normalize_blocks
+
+DRIFT_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("cnt_a", pa.int64()),
+        ("cnt_b", pa.int64()),
+        ("rate_a_milli", pa.int64()),
+        ("rate_b_milli", pa.int64()),
+        ("drift_milli", pa.int64()),
+    ]
+)
+
+
+def histogram_drift(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    bucket_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-bin drift between two slices sharing an integer
+    ``bucket_col``: counts, per-mille rates (floor of
+    ``cnt * 1000 / side_total``) and ``drift_milli = |rate_a -
+    rate_b|``. Bins missing on one side count 0 there."""
+    cnt_schema = pa.schema(
+        [("bucket", pa.int64()), ("side", pa.string()), ("c", pa.int64())]
+    )
+
+    def _comb(side: str):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or bucket_col not in b.columns:
+                return pd.DataFrame(
+                    {"bucket": pd.Series([], dtype="int64"),
+                     "side": pd.Series([], dtype="object"),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            vc = b[bucket_col].value_counts()
+            return pd.DataFrame(
+                {"bucket": vc.index.to_numpy(np.int64), "side": side,
+                 "c": vc.to_numpy(np.int64)}
+            )
+
+        return _f
+
+    tagged = (
+        ds_a.select_columns([bucket_col])
+        .map_batches(_comb("a"), batch_format="pandas", batch_size=None)
+        .union(
+            ds_b.select_columns([bucket_col]).map_batches(
+                _comb("b"), batch_format="pandas", batch_size=None
+            )
+        )
+    )
+
+    counts = bucketed_reduce(
+        tagged,
+        ["bucket", "side"],
+        lambda g: g.groupby(["bucket", "side"], sort=False, as_index=False)["c"].sum(),
+        cnt_schema,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # side totals: tiny driver sum over the per-(bin, side) residue
+    tot = counts.to_pandas()
+    if "side" not in tot.columns:
+        tot = pd.DataFrame({"bucket": [], "side": [], "c": []})
+    n_a = int(tot.loc[tot["side"] == "a", "c"].sum())
+    n_b = int(tot.loc[tot["side"] == "b", "c"].sum())
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index="bucket", columns="side", values="c",
+                          aggfunc="sum", fill_value=0)
+        a = w["a"].to_numpy(np.int64) if "a" in w.columns else np.zeros(len(w), np.int64)
+        b = w["b"].to_numpy(np.int64) if "b" in w.columns else np.zeros(len(w), np.int64)
+        ra = a * 1000 // max(1, n_a)
+        rb = b * 1000 // max(1, n_b)
+        return pd.DataFrame(
+            {
+                "bucket": w.index.to_numpy(np.int64),
+                "cnt_a": a,
+                "cnt_b": b,
+                "rate_a_milli": ra,
+                "rate_b_milli": rb,
+                "drift_milli": np.abs(ra - rb),
+            }
+        )
+
+    return normalize_blocks(
+        bucketed_reduce(counts, ["bucket"], _finish, DRIFT_SCHEMA,
+                        num_buckets=num_buckets),
+        DRIFT_SCHEMA,
+    )

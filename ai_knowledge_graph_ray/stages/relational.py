@@ -777,3 +777,38 @@ def interval_count_join(
         partial, ["rid"], _sum, count_schema, combiner=_sum,
         num_buckets=num_buckets,
     )
+
+
+def bernoulli_weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    *,
+    weight_cap: int,
+    mult: int = 1291394886,
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Value-weighted deterministic Bernoulli sampling: keep a row
+    with probability ``min(weight, weight_cap) / weight_cap`` — the
+    integer-exact form of importance-weighted corpus subsampling
+    (keep long/high-scoring documents proportionally more often,
+    DSIR-style resampling made layout-independent).
+
+    Keep rule: ``lehmer_rank(id) * weight_cap < min(weight, cap) *
+    mod`` — all int64 (``mod < 2^31`` so the product fits for caps up
+    to ~2^32). Same Lehmer stream as
+    :func:`bernoulli_mixture_sample`; map-only, zero shuffle,
+    SQL-oracle-exact."""
+    if weight_cap <= 0:
+        raise ValueError("weight_cap must be positive")
+    if weight_cap > (1 << 31):
+        raise ValueError("weight_cap too large for int64 threshold math")
+
+    def _keep(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        rank = ((b[id_col].to_numpy().astype(np.int64) % mod) * mult) % mod
+        w = np.minimum(b[weight_col].to_numpy().astype(np.int64), weight_cap)
+        return b[rank * weight_cap < w * mod]
+
+    return ds.map_batches(_keep, batch_format="pandas")

@@ -277,3 +277,128 @@ def _fk_check(
             }
         ]
     )
+
+
+def k_anonymize(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    *,
+    k: int,
+    out_schema: pa.Schema,
+    sentinel: str = "(suppressed)",
+    driver_max_small_groups: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """K-anonymity suppression (governance gate before publishing a
+    derived table): rows whose quasi-identifier combination occurs
+    fewer than ``k`` times get every quasi column replaced by
+    ``sentinel``, so no released combination identifies < k people.
+
+    One bucketed count over DISTINCT combinations (map-side
+    ``value_counts`` combiner), then the SMALL-group key set —
+    counted first, broadcast under ``driver_max_small_groups``, else
+    applied with a partitioned flag join — masks rows map-side. The
+    quasi columns in ``out_schema`` must be strings (the sentinel
+    shares the column)."""
+    from .relational import cogroup_join
+
+    cnt_schema = pa.schema(
+        [(c, pa.string()) for c in quasi_cols] + [("__cnt", pa.int64())]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in quasi_cols}
+            )
+            out["__cnt"] = pd.Series([], dtype="int64")
+            return out
+        g = b.copy()
+        for c in quasi_cols:
+            g[c] = g[c].astype(str)
+        return (
+            g.groupby(quasi_cols, sort=False, dropna=False)
+            .size()
+            .reset_index(name="__cnt")
+        )
+
+    counts = bucketed_reduce(
+        ds.select_columns(quasi_cols),
+        quasi_cols,
+        lambda g: g.groupby(quasi_cols, sort=False, as_index=False, dropna=False)[
+            "__cnt"
+        ].sum(),
+        cnt_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    )
+    small = counts.filter(
+        expr=f"__cnt < {int(k)}"
+    ).materialize()  # counted next, then broadcast or joined
+
+    def _mask_frame(b: pd.DataFrame, is_small: np.ndarray) -> pd.DataFrame:
+        out = b.copy()
+        for c in quasi_cols:
+            col = out[c].astype(str)
+            col[is_small] = sentinel
+            out[c] = col
+        return out
+
+    n_small = small.count()
+    if n_small <= driver_max_small_groups:
+        sm = small.to_pandas()
+        key_set = (
+            set(map(tuple, sm[quasi_cols].astype(str).to_numpy()))
+            if len(sm)
+            else set()
+        )
+        key_ref = ray.put(key_set)
+
+        def _apply(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return b
+            keys = ray.get(key_ref)
+            tup = list(map(tuple, b[quasi_cols].astype(str).to_numpy()))
+            is_small = np.fromiter(
+                (t in keys for t in tup), dtype=bool, count=len(tup)
+            )
+            return _mask_frame(b, is_small)
+
+        return normalize_blocks(
+            ds.map_batches(_apply, batch_format="pandas", batch_size=None),
+            out_schema,
+        )
+
+    # scale path: flag join on the quasi key
+    flag_schema = pa.schema(
+        [(c, pa.string()) for c in quasi_cols] + [("__small", pa.bool_())]
+    )
+    flags = normalize_blocks(
+        small.map_batches(
+            lambda b: b.assign(__small=np.ones(len(b), dtype=bool)).drop(
+                columns="__cnt"
+            ),
+            batch_format="pandas",
+        ),
+        flag_schema,
+    )
+    flagged = cogroup_join(
+        ds,
+        flags,
+        quasi_cols,
+        how="left_outer",
+        left_schema=out_schema,
+        right_schema=flag_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _apply_joined(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        is_small = b["__small"].fillna(False).to_numpy(bool)
+        return _mask_frame(b.drop(columns="__small"), is_small)
+
+    return normalize_blocks(
+        flagged.map_batches(_apply_joined, batch_format="pandas", batch_size=None),
+        out_schema,
+    )
