@@ -3715,6 +3715,51 @@ def q_doc_weighted_sample(sf_dir: str):
     )
 
 
+def q_media_phash_dedup(sf_dir: str):
+    """Perceptual image near-dup: dHash signatures from the REAL PNG
+    decode actor pool over the media table with planted byte-different
+    re-encodings, resolved through the shared 4x16 Hamming band
+    engine. Rows-only (no SQL PNG codec); the planted-edition mapping
+    is pinned exactly by pytest."""
+    from ..stages.multimodal import phash_media_dedup, synth_media_with_editions
+
+    return phash_media_dedup(synth_media_with_editions(sf_dir))
+
+
+def q_events_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of event_type against the event
+    value (integer cents): the leakage-safe categorical feature as an
+    exact (sum, count) pair — one distinct-key sum + a gated broadcast
+    apply. Hash-exact vs window sums minus self."""
+    from ..stages.relational import target_encode_loo
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("cents", pa.int64()),
+            ("loo_sum", pa.int64()),
+            ("loo_cnt", pa.int64()),
+        ]
+    )
+    return target_encode_loo(
+        ev.map_batches(_pre, batch_format="pyarrow"), "event_type", "cents", schema
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3876,6 +3921,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_length_drift": q_doc_length_drift,
     "customer_k_anon": q_customer_k_anon,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "media_phash_dedup": q_media_phash_dedup,
+    "events_target_encoding": q_events_target_encoding,
 }
 
 _N_TOKENS_SQL = (
@@ -4349,6 +4396,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM k2
     """,
     "events_zorder": _zorder_oracle_sql(),
+    "events_target_encoding": """
+        WITH t AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, event_type, cents,
+               CAST(sum(cents) OVER (PARTITION BY event_type) - cents
+                    AS BIGINT) AS loo_sum,
+               CAST(count(*) OVER (PARTITION BY event_type) - 1
+                    AS BIGINT) AS loo_cnt
+        FROM t
+    """,
     "doc_weighted_sample": f"""
         WITH t AS (
           SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents

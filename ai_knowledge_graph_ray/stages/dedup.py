@@ -552,31 +552,27 @@ def minhash_lsh_dedup(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash_dedup(
-    ds: ray.data.Dataset,
+def hamming_band_dedup(
+    sig_ds: ray.data.Dataset,
     *,
-    text_col: str = "text",
     id_col: str = "doc_id",
+    sig_col: str = "sig",
     max_hamming: int = 3,
     max_pairs_per_bucket: int = 200,
     driver_max_pairs: int = DRIVER_MAX_PAIRS,
 ) -> ray.data.Dataset:
-    """``(doc_id, dup_of)`` via 64-bit SimHash with 4x16-bit band
-    blocking (for Hamming distance <=3 over 4 bands, pigeonhole
-    guarantees at least one exactly-matching band). Hamming verify is
-    exact and runs inside the bucketed pair reduce; component
-    resolution is count-gated like the other near-dup ops."""
-    from .text_analysis import simhash64
+    """``(id, dup_of)`` from any 64-bit signature column via 4x16-bit
+    band blocking (for Hamming distance <=3 over 4 bands, pigeonhole
+    guarantees at least one exactly-matching band). Shared engine for
+    SimHash text dedup and dHash image dedup: one bucketed exchange
+    over band rows, exact Hamming verify inside the reduce, and the
+    count-gated component resolution of the other near-dup ops."""
 
-    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+    def _band(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
         if n == 0:
             return pd.DataFrame({id_col: [], "band_key": [], "simhash": []})
-        hashes = np.fromiter(
-            (simhash64(t) for t in batch[text_col].fillna("")),
-            dtype=np.uint64,
-            count=n,
-        )
+        hashes = batch[sig_col].to_numpy(dtype=np.uint64)
         # band_key = 16-bit band value | band index << 16 (exact,
         # single shuffle column)
         band_keys = np.stack(
@@ -607,11 +603,48 @@ def simhash_dedup(
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[I[keep]], "id_b": ids[J[keep]]})
 
-    sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
+    bands = sig_ds.select_columns([id_col, sig_col]).map_batches(
+        _band, batch_format="pandas"
+    )
     # duplicate pairs across bands are fine — both resolve paths are
     # idempotent to them (no pre-dedupe shuffle needed)
-    cand = bucketed_reduce(sigs, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
+    cand = bucketed_reduce(bands, ["band_key"], _bucket_pairs, PAIR_SCHEMA)
     return resolve_dup_mapping(cand, id_col, driver_max_pairs=driver_max_pairs)
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_pairs_per_bucket: int = 200,
+    driver_max_pairs: int = DRIVER_MAX_PAIRS,
+) -> ray.data.Dataset:
+    """``(doc_id, dup_of)`` via 64-bit SimHash signatures over the
+    shared :func:`hamming_band_dedup` engine."""
+    from .text_analysis import simhash64
+
+    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "sig": pd.array([], dtype="uint64")})
+        hashes = np.fromiter(
+            (simhash64(t) for t in batch[text_col].fillna("")),
+            dtype=np.uint64,
+            count=n,
+        )
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "sig": pd.array(hashes, dtype="uint64")}
+        )
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pandas")
+    return hamming_band_dedup(
+        sigs, id_col=id_col, sig_col="sig", max_hamming=max_hamming,
+        max_pairs_per_bucket=max_pairs_per_bucket,
+        driver_max_pairs=driver_max_pairs,
+    )
 
 
 # ---------------------------------------------------------------------------

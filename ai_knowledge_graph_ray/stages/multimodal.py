@@ -377,3 +377,112 @@ def frame_sample_stub(
         )
 
     return media.map_batches(_f, batch_format="pyarrow", batch_size=16)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public): grayscale, area-resize
+    to 9x8, compare horizontal neighbors row-wise — robust to
+    re-encoding, small noise, and resizing, which byte hashes are
+    not. Pure integer numpy."""
+    if img.ndim == 3:
+        gray = img.astype(np.int64).sum(axis=2) // img.shape[2]
+    else:
+        gray = img.astype(np.int64)
+    h, w = gray.shape
+    th, tw = 8, 9
+    # area pooling via bucketed row/col sums (exact integer means)
+    ri = np.minimum((np.arange(h) * th) // max(1, h), th - 1)
+    ci = np.minimum((np.arange(w) * tw) // max(1, w), tw - 1)
+    sums = np.zeros((th, tw), dtype=np.int64)
+    cnts = np.zeros((th, tw), dtype=np.int64)
+    np.add.at(sums, (ri[:, None], ci[None, :]), gray)
+    np.add.at(cnts, (ri[:, None], ci[None, :]), 1)
+    cells = sums // np.maximum(1, cnts)
+    bits = (cells[:, 1:] > cells[:, :-1]).reshape(-1)  # 8x8
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def synth_media_with_editions(sf_dir: str) -> ray.data.Dataset:
+    """The PNG media table plus planted re-encoded editions: every
+    5th document's image is re-emitted byte-DIFFERENT (another PNG
+    filter type) but pixel-identical, as ``media_id + 1_000_000`` —
+    the near-dup fixture exact byte hashing cannot catch."""
+    base = synth_media_from_documents(sf_dir, media_type="png")
+
+    def _editions(batch: pa.Table) -> pa.Table:
+        from ..functions.png import decode_png, encode_png
+
+        ids = batch["media_id"].to_pylist()
+        blobs = batch["content"].to_pylist()
+        out_ids, out_blobs = list(ids), list(blobs)
+        for i, blob in zip(ids, blobs):
+            if i % 5 != 0:
+                continue
+            img = decode_png(blob)
+            redo = encode_png(img, filter_type=(i + 1) % 5)
+            out_ids.append(i + 1_000_000)
+            out_blobs.append(redo)
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "content": pa.array(out_blobs, pa.binary()),
+            }
+        )
+
+    return base.select_columns(["media_id", "content"]).map_batches(
+        _editions, batch_format="pyarrow"
+    )
+
+
+class _DHashSig:
+    """Actor-pool stage: decode PNG once per batch row, emit the
+    64-bit dHash signature (codec state per actor, not per batch)."""
+
+    def __init__(self) -> None:
+        from ..functions.png import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["media_id"].to_pylist()
+        blobs = batch["content"].to_pylist()
+        out_ids, sigs = [], []
+        for i, blob in zip(ids, blobs):
+            try:
+                img = self._decode(blob or b"")
+            except Exception:
+                continue  # undecodable media can't near-dup
+            out_ids.append(i)
+            sigs.append(dhash64(img))
+        return pd.DataFrame(
+            {
+                "media_id": np.asarray(out_ids, dtype=np.int64),
+                "sig": pd.array(np.asarray(sigs, dtype=np.uint64), dtype="uint64"),
+            }
+        )
+
+
+def phash_media_dedup(
+    media: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    concurrency=(1, 4),
+    driver_max_pairs: int | None = None,
+) -> ray.data.Dataset:
+    """Perceptual near-dup mapping ``(media_id, dup_of)`` over an
+    image table: dHash signatures in the decode actor pool, then the
+    SAME 4x16-band Hamming engine the text SimHash dedup uses
+    (``dedup.hamming_band_dedup``) — byte-different re-encodings and
+    lightly-noised copies collapse; distinct images don't."""
+    from .dedup import DRIVER_MAX_PAIRS, hamming_band_dedup
+
+    sigs = media.select_columns(["media_id", "content"]).map_batches(
+        _DHashSig, batch_format="pyarrow", concurrency=concurrency,
+        batch_size=64,
+    )
+    return hamming_band_dedup(
+        sigs, id_col="media_id", sig_col="sig", max_hamming=max_hamming,
+        driver_max_pairs=(
+            DRIVER_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+        ),
+    )

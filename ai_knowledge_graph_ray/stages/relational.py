@@ -812,3 +812,108 @@ def bernoulli_weighted_sample(
         return b[rank * weight_cap < w * mod]
 
     return ds.map_batches(_keep, batch_format="pandas")
+
+
+def target_encode_loo(
+    ds: ray.data.Dataset,
+    key_col: str,
+    target_col: str,
+    out_schema: pa.Schema,
+    *,
+    driver_max_keys: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Leave-one-out target encoding — the CTR-style categorical
+    feature ``mean(target | key)`` computed WITHOUT the row's own
+    target (the standard leakage guard). Emitted as the exact integer
+    pair ``(loo_sum, loo_cnt)`` instead of a float mean: downstream
+    can divide, and the oracle can hash-match.
+
+    One bucketed sum over DISTINCT keys (map-side combiner), then the
+    per-key totals — counted first — are broadcast under
+    ``driver_max_keys`` (categorical domains are almost always tiny
+    next to the corpus) or applied with a partitioned join above it.
+    Output: input rows + ``loo_sum`` + ``loo_cnt``.
+    """
+    from .infer import bucketed_reduce, normalize_blocks
+
+    sums_schema = pa.schema(
+        [(key_col, pa.string()), ("__sum", pa.int64()), ("__cnt", pa.int64())]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="object"),
+                 "__sum": pd.Series([], dtype="int64"),
+                 "__cnt": pd.Series([], dtype="int64")}
+            )
+        g = b.copy()
+        g[key_col] = g[key_col].astype(str)
+        out = g.groupby(key_col, sort=False, as_index=False).agg(
+            __sum=(target_col, "sum"), __cnt=(target_col, "size")
+        )
+        out["__sum"] = out["__sum"].astype("int64")
+        out["__cnt"] = out["__cnt"].astype("int64")
+        return out
+
+    totals = bucketed_reduce(
+        ds.select_columns([key_col, target_col]),
+        [key_col],
+        lambda g: g.groupby(key_col, sort=False, as_index=False)[["__sum", "__cnt"]].sum(),
+        sums_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    n_keys = totals.count()
+    if n_keys <= driver_max_keys:
+        t = totals.to_pandas()
+        sum_map = dict(zip(t[key_col], t["__sum"].astype(int)))
+        cnt_map = dict(zip(t[key_col], t["__cnt"].astype(int)))
+        maps_ref = ray.put((sum_map, cnt_map))
+
+        def _apply(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return b
+            sums, cnts = ray.get(maps_ref)
+            k = b[key_col].astype(str)
+            out = b.copy()
+            out["loo_sum"] = (
+                k.map(sums).fillna(0).astype("int64")
+                - b[target_col].astype("int64")
+            )
+            out["loo_cnt"] = k.map(cnts).fillna(0).astype("int64") - 1
+            return out
+
+        return normalize_blocks(
+            ds.map_batches(_apply, batch_format="pandas", batch_size=None),
+            out_schema,
+        )
+
+    # scale path: join totals back on the key
+    left_schema = pa.schema(
+        [f for f in out_schema if f.name not in ("loo_sum", "loo_cnt")]
+    )
+    joined = cogroup_join(
+        ds, totals, [key_col],
+        how="left_outer",
+        left_schema=left_schema, right_schema=sums_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        out = b.copy()
+        out["loo_sum"] = (
+            out["__sum"].fillna(0).astype("int64")
+            - out[target_col].astype("int64")
+        )
+        out["loo_cnt"] = out["__cnt"].fillna(0).astype("int64") - 1
+        return out.drop(columns=["__sum", "__cnt"])
+
+    return normalize_blocks(
+        joined.map_batches(_finish, batch_format="pandas", batch_size=None),
+        out_schema,
+    )
