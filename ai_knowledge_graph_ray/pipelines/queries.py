@@ -3317,12 +3317,10 @@ def q_events_skew_profile(sf_dir: str):
     return skew_profile(ev, ["user_id", "event_type"])
 
 
-def q_orders_scd2(sf_dir: str):
-    """SCD-type-2 history from three simulated order-priority
-    snapshots (restatements + deletions keyed on o_orderkey mods):
-    one validity interval per run of equal values, deletion gaps
-    break runs — one key-bucketed gaps-and-islands shuffle,
-    hash-exact vs a lag()+window-sum SQL twin."""
+def _orders_scd2_history(sf_dir: str):
+    """Shared SCD-2 fixture: three simulated order-priority snapshots
+    (restatements + deletions keyed on o_orderkey mods) folded into
+    validity intervals."""
     from ..stages.diff import scd2_history
 
     base = ray.data.read_parquet(
@@ -3344,6 +3342,34 @@ def q_orders_scd2(sf_dir: str):
         return out
 
     return scd2_history(base.map_batches(_snap, batch_format="pandas"))
+
+
+def q_orders_scd2(sf_dir: str):
+    """SCD-type-2 history from three simulated order-priority
+    snapshots (restatements + deletions keyed on o_orderkey mods):
+    one validity interval per run of equal values, deletion gaps
+    break runs — one key-bucketed gaps-and-islands shuffle,
+    hash-exact vs a lag()+window-sum SQL twin."""
+    return _orders_scd2_history(sf_dir)
+
+
+def q_orders_scd2_pit(sf_dir: str):
+    """Point-in-time dimension lookup: probe (o_orderkey, t = 1 +
+    key % 3) against the SCD-2 validity intervals — one keyed
+    partitioned join + vectorized containment (intervals per key are
+    disjoint, so no range replication). Probes landing in deletion
+    gaps drop out. Hash-exact vs the scd2 CTE joined on key +
+    BETWEEN."""
+    from ..stages.diff import pit_lookup
+
+    hist = _orders_scd2_history(sf_dir)
+    probes = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def _p(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"key": k, "t": k % 3 + 1})
+
+    return pit_lookup(probes.map_batches(_p, batch_format="pandas"), hist)
 
 
 def q_orders_expectations(sf_dir: str):
@@ -3760,6 +3786,17 @@ def q_events_target_encoding(sf_dir: str):
     )
 
 
+def q_media_vad_segments(sf_dir: str):
+    """Energy-threshold voice-activity segments over the REAL decoded
+    WAV corpus (stdlib PCM codec in the actor pool): integer per-frame
+    energies, runs merged vectorized. Rows-only (no SQL audio codec);
+    tone/silence boundary behavior pinned by pytest."""
+    from ..stages.multimodal import synth_media_from_documents, vad_segments
+
+    media = synth_media_from_documents(sf_dir, media_type="wav")
+    return vad_segments(media)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3923,6 +3960,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "media_phash_dedup": q_media_phash_dedup,
     "events_target_encoding": q_events_target_encoding,
+    "orders_scd2_pit": q_orders_scd2_pit,
+    "media_vad_segments": q_media_vad_segments,
 }
 
 _N_TOKENS_SQL = (
@@ -4563,6 +4602,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT check_id, kind, n_rows, n_violating,
                n_violating = 0 AS ok
         FROM raw
+    """,
+    "orders_scd2_pit": """
+        WITH snaps AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS key, CAST(1 AS BIGINT) AS snap,
+                 o_orderpriority AS val
+          FROM orders
+          UNION ALL
+          SELECT CAST(o_orderkey AS BIGINT), CAST(2 AS BIGINT),
+                 CASE WHEN o_orderkey % 7 = 0 THEN '0-RESTATED'
+                      ELSE o_orderpriority END
+          FROM orders WHERE o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT CAST(o_orderkey AS BIGINT), CAST(3 AS BIGINT),
+                 CASE WHEN o_orderkey % 5 = 0 THEN '9-FINAL'
+                      WHEN o_orderkey % 7 = 0 THEN '0-RESTATED'
+                      ELSE o_orderpriority END
+          FROM orders WHERE o_orderkey % 13 <> 0
+        ),
+        flagged AS (
+          SELECT key, snap, val,
+                 CASE WHEN lag(val) OVER w IS DISTINCT FROM val
+                        OR snap - lag(snap) OVER w > 1
+                      THEN 1 ELSE 0 END AS chg
+          FROM snaps WINDOW w AS (PARTITION BY key ORDER BY snap)
+        ),
+        grp AS (
+          SELECT key, snap, val,
+                 sum(chg) OVER (PARTITION BY key ORDER BY snap) AS g
+          FROM flagged
+        ),
+        hist AS (
+          SELECT key, val,
+                 CAST(min(snap) AS BIGINT) AS valid_from,
+                 CAST(max(snap) AS BIGINT) AS valid_to
+          FROM grp GROUP BY key, val, g
+        ),
+        probes AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS key,
+                 CAST(1 + o_orderkey % 3 AS BIGINT) AS t
+          FROM orders
+        )
+        SELECT p.key, p.t, h.val, h.valid_from, h.valid_to
+        FROM probes p JOIN hist h
+          ON h.key = p.key AND p.t BETWEEN h.valid_from AND h.valid_to
     """,
     "orders_scd2": """
         WITH snaps AS (

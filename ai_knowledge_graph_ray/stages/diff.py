@@ -120,6 +120,46 @@ def snapshot_diff(
     )
 
 
+def pit_lookup(
+    probes: ray.data.Dataset,
+    history: ray.data.Dataset,
+    *,
+    key_col: str = "key",
+    time_col: str = "t",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    probe_schema: pa.Schema | None = None,
+    history_schema: pa.Schema | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Point-in-time lookup: join each probe ``(key, t)`` to the
+    history row whose validity interval contains ``t`` (SCD-2
+    dimension lookup at event time — the leakage-safe way to attach
+    dimension attributes to facts). Intervals per key are disjoint by
+    construction (:func:`scd2_history`), so this is ONE keyed
+    partitioned join + a vectorized containment filter — no interval
+    replication, no range bucketing (contrast
+    :func:`..rangejoin.interval_join`, which handles un-keyed
+    interval containment). Probes in deletion gaps emit nothing.
+    """
+    j = cogroup_join(
+        probes, history, [key_col],
+        left_schema=probe_schema, right_schema=history_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _contained(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or time_col not in b.columns:
+            return b
+        t = b[time_col].to_numpy(np.int64)
+        keep = (b[from_col].to_numpy(np.int64) <= t) & (
+            t <= b[to_col].to_numpy(np.int64)
+        )
+        return b[keep]
+
+    return j.map_batches(_contained, batch_format="pandas", batch_size=None)
+
+
 SCD2_SCHEMA = pa.schema(
     [
         ("key", pa.int64()),

@@ -486,3 +486,90 @@ def phash_media_dedup(
             DRIVER_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
         ),
     )
+
+
+VAD_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("seg_id", pa.int64()),
+        ("start_frame", pa.int64()),
+        ("end_frame", pa.int64()),
+        ("energy_mean", pa.int64()),
+    ]
+)
+
+
+class _VadSegments:
+    """Actor-pool stage: decode WAV once per row, frame the samples,
+    threshold integer mean-abs energy, and merge consecutive active
+    frames into segments (vectorized gaps-and-islands per clip)."""
+
+    def __init__(self, frame_len: int = 160, threshold: int = 500) -> None:
+        from ..functions.wav import decode_wav
+
+        self._decode = decode_wav
+        self.frame_len = frame_len
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["media_id"].to_pylist()
+        blobs = batch["content"].to_pylist()
+        out = {k: [] for k in VAD_SCHEMA.names}
+        for mid, blob in zip(ids, blobs):
+            try:
+                samples, _rate = self._decode(blob or b"")
+            except Exception:
+                continue
+            # decode_wav yields (n, ch) float64 in [-1, 1]; fold
+            # channels and rescale to int16 units so energy is integer
+            mono = np.abs(samples).mean(axis=1) if samples.ndim == 2 else np.abs(samples)
+            amp = (mono * 32768.0).astype(np.int64)
+            n = (len(amp) // self.frame_len) * self.frame_len
+            if n == 0:
+                continue
+            frames = amp[:n].reshape(-1, self.frame_len)
+            energy = frames.sum(axis=1) // self.frame_len
+            active = energy > self.threshold
+            if not active.any():
+                continue
+            prev = np.empty(len(active), dtype=bool)
+            prev[0] = False
+            prev[1:] = active[:-1]
+            starts = np.nonzero(active & ~prev)[0]
+            nxt = np.empty(len(active), dtype=bool)
+            nxt[-1] = False
+            nxt[:-1] = active[1:]
+            ends = np.nonzero(active & ~nxt)[0] + 1  # exclusive
+            for si, (s, e) in enumerate(zip(starts, ends)):
+                out["media_id"].append(mid)
+                out["seg_id"].append(si)
+                out["start_frame"].append(int(s))
+                out["end_frame"].append(int(e))
+                out["energy_mean"].append(int(energy[s:e].mean()))
+        return pd.DataFrame(
+            {k: np.asarray(v, dtype=np.int64) for k, v in out.items()}
+        )
+
+
+def vad_segments(
+    media: ray.data.Dataset,
+    *,
+    frame_len: int = 160,
+    threshold: int = 500,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Voice-activity segments per audio clip: ``(media_id, seg_id,
+    start_frame, end_frame, energy_mean)`` — integer mean-abs energy
+    over fixed frames, threshold, merge runs. Map-only actor pool
+    (codec state per actor); the standard pre-filter before ASR or
+    audio feature extraction at corpus scale."""
+    from .infer import normalize_blocks
+
+    segs = media.select_columns(["media_id", "content"]).map_batches(
+        _VadSegments,
+        fn_constructor_kwargs={"frame_len": frame_len, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+    return normalize_blocks(segs, VAD_SCHEMA)
