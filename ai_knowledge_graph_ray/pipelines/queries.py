@@ -3797,6 +3797,130 @@ def q_media_vad_segments(sf_dir: str):
     return vad_segments(media)
 
 
+STRAT_SAMPLE_N = 20
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """Exact-n-per-stratum deterministic sample (eval-set
+    construction): per event type, the 20 rows with the smallest
+    Lehmer rank (tie-broken by id) — layout-independent, no RNG
+    state. One group-keyed reduce with a map-side per-group top-n
+    combiner. Hash-exact vs a row_number window twin."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()), ("rank", pa.int64())]
+    )
+    n = STRAT_SAMPLE_N
+
+    def _rank_topn(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "event_type": pd.Series([], dtype="object"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "event_type": b["event_type"],
+                "rank": ((b["event_id"].to_numpy(np.int64) % _LEHMER_MOD)
+                         * _LEHMER_MULT) % _LEHMER_MOD,
+            }
+        )
+        out = out.sort_values(["rank", "event_id"], kind="stable")
+        return out.groupby("event_type", sort=False).head(n)
+
+    return bucketed_reduce(
+        ev, ["event_type"],
+        lambda g: g.sort_values(["rank", "event_id"], kind="stable")
+                   .groupby("event_type", sort=False).head(n),
+        out_schema,
+        combiner=_rank_topn,
+    )
+
+
+def q_customer_entity_clusters(sf_dir: str):
+    """Entity-resolution clusters: record-linkage scores thresholded
+    (>= 15: name lev<=1 AND nation agrees) then resolved to canonical
+    representatives through the shared count-gated component engine —
+    the end-to-end dedup-entities contract (block → score → cluster).
+    Rows-only (iterative CC); planted-chain behavior pinned by
+    pytest."""
+    from ..stages.dedup import resolve_dup_mapping
+    from ..stages.fuzzy import record_linkage
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_name", "c_nationkey", "c_mktsegment"]
+    )
+    scored = record_linkage(
+        cust, "c_name", [("c_nationkey", 8, -3), ("c_mktsegment", 5, -2)],
+        name_weight=12,
+    )
+
+    def _ids(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "name_a" not in b.columns:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        k = b[b["score"] >= 15]
+        # Customer#%09d -> numeric id (stable, reversible)
+        return pd.DataFrame(
+            {
+                "id_a": k["name_a"].str.slice(9).astype("int64"),
+                "id_b": k["name_b"].str.slice(9).astype("int64"),
+            }
+        )
+
+    pairs = scored.map_batches(_ids, batch_format="pandas")
+    return resolve_dup_mapping(pairs, "c_custkey")
+
+
+def q_retrieval_training_pairs(sf_dir: str):
+    """Contrastive training pairs for embedding models: positives
+    from the MinHash near-dup mapping (label 1), hard negatives from
+    the source-excluded top-k miner (label 0) — the composite that
+    turns the dedup + retrieval families into actual training data.
+    Rows-only (both parents are)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pos = minhash_lsh_dedup(docs).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "anchor_id": b["dup_of"].to_numpy(np.int64),
+                "other_id": b["doc_id"].to_numpy(np.int64),
+                "label": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"anchor_id": pd.Series([], dtype="int64"),
+             "other_id": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+    neg = q_retrieval_hard_negatives(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "anchor_id": pc.cast(b["query_id"], pa.int64()),
+                "other_id": pc.cast(b["neg_id"], pa.int64()),
+                "label": pa.array([0] * len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema(
+        [("anchor_id", pa.int64()), ("other_id", pa.int64()), ("label", pa.int64())]
+    )
+    from ..stages.infer import normalize_blocks
+
+    return normalize_blocks(pos.union(neg), schema)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -3962,6 +4086,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_target_encoding": q_events_target_encoding,
     "orders_scd2_pit": q_orders_scd2_pit,
     "media_vad_segments": q_media_vad_segments,
+    "events_stratified_sample": q_events_stratified_sample,
+    "customer_entity_clusters": q_customer_entity_clusters,
+    "retrieval_training_pairs": q_retrieval_training_pairs,
 }
 
 _N_TOKENS_SQL = (
@@ -4435,6 +4562,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM k2
     """,
     "events_zorder": _zorder_oracle_sql(),
+    "events_stratified_sample": f"""
+        WITH r AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                 CAST(((event_id % {_LEHMER_MOD}) * {_LEHMER_MULT})
+                      % {_LEHMER_MOD} AS BIGINT) AS rank
+          FROM events
+        )
+        SELECT event_id, event_type, rank FROM r
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY rank, event_id
+        ) <= {STRAT_SAMPLE_N}
+    """,
     "events_target_encoding": """
         WITH t AS (
           SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
