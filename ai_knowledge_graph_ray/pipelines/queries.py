@@ -3921,6 +3921,64 @@ def q_retrieval_training_pairs(sf_dir: str):
     return normalize_blocks(pos.union(neg), schema)
 
 
+def q_events_hourly_profile(sf_dir: str):
+    """Seasonal (hour-of-day) profile + per-event residual in exact
+    integer cross-multiplied form: residual_num = cents*cnt_h - sum_h
+    (positive → above the hour's mean) — the detrending feature for
+    time-series anomaly work without a single float. 24-key sums
+    broadcast map-side. Hash-exact vs window sums per hour."""
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def _pre(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        hour = pc.cast(
+            pc.divide(
+                pc.subtract(
+                    us,
+                    pc.multiply(pc.divide(us, 86_400_000_000), 86_400_000_000),
+                ),
+                3_600_000_000,
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "hour": hour,
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    pre = ev.map_batches(_pre, batch_format="pyarrow")
+    from ..stages.relational import grouped_sums
+
+    prof = grouped_sums(pre, ["hour"], {"sum_cents": "cents"}, count_name="cnt")
+    p = prof.to_pandas()  # 24 rows
+    sums = dict(zip(p["hour"].astype(int), p["sum_cents"].astype(int)))
+    cnts = dict(zip(p["hour"].astype(int), p["cnt"].astype(int)))
+    ref = ray.put((sums, cnts))
+
+    def _resid(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "hour": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64"),
+                 "residual_num": pd.Series([], dtype="int64"),
+                 "cnt_h": pd.Series([], dtype="int64")}
+            )
+        s, c = ray.get(ref)
+        h = b["hour"].astype(int)
+        cnt_h = h.map(c).astype("int64")
+        sum_h = h.map(s).astype("int64")
+        out = b.copy()
+        out["residual_num"] = out["cents"].astype("int64") * cnt_h - sum_h
+        out["cnt_h"] = cnt_h
+        return out
+
+    return pre.map_batches(_resid, batch_format="pandas")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -4089,6 +4147,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
+    "events_hourly_profile": q_events_hourly_profile,
 }
 
 _N_TOKENS_SQL = (
@@ -4562,6 +4621,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM k2
     """,
     "events_zorder": _zorder_oracle_sql(),
+    "events_hourly_profile": """
+        WITH t AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(epoch_us(ts) % 86400000000 // 3600000000 AS BIGINT) AS hour,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, hour, cents,
+               CAST(cents * count(*) OVER w - sum(cents) OVER w AS BIGINT)
+                 AS residual_num,
+               CAST(count(*) OVER w AS BIGINT) AS cnt_h
+        FROM t WINDOW w AS (PARTITION BY hour)
+    """,
     "events_stratified_sample": f"""
         WITH r AS (
           SELECT CAST(event_id AS BIGINT) AS event_id, event_type,

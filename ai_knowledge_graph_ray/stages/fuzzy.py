@@ -223,6 +223,7 @@ def record_linkage(
     *,
     name_weight: int = 12,
     per_variant_cap: int = 1_000_000,
+    entity_broadcast_max: int = 5_000_000,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Fellegi-Sunter-style record-linkage scoring: candidate pairs
@@ -274,19 +275,35 @@ def record_linkage(
     ent_b = base.map_batches(_ent("b"), batch_format="pandas")
 
     pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
-    j = cogroup_join(
-        pairs, ent_a, ["name_a"],
-        left_schema=pair_schema, right_schema=_side_schema("a"),
-        num_buckets=num_buckets,
-    )
     j_schema = pa.schema(
         list(pair_schema) + [(f"a_{c}", pa.string()) for c in attr_cols]
     )
-    j = cogroup_join(
-        j, ent_b, ["name_b"],
-        left_schema=j_schema, right_schema=_side_schema("b"),
-        num_buckets=num_buckets,
-    )
+    # entity attributes are a keyed dimension table: broadcast under
+    # the gate (zero shuffle), partitioned join above it — two sort
+    # exchanges removed from the common case. broadcast_join counts
+    # its right side itself; over-gate it refuses and we fall back.
+    try:
+        from .relational import broadcast_join
+
+        j = broadcast_join(
+            pairs, ent_a, ["name_a"], broadcast_max_rows=entity_broadcast_max
+        )
+        j = broadcast_join(
+            j, ent_b, ["name_b"], broadcast_max_rows=entity_broadcast_max
+        )
+    except ValueError:
+        # pair set arrives as many tiny reduce slivers — coalesce
+        # before each exchange (block count IS the sort-shuffle cost)
+        j = cogroup_join(
+            pairs, ent_a, ["name_a"],
+            left_schema=pair_schema, right_schema=_side_schema("a"),
+            num_buckets=num_buckets, coalesce=16,
+        )
+        j = cogroup_join(
+            j, ent_b, ["name_b"],
+            left_schema=j_schema, right_schema=_side_schema("b"),
+            num_buckets=num_buckets, coalesce=16,
+        )
 
     out_schema = pa.schema(
         [("name_a", pa.string()), ("name_b", pa.string()), ("score", pa.int64())]

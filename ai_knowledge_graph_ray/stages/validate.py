@@ -156,12 +156,13 @@ def expectations_report(
                 )
         results.append(agg)
 
+    uniques = [c for c in checks if c["kind"] == "unique"]
+    if uniques:
+        results.append(_unique_checks(ds, uniques, num_buckets))
     for c in checks:
-        if c["kind"] == "unique":
-            results.append(_unique_check(ds, c, num_buckets))
-        elif c["kind"] == "fk":
+        if c["kind"] == "fk":
             results.append(_fk_check(ds, c, num_buckets))
-        elif c["kind"] not in _ROW_LOCAL:
+        elif c["kind"] not in _ROW_LOCAL + ("unique", "fk"):
             raise ValueError(f"unknown check kind: {c['kind']}")
 
     if not results:
@@ -174,49 +175,78 @@ def expectations_report(
     return ray.data.from_arrow(pa.Table.from_pandas(out, schema=CHECK_SCHEMA))
 
 
-def _unique_check(
-    ds: ray.data.Dataset, check: dict, num_buckets: int | None
+def _unique_checks(
+    ds: ray.data.Dataset, checks: list[dict], num_buckets: int | None
 ) -> pd.DataFrame:
-    cols = list(check["cols"])
-    part_schema = pa.schema([("check_id", pa.string()), ("n_rows", pa.int64()),
-                             ("n_violating", pa.int64())])
+    """ALL unique checks share ONE exchange: each batch emits
+    map-side-deduped ``(check_id, rendered key, multiplicity)`` rows
+    for every check, partitioned on (check_id, key) — the same
+    column/value-pair trick the table profiler uses for exact
+    distinct counts. N checks no longer cost N shuffles."""
+    part_schema = pa.schema(
+        [("check_id", pa.string()), ("__key", pa.string()), ("__mult", pa.int64())]
+    )
+    all_cols = sorted({c for ch in checks for c in ch["cols"]})
 
     def _comb(b: pd.DataFrame) -> pd.DataFrame:
-        # carry per-batch row count as multiplicity so one reduce
-        # yields both totals; dedup map-side to shrink the shuffle
-        if len(b) == 0:
-            out = b.copy()
-            out["__mult"] = pd.Series([], dtype="int64")
-            return out
-        g = b.groupby(cols, sort=False, dropna=False).size().reset_index(name="__mult")
-        return g
+        frames = []
+        for ch in checks:
+            cols = list(ch["cols"])
+            if len(b) == 0 or any(c not in b.columns for c in cols):
+                continue
+            g = (
+                b.groupby(cols, sort=False, dropna=False)
+                .size()
+                .reset_index(name="__mult")
+            )
+            key = g[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x00" + g[c].astype(str)
+            frames.append(
+                pd.DataFrame(
+                    {"check_id": ch["id"], "__key": key, "__mult": g["__mult"]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"check_id": pd.Series([], dtype="object"),
+                 "__key": pd.Series([], dtype="object"),
+                 "__mult": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(cols, sort=False, dropna=False)["__mult"].sum()
-        return pd.DataFrame(
-            {
-                "check_id": [check["id"]],
-                "n_rows": [int(gg.sum())],
-                "n_violating": [int((gg - 1).clip(lower=0).sum())],
-            }
+        gg = g.groupby(["check_id", "__key"], sort=False, as_index=False)[
+            "__mult"
+        ].sum()
+        agg = gg.groupby("check_id", sort=False)["__mult"].agg(
+            n_rows="sum",
+            n_violating=lambda s: int((s - 1).clip(lower=0).sum()),
         )
+        return agg.reset_index()
 
+    out_schema = pa.schema(
+        [("check_id", pa.string()), ("n_rows", pa.int64()),
+         ("n_violating", pa.int64())]
+    )
     per_bucket = bucketed_reduce(
-        ds.select_columns(cols), cols, _reduce, part_schema,
+        ds.select_columns(all_cols), ["check_id", "__key"], _reduce, out_schema,
         combiner=_comb, num_buckets=num_buckets,
     ).to_pandas()
     if "check_id" not in per_bucket.columns:
         per_bucket = pd.DataFrame({"check_id": [], "n_rows": [], "n_violating": []})
-    return pd.DataFrame(
-        [
+    rows = []
+    for ch in checks:
+        mine = per_bucket[per_bucket["check_id"] == ch["id"]]
+        rows.append(
             {
-                "check_id": check["id"],
+                "check_id": ch["id"],
                 "kind": "unique",
-                "n_rows": int(per_bucket["n_rows"].sum()),
-                "n_violating": int(per_bucket["n_violating"].sum()),
+                "n_rows": int(mine["n_rows"].sum()),
+                "n_violating": int(mine["n_violating"].sum()),
             }
-        ]
-    )
+        )
+    return pd.DataFrame(rows)
 
 
 def _fk_check(

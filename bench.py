@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     "part_copurchase",
     "graph_triangles",
+    # round-3 seventh-session families (record linkage over FastSS
+    # blocking; data-expectations gate) — appended, originals untouched
+    "customer_linkage",
+    "orders_expectations",
 ]
 
 
