@@ -3979,6 +3979,84 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_doc_nb_classify(sf_dir: str):
+    """Train-then-score multinomial text classifier (source label from
+    text) — integer rational weights (ln-free Laplace NB shape), so the
+    distributed scores hash-match the pure-SQL twin that recomputes the
+    same training counts and weights."""
+    from ..stages.classify import nb_self_classify
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    )
+    return nb_self_classify(docs, class_col="source")
+
+
+def _nb_oracle_sql() -> str:
+    from ..stages.classify import SCALE as _NB_SCALE
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source AS class,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT class, token, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY class, token
+        ),
+        totals AS (
+          SELECT class, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY class
+        ),
+        vsize AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks),
+        cls AS (
+          SELECT source AS class, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        params AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        cinfo AS (
+          SELECT c.class,
+                 CAST((CAST({_NB_SCALE} AS BIGINT) * c.n_docs) // p.n_total
+                      AS BIGINT) AS prior,
+                 CAST(CAST({_NB_SCALE} AS BIGINT)
+                      // (COALESCE(t.total, 0) + v.v) AS BIGINT) AS dflt
+          FROM cls c
+          LEFT JOIN totals t ON c.class = t.class
+          CROSS JOIN vsize v CROSS JOIN params p
+        ),
+        weights AS (
+          SELECT cn.class, cn.token,
+                 CAST((CAST({_NB_SCALE} AS BIGINT) * (cn.n + 1))
+                      // (t.total + v.v) AS BIGINT) AS w
+          FROM counts cn
+          JOIN totals t ON cn.class = t.class
+          CROSS JOIN vsize v
+        ),
+        tok_scores AS (
+          SELECT t.doc_id, ci.class,
+                 CAST(sum(COALESCE(w.w, ci.dflt)) AS BIGINT) AS s
+          FROM toks t
+          CROSS JOIN cinfo ci
+          LEFT JOIN weights w ON w.class = ci.class AND w.token = t.token
+          GROUP BY t.doc_id, ci.class
+        ),
+        scores AS (
+          SELECT d.doc_id, ci.class,
+                 CAST(ci.prior + COALESCE(ts.s, 0) AS BIGINT) AS score
+          FROM documents d
+          CROSS JOIN cinfo ci
+          LEFT JOIN tok_scores ts
+            ON ts.doc_id = d.doc_id AND ts.class = ci.class
+        )
+        SELECT doc_id, class AS pred_class, score
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, class ASC) AS rn
+          FROM scores
+        ) WHERE rn = 1
+    """
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -4144,6 +4222,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_target_encoding": q_events_target_encoding,
     "orders_scd2_pit": q_orders_scd2_pit,
     "media_vad_segments": q_media_vad_segments,
+    "doc_nb_classify": q_doc_nb_classify,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
@@ -5886,4 +5965,5 @@ ORACLE_SQL: dict[str, str] = {
                CAST(1 AS BIGINT) AS normalized
         FROM s3
     """,
+    "doc_nb_classify": _nb_oracle_sql(),
 }
