@@ -3979,6 +3979,44 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_revenue_cube(sf_dir: str):
+    """Full GROUP BY CUBE lattice (segment x priority) over
+    orders⋈customer revenue cents — one raw-row shuffle at the finest
+    grouping set, every other set re-reduces that residue."""
+    from ..stages.relational import cogroup_join
+    from ..stages.rollup import cube_aggregate
+
+    def _ord(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    def _cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(_ord, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_cust, batch_format="pyarrow")
+    joined = cogroup_join(orders, cust, ["custkey"])
+    return cube_aggregate(
+        joined, ["c_mktsegment", "o_orderpriority"], "price_cents",
+        out_name="total",
+    )
+
+
 def q_doc_nb_classify(sf_dir: str):
     """Train-then-score multinomial text classifier (source label from
     text) — integer rational weights (ln-free Laplace NB shape), so the
@@ -4223,6 +4261,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_scd2_pit": q_orders_scd2_pit,
     "media_vad_segments": q_media_vad_segments,
     "doc_nb_classify": q_doc_nb_classify,
+    "revenue_cube": q_revenue_cube,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
@@ -5966,4 +6005,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM s3
     """,
     "doc_nb_classify": _nb_oracle_sql(),
+    "revenue_cube": """
+        SELECT CASE WHEN grouping(c_mktsegment) = 1 THEN '(all)'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CAST(2 - grouping(c_mktsegment) - grouping(o_orderpriority)
+                    AS BIGINT) AS lvl,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    """,
 }

@@ -136,6 +136,119 @@ def rollup_aggregate(
     return normalize_blocks(levels[0].union(*levels[1:]), out_schema)
 
 
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    out_name: str = "total",
+    sentinel: str = ALL_SENTINEL,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sum ``value_col`` grouped by EVERY subset of ``keys`` (the full
+    ``GROUP BY CUBE`` lattice, ``2^n`` grouping sets). Same output
+    contract as :func:`rollup_aggregate` (string keys, rolled-up
+    positions = ``sentinel``, ``lvl`` = number of live keys).
+
+    Shuffle plan: exactly ONE pass over raw rows builds the finest
+    level (map-side combiner); every other grouping set re-reduces
+    that already-tiny residue — ``2^n - 2`` cheap residue exchanges,
+    never a rescan. The empty grouping set (grand total) is a driver
+    sum over a single-key level's residue."""
+    if not keys:
+        raise ValueError("cube_aggregate needs at least one key")
+    out_schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("lvl", pa.int64()), (out_name, pa.int64())]
+    )
+
+    def _level_schema(cols: list[str]) -> pa.Schema:
+        return pa.schema([(k, pa.string()) for k in cols] + [(out_name, pa.int64())])
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series([], dtype="object") for k in keys},
+                 out_name: pd.Series([], dtype="int64")}
+            )
+        g = b.copy()
+        for k in keys:
+            g[k] = g[k].astype(str)
+        out = g.groupby(keys, sort=False, as_index=False)[value_col].sum()
+        return out.rename(columns={value_col: out_name})
+
+    def _sum_level(cols: list[str]):
+        def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(cols, sort=False, as_index=False)[out_name].sum()
+
+        return _reduce
+
+    def _finish(cols: list[str]):
+        lvl = len(cols)
+
+        def _fill(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=b.index if len(b) else None)
+            for k in keys:
+                if k in cols and k in b.columns:
+                    out[k] = b[k]
+                else:
+                    out[k] = sentinel
+            out["lvl"] = np.int64(lvl)
+            out[out_name] = (
+                b[out_name] if out_name in b.columns else pd.Series([], dtype="int64")
+            )
+            return out if len(b) else out.iloc[0:0]
+
+        return _fill
+
+    finest = bucketed_reduce(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        _sum_level(keys),
+        _level_schema(keys),
+        combiner=_comb,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    levels: list[ray.data.Dataset] = [
+        finest.map_batches(_finish(keys), batch_format="pandas", batch_size=None)
+    ]
+
+    from itertools import combinations
+
+    grand_source: pd.DataFrame | None = None
+    for size in range(len(keys) - 1, 0, -1):
+        for cols_t in combinations(keys, size):
+            cols = list(cols_t)
+            lv = bucketed_reduce(
+                finest.select_columns(cols + [out_name]),
+                cols,
+                _sum_level(cols),
+                _level_schema(cols),
+                num_buckets=num_buckets,
+            ).materialize()
+            levels.append(
+                lv.map_batches(_finish(cols), batch_format="pandas", batch_size=None)
+            )
+            if size == 1 and grand_source is None:
+                grand_source = lv.to_pandas()
+
+    if grand_source is None:  # single-key cube: finest IS the single level
+        grand_source = finest.to_pandas()
+    total = (
+        int(grand_source[out_name].sum()) if out_name in grand_source.columns else 0
+    )
+    grand = pa.Table.from_pandas(
+        pd.DataFrame([{**{k: sentinel for k in keys}, "lvl": 0, out_name: total}]),
+        schema=out_schema,
+    )
+    levels.append(ray.data.from_arrow(grand))
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(levels[0].union(*levels[1:]), out_schema)
+
+
 MODE_SUFFIX_CNT = "cnt"
 
 

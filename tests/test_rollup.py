@@ -83,6 +83,62 @@ class TestRollup:
         pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
 
 
+class TestCube:
+    def test_two_key_lattice(self):
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "x", "y"],
+                "b": ["p", "p", "q", "p"],
+                "v": [1, 2, 4, 8],
+            }
+        )
+        from ai_knowledge_graph_ray.stages.rollup import cube_aggregate
+
+        out = cube_aggregate(_ds(df, 4), ["a", "b"], "v").to_pandas()
+        rows = {
+            (r["a"], r["b"], r["lvl"]): r["total"] for _, r in out.iterrows()
+        }
+        # finest (3) + {a} (2) + {b} (2) + grand (1) = 8 rows
+        assert len(out) == 8
+        assert rows[("x", "p", 2)] == 3
+        assert rows[("x", "(all)", 1)] == 7
+        assert rows[("y", "(all)", 1)] == 8
+        assert rows[("(all)", "p", 1)] == 11
+        assert rows[("(all)", "q", 1)] == 4
+        assert rows[("(all)", "(all)", 0)] == 15
+
+    def test_randomized_sql_twin(self):
+        from ai_knowledge_graph_ray.stages.rollup import cube_aggregate
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(list("abcd"), 400),
+                "b": rng.choice(list("xyz"), 400),
+                "v": rng.integers(0, 1000, 400),
+            }
+        )
+        got = (
+            cube_aggregate(_ds(df, 5), ["a", "b"], "v")
+            .to_pandas()
+            .sort_values(["a", "b", "lvl"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            """
+            SELECT CASE WHEN grouping(a)=1 THEN '(all)' ELSE a END AS a,
+                   CASE WHEN grouping(b)=1 THEN '(all)' ELSE b END AS b,
+                   CAST(2 - grouping(a) - grouping(b) AS BIGINT) AS lvl,
+                   CAST(sum(v) AS BIGINT) AS total
+            FROM t GROUP BY CUBE(a, b)
+            ORDER BY a, b, lvl
+            """
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 class TestGroupedMode:
     def test_tie_break_lexicographic(self):
         df = pd.DataFrame(
