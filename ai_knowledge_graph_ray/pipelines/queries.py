@@ -3979,6 +3979,23 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_knn_pq(sf_dir: str):
+    """PQ-compressed ANN: train (m=8, k=16) codebooks, encode every
+    vector to 8 bytes (32x smaller than float32), ADC-scan with
+    per-query lookup tables. Approximate by construction — rows-only
+    (the exact twin is ``knn_cosine``/``knn_ivf``); recall pinned by
+    pytest on planted blobs."""
+    from ..stages.pq import pq_encode, pq_search, pq_train
+
+    qids, qmat = _query_vectors(sf_dir)
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    books = pq_train(emb, m=8, k=16, iters=4)
+    codes = pq_encode(emb, books)
+    return pq_search(codes, books, qids, qmat, k=KNN_K)
+
+
 def q_revenue_cube(sf_dir: str):
     """Full GROUP BY CUBE lattice (segment x priority) over
     orders⋈customer revenue cents — one raw-row shuffle at the finest
@@ -4262,6 +4279,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_vad_segments": q_media_vad_segments,
     "doc_nb_classify": q_doc_nb_classify,
     "revenue_cube": q_revenue_cube,
+    "knn_pq": q_knn_pq,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
