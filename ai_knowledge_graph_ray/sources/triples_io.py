@@ -71,3 +71,84 @@ def write_graph_csv(nodes: ray.data.Dataset, edges: ray.data.Dataset, out_dir: s
     """nodes.csv / edges.csv directories (Neo4j-importable layout)."""
     nodes.write_csv(f"{out_dir}/nodes")
     edges.write_csv(f"{out_dir}/edges")
+
+
+# ---------------------------------------------------------------------------
+# RDF N-Triples export (W3C line format — the interchange sink Neo4j
+# CSV doesn't cover; any triple store imports it)
+# ---------------------------------------------------------------------------
+
+_NT_LITERAL_ESC = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+}
+
+
+def _nt_literal(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append(_NT_LITERAL_ESC.get(ch, ch))
+    return '"' + "".join(out) + '"'
+
+
+def _nt_iri(base: str, name: str) -> str:
+    from urllib.parse import quote
+
+    # percent-encode everything an IRI ref cannot carry raw
+    return "<" + base + quote(name, safe="") + ">"
+
+
+def write_ntriples(
+    edges: ray.data.Dataset,
+    out_dir: str,
+    *,
+    base_iri: str = "urn:kg:",
+    subject_col: str = "subject",
+    predicate_col: str = "predicate",
+    object_col: str = "object",
+    object_as_literal: bool = False,
+) -> int:
+    """Export a triple table as RDF N-Triples part files (one ``.nt``
+    per input block, written by the tasks themselves — distributed,
+    resumable at part granularity like the Parquet sinks). Subjects
+    and predicates become percent-encoded IRIs under ``base_iri``;
+    objects are IRIs too unless ``object_as_literal`` (then escaped
+    string literals). Returns the number of lines written.
+
+    The reference exports Neo4j CSV only (``graph_store.py:620-639``);
+    N-Triples is the vendor-neutral equivalent for RDF stores."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(b) -> "ray.data.Dataset":
+        import pandas as pd
+
+        if len(b) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        lines = []
+        for s, p, o in zip(
+            b[subject_col].astype(str),
+            b[predicate_col].astype(str),
+            b[object_col].astype(str),
+        ):
+            obj = _nt_literal(o) if object_as_literal else _nt_iri(base_iri, o)
+            lines.append(
+                f"{_nt_iri(base_iri, s)} {_nt_iri(base_iri + 'pred/', p)} {obj} ."
+            )
+        part = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+        tmp = part + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, part)
+        return pd.DataFrame({"path": [part], "n": [len(lines)]})
+
+    manifest = edges.select_columns(
+        [subject_col, predicate_col, object_col]
+    ).map_batches(_write, batch_format="pandas", batch_size=None).to_pandas()
+    return int(manifest["n"].sum()) if len(manifest) else 0

@@ -966,3 +966,80 @@ class TestCompressionRatio:
             )
         # repetitive text compresses far below prose
         assert out.loc[0, "ratio_milli"] < 100 < out.loc[1, "ratio_milli"]
+
+
+class TestNtriplesExport:
+    def _parse(self, out_dir: str) -> set[tuple[str, str, str]]:
+        import glob
+        import re
+        from urllib.parse import unquote
+
+        pat = re.compile(r"^<([^>]*)> <([^>]*)> (<[^>]*>|\"(?:[^\"\\]|\\.)*\") \.$")
+        got = set()
+        for p in glob.glob(f"{out_dir}/*.nt"):
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    m = pat.match(line)
+                    assert m, line
+                    s = unquote(m.group(1).removeprefix("urn:kg:"))
+                    pred = unquote(m.group(2).removeprefix("urn:kg:pred/"))
+                    o = m.group(3)
+                    if o.startswith("<"):
+                        o = unquote(o[1:-1].removeprefix("urn:kg:"))
+                    else:
+                        o = (
+                            o[1:-1]
+                            .replace("\\n", "\n")
+                            .replace("\\r", "\r")
+                            .replace("\\t", "\t")
+                            .replace('\\"', '"')
+                            .replace("\\\\", "\\")
+                        )
+                    got.add((s, pred, o))
+        return got
+
+    def test_roundtrip_iris(self, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.sources.triples_io import write_ntriples
+
+        df = pd.DataFrame(
+            {
+                "subject": ["steam engine", "a<b>c", "plain"],
+                "predicate": ["powers", "rel with space", "p"],
+                "object": ["factory", 'quote"bs\\nl\nend', "x"],
+            }
+        )
+        out = str(tmp_path / "nt")
+        n = write_ntriples(
+            ray.data.from_pandas(df).repartition(2), out
+        )
+        assert n == 3
+        got = self._parse(out)
+        want = set(map(tuple, df.to_numpy()))
+        assert got == want
+
+    def test_literal_objects_escaped(self, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.sources.triples_io import write_ntriples
+
+        df = pd.DataFrame(
+            {
+                "subject": ["s"],
+                "predicate": ["p"],
+                "object": ['line1\nline2\t"quoted" back\\slash'],
+            }
+        )
+        out = str(tmp_path / "nt")
+        n = write_ntriples(
+            ray.data.from_pandas(df), out, object_as_literal=True
+        )
+        assert n == 1
+        got = self._parse(out)
+        assert got == {("s", "p", 'line1\nline2\t"quoted" back\\slash')}
