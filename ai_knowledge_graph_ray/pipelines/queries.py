@@ -3979,6 +3979,67 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_url_best_rep(sf_dir: str):
+    """Best-representative selection over canonical-URL dup clusters:
+    instead of url_dedup's keep-min-id, each cluster keeps its LONGEST
+    member (n_chars desc, doc_id asc) — the real curation rule for
+    crawl revisits. Clusters come from the actual normalization pass;
+    the SQL twin partitions on the equivalent synthesis key, so a
+    normalization regression breaks the hash."""
+    from ..stages.dedup import rerank_cluster_reps
+    from ..stages.infer import bucketed_reduce
+    from ..stages.urlnorm import url_normalize
+
+    base = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+
+    def _synth(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        k = d % 50
+
+        def _pick(mask: np.ndarray, a: str, b_: str) -> pd.Series:
+            return pd.Series(np.where(mask, a, b_), dtype=object)
+
+        scheme = _pick(d % 3 == 0, "HTTP", "http")
+        host = _pick(d % 2 == 1, "Example.COM", "example.com")
+        port = _pick(d % 5 == 0, ":80", "")
+        ks = pd.Series(k).astype(str).astype(object)
+        path = "/p/" + ks + _pick(d % 7 == 0, "/", "")
+        q10 = pd.Series(k % 10).astype(str).astype(object)
+        query = ("?b=2&a=" + q10).where(pd.Series(d % 2 == 0), "?a=" + q10 + "&b=2")
+        frag = _pick(d % 11 == 0, "#s", "")
+        url = scheme + "://" + host + port + path + query + frag
+        return pd.DataFrame({"doc_id": d, "url": url.astype(object)})
+
+    normed = url_normalize(
+        base.select_columns(["doc_id"]).map_batches(_synth, batch_format="pandas")
+    )
+
+    map_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+    def _to_mapping(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["dup_of"] = g.groupby("url_norm", sort=False)["doc_id"].transform("min")
+        g = g[g["doc_id"] != g["dup_of"]]
+        return g[["doc_id", "dup_of"]].astype("int64")
+
+    mapping = bucketed_reduce(
+        normed.select_columns(["doc_id", "url_norm"]),
+        ["url_norm"],
+        _to_mapping,
+        map_schema,
+    )
+    quality = base.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "score": b["n_chars"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return rerank_cluster_reps(mapping, quality, score_col="score")
+
+
 def q_knn_pq(sf_dir: str):
     """PQ-compressed ANN: train (m=8, k=16) codebooks, encode every
     vector to 8 bytes (32x smaller than float32), ADC-scan with
@@ -4280,6 +4341,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_nb_classify": q_doc_nb_classify,
     "revenue_cube": q_revenue_cube,
     "knn_pq": q_knn_pq,
+    "url_best_rep": q_url_best_rep,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
@@ -6023,6 +6085,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM s3
     """,
     "doc_nb_classify": _nb_oracle_sql(),
+    "url_best_rep": """
+        SELECT doc_id,
+               first_value(doc_id) OVER (
+                 PARTITION BY doc_id % 50
+                 ORDER BY n_chars DESC, doc_id ASC) AS keep_id
+        FROM documents
+    """,
     "revenue_cube": """
         SELECT CASE WHEN grouping(c_mktsegment) = 1 THEN '(all)'
                     ELSE c_mktsegment END AS c_mktsegment,

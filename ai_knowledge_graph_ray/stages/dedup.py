@@ -1025,3 +1025,71 @@ def cross_near_dup(
     return normalize_blocks(
         with_ab.map_batches(_check, batch_format="pandas"), CROSS_PAIR_SCHEMA
     )
+
+
+REP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("keep_id", pa.int64())])
+
+
+def rerank_cluster_reps(
+    mapping: ray.data.Dataset,
+    quality: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    root_col: str = "dup_of",
+    score_col: str = "score",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Re-root duplicate clusters at their BEST member instead of the
+    min id: ``(doc_id, keep_id)`` for every cluster member, where
+    ``keep_id`` is the member with the highest ``score_col`` (int64;
+    tie-break lower id). The curation step after any near-dup pass —
+    "keep the longest / highest-quality edition", not "keep the
+    smallest id".
+
+    ``mapping`` is the standard dedup output (non-representative
+    member -> cluster root); ``quality`` must cover every cluster
+    member (inner-join semantics — unscored members drop, loudly
+    visible in row counts). Shuffle plan: one root-distinct exchange
+    to add the roots' self-rows, one keyed join against the quality
+    table, one root-keyed reduce that emits all members' verdicts —
+    no driver residue at any size."""
+    from .relational import cogroup_join
+
+    pair_schema = pa.schema([(id_col, pa.int64()), (root_col, pa.int64())])
+
+    def _self_rows(g: pd.DataFrame) -> pd.DataFrame:
+        roots = np.unique(g[root_col].to_numpy(np.int64))
+        return pd.DataFrame({id_col: roots, root_col: roots})
+
+    roots_self = bucketed_reduce(
+        mapping.select_columns([root_col]),
+        [root_col],
+        _self_rows,
+        pair_schema,
+        combiner=lambda b: b.drop_duplicates(),
+        num_buckets=num_buckets,
+    )
+    members = mapping.select_columns([id_col, root_col]).union(roots_self)
+
+    scored = cogroup_join(
+        members,
+        quality.select_columns([id_col, score_col]),
+        on=[id_col],
+        left_schema=pair_schema,
+        right_schema=pa.schema([(id_col, pa.int64()), (score_col, pa.int64())]),
+    )
+
+    def _rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [root_col, score_col, id_col], ascending=[True, False, True],
+            kind="stable",
+        )
+        keep = g.groupby(root_col, sort=False)[id_col].transform("first")
+        return pd.DataFrame(
+            {"doc_id": g[id_col].to_numpy(np.int64),
+             "keep_id": keep.to_numpy(np.int64)}
+        )
+
+    return bucketed_reduce(
+        scored, [root_col], _rerank, REP_SCHEMA, num_buckets=num_buckets
+    )

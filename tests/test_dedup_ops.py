@@ -429,3 +429,63 @@ class TestCrossNearDup:
             ray.data.from_pandas(corpus), ray.data.from_pandas(bench), threshold=0.9
         )
         assert out.count() == 0
+
+
+class TestRerankClusterReps:
+    def _run(self, mapping_df, quality_df, parts=1):
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.dedup import rerank_cluster_reps
+
+        m = ray.data.from_pandas(mapping_df)
+        q = ray.data.from_pandas(quality_df)
+        if parts > 1:
+            m, q = m.repartition(parts), q.repartition(parts)
+        return (
+            rerank_cluster_reps(m, q, score_col="score")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_best_quality_member_wins(self):
+        import pandas as pd
+
+        mapping = pd.DataFrame(
+            {"doc_id": [2, 3, 11], "dup_of": [1, 1, 10]}
+        )
+        quality = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 10, 11], "score": [5, 9, 9, 4, 2]}
+        )
+        out = self._run(mapping, quality)
+        got = dict(zip(out["doc_id"], out["keep_id"]))
+        # cluster {1,2,3}: 2 and 3 tie at 9 -> lower id 2 wins
+        assert got == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+
+    def test_layout_independent(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(3)
+        roots = np.repeat(np.arange(0, 200, 10), 4)
+        members = roots + np.tile([1, 2, 3, 4], 20)
+        mapping = pd.DataFrame({"doc_id": members, "dup_of": roots})
+        ids = np.unique(np.concatenate([roots, members]))
+        quality = pd.DataFrame(
+            {"doc_id": ids, "score": rng.randint(0, 100, len(ids))}
+        )
+        a = self._run(mapping, quality, parts=1)
+        b = self._run(mapping, quality, parts=6)
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(a, b)
+        # every keep_id is the argmax (score, -id) of its cluster
+        qmap = dict(zip(quality["doc_id"], quality["score"]))
+        full = pd.concat(
+            [mapping, pd.DataFrame({"doc_id": np.unique(roots),
+                                    "dup_of": np.unique(roots)})]
+        )
+        for root, grp in full.groupby("dup_of"):
+            best = sorted(grp["doc_id"], key=lambda i: (-qmap[i], i))[0]
+            sel = a[a["doc_id"].isin(grp["doc_id"])]["keep_id"]
+            assert (sel == best).all()
