@@ -3979,6 +3979,18 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_graph_betweenness(sf_dir: str):
+    """Sampled betweenness (Brandes dependency accumulation from the
+    25 nation nodes) over the customer->nation->region graph —
+    fixed-point integers, driver twin under the edge gate with a
+    bit-equal distributed path (rows-only: the nested rational floors
+    have no tractable SQL twin; pinned vs networkx in pytest)."""
+    from ..stages.graph_algos import sampled_betweenness
+
+    sources = [f"n{i}" for i in range(25)]
+    return sampled_betweenness(_cnr_edges(sf_dir), sources, max_hops=6)
+
+
 def q_url_best_rep(sf_dir: str):
     """Best-representative selection over canonical-URL dup clusters:
     instead of url_dedup's keep-min-id, each cluster keeps its LONGEST
@@ -4342,6 +4354,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "revenue_cube": q_revenue_cube,
     "knn_pq": q_knn_pq,
     "url_best_rep": q_url_best_rep,
+    "graph_betweenness": q_graph_betweenness,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,

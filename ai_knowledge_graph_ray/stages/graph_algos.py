@@ -1832,3 +1832,390 @@ def ppr_int(
         ),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled betweenness centrality (Brandes 2001, fixed-point dependencies)
+# ---------------------------------------------------------------------------
+
+BETWEENNESS_SCHEMA = pa.schema([("entity", pa.string()), ("bc_scaled", pa.int64())])
+_BC_GUARD = 1 << 50  # sigma/delta ceiling: keeps every carry column and
+#                      every product exactly representable (see below)
+
+
+def _brandes_local_fixed(
+    pairs: pd.DataFrame, sources: list[str], max_hops: int, scale: int
+) -> dict[str, int]:
+    """Driver twin — integer Brandes with the SAME fixed-point
+    dependency arithmetic as the distributed path: contributions are
+    ``sigma_u * (scale + delta_w) // sigma_w`` per (u, w) predecessor
+    edge, summed as exact ints, so the two paths are bit-equal."""
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    bc: dict[str, int] = {}
+    for s in sources:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels: list[list[str]] = [[s]]
+        frontier = [s]
+        d = 0
+        while frontier and d < max_hops:
+            d += 1
+            nxt: dict[str, None] = {}
+            for u in frontier:
+                for w in adj[u]:
+                    if w in dist and dist[w] < d:
+                        continue
+                    if w not in dist:
+                        dist[w] = d
+                        nxt[w] = None
+                    sigma[w] = sigma.get(w, 0) + sigma[u]
+            frontier = list(nxt)
+            if frontier:
+                levels.append(frontier)
+        delta = {v: 0 for v in dist}
+        for dd in range(len(levels) - 1, 0, -1):
+            for w in levels[dd]:
+                val = scale + delta[w]
+                for u in adj[w]:
+                    if dist.get(u) == dd - 1:
+                        delta[u] += sigma[u] * val // sigma[w]
+                bc[w] = bc.get(w, 0) + delta[w]
+    return {k: v for k, v in bc.items() if v > 0}
+
+
+def sampled_betweenness(
+    edges: ray.data.Dataset,
+    sources: list[str],
+    *,
+    max_hops: int = 8,
+    scale: int = 1_000_000,
+    driver_max_edges: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sampled betweenness centrality (Brandes' dependency
+    accumulation from a deterministic source sample — the standard
+    estimator; exact Brandes is this with sources = all nodes).
+    Output ``(entity, bc_scaled)``: the summed fixed-point dependency
+    ``delta`` over sources, thousandths-of-``scale`` exact integers;
+    zero-dependency nodes are omitted.
+
+    Fixed-point deviation (documented, same family as
+    ``pagerank_int``): real Brandes accumulates rational
+    ``sigma_u/sigma_w (1 + delta_w)``; here every contribution is the
+    floored integer ``sigma_u * (scale + delta_w) // sigma_w``, which
+    makes the distributed and driver paths bit-equal and
+    layout-independent. Error vs the rational value is < 1/scale per
+    accumulation step.
+
+    Scale plan: the undirected simple edge set is built with one
+    bucketed dedup; under ``driver_max_edges`` the driver twin runs
+    (like the other gated graph ops), above it the distributed path:
+    per BFS level ONE edge join + ONE keyed reduce forward (sigma
+    sums, fused visited markers), and per level backward one
+    delta join + one edge join + one predecessor join + one keyed sum
+    — all shared across the whole source sample (frontier rows carry
+    the source label, so k sources cost k-fold rows, not k-fold
+    sweeps). Sigma and delta are guarded below 2^50 so every
+    cogroup_join carry column stays exactly representable if upcast
+    (< 2^53) and every product fits int64; a graph that trips the
+    guard raises loudly instead of silently wrapping."""
+    simple = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+    srcs = sorted(set(sources))
+    if not srcs or simple.count() == 0:
+        return ray.data.from_arrow(BETWEENNESS_SCHEMA.empty_table())
+    if simple.count() <= driver_max_edges:
+        bc = _brandes_local_fixed(simple.to_pandas(), srcs, max_hops, scale)
+        if not bc:
+            return ray.data.from_arrow(BETWEENNESS_SCHEMA.empty_table())
+        items = sorted(bc.items())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array([k for k, _ in items], pa.string()),
+                    "bc_scaled": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+        )
+    return _betweenness_distributed(simple, srcs, max_hops, scale, num_buckets)
+
+
+def _betweenness_distributed(
+    simple: ray.data.Dataset,
+    srcs: list[str],
+    max_hops: int,
+    scale: int,
+    num_buckets: int | None,
+) -> ray.data.Dataset:
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    lvl_schema = pa.schema(
+        [("source", pa.string()), ("entity", pa.string()), ("sigma", pa.int64())]
+    )
+    delta_schema = pa.schema(
+        [("source", pa.string()), ("entity", pa.string()), ("delta", pa.int64())]
+    )
+
+    und = sanitize_for_join(
+        _undirect(
+            simple.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["a"].combine_chunks().cast(pa.string()),
+                        "dst": b["b"].combine_chunks().cast(pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        ),
+        EDGE_SCHEMA,
+    ).materialize()
+
+    lvl0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "entity": pa.array(srcs, pa.string()),
+                "sigma": pa.array([1] * len(srcs), pa.int64()),
+            }
+        )
+    ).materialize()
+    levels = [lvl0]
+    visited = lvl0
+    frontier = lvl0
+
+    flag_schema = pa.schema(list(lvl_schema) + [pa.field("flag", pa.int64())])
+
+    def _next_level(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "entity"], sort=False, as_index=False).agg(
+            sigma=("sigma", "sum"), flag=("flag", "max")
+        )
+        agg = agg[agg["flag"] == 0]
+        if len(agg) and int(agg["sigma"].max()) >= _BC_GUARD:
+            raise OverflowError(
+                "sampled_betweenness: sigma exceeded the 2^50 exactness "
+                "guard — the sampled subgraph has too many shortest paths "
+                "for fixed-point accumulation; lower max_hops or sample "
+                "fewer/hub-free sources"
+            )
+        return agg[["source", "entity", "sigma"]]
+
+    for _h in range(1, max_hops + 1):
+        hit = cogroup_join(
+            und,
+            frontier.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["entity"].combine_chunks().cast(pa.string()),
+                        "source": b["source"].combine_chunks().cast(pa.string()),
+                        "sigma": b["sigma"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema(
+                [("src", pa.string()), ("source", pa.string()),
+                 ("sigma", pa.int64())]
+            ),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"].combine_chunks().cast(pa.string()),
+                    "entity": b["dst"].combine_chunks().cast(pa.string()),
+                    "sigma": b["sigma"].combine_chunks().cast(pa.int64()),
+                    "flag": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        markers = visited.map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"].combine_chunks().cast(pa.string()),
+                    "entity": b["entity"].combine_chunks().cast(pa.string()),
+                    "sigma": pa.array([0] * len(b), pa.int64()),
+                    "flag": pa.array([1] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        nxt = bucketed_reduce(
+            hit.union(markers),
+            ["source", "entity"],
+            _next_level,
+            lvl_schema,
+            num_buckets=num_buckets,
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt).materialize()
+        frontier = nxt
+
+    dmax = len(levels) - 1
+    if dmax == 0:
+        return ray.data.from_arrow(BETWEENNESS_SCHEMA.empty_table())
+
+    bc_parts: list[ray.data.Dataset] = []
+    delta_curr: ray.data.Dataset | None = None  # delta of levels[d] nodes
+
+    def _sum_delta(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "entity"], sort=False, as_index=False)[
+            "delta"
+        ].sum()
+        if len(agg) and int(agg["delta"].max()) >= _BC_GUARD:
+            raise OverflowError(
+                "sampled_betweenness: delta exceeded the 2^50 exactness "
+                "guard; lower max_hops or the source sample size"
+            )
+        return agg
+
+    for d in range(dmax, 0, -1):
+        rows_d = levels[d]
+        if delta_curr is None:
+            w_rows = rows_d.map_batches(
+                lambda b: pa.table(
+                    {
+                        "source": b["source"].combine_chunks().cast(pa.string()),
+                        "entity": b["entity"].combine_chunks().cast(pa.string()),
+                        "sigma": b["sigma"].combine_chunks().cast(pa.int64()),
+                        "delta": pa.array([0] * len(b), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            w_rows = cogroup_join(
+                rows_d,
+                delta_curr,
+                on=["source", "entity"],
+                how="left_outer",
+                num_buckets=num_buckets,
+                left_schema=lvl_schema,
+                right_schema=delta_schema,
+            ).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "source": b["source"],
+                        "entity": b["entity"],
+                        "sigma": b["sigma"].astype("int64"),
+                        "delta": b["delta"].fillna(0).astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        w_rows = w_rows.materialize()
+        bc_parts.append(
+            w_rows.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "entity": b["entity"],
+                        "delta": b["delta"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        if d == 1:
+            break
+
+        wproj = w_rows.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "dst": b["entity"].astype(str),
+                    "source": b["source"].astype(str),
+                    "sigma_w": b["sigma"].astype("int64"),
+                    "val": (np.int64(scale) + b["delta"].astype("int64")),
+                }
+            ),
+            batch_format="pandas",
+        )
+        hit = cogroup_join(
+            und,
+            wproj,
+            on=["dst"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA,
+            right_schema=pa.schema(
+                [("dst", pa.string()), ("source", pa.string()),
+                 ("sigma_w", pa.int64()), ("val", pa.int64())]
+            ),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "source": b["source"].astype(str),
+                    "entity": b["src"].astype(str),
+                    "sigma_w": b["sigma_w"].astype("int64"),
+                    "val": b["val"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        pred = cogroup_join(
+            hit,
+            levels[d - 1].map_batches(
+                lambda b: pa.table(
+                    {
+                        "source": b["source"].combine_chunks().cast(pa.string()),
+                        "entity": b["entity"].combine_chunks().cast(pa.string()),
+                        "sigma_u": b["sigma"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["source", "entity"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [("source", pa.string()), ("entity", pa.string()),
+                 ("sigma_w", pa.int64()), ("val", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("source", pa.string()), ("entity", pa.string()),
+                 ("sigma_u", pa.int64())]
+            ),
+        )
+
+        def _contrib(b: pd.DataFrame) -> pd.DataFrame:
+            su = b["sigma_u"].to_numpy(np.int64)
+            sw = b["sigma_w"].to_numpy(np.int64)
+            val = b["val"].to_numpy(np.int64)
+            if len(su) and (su.astype(np.float64) * val.astype(np.float64)).max() >= float(1 << 62):
+                raise OverflowError(
+                    "sampled_betweenness: sigma_u * (scale + delta) product "
+                    "would overflow int64; lower scale or max_hops"
+                )
+            return pd.DataFrame(
+                {
+                    "source": b["source"],
+                    "entity": b["entity"],
+                    "delta": (su * val) // sw,
+                }
+            )
+
+        delta_curr = bucketed_reduce(
+            pred.map_batches(_contrib, batch_format="pandas"),
+            ["source", "entity"],
+            _sum_delta,
+            delta_schema,
+            num_buckets=num_buckets,
+        ).materialize()
+
+    def _bc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("entity", sort=False, as_index=False)["delta"].sum()
+        agg = agg[agg["delta"] > 0]
+        return pd.DataFrame(
+            {"entity": agg["entity"], "bc_scaled": agg["delta"].astype("int64")}
+        )
+
+    allparts = bc_parts[0].union(*bc_parts[1:]) if len(bc_parts) > 1 else bc_parts[0]
+    return bucketed_reduce(
+        allparts, ["entity"], _bc_sum, BETWEENNESS_SCHEMA, num_buckets=num_buckets
+    )
