@@ -3979,6 +3979,54 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_doc_incremental_dedup(sf_dir: str):
+    """Dedup a 'new crawl batch' (doc_id % 3 != 0) against the stored
+    snapshot (doc_id % 3 == 0) by exact text hash: one distinct-hash
+    reduce on the snapshot + one hash-keyed anti join — tonight's
+    batch never re-dedups the snapshot."""
+    from ..stages.dedup import exact_dedup_against
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    new = docs.filter(lambda r: r["doc_id"] % 3 != 0)
+    ref = docs.filter(lambda r: r["doc_id"] % 3 == 0)
+    return exact_dedup_against(new, ref)
+
+
+PACK_MANIFEST_BUDGET = 2048
+
+
+def q_doc_pack_manifest(sf_dir: str):
+    """Shard-packing placement manifest: shard id AND the within-shard
+    token offset each document starts at (straddling allowed) — the
+    full contract a tokenized-shard writer consumes. Same distributed
+    prefix-sum machinery as doc_pack_shards."""
+    from ..stages.packing import pack_shards
+    from ..stages.text_analysis import token_counts
+
+    toks = token_counts(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+    return pack_shards(
+        toks, budget=PACK_MANIFEST_BUDGET, with_offset=True
+    )
+
+
+HARMONIC_SCALE = 1_000_000
+
+
+def q_graph_harmonic(sf_dir: str):
+    """Sampled harmonic centrality from the 5 region nodes — exact
+    integer sum of scale//hop per reaching source, hash-exact vs the
+    recursive-CTE BFS twin (4th recursive SQL oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph_algos import harmonic_centrality
+
+    regions = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey"]).to_pandas()
+    sources = [f"r{int(k)}" for k in sorted(regions["r_regionkey"])]
+    return harmonic_centrality(
+        _cnrs_edges(sf_dir), sources, max_hops=3, scale=HARMONIC_SCALE
+    )
+
+
 def q_graph_betweenness(sf_dir: str):
     """Sampled betweenness (Brandes dependency accumulation from the
     25 nation nodes) over the customer->nation->region graph —
@@ -4355,6 +4403,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_pq": q_knn_pq,
     "url_best_rep": q_url_best_rep,
     "graph_betweenness": q_graph_betweenness,
+    "graph_harmonic": q_graph_harmonic,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_pack_manifest": q_doc_pack_manifest,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
@@ -5986,6 +6037,52 @@ ORACLE_SQL: dict[str, str] = {
         SELECT entity, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(minh) AS BIGINT) AS total_dist
         FROM md GROUP BY entity
+    """,
+    "doc_incremental_dedup": """
+        WITH ref AS (
+          SELECT DISTINCT md5(coalesce(text, '')) AS m
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        new AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS text_md5
+          FROM documents WHERE doc_id % 3 <> 0
+        )
+        SELECT doc_id, text_md5 FROM new
+        WHERE text_md5 NOT IN (SELECT m FROM ref)
+    """,
+    "doc_pack_manifest": f"""
+        WITH t AS (SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents),
+             w AS (
+               SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ), 0) AS BIGINT) AS excl
+               FROM t
+             )
+        SELECT doc_id, n_tokens,
+               excl // {PACK_MANIFEST_BUDGET} AS shard_id,
+               excl % {PACK_MANIFEST_BUDGET} AS "offset"
+        FROM w
+    """,
+    "graph_harmonic": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base")
+    + f""",
+        sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        srcs AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS s FROM region),
+        bfs(source, entity, hop) AS (
+          SELECT s, s, 0 FROM srcs
+          UNION
+          SELECT b.source, y.dst, b.hop + 1
+          FROM bfs b JOIN sym y ON y.src = b.entity
+          WHERE b.hop < 3
+        ),
+        md AS (
+          SELECT source, entity, min(hop) AS minh FROM bfs GROUP BY source, entity
+        )
+        SELECT entity,
+               CAST(sum(CAST({HARMONIC_SCALE} AS BIGINT) // minh) AS BIGINT)
+                 AS harmonic_scaled
+        FROM md WHERE minh > 0 GROUP BY entity
     """,
     "url_dedup": r"""
         WITH u AS (

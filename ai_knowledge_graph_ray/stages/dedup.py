@@ -1093,3 +1093,60 @@ def rerank_cluster_reps(
     return bucketed_reduce(
         scored, [root_col], _rerank, REP_SCHEMA, num_buckets=num_buckets
     )
+
+
+def exact_dedup_against(
+    new: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental exact dedup: ``(id, text_md5)`` of the NEW rows
+    whose text does not already exist in the REFERENCE corpus — the
+    every-crawl-cycle step (dedup tonight's batch against the stored
+    snapshot without re-deduping the snapshot).
+
+    One md5 map over each side, a distinct-hash reduce on the
+    reference (a hash repeated across the snapshot crosses the
+    exchange once per block), one hash-keyed anti join. Compose with
+    :func:`exact_dedup` on the survivors when the new batch can also
+    collide with itself."""
+    from .relational import cogroup_join
+
+    new_schema = pa.schema([(id_col, pa.int64()), ("text_md5", pa.string())])
+    ref_schema = pa.schema([("text_md5", pa.string())])
+
+    def _hash_side(batch: pd.DataFrame, keep_id: bool) -> pd.DataFrame:
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col]
+        ]
+        if keep_id:
+            return pd.DataFrame(
+                {id_col: batch[id_col].to_numpy(np.int64), "text_md5": md5s}
+            )
+        return pd.DataFrame({"text_md5": md5s}).drop_duplicates()
+
+    new_hashed = new.select_columns([id_col, text_col]).map_batches(
+        lambda b: _hash_side(b, True), batch_format="pandas"
+    )
+    ref_hashes = bucketed_reduce(
+        reference.select_columns([text_col]).map_batches(
+            lambda b: _hash_side(b, False), batch_format="pandas"
+        ),
+        ["text_md5"],
+        lambda g: g.drop_duplicates("text_md5"),
+        ref_schema,
+        num_buckets=num_buckets,
+    )
+    return cogroup_join(
+        new_hashed,
+        ref_hashes,
+        on=["text_md5"],
+        how="left_anti",
+        num_buckets=num_buckets,
+        left_schema=new_schema,
+        right_schema=ref_schema,
+    )

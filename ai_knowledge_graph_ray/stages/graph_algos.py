@@ -2219,3 +2219,58 @@ def _betweenness_distributed(
     return bucketed_reduce(
         allparts, ["entity"], _bc_sum, BETWEENNESS_SCHEMA, num_buckets=num_buckets
     )
+
+
+HARMONIC_SCHEMA = pa.schema(
+    [("entity", pa.string()), ("harmonic_scaled", pa.int64())]
+)
+
+
+def harmonic_centrality(
+    edges: ray.data.Dataset,
+    sources: list[str],
+    *,
+    max_hops: int = 10,
+    scale: int = 1_000_000,
+    directed: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sampled harmonic centrality ``(entity, harmonic_scaled)`` =
+    ``sum over reaching sources of scale // hop`` (hop >= 1) — the
+    centrality that stays finite on disconnected graphs. Exact
+    integers (``//`` matches DuckDB's), so the recursive-CTE oracle
+    hash-matches; one shared multi-source BFS like
+    :func:`sampled_closeness`."""
+    from .infer import bucketed_reduce
+
+    dists = multi_source_hops(
+        edges, sources, max_hops, directed=directed, num_buckets=num_buckets
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "hop" not in b.columns:
+            return pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "harmonic_scaled": pd.Series([], dtype="int64")}
+            )
+        b = b[b["hop"] > 0]
+        h = pd.DataFrame(
+            {
+                "entity": b["entity"],
+                "harmonic_scaled": np.int64(scale)
+                // b["hop"].to_numpy(np.int64),
+            }
+        )
+        return h.groupby("entity", sort=False, as_index=False)[
+            "harmonic_scaled"
+        ].sum()
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity", sort=False, as_index=False)[
+            "harmonic_scaled"
+        ].sum()
+
+    return bucketed_reduce(
+        dists, ["entity"], _reduce, HARMONIC_SCHEMA, combiner=_partial,
+        num_buckets=num_buckets,
+    )

@@ -89,6 +89,7 @@ def pack_shards(
     tokens_col: str = "n_tokens",
     range_size: int = 4096,
     driver_max_ranges: int = DRIVER_MAX_RANGES,
+    with_offset: bool = False,
 ) -> ray.data.Dataset:
     """Append ``shard_id``: the fixed-token-budget training shard each
     row lands in when rows are packed in ``id_col`` order.
@@ -98,12 +99,19 @@ def pack_shards(
     under any parallelism. Requires an integer id column; duplicate
     ids within one range are summed in stable id order (their relative
     order is unspecified, matching SQL's).
+
+    ``with_offset=True`` also emits ``offset`` — the exclusive prefix
+    sum modulo ``budget``, i.e. the token position at which the row
+    STARTS inside its shard (a row may straddle the shard boundary;
+    the writer that consumes the manifest splits it there). This is
+    the full placement manifest a tokenized-shard writer needs.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
 
     out_schema = pa.schema(
         [(id_col, pa.int64()), (tokens_col, pa.int64()), ("shard_id", pa.int64())]
+        + ([("offset", pa.int64())] if with_offset else [])
     )
     sums = _range_sums(ds, id_col, tokens_col, range_size).materialize()
     if sums.count() == 0:
@@ -137,13 +145,14 @@ def pack_shards(
         excl = cum - t - offsets
         pos = np.searchsorted(rids_l, rng[starts])
         excl += np.repeat(base_l[pos], np.diff(np.r_[starts, len(t)]))
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].to_numpy(np.int64),
-                tokens_col: t,
-                "shard_id": excl // budget,
-            }
-        )
+        out = {
+            id_col: g[id_col].to_numpy(np.int64),
+            tokens_col: t,
+            "shard_id": excl // budget,
+        }
+        if with_offset:
+            out["offset"] = excl % budget
+        return pd.DataFrame(out)
 
     return bucketed_reduce(
         ds.select_columns([id_col, tokens_col]).map_batches(

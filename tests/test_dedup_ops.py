@@ -489,3 +489,42 @@ class TestRerankClusterReps:
             best = sorted(grp["doc_id"], key=lambda i: (-qmap[i], i))[0]
             sel = a[a["doc_id"].isin(grp["doc_id"])]["keep_id"]
             assert (sel == best).all()
+
+
+class TestExactDedupAgainst:
+    def test_planted_overlap_dropped(self):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.dedup import exact_dedup_against
+
+        ref = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["alpha", "beta", "gamma"]}
+        )
+        new = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": ["alpha", "delta", "beta", "epsilon"],
+            }
+        )
+        out = exact_dedup_against(
+            ray.data.from_pandas(new).repartition(2),
+            ray.data.from_pandas(ref).repartition(2),
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [11, 13]
+
+    def test_empty_reference_keeps_all(self):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.dedup import exact_dedup_against
+
+        new = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+        ref = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text": pd.Series([], dtype=object)}
+        )
+        out = exact_dedup_against(
+            ray.data.from_pandas(new), ray.data.from_pandas(ref)
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]

@@ -179,3 +179,53 @@ class TestWeakComponents:
 
     def test_forced_distributed_equivalence(self):
         assert self._run(driver_max_edges=0) == self._run()
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_hand_values(self):
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.graph_algos import harmonic_centrality
+
+        S = 1_000_000
+        edges = ray.data.from_pandas(
+            pd.DataFrame(
+                [("a", "b"), ("b", "c"), ("c", "d")], columns=["src", "dst"]
+            )
+        ).repartition(2)
+        out = harmonic_centrality(edges, ["a", "d"], max_hops=3, scale=S).to_pandas()
+        got = dict(zip(out["entity"], out["harmonic_scaled"]))
+        # from a: b=1, c=2, d=3; from d: c=1, b=2, a=3
+        assert got == {
+            "a": S // 3,
+            "b": S // 1 + S // 2,
+            "c": S // 2 + S // 1,
+            "d": S // 3,
+        }
+
+    def test_layout_independent(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.graph_algos import harmonic_centrality
+
+        rng = np.random.RandomState(7)
+        pairs = sorted(
+            {(f"n{rng.randint(0, 25)}", f"n{rng.randint(0, 25)}") for _ in range(60)}
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        srcs = [f"n{i}" for i in range(0, 25, 5)]
+        a = (
+            harmonic_centrality(ray.data.from_pandas(df), srcs, max_hops=4)
+            .to_pandas().sort_values("entity").reset_index(drop=True)
+        )
+        b = (
+            harmonic_centrality(
+                ray.data.from_pandas(df).repartition(7), srcs, max_hops=4
+            )
+            .to_pandas().sort_values("entity").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

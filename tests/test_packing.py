@@ -96,3 +96,30 @@ class TestPackShards:
         assert stats["tokens"].sum() == 280
         # budget 21 / 7-token docs -> 3 docs per shard
         assert set(stats["n_docs"][:-1]) == {3}
+
+
+class TestPackManifestOffsets:
+    def test_offsets_match_window_twin(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.packing import pack_shards
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(200, dtype=np.int64),
+             "n_tokens": rng.randint(1, 700, 200).astype(np.int64)}
+        )
+        got = (
+            pack_shards(
+                ray.data.from_pandas(df).repartition(5),
+                budget=1000, with_offset=True, range_size=16,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        excl = np.cumsum(df["n_tokens"].to_numpy()) - df["n_tokens"].to_numpy()
+        assert (got["shard_id"].to_numpy() == excl // 1000).all()
+        assert (got["offset"].to_numpy() == excl % 1000).all()
+        # straddling rows exist in this fixture (offset + tokens > budget)
+        assert ((got["offset"] + got["n_tokens"]) > 1000).any()
