@@ -3979,6 +3979,50 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_doc_token_shards(sf_dir: str):
+    """End-to-end tokenized-shard materialization: vocab build ->
+    uint32 id encoding -> distributed prefix-sum packing -> one .bin
+    file per shard (atomic), docs kept whole. Returns the loader
+    manifest (paths dropped: they live under a fresh /tmp dir per
+    run). Rows-only; the byte-level roundtrip is pinned by pytest."""
+    import tempfile
+
+    from ..stages.packing import write_token_shards
+    from ..stages.vocab import encode_token_ids, vocab_build
+
+    docs = _docs(sf_dir)
+    vocab = vocab_build(docs, min_count=2)
+    ids = encode_token_ids(docs, vocab)
+    out_dir = tempfile.mkdtemp(prefix="kgray_shards_")
+    manifest = write_token_shards(ids, out_dir, budget=4096)
+    return manifest.select_columns(["shard_id", "n_docs", "n_tokens"])
+
+
+def q_events_decayed(sf_dir: str):
+    """Freshness-decayed engagement score per user: each event adds
+    cents // 2^(hours behind corpus max) — integer floor-shift decay,
+    hash-exact vs the SQL twin (float EWMA never is)."""
+    from ..stages.sessions import decayed_counts
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    return decayed_counts(events)
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics (long form:
+    grp, dim, exact integer sum of floor(vec*2^20), n) — the
+    nearest-centroid / drift primitives; floor (not round) because
+    DuckDB and numpy agree on floor for every double."""
+    from ..stages.clustering import grouped_centroid_sums
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["label", "embedding"]
+    )
+    return grouped_centroid_sums(emb, "label")
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Dedup a 'new crawl batch' (doc_id % 3 != 0) against the stored
     snapshot (doc_id % 3 == 0) by exact text hash: one distinct-hash
@@ -4406,6 +4450,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_harmonic": q_graph_harmonic,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_pack_manifest": q_doc_pack_manifest,
+    "events_decayed": q_events_decayed,
+    "embedding_centroids": q_embedding_centroids,
+    "doc_token_shards": q_doc_token_shards,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
@@ -6037,6 +6084,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT entity, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(minh) AS BIGINT) AS total_dist
         FROM md GROUP BY entity
+    """,
+    "events_decayed": """
+        WITH p AS (SELECT max(epoch_us(ts)) // 3600000000 AS gmax FROM events)
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        // CAST(power(2, LEAST(
+                             p.gmax - epoch_us(ts) // 3600000000, 40))
+                           AS BIGINT))
+                    AS BIGINT) AS decayed_cents
+        FROM events, p GROUP BY user_id
+    """,
+    "embedding_centroids": """
+        SELECT CAST(label AS VARCHAR) AS grp, i AS dim,
+               CAST(sum(CAST(floor(embedding[i] * 1048576.0) AS BIGINT))
+                    AS BIGINT) AS sum_fixed,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings,
+             LATERAL unnest(generate_series(
+               1, CAST(len(embedding) AS BIGINT))) AS u(i)
+        GROUP BY label, i
     """,
     "doc_incremental_dedup": """
         WITH ref AS (

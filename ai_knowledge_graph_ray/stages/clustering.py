@@ -285,3 +285,73 @@ def semantic_dedup(
         _dedup_cluster,
         MAPPING_SCHEMA,
     )
+
+
+CENTROID_SUM_SCHEMA = pa.schema(
+    [("grp", pa.string()), ("dim", pa.int64()),
+     ("sum_fixed", pa.int64()), ("n", pa.int64())]
+)
+
+
+def grouped_centroid_sums(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    scale: int = FIXED_SCALE,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group embedding centroid SUFFICIENT STATISTICS in long form:
+    ``(grp, dim, sum_fixed, n)`` where ``sum_fixed`` is the exact
+    integer sum of ``floor(vec[dim] * scale)`` over the group's
+    vectors — the class-centroid primitives (nearest-centroid
+    classifiers, SemDeDup seeding, per-source embedding drift).
+
+    Quantization here is FLOOR, not round: DuckDB ``floor`` and
+    ``numpy.floor`` agree on every double, while round's half-tie
+    behavior differs (banker's vs half-away), so floor is the form a
+    hash-exact SQL twin can reproduce. One map pass emits per-batch
+    per-group per-dim partials (vectorized: one matmul-free groupby
+    over a (rows x dims) reshape), one bucketed integer sum."""
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or vec_col not in b.columns:
+            return pd.DataFrame(
+                {"grp": pd.Series([], dtype=object),
+                 "dim": pd.Series([], dtype="int64"),
+                 "sum_fixed": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        fixed = np.floor(mat * scale).astype(np.int64)
+        grp = b[group_col].astype(str).to_numpy(object)
+        frame = pd.DataFrame(fixed)
+        frame["grp"] = grp
+        agg = frame.groupby("grp", sort=False).agg(["sum", "size"])
+        dims = fixed.shape[1]
+        sums = agg.xs("sum", axis=1, level=1).to_numpy(np.int64)
+        n_per = agg.xs("size", axis=1, level=1).iloc[:, 0].to_numpy(np.int64)
+        groups = agg.index.to_numpy(object)
+        return pd.DataFrame(
+            {
+                "grp": np.repeat(groups, dims),
+                "dim": np.tile(np.arange(1, dims + 1, dtype=np.int64), len(groups)),
+                "sum_fixed": sums.reshape(-1),
+                "n": np.repeat(n_per, dims),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["grp", "dim"], sort=False, as_index=False)[
+            ["sum_fixed", "n"]
+        ].sum()
+
+    return bucketed_reduce(
+        ds.select_columns([group_col, vec_col]).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["grp", "dim"],
+        _reduce,
+        CENTROID_SUM_SCHEMA,
+        num_buckets=num_buckets,
+    )

@@ -227,3 +227,84 @@ def shard_stats(packed: ray.data.Dataset) -> ray.data.Dataset:
         ),
         combiner=_combine,
     )
+
+
+SHARD_FILE_SCHEMA = pa.schema(
+    [("shard_id", pa.int64()), ("n_docs", pa.int64()),
+     ("n_tokens", pa.int64()), ("path", pa.string())]
+)
+
+
+def write_token_shards(
+    ids: ray.data.Dataset,
+    out_dir: str,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bin_col: str = "ids_bin",
+    range_size: int = 4096,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Materialize the pretraining token shards: rows carrying uint32
+    token-id bytes (:func:`~.vocab.encode_token_ids`) are placed by the
+    distributed prefix-sum packer (docs kept WHOLE — a shard is where
+    a doc starts, so files vary around ``budget``), then each shard's
+    reduce concatenates its docs in id order and writes ONE ``.bin``
+    part file atomically. Returns the shard manifest ``(shard_id,
+    n_docs, n_tokens, path)`` — the artifact a training loader mmaps.
+
+    Two exchanges total: the packer's range-sum pass and the
+    shard-keyed write reduce; token bytes cross the wire once."""
+    import os
+
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = pack_shards(
+        ids.select_columns([id_col, tokens_col]),
+        budget=budget,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        range_size=range_size,
+    ).map_batches(
+        lambda b: b[[id_col, "shard_id"]], batch_format="pandas"
+    )
+    placed = cogroup_join(
+        ids.select_columns([id_col, tokens_col, bin_col]),
+        manifest,
+        on=[id_col],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), (tokens_col, pa.int64()), (bin_col, pa.binary())]
+        ),
+        right_schema=pa.schema([(id_col, pa.int64()), ("shard_id", pa.int64())]),
+    )
+
+    def _write(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, grp in g.groupby("shard_id", sort=True):
+            grp = grp.sort_values(id_col, kind="stable")
+            blob = b"".join(bytes(x) for x in grp[bin_col])
+            path = os.path.join(out_dir, f"shard-{int(sid):06d}.bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            rows.append(
+                {
+                    "shard_id": int(sid),
+                    "n_docs": len(grp),
+                    "n_tokens": int(grp[tokens_col].sum()),
+                    "path": path,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["shard_id", "n_docs", "n_tokens", "path"],
+        )
+
+    return bucketed_reduce(
+        placed, ["shard_id"], _write, SHARD_FILE_SCHEMA, num_buckets=num_buckets
+    )

@@ -778,3 +778,73 @@ def retention_matrix(
         )
 
     return bucketed_reduce(partials, ["cohort_p", "offset"], _sum_cells, RETENTION_SCHEMA)
+
+
+DECAY_SCHEMA = pa.schema([("user_id", pa.int64()), ("decayed_cents", pa.int64())])
+
+
+def decayed_counts(
+    events: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    max_age: int = 40,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exponential-decay activity score per key: each event contributes
+    ``cents(value) // 2^age`` where ``age`` is whole time buckets
+    (default hours) behind the corpus max — the freshness-weighted
+    engagement score every recsys/feature pipeline keeps.
+
+    Half-life = one bucket, decay by INTEGER floor-shift: exact
+    integers, so the SQL window twin hash-matches (float EWMA never
+    could). ``age`` caps at ``max_age`` (contributions are 0 long
+    before 2^40 anyway; the cap keeps ``power(2, age)`` exact in the
+    oracle's double). One tiny global max + one grouped sum — the
+    decay itself is map-side."""
+    # global max bucket: one tiny all-reduce on a projected column
+    def _us(col: pd.Series) -> np.ndarray:
+        # normalize any datetime resolution (ns from pandas, us from
+        # parquet) to epoch MICROSECONDS before bucketing
+        return col.astype("datetime64[us]").astype("int64").to_numpy()
+
+    gmax = int(
+        events.select_columns([ts_col])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"h": [int(_us(b[ts_col]).max()) // bucket_us]}
+                if len(b)
+                else {"h": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .max("h")
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"),
+                 "decayed_cents": pd.Series([], dtype="int64")}
+            )
+        cents = np.round(b[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        age = gmax - _us(b[ts_col]) // bucket_us
+        age = np.minimum(age, max_age)
+        contrib = cents // (np.int64(1) << age)
+        out = pd.DataFrame({key_col: b[key_col].astype("int64"), "decayed_cents": contrib})
+        return out.groupby(key_col, sort=False, as_index=False)["decayed_cents"].sum()
+
+    from .infer import bucketed_reduce
+
+    return bucketed_reduce(
+        events.select_columns([key_col, ts_col, value_col]).map_batches(
+            _score, batch_format="pandas", batch_size=None
+        ),
+        [key_col],
+        lambda g: g.groupby(key_col, sort=False, as_index=False)["decayed_cents"].sum(),
+        DECAY_SCHEMA,
+        num_buckets=num_buckets,
+    )

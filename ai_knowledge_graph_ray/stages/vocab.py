@@ -409,3 +409,64 @@ def bpe_token_counts(
     return ds.select_columns([id_col, text_col]).map_batches(
         _count, batch_format="pandas"
     )
+
+
+IDS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("ids_bin", pa.binary())]
+)
+
+
+def encode_token_ids(
+    ds: ray.data.Dataset,
+    vocab: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(doc_id, n_tokens, ids_bin)`` — every document encoded to its
+    vocabulary-id sequence, packed as little-endian uint32 bytes (the
+    binary-safe transport: a list column survives joins/shuffles less
+    predictably and 4 bytes/token is the wire format shard writers
+    want). OOV tokens encode as 0 (the conventional <unk> id; real
+    vocab ids are 1-based from :func:`vocab_build`). Map-only after a
+    one-time vocab broadcast."""
+    vdf = vocab.select_columns(["token", "vocab_id"]).to_pandas()
+    order = np.argsort(vdf["token"].to_numpy())
+    v_tokens = vdf["token"].to_numpy()[order]
+    v_ids = vdf["vocab_id"].to_numpy(np.int64)[order]
+    ref = ray.put((v_tokens, v_ids))
+
+    def _enc(b: pd.DataFrame) -> pd.DataFrame:
+        toks_v, ids_v = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        out_bin, out_n = [], []
+        for t in toks.to_numpy():
+            if len(t) == 0:
+                out_bin.append(b"")
+                out_n.append(0)
+                continue
+            arr = np.asarray(t)
+            pos = np.searchsorted(toks_v, arr)
+            pos_c = np.clip(pos, 0, max(len(toks_v) - 1, 0))
+            hit = (toks_v[pos_c] == arr) if len(toks_v) else np.zeros(len(arr), bool)
+            ids = np.where(hit, ids_v[pos_c] if len(ids_v) else 0, 0).astype(
+                np.uint32
+            )
+            out_bin.append(ids.tobytes())
+            out_n.append(len(ids))
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_tokens": np.asarray(out_n, np.int64),
+                "ids_bin": out_bin,
+            }
+        )
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _enc, batch_format="pandas", batch_size=None
+        ),
+        IDS_SCHEMA,
+    )
