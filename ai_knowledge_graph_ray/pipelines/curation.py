@@ -155,3 +155,51 @@ def curate_corpus(
     if with_report:
         return manifest, report
     return manifest
+
+
+def curate_embeddings(
+    docs: "ray.data.Dataset",
+    *,
+    dim: int = 64,
+    k_clusters: int = 8,
+    dedup_threshold: float = 0.95,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 4,
+) -> "ray.data.Dataset":
+    """The vector-side curation chain, composed from pinned operators:
+    embed (actor pool) -> SemDeDup near-dup removal (cluster-scoped
+    cosine) -> PQ codebook training + encoding of the SURVIVORS.
+    Returns ``(vec_id, code)`` — the m-byte compressed index a 100-TB
+    retrieval/dedup system actually stores (raw vectors are 32-64x
+    bigger). Every stage streams: the only driver residues are the
+    k-means partials and the dedup mapping, both count-gated in their
+    own operators."""
+    import pyarrow as pa
+
+    from ..stages.clustering import semantic_dedup
+    from ..stages.embed import embed_documents
+    from ..stages.pq import pq_encode, pq_train
+    from ..stages.relational import cogroup_join
+
+    emb = embed_documents(docs, dim=dim).map_batches(
+        lambda b: b.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
+    ).materialize()
+    mapping = semantic_dedup(
+        emb, k=k_clusters, threshold=dedup_threshold, vec_col="embedding",
+        id_col="vec_id",
+    )
+    survivors = cogroup_join(
+        emb,
+        mapping.map_batches(
+            lambda b: b[["vec_id"]], batch_format="pandas"
+        ),
+        on=["vec_id"],
+        how="left_anti",
+        left_schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+        ),
+        right_schema=pa.schema([("vec_id", pa.int64())]),
+    ).materialize()
+    books = pq_train(survivors, m=pq_m, k=pq_k, iters=pq_iters)
+    return pq_encode(survivors, books)

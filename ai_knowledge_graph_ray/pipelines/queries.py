@@ -3979,6 +3979,16 @@ def q_events_hourly_profile(sf_dir: str):
     return pre.map_batches(_resid, batch_format="pandas")
 
 
+def q_embedding_curation(sf_dir: str):
+    """Vector-side curation composite: hash-embed docs -> SemDeDup ->
+    PQ-encode the survivors to 8-byte codes (the compressed index a
+    100-TB retrieval system stores). Rows-only; stage behaviors pinned
+    by their own tests."""
+    from .curation import curate_embeddings
+
+    return curate_embeddings(_docs(sf_dir))
+
+
 def q_doc_token_shards(sf_dir: str):
     """End-to-end tokenized-shard materialization: vocab build ->
     uint32 id encoding -> distributed prefix-sum packing -> one .bin
@@ -4453,6 +4463,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_decayed": q_events_decayed,
     "embedding_centroids": q_embedding_centroids,
     "doc_token_shards": q_doc_token_shards,
+    "embedding_curation": q_embedding_curation,
     "events_stratified_sample": q_events_stratified_sample,
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,

@@ -61,7 +61,7 @@ def embed_documents(
     docs: ray.data.Dataset,
     *,
     dim: int = 128,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 256,
 ) -> ray.data.Dataset:
     """``(doc_id, text)`` -> ``(doc_id, embedding: list<double>)``."""

@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     # blocking; data-expectations gate) — appended, originals untouched
     "customer_linkage",
     "orders_expectations",
+    # round-3 eighth-session families (integer rational classifier;
+    # PQ-compressed ANN) — appended, originals untouched
+    "doc_nb_classify",
+    "knn_pq",
 ]
 
 
