@@ -4033,6 +4033,145 @@ def q_embedding_centroids(sf_dir: str):
     return grouped_centroid_sums(emb, "label")
 
 
+ATTRIBUTION_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def q_events_attribution(sf_dir: str):
+    """Multi-touch linear attribution: each purchase's cents split
+    equally over the user's non-purchase events in the preceding 6 h,
+    remainder to the last touch (exact to the cent); purchases with no
+    touches land in a 'direct' row. Hash-exact vs a window-function
+    SQL twin."""
+    from ..stages.sessions import linear_attribution
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return linear_attribution(ev, window_us=ATTRIBUTION_WINDOW_US)
+
+
+def _nation_trade_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Directed nation 'trade-winner' graph: edge a -> b (a != b) iff
+    the revenue cents flowing from a-customers to b-suppliers STRICTLY
+    exceeds the reverse flow (ties/no-flow -> no edge). The two large
+    fact sides join distributed on orderkey with revenue partials
+    pre-aggregated below the join; supplier/customer nation lookups
+    broadcast (dimensions); the 625-row-bounded flow matrix pairs with
+    its own transpose via one outer cogroup join — no driver residue.
+
+    Carry note: ``rev_ab``/``rev_ba`` ride the outer join as float64
+    for unmatched rows (see ``cogroup_join``'s 64-bit carry warning) —
+    exact while pair revenue stays under 2^53 cents (~$90T/pair)."""
+    import ray as _ray
+
+    from ..stages.infer import bucketed_reduce, default_num_partitions
+
+    sup = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_ref = _ray.put(dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int))))
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    c_ref = _ray.put(dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int))))
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def _li_part(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(s_ref) if isinstance(s_ref, _ray.ObjectRef) else s_ref
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "snat": b["l_suppkey"].map(m).astype("int64"),
+                "rev": (b["l_extendedprice"] * 100).round().astype("int64"),
+            }
+        )
+        return part.groupby(["l_orderkey", "snat"], as_index=False)["rev"].sum()
+
+    li_part = li.map_batches(_li_part, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    joined = cogroup_join(
+        li_part, orders, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+    )
+
+    def _cnat(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(c_ref) if isinstance(c_ref, _ray.ObjectRef) else c_ref
+        part = pd.DataFrame(
+            {
+                "a": b["o_custkey"].map(m).astype("int64"),
+                "b": b["snat"].astype("int64"),
+                "rev": b["rev"].astype("int64"),
+            }
+        )
+        return part.groupby(["a", "b"], as_index=False)["rev"].sum()
+
+    flow_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("rev", pa.int64())])
+
+    def _sum_flow(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], sort=False, as_index=False)["rev"].sum()
+
+    flows = bucketed_reduce(
+        joined.map_batches(_cnat, batch_format="pandas"),
+        ["a", "b"], _sum_flow, flow_schema, combiner=_sum_flow,
+    ).materialize()
+
+    fwd = flows.map_batches(
+        lambda t: t.rename_columns(["a", "b", "rev_ab"]), batch_format="pyarrow"
+    )
+    rev = flows.map_batches(
+        lambda t: pa.table({"a": t["b"], "b": t["a"], "rev_ba": t["rev"]}),
+        batch_format="pyarrow",
+    )
+    paired = cogroup_join(
+        fwd, rev, on=["a", "b"], how="left_outer",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("rev_ab", pa.int64())]),
+        right_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("rev_ba", pa.int64())]),
+    )
+
+    def _winners(b: pd.DataFrame) -> pd.DataFrame:
+        ba = b["rev_ba"].fillna(0).astype("int64")
+        keep = b[(b["a"] != b["b"]) & (b["rev_ab"].astype("int64") > ba)]
+        return pd.DataFrame(
+            {
+                "src": keep["a"].astype(int).astype(str).to_numpy(object),
+                "dst": keep["b"].astype(int).astype(str).to_numpy(object),
+            }
+        )
+
+    return paired.map_batches(_winners, batch_format="pandas")
+
+
+def q_nation_scc(sf_dir: str):
+    """Strongly connected components of the directed nation
+    trade-winner graph: two shared-sweep BFS passes (fwd + reversed) +
+    one co-reachability semi-join + grouped lexicographic min — the
+    distributed FW-BW SCC shape, hash-exact vs a double recursive-CTE
+    transitive-closure twin."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.graph_algos import scc_labels
+
+    nat = _pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey"]).to_pandas()
+    nodes = sorted(str(int(k)) for k in nat["n_nationkey"])
+    return scc_labels(_nation_trade_edges(sf_dir), nodes)
+
+
+GRAM_SCALE = 1 << 10
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact integer Gram (second-moment) matrix of the embedding
+    column, long upper-triangle form — the PCA/covariance sufficient
+    statistic; floor-quantized so the double-LATERAL SQL twin is
+    hash-exact."""
+    from ..stages.clustering import embedding_gram
+
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+    return embedding_gram(emb, scale=GRAM_SCALE)
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Dedup a 'new crawl batch' (doc_id % 3 != 0) against the stored
     snapshot (doc_id % 3 == 0) by exact text hash: one distinct-hash
@@ -4462,6 +4601,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_pack_manifest": q_doc_pack_manifest,
     "events_decayed": q_events_decayed,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_gram": q_embedding_gram,
+    "nation_scc": q_nation_scc,
+    "events_attribution": q_events_attribution,
     "doc_token_shards": q_doc_token_shards,
     "embedding_curation": q_embedding_curation,
     "events_stratified_sample": q_events_stratified_sample,
@@ -6115,6 +6257,83 @@ ORACLE_SQL: dict[str, str] = {
              LATERAL unnest(generate_series(
                1, CAST(len(embedding) AS BIGINT))) AS u(i)
         GROUP BY label, i
+    """,
+    "events_attribution": f"""
+        WITH p AS (
+          SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+          SELECT event_id AS tid, user_id, epoch_us(ts) AS tts, event_type
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        pairs AS (
+          SELECT p.pid, p.cents, t.event_type,
+                 count(*) OVER (PARTITION BY p.pid) AS n,
+                 row_number() OVER (
+                   PARTITION BY p.pid ORDER BY t.tts DESC, t.tid DESC
+                 ) AS rn
+          FROM p JOIN t ON t.user_id = p.user_id
+                AND t.tts >= p.pts - {ATTRIBUTION_WINDOW_US}
+                AND t.tts < p.pts
+        ),
+        attr AS (
+          SELECT event_type,
+                 cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS a
+          FROM pairs
+        )
+        SELECT event_type, CAST(sum(a) AS BIGINT) AS attributed_cents,
+               CAST(count(*) AS BIGINT) AS n_touches
+        FROM attr GROUP BY event_type
+        UNION ALL
+        SELECT 'direct', CAST(sum(cents) AS BIGINT), CAST(count(*) AS BIGINT)
+        FROM p WHERE NOT EXISTS (
+          SELECT 1 FROM t WHERE t.user_id = p.user_id
+            AND t.tts >= p.pts - {ATTRIBUTION_WINDOW_US} AND t.tts < p.pts
+        )
+        HAVING count(*) > 0
+    """,
+    "nation_scc": """
+        WITH RECURSIVE flow AS (
+          SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+                 sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2
+        ),
+        es AS (
+          SELECT CAST(f.a AS VARCHAR) AS src, CAST(f.b AS VARCHAR) AS dst
+          FROM flow f LEFT JOIN flow r ON r.a = f.b AND r.b = f.a
+          WHERE f.a <> f.b AND f.rev > coalesce(r.rev, 0)
+        ),
+        reach(s, d) AS (
+          SELECT src, dst FROM es
+          UNION
+          SELECT reach.s, es.dst FROM reach JOIN es ON es.src = reach.d
+        ),
+        nodes AS (SELECT CAST(n_nationkey AS VARCHAR) AS v FROM nation)
+        SELECT v AS entity, min(s) AS scc_id FROM (
+          SELECT n.v AS v, n.v AS s FROM nodes n
+          UNION ALL
+          SELECT r1.d AS v, r1.s AS s
+          FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+        ) GROUP BY v
+    """,
+    "embedding_gram": """
+        SELECT i, j,
+               CAST(sum(CAST(floor(embedding[i] * 1024.0) AS BIGINT)
+                      * CAST(floor(embedding[j] * 1024.0) AS BIGINT))
+                    AS BIGINT) AS sum_fixed,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings,
+             LATERAL unnest(generate_series(
+               1, CAST(len(embedding) AS BIGINT))) AS u(i),
+             LATERAL unnest(generate_series(
+               i, CAST(len(embedding) AS BIGINT))) AS v(j)
+        GROUP BY i, j
     """,
     "doc_incremental_dedup": """
         WITH ref AS (

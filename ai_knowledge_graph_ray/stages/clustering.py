@@ -355,3 +355,76 @@ def grouped_centroid_sums(
         CENTROID_SUM_SCHEMA,
         num_buckets=num_buckets,
     )
+
+
+GRAM_SCHEMA = pa.schema(
+    [("i", pa.int64()), ("j", pa.int64()),
+     ("sum_fixed", pa.int64()), ("n", pa.int64())]
+)
+
+
+def embedding_gram(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1 << 10,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact integer second-moment (Gram) matrix of an embedding
+    column in long upper-triangle form ``(i, j, sum_fixed, n)`` with
+    ``i <= j`` (1-based dims) — the PCA / whitening / covariance
+    sufficient statistic (covariance = gram/n - mean outer product,
+    derivable together with :func:`grouped_centroid_sums`).
+
+    Each vector quantizes ONCE to ``floor(v * scale)`` int64 (floor,
+    not round — the only rounding mode DuckDB and numpy agree on for
+    every double, same contract as ``grouped_centroid_sums``); every
+    downstream product/sum is exact integer arithmetic, so the result
+    is bit-identical at any block layout and hash-exact vs the SQL
+    twin. One map pass computes the per-batch d x d integer matmul
+    (``fixed.T @ fixed`` — vectorized, no per-row Python) and emits
+    the d(d+1)/2 upper-triangle partials; one bucketed integer sum
+    over the tiny (i, j) key space finishes.
+
+    Overflow bound: |fixed| <= scale so each product is <= scale^2 and
+    the global sum needs n * scale^2 < 2^63 — at the default 2^10
+    scale that is ~8.8e12 vectors, comfortably past a 100-TB corpus;
+    raise ``scale`` only with a narrower row-count bound.
+    """
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or vec_col not in b.columns:
+            return pd.DataFrame(
+                {"i": pd.Series([], dtype="int64"),
+                 "j": pd.Series([], dtype="int64"),
+                 "sum_fixed": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        fixed = np.floor(mat * scale).astype(np.int64)
+        gram = fixed.T @ fixed
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": (iu + 1).astype(np.int64),
+                "j": (ju + 1).astype(np.int64),
+                "sum_fixed": gram[iu, ju],
+                "n": np.int64(len(b)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["i", "j"], sort=False, as_index=False)[
+            ["sum_fixed", "n"]
+        ].sum()
+
+    return bucketed_reduce(
+        ds.select_columns([vec_col]).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["i", "j"],
+        _reduce,
+        GRAM_SCHEMA,
+        num_buckets=num_buckets,
+    )

@@ -2274,3 +2274,145 @@ def harmonic_centrality(
         dists, ["entity"], _reduce, HARMONIC_SCHEMA, combiner=_partial,
         num_buckets=num_buckets,
     )
+
+
+SCC_SCHEMA = pa.schema([("entity", pa.string()), ("scc_id", pa.string())])
+
+
+def scc_local(
+    edge_list: list[tuple[str, str]], nodes: list[str]
+) -> dict[str, str]:
+    """Driver twin of :func:`scc_labels` — iterative Kosaraju over a
+    collected edge list; returns ``{node: lexicographic-min member}``
+    for every node in ``nodes``."""
+    fwd: dict[str, list[str]] = {n: [] for n in nodes}
+    bwd: dict[str, list[str]] = {n: [] for n in nodes}
+    for s, d in edge_list:
+        if s in fwd and d in fwd:
+            fwd[s].append(d)
+            bwd[d].append(s)
+    order: list[str] = []
+    seen: set[str] = set()
+    for root in nodes:
+        if root in seen:
+            continue
+        stack: list[tuple[str, int]] = [(root, 0)]
+        seen.add(root)
+        while stack:
+            u, i = stack.pop()
+            if i < len(fwd[u]):
+                stack.append((u, i + 1))
+                v = fwd[u][i]
+                if v not in seen:
+                    seen.add(v)
+                    stack.append((v, 0))
+            else:
+                order.append(u)
+    out: dict[str, str] = {}
+    for root in reversed(order):
+        if root in out:
+            continue
+        comp = [root]
+        out[root] = root
+        k = 0
+        while k < len(comp):
+            for v in bwd[comp[k]]:
+                if v not in out:
+                    out[v] = root
+                    comp.append(v)
+            k += 1
+        label = min(comp)
+        for v in comp:
+            out[v] = label
+    return out
+
+
+def scc_labels(
+    edges: ray.data.Dataset,
+    nodes: list[str],
+    *,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(entity, scc_id)`` — strongly connected component of every
+    node in ``nodes`` over the DIRECTED ``(src, dst)`` edges, where
+    ``scc_id`` is the lexicographic-min node id among co-reachable
+    nodes (itself included), the deterministic canonical label.
+
+    Shape: two shared-sweep BFS passes (:func:`multi_source_hops` on
+    the forward and on the reversed edge set, every node a source), a
+    bucketed semi-join keyed ``(source, entity)`` — ``s`` reaches
+    ``u`` forward AND ``u`` reaches ``s`` (= ``s`` reaches ``u`` in
+    the reversed graph) iff the pair is co-reachable — and one grouped
+    lexicographic min.
+
+    COUNT-GATED like every residue collect in this repo: under
+    ``driver_max_edges`` the bit-identical Kosaraju twin runs on the
+    collected edge list (the distributed plan pays ~4 fixed stage
+    costs per BFS round, which dwarfs a small graph); over the gate
+    nothing is collected and the shared-sweep path runs. Both paths
+    produce identical labels (pinned by test).
+
+    Partitioning assumption: ``nodes`` is a DIMENSION-sized vertex set
+    (every node is a BFS source, so frontier row volume is |nodes| x
+    reachable set — the all-pairs co-reachability this computes is
+    quadratic by definition). For web-scale graphs run it on the
+    contracted/community graph or a pivot sample, exactly like
+    ``sampled_betweenness``/``sampled_closeness``.
+    """
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        pairs = (
+            list(zip(df["src"], df["dst"]))
+            if not df.empty and "src" in df.columns
+            else []
+        )
+        labels = scc_local(pairs, sorted(set(nodes)))
+        ks = sorted(labels)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(ks, pa.string()),
+                    "scc_id": pa.array([labels[k] for k in ks], pa.string()),
+                }
+            )
+        )
+
+    hops = max(1, len(nodes) - 1)
+    fwd = multi_source_hops(
+        edges, nodes, hops, directed=True, num_buckets=num_buckets
+    ).select_columns(["source", "entity"])
+    rev_edges = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["dst"].combine_chunks().cast(pa.string()),
+                "dst": b["src"].combine_chunks().cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bwd = multi_source_hops(
+        rev_edges, nodes, hops, directed=True, num_buckets=num_buckets
+    ).select_columns(["source", "entity"])
+
+    pair_schema = pa.schema([("source", pa.string()), ("entity", pa.string())])
+    co = cogroup_join(
+        fwd, bwd, on=["source", "entity"], how="left_semi",
+        num_buckets=num_buckets,
+        left_schema=pair_schema, right_schema=pair_schema,
+    )
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity", sort=False, as_index=False)["source"].min()
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        return _combine(g).rename(columns={"source": "scc_id"})
+
+    return bucketed_reduce(
+        co, ["entity"], _finish, SCC_SCHEMA,
+        combiner=_combine, num_buckets=num_buckets,
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .infer import bucketed_reduce
@@ -847,4 +848,128 @@ def decayed_counts(
         lambda g: g.groupby(key_col, sort=False, as_index=False)["decayed_cents"].sum(),
         DECAY_SCHEMA,
         num_buckets=num_buckets,
+    )
+
+
+ATTRIBUTION_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("attributed_cents", pa.int64()),
+     ("n_touches", pa.int64())]
+)
+
+
+def linear_attribution(
+    events: ray.data.Dataset,
+    *,
+    window_us: int,
+    purchase_type: str = "purchase",
+    user_col: str = "user_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Multi-touch LINEAR attribution: every purchase's value splits
+    equally across the same user's non-purchase events ("touches") in
+    the preceding ``window_us`` microseconds ``[ts_p - W, ts_p)``; a
+    purchase with no touches lands in a ``direct`` row.
+
+    Exactness contract: value converts once to int64 cents; each touch
+    receives ``cents // n`` and the division REMAINDER goes to the
+    LAST touch (max ``(ts, event_id)``) — attributed cents sum to the
+    purchase cents to the cent, and the grouped totals are hash-exact
+    vs a window-function SQL twin (floor division is identical because
+    cents are non-negative).
+
+    Shape: one user-keyed bucketed exchange; inside each bucket the
+    per-purchase window lookups run on a composite integer axis
+    ``user_index * M + (ts - ts_min)`` with ``M = span + W + 2`` so a
+    single ``searchsorted`` serves every user at once (no per-user
+    Python loop) and windows can never cross a user boundary; the
+    per-touch shares accumulate with a prefix-difference pass. The
+    per-type partials then re-reduce on the tiny type key. Composite
+    bound: ``users_per_bucket * (span + W) < 2^63`` — raise
+    ``num_buckets`` for corpora that approach it.
+
+    For the ``direct`` row ``n_touches`` counts unattributed
+    PURCHASES (there are no touch pairs to count).
+    """
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: b[user_col].combine_chunks().cast(pa.int64()),
+                "ts_us": b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+                "event_type": b["event_type"].combine_chunks().cast(pa.string()),
+                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    prepped = events.select_columns(
+        [user_col, "ts", "event_id", "event_type", "value"]
+    ).map_batches(_prep, batch_format="pyarrow")
+
+    def _attribute(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "attributed_cents": pd.Series([], dtype="int64"),
+                 "n_touches": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values([user_col, "ts_us", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy(np.int64)
+        uidx = pd.factorize(g[user_col].to_numpy(), sort=False)[0].astype(np.int64)
+        base = ts - ts.min()
+        m = np.int64(base.max()) + np.int64(window_us) + 2
+        comp = uidx * m + base
+        is_p = (g["event_type"] == purchase_type).to_numpy()
+        tcomp = comp[~is_p]
+        ttypes = g.loc[~is_p, "event_type"].to_numpy(object)
+        pcomp = comp[is_p]
+        pcents = g.loc[is_p, "cents"].to_numpy(np.int64)
+
+        lo = np.searchsorted(tcomp, pcomp - np.int64(window_us), side="left")
+        hi = np.searchsorted(tcomp, pcomp, side="left")
+        n = hi - lo
+        hasn = n > 0
+        share = np.zeros(len(pcomp), dtype=np.int64)
+        rem = np.zeros(len(pcomp), dtype=np.int64)
+        share[hasn] = pcents[hasn] // n[hasn]
+        rem[hasn] = pcents[hasn] % n[hasn]
+
+        att = np.zeros(len(tcomp) + 1, dtype=np.int64)
+        cnt = np.zeros(len(tcomp) + 1, dtype=np.int64)
+        np.add.at(att, lo[hasn], share[hasn])
+        np.add.at(att, hi[hasn], -share[hasn])
+        np.add.at(cnt, lo[hasn], 1)
+        np.add.at(cnt, hi[hasn], -1)
+        att = np.cumsum(att)[:-1]
+        cnt = np.cumsum(cnt)[:-1]
+        np.add.at(att, hi[hasn] - 1, rem[hasn])
+
+        out = pd.DataFrame(
+            {"event_type": ttypes, "attributed_cents": att, "n_touches": cnt}
+        ).groupby("event_type", sort=False, as_index=False).sum()
+        n_direct = int((~hasn).sum())
+        if n_direct:
+            out = pd.concat(
+                [out, pd.DataFrame(
+                    {"event_type": ["direct"],
+                     "attributed_cents": [int(pcents[~hasn].sum())],
+                     "n_touches": [n_direct]}
+                )],
+                ignore_index=True,
+            )
+        return out
+
+    per_bucket = bucketed_reduce(
+        prepped, [user_col], _attribute, ATTRIBUTION_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", sort=False, as_index=False)[
+            ["attributed_cents", "n_touches"]
+        ].sum()
+
+    return bucketed_reduce(
+        per_bucket, ["event_type"], _final, ATTRIBUTION_SCHEMA,
+        combiner=_final, num_buckets=num_buckets,
     )

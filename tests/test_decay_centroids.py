@@ -99,3 +99,28 @@ class TestGroupedCentroidSums:
         n = out["n"].iloc[0]
         centroid = np.array([s[1], s[2]]) / (n * (1 << 20))
         np.testing.assert_allclose(centroid, [2 / 3, 2 / 3], atol=1e-5)
+
+
+class TestEmbeddingGram:
+    def test_matches_numpy_twin_any_layout(self):
+        from ai_knowledge_graph_ray.stages.clustering import embedding_gram
+
+        rng = np.random.RandomState(7)
+        n, dim = 90, 6
+        df = pd.DataFrame(
+            {"embedding": list(rng.uniform(-1, 1, (n, dim)).astype(np.float32))}
+        )
+        fixed = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * (1 << 10)
+        ).astype(np.int64)
+        gram = fixed.T @ fixed
+        iu, ju = np.triu_indices(dim)
+        want = pd.DataFrame(
+            {"i": iu + 1, "j": ju + 1, "sum_fixed": gram[iu, ju], "n": n}
+        )
+        for parts in (1, 7):
+            got = (
+                embedding_gram(ray.data.from_pandas(df).repartition(parts))
+                .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -344,3 +344,46 @@ class TestPprInt:
         assert ppr_int_local(EDGES, ("zz",), iters=3) == {}
         assert ppr_int(_ds(EDGES), ("zz",), iters=3).take_all() == []
         assert ppr_int(_ds(EDGES), ("zz",), iters=3, driver_max_edges=0).take_all() == []
+
+
+class TestSccLabels:
+    # 3-cycle {1,2,3}, bridge 3->4, 2-cycle {4,5}, isolated 6
+    SCC_EDGES = [
+        ("1", "2"), ("2", "3"), ("3", "1"),
+        ("3", "4"), ("4", "5"), ("5", "4"),
+    ]
+    WANT = {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4", "6": "6"}
+
+    def test_components_and_canonical_labels(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import scc_labels
+
+        nodes = sorted(self.WANT)
+        got = {
+            r["entity"]: r["scc_id"]
+            for r in scc_labels(_ds(self.SCC_EDGES), nodes).take_all()
+        }
+        assert got == self.WANT
+
+    def test_bridge_direction_matters(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import scc_labels
+
+        # adding the reverse bridge 4->3 merges everything reachable
+        edges = self.SCC_EDGES + [("4", "3")]
+        got = {
+            r["entity"]: r["scc_id"]
+            for r in scc_labels(_ds(edges), sorted(self.WANT)).take_all()
+        }
+        assert got == {"1": "1", "2": "1", "3": "1", "4": "1", "5": "1", "6": "6"}
+
+    def test_gate_path_equals_scale_path(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import scc_labels
+
+        nodes = sorted(self.WANT)
+        dist = {
+            r["entity"]: r["scc_id"]
+            for r in scc_labels(
+                _ds(self.SCC_EDGES).repartition(5), nodes,
+                num_buckets=2, driver_max_edges=0,
+            ).take_all()
+        }
+        assert dist == self.WANT
