@@ -4033,6 +4033,26 @@ def q_embedding_centroids(sf_dir: str):
     return grouped_centroid_sums(emb, "label")
 
 
+PHRASE_TOP_K = 20
+
+
+def q_doc_phrase_hits(sf_dir: str):
+    """Positional phrase postings: the corpus-wide top-20 adjacent-token
+    bigrams (count desc, bigram asc) become the phrase set; output is
+    each document's per-phrase occurrence count — the exact-phrase-query
+    index primitive. Bigram counting is one bucketed exchange; the
+    20-row phrase set is a bounded driver residue; the posting pass is
+    map-only with the set broadcast."""
+    from ..stages.relational import topk_dataset
+    from ..stages.vocab import bigram_counts, phrase_postings
+
+    top = topk_dataset(
+        bigram_counts(_docs(sf_dir)), ["n", "bigram"], PHRASE_TOP_K,
+        descending=[True, False],
+    ).to_pandas()
+    return phrase_postings(_docs(sf_dir), list(top["bigram"]))
+
+
 ATTRIBUTION_WINDOW_US = 6 * 3600 * 1_000_000
 
 
@@ -4604,6 +4624,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_gram": q_embedding_gram,
     "nation_scc": q_nation_scc,
     "events_attribution": q_events_attribution,
+    "doc_phrase_hits": q_doc_phrase_hits,
     "doc_token_shards": q_doc_token_shards,
     "embedding_curation": q_embedding_curation,
     "events_stratified_sample": q_events_stratified_sample,
@@ -6257,6 +6278,26 @@ ORACLE_SQL: dict[str, str] = {
              LATERAL unnest(generate_series(
                1, CAST(len(embedding) AS BIGINT))) AS u(i)
         GROUP BY label, i
+    """,
+    "doc_phrase_hits": """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS a
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc_id, a[i] || ' ' || a[i+1] AS phrase
+          FROM tok,
+               LATERAL unnest(generate_series(
+                 1, CAST(len(a) AS BIGINT) - 1)) AS u(i)
+        ),
+        top AS (
+          SELECT phrase, count(*) AS cnt FROM bi GROUP BY phrase
+          ORDER BY cnt DESC, phrase ASC LIMIT 20
+        )
+        SELECT b.doc_id, b.phrase, CAST(count(*) AS BIGINT) AS n
+        FROM bi b JOIN top t ON t.phrase = b.phrase
+        GROUP BY b.doc_id, b.phrase
     """,
     "events_attribution": f"""
         WITH p AS (

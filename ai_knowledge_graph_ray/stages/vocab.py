@@ -470,3 +470,90 @@ def encode_token_ids(
         ),
         IDS_SCHEMA,
     )
+
+
+BIGRAM_SCHEMA = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+POSTING_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("phrase", pa.string()), ("n", pa.int64())]
+)
+
+
+def _doc_bigrams(b: pd.DataFrame, text_col: str, keep_doc: bool) -> pd.DataFrame:
+    """Adjacent-token (positional) bigram strings per row, vectorized:
+    one explode + one grouped shift — no per-document Python loop. The
+    tokenization is the repo-wide ``lower + \\w+`` contract (same as
+    ``term_counts`` and the ``top_tokens`` oracle)."""
+    toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+    if keep_doc:
+        toks.index = b["doc_id"].to_numpy(np.int64)
+    ex = toks.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    mask = ex.notna() & nxt.notna()
+    out = pd.DataFrame(
+        {"__doc": ex.index[mask], "bigram": ex[mask] + " " + nxt[mask]}
+    )
+    return out
+
+
+def bigram_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """``(bigram, n)`` — corpus-wide POSITIONAL bigram (adjacent-token
+    phrase) counts; same one-exchange shape as :func:`term_counts`."""
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        bg = _doc_bigrams(b, text_col, keep_doc=False)["bigram"]
+        if not len(bg):
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vc = bg.value_counts(sort=False)
+        return pd.DataFrame(
+            {"bigram": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    return bucketed_reduce(
+        ds.select_columns([text_col]),
+        ["bigram"],
+        lambda g: g.groupby("bigram", sort=False, as_index=False)["n"].sum(),
+        BIGRAM_SCHEMA,
+        combiner=_partial,
+    )
+
+
+def phrase_postings(
+    ds: ray.data.Dataset,
+    phrases: list[str],
+    *,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """``(doc_id, phrase, n)`` — positional postings: per-document
+    occurrence counts of each phrase (adjacent-token bigram), the
+    exact-phrase-query index primitive. ``phrases`` is a QUERY-sized
+    list broadcast once via ``ray.put`` and read per actor batch —
+    map-only, no exchange at all."""
+    import ray as _ray
+
+    ref = _ray.put(frozenset(phrases))
+
+    def _match(b: pd.DataFrame) -> pd.DataFrame:
+        pset = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        bg = _doc_bigrams(b, text_col, keep_doc=True)
+        hit = bg[bg["bigram"].isin(pset)]
+        if not len(hit):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "phrase": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        out = hit.groupby(["__doc", "bigram"], sort=False).size().reset_index()
+        out.columns = ["doc_id", "phrase", "n"]
+        return out.astype({"doc_id": "int64", "n": "int64"})
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        ds.select_columns(["doc_id", text_col]).map_batches(
+            _match, batch_format="pandas"
+        ),
+        POSTING_SCHEMA,
+    )
