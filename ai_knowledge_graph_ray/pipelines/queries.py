@@ -4033,6 +4033,42 @@ def q_embedding_centroids(sf_dir: str):
     return grouped_centroid_sums(emb, "label")
 
 
+def q_user_gini(sf_dir: str):
+    """Per-user Gini impurity (integer thousandths) of the event-type
+    mix — a behavioral-diversity profile, exact where entropy (log)
+    could never hash-match SQL."""
+    from ..stages.profile import categorical_gini
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return categorical_gini(ev, "user_id", "event_type")
+
+
+COLLOC_MIN, COLLOC_K = 5, 50
+
+
+def q_doc_collocations(sf_dir: str):
+    """Collocation mining: top-50 token pairs by distinct-doc
+    co-occurrence with exact integer association lift (lift_milli =
+    n_ab*N*1000 // (n_a*n_b)) — the PMI-style 'related terms' signal;
+    reuses the basket-keyed cooccur machinery with string items."""
+    from ..stages.cooccur import cooccur_lift
+
+    def _explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        toks.index = b["doc_id"].to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        return pd.DataFrame(
+            {"doc_id": ex.index.to_numpy(np.int64),
+             "token": ex.to_numpy(object)}
+        )
+
+    tokens = _docs(sf_dir).map_batches(_explode, batch_format="pandas")
+    return cooccur_lift(
+        tokens, "doc_id", "token",
+        min_count=COLLOC_MIN, top_k=COLLOC_K, item_type=pa.string(),
+    )
+
+
 PHRASE_TOP_K = 20
 
 
@@ -4625,6 +4661,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nation_scc": q_nation_scc,
     "events_attribution": q_events_attribution,
     "doc_phrase_hits": q_doc_phrase_hits,
+    "doc_collocations": q_doc_collocations,
+    "user_gini": q_user_gini,
     "doc_token_shards": q_doc_token_shards,
     "embedding_curation": q_embedding_curation,
     "events_stratified_sample": q_events_stratified_sample,
@@ -6278,6 +6316,48 @@ ORACLE_SQL: dict[str, str] = {
              LATERAL unnest(generate_series(
                1, CAST(len(embedding) AS BIGINT))) AS u(i)
         GROUP BY label, i
+    """,
+    "user_gini": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(n * n) AS BIGINT) AS s2
+          FROM c GROUP BY 1
+        )
+        SELECT user_id, n,
+               CAST(((CAST(n AS HUGEINT) * n - s2) * 1000)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_milli
+        FROM a
+    """,
+    "doc_collocations": """
+        WITH tk AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                             '\\w+')) AS token
+            FROM documents
+          )
+        ),
+        top AS (
+          SELECT a.token AS item_a, b.token AS item_b,
+                 count(*) AS n_baskets
+          FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2 HAVING count(*) >= 5
+          ORDER BY n_baskets DESC, item_a, item_b LIMIT 50
+        ),
+        ic AS (SELECT token, count(DISTINCT doc_id) AS c FROM tk GROUP BY 1),
+        tot AS (SELECT count(DISTINCT doc_id) AS t FROM tk)
+        SELECT top.item_a, top.item_b,
+               CAST(top.n_baskets AS BIGINT) AS n_baskets,
+               CAST((CAST(top.n_baskets AS HUGEINT) * tot.t * 1000)
+                    // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_milli
+        FROM top
+        CROSS JOIN tot
+        JOIN ic ia ON ia.token = top.item_a
+        JOIN ic ib ON ib.token = top.item_b
     """,
     "doc_phrase_hits": """
         WITH tok AS (

@@ -146,14 +146,18 @@ def cooccur_pairs(
     return ray.data.from_arrow(pa_from_pandas(df, pairs_schema))
 
 
-LIFT_SCHEMA = pa.schema(
-    [
-        ("item_a", pa.int64()),
-        ("item_b", pa.int64()),
-        ("n_baskets", pa.int64()),
-        ("lift_milli", pa.int64()),
-    ]
-)
+def _lift_schema(item_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("item_a", item_type),
+            ("item_b", item_type),
+            ("n_baskets", pa.int64()),
+            ("lift_milli", pa.int64()),
+        ]
+    )
+
+
+LIFT_SCHEMA = _lift_schema(pa.int64())
 
 
 def cooccur_lift(
@@ -164,6 +168,7 @@ def cooccur_lift(
     min_count: int = 2,
     top_k: int = 100,
     max_basket_size: int | None = None,
+    item_type: pa.DataType | None = None,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Association LIFT for the top-``top_k`` co-occurring pairs:
@@ -178,6 +183,8 @@ def cooccur_lift(
     arithmetic runs driver-side on the ≤ ``top_k`` residue in Python
     ints (``n_ab·N·1000`` overflows int64 at 100-TB basket counts).
     """
+    if item_type is None:
+        item_type = pa.int64()
     pairs = cooccur_pairs(
         ds,
         basket_col,
@@ -185,13 +192,14 @@ def cooccur_lift(
         min_count=min_count,
         top_k=top_k,
         max_basket_size=max_basket_size,
+        item_type=item_type,
         num_buckets=num_buckets,
     ).materialize()
     pdf = pairs.to_pandas()  # <= top_k rows by contract
     if len(pdf) == 0:
-        return ray.data.from_arrow(LIFT_SCHEMA.empty_table())
+        return ray.data.from_arrow(_lift_schema(item_type).empty_table())
     items = np.unique(
-        np.concatenate([pdf["item_a"].to_numpy(np.int64), pdf["item_b"].to_numpy(np.int64)])
+        np.concatenate([pdf["item_a"].to_numpy(), pdf["item_b"].to_numpy()])
     )
     items_ref = ray.put(items)
 
@@ -199,11 +207,11 @@ def cooccur_lift(
 
     def _filter_distinct(b: pd.DataFrame) -> pd.DataFrame:
         it = ray.get(items_ref) if isinstance(items_ref, ray.ObjectRef) else items_ref
-        sub = b[np.isin(b[item_col].to_numpy(np.int64), it)]
+        sub = b[np.isin(b[item_col].to_numpy(), it)]
         return sub.drop_duplicates([basket_col, item_col])
 
     pair_rows_schema = pa.schema(
-        [(basket_col, pa.int64()), (item_col, pa.int64())]
+        [(basket_col, pa.int64()), (item_col, item_type)]
     )
     distinct_bi = bucketed_reduce(
         slim.map_batches(_filter_distinct, batch_format="pandas", batch_size=None),
@@ -221,7 +229,7 @@ def cooccur_lift(
         distinct_bi,
         [item_col],
         lambda g: g.groupby(item_col, sort=False, as_index=False)["c"].sum(),
-        pa.schema([(item_col, pa.int64()), ("c", pa.int64())]),
+        pa.schema([(item_col, item_type), ("c", pa.int64())]),
         combiner=_item_partial,
         num_buckets=num_buckets,
     ).to_pandas()  # <= 2*top_k rows
@@ -241,12 +249,12 @@ def cooccur_lift(
         ).count()
     )
 
-    cmap = dict(zip(item_counts[item_col].astype("int64"), item_counts["c"].astype("int64")))
+    cmap = dict(zip(item_counts[item_col], item_counts["c"].astype("int64")))
     lifts = []
     for a, b_, nab in zip(pdf["item_a"], pdf["item_b"], pdf["n_baskets"]):
         num = int(nab) * int(total) * 1000
-        den = int(cmap[int(a)]) * int(cmap[int(b_)])
+        den = int(cmap[a]) * int(cmap[b_])
         lifts.append(num // den)  # all positive: floor == trunc
     out = pdf.copy()
     out["lift_milli"] = np.asarray(lifts, dtype=np.int64)
-    return ray.data.from_arrow(pa_from_pandas(out, LIFT_SCHEMA))
+    return ray.data.from_arrow(pa_from_pandas(out, _lift_schema(item_type)))

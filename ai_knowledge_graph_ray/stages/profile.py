@@ -336,3 +336,51 @@ def skew_profile(
     return ray.data.from_arrow(
         pa.Table.from_pandas(pd.DataFrame(out_rows), schema=SKEW_SCHEMA)
     )
+
+
+def categorical_gini(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    *,
+    key_type: pa.DataType | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key Gini impurity of a categorical column in exact integer
+    thousandths: ``gini_milli = ((n^2 - sum_c n_c^2) * 1000) // n^2``
+    (0 = one category only, ->1000 = maximally mixed) — the behavioral
+    diversity / label-noise profile over users, sources or shards,
+    exact where an entropy (log) variant could never hash-match SQL.
+
+    One key-bucketed exchange: map-side ``(key, cat)`` count partials,
+    reduce finishes the counts and the integer arithmetic vectorized.
+    int64 bound: ``n^2 < 2^63`` -> up to ~3e9 rows per key.
+    """
+    if key_type is None:
+        key_type = pa.int64()
+    out_schema = pa.schema(
+        [(key_col, key_type), ("n", pa.int64()), ("gini_milli", pa.int64())]
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby([key_col, cat_col], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([key_col, cat_col], sort=False, as_index=False)["n"].sum()
+        c["sq"] = c["n"].to_numpy(np.int64) ** 2
+        a = c.groupby(key_col, sort=False, as_index=False).agg(
+            n=("n", "sum"), s2=("sq", "sum")
+        )
+        nn = a["n"].to_numpy(np.int64) ** 2
+        a["gini_milli"] = ((nn - a["s2"].to_numpy(np.int64)) * 1000) // nn
+        return a[[key_col, "n", "gini_milli"]]
+
+    return bucketed_reduce(
+        ds.select_columns([key_col, cat_col]),
+        [key_col],
+        _finish,
+        out_schema,
+        combiner=_partial,
+        num_buckets=num_buckets,
+    )
