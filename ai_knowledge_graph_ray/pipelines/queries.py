@@ -4033,6 +4033,16 @@ def q_embedding_centroids(sf_dir: str):
     return grouped_centroid_sums(emb, "label")
 
 
+def q_source_distinctive_terms(sf_dir: str):
+    """Each source's top-5 distinctive tokens by exact integer lift
+    (c-TF-IDF-style 'what sets this source apart') — raw count top-k
+    can't give this because corpus-common words win it."""
+    from ..stages.vocab import distinctive_terms_per_group
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    return distinctive_terms_per_group(docs, "source", k=5, min_token_count=20)
+
+
 def q_user_gini(sf_dir: str):
     """Per-user Gini impurity (integer thousandths) of the event-type
     mix — a behavioral-diversity profile, exact where entropy (log)
@@ -4663,6 +4673,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_phrase_hits": q_doc_phrase_hits,
     "doc_collocations": q_doc_collocations,
     "user_gini": q_user_gini,
+    "source_distinctive_terms": q_source_distinctive_terms,
     "doc_token_shards": q_doc_token_shards,
     "embedding_curation": q_embedding_curation,
     "events_stratified_sample": q_events_stratified_sample,
@@ -6316,6 +6327,27 @@ ORACLE_SQL: dict[str, str] = {
              LATERAL unnest(generate_series(
                1, CAST(len(embedding) AS BIGINT))) AS u(i)
         GROUP BY label, i
+    """,
+    "source_distinctive_terms": """
+        WITH tok AS (
+          SELECT source AS grp,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                           '\\w+')) AS token
+          FROM documents
+        ),
+        gt AS (SELECT grp, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        t AS (SELECT token, count(*) AS nt FROM tok GROUP BY 1),
+        g AS (SELECT grp, count(*) AS ng FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS nn FROM tok)
+        SELECT gt.grp AS "group", gt.token, CAST(gt.n AS BIGINT) AS n,
+               CAST((CAST(gt.n AS HUGEINT) * tot.nn * 1000)
+                    // (CAST(t.nt AS HUGEINT) * g.ng) AS BIGINT) AS lift_milli
+        FROM gt JOIN t USING (token) JOIN g USING (grp) CROSS JOIN tot
+        WHERE t.nt >= 20
+        QUALIFY row_number() OVER (
+          PARTITION BY gt.grp
+          ORDER BY lift_milli DESC, gt.token ASC
+        ) <= 5
     """,
     "user_gini": """
         WITH c AS (

@@ -557,3 +557,113 @@ def phrase_postings(
         ),
         POSTING_SCHEMA,
     )
+
+
+DISTINCTIVE_SCHEMA = pa.schema(
+    [("group", pa.string()), ("token", pa.string()),
+     ("n", pa.int64()), ("lift_milli", pa.int64())]
+)
+
+
+def distinctive_terms_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    min_token_count: int = 20,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Each group's top-``k`` DISTINCTIVE tokens (c-TF-IDF-style) by
+    exact integer lift ``lift_milli = n_gt * N * 1000 // (n_t * N_g)``
+    — "what vocabulary sets this source apart", the corpus-triage
+    signal a raw per-group count top-k (``top_terms_per_group``)
+    cannot give because corpus-common words win it.
+
+    Shape: ONE explode pass produces per-batch ``(group, token, n)``
+    partials, materialized and reused by all three consumers — a
+    token-keyed exchange that attaches the global token count, a tiny
+    group-keyed exchange for the per-group token totals (bounded by
+    group count; collected as the broadcast residue that also yields
+    ``N``), and a group-keyed top-k reduce. The lift arithmetic runs
+    in PYTHON ints inside the per-group reducer (``n*N*1000``
+    overflows int64 at 100-TB token counts; rows per group are
+    vocabulary-bounded), ties broken ``(lift desc, token asc)``.
+    """
+    import ray as _ray
+
+    from .infer import bucketed_reduce
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        toks.index = b[group_col].astype(str).to_numpy(object)
+        ex = toks.explode().dropna()
+        out = (
+            pd.DataFrame({"group": ex.index.to_numpy(object), "token": ex.to_numpy(object)})
+            .groupby(["group", "token"], sort=False, as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    partial_schema = pa.schema(
+        [("group", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+    partials = ds.select_columns([group_col, text_col]).map_batches(
+        _partial, batch_format="pandas"
+    ).materialize()
+
+    def _with_nt(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["group", "token"], sort=False, as_index=False)["n"].sum()
+        nt = c.groupby("token", sort=False)["n"].transform("sum")
+        return c.assign(nt=nt.astype("int64"))
+
+    gt = bucketed_reduce(
+        partials, ["token"], _with_nt,
+        pa.schema([("group", pa.string()), ("token", pa.string()),
+                   ("n", pa.int64()), ("nt", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    totals = bucketed_reduce(
+        partials.map_batches(
+            lambda b: b.groupby("group", sort=False, as_index=False)["n"].sum(),
+            batch_format="pandas",
+        ),
+        ["group"],
+        lambda g: g.groupby("group", sort=False, as_index=False)["n"].sum(),
+        pa.schema([("group", pa.string()), ("n", pa.int64())]),
+        num_buckets=num_buckets,
+    ).to_pandas()  # bounded by group count — the broadcast residue
+    ng_map = dict(zip(totals["group"], totals["n"].astype(int)))
+    nn = int(totals["n"].sum())
+    ng_ref = _ray.put((ng_map, nn))
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        ngm, total = (
+            _ray.get(ng_ref) if isinstance(ng_ref, _ray.ObjectRef) else ng_ref
+        )
+        g = g[g["nt"] >= min_token_count]
+        if not len(g):
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "token": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "lift_milli": pd.Series([], dtype="int64")}
+            )
+        lift = [
+            (int(n) * total * 1000) // (int(nt) * ngm[grp])
+            for grp, n, nt in zip(g["group"], g["n"], g["nt"])
+        ]
+        g = g.assign(lift_milli=pd.Series(lift, index=g.index, dtype="int64"))
+        g = g.sort_values(
+            ["group", "lift_milli", "token"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return (
+            g.groupby("group", sort=False, as_index=False)
+            .head(k)[["group", "token", "n", "lift_milli"]]
+        )
+
+    return bucketed_reduce(
+        gt, ["group"], _topk, DISTINCTIVE_SCHEMA, num_buckets=num_buckets,
+    )

@@ -50,3 +50,34 @@ class TestPhrasePostings:
             ray.data.from_pandas(DOCS), ["no such"]
         ).take_all()
         assert out == []
+
+
+class TestDistinctiveTerms:
+    def test_hand_lift_and_layout(self):
+        from ai_knowledge_graph_ray.stages.vocab import distinctive_terms_per_group
+
+        df = pd.DataFrame(
+            {
+                "source": ["A", "A", "B", "B"],
+                "text": ["apple apple banana", "common common",
+                         "cherry cherry common", "common common"],
+            }
+        )
+        # nt: apple 2, banana 1 (pruned at min 2), cherry 2, common 5
+        # ng: A=5, B=5; N=10
+        want = {
+            ("A", "apple"): (2, 2 * 10 * 1000 // (2 * 5)),     # 2000
+            ("A", "common"): (2, 2 * 10 * 1000 // (5 * 5)),    # 800
+            ("B", "cherry"): (2, 2000),
+            ("B", "common"): (3, 3 * 10 * 1000 // (5 * 5)),    # 1200
+        }
+        for parts in (1, 4):
+            out = distinctive_terms_per_group(
+                ray.data.from_pandas(df).repartition(parts), "source",
+                k=5, min_token_count=2, num_buckets=2,
+            ).to_pandas()
+            got = {
+                (r["group"], r["token"]): (r["n"], r["lift_milli"])
+                for _, r in out.iterrows()
+            }
+            assert got == want
