@@ -4492,6 +4492,35 @@ def _nb_oracle_sql() -> str:
     """
 
 
+WINSOR_Q_LO, WINSOR_Q_HI = 0.05, 0.95
+
+
+def q_lineitem_winsorized(sf_dir: str):
+    """Per-returnflag winsorized revenue: extendedprice cents clamped
+    to the group's exact discrete [p05, p95] before summing — the
+    robust aggregate that a handful of corrupted crawl records or
+    fat-finger prices can't move. All-integer, hash-exact vs a
+    quantile_disc + least/greatest SQL twin."""
+    from ..stages.quantiles import winsorized_group_stats
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": b["l_returnflag"], "cents": _cents(b["l_extendedprice"])}
+        )
+
+    return winsorized_group_stats(
+        li.map_batches(_pre, batch_format="pyarrow"),
+        "l_returnflag",
+        "cents",
+        q_lo=WINSOR_Q_LO,
+        q_hi=WINSOR_Q_HI,
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
@@ -4680,6 +4709,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_entity_clusters": q_customer_entity_clusters,
     "retrieval_training_pairs": q_retrieval_training_pairs,
     "events_hourly_profile": q_events_hourly_profile,
+    "lineitem_winsorized": q_lineitem_winsorized,
 }
 
 _N_TOKENS_SQL = (
@@ -6663,5 +6693,29 @@ ORACLE_SQL: dict[str, str] = {
                  AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    """,
+    "lineitem_winsorized": """
+        WITH v AS (
+          SELECT l_returnflag AS grp,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        b AS (
+          SELECT grp,
+                 CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+                 CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+          FROM v GROUP BY 1
+        )
+        SELECT v.grp AS l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lo_clamped,
+               CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hi_clamped,
+               b.lo, b.hi,
+               CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+                 AS winsorized_sum
+        FROM v JOIN b USING (grp)
+        GROUP BY v.grp, b.lo, b.hi
     """,
 }

@@ -462,3 +462,194 @@ def approx_quantiles_hist(
             {"q_milli": int(q), "bin": b, "approx_value": lo + b * width // n_bins}
         )
     return ray.data.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), schema=APPROX_Q_SCHEMA))
+
+
+WINSOR_SCHEMA_VALUE_COLS = [
+    ("n", pa.int64()),
+    ("n_lo_clamped", pa.int64()),
+    ("n_hi_clamped", pa.int64()),
+    ("lo", pa.int64()),
+    ("hi", pa.int64()),
+    ("winsorized_sum", pa.int64()),
+]
+
+
+def winsorized_group_stats(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    driver_max_groups: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group winsorized sum of an int64 column: values are clamped
+    to the group's exact discrete ``[q_lo, q_hi]`` quantiles before
+    summing — the robust-aggregate primitive (a handful of corrupted
+    crawl records or fat-finger prices can't move the total), with the
+    clamp bounds and clamp counts reported per group.
+
+    All-integer (discrete quantiles + integer clamp + integer sum), so
+    a ``quantile_disc`` + ``least``/``greatest`` SQL twin hash-matches
+    bit-for-bit.
+
+    Cost: one grouped-histogram shuffle for the bounds (distinct
+    values per group, not rows — see :func:`grouped_quantiles`) plus
+    one shuffle for the clamped sums. COUNT-GATED per house policy:
+    when the bounds table is under ``driver_max_groups`` rows it is
+    collected once and broadcast into a map-side clamp (zero joins);
+    over the gate the bounds stream through a ``cogroup_join`` instead
+    and the final sums run as one ``bucketed_reduce``.
+    """
+    if not (0.0 < q_lo < q_hi <= 1.0):
+        raise ValueError("need 0 < q_lo < q_hi <= 1")
+    from .infer import bucketed_reduce as _br, normalize_blocks
+    from .relational import cogroup_join
+
+    out_schema = pa.schema([(group_col, pa.string())] + WINSOR_SCHEMA_VALUE_COLS)
+
+    slim = ds.select_columns([group_col, value_col])
+    bounds = grouped_quantiles(slim, group_col, value_col, (q_lo, q_hi)).materialize()
+
+    def _stats_frame(g: pd.Series, v: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> pd.DataFrame:
+        clamped = np.minimum(np.maximum(v, lo), hi)
+        return pd.DataFrame(
+            {
+                "g": g,
+                "n": np.ones(len(v), np.int64),
+                "n_lo_clamped": (v < lo).astype(np.int64),
+                "n_hi_clamped": (v > hi).astype(np.int64),
+                "lo": lo,
+                "hi": hi,
+                "winsorized_sum": clamped,
+            }
+        )
+
+    def _sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("g", sort=False, as_index=False).agg(
+            n=("n", "sum"),
+            n_lo_clamped=("n_lo_clamped", "sum"),
+            n_hi_clamped=("n_hi_clamped", "sum"),
+            lo=("lo", "first"),
+            hi=("hi", "first"),
+            winsorized_sum=("winsorized_sum", "sum"),
+        )
+        return agg
+
+    if bounds.count() <= 2 * driver_max_groups:
+        bdf = bounds.to_pandas()
+        lo_map = dict(
+            zip(bdf.loc[bdf["q"] == q_lo, group_col], bdf.loc[bdf["q"] == q_lo, "value"].astype(int))
+        )
+        hi_map = dict(
+            zip(bdf.loc[bdf["q"] == q_hi, group_col], bdf.loc[bdf["q"] == q_hi, "value"].astype(int))
+        )
+        bounds_ref = ray.put((lo_map, hi_map))
+
+        class _Clamp:
+            def __init__(self, ref):
+                self._lo, self._hi = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return _stats_frame(
+                        pd.Series([], dtype=object),
+                        np.array([], np.int64),
+                        np.array([], np.int64),
+                        np.array([], np.int64),
+                    )
+                v = batch[value_col].to_numpy(np.int64)
+                lo = batch[group_col].map(self._lo).to_numpy(np.int64)
+                hi = batch[group_col].map(self._hi).to_numpy(np.int64)
+                return _sum_partials(_stats_frame(batch[group_col], v, lo, hi))
+
+        tagged = slim.map_batches(
+            _Clamp,
+            fn_constructor_kwargs={"ref": bounds_ref},
+            batch_format="pandas",
+            batch_size=None,
+            concurrency=(1, 8),
+        )
+    else:
+        wide = bounds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": b[group_col],
+                    "lo": np.where(b["q"].to_numpy() == q_lo, b["value"], np.int64(np.iinfo(np.int64).min)),
+                    "hi": np.where(b["q"].to_numpy() == q_hi, b["value"], np.int64(np.iinfo(np.int64).max)),
+                }
+            )
+            if len(b)
+            else pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype=object),
+                    "lo": pd.Series([], dtype="int64"),
+                    "hi": pd.Series([], dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        bounds_wide = _br(
+            wide,
+            ["g"],
+            lambda g: g.groupby("g", sort=False, as_index=False).agg(
+                lo=("lo", "max"), hi=("hi", "min")
+            ),
+            pa.schema([("g", pa.string()), ("lo", pa.int64()), ("hi", pa.int64())]),
+            combiner=lambda b: b.groupby("g", sort=False, as_index=False).agg(
+                lo=("lo", "max"), hi=("hi", "min")
+            ),
+            num_buckets=num_buckets,
+        )
+        renamed = slim.map_batches(
+            lambda b: pd.DataFrame(
+                {"g": b[group_col], "v": b[value_col].to_numpy(np.int64)}
+            )
+            if len(b)
+            else pd.DataFrame(
+                {"g": pd.Series([], dtype=object), "v": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+        joined = cogroup_join(
+            renamed,
+            bounds_wide,
+            ["g"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("g", pa.string()), ("v", pa.int64())]),
+            right_schema=pa.schema(
+                [("g", pa.string()), ("lo", pa.int64()), ("hi", pa.int64())]
+            ),
+        )
+        tagged = joined.map_batches(
+            lambda b: _sum_partials(
+                _stats_frame(
+                    b["g"],
+                    b["v"].to_numpy(np.int64),
+                    b["lo"].to_numpy(np.int64),
+                    b["hi"].to_numpy(np.int64),
+                )
+            )
+            if len(b)
+            else _stats_frame(
+                pd.Series([], dtype=object),
+                np.array([], np.int64),
+                np.array([], np.int64),
+                np.array([], np.int64),
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+
+    final = _br(
+        tagged,
+        ["g"],
+        _sum_partials,
+        pa.schema([("g", pa.string())] + WINSOR_SCHEMA_VALUE_COLS),
+        combiner=_sum_partials,
+        num_buckets=num_buckets,
+    )
+    return normalize_blocks(final, pa.schema([("g", pa.string())] + WINSOR_SCHEMA_VALUE_COLS)).rename_columns(
+        {"g": group_col}
+    )

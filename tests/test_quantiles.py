@@ -252,3 +252,72 @@ class TestApproxQuantilesHist:
 
         ds = ray.data.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")}))
         assert approx_quantiles_hist(ds, "v").count() == 0
+
+
+class TestWinsorizedGroupStats:
+    def _data(self, seed=7, n=4000, groups=("a", "b", "c")):
+        rng = np.random.RandomState(seed)
+        g = np.array(groups, dtype=object)[rng.randint(0, len(groups), n)]
+        v = rng.randint(-1000, 1000, n).astype("int64")
+        # plant extreme outliers that winsorization must clamp
+        v[:20] = 10_000_000
+        v[20:40] = -10_000_000
+        return pd.DataFrame({"g": g, "v": v})
+
+    def _ref(self, df, q_lo=0.05, q_hi=0.95):
+        rows = []
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            n = len(v)
+            lo = int(v[max(1, math.ceil(q_lo * n)) - 1])
+            hi = int(v[max(1, math.ceil(q_hi * n)) - 1])
+            clamped = np.minimum(np.maximum(sub["v"].to_numpy(), lo), hi)
+            rows.append(
+                {
+                    "g": g,
+                    "n": n,
+                    "n_lo_clamped": int((sub["v"].to_numpy() < lo).sum()),
+                    "n_hi_clamped": int((sub["v"].to_numpy() > hi).sum()),
+                    "lo": lo,
+                    "hi": hi,
+                    "winsorized_sum": int(clamped.sum()),
+                }
+            )
+        return pd.DataFrame(rows).sort_values("g").reset_index(drop=True)
+
+    def test_matches_reference_and_clamps(self):
+        from ai_knowledge_graph_ray.stages.quantiles import winsorized_group_stats
+
+        df = self._data()
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = (
+            winsorized_group_stats(ds, "g", "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, self._ref(df), check_dtype=False)
+        assert (out["n_hi_clamped"] > 0).any()  # planted outliers clamped
+
+    def test_gate_equivalence_broadcast_vs_join(self):
+        from ai_knowledge_graph_ray.stages.quantiles import winsorized_group_stats
+
+        df = self._data(seed=11, n=2500)
+        ds = ray.data.from_pandas(df).repartition(5)
+        fast = (
+            winsorized_group_stats(ds, "g", "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        # driver_max_groups=0 forces the cogroup_join scale path
+        slow = (
+            winsorized_group_stats(ds, "g", "v", driver_max_groups=0)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+    def test_bad_quantiles_raise(self):
+        from ai_knowledge_graph_ray.stages.quantiles import winsorized_group_stats
+
+        ds = ray.data.from_pandas(pd.DataFrame({"g": ["a"], "v": [1]}))
+        with pytest.raises(ValueError):
+            winsorized_group_stats(ds, "g", "v", q_lo=0.9, q_hi=0.5)
