@@ -883,6 +883,41 @@ def q_degree_distribution(sf_dir: str):
     return degree_histogram(_cnrs_edges(sf_dir))
 
 
+def q_graph_edge_support(sf_dir: str):
+    """Per-edge triangle support (the k-truss peeling measure) over the
+    customer/supplier/nation/region fixture graph — same oriented-wedge
+    plan as ``graph_triangles`` but credited to each triangle's three
+    canonical edges; zero-support bridges included. Hash-exact vs a
+    three-way self-join oracle."""
+    from ..stages.graph_algos import edge_support
+
+    return edge_support(_cnrs_edges(sf_dir))
+
+
+def q_graph_link_pred(sf_dir: str):
+    """Top-100 non-adjacent node pairs by the resource-allocation
+    link-prediction index in exact integer fixed-point (common
+    neighbor w contributes 1000000 // deg(w)) — two bucketed shuffles,
+    degree computed locally per middle bucket, existing edges excluded
+    by in-shuffle sentinel rows; hash-exact vs an adjacency self-join
+    + QUALIFY SQL twin."""
+    from ..stages.graph_algos import resource_allocation_topk
+
+    return resource_allocation_topk(_cnrs_edges(sf_dir))
+
+
+def q_graph_ktruss(sf_dir: str):
+    """3-truss of the fixture graph: every surviving edge sits in >= 1
+    triangle OF THE SUBGRAPH. k=3 reaches its fixpoint in one peel
+    (support-0 edges are in no triangle, so removing them changes no
+    other edge's support) — which is exactly what makes an exact SQL
+    twin possible; deeper k is pinned against networkx peeling in
+    ``tests/test_truss.py``."""
+    from ..stages.graph_algos import k_truss
+
+    return k_truss(_cnrs_edges(sf_dir), 3)
+
+
 def q_part_copurchase(sf_dir: str):
     """Top-100 part pairs by the number of distinct orders containing
     both (market-basket co-occurrence over lineitem) — pair explosion
@@ -2421,6 +2456,32 @@ def q_events_funnel(sf_dir: str):
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
     return funnel_counts(ev, FUNNEL_STAGES)
+
+
+def q_events_pattern_match(sf_dir: str):
+    """MATCH_RECOGNIZE-shaped sequence mining: per user, count
+    non-overlapping ``view (click)+ purchase`` motifs in the
+    chronological event-type string — one user-keyed bucket shuffle,
+    vectorized encoding, hash-exact vs a ``string_agg`` +
+    ``regexp_extract_all`` twin (same leftmost non-overlapping RE2
+    semantics as Python ``findall`` for this pattern class)."""
+    from ..stages.sessions import sequence_pattern_counts
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return sequence_pattern_counts(
+        ev,
+        "vc+p",
+        {
+            "view": "v",
+            "click": "c",
+            "purchase": "p",
+            "signup": "s",
+            "error": "e",
+        },
+    )
 
 
 def q_doc_cap_per_source(sf_dir: str):
@@ -4594,6 +4655,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kg_nodes_louvain": q_kg_nodes_louvain,
     "scenario_eval": q_scenario_eval,
     "graph_triangles": q_graph_triangles,
+    "graph_edge_support": q_graph_edge_support,
+    "graph_ktruss": q_graph_ktruss,
+    "graph_link_pred": q_graph_link_pred,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -4634,6 +4698,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "doc_cap_per_source": q_doc_cap_per_source,
     "events_funnel": q_events_funnel,
+    "events_pattern_match": q_events_pattern_match,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_dup_span_redact": q_doc_dup_span_redact,
     "graph_clustering": q_graph_clustering,
@@ -5146,6 +5211,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
         UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    "events_pattern_match": """
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(
+                   CASE event_type
+                     WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                     WHEN 'error' THEN 'e' ELSE 'x' END,
+                   '' ORDER BY ts, event_id) AS s,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS n_matches
+        FROM seq
     """,
     "doc_cap_per_source": """
         SELECT source, doc_id FROM (
@@ -5928,6 +6009,61 @@ ORACLE_SQL: dict[str, str] = {
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri
         ) GROUP BY node
+    """,
+    "graph_edge_support": _CNRS_EDGES_SQL + """,
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        sup AS (
+          SELECT a, b, count(*) AS s FROM (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT x, z FROM tri
+            UNION ALL SELECT y, z FROM tri
+          ) GROUP BY a, b
+        )
+        SELECT und.a, und.b,
+               CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+        FROM und LEFT JOIN sup ON und.a = sup.a AND und.b = sup.b
+    """,
+    "graph_link_pred": _CNRS_EDGES_SQL + """,
+        adj AS (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (
+          SELECT u AS w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        pairs AS (
+          SELECT a1.v AS x, a2.v AS y,
+                 CAST(sum(1000000 // deg.d) AS BIGINT) AS score
+          FROM adj a1
+          JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+          JOIN deg ON deg.w = a1.u
+          GROUP BY 1, 2
+        )
+        SELECT p.x, p.y, p.score
+        FROM pairs p LEFT JOIN und ON p.x = und.a AND p.y = und.b
+        WHERE und.a IS NULL AND p.score > 0
+        QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
+    """,
+    "graph_ktruss": _CNRS_EDGES_SQL + """,
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        sup AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT x, z FROM tri
+            UNION ALL SELECT y, z FROM tri
+          ) GROUP BY a, b
+        )
+        SELECT a, b, support FROM sup WHERE support >= 1
     """,
     "graph_clustering": _CNRS_EDGES_SQL + """,
         tri AS (

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .infer import bucketed_reduce, pa_from_pandas, sanitize_for_join
@@ -1055,6 +1056,85 @@ def degree_histogram(
     )
 
 
+_ORIENTED_EMPTY = {
+    "u": pd.Series([], dtype=object),
+    "v": pd.Series([], dtype=object),
+    "deg_v": pd.Series([], dtype="int64"),
+}
+
+
+def _oriented_distributed(
+    und: ray.data.Dataset,
+    *,
+    driver_max_nodes: int,
+    num_buckets: int | None,
+) -> ray.data.Dataset:
+    """Degree-ordered orientation of a canonical ``(a, b)`` simple-edge
+    dataset — the shared front half of the distributed triangle and
+    edge-support plans. COUNT-GATED on the node table: under
+    ``driver_max_nodes`` the ``(node, degree)`` map broadcasts once via
+    ``ray.put`` and orientation is map-side (zero joins); over it,
+    orientation runs as two bucketed hash joins."""
+    deg = undirected_degrees(und, num_buckets=num_buckets).materialize()
+
+    if deg.count() <= driver_max_nodes:
+        dd = deg.to_pandas()
+        deg_map = dict(zip(dd["node"], dd["degree"].astype(int))) if len(dd) else {}
+        ref = ray.put(deg_map)
+
+        class _Orient:
+            def __init__(self, deg_ref):
+                self._deg = ray.get(deg_ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return pd.DataFrame(_ORIENTED_EMPTY)
+                da = batch["a"].map(self._deg).to_numpy(np.int64)
+                db = batch["b"].map(self._deg).to_numpy(np.int64)
+                return _orient_frame(batch, da, db)
+
+        return und.map_batches(
+            _Orient,
+            fn_constructor_kwargs={"deg_ref": ref},
+            batch_format="pandas",
+            batch_size=None,
+            concurrency=(1, 8),
+        )
+
+    da = cogroup_join(
+        und,
+        deg.map_batches(
+            lambda b: pd.DataFrame(
+                {"a": b["node"], "deg_a": b["degree"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        ["a"],
+        num_buckets=num_buckets,
+    )
+    both = cogroup_join(
+        da,
+        deg.map_batches(
+            lambda b: pd.DataFrame(
+                {"b": b["node"], "deg_b": b["degree"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        ["b"],
+        num_buckets=num_buckets,
+    )
+    return both.map_batches(
+        lambda batch: _orient_frame(
+            batch,
+            batch["deg_a"].to_numpy(np.int64),
+            batch["deg_b"].to_numpy(np.int64),
+        )
+        if len(batch)
+        else pd.DataFrame(_ORIENTED_EMPTY),
+        batch_format="pandas",
+    )
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     *,
@@ -1094,80 +1174,11 @@ def triangle_counts(
         out = _triangle_counts_local(df, max_wedges_per_node)
         return ray.data.from_arrow(pa_from_pandas(out, TRI_SCHEMA))
 
-    deg = undirected_degrees(und, num_buckets=num_buckets).materialize()
-
-    if deg.count() <= driver_max_nodes:
-        dd = deg.to_pandas()
-        deg_map = dict(zip(dd["node"], dd["degree"].astype(int))) if len(dd) else {}
-        ref = ray.put(deg_map)
-
-        class _Orient:
-            def __init__(self, deg_ref):
-                self._deg = ray.get(deg_ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                if len(batch) == 0:
-                    return pd.DataFrame(
-                        {
-                            "u": pd.Series([], dtype=object),
-                            "v": pd.Series([], dtype=object),
-                            "deg_v": pd.Series([], dtype="int64"),
-                        }
-                    )
-                da = batch["a"].map(self._deg).to_numpy(np.int64)
-                db = batch["b"].map(self._deg).to_numpy(np.int64)
-                return _orient_frame(batch, da, db)
-
-        oriented = und.map_batches(
-            _Orient,
-            fn_constructor_kwargs={"deg_ref": ref},
-            batch_format="pandas",
-            batch_size=None,
-            concurrency=(1, 8),
-        )
-    else:
-        da = cogroup_join(
-            und,
-            deg.map_batches(
-                lambda b: pd.DataFrame(
-                    {"a": b["node"], "deg_a": b["degree"].astype("int64")}
-                ),
-                batch_format="pandas",
-            ),
-            ["a"],
-            num_buckets=num_buckets,
-        )
-        both = cogroup_join(
-            da,
-            deg.map_batches(
-                lambda b: pd.DataFrame(
-                    {"b": b["node"], "deg_b": b["degree"].astype("int64")}
-                ),
-                batch_format="pandas",
-            ),
-            ["b"],
-            num_buckets=num_buckets,
-        )
-        oriented = both.map_batches(
-            lambda batch: _orient_frame(
-                batch,
-                batch["deg_a"].to_numpy(np.int64),
-                batch["deg_b"].to_numpy(np.int64),
-            )
-            if len(batch)
-            else pd.DataFrame(
-                {
-                    "u": pd.Series([], dtype=object),
-                    "v": pd.Series([], dtype=object),
-                    "deg_v": pd.Series([], dtype="int64"),
-                }
-            ),
-            batch_format="pandas",
-        )
-
     # consumed twice (wedge generation + closing-edge markers) — pin it
     # so the orientation joins run once (NOTES.md item 11)
-    oriented = oriented.materialize()
+    oriented = _oriented_distributed(
+        und, driver_max_nodes=driver_max_nodes, num_buckets=num_buckets
+    ).materialize()
 
     wedge_schema = pa.schema(
         [("x", pa.string()), ("y", pa.string()), ("apex", pa.string())]
@@ -2416,3 +2427,382 @@ def scc_labels(
         co, ["entity"], _finish, SCC_SCHEMA,
         combiner=_combine, num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge triangle support + k-truss decomposition
+# ---------------------------------------------------------------------------
+
+EDGE_SUPPORT_SCHEMA = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("support", pa.int64())]
+)
+
+
+def _canon_pairs(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lt = x < y
+    return np.where(lt, x, y), np.where(lt, y, x)
+
+
+def _support_from_closed(closed: pd.DataFrame) -> pd.DataFrame:
+    """Each closed wedge (apex, x, y) is one triangle; credit its three
+    edges, canonicalized to ``a < b`` (orientation order is by degree
+    rank, not node name)."""
+    ax = closed["apex"].to_numpy(object)
+    x = closed["x"].to_numpy(object)
+    y = closed["y"].to_numpy(object)
+    a1, b1 = _canon_pairs(ax, x)
+    a2, b2 = _canon_pairs(ax, y)
+    a3, b3 = _canon_pairs(x, y)
+    pairs = pd.DataFrame(
+        {
+            "a": np.concatenate([a1, a2, a3]),
+            "b": np.concatenate([b1, b2, b3]),
+        }
+    )
+    vc = pairs.value_counts(["a", "b"], sort=False).rename("support").reset_index()
+    vc["support"] = vc["support"].astype("int64")
+    return vc
+
+
+def _edge_support_local(und: pd.DataFrame, max_wedges_per_node: int) -> pd.DataFrame:
+    """Pandas twin of the distributed edge-support plan — SAME
+    orientation + wedge templates + closing merge as
+    :func:`_triangle_counts_local`, but credited per canonical edge
+    (edges in zero triangles included with support 0)."""
+    from .dedup import _pair_indices_by_size
+
+    nodes = pd.concat([und["a"], und["b"]], ignore_index=True)
+    degs = nodes.value_counts(sort=False)
+    da = und["a"].map(degs).to_numpy(np.int64)
+    db = und["b"].map(degs).to_numpy(np.int64)
+    ori = _orient_frame(und, da, db).sort_values(["u", "deg_v", "v"], kind="stable")
+    codes = ori["u"].to_numpy(object)
+    i, j = _pair_indices_by_size(codes, max_wedges_per_node)
+    v = ori["v"].to_numpy(object)
+    wedges = pd.DataFrame({"x": v[i], "y": v[j], "apex": codes[i]})
+    closed = wedges.merge(
+        ori[["u", "v"]].rename(columns={"u": "x", "v": "y"}),
+        on=["x", "y"],
+        how="inner",
+    )
+    sup = _support_from_closed(closed) if len(closed) else pd.DataFrame(
+        {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+         "support": pd.Series([], dtype="int64")}
+    )
+    out = und[["a", "b"]].merge(sup, on=["a", "b"], how="left")
+    out["support"] = out["support"].fillna(0).astype("int64")
+    return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+def edge_support(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    driver_max_nodes: int = 2_000_000,
+    max_wedges_per_node: int = 1 << 62,
+    num_buckets: int | None = None,
+    _pre_canonical: bool = False,
+) -> ray.data.Dataset:
+    """``(a, b, support)`` — per-edge triangle count over the
+    undirected simple graph (``a < b`` canonical; edges in zero
+    triangles included with support 0). This is the k-truss peeling
+    measure and a cohesion signal in its own right (an edge with high
+    support sits inside a dense community; a bridge has support 0).
+
+    Same plan and DOUBLE COUNT-GATING as :func:`triangle_counts` —
+    degree-ordered orientation (O(m^1.5) wedge work independent of
+    hot-node skew), one bucketed wedge shuffle, one closing shuffle —
+    but the closing reduce credits each triangle's THREE canonical
+    edges instead of its three corners, and a final union with
+    zero-support edge markers keeps triangle-free edges in the output.
+    ``_pre_canonical`` skips the simple-edge normalization when the
+    caller already holds canonical ``(a, b)`` edges (the k-truss loop).
+    """
+    und = (
+        edges.materialize()
+        if _pre_canonical
+        else undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+    )
+
+    if und.count() <= driver_max_edges:
+        df = und.to_pandas()
+        if df.empty or "a" not in df.columns:  # empty loses its schema
+            return ray.data.from_arrow(EDGE_SUPPORT_SCHEMA.empty_table())
+        out = _edge_support_local(df, max_wedges_per_node)
+        return ray.data.from_arrow(pa_from_pandas(out, EDGE_SUPPORT_SCHEMA))
+
+    oriented = _oriented_distributed(
+        und, driver_max_nodes=driver_max_nodes, num_buckets=num_buckets
+    ).materialize()
+
+    wedge_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("apex", pa.string())]
+    )
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.sort_values(["u", "deg_v", "v"], kind="stable")
+        codes = g["u"].to_numpy(object)
+        i, j = _pair_indices_by_size(codes, max_wedges_per_node)
+        v = g["v"].to_numpy(object)
+        return pd.DataFrame({"x": v[i], "y": v[j], "apex": codes[i]})
+
+    wedges = bucketed_reduce(
+        oriented, ["u"], _wedges, wedge_schema, num_buckets=num_buckets
+    )
+
+    edge_marker = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "x": b["u"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "y": b["v"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "apex": pd.Series([None] * len(b), dtype=object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _close(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["apex"].isna()
+        closed = g[~is_edge].merge(
+            g.loc[is_edge, ["x", "y"]].drop_duplicates(), on=["x", "y"], how="inner"
+        )
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+                 "support": pd.Series([], dtype="int64")}
+            )
+        return _support_from_closed(closed)
+
+    partials = bucketed_reduce(
+        wedges.union(edge_marker), ["x", "y"], _close, EDGE_SUPPORT_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+    zeros = und.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "a": b["a"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "b": b["b"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "support": np.zeros(len(b), np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], sort=False, as_index=False)["support"].sum()
+
+    return bucketed_reduce(
+        partials.union(zeros),
+        ["a", "b"],
+        _sum,
+        EDGE_SUPPORT_SCHEMA,
+        combiner=_sum,
+        num_buckets=num_buckets,
+    )
+
+
+def k_truss_local(und: pd.DataFrame, k: int, max_wedges_per_node: int) -> pd.DataFrame:
+    """Pandas peeling twin: drop edges with support < k-2, recompute,
+    repeat to fixpoint. Returns the surviving edges with their
+    within-truss support."""
+    edges = und[["a", "b"]].reset_index(drop=True)
+    while True:
+        if len(edges) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+                 "support": pd.Series([], dtype="int64")}
+            )
+        sup = _edge_support_local(edges, max_wedges_per_node)
+        keep = sup[sup["support"] >= k - 2]
+        if len(keep) == len(edges):
+            return keep.reset_index(drop=True)
+        edges = keep[["a", "b"]].reset_index(drop=True)
+
+
+def k_truss(
+    edges: ray.data.Dataset,
+    k: int,
+    *,
+    driver_max_edges: int = 2_000_000,
+    driver_max_nodes: int = 2_000_000,
+    max_wedges_per_node: int = 1 << 62,
+    max_iters: int = 100,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """k-truss decomposition: the maximal subgraph in which every edge
+    sits in at least ``k-2`` triangles OF THE SUBGRAPH — the standard
+    community-core extractor one notch stronger than k-core (cf.
+    networkx ``k_truss``; J. Cohen, "Trusses: cohesive subgraphs for
+    social network analysis", 2008). Returns the surviving canonical
+    edges with their within-truss support.
+
+    COUNT-GATED per house policy: under ``driver_max_edges`` the whole
+    peel runs on the collected edge list (bit-equal to the distributed
+    loop by construction — pinned by the forced-gate test); over it,
+    each round is one distributed :func:`edge_support` pass plus a
+    map-only filter, and only the edge COUNT crosses the driver per
+    round. Rounds are bounded by ``max_iters`` (each round strictly
+    shrinks the edge set, so the loop terminates on its own; the bound
+    is a backstop)."""
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    if und.count() <= driver_max_edges:
+        df = und.to_pandas()
+        if df.empty or "a" not in df.columns:
+            return ray.data.from_arrow(EDGE_SUPPORT_SCHEMA.empty_table())
+        out = k_truss_local(df, k, max_wedges_per_node)
+        return ray.data.from_arrow(pa_from_pandas(out, EDGE_SUPPORT_SCHEMA))
+
+    cur = und
+    n_cur = cur.count()
+    for _ in range(max_iters):
+        sup = edge_support(
+            cur,
+            driver_max_edges=driver_max_edges,
+            driver_max_nodes=driver_max_nodes,
+            max_wedges_per_node=max_wedges_per_node,
+            num_buckets=num_buckets,
+            _pre_canonical=True,
+        ).materialize()
+        keep = sup.map_batches(
+            lambda b, _k=k: b.filter(pc.greater_equal(b["support"], _k - 2)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_keep = keep.count()
+        if n_keep == n_cur:
+            return keep
+        if n_keep == 0:
+            return ray.data.from_arrow(EDGE_SUPPORT_SCHEMA.empty_table())
+        cur = keep.select_columns(["a", "b"]).materialize()
+        n_cur = n_keep
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction (Zhou, Lu, Zhang 2009)
+# ---------------------------------------------------------------------------
+
+RA_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()), ("score", pa.int64())]
+)
+
+
+def resource_allocation_topk(
+    edges: ray.data.Dataset,
+    *,
+    top_k: int = 100,
+    scale: int = 1_000_000,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``top_k`` NON-adjacent node pairs by the resource-allocation
+    link-prediction index ``RA(x, y) = sum_{w in N(x) & N(y)} 1/deg(w)``
+    in exact integer fixed-point (each common neighbor ``w``
+    contributes ``scale // deg(w)``, so scores hash-match a pure-SQL
+    twin where float RA never could). Ties break ``(score desc, x, y)``.
+
+    Scale shape — two bucketed shuffles, zero joins:
+
+    1. middle-keyed reduce: bucketing the adjacency by the MIDDLE node
+       co-locates each middle's whole neighbor list, so its degree is
+       its local group size (no degree join) and candidate pairs are
+       vectorized ``_pair_indices_by_size`` templates, each carrying
+       the middle's ``scale // deg`` weight; per-middle explosion is
+       C(deg, 2), never corpus-sized.
+    2. pair-keyed sum with existing edges excluded by SENTINEL rows
+       (every real edge is unioned in once with score ``-4*scale``;
+       a pair group containing a sentinel is an edge, dropped inside
+       the reduce) — the anti-join costs zero extra exchanges. Local
+       top-k per bucket, driver merges ``<= buckets * top_k`` rows.
+
+    ``max_degree`` optionally DROPS celebrity middles (deg > cap)
+    before pair generation — the standard RA stop-node guard (their
+    per-pair contribution ``scale // deg`` is tiny while their pair
+    explosion is quadratic). Exact when ``None``; any SQL twin must
+    apply the same cap to stay comparable.
+    """
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    adj_schema = pa.schema([("w", pa.string()), ("v", pa.string())])
+
+    adj = und.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "w": pd.concat([b["a"], b["b"]], ignore_index=True),
+                "v": pd.concat([b["b"], b["a"]], ignore_index=True),
+            }
+        )
+        if len(b)
+        else pd.DataFrame({"w": pd.Series([], dtype=object), "v": pd.Series([], dtype=object)}),
+        batch_format="pandas",
+    )
+
+    pair_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("score", pa.int64())]
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.sort_values(["w", "v"], kind="stable")
+        deg = g.groupby("w", sort=False)["v"].transform("size")
+        if max_degree is not None:
+            g = g[deg <= max_degree]
+            deg = deg[deg <= max_degree]
+        codes = g["w"].to_numpy(object)
+        i, j = _pair_indices_by_size(codes, 1 << 62)
+        v = g["v"].to_numpy(object)
+        wgt = (scale // deg.to_numpy(np.int64))[i]
+        x, y = _canon_pairs(v[i], v[j])
+        out = pd.DataFrame({"x": x, "y": y, "score": wgt})
+        # map-side pre-aggregation: a hot pair crosses once per bucket
+        return out.groupby(["x", "y"], sort=False, as_index=False)["score"].sum()
+
+    partials = bucketed_reduce(adj, ["w"], _pairs, pair_schema, num_buckets=num_buckets)
+
+    sentinel = -4 * scale
+    markers = und.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "x": b["a"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "y": b["b"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "score": np.full(len(b), sentinel, np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["x", "y"], sort=False, as_index=False)["score"].sum()
+        # any group containing a sentinel is an existing edge: its sum
+        # is <= sentinel + C(deg,2)*scale... not bounded — detect via min
+        mins = g.groupby(["x", "y"], sort=False, as_index=False)["score"].min()
+        s = s[mins["score"].to_numpy() > 0]
+        s = s[s["score"] > 0]
+        return s.sort_values(
+            ["score", "x", "y"], ascending=[False, True, True]
+        ).head(top_k)
+
+    from .infer import default_num_partitions
+
+    top = bucketed_reduce(
+        partials.repartition(default_num_partitions()).union(markers),
+        ["x", "y"],
+        _sum_topk,
+        pair_schema,
+        num_buckets=num_buckets,
+    )
+    df = top.to_pandas()
+    if df.empty or "x" not in df.columns:  # empty loses its schema
+        return ray.data.from_arrow(RA_SCHEMA.empty_table())
+    df = (
+        df.sort_values(["score", "x", "y"], ascending=[False, True, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_arrow(pa_from_pandas(df, RA_SCHEMA))

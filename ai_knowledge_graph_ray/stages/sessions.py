@@ -973,3 +973,93 @@ def linear_attribution(
         per_bucket, ["event_type"], _final, ATTRIBUTION_SCHEMA,
         combiner=_final, num_buckets=num_buckets,
     )
+
+
+PATTERN_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_matches", pa.int64()),
+    ]
+)
+
+
+def sequence_pattern_counts(
+    ds: ray.data.Dataset,
+    pattern: str,
+    type_chars: dict[str, str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    default_char: str = "x",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """MATCH_RECOGNIZE-shaped event-sequence pattern matching:
+    ``(user_id, n_events, n_matches)`` where ``n_matches`` counts
+    NON-OVERLAPPING, leftmost-first regex matches of ``pattern`` over
+    the user's chronological event-type string (one character per
+    event via ``type_chars``, ``(ts, event_id)`` total order so ties
+    are deterministic). Every user with >= 1 event appears, matches or
+    not — zero rows are the funnel's denominators.
+
+    ONE bucket shuffle keyed on the user (the sessionize exchange);
+    within a bucket the encoding is fully vectorized (one sort, one
+    ``pd.Series.map``, one byte-codes array sliced per user by
+    boundary offsets) and only the per-user ``findall`` over the
+    assembled string is Python — bounded by that user's event count,
+    parallel across buckets, and the same non-overlapping semantics
+    DuckDB's RE2 ``regexp_extract_all`` twin uses (leftmost match,
+    resume after the match end).
+    """
+    import re
+
+    rx = re.compile(pattern)
+    cmap = {k: v.encode()[:1] for k, v in type_chars.items()}
+    dflt = default_char.encode()[:1]
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": b[user_col].to_numpy(np.int64),
+                "t": b[ts_col].to_numpy("datetime64[us]").astype("int64"),
+                "i": b[id_col].to_numpy(np.int64),
+                "ch": b[type_col].map(cmap).fillna(dflt).to_numpy(object),
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_matches": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["u", "t", "i"], kind="stable")
+        u = g["u"].to_numpy(np.int64)
+        codes = np.frombuffer(b"".join(g["ch"].to_numpy(object)), dtype="S1")
+        bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[bounds[1:], len(u)]
+        out_u = u[bounds]
+        n_ev = (ends - bounds).astype(np.int64)
+        n_m = np.fromiter(
+            (
+                len(rx.findall(codes[st:en].tobytes().decode("ascii")))
+                for st, en in zip(bounds, ends)
+            ),
+            dtype=np.int64,
+            count=len(bounds),
+        )
+        return pd.DataFrame(
+            {"user_id": out_u, "n_events": n_ev, "n_matches": n_m}
+        )
+
+    prepped = ds.select_columns([user_col, ts_col, type_col, id_col]).map_batches(
+        _pre, batch_format="pandas", batch_size=None
+    )
+    return bucketed_reduce(
+        prepped, ["u"], _count, PATTERN_SCHEMA, num_buckets=num_buckets
+    )
