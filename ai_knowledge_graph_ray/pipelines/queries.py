@@ -2484,6 +2484,78 @@ def q_events_pattern_match(sf_dir: str):
     )
 
 
+def q_events_out_of_order(sf_dir: str):
+    """Per-user event-time disorder profile (late events vs the
+    arrival-order watermark + max lateness) — the measurement that
+    sizes a streaming consumer's allowed-lateness buffer; one bucket
+    shuffle, vectorized cummax/shift; hash-exact vs a ROWS-window
+    max(ts) twin."""
+    from ..stages.sessions import out_of_order_profile
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+    return out_of_order_profile(ev)
+
+
+def q_orders_checksum(sf_dir: str):
+    """Sliced order-insensitive content fingerprint of orders — the
+    migration/replication validation primitive (mismatched slices
+    localize a diff to 1/64 of the table without a row-level join);
+    md5_number_lower row hashes, Mersenne-61 modular slice sums,
+    map-side combiner leaves a 64-row residue; hash-exact vs DuckDB's
+    own md5_number_lower."""
+    from ..stages.validate import content_checksum
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    o = ray.data.read_parquet(_t(sf_dir, "orders"), columns=cols)
+    return content_checksum(o, cols)
+
+
+def q_events_dp_counts(sf_dir: str):
+    """Per-event-type counts released under a truncated two-sided
+    geometric mechanism (epsilon = ln 2), noise derandomized via
+    md5(group || seed) against an exact integer inverse-CDF so the
+    release is auditable and hash-exact vs a SQL twin that joins the
+    same noise table."""
+    from ..stages.validate import dp_noisy_counts
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return dp_noisy_counts(ev, "event_type")
+
+
+def _dp_oracle_sql() -> str:
+    from ..stages.validate import geometric_noise_table
+
+    rows, total = geometric_noise_table(12)
+    vals = ", ".join(f"({lo}, {hi}, {k})" for lo, hi, k in rows)
+    return f"""
+        WITH grp AS (
+          SELECT event_type AS "group", CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ),
+        lut(lo, hi, noise) AS (VALUES {vals})
+        SELECT g."group",
+               CAST(greatest(g.n + l.noise, 0) AS BIGINT) AS noisy_count
+        FROM grp g JOIN lut l
+          ON CAST(md5_number_lower(g."group" || '|dp') % {total} AS BIGINT) >= l.lo
+         AND CAST(md5_number_lower(g."group" || '|dp') % {total} AS BIGINT) < l.hi
+    """
+
+
+def q_doc_length_batches(sf_dir: str):
+    """Length-grouped batching with padding-waste accounting (batches
+    of 64 docs cut along the (n_chars, doc_id) order) — distributed
+    rank via the composite-axis prefix sum, no global sort; hash-exact
+    vs a row_number window twin."""
+    from ..stages.packing import length_grouped_batches
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+    return length_grouped_batches(docs, batch_rows=64)
+
+
 def q_doc_cap_per_source(sf_dir: str):
     """Per-source document cap (keep the 10 smallest doc_ids per
     source) — the per-host curation rule that stops one domain from
@@ -4699,6 +4771,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_cap_per_source": q_doc_cap_per_source,
     "events_funnel": q_events_funnel,
     "events_pattern_match": q_events_pattern_match,
+    "events_out_of_order": q_events_out_of_order,
+    "events_dp_counts": q_events_dp_counts,
+    "doc_length_batches": q_doc_length_batches,
+    "orders_checksum": q_orders_checksum,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_dup_span_redact": q_doc_dup_span_redact,
     "graph_clustering": q_graph_clustering,
@@ -5227,6 +5303,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, n_events,
                CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS n_matches
         FROM seq
+    """,
+    "events_out_of_order": """
+        WITH w AS (
+          SELECT user_id, ts,
+                 max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_max
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE ts < prev_max) AS BIGINT) AS n_late,
+               CAST(coalesce(max(CASE WHEN ts < prev_max
+                     THEN epoch_us(prev_max) - epoch_us(ts) END), 0)
+                    AS BIGINT) AS max_lateness_us
+        FROM w GROUP BY user_id
+    """,
+    "events_dp_counts": _dp_oracle_sql(),
+    "doc_length_batches": """
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+          FROM documents
+        )
+        SELECT CAST(rk // 64 AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(n_chars) AS BIGINT) AS max_len,
+               CAST(sum(n_chars) AS BIGINT) AS sum_len,
+               CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
+        FROM r GROUP BY 1
+    """,
+    "orders_checksum": """
+        WITH h AS (
+          SELECT md5_number_lower(concat_ws(chr(31),
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                   o_orderstatus, o_orderpriority)) AS h
+          FROM orders
+        )
+        SELECT CAST(h % 64 AS BIGINT) AS slice,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(h % 2305843009213693951 AS HUGEINT))
+                    % 2305843009213693951 AS BIGINT) AS checksum
+        FROM h GROUP BY 1
     """,
     "doc_cap_per_source": """
         SELECT source, doc_id FROM (

@@ -1063,3 +1063,88 @@ def sequence_pattern_counts(
     return bucketed_reduce(
         prepped, ["u"], _count, PATTERN_SCHEMA, num_buckets=num_buckets
     )
+
+
+OOO_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_late", pa.int64()),
+        ("max_lateness_us", pa.int64()),
+    ]
+)
+
+
+def out_of_order_profile(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key event-time disorder profile: ``(user_id, n_events,
+    n_late, max_lateness_us)`` where an event is LATE iff its event
+    time precedes the running maximum event time over ARRIVAL order
+    (``event_id`` — the log offset), and lateness is how far behind
+    that watermark it arrived. This is the measurement that sizes a
+    streaming pipeline's allowed-lateness / watermark delay: read the
+    max (or a quantile) of ``max_lateness_us`` across keys and you
+    have the reorder buffer a tumbling-window consumer needs.
+
+    ONE user-keyed bucket shuffle; within a bucket everything is
+    vectorized C (one sort by ``(user, arrival)``, one grouped cummax,
+    one grouped shift, one grouped sum/max). SQL twin: ``max(ts) OVER
+    (PARTITION BY user ORDER BY event_id ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)``.
+    """
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": b[user_col].to_numpy(np.int64),
+                "t": b[ts_col].to_numpy("datetime64[us]").astype("int64"),
+                "i": b[id_col].to_numpy(np.int64),
+            }
+        )
+
+    def _profile(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_late": pd.Series([], dtype="int64"),
+                    "max_lateness_us": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["u", "i"], kind="stable")
+        grp = g.groupby("u", sort=False)
+        # shift makes each group's first row NaN (and floats the dtype);
+        # substitute the row's own ts via the mask so the comparison and
+        # difference stay exact int64 (us epochs sit near the float53
+        # cliff — going through float would fuzz 1-us lateness)
+        shifted = grp["t"].cummax().groupby(g["u"], sort=False).shift(1)
+        first = shifted.isna().to_numpy()
+        t = g["t"].to_numpy(np.int64)
+        prev_max = np.where(first, t, shifted.fillna(0).to_numpy("int64"))
+        late = t < prev_max
+        lateness = np.where(late, prev_max - t, 0)
+        out = pd.DataFrame(
+            {
+                "u": g["u"],
+                "late": late.astype("int64"),
+                "lateness": lateness,
+            }
+        )
+        agg = out.groupby("u", sort=False).agg(
+            n_events=("late", "size"),
+            n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max"),
+        ).reset_index()
+        return agg.rename(columns={"u": "user_id"}).astype("int64")
+
+    prepped = ds.select_columns([user_col, ts_col, id_col]).map_batches(
+        _pre, batch_format="pandas", batch_size=None
+    )
+    return bucketed_reduce(prepped, ["u"], _profile, OOO_SCHEMA, num_buckets=num_buckets)

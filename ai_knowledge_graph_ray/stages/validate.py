@@ -432,3 +432,241 @@ def k_anonymize(
         flagged.map_batches(_apply_joined, batch_format="pandas", batch_size=None),
         out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Content checksum (migration / replication fingerprint)
+# ---------------------------------------------------------------------------
+
+CHECKSUM_SCHEMA = pa.schema(
+    [("slice", pa.int64()), ("n_rows", pa.int64()), ("checksum", pa.int64())]
+)
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def content_checksum(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    *,
+    n_slices: int = 64,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Order-insensitive content fingerprint of a table: ``(slice,
+    n_rows, checksum)`` where each row hashes to ``h =
+    md5_number_lower(concat_ws(US, cols))`` (DuckDB's exact function —
+    little-endian int of md5 digest bytes 8..16), lands in slice
+    ``h % n_slices``, and contributes ``h % (2^61-1)`` to its slice's
+    modular checksum. Two engines (or two sides of a 100-TB
+    migration / replication / backfill) agree on every slice iff the
+    row MULTISETS agree — and when they differ, the mismatched slices
+    localize the diff to 1/n_slices of the data before anyone runs an
+    expensive row-level join. Commutative + associative by
+    construction, so the result is independent of block layout, scan
+    order, and parallelism.
+
+    ``cols`` must be integer or string typed (floats render
+    differently across engines — refused loudly). Rendering matches
+    ``CAST(col AS VARCHAR)`` for int64 and identity for strings;
+    columns join on the unit separator ``\\x1f``. NULLs are refused
+    (DuckDB's concat_ws SKIPS nulls, silently aliasing rows).
+
+    Scale shape: map-only hashing (the md5 digest is itself the work —
+    a per-row C-level digest loop, no cheaper vectorized form exists),
+    map-side combiner collapses every block to <= n_slices partial
+    rows with exact Python-int modular sums, then one tiny bucketed
+    reduce over <= n_slices keys. Nothing but the n_slices-row residue
+    ever crosses the wire.
+    """
+    import hashlib
+
+    sch = ds.schema()  # Ray's Schema wrapper: parallel .names / .types
+    types = dict(zip(sch.names, sch.types))
+    for c in cols:
+        dt = types[c]
+        if isinstance(dt, pa.DataType):
+            ok = (
+                pa.types.is_integer(dt)
+                or pa.types.is_string(dt)
+                or pa.types.is_large_string(dt)
+            )
+        else:
+            # pandas-block datasets expose numpy dtypes or bare Python
+            # types (object for strings) instead of pa.DataTypes
+            nd = np.dtype(dt) if not isinstance(dt, np.dtype) else dt
+            ok = nd.kind in ("i", "u", "O", "U")
+        if not ok:
+            raise TypeError(
+                f"content_checksum column {c!r} has non-portable type {dt} "
+                "(only integer/string columns render identically across engines)"
+            )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "slice": pd.Series([], dtype="int64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "checksum": pd.Series([], dtype=object),
+                }
+            )
+        if b[cols].isna().any().any():
+            raise ValueError("content_checksum: NULL in checksum columns")
+        s = b[cols[0]].astype(str)
+        for c in cols[1:]:
+            s = s + "\x1f" + b[c].astype(str)
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (
+                int.from_bytes(md5(x.encode()).digest()[8:16], "little")
+                for x in s.to_numpy(object)
+            ),
+            dtype=np.uint64,
+            count=len(s),
+        )
+        df = pd.DataFrame(
+            {
+                "slice": (h % n_slices).astype(np.int64),
+                "n_rows": np.ones(len(h), np.int64),
+                # object dtype: Python-int sums never overflow; a slice
+                # partial is < 2^61 only AFTER the mod below
+                "checksum": (h % MERSENNE61).astype(object),
+            }
+        )
+        agg = df.groupby("slice", sort=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), checksum=("checksum", "sum")
+        )
+        agg["checksum"] = agg["checksum"].map(lambda v: int(v) % MERSENNE61)
+        return agg
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["checksum"] = g["checksum"].astype(object)
+        agg = g.groupby("slice", sort=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), checksum=("checksum", "sum")
+        )
+        agg["checksum"] = agg["checksum"].map(lambda v: int(v) % MERSENNE61).astype("int64")
+        return agg
+
+    return bucketed_reduce(
+        ds.select_columns(cols).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["slice"],
+        _reduce,
+        CHECKSUM_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (truncated two-sided geometric)
+# ---------------------------------------------------------------------------
+
+DP_SCHEMA = pa.schema([("group", pa.string()), ("noisy_count", pa.int64())])
+
+
+def geometric_noise_table(k_bound: int) -> tuple[list[tuple[int, int, int]], int]:
+    """Inverse-CDF table for the truncated two-sided geometric
+    distribution with ratio p = 1/2: noise k in [-K..K] has weight
+    ``2^(K-|k|)`` (total ``3*2^K - 2``). Returns ``([(lo, hi, k)],
+    total)`` — a draw r in [0, total) maps to the row with
+    ``lo <= r < hi``. All exact integers, so ANY engine reproduces the
+    same noise from the same hash draw."""
+    ks = list(range(-k_bound, k_bound + 1))
+    weights = [1 << (k_bound - abs(k)) for k in ks]
+    rows, lo = [], 0
+    for k, w in zip(ks, weights):
+        rows.append((lo, lo + w, k))
+        lo += w
+    return rows, lo
+
+
+def dp_noisy_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    k_bound: int = 12,
+    seed: str = "dp",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group counts released under the (truncated) two-sided
+    geometric mechanism — the governance primitive for publishing
+    statistics about a 100-TB corpus without exposing any single
+    contributor: ``noisy_count = max(0, count + noise)`` where noise
+    is a two-sided geometric draw with ratio 1/2 (epsilon = ln 2 per
+    count; truncation at ``k_bound`` makes the mechanism approximate —
+    tail mass ~2^-k_bound — and is stated, not hidden).
+
+    The draw is DERANDOMIZED for auditability: ``r =
+    md5_number_lower(group || '|' || seed) % total`` feeds the exact
+    integer inverse-CDF from :func:`geometric_noise_table`, so the
+    release is reproducible by any engine with md5 (the SQL twin joins
+    the same table) — change ``seed`` per release to re-randomize.
+    NOTE: derandomized noise is deterministic GIVEN the seed; true DP
+    requires the seed to stay secret (documented trade: this is the
+    testable, migration-diffable variant).
+
+    Scale shape: map-side count combiner, one bucketed count reduce
+    (residue = one row per group), noise applied map-only on the
+    residue. Nothing row-level ever reaches the driver."""
+    import hashlib
+
+    rows, total = geometric_noise_table(k_bound)
+
+    def _cnt(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        col = "group" if "group" in b.columns else group_col
+        vc = b.groupby(col, sort=False)["n"].sum() if "n" in b.columns else (
+            b[col].value_counts(sort=False)
+        )
+        out = vc.rename("n").reset_index()
+        out.columns = ["group", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = bucketed_reduce(
+        # the map-side combiner renames to the canonical (group, n)
+        # partial shape, so the shuffle keys on "group"
+        ds.select_columns([group_col]),
+        ["group"],
+        _cnt,
+        pa.schema([("group", pa.string()), ("n", pa.int64())]),
+        combiner=_cnt,
+        num_buckets=num_buckets,
+    )
+
+    lows = np.array([r[0] for r in rows], dtype=np.int64)
+    noises = np.array([r[2] for r in rows], dtype=np.int64)
+
+    def _noise(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "noisy_count": pd.Series([], dtype="int64")}
+            )
+        md5 = hashlib.md5
+        r = np.fromiter(
+            (
+                int.from_bytes(
+                    md5(f"{g}|{seed}".encode()).digest()[8:16], "little"
+                ) % total
+                for g in b["group"].to_numpy(object)
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        idx = np.searchsorted(lows, r, side="right") - 1
+        noisy = np.maximum(b["n"].to_numpy(np.int64) + noises[idx], 0)
+        return pd.DataFrame({"group": b["group"], "noisy_count": noisy})
+
+    from .infer import normalize_blocks as _nb
+
+    return _nb(
+        counts.map_batches(_noise, batch_format="pandas", batch_size=None),
+        DP_SCHEMA,
+    )
