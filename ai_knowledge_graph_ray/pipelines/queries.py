@@ -918,6 +918,78 @@ def q_graph_ktruss(sf_dir: str):
     return k_truss(_cnrs_edges(sf_dir), 3)
 
 
+def _bip_edges(sf_dir: str) -> ray.data.Dataset:
+    """Mixed-parity fixture graph: customer->order stars (bipartite by
+    construction) unioned with supplier->nation->region legs (each
+    supplier closes a triangle through n->r — an odd cycle), so the
+    bipartite operator must both COLOR and CONDEMN components in one
+    run. The nation dim (25 rows) broadcasts; nothing joins."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    n2r_ref = ray.put(n2r)
+
+    co = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": ("c" + b["o_custkey"].astype(int).astype(str)).to_numpy(object),
+                "dst": ("o" + b["o_orderkey"].astype(int).astype(str)).to_numpy(object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def _supp(b: pd.DataFrame) -> pd.DataFrame:
+        n2r_map = ray.get(n2r_ref)
+        k = b["s_suppkey"].astype(int)
+        n = b["s_nationkey"].astype(int)
+        r = n.map(n2r_map)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([("s" + k.astype(str)).to_numpy(object)] * 2),
+                "dst": np.concatenate(
+                    [
+                        ("n" + n.astype(str)).to_numpy(object),
+                        ("r" + r.astype(str)).to_numpy(object),
+                    ]
+                ),
+            }
+        )
+
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_supp, batch_format="pandas")
+    nre = ray.data.read_parquet(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": ("n" + b["n_nationkey"].astype(int).astype(str)).to_numpy(object),
+                "dst": ("r" + b["n_regionkey"].astype(int).astype(str)).to_numpy(object),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return co.union(supp).union(nre)
+
+
+def q_graph_bipartite(sf_dir: str):
+    """2-coloring + odd-cycle detection over the mixed fixture graph
+    (customer-order stars color cleanly; supplier-nation-region
+    triangles are condemned with side = -1) — doubled-graph parity
+    closure over the shared multi-source BFS; hash-exact vs a
+    double recursive-CTE twin (min-label components + parity-state
+    closure)."""
+    from ..stages.graph_algos import bipartite_labels
+
+    return bipartite_labels(_bip_edges(sf_dir))
+
+
 def q_part_copurchase(sf_dir: str):
     """Top-100 part pairs by the number of distinct orders containing
     both (market-basket co-occurrence over lineitem) — pair explosion
@@ -4730,6 +4802,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_edge_support": q_graph_edge_support,
     "graph_ktruss": q_graph_ktruss,
     "graph_link_pred": q_graph_link_pred,
+    "graph_bipartite": q_graph_bipartite,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6129,6 +6202,53 @@ ORACLE_SQL: dict[str, str] = {
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri
         ) GROUP BY node
+    """,
+    "graph_bipartite": """
+        WITH RECURSIVE und0 AS (
+          SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                 'o' || CAST(o_orderkey AS VARCHAR) AS b FROM orders
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+          UNION ALL
+          SELECT 's' || CAST(s.s_suppkey AS VARCHAR),
+                 'r' || CAST(n.n_regionkey AS VARCHAR)
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM und0 WHERE a <> b
+        ),
+        adj AS (
+          SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+        ),
+        nodes AS (SELECT DISTINCT u FROM adj),
+        reach(u, l) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT a.v, r.l FROM reach r JOIN adj a ON a.u = r.u
+        ),
+        comp AS (SELECT u AS entity, min(l) AS component FROM reach GROUP BY u),
+        st(entity, parity, comp) AS (
+          SELECT entity, 0, entity FROM comp WHERE entity = component
+          UNION
+          SELECT a.v, 1 - s.parity, s.comp
+          FROM st s JOIN adj a ON a.u = s.entity
+        ),
+        sides AS (
+          SELECT comp, entity,
+                 CAST(min(parity) AS BIGINT) AS side,
+                 min(parity) <> max(parity) AS conflict
+          FROM st GROUP BY comp, entity
+        ),
+        flags AS (SELECT comp, bool_or(conflict) AS odd FROM sides GROUP BY comp)
+        SELECT s.entity, s.comp AS component,
+               CAST(CASE WHEN f.odd THEN -1 ELSE s.side END AS BIGINT) AS side,
+               NOT f.odd AS is_bipartite
+        FROM sides s JOIN flags f ON s.comp = f.comp
     """,
     "graph_edge_support": _CNRS_EDGES_SQL + """,
         tri AS (

@@ -1446,7 +1446,7 @@ CLOSENESS_SCHEMA = pa.schema(
 
 def multi_source_hops(
     edges: ray.data.Dataset,
-    sources: list[str],
+    sources: "list[str] | ray.data.Dataset",
     hops: int,
     *,
     directed: bool = False,
@@ -1457,7 +1457,12 @@ def multi_source_hops(
     carries the source label, so ``k`` sources cost the same number of
     sweeps as one (row volume k×, sweep count unchanged). Same fused
     dedup+anti-join shape as :func:`k_hop_neighbors`, keyed on
-    ``(source, entity)``."""
+    ``(source, entity)``.
+
+    ``sources`` may be a driver-side list OR a Dataset with a single
+    ``source`` column — the Dataset form never collects the source set
+    (the path for "one BFS per component root" where roots number in
+    the millions)."""
     from .infer import bucketed_reduce, sanitize_for_join
     from .relational import cogroup_join
 
@@ -1465,7 +1470,47 @@ def multi_source_hops(
         edges.select_columns(["src", "dst"]) if directed else _undirect(edges),
         EDGE_SCHEMA,
     ).materialize()
+
+    if isinstance(sources, ray.data.Dataset):
+        visited = sources.map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"].combine_chunks().cast(pa.string()),
+                    "entity": b["source"].combine_chunks().cast(pa.string()),
+                    "hop": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        return _multi_source_sweep(
+            und, visited, hops, num_buckets=num_buckets
+        )
     srcs = sorted(set(sources))
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "entity": pa.array(srcs, pa.string()),
+                "hop": pa.array([0] * len(srcs), pa.int64()),
+            }
+        )
+    ).materialize()
+    return _multi_source_sweep(und, visited, hops, num_buckets=num_buckets)
+
+
+def _multi_source_sweep(
+    und: ray.data.Dataset,
+    visited: ray.data.Dataset,
+    hops: int,
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """The shared frontier loop behind :func:`multi_source_hops`:
+    ``visited`` seeds the sweep at hop 0; each round is one cogroup
+    join (frontier x edges) + one fused dedup/anti-join bucketed
+    reduce, stopping when the frontier empties."""
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
 
     def _dd(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates(["source", "entity", "hop"])
@@ -1488,15 +1533,6 @@ def multi_source_hops(
             }
         )
 
-    visited = ray.data.from_arrow(
-        pa.table(
-            {
-                "source": pa.array(srcs, pa.string()),
-                "entity": pa.array(srcs, pa.string()),
-                "hop": pa.array([0] * len(srcs), pa.int64()),
-            }
-        )
-    ).materialize()
     frontier = visited
 
     for h in range(1, hops + 1):
@@ -2806,3 +2842,303 @@ def resource_allocation_topk(
         .reset_index(drop=True)
     )
     return ray.data.from_arrow(pa_from_pandas(df, RA_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Bipartite check + 2-coloring (doubled-graph parity closure)
+# ---------------------------------------------------------------------------
+
+BIPARTITE_SCHEMA = pa.schema(
+    [
+        ("entity", pa.string()),
+        ("component", pa.string()),
+        ("side", pa.int64()),
+        ("is_bipartite", pa.bool_()),
+    ]
+)
+
+_PARITY_SEP = "\x01"
+
+
+def bipartite_local(und: pd.DataFrame) -> pd.DataFrame:
+    """Driver twin: union-find components (labeled by min entity) +
+    parity BFS from each root. For a bipartite component the parity of
+    ANY path from the root is unique, so the coloring is deterministic
+    regardless of visit order; a non-bipartite component (odd cycle)
+    gets ``side = -1`` on every member."""
+    from collections import deque
+
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    seen: dict[str, tuple[str, int]] = {}  # entity -> (component, parity)
+    comp_conflict: dict[str, bool] = {}
+    for root in sorted(adj):
+        if root in seen:
+            continue
+        comp_nodes, conflict = [], False
+        parity = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            comp_nodes.append(u)
+            for v in sorted(adj[u]):
+                if v not in parity:
+                    parity[v] = parity[u] ^ 1
+                    q.append(v)
+                elif parity[v] == parity[u]:
+                    conflict = True
+        label = min(comp_nodes)
+        comp_conflict[label] = conflict
+        for n in comp_nodes:
+            seen[n] = (label, parity[n])
+
+    ents = sorted(seen)
+    comps = [seen[e][0] for e in ents]
+    bip = [not comp_conflict[c] for c in comps]
+    sides = [seen[e][1] if ok else -1 for e, ok in zip(ents, bip)]
+    return pd.DataFrame(
+        {
+            "entity": ents,
+            "component": comps,
+            "side": np.array(sides, np.int64),
+            "is_bipartite": bip,
+        }
+    )
+
+
+def bipartite_labels(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    flag_broadcast_max: int = 2_000_000,
+    max_hops: int = 10_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node 2-coloring with odd-cycle detection: ``(entity,
+    component, side, is_bipartite)`` where ``component`` is the weak
+    component's min entity, ``side`` is the node's parity (hop
+    distance mod 2) from that root — unique whenever the component IS
+    bipartite — and every member of a non-bipartite component reports
+    ``side = -1``. The workhorse behind "is this interaction graph
+    really two-mode?" checks before any bipartite-projection operator
+    runs (projecting a graph that secretly has odd cycles silently
+    corrupts co-occurrence counts).
+
+    COUNT-GATED per house policy: under ``driver_max_edges`` the whole
+    thing runs on the collected edge list (:func:`bipartite_local` —
+    bit-equal by the parity-uniqueness argument in its docstring).
+    Distributed plan, all shuffles bucketed:
+
+    1. :func:`weak_components` labels nodes (min-label propagation).
+    2. The DOUBLED graph — each undirected edge becomes 4 directed
+       state edges ``(u, p) -> (v, 1-p)`` — turns parity closure into
+       plain reachability; component roots seed
+       :func:`_multi_source_sweep` AS A DATASET at state parity 0
+       (roots are never collected: web graphs have millions of tiny
+       components), so one shared BFS colors every component.
+    3. One ``(component, entity)``-keyed reduce folds the reached
+       states: an entity holding BOTH parities is an odd-cycle
+       witness; a per-component any-conflict reduce (residue = one row
+       per component) then broadcasts (gated) or joins back.
+    """
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    if und.count() <= driver_max_edges:
+        df = und.to_pandas()
+        if df.empty or "a" not in df.columns:
+            return ray.data.from_arrow(BIPARTITE_SCHEMA.empty_table())
+        return ray.data.from_arrow(
+            pa_from_pandas(bipartite_local(df), BIPARTITE_SCHEMA)
+        )
+
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    comp = weak_components(
+        und.map_batches(
+            lambda b: pa.table(
+                {
+                    "subject": b["a"].combine_chunks().cast(pa.string()),
+                    "object": b["b"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        driver_max_edges=driver_max_edges,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    roots_schema = pa.schema([("source", pa.string())])
+
+    def _roots(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": g["component"].unique()})
+
+    roots = bucketed_reduce(
+        comp.select_columns(["component"]),
+        ["component"],
+        _roots,
+        roots_schema,
+        combiner=lambda b: b.drop_duplicates("component"),
+        num_buckets=num_buckets,
+    ).map_batches(
+        # seed at parity 0: the root's state is "root\x010"
+        lambda b: pd.DataFrame(
+            {"source": b["source"].astype(str) + _PARITY_SEP + "0"}
+        ),
+        batch_format="pandas",
+    )
+
+    def _double(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype=object), "dst": pd.Series([], dtype=object)}
+            )
+        a = b["a"].astype(str)
+        c = b["b"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat(
+                    [a + _PARITY_SEP + "0", a + _PARITY_SEP + "1",
+                     c + _PARITY_SEP + "0", c + _PARITY_SEP + "1"],
+                    ignore_index=True,
+                ),
+                "dst": pd.concat(
+                    [c + _PARITY_SEP + "1", c + _PARITY_SEP + "0",
+                     a + _PARITY_SEP + "1", a + _PARITY_SEP + "0"],
+                    ignore_index=True,
+                ),
+            }
+        )
+
+    doubled = und.map_batches(_double, batch_format="pandas")
+    states = multi_source_hops(
+        doubled, roots, max_hops, directed=True, num_buckets=num_buckets
+    )
+
+    ent_schema = pa.schema(
+        [
+            ("component", pa.string()),
+            ("entity", pa.string()),
+            ("side", pa.int64()),
+            ("conflict", pa.bool_()),
+        ]
+    )
+
+    def _decode(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"component": pd.Series([], dtype=object),
+                 "entity": pd.Series([], dtype=object),
+                 "parity": pd.Series([], dtype="int64")}
+            )
+        src = b["source"].astype(str).str.split(_PARITY_SEP, n=1).str[0]
+        ent = b["entity"].astype(str).str.rsplit(_PARITY_SEP, n=1)
+        return pd.DataFrame(
+            {
+                "component": src,
+                "entity": ent.str[0],
+                "parity": ent.str[1].astype("int64"),
+            }
+        ).drop_duplicates()
+
+    def _sides(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["component", "entity"], sort=False).agg(
+            lo=("parity", "min"), hi=("parity", "max")
+        ).reset_index()
+        agg["conflict"] = agg["lo"] != agg["hi"]
+        agg["side"] = agg["lo"].astype("int64")
+        return agg[["component", "entity", "side", "conflict"]]
+
+    per_entity = bucketed_reduce(
+        states.map_batches(_decode, batch_format="pandas", batch_size=None),
+        ["component", "entity"],
+        _sides,
+        ent_schema,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    flag_schema = pa.schema([("component", pa.string()), ("odd", pa.bool_())])
+
+    def _flags(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("component", sort=False, as_index=False)["odd"].max()
+
+    flags = bucketed_reduce(
+        per_entity.map_batches(
+            lambda b: pd.DataFrame(
+                {"component": b["component"], "odd": b["conflict"]}
+            ),
+            batch_format="pandas",
+        ),
+        ["component"],
+        _flags,
+        flag_schema,
+        combiner=_flags,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _finish(b: pd.DataFrame, odd_map) -> pd.DataFrame:
+        odd = b["component"].map(odd_map).fillna(False).to_numpy(bool)
+        return pd.DataFrame(
+            {
+                "entity": b["entity"],
+                "component": b["component"],
+                "side": np.where(odd, -1, b["side"].to_numpy(np.int64)),
+                "is_bipartite": ~odd,
+            }
+        )
+
+    if flags.count() <= flag_broadcast_max:
+        fd = flags.to_pandas()
+        odd_map = dict(zip(fd["component"], fd["odd"])) if len(fd) else {}
+        ref = ray.put(odd_map)
+
+        class _Apply:
+            def __init__(self, r):
+                self._m = ray.get(r)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if len(b) == 0:
+                    return pd.DataFrame(
+                        {c: pd.Series([], dtype=object) for c in
+                         ("entity", "component")} |
+                        {"side": pd.Series([], dtype="int64"),
+                         "is_bipartite": pd.Series([], dtype=bool)}
+                    )
+                return _finish(b, self._m)
+
+        out = per_entity.map_batches(
+            _Apply, fn_constructor_kwargs={"r": ref},
+            batch_format="pandas", concurrency=(1, 8),
+        )
+    else:
+        joined = cogroup_join(
+            per_entity, flags, ["component"],
+            num_buckets=num_buckets,
+            left_schema=ent_schema, right_schema=flag_schema,
+        )
+        def _join_finish(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"entity": pd.Series([], dtype=object),
+                     "component": pd.Series([], dtype=object),
+                     "side": pd.Series([], dtype="int64"),
+                     "is_bipartite": pd.Series([], dtype=bool)}
+                )
+            odd = b["odd"].to_numpy(bool)
+            return pd.DataFrame(
+                {
+                    "entity": b["entity"],
+                    "component": b["component"],
+                    "side": np.where(odd, -1, b["side"].to_numpy(np.int64)),
+                    "is_bipartite": ~odd,
+                }
+            )
+
+        out = joined.map_batches(_join_finish, batch_format="pandas")
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(out, BIPARTITE_SCHEMA)
