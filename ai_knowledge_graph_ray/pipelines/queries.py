@@ -990,6 +990,67 @@ def q_graph_bipartite(sf_dir: str):
     return bipartite_labels(_bip_edges(sf_dir))
 
 
+def q_temporal_reach(sf_dir: str):
+    """Earliest-arrival temporal reachability over the shipment graph
+    (supplier <-> part edges stamped with l_shipdate, both directions,
+    seeds = suppliers 1-3 at t=0): which parts/suppliers can a
+    contamination starting at those suppliers reach via
+    time-respecting shipment chains, and when. Hash-exact vs a
+    recursive-CTE twin carrying (node, time) states."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph_algos import temporal_reachability
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey", "l_shipdate"],
+    )
+
+    def _e(b: pd.DataFrame) -> pd.DataFrame:
+        s = ("s" + b["l_suppkey"].astype(int).astype(str)).to_numpy(object)
+        p = ("p" + b["l_partkey"].astype(int).astype(str)).to_numpy(object)
+        t = b["l_shipdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([s, p]),
+                "dst": np.concatenate([p, s]),
+                "ts": np.concatenate([t, t]),
+            }
+        )
+
+    sup = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey"]
+    ).to_pandas()
+    seeds = [
+        f"s{k}" for k in sorted(sup.loc[sup["s_suppkey"] <= 3, "s_suppkey"])
+    ]
+    return temporal_reachability(
+        li.map_batches(_e, batch_format="pandas"), seeds, start=0
+    )
+
+
+def q_doc_heavy_tokens(sf_dir: str):
+    """Exact heavy-hitter tokens (freq >= 1/500 of the corpus token
+    stream) via frequent-items candidates + exact recount — the only
+    shuffle is candidate-filtered per-block partials, never the full
+    open-vocabulary token domain. Hash-exact vs a GROUP BY/HAVING
+    twin."""
+    from ..stages.sketches import exact_heavy_hitters
+
+    def _tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        arrs = [t for t in toks.to_numpy() if t]
+        if not arrs:
+            return pd.DataFrame({"value": pd.Series([], dtype=object)})
+        return pd.DataFrame({"value": np.concatenate(arrs)})
+
+    return exact_heavy_hitters(
+        _docs(sf_dir).map_batches(_tok_rows, batch_format="pandas"),
+        "value",
+        denom=500,
+    )
+
+
 def q_part_copurchase(sf_dir: str):
     """Top-100 part pairs by the number of distinct orders containing
     both (market-basket co-occurrence over lineitem) — pair explosion
@@ -4803,6 +4864,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_ktruss": q_graph_ktruss,
     "graph_link_pred": q_graph_link_pred,
     "graph_bipartite": q_graph_bipartite,
+    "temporal_reach": q_temporal_reach,
+    "doc_heavy_tokens": q_doc_heavy_tokens,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6249,6 +6312,33 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CASE WHEN f.odd THEN -1 ELSE s.side END AS BIGINT) AS side,
                NOT f.odd AS is_bipartite
         FROM sides s JOIN flags f ON s.comp = f.comp
+    """,
+    "temporal_reach": """
+        WITH RECURSIVE te AS (
+          SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                 'p' || CAST(l_partkey AS VARCHAR) AS dst,
+                 epoch_us(l_shipdate) AS t FROM lineitem
+          UNION ALL
+          SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                 's' || CAST(l_suppkey AS VARCHAR),
+                 epoch_us(l_shipdate) FROM lineitem
+        ),
+        reach(node, at) AS (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR), CAST(0 AS BIGINT)
+          FROM supplier WHERE s_suppkey <= 3
+          UNION
+          SELECT e.dst, e.t FROM reach r
+          JOIN te e ON e.src = r.node AND e.t >= r.at
+        )
+        SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "doc_heavy_tokens": """
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS value
+          FROM documents
+        )
+        SELECT value, count(*) AS cnt FROM toks GROUP BY value
+        HAVING count(*) * 500 >= (SELECT count(*) FROM toks)
     """,
     "graph_edge_support": _CNRS_EDGES_SQL + """,
         tri AS (

@@ -3142,3 +3142,218 @@ def bipartite_labels(
     from .infer import normalize_blocks
 
     return normalize_blocks(out, BIPARTITE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting (temporal) reachability — earliest arrival
+# ---------------------------------------------------------------------------
+
+TEMPORAL_EDGE_SCHEMA = pa.schema(
+    [("src", pa.string()), ("dst", pa.string()), ("ts", pa.int64())]
+)
+TEMPORAL_ARRIVAL_SCHEMA = pa.schema(
+    [("entity", pa.string()), ("arrival", pa.int64())]
+)
+
+_TS_INF = np.iinfo(np.int64).max
+
+
+def temporal_reachability_local(
+    edges: pd.DataFrame, seeds: list[str], start: int
+) -> pd.DataFrame:
+    """Driver twin: repeated time-ascending relaxation sweeps to the
+    fixpoint. Sorting edges by ``ts`` makes ONE sweep correct for any
+    strictly-increasing-time path; re-sweeping until no update also
+    admits equal-timestamp chains (edge usable when ``ts >=
+    arrival``), matching the recursive-CTE oracle's semantics."""
+    arrival: dict[str, int] = {str(s): int(start) for s in sorted(set(seeds))}
+    if len(edges) == 0:
+        ents = sorted(arrival)
+        return pd.DataFrame(
+            {"entity": ents,
+             "arrival": np.array([arrival[e] for e in ents], np.int64)}
+        )
+    e = edges.sort_values("ts", kind="stable")
+    srcs = e["src"].astype(str).to_numpy(object)
+    dsts = e["dst"].astype(str).to_numpy(object)
+    ts = e["ts"].to_numpy(np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in zip(srcs, dsts, ts):
+            a = arrival.get(u)
+            if a is not None and t >= a and t < arrival.get(v, _TS_INF):
+                arrival[v] = int(t)
+                changed = True
+    ents = sorted(arrival)
+    return pd.DataFrame(
+        {"entity": ents,
+         "arrival": np.array([arrival[e] for e in ents], np.int64)}
+    )
+
+
+def temporal_reachability(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    start: int = 0,
+    driver_max_edges: int = 2_000_000,
+    max_rounds: int = 10_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Earliest-arrival reachability over a TEMPORAL graph: edge
+    ``(src, dst, ts)`` is traversable only at time ``ts >= arrival(src)``
+    (waiting at a node is free), and a reached node's ``arrival`` is the
+    minimum such traversal time over all time-respecting paths from any
+    seed (seeds start at ``start``). The contagion/provenance primitive:
+    "what can a record-poisoning event at source S reach, respecting
+    shipment order?" — plain BFS over the same edges overcounts because
+    it ignores that influence cannot ride an edge into the past.
+
+    COUNT-GATED per house policy: under ``driver_max_edges`` the edge
+    list is collected and :func:`temporal_reachability_local` runs the
+    time-sorted relaxation sweeps. Distributed path = parallel
+    Bellman–Ford min-fixpoint: each round joins the improved frontier
+    to edges on ``src`` (one bucketed cogroup join), keeps traversable
+    hits (``ts >= arrival``), and min-folds candidates against the
+    current arrival table (one bucketed reduce, map-side combiner);
+    rounds stop when no node improves. Round count is bounded by the
+    longest time-respecting chain, NOT the node count.
+
+    Both int64 payloads (``ts``, ``arrival``) ride a cogroup join where
+    one-sided columns upcast to float64 — exact below 2^53, i.e. any
+    epoch-us timestamp before year ~2255 (see ``cogroup_join``'s
+    carry-column warning); values are cast back to int64 on exit.
+    """
+    from .infer import bucketed_reduce, normalize_blocks, sanitize_for_join
+    from .relational import cogroup_join
+
+    e = sanitize_for_join(
+        edges.select_columns(["src", "dst", "ts"]), TEMPORAL_EDGE_SCHEMA
+    ).materialize()
+    seeds = sorted({str(s) for s in seeds})
+
+    if e.count() <= driver_max_edges:
+        df = e.to_pandas()
+        return ray.data.from_arrow(
+            pa_from_pandas(
+                temporal_reachability_local(df, seeds, start),
+                TEMPORAL_ARRIVAL_SCHEMA,
+            )
+        )
+
+    state_schema = pa.schema(
+        [("entity", pa.string()), ("arrival", pa.int64()), ("is_old", pa.bool_())]
+    )
+    fold_schema = pa.schema(
+        [("entity", pa.string()), ("arrival", pa.int64()), ("improved", pa.bool_())]
+    )
+    frontier_schema = pa.schema([("src", pa.string()), ("f_arr", pa.int64())])
+
+    arrival = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(seeds, pa.string()),
+                "arrival": pa.array([start] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = arrival
+
+    def _cand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "arrival": pd.Series([], dtype="int64"),
+                 "is_old": pd.Series([], dtype=bool)}
+            )
+        ok = b["ts"].to_numpy() >= b["f_arr"].to_numpy()
+        hit = b.loc[ok]
+        return pd.DataFrame(
+            {
+                "entity": hit["dst"].to_numpy(object),
+                "arrival": hit["ts"].to_numpy().astype(np.int64),
+                "is_old": np.zeros(len(hit), bool),
+            }
+        )
+
+    def _tag_old(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["entity", "arrival"]].copy()
+        out["is_old"] = True
+        return out
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.groupby(["entity", "is_old"], sort=False, as_index=False)[
+            "arrival"
+        ].min()[["entity", "arrival", "is_old"]]
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("entity", sort=False)["arrival"].min()
+        old = g.loc[g["is_old"]].groupby("entity", sort=False)["arrival"].min()
+        old = old.reindex(new.index)
+        improved = old.isna().to_numpy() | (
+            new.to_numpy() < old.fillna(_TS_INF).to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "entity": new.index.to_numpy(object),
+                "arrival": new.to_numpy(np.int64),
+                "improved": improved,
+            }
+        )
+
+    def _drop_flag(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["entity", "arrival"]]
+
+    for _ in range(max_rounds):
+        f_side = normalize_blocks(
+            frontier.map_batches(
+                lambda b: pd.DataFrame(
+                    {"src": b["entity"].to_numpy(object),
+                     "f_arr": b["arrival"].to_numpy(np.int64)}
+                ) if len(b) else pd.DataFrame(
+                    {"src": pd.Series([], dtype=object),
+                     "f_arr": pd.Series([], dtype="int64")}
+                ),
+                batch_format="pandas",
+            ),
+            frontier_schema,
+        )
+        hit = cogroup_join(
+            e,
+            f_side,
+            on=["src"],
+            num_buckets=num_buckets,
+            left_schema=TEMPORAL_EDGE_SCHEMA,
+            right_schema=frontier_schema,
+        )
+        folded = bucketed_reduce(
+            hit.map_batches(_cand, batch_format="pandas").union(
+                arrival.map_batches(_tag_old, batch_format="pandas")
+            ),
+            ["entity"],
+            _fold,
+            fold_schema,
+            combiner=_pre,
+            num_buckets=num_buckets,
+        ).materialize()
+        frontier = folded.map_batches(
+            lambda b: b.loc[b["improved"], ["entity", "arrival"]]
+            if len(b)
+            else pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "arrival": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        arrival = normalize_blocks(
+            folded.map_batches(_drop_flag, batch_format="pandas"),
+            TEMPORAL_ARRIVAL_SCHEMA,
+        ).materialize()
+        if frontier.count() == 0:
+            return arrival
+    raise RuntimeError(
+        f"temporal_reachability: no fixpoint after {max_rounds} rounds"
+    )

@@ -252,3 +252,142 @@ def cms_heavy_hitters(
         .reset_index(drop=True)
     )
     return ray.data.from_arrow(pa.Table.from_pandas(out, schema=HH_SCHEMA, preserve_index=False))
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters — frequent-items candidates + exact recount
+# ---------------------------------------------------------------------------
+
+EHH_SCHEMA = pa.schema([("value", pa.string()), ("cnt", pa.int64())])
+
+
+def exact_heavy_hitters(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    denom: int = 1000,
+    candidate_broadcast_max: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT counts of every value whose frequency is at least
+    ``1/denom`` of the total (``cnt * denom >= N``) — WITHOUT a full
+    groupby over the distinct-value domain. The two-pass
+    frequent-items scheme (Misra–Gries 1982 bound, per-block form):
+
+    1. One map pass: per-block ``value_counts`` emits dedup'd partials
+       ``(value, n)`` plus a candidate flag ``n * (denom+1) > n_block``.
+       Guarantee: a value heavy globally is a candidate in >= 1 block —
+       if ``c_b * (denom+1) <= n_b`` everywhere then summing gives
+       ``C <= N/(denom+1)``, so ``C * denom < N``. The candidate union
+       is therefore a SUPERSET of the answer, at most ``denom`` values
+       per block.
+    2. Exact recount of candidates only: partials are filtered to the
+       candidate set (broadcast under ``candidate_broadcast_max``, a
+       bucketed left-semi join over it) and summed with one bucketed
+       reduce — the only shuffle, sized by candidates x blocks, not by
+       the distinct-value domain (the thing that makes a plain groupby
+       a 100-TB all-to-all on open-vocabulary columns).
+
+    Output ``(value, cnt)`` with exact ``cnt``; hash-matches a plain
+    ``GROUP BY ... HAVING count(*)*denom >= N`` SQL twin.
+    """
+    from .infer import bucketed_reduce, normalize_blocks
+
+    part_schema = pa.schema(
+        [("value", pa.string()), ("n", pa.int64()), ("is_cand", pa.bool_())]
+    )
+    cand_schema = pa.schema([("value", pa.string())])
+
+    def _partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"value": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "is_cand": pd.Series([], dtype=bool)}
+            )
+        vc = b[value_col].astype(str).value_counts(sort=False)
+        n = vc.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "value": vc.index.to_numpy(object),
+                "n": n,
+                "is_cand": n * (denom + 1) > int(n.sum()),
+            }
+        )
+
+    partials = normalize_blocks(
+        ds.select_columns([value_col]).map_batches(
+            _partials, batch_format="pandas", batch_size=None
+        ),
+        part_schema,
+    ).materialize()
+    n_total = int(partials.sum("n") or 0)
+    if n_total == 0:
+        return ray.data.from_arrow(EHH_SCHEMA.empty_table())
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("value")
+
+    cand = bucketed_reduce(
+        partials.map_batches(
+            lambda b: b.loc[b["is_cand"], ["value"]], batch_format="pandas"
+        ),
+        ["value"],
+        _dd,
+        cand_schema,
+        combiner=_dd,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    counts_in = partials.map_batches(
+        lambda b: b[["value", "n"]], batch_format="pandas"
+    )
+    if cand.count() <= candidate_broadcast_max:
+        cdf = cand.to_pandas()
+        cset = set(cdf["value"].to_numpy(object)) if len(cdf) else set()
+        ref = ray.put(cset)
+
+        class _Filter:
+            def __init__(self, r):
+                self._s = ray.get(r)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if len(b) == 0:
+                    return b
+                return b.loc[b["value"].isin(self._s)]
+
+        matched = counts_in.map_batches(
+            _Filter, fn_constructor_kwargs={"r": ref},
+            batch_format="pandas", concurrency=(1, 8),
+        )
+    else:
+        from .relational import cogroup_join
+
+        matched = cogroup_join(
+            counts_in,
+            cand,
+            ["value"],
+            how="left_semi",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("value", pa.string()), ("n", pa.int64())]),
+            right_schema=cand_schema,
+        )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("value", sort=False, as_index=False).agg(cnt=("cnt", "sum"))
+        return agg.loc[agg["cnt"] * denom >= n_total]
+
+    return bucketed_reduce(
+        matched.map_batches(
+            lambda b: b.rename(columns={"n": "cnt"}), batch_format="pandas"
+        ),
+        ["value"],
+        _sum,
+        EHH_SCHEMA,
+        combiner=lambda b: (
+            b.groupby("value", sort=False, as_index=False).agg(cnt=("cnt", "sum"))
+            if len(b)
+            else b
+        ),
+        num_buckets=num_buckets,
+    )
