@@ -1051,6 +1051,30 @@ def q_doc_heavy_tokens(sf_dir: str):
     )
 
 
+def q_graph_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics (m, s_sum, s_prod,
+    s_sq) over the customer/supplier/nation/region fixture graph —
+    exact integers so Newman's r stays a caller-side rational; one
+    degree count + one degree join + one pair-keyed partial-sums
+    reduce (residue = one row per bucket)."""
+    from ..stages.graph_algos import degree_mixing_sums
+
+    return degree_mixing_sums(_cnrs_edges(sf_dir))
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings table, k=5: exact fixed-point distances, min-id seed,
+    (dist desc, id asc) argmax — bit-identical at any layout and
+    hash-exact vs a 5-round unrolled SQL twin."""
+    from ..stages.clustering import kcenter_select
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return kcenter_select(emb, k=5)
+
+
 def q_part_copurchase(sf_dir: str):
     """Top-100 part pairs by the number of distinct orders containing
     both (market-basket co-occurrence over lineitem) — pair explosion
@@ -4866,6 +4890,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_bipartite": q_graph_bipartite,
     "temporal_reach": q_temporal_reach,
     "doc_heavy_tokens": q_doc_heavy_tokens,
+    "kcenter_coreset": q_kcenter_coreset,
+    "graph_assortativity": q_graph_assortativity,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6331,6 +6357,76 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "graph_assortativity": _CNRS_EDGES_SQL + """,
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        j AS (
+          SELECT da.deg AS du, db.deg AS dv
+          FROM und JOIN deg da ON da.node = und.a
+                   JOIN deg db ON db.node = und.b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(du + dv) AS BIGINT) AS s_sum,
+               CAST(sum(du * dv) AS BIGINT) AS s_prod,
+               CAST(sum(du * du + dv * dv) AS BIGINT) AS s_sq
+        FROM j
+    """,
+    "kcenter_coreset": """
+        WITH q AS (
+          SELECT vec_id, i,
+                 CAST(floor(embedding[i] * 1048576.0) AS BIGINT) AS qv
+          FROM embeddings,
+               LATERAL unnest(generate_series(
+                 1, CAST(len(embedding) AS BIGINT))) AS u(i)
+        ),
+        c0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+        d1 AS (
+          SELECT a.vec_id, sum((a.qv - b.qv) * (a.qv - b.qv)) AS md
+          FROM q a JOIN c0 ON TRUE JOIN q b ON b.vec_id = c0.cid AND a.i = b.i
+          GROUP BY a.vec_id
+        ),
+        c1 AS (SELECT vec_id AS cid, md FROM d1
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        d2 AS (
+          SELECT a.vec_id,
+                 least(any_value(d1.md),
+                       sum((a.qv - b.qv) * (a.qv - b.qv))) AS md
+          FROM q a JOIN c1 ON TRUE JOIN q b ON b.vec_id = c1.cid AND a.i = b.i
+               JOIN d1 ON d1.vec_id = a.vec_id
+          GROUP BY a.vec_id
+        ),
+        c2 AS (SELECT vec_id AS cid, md FROM d2
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        d3 AS (
+          SELECT a.vec_id,
+                 least(any_value(d2.md),
+                       sum((a.qv - b.qv) * (a.qv - b.qv))) AS md
+          FROM q a JOIN c2 ON TRUE JOIN q b ON b.vec_id = c2.cid AND a.i = b.i
+               JOIN d2 ON d2.vec_id = a.vec_id
+          GROUP BY a.vec_id
+        ),
+        c3 AS (SELECT vec_id AS cid, md FROM d3
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        d4 AS (
+          SELECT a.vec_id,
+                 least(any_value(d3.md),
+                       sum((a.qv - b.qv) * (a.qv - b.qv))) AS md
+          FROM q a JOIN c3 ON TRUE JOIN q b ON b.vec_id = c3.cid AND a.i = b.i
+               JOIN d3 ON d3.vec_id = a.vec_id
+          GROUP BY a.vec_id
+        ),
+        c4 AS (SELECT vec_id AS cid, md FROM d4
+               ORDER BY md DESC, vec_id ASC LIMIT 1)
+        SELECT CAST(0 AS BIGINT) AS rnk, cid AS vec_id,
+               CAST(0 AS BIGINT) AS sel_dist FROM c0
+        UNION ALL SELECT 1, cid, CAST(md AS BIGINT) FROM c1
+        UNION ALL SELECT 2, cid, CAST(md AS BIGINT) FROM c2
+        UNION ALL SELECT 3, cid, CAST(md AS BIGINT) FROM c3
+        UNION ALL SELECT 4, cid, CAST(md AS BIGINT) FROM c4
     """,
     "doc_heavy_tokens": """
         WITH toks AS (

@@ -428,3 +428,157 @@ def embedding_gram(
         GRAM_SCHEMA,
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point) coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_SCHEMA = pa.schema(
+    [("rnk", pa.int64()), ("vec_id", pa.int64()), ("sel_dist", pa.int64())]
+)
+
+
+def kcenter_select(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = FIXED_SCALE,
+) -> ray.data.Dataset:
+    """Greedy farthest-point traversal (Gonzalez 1985; the k-center
+    coreset selection of Sener & Savarese 2018): pick the min-id point,
+    then ``k-1`` times the point FARTHEST from the chosen set. Returns
+    ``(rnk, vec_id, sel_dist)`` where ``sel_dist`` is the squared
+    fixed-point L2 distance at selection time — the non-increasing
+    coverage-radius sequence that makes the selection auditable.
+
+    Exactness: every vector quantizes ONCE to ``floor(v * scale)``
+    int64 (floor — DuckDB and numpy agree on every double; round's
+    half-ties don't), distances are exact int64 sums (dim x (2*scale)^2
+    headroom), argmax ties break on min id — so the selection is
+    bit-identical at any block layout AND hash-matches an unrolled SQL
+    twin.
+
+    Scale shape: greedy k-center is inherently ``k`` passes. Each round
+    is map-only — the running min-distance column ``md`` rides the
+    materialized state, the new center broadcasts via ``ray.put``, and
+    the global argmax is a per-block top-1 (one candidate row per
+    block, carrying its vector so the driver never re-scans to fetch
+    the winner). NO shuffle at any point; driver traffic is
+    ``k x n_blocks`` candidate rows. Stops early (fewer than ``k``
+    rows) when the farthest remaining distance is 0 — every point is
+    already a duplicate of some center.
+    """
+    if k < 1:
+        return ray.data.from_arrow(KCENTER_SCHEMA.empty_table())
+
+    state_schema = pa.schema(
+        [("vec_id", pa.int64()), ("q", pa.binary()), ("md", pa.int64())]
+    )
+    cand_schema = pa.schema(
+        [("vec_id", pa.int64()), ("md", pa.int64()), ("q", pa.binary())]
+    )
+
+    def _quant(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "q": pd.Series([], dtype=object),
+                 "md": pd.Series([], dtype="int64")}
+            )
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        fixed = np.floor(mat * scale).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": b[id_col].to_numpy(np.int64),
+                "q": [row.tobytes() for row in fixed],
+                "md": np.zeros(len(b), np.int64),
+            }
+        )
+
+    state = normalize_blocks(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            _quant, batch_format="pandas", batch_size=None
+        ),
+        state_schema,
+    ).materialize()
+    if state.count() == 0:
+        return ray.data.from_arrow(KCENTER_SCHEMA.empty_table())
+
+    def _block_best(by_md: bool):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     "md": pd.Series([], dtype="int64"),
+                     "q": pd.Series([], dtype=object)}
+                )
+            if by_md:
+                i = b.sort_values(
+                    ["md", "vec_id"], ascending=[False, True], kind="stable"
+                ).index[0]
+            else:
+                i = b["vec_id"].idxmin()
+            row = b.loc[[i]]
+            return pd.DataFrame(
+                {"vec_id": row["vec_id"].to_numpy(np.int64),
+                 "md": row["md"].to_numpy(np.int64),
+                 "q": row["q"].to_numpy(object)}
+            )
+        return _f
+
+    def _merge(cands: pd.DataFrame, by_md: bool) -> pd.Series:
+        if by_md:
+            return cands.sort_values(
+                ["md", "vec_id"], ascending=[False, True], kind="stable"
+            ).iloc[0]
+        return cands.sort_values("vec_id", kind="stable").iloc[0]
+
+    def _pull(ds_state, by_md: bool) -> pd.Series:
+        cands = normalize_blocks(
+            ds_state.map_batches(
+                _block_best(by_md), batch_format="pandas", batch_size=None
+            ),
+            cand_schema,
+        ).to_pandas()  # bounded: one row per block
+        return _merge(cands, by_md)
+
+    seed = _pull(state, by_md=False)
+    selected = [(0, int(seed["vec_id"]), 0)]
+    center_q = np.frombuffer(seed["q"], dtype=np.int64)
+
+    def _update(b: pd.DataFrame, cq_ref, first: bool) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        cq = ray.get(cq_ref)
+        mat = np.stack([np.frombuffer(x, dtype=np.int64) for x in b["q"]])
+        d = ((mat - cq[None, :]) ** 2).sum(axis=1)
+        out = b.copy()
+        out["md"] = d if first else np.minimum(b["md"].to_numpy(np.int64), d)
+        return out
+
+    first = True
+    for r in range(1, k):
+        ref = ray.put(center_q)
+        state = normalize_blocks(
+            state.map_batches(
+                lambda b, _ref=ref, _f=first: _update(b, _ref, _f),
+                batch_format="pandas",
+                batch_size=None,
+            ),
+            state_schema,
+        ).materialize()
+        first = False
+        best = _pull(state, by_md=True)
+        if int(best["md"]) == 0:
+            break
+        selected.append((r, int(best["vec_id"]), int(best["md"])))
+        center_q = np.frombuffer(best["q"], dtype=np.int64)
+
+    out = pd.DataFrame(selected, columns=["rnk", "vec_id", "sel_dist"])
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=KCENTER_SCHEMA,
+                             preserve_index=False)
+    )

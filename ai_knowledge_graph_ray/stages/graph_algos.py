@@ -3357,3 +3357,153 @@ def temporal_reachability(
     raise RuntimeError(
         f"temporal_reachability: no fixpoint after {max_rounds} rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-assortativity mixing sums
+# ---------------------------------------------------------------------------
+
+MIXING_SCHEMA = pa.schema(
+    [
+        ("m", pa.int64()),
+        ("s_sum", pa.int64()),
+        ("s_prod", pa.int64()),
+        ("s_sq", pa.int64()),
+    ]
+)
+
+_MIX_GUARD = 1 << 62
+
+
+def degree_mixing_sums(
+    edges: ray.data.Dataset,
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact integer sufficient statistics of degree-degree mixing over
+    the simple undirected graph: one row ``(m, s_sum, s_prod, s_sq)``
+    where, over the ``m`` distinct edges with endpoint degrees
+    ``(du, dv)``: ``s_sum = sum(du+dv)``, ``s_prod = sum(du*dv)``,
+    ``s_sq = sum(du^2+dv^2)``. The Newman degree-assortativity
+    coefficient is the pure-rational function
+    ``r = (4*m*s_prod - s_sum^2) / (2*m*s_sq - s_sum^2)`` — left to the
+    caller so the emitted row stays exact-integer and hash-matches the
+    SQL twin (a float r never would).
+
+    Shape: one endpoint-keyed count (degrees), one bucketed degree
+    join, one pair-keyed reduce whose residue is ONE partial-sums row
+    per bucket — the driver folds <= num_buckets rows with Python-int
+    (unbounded) arithmetic and raises loudly if a final sum exceeds
+    int64 rather than wrapping.
+    """
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+    ends_schema = pa.schema([("node", pa.string()), ("n", pa.int64())])
+
+    def _ends(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vc = pd.concat(
+            [b["a"].astype(str), b["b"].astype(str)], ignore_index=True
+        ).value_counts(sort=False)
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    deg = bucketed_reduce(
+        und,
+        ["node"],
+        lambda g: g.groupby("node", sort=False, as_index=False)
+        .agg(n=("n", "sum"))
+        .rename(columns={"n": "deg"}),
+        deg_schema,
+        combiner=_ends,
+        num_buckets=num_buckets,
+    )
+
+    side_schema = pa.schema(
+        [("node", pa.string()), ("pairkey", pa.string()), ("pos", pa.int64())]
+    )
+
+    def _sides(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "pairkey": pd.Series([], dtype=object),
+                 "pos": pd.Series([], dtype="int64")}
+            )
+        a = b["a"].astype(str)
+        c = b["b"].astype(str)
+        key = (a + "\x01" + c).to_numpy(object)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a.to_numpy(object), c.to_numpy(object)]),
+                "pairkey": np.concatenate([key, key]),
+                "pos": np.concatenate(
+                    [np.zeros(len(b), np.int64), np.ones(len(b), np.int64)]
+                ),
+            }
+        )
+
+    joined = cogroup_join(
+        und.map_batches(_sides, batch_format="pandas"),
+        deg,
+        ["node"],
+        num_buckets=num_buckets,
+        left_schema=side_schema,
+        right_schema=deg_schema,
+    )
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["pairkey", "pos"], kind="stable")
+        d0 = s.loc[s["pos"] == 0, "deg"].to_numpy(np.int64)
+        d1 = s.loc[s["pos"] == 1, "deg"].to_numpy(np.int64)
+        if len(d0) != len(d1):  # join dropped an endpoint — impossible
+            raise RuntimeError("degree_mixing_sums: unpaired edge endpoint")
+        m = len(d0)
+        if m and int(d0.max()) * int(d1.max()) * m >= _MIX_GUARD:
+            # exact fallback: Python ints, no wraparound
+            s_sum = int(sum(int(x) + int(y) for x, y in zip(d0, d1)))
+            s_prod = int(sum(int(x) * int(y) for x, y in zip(d0, d1)))
+            s_sq = int(sum(int(x) ** 2 + int(y) ** 2 for x, y in zip(d0, d1)))
+        else:
+            s_sum = int((d0 + d1).sum())
+            s_prod = int((d0 * d1).sum())
+            s_sq = int((d0 * d0 + d1 * d1).sum())
+        for v in (s_sum, s_prod, s_sq):
+            if v >= _MIX_GUARD:
+                raise OverflowError(
+                    "degree_mixing_sums: bucket partial exceeds int64 guard"
+                )
+        return pd.DataFrame(
+            {"m": [m], "s_sum": [s_sum], "s_prod": [s_prod], "s_sq": [s_sq]}
+        )
+
+    partials = bucketed_reduce(
+        joined.map_batches(
+            lambda b: b[["pairkey", "pos", "deg"]], batch_format="pandas"
+        ),
+        ["pairkey"],
+        _partial,
+        MIXING_SCHEMA,
+        num_buckets=num_buckets,
+    ).to_pandas()  # bounded: one row per bucket
+
+    tot = {c: 0 for c in ("m", "s_sum", "s_prod", "s_sq")}
+    for c in tot:
+        if len(partials) and c in partials.columns:
+            tot[c] = int(sum(int(x) for x in partials[c]))
+        if tot[c] >= (1 << 63):
+            raise OverflowError(f"degree_mixing_sums: {c} exceeds int64")
+    out = pd.DataFrame({c: [tot[c]] for c in tot})
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=MIXING_SCHEMA,
+                             preserve_index=False)
+    )
