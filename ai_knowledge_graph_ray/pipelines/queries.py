@@ -1062,6 +1062,15 @@ def q_graph_assortativity(sf_dir: str):
     return degree_mixing_sums(_cnrs_edges(sf_dir))
 
 
+def q_graph_rich_club(sf_dir: str):
+    """Rich-club counts at thresholds 1,2,4,8,16 over the fixture graph
+    — exact (k, n_nodes, n_edges) rows; all thresholds share one degree
+    join + one pair-keyed fold (residue = |ks| rows per bucket)."""
+    from ..stages.graph_algos import rich_club_counts
+
+    return rich_club_counts(_cnrs_edges(sf_dir), [1, 2, 4, 8, 16])
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset selection over the
     embeddings table, k=5: exact fixed-point distances, min-id seed,
@@ -4892,6 +4901,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "kcenter_coreset": q_kcenter_coreset,
     "graph_assortativity": q_graph_assortativity,
+    "graph_rich_club": q_graph_rich_club,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6357,6 +6367,25 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "graph_rich_club": _CNRS_EDGES_SQL + """,
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        j AS (
+          SELECT least(da.deg, db.deg) AS mind
+          FROM und JOIN deg da ON da.node = und.a
+                   JOIN deg db ON db.node = und.b
+        )
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM deg WHERE deg.deg > ks.k)
+                    AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM j WHERE j.mind > ks.k)
+                    AS BIGINT) AS n_edges
+        FROM ks
     """,
     "graph_assortativity": _CNRS_EDGES_SQL + """,
         deg AS (

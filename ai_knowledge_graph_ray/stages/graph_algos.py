@@ -3507,3 +3507,140 @@ def degree_mixing_sums(
         pa.Table.from_pandas(out.astype("int64"), schema=MIXING_SCHEMA,
                              preserve_index=False)
     )
+
+
+RICH_CLUB_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("n_nodes", pa.int64()), ("n_edges", pa.int64())]
+)
+
+
+def rich_club_counts(
+    edges: ray.data.Dataset,
+    ks: list[int],
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Rich-club sufficient statistics: for each degree threshold ``k``
+    one exact row ``(k, n_nodes, n_edges)`` — the number of nodes with
+    degree > k and the number of distinct edges BOTH of whose endpoints
+    exceed it. The rich-club coefficient is the caller-side rational
+    ``phi(k) = 2*n_edges / (n_nodes*(n_nodes-1))`` (kept out so the row
+    stays exact-integer and hash-matches the SQL twin).
+
+    One degree count + one bucketed degree join + one pair-keyed fold:
+    every threshold shares the SAME joined pass (thresholds are applied
+    vectorized inside the reduce), so ``len(ks)`` costs no extra
+    shuffles; residue = ``len(ks)`` rows per bucket plus a
+    ``len(ks)``-row node-side residue."""
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    ks = sorted(set(int(k) for k in ks))
+    karr = np.array(ks, np.int64)
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+
+    def _ends(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "deg": pd.Series([], dtype="int64")}
+            )
+        vc = pd.concat(
+            [b["a"].astype(str), b["b"].astype(str)], ignore_index=True
+        ).value_counts(sort=False)
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(object), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = bucketed_reduce(
+        und,
+        ["node"],
+        lambda g: g.groupby("node", sort=False, as_index=False).agg(
+            deg=("deg", "sum")
+        ),
+        deg_schema,
+        combiner=_ends,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    part_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def _node_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        d = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"k": karr, "n": (d[None, :] > karr[:, None]).sum(axis=1)}
+        )
+
+    node_parts = deg.map_batches(
+        _node_part, batch_format="pandas", batch_size=None
+    ).to_pandas()  # bounded: len(ks) rows per block
+    n_nodes = (
+        node_parts.groupby("k")["n"].sum() if len(node_parts) else pd.Series(dtype="int64")
+    )
+
+    side_schema = pa.schema(
+        [("node", pa.string()), ("pairkey", pa.string())]
+    )
+
+    def _sides(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "pairkey": pd.Series([], dtype=object)}
+            )
+        a = b["a"].astype(str)
+        c = b["b"].astype(str)
+        key = (a + "\x01" + c).to_numpy(object)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a.to_numpy(object), c.to_numpy(object)]),
+                "pairkey": np.concatenate([key, key]),
+            }
+        )
+
+    joined = cogroup_join(
+        und.map_batches(_sides, batch_format="pandas"),
+        deg,
+        ["node"],
+        num_buckets=num_buckets,
+        left_schema=side_schema,
+        right_schema=deg_schema,
+    )
+
+    def _edge_part(g: pd.DataFrame) -> pd.DataFrame:
+        mind = g.groupby("pairkey", sort=False)["deg"].min().to_numpy(np.int64)
+        return pd.DataFrame(
+            {"k": karr, "n": (mind[None, :] > karr[:, None]).sum(axis=1)}
+        )
+
+    edge_parts = bucketed_reduce(
+        joined.map_batches(
+            lambda b: b[["pairkey", "deg"]], batch_format="pandas"
+        ),
+        ["pairkey"],
+        _edge_part,
+        part_schema,
+        num_buckets=num_buckets,
+    ).to_pandas()  # bounded: len(ks) rows per bucket
+    n_edges = (
+        edge_parts.groupby("k")["n"].sum() if len(edge_parts) else pd.Series(dtype="int64")
+    )
+
+    out = pd.DataFrame(
+        {
+            "k": karr,
+            "n_nodes": [int(n_nodes.get(k, 0)) for k in ks],
+            "n_edges": [int(n_edges.get(k, 0)) for k in ks],
+        }
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=RICH_CLUB_SCHEMA,
+                             preserve_index=False)
+    )

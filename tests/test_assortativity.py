@@ -56,3 +56,46 @@ class TestDegreeMixing:
             for p, nb in ((1, None), (7, 3), (13, 5))
         ]
         assert rows[0] == rows[1] == rows[2]
+
+
+class TestRichClub:
+    def test_matches_networkx(self):
+        import networkx as nx
+
+        from ai_knowledge_graph_ray.stages.graph_algos import rich_club_counts
+
+        rng = np.random.RandomState(12)
+        a = rng.randint(0, 30, 120)
+        b = rng.randint(0, 30, 120)
+        df = pd.DataFrame(
+            {"src": [f"n{x}" for x in a], "dst": [f"n{x}" for x in b]}
+        )
+        ks = [1, 2, 3, 5]
+        out = (
+            rich_club_counts(ray.data.from_pandas(df), ks)
+            .to_pandas().set_index("k")
+        )
+        g = nx.Graph(list(zip(df["src"], df["dst"])))
+        g.remove_edges_from(nx.selfloop_edges(g))
+        for k in ks:
+            rich = [n for n, d in g.degree() if d > k]
+            sub = g.subgraph(rich)
+            assert out.loc[k, "n_nodes"] == len(rich)
+            assert out.loc[k, "n_edges"] == sub.number_of_edges()
+
+    def test_layout_independent(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import rich_club_counts
+
+        rng = np.random.RandomState(13)
+        a = rng.randint(0, 20, 70)
+        b = rng.randint(0, 20, 70)
+        df = pd.DataFrame(
+            {"src": [f"n{x}" for x in a], "dst": [f"n{x}" for x in b]}
+        )
+        outs = [
+            rich_club_counts(
+                ray.data.from_pandas(df).repartition(p), [0, 2, 4], num_buckets=nb
+            ).to_pandas().values.tolist()
+            for p, nb in ((1, None), (6, 3))
+        ]
+        assert outs[0] == outs[1]
