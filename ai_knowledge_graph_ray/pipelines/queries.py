@@ -1071,6 +1071,61 @@ def q_graph_rich_club(sf_dir: str):
     return rich_club_counts(_cnrs_edges(sf_dir), [1, 2, 4, 8, 16])
 
 
+def q_threshold_components(sf_dir: str):
+    """Single-linkage dendrogram levels over the customer-order graph
+    weighted by lineitem count: component counts at weight thresholds
+    1/3/5 in one call (the dedup-threshold sensitivity curve); one
+    descending-weight union-find serves all thresholds under the gate."""
+    from ..stages.graph_algos import threshold_components
+
+    ords = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def _li_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["l_orderkey"].value_counts(sort=False)
+        return pd.DataFrame(
+            {"l_orderkey": vc.index.to_numpy(np.int64),
+             "w": vc.to_numpy(np.int64)}
+        )
+
+    from ..stages.infer import bucketed_reduce
+    from ..stages.relational import cogroup_join
+
+    wcount_schema = pa.schema([("l_orderkey", pa.int64()), ("w", pa.int64())])
+    per_order = bucketed_reduce(
+        li,
+        ["l_orderkey"],
+        lambda g: g.groupby("l_orderkey", sort=False, as_index=False)["w"].sum(),
+        wcount_schema,
+        combiner=_li_counts,
+    )
+    joined = cogroup_join(
+        ords,
+        per_order.map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas",
+        ),
+        ["o_orderkey"],
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("w", pa.int64())]),
+    )
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": ("c" + b["o_custkey"].astype(int).astype(str)).to_numpy(object),
+                "dst": ("o" + b["o_orderkey"].astype(int).astype(str)).to_numpy(object),
+                "w": b["w"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return threshold_components(edges, [1, 3, 5])
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset selection over the
     embeddings table, k=5: exact fixed-point distances, min-id seed,
@@ -4902,6 +4957,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kcenter_coreset": q_kcenter_coreset,
     "graph_assortativity": q_graph_assortativity,
     "graph_rich_club": q_graph_rich_club,
+    "threshold_components": q_threshold_components,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6367,6 +6423,66 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "threshold_components": """
+        WITH RECURSIVE pw AS (
+          SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS x,
+                 'o' || CAST(o.o_orderkey AS VARCHAR) AS y,
+                 count(*) AS w
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT least(x, y) AS a, greatest(x, y) AS b, w
+          FROM pw WHERE x <> y
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          )
+        ),
+        adj1 AS (
+          SELECT a AS u, b AS v FROM und WHERE w >= 1
+          UNION ALL SELECT b, a FROM und WHERE w >= 1
+        ),
+        reach1(u, l) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM adj1)
+          UNION SELECT a.v, r.l FROM reach1 r JOIN adj1 a ON a.u = r.u
+        ),
+        comp1 AS (SELECT u, min(l) AS comp FROM reach1 GROUP BY u),
+        adj3 AS (
+          SELECT a AS u, b AS v FROM und WHERE w >= 3
+          UNION ALL SELECT b, a FROM und WHERE w >= 3
+        ),
+        reach3(u, l) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM adj3)
+          UNION SELECT a.v, r.l FROM reach3 r JOIN adj3 a ON a.u = r.u
+        ),
+        comp3 AS (SELECT u, min(l) AS comp FROM reach3 GROUP BY u),
+        adj5 AS (
+          SELECT a AS u, b AS v FROM und WHERE w >= 5
+          UNION ALL SELECT b, a FROM und WHERE w >= 5
+        ),
+        reach5(u, l) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM adj5)
+          UNION SELECT a.v, r.l FROM reach5 r JOIN adj5 a ON a.u = r.u
+        ),
+        comp5 AS (SELECT u, min(l) AS comp FROM reach5 GROUP BY u)
+        SELECT CAST(1 AS BIGINT) AS tau,
+               (SELECT count(*) FROM nodes) AS n_nodes,
+               (SELECT count(DISTINCT comp) FROM comp1)
+               + (SELECT count(*) FROM nodes
+                  WHERE node NOT IN (SELECT u FROM comp1)) AS n_components
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM nodes),
+               (SELECT count(DISTINCT comp) FROM comp3)
+               + (SELECT count(*) FROM nodes
+                  WHERE node NOT IN (SELECT u FROM comp3))
+        UNION ALL
+        SELECT 5, (SELECT count(*) FROM nodes),
+               (SELECT count(DISTINCT comp) FROM comp5)
+               + (SELECT count(*) FROM nodes
+                  WHERE node NOT IN (SELECT u FROM comp5))
     """,
     "graph_rich_club": _CNRS_EDGES_SQL + """,
         deg AS (

@@ -3644,3 +3644,164 @@ def rich_club_counts(
         pa.Table.from_pandas(out.astype("int64"), schema=RICH_CLUB_SCHEMA,
                              preserve_index=False)
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-sweep connected components (single-linkage dendrogram levels)
+# ---------------------------------------------------------------------------
+
+THRESH_COMP_SCHEMA = pa.schema(
+    [("tau", pa.int64()), ("n_nodes", pa.int64()), ("n_components", pa.int64())]
+)
+
+
+def threshold_components(
+    edges: ray.data.Dataset,
+    taus: list[int],
+    *,
+    weight_col: str = "w",
+    driver_max_edges: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Component counts of the weighted graph at several weight
+    thresholds in ONE call: for each ``tau`` a row ``(tau, n_nodes,
+    n_components)`` counting components of the subgraph that keeps
+    edges with summed weight >= tau, where nodes of the FULL graph
+    whose every incident edge was dropped count as singletons —
+    ``n_nodes`` is constant across rows and ``n_components`` is
+    monotone non-decreasing in ``tau``. These are single-linkage
+    dendrogram levels: the sensitivity curve behind "how many dup
+    clusters survive at similarity >= 0.7 / 0.8 / 0.9" before anyone
+    commits to a dedup threshold.
+
+    COUNT-GATED per house policy: under ``driver_max_edges`` the
+    deduped weighted edge list is collected and ONE descending-weight
+    incremental union-find serves every threshold (each successful
+    union lowers the running component count by exactly 1, so
+    snapshots are free). Distributed path: per tau, a map-only weight
+    filter feeds :func:`weak_components` (which re-gates itself on the
+    FILTERED size) and two bounded counts — cost is |taus| component
+    runs, stated rather than hidden.
+    """
+    from .infer import bucketed_reduce
+
+    taus = sorted(set(int(t) for t in taus))
+    wund_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("w", pa.int64())]
+    )
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "w": pd.Series([], dtype="int64")}
+            )
+        s = b["src"].astype(str)
+        d = b["dst"].astype(str)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s.to_numpy(object), d.to_numpy(object))
+        hi = np.maximum(s.to_numpy(object), d.to_numpy(object))
+        return (
+            pd.DataFrame({"a": lo, "b": hi,
+                          "w": b.loc[keep, weight_col].to_numpy(np.int64)})
+            .groupby(["a", "b"], sort=False, as_index=False)["w"].sum()
+        )
+
+    wund = bucketed_reduce(
+        edges.select_columns(["src", "dst", weight_col]),
+        ["a", "b"],
+        lambda g: g.groupby(["a", "b"], sort=False, as_index=False)["w"].sum(),
+        wund_schema,
+        combiner=_canon,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    if wund.count() <= driver_max_edges:
+        df = wund.to_pandas()
+        if df.empty or "a" not in df.columns:
+            return ray.data.from_arrow(THRESH_COMP_SCHEMA.empty_table())
+        nodes = sorted(set(df["a"]) | set(df["b"]))
+        idx = {n: i for i, n in enumerate(nodes)}
+        parent = list(range(len(nodes)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n_comp = len(nodes)
+        df = df.sort_values("w", ascending=False, kind="stable")
+        ws = df["w"].to_numpy(np.int64)
+        aa = df["a"].to_numpy(object)
+        bb = df["b"].to_numpy(object)
+        out_rows = []
+        i = 0
+        for tau in sorted(taus, reverse=True):
+            while i < len(ws) and ws[i] >= tau:
+                ra, rb = find(idx[aa[i]]), find(idx[bb[i]])
+                if ra != rb:
+                    parent[ra] = rb
+                    n_comp -= 1
+                i += 1
+            out_rows.append((tau, len(nodes), n_comp))
+        out = pd.DataFrame(
+            sorted(out_rows), columns=["tau", "n_nodes", "n_components"]
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out.astype("int64"),
+                                 schema=THRESH_COMP_SCHEMA,
+                                 preserve_index=False)
+        )
+
+    node_schema = pa.schema([("node", pa.string())])
+
+    def _node_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {"node": np.concatenate(
+                [b["a"].to_numpy(object), b["b"].to_numpy(object)]
+            )}
+        ).drop_duplicates()
+
+    n_nodes = bucketed_reduce(
+        wund,
+        ["node"],
+        lambda g: g.drop_duplicates("node"),
+        node_schema,
+        combiner=_node_rows,
+        num_buckets=num_buckets,
+    ).count()
+
+    comp_schema = pa.schema([("component", pa.string())])
+    rows = []
+    for tau in taus:
+        kept = wund.map_batches(
+            lambda b, t=tau: pd.DataFrame(
+                {"subject": b.loc[b["w"] >= t, "a"].to_numpy(object),
+                 "object": b.loc[b["w"] >= t, "b"].to_numpy(object)}
+            ),
+            batch_format="pandas",
+        )
+        cc = weak_components(
+            kept, driver_max_edges=driver_max_edges, num_buckets=num_buckets
+        ).materialize()
+        touched = cc.count()
+        n_comp_touched = bucketed_reduce(
+            cc.select_columns(["component"]),
+            ["component"],
+            lambda g: g.drop_duplicates("component"),
+            comp_schema,
+            combiner=lambda b: b.drop_duplicates("component"),
+            num_buckets=num_buckets,
+        ).count()
+        rows.append((tau, n_nodes, n_comp_touched + (n_nodes - touched)))
+
+    out = pd.DataFrame(rows, columns=["tau", "n_nodes", "n_components"])
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=THRESH_COMP_SCHEMA,
+                             preserve_index=False)
+    )
