@@ -1126,6 +1126,50 @@ def q_threshold_components(sf_dir: str):
     return threshold_components(edges, [1, 3, 5])
 
 
+def q_graph_double_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound over the fixture graph: BFS
+    from the min-id node to its farthest node, then BFS again — ecc2
+    <= diameter, horizon-bounded at 20 hops on BOTH sides so the
+    recursive-CTE twin's semantics match exactly."""
+    from ..stages.graph_algos import double_sweep_bounds
+
+    return double_sweep_bounds(_cnrs_edges(sf_dir), max_hops=20)
+
+
+def q_orders_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two per-customer order rankings
+    (price-desc and recency-desc) — exact integer scale//(60+rank)
+    scores, top-3 per customer, ONE group-keyed shuffle for both
+    window ranks + fusion + top-k."""
+    from ..stages.retrieval import rrf_fuse_grouped
+
+    ords = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cust": b["o_custkey"].astype(int).astype(str).to_numpy(object),
+                "order_id": b["o_orderkey"].astype(int).astype(str).to_numpy(object),
+                # integer cents + epoch-us so both sort keys are exact
+                "price_c": (b["o_totalprice"] * 100).round().astype("int64"),
+                "ts": b["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "okey": b["o_orderkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return rrf_fuse_grouped(
+        ords,
+        "cust",
+        "order_id",
+        order_a=(["price_c", "okey"], [False, True]),
+        order_b=(["ts", "okey"], [False, True]),
+        k=60,
+        topk=3,
+    )
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset selection over the
     embeddings table, k=5: exact fixed-point distances, min-id seed,
@@ -4958,6 +5002,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_assortativity": q_graph_assortativity,
     "graph_rich_club": q_graph_rich_club,
     "threshold_components": q_threshold_components,
+    "graph_double_sweep": q_graph_double_sweep,
+    "orders_rrf": q_orders_rrf,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6423,6 +6469,63 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "graph_double_sweep": _CNRS_EDGES_SQL.replace(
+        "WITH base", "WITH RECURSIVE base"
+    ) + """,
+        sym AS (
+          SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und
+        ),
+        start AS (
+          SELECT min(node) AS s FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          )
+        ),
+        bfs1(entity, hop) AS (
+          SELECT s, 0 FROM start
+          UNION
+          SELECT y.dst, b.hop + 1 FROM bfs1 b JOIN sym y ON y.src = b.entity
+          WHERE b.hop < 20
+        ),
+        md1 AS (SELECT entity, min(hop) AS d FROM bfs1 GROUP BY entity),
+        f1 AS (SELECT entity, d FROM md1 ORDER BY d DESC, entity ASC LIMIT 1),
+        bfs2(entity, hop) AS (
+          SELECT entity, 0 FROM f1
+          UNION
+          SELECT y.dst, b.hop + 1 FROM bfs2 b JOIN sym y ON y.src = b.entity
+          WHERE b.hop < 20
+        ),
+        md2 AS (SELECT entity, min(hop) AS d FROM bfs2 GROUP BY entity),
+        f2 AS (SELECT entity, d FROM md2 ORDER BY d DESC, entity ASC LIMIT 1)
+        SELECT start.s AS start, f1.entity AS far1, CAST(f1.d AS BIGINT) AS ecc1,
+               f2.entity AS far2, CAST(f2.d AS BIGINT) AS ecc2
+        FROM start, f1, f2
+    """,
+    "orders_rrf": """
+        WITH r AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS cust,
+                 CAST(o_orderkey AS VARCHAR) AS order_id,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey ASC
+                 ) AS ra,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+                 ) AS rb
+          FROM orders
+        ),
+        f AS (
+          SELECT cust, order_id,
+                 CAST(1000000 // (60 + ra) + 1000000 // (60 + rb)
+                      AS BIGINT) AS rrf_scaled
+          FROM r
+        )
+        SELECT cust, order_id, rrf_scaled FROM f
+        QUALIFY row_number() OVER (
+          PARTITION BY cust ORDER BY rrf_scaled DESC, order_id ASC
+        ) <= 3
     """,
     "threshold_components": """
         WITH RECURSIVE pw AS (

@@ -3805,3 +3805,145 @@ def threshold_components(
         pa.Table.from_pandas(out.astype("int64"), schema=THRESH_COMP_SCHEMA,
                              preserve_index=False)
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep eccentricity / diameter lower bound
+# ---------------------------------------------------------------------------
+
+DOUBLE_SWEEP_SCHEMA = pa.schema(
+    [
+        ("start", pa.string()),
+        ("far1", pa.string()),
+        ("ecc1", pa.int64()),
+        ("far2", pa.string()),
+        ("ecc2", pa.int64()),
+    ]
+)
+
+
+def double_sweep_local(
+    und: pd.DataFrame, max_hops: int
+) -> pd.DataFrame:
+    """Driver twin: two plain BFS sweeps over the collected edge list,
+    same (hop desc, entity asc) argmax tie-break as the distributed
+    path and the SQL twin."""
+    from collections import deque
+
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(und["a"].astype(str), und["b"].astype(str)):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def _bfs_far(src: str) -> tuple[str, int]:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        # tie-break: hop desc, entity ASC
+        best_h = max(dist.values())
+        cands = sorted(e for e, h in dist.items() if h == best_h)
+        return cands[0], best_h
+
+    start = min(adj)
+    far1, ecc1 = _bfs_far(start)
+    far2, ecc2 = _bfs_far(far1)
+    return pd.DataFrame(
+        [{"start": start, "far1": far1, "ecc1": ecc1,
+          "far2": far2, "ecc2": ecc2}]
+    )
+
+
+def double_sweep_bounds(
+    edges: ray.data.Dataset,
+    *,
+    max_hops: int = 20,
+    driver_max_edges: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib
+    2009): BFS from the min-id node to its farthest reachable node
+    ``far1`` (distance ``ecc1``), then BFS from ``far1`` to ``far2``
+    (distance ``ecc2``). ``ecc2 <= diameter`` always, and on many real
+    graphs the bound is tight. Distances are HORIZON-BOUNDED at
+    ``max_hops`` (the SQL twin carries the same bound, so semantics
+    match even on graphs wider than the horizon). Argmax ties break
+    (hop desc, entity asc). One row out; empty input -> empty table.
+
+    COUNT-GATED per house policy (:func:`double_sweep_local` under
+    ``driver_max_edges``); the distributed path rides the shared
+    multi-source BFS twice — two frontier loops, no new shuffle
+    shapes — and is pinned bit-equal by the forced-gate test."""
+    und = undirected_simple_edges(edges, num_buckets=num_buckets).materialize()
+    if und.count() == 0:
+        return ray.data.from_arrow(DOUBLE_SWEEP_SCHEMA.empty_table())
+
+    if und.count() <= driver_max_edges:
+        out = double_sweep_local(und.to_pandas(), max_hops)
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, schema=DOUBLE_SWEEP_SCHEMA,
+                                 preserve_index=False)
+        )
+
+    und_sd = und.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["a"].combine_chunks().cast(pa.string()),
+                "dst": b["b"].combine_chunks().cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _block_min(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {"node": [min(b["src"].astype(str).min(), b["dst"].astype(str).min())]}
+        )
+
+    mins = und_sd.map_batches(
+        _block_min, batch_format="pandas", batch_size=None
+    ).to_pandas()  # bounded: one row per block
+    start = str(mins["node"].min())
+
+    def _farthest(source: str) -> tuple[str, int]:
+        visited = multi_source_hops(
+            und_sd, [source], max_hops, directed=False, num_buckets=num_buckets
+        )
+
+        def _top(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"entity": pd.Series([], dtype=object),
+                     "hop": pd.Series([], dtype="int64")}
+                )
+            i = b.sort_values(
+                ["hop", "entity"], ascending=[False, True], kind="stable"
+            ).index[0]
+            return b.loc[[i], ["entity", "hop"]]
+
+        cands = visited.map_batches(
+            _top, batch_format="pandas", batch_size=None
+        ).to_pandas()  # bounded: one row per block
+        best = cands.sort_values(
+            ["hop", "entity"], ascending=[False, True], kind="stable"
+        ).iloc[0]
+        return str(best["entity"]), int(best["hop"])
+
+    far1, ecc1 = _farthest(start)
+    far2, ecc2 = _farthest(far1)
+    out = pd.DataFrame(
+        [{"start": start, "far1": far1, "ecc1": ecc1,
+          "far2": far2, "ecc2": ecc2}]
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, schema=DOUBLE_SWEEP_SCHEMA,
+                             preserve_index=False)
+    )

@@ -242,3 +242,91 @@ def bm25_more_like_this(
 
     cands = slim.map_batches(_score, batch_format="pandas", batch_size=None)
     return bucketed_reduce(cands, ["query_id"], _final, BM25_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (grouped, one shuffle)
+# ---------------------------------------------------------------------------
+
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse_grouped(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    order_a: tuple[list[str], list[bool]],
+    order_b: tuple[list[str], list[bool]],
+    *,
+    k: int = 60,
+    scale: int = RRF_SCALE,
+    topk: int = 3,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    within-group rankings computed from the SAME rows: each item gets
+    ``scale // (k + rank_a) + scale // (k + rank_b)`` (exact integer —
+    the float 1/(k+r) form could never hash-match SQL) and the top
+    ``topk`` per group survive, ties broken by item id. ``order_a`` /
+    ``order_b`` are ``(columns, ascending_flags)`` row_number sort
+    keys; append the item column yourself if the key needs a
+    deterministic tie-break.
+
+    ONE group-keyed bucketed shuffle total: both ranks, the fusion
+    arithmetic and the per-group top-k all happen vectorized inside
+    the reduce — fusing two window functions and a join into a single
+    exchange (the composed form would cost three)."""
+    from .infer import bucketed_reduce
+
+    out_schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            (item_col, pa.string()),
+            ("rrf_scaled", pa.int64()),
+        ]
+    )
+
+    cols = sorted(
+        {group_col, item_col} | set(order_a[0]) | set(order_b[0])
+    )
+
+    def _rank(g: pd.DataFrame, order) -> np.ndarray:
+        # within-group row_number, fully vectorized: one sort by
+        # (group, keys), cumcount per group, scatter back to g's order
+        by, asc = order
+        s = g.sort_values(
+            [group_col] + by, ascending=[True] + list(asc), kind="stable"
+        )
+        r = s.groupby(group_col, sort=False).cumcount().to_numpy(np.int64) + 1
+        return pd.Series(r, index=s.index).reindex(g.index).to_numpy(np.int64)
+
+    def _fuse(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 item_col: pd.Series([], dtype=object),
+                 "rrf_scaled": pd.Series([], dtype="int64")}
+            )
+        ra = _rank(g, order_a)
+        rb = _rank(g, order_b)
+        f = pd.DataFrame(
+            {
+                group_col: g[group_col].astype(str).to_numpy(object),
+                item_col: g[item_col].astype(str).to_numpy(object),
+                "rrf_scaled": scale // (k + ra) + scale // (k + rb),
+            }
+        ).sort_values(
+            [group_col, "rrf_scaled", item_col],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        keep = f.groupby(group_col, sort=False).cumcount() < topk
+        return f.loc[keep.to_numpy()]
+
+    return bucketed_reduce(
+        ds.select_columns(cols),
+        [group_col],
+        _fuse,
+        out_schema,
+        num_buckets=num_buckets,
+    )
