@@ -1170,6 +1170,18 @@ def q_orders_rrf(sf_dir: str):
     )
 
 
+def q_part_frequent_triples(sf_dir: str):
+    """Apriori 3-itemsets over order baskets: part triples appearing
+    in >= 2 distinct orders with exact support — frequent pairs are
+    broadcast to prune candidate triples before the shuffle."""
+    from ..stages.cooccur import frequent_triples
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    return frequent_triples(li, "l_orderkey", "l_partkey", minsup=2)
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset selection over the
     embeddings table, k=5: exact fixed-point distances, min-id seed,
@@ -5004,6 +5016,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "threshold_components": q_threshold_components,
     "graph_double_sweep": q_graph_double_sweep,
     "orders_rrf": q_orders_rrf,
+    "part_frequent_triples": q_part_frequent_triples,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6469,6 +6482,18 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "part_frequent_triples": """
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        )
+        SELECT a.p AS item_a, b.p AS item_b, c.p AS item_c,
+               CAST(count(*) AS BIGINT) AS support
+        FROM oi a
+        JOIN oi b ON b.o = a.o AND b.p > a.p
+        JOIN oi c ON c.o = a.o AND c.p > b.p
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
     """,
     "graph_double_sweep": _CNRS_EDGES_SQL.replace(
         "WITH base", "WITH RECURSIVE base"

@@ -258,3 +258,205 @@ def cooccur_lift(
     out = pdf.copy()
     out["lift_milli"] = np.asarray(lifts, dtype=np.int64)
     return ray.data.from_arrow(pa_from_pandas(out, _lift_schema(item_type)))
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent triples (3-itemsets, pair-pruned)
+# ---------------------------------------------------------------------------
+
+TRIPLE_COUNT_SCHEMA = pa.schema(
+    [
+        ("item_a", pa.int64()),
+        ("item_b", pa.int64()),
+        ("item_c", pa.int64()),
+        ("support", pa.int64()),
+    ]
+)
+
+
+def _triple_indices_by_size(codes: np.ndarray, cap: int):
+    """Row indices (i, j, k), i<j<k, of every within-group ordered
+    triple of a SORTED group-code array — same distinct-SIZE template
+    broadcast as :func:`~.dedup._pair_indices_by_size` (no per-group
+    Python). ``cap`` bounds triples per group (skew defense)."""
+    n = len(codes)
+    if n < 3:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    multi = sizes >= 3
+    starts, sizes = starts[multi], sizes[multi]
+    out = ([], [], [])
+    for sz in np.unique(sizes):
+        sz = int(sz)
+        grid = np.array(
+            [(i, j, k) for i in range(sz) for j in range(i + 1, sz)
+             for k in range(j + 1, sz)],
+            np.int64,
+        )
+        if len(grid) > cap:
+            grid = grid[:cap]
+        s = starts[sizes == sz]
+        for d in range(3):
+            out[d].append((s[:, None] + grid[None, :, d]).reshape(-1))
+    if not out[0]:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return tuple(np.concatenate(o) for o in out)
+
+
+def frequent_triples(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    minsup: int = 2,
+    max_basket_size: int | None = None,
+    pair_broadcast_max: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Apriori 3-itemsets: every item triple ``(a < b < c)`` contained
+    in at least ``minsup`` DISTINCT baskets, with its exact support —
+    the classic association-mining step above :func:`cooccur_pairs`.
+
+    Apriori pruning, distributed: pass 1 counts pairs (the existing
+    basket-keyed shape); the frequent-pair set (support >= minsup) is
+    counted and, under ``pair_broadcast_max``, broadcast via
+    ``ray.put`` so pass 2 generates a candidate triple ONLY when all
+    three of its pairs are frequent — on sparse baskets this kills
+    almost every C(|basket|, 3) candidate before the shuffle (the
+    monotonicity guarantee: support(abc) >= minsup forces every pair's
+    support >= minsup, so pruning never drops an answer). Over the
+    gate, pass 2 runs unpruned (correct, heavier — bounded by
+    ``max_basket_size``) and says so via the same honest-cap contract
+    as ``cooccur_pairs``. Triple generation is vectorized over distinct
+    basket SIZES, never per basket.
+    """
+    pair_key_schema = pa.schema([("item_a", pa.int64()), ("item_b", pa.int64())])
+
+    def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[basket_col, item_col]].drop_duplicates()
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="stable"
+        )
+        if max_basket_size is not None:
+            sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
+            g = g[sizes <= max_basket_size]
+        i, j = _pair_indices_by_size(g[basket_col].to_numpy(), 1 << 62)
+        items = g[item_col].to_numpy()
+        vc = pd.DataFrame({"item_a": items[i], "item_b": items[j]}).groupby(
+            ["item_a", "item_b"], sort=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "item_a": vc.index.get_level_values(0).to_numpy(),
+                "item_b": vc.index.get_level_values(1).to_numpy(),
+                "n_baskets": vc.to_numpy(np.int64),
+            }
+        )
+
+    src = ds.select_columns([basket_col, item_col]).materialize()
+    pair_partials = bucketed_reduce(
+        src.map_batches(_dedup, batch_format="pandas", batch_size=None),
+        [basket_col],
+        _pair_partials,
+        PAIR_COUNT_SCHEMA,
+        combiner=_dedup,
+        num_buckets=num_buckets,
+    )
+
+    def _freq_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["item_a", "item_b"], sort=False)["n_baskets"].sum()
+        s = s[s >= minsup]
+        return pd.DataFrame(
+            {
+                "item_a": s.index.get_level_values(0).to_numpy(),
+                "item_b": s.index.get_level_values(1).to_numpy(),
+            }
+        )
+
+    freq_pairs = bucketed_reduce(
+        pair_partials,
+        ["item_a", "item_b"],
+        _freq_pairs,
+        pair_key_schema,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    pair_set: set | None = None
+    if freq_pairs.count() <= pair_broadcast_max:
+        fp = freq_pairs.to_pandas()
+        pair_set = (
+            set(zip(fp["item_a"].astype(np.int64), fp["item_b"].astype(np.int64)))
+            if len(fp)
+            else set()
+        )
+    ref = ray.put(pair_set)
+
+    def _triple_partials(g: pd.DataFrame) -> pd.DataFrame:
+        pruned = ray.get(ref)
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="stable"
+        )
+        if max_basket_size is not None:
+            sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
+            g = g[sizes <= max_basket_size]
+        i, j, k = _triple_indices_by_size(g[basket_col].to_numpy(), 1 << 62)
+        items = g[item_col].to_numpy()
+        a, b, c = items[i], items[j], items[k]
+        if pruned is not None and len(a):
+            keep = np.fromiter(
+                (
+                    (x, y) in pruned and (x, z) in pruned and (y, z) in pruned
+                    for x, y, z in zip(a, b, c)
+                ),
+                bool,
+                count=len(a),
+            )
+            a, b, c = a[keep], b[keep], c[keep]
+        vc = pd.DataFrame(
+            {"item_a": a, "item_b": b, "item_c": c}
+        ).groupby(["item_a", "item_b", "item_c"], sort=False).size()
+        return pd.DataFrame(
+            {
+                "item_a": vc.index.get_level_values(0).to_numpy(),
+                "item_b": vc.index.get_level_values(1).to_numpy(),
+                "item_c": vc.index.get_level_values(2).to_numpy(),
+                "support": vc.to_numpy(np.int64),
+            }
+        )
+
+    triple_partials = bucketed_reduce(
+        src.map_batches(_dedup, batch_format="pandas", batch_size=None),
+        [basket_col],
+        _triple_partials,
+        TRIPLE_COUNT_SCHEMA,
+        combiner=_dedup,
+        num_buckets=num_buckets,
+    )
+
+    def _sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["item_a", "item_b", "item_c"], sort=False)["support"].sum()
+        s = s[s >= minsup]
+        return pd.DataFrame(
+            {
+                "item_a": s.index.get_level_values(0).to_numpy(),
+                "item_b": s.index.get_level_values(1).to_numpy(),
+                "item_c": s.index.get_level_values(2).to_numpy(),
+                "support": s.to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_reduce(
+        triple_partials,
+        ["item_a", "item_b", "item_c"],
+        _sum_filter,
+        TRIPLE_COUNT_SCHEMA,
+        num_buckets=num_buckets,
+    )
