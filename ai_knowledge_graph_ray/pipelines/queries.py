@@ -1182,6 +1182,30 @@ def q_part_frequent_triples(sf_dir: str):
     return frequent_triples(li, "l_orderkey", "l_partkey", minsup=2)
 
 
+def q_part_rules(sf_dir: str):
+    """Pair-antecedent association rules from frequent part triples —
+    exact support + integer-thousandths confidence (1000*sup//sup_pair);
+    pair supports computed once and reused for pruning + denominators."""
+    from ..stages.cooccur import association_rules
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    return association_rules(li, "l_orderkey", "l_partkey", minsup=2)
+
+
+def q_doc_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct tokens seen at the
+    10/25/50/100% doc-id cuts — one token-keyed MIN reduce, all cuts
+    share one pass over the (token, first_doc) residue."""
+    from ..stages.vocab import vocab_growth
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return vocab_growth(docs, pcts=[10, 25, 50, 100])
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset selection over the
     embeddings table, k=5: exact fixed-point distances, min-id seed,
@@ -5017,6 +5041,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_double_sweep": q_graph_double_sweep,
     "orders_rrf": q_orders_rrf,
     "part_frequent_triples": q_part_frequent_triples,
+    "doc_vocab_growth": q_doc_vocab_growth,
+    "part_rules": q_part_rules,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6482,6 +6508,53 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "part_rules": """
+        WITH oi AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        pr AS (
+          SELECT a.p AS p1, b.p AS p2, count(*) AS s
+          FROM oi a JOIN oi b ON b.o = a.o AND b.p > a.p
+          GROUP BY 1, 2
+        ),
+        tr AS (
+          SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS s
+          FROM oi a
+          JOIN oi b ON b.o = a.o AND b.p > a.p
+          JOIN oi c ON c.o = a.o AND c.p > b.p
+          GROUP BY 1, 2, 3
+          HAVING count(*) >= 2
+        )
+        SELECT t.p1 AS ant_a, t.p2 AS ant_b, t.p3 AS cons,
+               CAST(t.s AS BIGINT) AS support,
+               CAST(t.s * 1000 // p.s AS BIGINT) AS conf_milli
+        FROM tr t JOIN pr p ON p.p1 = t.p1 AND p.p2 = t.p2
+        UNION ALL
+        SELECT t.p1, t.p3, t.p2, CAST(t.s AS BIGINT),
+               CAST(t.s * 1000 // p.s AS BIGINT)
+        FROM tr t JOIN pr p ON p.p1 = t.p1 AND p.p2 = t.p3
+        UNION ALL
+        SELECT t.p2, t.p3, t.p1, CAST(t.s AS BIGINT),
+               CAST(t.s * 1000 // p.s AS BIGINT)
+        FROM tr t JOIN pr p ON p.p1 = t.p2 AND p.p2 = t.p3
+    """,
+    "doc_vocab_growth": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+'))
+                   AS token
+          FROM documents
+        ),
+        f AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY token),
+        cuts AS (
+          SELECT CAST((SELECT max(doc_id) FROM documents) * p // 100
+                      AS BIGINT) AS threshold
+          FROM (SELECT unnest([10, 25, 50, 100]) AS p)
+        )
+        SELECT c.threshold,
+               (SELECT count(*) FROM f WHERE f.fd <= c.threshold) AS n_distinct
+        FROM cuts c
     """,
     "part_frequent_triples": """
         WITH oi AS (

@@ -274,6 +274,71 @@ TRIPLE_COUNT_SCHEMA = pa.schema(
 )
 
 
+def basket_pair_counts(
+    src: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    max_basket_size: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact ``(item_a, item_b, n_baskets)`` for EVERY within-basket
+    ordered pair (no min-count filter, no top-k) — the shared front
+    half of :func:`frequent_triples` and :func:`association_rules`.
+    Same two-exchange shape as :func:`cooccur_pairs`: basket-keyed
+    vectorized pair templates with map-side pre-aggregation, then a
+    pair-keyed sum."""
+
+    def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[basket_col, item_col]].drop_duplicates()
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col], kind="stable"
+        )
+        if max_basket_size is not None:
+            sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
+            g = g[sizes <= max_basket_size]
+        i, j = _pair_indices_by_size(g[basket_col].to_numpy(), 1 << 62)
+        items = g[item_col].to_numpy()
+        vc = pd.DataFrame({"item_a": items[i], "item_b": items[j]}).groupby(
+            ["item_a", "item_b"], sort=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "item_a": vc.index.get_level_values(0).to_numpy(),
+                "item_b": vc.index.get_level_values(1).to_numpy(),
+                "n_baskets": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = bucketed_reduce(
+        src.map_batches(_dedup, batch_format="pandas", batch_size=None),
+        [basket_col],
+        _pair_partials,
+        PAIR_COUNT_SCHEMA,
+        combiner=_dedup,
+        num_buckets=num_buckets,
+    )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["item_a", "item_b"], sort=False)["n_baskets"].sum()
+        return pd.DataFrame(
+            {
+                "item_a": s.index.get_level_values(0).to_numpy(),
+                "item_b": s.index.get_level_values(1).to_numpy(),
+                "n_baskets": s.to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_reduce(
+        partials, ["item_a", "item_b"], _sum, PAIR_COUNT_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+
 def _triple_indices_by_size(codes: np.ndarray, cap: int):
     """Row indices (i, j, k), i<j<k, of every within-group ordered
     triple of a SORTED group-code array — same distinct-SIZE template
@@ -334,59 +399,18 @@ def frequent_triples(
     as ``cooccur_pairs``. Triple generation is vectorized over distinct
     basket SIZES, never per basket.
     """
-    pair_key_schema = pa.schema([("item_a", pa.int64()), ("item_b", pa.int64())])
+    src = ds.select_columns([basket_col, item_col]).materialize()
+    pair_counts = basket_pair_counts(
+        src, basket_col, item_col,
+        max_basket_size=max_basket_size, num_buckets=num_buckets,
+    )
 
     def _dedup(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[[basket_col, item_col]].drop_duplicates()
 
-    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
-        from .dedup import _pair_indices_by_size
-
-        g = g.drop_duplicates([basket_col, item_col]).sort_values(
-            [basket_col, item_col], kind="stable"
-        )
-        if max_basket_size is not None:
-            sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
-            g = g[sizes <= max_basket_size]
-        i, j = _pair_indices_by_size(g[basket_col].to_numpy(), 1 << 62)
-        items = g[item_col].to_numpy()
-        vc = pd.DataFrame({"item_a": items[i], "item_b": items[j]}).groupby(
-            ["item_a", "item_b"], sort=False
-        ).size()
-        return pd.DataFrame(
-            {
-                "item_a": vc.index.get_level_values(0).to_numpy(),
-                "item_b": vc.index.get_level_values(1).to_numpy(),
-                "n_baskets": vc.to_numpy(np.int64),
-            }
-        )
-
-    src = ds.select_columns([basket_col, item_col]).materialize()
-    pair_partials = bucketed_reduce(
-        src.map_batches(_dedup, batch_format="pandas", batch_size=None),
-        [basket_col],
-        _pair_partials,
-        PAIR_COUNT_SCHEMA,
-        combiner=_dedup,
-        num_buckets=num_buckets,
-    )
-
-    def _freq_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(["item_a", "item_b"], sort=False)["n_baskets"].sum()
-        s = s[s >= minsup]
-        return pd.DataFrame(
-            {
-                "item_a": s.index.get_level_values(0).to_numpy(),
-                "item_b": s.index.get_level_values(1).to_numpy(),
-            }
-        )
-
-    freq_pairs = bucketed_reduce(
-        pair_partials,
-        ["item_a", "item_b"],
-        _freq_pairs,
-        pair_key_schema,
-        num_buckets=num_buckets,
+    freq_pairs = pair_counts.map_batches(
+        lambda b: b.loc[b["n_baskets"] >= minsup, ["item_a", "item_b"]],
+        batch_format="pandas",
     ).materialize()
 
     pair_set: set | None = None
@@ -459,4 +483,109 @@ def frequent_triples(
         _sum_filter,
         TRIPLE_COUNT_SCHEMA,
         num_buckets=num_buckets,
+    )
+
+
+RULE_SCHEMA = pa.schema(
+    [
+        ("ant_a", pa.int64()),
+        ("ant_b", pa.int64()),
+        ("cons", pa.int64()),
+        ("support", pa.int64()),
+        ("conf_milli", pa.int64()),
+    ]
+)
+
+
+def association_rules(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    minsup: int = 2,
+    max_basket_size: int | None = None,
+    driver_max_triples: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Pair-antecedent association rules ``{ant_a, ant_b} -> cons``
+    from every frequent triple (one rule per triple member), with
+    exact ``support`` (triple count) and integer-thousandths
+    confidence ``conf_milli = 1000 * sup(abc) // sup(antecedent pair)``
+    — the form a SQL twin can hash-match where a float ratio never
+    would.
+
+    Pair supports are computed once (:func:`basket_pair_counts`) and
+    feed BOTH the Apriori pruning inside the triple pass and the
+    confidence denominators. Frequent triples are a minsup-filtered
+    residue (small by construction); under ``driver_max_triples`` they
+    collect and the <= 3x|triples| needed pair supports arrive via a
+    broadcast-key filter over the pair-counts dataset — no join
+    shuffle. The distributed over-the-gate path is deliberately NOT
+    built: a triple residue past 2M rows means minsup is set far too
+    low for rules to be readable, and the loud error says so."""
+    src = ds.select_columns([basket_col, item_col]).materialize()
+    pair_counts = basket_pair_counts(
+        src, basket_col, item_col,
+        max_basket_size=max_basket_size, num_buckets=num_buckets,
+    ).materialize()
+
+    triples = frequent_triples(
+        ds, basket_col, item_col,
+        minsup=minsup, max_basket_size=max_basket_size,
+        num_buckets=num_buckets,
+    ).materialize()
+    n_tri = triples.count()
+    if n_tri == 0:
+        return ray.data.from_arrow(RULE_SCHEMA.empty_table())
+    if n_tri > driver_max_triples:
+        raise ValueError(
+            f"association_rules: {n_tri} frequent triples exceed "
+            f"driver_max_triples={driver_max_triples}; raise minsup"
+        )
+    tri = triples.to_pandas()
+
+    need = set()
+    for a, b, c in zip(tri["item_a"], tri["item_b"], tri["item_c"]):
+        need.add((int(a), int(b)))
+        need.add((int(a), int(c)))
+        need.add((int(b), int(c)))
+    ref = ray.put(need)
+
+    class _PairFilter:
+        def __init__(self, r):
+            self._s = ray.get(r)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return b
+            keep = [
+                (int(x), int(y)) in self._s
+                for x, y in zip(b["item_a"], b["item_b"])
+            ]
+            return b.loc[np.asarray(keep, bool)]
+
+    sup = (
+        pair_counts.map_batches(
+            _PairFilter, fn_constructor_kwargs={"r": ref},
+            batch_format="pandas", concurrency=(1, 8),
+        ).to_pandas()  # bounded: <= 3 x |triples| rows
+    )
+    pmap = {
+        (int(x), int(y)): int(n)
+        for x, y, n in zip(sup["item_a"], sup["item_b"], sup["n_baskets"])
+    } if len(sup) else {}
+
+    rows = []
+    for a, b, c, s in zip(
+        tri["item_a"].astype(int), tri["item_b"].astype(int),
+        tri["item_c"].astype(int), tri["support"].astype(int),
+    ):
+        for (x, y), z in (((a, b), c), ((a, c), b), ((b, c), a)):
+            rows.append((x, y, z, s, 1000 * s // pmap[(x, y)]))
+    out = pd.DataFrame(
+        rows, columns=["ant_a", "ant_b", "cons", "support", "conf_milli"]
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=RULE_SCHEMA,
+                             preserve_index=False)
     )

@@ -667,3 +667,106 @@ def distinctive_terms_per_group(
     return bucketed_reduce(
         gt, ["group"], _topk, DISTINCTIVE_SCHEMA, num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps-law statistics)
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_SCHEMA = pa.schema(
+    [("threshold", pa.int64()), ("n_distinct", pa.int64())]
+)
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    pcts: list[int] = (10, 25, 50, 100),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Vocabulary growth curve: for each percentile cut of the doc-id
+    axis, how many DISTINCT tokens appear in some document at or below
+    it — the Heaps-law curve that sizes vocab tables and OOV budgets
+    before committing to a tokenizer. Thresholds are
+    ``(max_doc_id * pct) // 100`` so the SQL twin derives identical
+    cuts with integer arithmetic.
+
+    Exact and two passes: one token-keyed bucketed MIN reduce assigns
+    each token its first-containing doc id (map-side per-block distinct
+    (token, min doc) combiner, so a token crosses the exchange ~once
+    per block, not once per occurrence); then every threshold shares
+    ONE map over the reduced (token, first_doc) residue — per-block
+    ``searchsorted``-free vectorized <=-counts, driver folds one row
+    per (block, threshold)."""
+    from .infer import normalize_blocks
+
+    pcts = sorted(set(int(p) for p in pcts))
+    first_schema = pa.schema([("token", pa.string()), ("fd", pa.int64())])
+
+    max_doc = ds.max(doc_id_col)
+    if max_doc is None:
+        return ray.data.from_arrow(VOCAB_GROWTH_SCHEMA.empty_table())
+    per_pct = np.array([(int(max_doc) * p) // 100 for p in pcts], np.int64)
+    # colliding cuts would double-count in the per-block sum — count
+    # each distinct threshold once, emit one row per pct at the end
+    thresholds = np.unique(per_pct)
+
+    def _first(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")
+        arrs = toks.to_numpy()
+        ids = b[doc_id_col].to_numpy(np.int64)
+        tok_flat, id_flat = [], []
+        for t, d in zip(arrs, ids):
+            if t:
+                tok_flat.append(np.asarray(t, object))
+                id_flat.append(np.full(len(t), d, np.int64))
+        if not tok_flat:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "fd": pd.Series([], dtype="int64")}
+            )
+        f = pd.DataFrame(
+            {"token": np.concatenate(tok_flat), "fd": np.concatenate(id_flat)}
+        )
+        return f.groupby("token", sort=False, as_index=False)["fd"].min()
+
+    first_doc = bucketed_reduce(
+        ds.select_columns([text_col, doc_id_col]),
+        ["token"],
+        lambda g: g.groupby("token", sort=False, as_index=False)["fd"].min(),
+        first_schema,
+        combiner=_first,
+        num_buckets=num_buckets,
+    )
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"threshold": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        fd = b["fd"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"threshold": thresholds,
+             "n": (fd[None, :] <= thresholds[:, None]).sum(axis=1)}
+        )
+
+    parts = normalize_blocks(
+        first_doc.map_batches(_counts, batch_format="pandas", batch_size=None),
+        pa.schema([("threshold", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas()  # bounded: |pcts| rows per block
+    agg = (
+        parts.groupby("threshold")["n"].sum()
+        if len(parts)
+        else pd.Series(dtype="int64")
+    )
+    out = pd.DataFrame(
+        {"threshold": per_pct,
+         "n_distinct": [int(agg.get(t, 0)) for t in per_pct]}
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out.astype("int64"), schema=VOCAB_GROWTH_SCHEMA,
+                             preserve_index=False)
+    )

@@ -96,3 +96,65 @@ class TestFrequentTriples:
         ).to_pandas()
         # the mega-basket is dropped entirely; only the planted triple
         assert got[["item_a", "item_b", "item_c"]].values.tolist() == [[7, 8, 9]]
+
+
+class TestAssociationRules:
+    def test_matches_bruteforce(self):
+        from ai_knowledge_graph_ray.stages.cooccur import association_rules
+
+        rng = np.random.RandomState(44)
+        df = _rand_baskets(rng, 100, np.arange(12), 5)
+        # brute force
+        pair_sup: dict = {}
+        tri_sup: dict = {}
+        for _, g in df.drop_duplicates().groupby("basket"):
+            items = sorted(g["item"])
+            for p in combinations(items, 2):
+                pair_sup[p] = pair_sup.get(p, 0) + 1
+            for t in combinations(items, 3):
+                tri_sup[t] = tri_sup.get(t, 0) + 1
+        want_rows = []
+        for (a, b, c), s in tri_sup.items():
+            if s < 3:
+                continue
+            for (x, y), z in (((a, b), c), ((a, c), b), ((b, c), a)):
+                want_rows.append((x, y, z, s, 1000 * s // pair_sup[(x, y)]))
+        want = (
+            pd.DataFrame(
+                want_rows,
+                columns=["ant_a", "ant_b", "cons", "support", "conf_milli"],
+            )
+            .sort_values(["ant_a", "ant_b", "cons"]).reset_index(drop=True)
+            .astype("int64")
+        )
+        got = (
+            association_rules(
+                ray.data.from_pandas(df).repartition(4),
+                "basket", "item", minsup=3,
+            )
+            .to_pandas().sort_values(["ant_a", "ant_b", "cons"])
+            .reset_index(drop=True).astype("int64")
+        )
+        assert len(want) > 10  # fixture sanity
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_confidence_bounds_and_empty(self):
+        from ai_knowledge_graph_ray.stages.cooccur import association_rules
+
+        df = pd.DataFrame(
+            [(b, it) for b in range(4) for it in (1, 2, 3)]
+            + [(10, 1), (10, 2)],  # pair (1,2) also appears without 3
+            columns=["basket", "item"],
+        )
+        got = association_rules(
+            ray.data.from_pandas(df), "basket", "item", minsup=4
+        ).to_pandas().set_index(["ant_a", "ant_b", "cons"])
+        # {1,2} -> 3: sup 4, pair (1,2) sup 5 -> conf 800
+        assert got.loc[(1, 2, 3), "conf_milli"] == 800
+        # {1,3} -> 2 and {2,3} -> 1: pair sup 4 -> conf 1000
+        assert got.loc[(1, 3, 2), "conf_milli"] == 1000
+        assert got.loc[(2, 3, 1), "conf_milli"] == 1000
+        empty = association_rules(
+            ray.data.from_pandas(df), "basket", "item", minsup=50
+        )
+        assert empty.count() == 0
