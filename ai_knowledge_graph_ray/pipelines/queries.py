@@ -1194,6 +1194,43 @@ def q_part_rules(sf_dir: str):
     return association_rules(li, "l_orderkey", "l_partkey", minsup=2)
 
 
+def q_weighted_sssp(sf_dir: str):
+    """Budget-bounded weighted shortest paths over the shipment
+    multigraph (supplier <-> part edges weighted by l_linenumber,
+    seeds = suppliers 1-3, budget 6) — parallel edges need no dedup,
+    the min-fixpoint keeps the cheapest; recursive-CTE twin."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph_algos import weighted_sssp
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey", "l_linenumber"],
+    )
+
+    def _e(b: pd.DataFrame) -> pd.DataFrame:
+        s = ("s" + b["l_suppkey"].astype(int).astype(str)).to_numpy(object)
+        p = ("p" + b["l_partkey"].astype(int).astype(str)).to_numpy(object)
+        w = b["l_linenumber"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([s, p]),
+                "dst": np.concatenate([p, s]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    sup = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey"]
+    ).to_pandas()
+    seeds = [
+        f"s{k}" for k in sorted(sup.loc[sup["s_suppkey"] <= 3, "s_suppkey"])
+    ]
+    return weighted_sssp(
+        li.map_batches(_e, batch_format="pandas"), seeds, dist_limit=6
+    )
+
+
 def q_doc_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: distinct tokens seen at the
     10/25/50/100% doc-id cuts — one token-keyed MIN reduce, all cuts
@@ -5043,6 +5080,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_frequent_triples": q_part_frequent_triples,
     "doc_vocab_growth": q_doc_vocab_growth,
     "part_rules": q_part_rules,
+    "weighted_sssp": q_weighted_sssp,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6508,6 +6546,26 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "weighted_sssp": """
+        WITH RECURSIVE we AS (
+          SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                 'p' || CAST(l_partkey AS VARCHAR) AS dst,
+                 CAST(l_linenumber AS BIGINT) AS w FROM lineitem
+          UNION ALL
+          SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                 's' || CAST(l_suppkey AS VARCHAR),
+                 CAST(l_linenumber AS BIGINT) FROM lineitem
+        ),
+        reach(node, d) AS (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR), CAST(0 AS BIGINT)
+          FROM supplier WHERE s_suppkey <= 3
+          UNION
+          SELECT e.dst, r.d + e.w FROM reach r
+          JOIN we e ON e.src = r.node
+          WHERE r.d + e.w <= 6
+        )
+        SELECT node AS entity, min(d) AS dist FROM reach GROUP BY node
     """,
     "part_rules": """
         WITH oi AS (

@@ -3947,3 +3947,199 @@ def double_sweep_bounds(
         pa.Table.from_pandas(out, schema=DOUBLE_SWEEP_SCHEMA,
                              preserve_index=False)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded-cost Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_SCHEMA = pa.schema([("entity", pa.string()), ("dist", pa.int64())])
+
+
+def weighted_sssp_local(
+    edges: pd.DataFrame, seeds: list[str], dist_limit: int
+) -> pd.DataFrame:
+    """Driver twin: Dijkstra with non-negative int weights, pruned at
+    ``dist_limit`` — exact match for the distributed min-fixpoint and
+    the bounded recursive-CTE oracle."""
+    import heapq
+
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for u, v, w in zip(
+        edges["src"].astype(str), edges["dst"].astype(str),
+        edges["w"].astype(int),
+    ):
+        adj.setdefault(u, []).append((v, int(w)))
+    dist: dict[str, int] = {}
+    heap = [(0, s) for s in sorted(set(str(s) for s in seeds))]
+    for _, s in heap:
+        dist[s] = 0
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, d):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd <= dist_limit and nd < dist.get(v, dist_limit + 1):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    ents = sorted(dist)
+    return pd.DataFrame(
+        {"entity": ents, "dist": np.array([dist[e] for e in ents], np.int64)}
+    )
+
+
+def weighted_sssp(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    dist_limit: int,
+    driver_max_edges: int = 2_000_000,
+    max_rounds: int = 10_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Multi-seed weighted shortest paths over directed edges
+    ``(src, dst, w)`` with non-negative integer weights, BOUNDED at
+    ``dist_limit`` (nodes farther than the budget are absent — the
+    bound is what keeps the recursive SQL oracle's state space finite,
+    and "everything within cost B" is the operative question for
+    neighborhood joins anyway). Multigraph edges need no dedup: the
+    min-fixpoint sees every parallel edge and keeps the cheapest.
+
+    COUNT-GATED per house policy (:func:`weighted_sssp_local` Dijkstra
+    under ``driver_max_edges``). Distributed path = the same parallel
+    relaxation shape as :func:`temporal_reachability`: per round ONE
+    bucketed frontier-x-edges cogroup join (candidates ``dist + w``,
+    pruned at the budget) + ONE min-fold bucketed reduce with map-side
+    combiner; rounds are bounded by the longest shortest path's edge
+    count, and only improved nodes re-enter the frontier."""
+    from .infer import bucketed_reduce, normalize_blocks, sanitize_for_join
+    from .relational import cogroup_join
+
+    edge_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+    )
+    e = sanitize_for_join(
+        edges.select_columns(["src", "dst", "w"]), edge_schema
+    ).materialize()
+    seeds = sorted({str(s) for s in seeds})
+
+    if e.count() <= driver_max_edges:
+        return ray.data.from_arrow(
+            pa_from_pandas(
+                weighted_sssp_local(e.to_pandas(), seeds, dist_limit),
+                SSSP_SCHEMA,
+            )
+        )
+
+    fold_schema = pa.schema(
+        [("entity", pa.string()), ("dist", pa.int64()), ("improved", pa.bool_())]
+    )
+    frontier_schema = pa.schema([("src", pa.string()), ("f_dist", pa.int64())])
+    state_cols = {"entity": object, "dist": "int64", "is_old": bool}
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(seeds, pa.string()),
+                "dist": pa.array([0] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+
+    def _empty_state() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in state_cols.items()}
+        )
+
+    def _cand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _empty_state()
+        nd = b["w"].to_numpy().astype(np.int64) + b["f_dist"].to_numpy().astype(
+            np.int64
+        )
+        ok = nd <= dist_limit
+        hit = b.loc[ok]
+        return pd.DataFrame(
+            {
+                "entity": hit["dst"].to_numpy(object),
+                "dist": nd[ok],
+                "is_old": np.zeros(int(ok.sum()), bool),
+            }
+        )
+
+    def _tag_old(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["entity", "dist"]].copy()
+        out["is_old"] = True
+        return out
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.groupby(["entity", "is_old"], sort=False, as_index=False)[
+            "dist"
+        ].min()[["entity", "dist", "is_old"]]
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("entity", sort=False)["dist"].min()
+        old = g.loc[g["is_old"]].groupby("entity", sort=False)["dist"].min()
+        old = old.reindex(new.index)
+        improved = old.isna().to_numpy() | (
+            new.to_numpy() < old.fillna(np.iinfo(np.int64).max).to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "entity": new.index.to_numpy(object),
+                "dist": new.to_numpy(np.int64),
+                "improved": improved,
+            }
+        )
+
+    for _ in range(max_rounds):
+        f_side = normalize_blocks(
+            frontier.map_batches(
+                lambda b: pd.DataFrame(
+                    {"src": b["entity"].to_numpy(object),
+                     "f_dist": b["dist"].to_numpy(np.int64)}
+                ) if len(b) else pd.DataFrame(
+                    {"src": pd.Series([], dtype=object),
+                     "f_dist": pd.Series([], dtype="int64")}
+                ),
+                batch_format="pandas",
+            ),
+            frontier_schema,
+        )
+        hit = cogroup_join(
+            e, f_side, on=["src"], num_buckets=num_buckets,
+            left_schema=edge_schema, right_schema=frontier_schema,
+        )
+        folded = bucketed_reduce(
+            hit.map_batches(_cand, batch_format="pandas").union(
+                dist.map_batches(_tag_old, batch_format="pandas")
+            ),
+            ["entity"],
+            _fold,
+            fold_schema,
+            combiner=_pre,
+            num_buckets=num_buckets,
+        ).materialize()
+        frontier = folded.map_batches(
+            lambda b: b.loc[b["improved"], ["entity", "dist"]]
+            if len(b)
+            else pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "dist": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        dist = normalize_blocks(
+            folded.map_batches(
+                lambda b: b[["entity", "dist"]], batch_format="pandas"
+            ),
+            SSSP_SCHEMA,
+        ).materialize()
+        if frontier.count() == 0:
+            return dist
+    raise RuntimeError(f"weighted_sssp: no fixpoint after {max_rounds} rounds")

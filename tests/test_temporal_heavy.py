@@ -144,3 +144,75 @@ class TestExactHeavyHitters:
     def test_empty_input(self):
         ds = ray.data.from_pandas(pd.DataFrame({"value": pd.Series([], dtype=object)}))
         assert exact_heavy_hitters(ds, "value", denom=10).count() == 0
+
+
+class TestWeightedSssp:
+    def test_matches_networkx_bounded(self):
+        import networkx as nx
+
+        from ai_knowledge_graph_ray.stages.graph_algos import weighted_sssp
+
+        rng = np.random.RandomState(51)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "src": [f"n{x}" for x in rng.randint(0, 50, n)],
+                "dst": [f"n{x}" for x in rng.randint(0, 50, n)],
+                "w": rng.randint(1, 8, n).astype(np.int64),
+            }
+        )
+        limit = 10
+        got = (
+            weighted_sssp(ray.data.from_pandas(df), ["n0", "n3"],
+                          dist_limit=limit)
+            .to_pandas().set_index("entity")["dist"].to_dict()
+        )
+        g = nx.MultiDiGraph()
+        for r in df.itertuples(index=False):
+            g.add_edge(r.src, r.dst, weight=int(r.w))
+        want = {}
+        for s in ("n0", "n3"):
+            if s not in g:
+                want.setdefault(s, 0)
+                continue
+            for node, d in nx.single_source_dijkstra_path_length(
+                g, s, cutoff=limit, weight="weight"
+            ).items():
+                want[node] = min(want.get(node, limit + 1), int(d))
+        assert got == want
+
+    def test_parallel_edges_take_cheapest(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import weighted_sssp
+
+        df = pd.DataFrame(
+            {"src": ["a", "a", "b"], "dst": ["b", "b", "c"], "w": [9, 2, 3]}
+        )
+        got = (
+            weighted_sssp(ray.data.from_pandas(df), ["a"], dist_limit=100)
+            .to_pandas().set_index("entity")["dist"].to_dict()
+        )
+        assert got == {"a": 0, "b": 2, "c": 5}
+
+    def test_forced_gate_equivalence(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import weighted_sssp
+
+        rng = np.random.RandomState(52)
+        df = pd.DataFrame(
+            {
+                "src": [f"n{x}" for x in rng.randint(0, 25, 120)],
+                "dst": [f"n{x}" for x in rng.randint(0, 25, 120)],
+                "w": rng.randint(1, 5, 120).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(4)
+        fast = (
+            weighted_sssp(ds, ["n1"], dist_limit=7)
+            .to_pandas().sort_values("entity").reset_index(drop=True)
+        )
+        slow = (
+            weighted_sssp(
+                ds, ["n1"], dist_limit=7, driver_max_edges=0, num_buckets=3
+            )
+            .to_pandas().sort_values("entity").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow)
