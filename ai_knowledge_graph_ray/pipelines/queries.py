@@ -1231,6 +1231,28 @@ def q_weighted_sssp(sf_dir: str):
     )
 
 
+def q_supplier_negatives(sf_dir: str):
+    """Deterministic negative (supplier, part) pairs for two-tower
+    training: LCG-derandomized candidates anti-joined against true
+    shipment edges, smallest-j prefix per supplier — a SQL twin
+    regenerates identical candidates, so the sample hash-checks."""
+    import pyarrow.parquet as pq
+
+    from ..stages.training import bipartite_negative_samples
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    )
+    pmax = int(
+        pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])["p_partkey"]
+        .to_pandas().max()
+    )
+    return bipartite_negative_samples(
+        li, l_col="l_suppkey", r_col="l_partkey", r_max=pmax,
+        per_left=3, m_candidates=8,
+    )
+
+
 def q_doc_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: distinct tokens seen at the
     10/25/50/100% doc-id cuts — one token-keyed MIN reduce, all cuts
@@ -5081,6 +5103,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_vocab_growth": q_doc_vocab_growth,
     "part_rules": q_part_rules,
     "weighted_sssp": q_weighted_sssp,
+    "supplier_negatives": q_supplier_negatives,
     "degree_distribution": q_degree_distribution,
     "part_copurchase": q_part_copurchase,
     "node_similarity": q_node_similarity,
@@ -6546,6 +6569,27 @@ ORACLE_SQL: dict[str, str] = {
           JOIN te e ON e.src = r.node AND e.t >= r.at
         )
         SELECT node AS entity, min(at) AS arrival FROM reach GROUP BY node
+    """,
+    "supplier_negatives": """
+        WITH ls AS (SELECT DISTINCT l_suppkey AS s FROM lineitem),
+        pm AS (SELECT max(p_partkey) AS pmax FROM part),
+        cand0 AS (
+          SELECT ls.s AS lkey,
+                 CAST(1 + (2654435761 * ls.s + 40503 * t.j) % pm.pmax
+                      AS BIGINT) AS rkey,
+                 CAST(t.j AS BIGINT) AS j
+          FROM ls, pm, LATERAL unnest(generate_series(1, 8)) AS t(j)
+        ),
+        cand AS (
+          SELECT lkey, rkey, min(j) AS j FROM cand0 GROUP BY lkey, rkey
+        ),
+        e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem)
+        SELECT c.lkey, c.rkey, c.j
+        FROM cand c LEFT JOIN e ON e.s = c.lkey AND e.p = c.rkey
+        WHERE e.s IS NULL
+        QUALIFY row_number() OVER (
+          PARTITION BY c.lkey ORDER BY c.j ASC
+        ) <= 3
     """,
     "weighted_sssp": """
         WITH RECURSIVE we AS (

@@ -1048,3 +1048,121 @@ def generate_span_corruption(
         ),
         SPAN_CORRUPTION_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bipartite negative-edge sampling (two-tower negatives)
+# ---------------------------------------------------------------------------
+
+NEG_SAMPLE_SCHEMA = pa.schema(
+    [("lkey", pa.int64()), ("rkey", pa.int64()), ("j", pa.int64())]
+)
+
+_NEG_A = 2654435761  # Knuth multiplicative constant
+_NEG_C = 40503
+
+
+def bipartite_negative_samples(
+    edges: "ray.data.Dataset",
+    *,
+    l_col: str,
+    r_col: str,
+    r_max: int,
+    per_left: int = 3,
+    m_candidates: int = 8,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Negative (non-)edges for two-tower / link-prediction training:
+    for every DISTINCT left key, up to ``per_left`` right keys that are
+    NOT true edges, drawn from the dense right universe ``1..r_max``
+    by the derandomized LCG ``1 + (A*l + C*j) % r_max`` (Knuth
+    multiplicative hashing — the same auditable-noise discipline as
+    ``dp_noisy_counts``: a SQL twin regenerates the identical
+    candidates, so the sample is hash-checkable, re-runnable and
+    layout-independent where an RNG stream never is). Collided
+    candidates keep their smallest ``j``; survivors of the anti-join
+    rank by ``j`` so negatives are a deterministic prefix.
+
+    Shape: one distinct-left reduce, a map-only candidate fan-out
+    (``m_candidates`` rows per left key), ONE bucketed anti-join
+    against the true edge set, one left-keyed top-k reduce. Fires a
+    loud error if ``A*r`` could overflow int64."""
+    from .infer import bucketed_reduce
+    from .relational import cogroup_join
+
+    import ray
+    import ray.data  # noqa: F401  (type reference)
+
+    if _NEG_A * (r_max + m_candidates) >= (1 << 62):
+        raise OverflowError("bipartite_negative_samples: universe too large")
+
+    left_schema = pa.schema([("lkey", pa.int64())])
+
+    def _dl(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"lkey": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"lkey": pd.unique(b[l_col].to_numpy(np.int64))}
+        )
+
+    lefts = bucketed_reduce(
+        edges.select_columns([l_col]),
+        ["lkey"],
+        lambda g: g.drop_duplicates("lkey"),
+        left_schema,
+        combiner=_dl,
+        num_buckets=num_buckets,
+    )
+
+    def _cands(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"lkey": pd.Series([], dtype="int64"),
+                 "rkey": pd.Series([], dtype="int64"),
+                 "j": pd.Series([], dtype="int64")}
+            )
+        ls = b["lkey"].to_numpy(np.int64)
+        j = np.arange(1, m_candidates + 1, dtype=np.int64)
+        lk = np.repeat(ls, m_candidates)
+        jj = np.tile(j, len(ls))
+        rk = 1 + (_NEG_A * lk + _NEG_C * jj) % np.int64(r_max)
+        out = pd.DataFrame({"lkey": lk, "rkey": rk, "j": jj})
+        # a colliding (l, r) keeps its smallest j
+        return out.groupby(["lkey", "rkey"], sort=False, as_index=False)[
+            "j"
+        ].min()
+
+    cands = lefts.map_batches(_cands, batch_format="pandas")
+
+    true_schema = pa.schema([("lkey", pa.int64()), ("rkey", pa.int64())])
+
+    def _true(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"lkey": pd.Series([], dtype="int64"),
+                 "rkey": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"lkey": b[l_col].to_numpy(np.int64),
+             "rkey": b[r_col].to_numpy(np.int64)}
+        ).drop_duplicates()
+
+    survivors = cogroup_join(
+        cands,
+        edges.map_batches(_true, batch_format="pandas"),
+        ["lkey", "rkey"],
+        how="left_anti",
+        num_buckets=num_buckets,
+        left_schema=NEG_SAMPLE_SCHEMA,
+        right_schema=true_schema,
+    )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["lkey", "j"], kind="stable")
+        keep = s.groupby("lkey", sort=False).cumcount() < per_left
+        return s.loc[keep.to_numpy()]
+
+    return bucketed_reduce(
+        survivors, ["lkey"], _topk, NEG_SAMPLE_SCHEMA,
+        num_buckets=num_buckets,
+    )
