@@ -459,6 +459,32 @@ def q_kg_triples_std(sf_dir: str):
     return std
 
 
+def q_kg_incremental(sf_dir: str):
+    """Release-to-release delta canonicalization (rows-only — the KG
+    stages are model-dependent): release 1 = full Phase 2 over ~70% of
+    pages (stable url-hash split); release 2 standardizes the other
+    30% against the FROZEN release-1 alias map via
+    ``incremental_standardize`` — known entities keep their published
+    canonicals, novels attach by norm key or elect among themselves."""
+    from ..stages.canonicalize import incremental_standardize
+
+    raw = q_kg_triples_raw(sf_dir).materialize()
+
+    def _side(keep_old: bool):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b["url"], index=False) % 10
+            m = (h < 7) if keep_old else (h >= 7)
+            return b[m]
+
+        return _f
+
+    old = raw.map_batches(_side(True), batch_format="pandas")
+    new = raw.map_batches(_side(False), batch_format="pandas")
+    _, alias_old = standardize_triples(old, {"llm": {"provider": "mock"}})
+    inc, _ = incremental_standardize(new, alias_old)
+    return inc
+
+
 def q_kg_edges(sf_dir: str):
     return _kg_build(sf_dir)["edges"]
 
@@ -689,6 +715,7 @@ def q_customer_order_counts(sf_dir: str):
 
 
 PAGERANK_ITERS, PAGERANK_SCALE, PAGERANK_DNUM, PAGERANK_DDEN = 3, 10**12, 85, 100
+KATZ_ITERS, KATZ_SCALE, KATZ_ANUM, KATZ_ADEN = 4, 10**9, 1, 10
 
 
 def _cnr_edges(sf_dir: str) -> ray.data.Dataset:
@@ -732,6 +759,56 @@ def q_pagerank(sf_dir: str):
         scale=PAGERANK_SCALE,
         d_num=PAGERANK_DNUM,
         d_den=PAGERANK_DDEN,
+    )
+
+
+def q_part_tree_rollup(sf_dir: str):
+    """Taxonomy/BOM-style subtree rollup over the deterministic part
+    forest (parent = p_partkey // 10, roots under 10): per node, the
+    sum of retail-price cents over its subtree. Ancestor closure by
+    pointer doubling — log(depth) bucketed join+dedup rounds, one
+    grouped contribution sum; recursive-CTE SQL twin."""
+    from ..stages.graph_algos import tree_rollup
+
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice"]
+    ).materialize()
+    values = part.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["p_partkey"].astype("int64"),
+                "value": (b["p_retailprice"] * 100).round().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    edges = part.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "child": b.loc[b["p_partkey"] >= 10, "p_partkey"].astype("int64"),
+                "parent": (
+                    b.loc[b["p_partkey"] >= 10, "p_partkey"].astype("int64") // 10
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return tree_rollup(values, edges)
+
+
+def q_graph_katz(sf_dir: str):
+    """Integer fixed-point Katz centrality over the customer->nation->
+    region layered graph — per iteration ONE bucketed join + ONE
+    combined grouped sum (no out-degree division, no dangling pass),
+    bit-exact vs the unrolled SQL twin."""
+    from ..stages.graph_algos import katz_int
+
+    return katz_int(
+        _cnr_edges(sf_dir),
+        iters=KATZ_ITERS,
+        scale=KATZ_SCALE,
+        a_num=KATZ_ANUM,
+        a_den=KATZ_ADEN,
     )
 
 
@@ -1350,6 +1427,22 @@ def q_doc_gopher(sf_dir: str):
 DUP_SPAN_K = 5
 
 
+SOURCE_OVERLAP_K = 3
+
+
+def q_source_overlap(sf_dir: str):
+    """Pairwise source-overlap matrix: distinct word-3-grams shared by
+    every source pair — the cross-crawl contamination diagnostic. One
+    gram-keyed bucketed reduce emits pair partials; only pair counts
+    leave the shuffle."""
+    from ..stages.webtext import source_overlap_matrix
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "text"]
+    )
+    return source_overlap_matrix(docs, k=SOURCE_OVERLAP_K)
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Word-5-gram duplicate-span report per document (exact-substring
     dedup proxy; corpus-wide gram multiplicity >= 2 marks a window)."""
@@ -1420,6 +1513,50 @@ def _pagerank_oracle_sql(
         )""")
     return head + "".join(steps) + f"""
         SELECT node, rank_scaled FROM r{iters}
+    """
+
+
+def _katz_oracle_sql(
+    iters: int = KATZ_ITERS,
+    scale: int = KATZ_SCALE,
+    a_num: int = KATZ_ANUM,
+    a_den: int = KATZ_ADEN,
+) -> str:
+    """Unrolled-iteration SQL twin of the integer Katz recurrence
+    (x0 = scale; x_{t+1} = scale + a_num*S_v // a_den — DuckDB ``//``
+    floors like Python on non-negatives; sums cast back to BIGINT)."""
+    head = f"""
+        WITH edges AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+                 'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          )
+        ),
+        r0 AS (
+          SELECT node, CAST({scale} AS BIGINT) AS katz_scaled FROM nodes
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+        s{k} AS (
+          SELECT e.dst AS node, CAST(sum(r.katz_scaled) AS BIGINT) AS s_v
+          FROM edges e JOIN r{k - 1} r ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{k} AS (
+          SELECT v.node,
+                 CAST({scale} + ({a_num} * COALESCE(s.s_v, 0)) // {a_den}
+                      AS BIGINT) AS katz_scaled
+          FROM nodes v LEFT JOIN s{k} s ON v.node = s.node
+        )""")
+    return head + "".join(steps) + f"""
+        SELECT node, katz_scaled FROM r{iters}
     """
 
 
@@ -3796,6 +3933,29 @@ def q_doc_chars_approx_quantiles(sf_dir: str):
     return approx_quantiles_hist(docs, "n_chars")
 
 
+def q_events_cusum(sf_dir: str):
+    """Per-event-type CUSUM level-shift scan over hourly volumes —
+    mean-centered integer deviations (scaled by the bucket count, no
+    division), prefix-sum-minus-running-min drawup, max + first argmax
+    hour. ONE exchange of per-block hourly partials; hash-exact vs a
+    window-function SQL twin."""
+    from ..stages.drift import cusum_changepoints
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].astype("datetime64[us]").astype("int64")
+                // 3_600_000_000,
+            }
+        ),
+        batch_format="pandas",
+    )
+    return cusum_changepoints(ev, "event_type", "hour")
+
+
 def q_events_skew_profile(sf_dir: str):
     """Key-skew report over candidate shuffle keys (user_id,
     event_type): distinct keys, hottest-key count/share, p99 per-key
@@ -5042,6 +5202,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "pagerank": q_pagerank,
+    "graph_katz": q_graph_katz,
+    "part_tree_rollup": q_part_tree_rollup,
     "khop_region": q_khop_region,
     "ngram_overlap_pairs": q_ngram_overlap_pairs,
     "minhash_dedup": q_minhash_dedup,
@@ -5082,6 +5244,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_wav_resample": q_media_wav_resample,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_std": q_kg_triples_std,
+    "kg_incremental": q_kg_incremental,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "kg_nodes_louvain": q_kg_nodes_louvain,
@@ -5110,6 +5273,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "domain_stats": q_domain_stats,
     "doc_gopher": q_doc_gopher,
     "doc_dup_spans": q_doc_dup_spans,
+    "source_overlap": q_source_overlap,
     "events_props_sum": q_events_props_sum,
     "doc_pack_shards": q_doc_pack_shards,
     "doc_token_quantiles": q_doc_token_quantiles,
@@ -5183,6 +5347,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_importance": q_doc_importance,
     "url_dedup": q_url_dedup,
     "doc_chars_approx_quantiles": q_doc_chars_approx_quantiles,
+    "events_cusum": q_events_cusum,
     "events_skew_profile": q_events_skew_profile,
     "orders_scd2": q_orders_scd2,
     "orders_expectations": q_orders_expectations,
@@ -5734,6 +5899,44 @@ ORACLE_SQL: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
+    """,
+    "events_cusum": """
+        WITH hc AS (
+          SELECT event_type,
+                 epoch_us(ts) // CAST(3600000000 AS BIGINT) AS hour,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT event_type,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM hc GROUP BY 1
+        ),
+        p AS (
+          SELECT h.event_type, h.hour,
+                 sum(h.c * t.n - t.s) OVER (
+                   PARTITION BY h.event_type ORDER BY h.hour
+                 ) AS pf
+          FROM hc h JOIN tot t USING (event_type)
+        ),
+        d AS (
+          SELECT event_type, hour,
+                 pf - min(pf) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                 ) AS drawup
+          FROM p
+        ),
+        x AS (
+          SELECT event_type, hour, drawup,
+                 max(drawup) OVER (PARTITION BY event_type) AS m
+          FROM d
+        )
+        SELECT event_type,
+               CAST(max(drawup) AS BIGINT) AS cusum_max,
+               CAST(min(hour) FILTER (WHERE drawup = m) AS BIGINT)
+                 AS change_bucket
+        FROM x GROUP BY event_type
     """,
     "events_skew_profile": """
         WITH k1 AS (
@@ -6395,6 +6598,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "pagerank": _pagerank_oracle_sql(),
+    "graph_katz": _katz_oracle_sql(),
+    "part_tree_rollup": """
+        WITH RECURSIVE anc AS (
+          SELECT CAST(p_partkey AS BIGINT) AS node,
+                 CAST(p_partkey // 10 AS BIGINT) AS anc
+          FROM part WHERE p_partkey >= 10
+          UNION ALL
+          SELECT a.node, a.anc // 10 FROM anc a WHERE a.anc >= 10
+        ),
+        vals AS (
+          SELECT CAST(p_partkey AS BIGINT) AS node,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part
+        ),
+        contrib AS (
+          SELECT a.anc AS node, v.cents FROM anc a JOIN vals v ON a.node = v.node
+          UNION ALL
+          SELECT node, cents FROM vals
+        )
+        SELECT node, CAST(sum(cents) AS BIGINT) AS subtree_value
+        FROM contrib GROUP BY node
+    """,
     "ppr": _ppr_oracle_sql(),
     "khop_region": """
         WITH edges AS (
@@ -7013,6 +7238,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "doc_dup_spans": _DUP_SPANS_ORACLE_SQL,
+    "source_overlap": rf"""
+        WITH toks AS (
+          SELECT doc_id, source, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        win AS (
+          SELECT source,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {SOURCE_OVERLAP_K - 1} FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {SOURCE_OVERLAP_K - 1} FOLLOWING) AS glen
+          FROM toks
+        ),
+        grams AS (
+          SELECT DISTINCT source, gram FROM win WHERE glen = {SOURCE_OVERLAP_K}
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    """,
     "doc_pack_shards": f"""
         WITH t AS (SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents)
         SELECT doc_id, n_tokens,

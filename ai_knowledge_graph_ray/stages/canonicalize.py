@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -544,3 +545,169 @@ def standardize_triples(
             batch_format="pyarrow",
         )
     return out, alias
+
+
+def incremental_standardize(
+    new_triples: ray.data.Dataset,
+    existing_alias: dict[str, str],
+    config: dict | None = None,
+) -> tuple[ray.data.Dataset, "dict[str, str] | ray.data.Dataset"]:
+    """Delta canonicalization: standardize a NEW batch of raw triples
+    against an already-published graph WITHOUT re-running the global
+    election — the release-to-release stability contract a production
+    KG needs (entity ids in the shipped graph must not flip because a
+    later crawl shifted the frequency vote; the reference has no
+    incremental story at all — ``finalize_graph.py`` re-standardizes
+    the whole corpus every run).
+
+    Documented semantics (pinned by tests):
+
+    1. **Frozen aliases** — a new-batch entity whose lowercased form is
+       already a key of ``existing_alias`` keeps its OLD canonical,
+       even when the new batch's frequencies would elect differently.
+    2. **Norm-key attach** — a novel variant whose election key
+       (:func:`normalize_entity_key`) matches any existing variant's
+       key joins that variant's canonical (deterministically: the
+       existing index keeps the first canonical in sorted-variant
+       order per key).
+    3. **Novel election** — entities with unseen norm keys are elected
+       among THEMSELVES by the standard G3 rules, including the
+       subset/stem second pass (restricted to novels, it can never
+       touch a frozen canonical; disable with
+       ``standardization.second_pass=False``). The scale path runs
+       first-pass only — the same documented limitation as
+       ``standardize_triples`` over its gate.
+
+    Alias application, predicate re-limit and self-loop drop are the
+    standard Phase-2 behaviors. Returns ``(standardized_delta,
+    combined_alias_map)`` — the combined map is the next release's
+    ``existing_alias``.
+
+    COUNT-GATED: the new batch's entity residue is counted first;
+    under ``standardization.residue_max_entities`` (default 5M) the
+    classification + novel election run on the driver and the combined
+    map broadcasts; over it, the novel counts never land on the driver
+    — the known/attach classification happens map-side against the
+    broadcast existing index and the novel election runs
+    ``elect_canonical_distributed``, with the combined alias returned
+    as a ``(variant, standard)`` Dataset (both paths
+    equivalence-tested).
+    """
+    from ..functions.textnorm import normalize_entity_key
+
+    config = config or {}
+    std_cfg = config.get("standardization", {})
+    residue_cap = int(std_cfg.get("residue_max_entities", 5_000_000))
+
+    # existing norm-key -> canonical index, first canonical in
+    # sorted-variant order per key (deterministic across releases)
+    norm_index: dict[str, str] = {}
+    for variant in sorted(existing_alias):
+        nk = normalize_entity_key(variant)
+        if nk and nk not in norm_index:
+            norm_index[nk] = existing_alias[variant]
+
+    counts = entity_counts(new_triples).materialize()
+    if counts.count() <= residue_cap:
+        tbl = counts.to_pandas()
+        pairs = (
+            list(zip(tbl["entity"], tbl["count"]))
+            if "entity" in tbl.columns and not tbl.empty
+            else []
+        )
+        attach: dict[str, str] = {}
+        novel: list[tuple[str, int]] = []
+        for e, c in pairs:
+            if e in existing_alias:
+                continue  # rule 1: frozen
+            nk = normalize_entity_key(e)
+            if nk and nk in norm_index:
+                attach[e] = norm_index[nk]  # rule 2: attach
+            else:
+                novel.append((e, c))  # rule 3: elect among novels
+        elected = elect_canonical(
+            novel, second_pass=std_cfg.get("second_pass", True)
+        )
+        combined = dict(existing_alias)
+        combined.update(attach)
+        combined.update(elected)
+        out = apply_alias_map(new_triples, combined, drop_self_loops=True)
+        return out, combined
+
+    # ---- scale path: the novel residue never lands on the driver ----
+    from .infer import sanitize_for_join
+
+    alias_schema = pa.schema([("variant", pa.string()), ("standard", pa.string())])
+    known_ref = ray.put(set(existing_alias))
+    index_ref = ray.put(norm_index)
+
+    def _classify(b: pd.DataFrame) -> pd.DataFrame:
+        known = _bcast_get(known_ref)
+        index = _bcast_get(index_ref)
+        if len(b) == 0 or "entity" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series([], dtype="object"),
+                    "count": pd.Series([], dtype="int64"),
+                    "cls": pd.Series([], dtype="object"),
+                    "standard": pd.Series([], dtype="object"),
+                }
+            )
+        ents = b["entity"].astype(str)
+        nks = ents.map(normalize_entity_key)
+        is_known = ents.isin(known)
+        attached = nks.map(index).where(nks.astype(bool), None)
+        cls = np.where(is_known, "known",
+                       np.where(attached.notna(), "attach", "novel"))
+        return pd.DataFrame(
+            {
+                "entity": ents,
+                "count": b["count"].astype("int64"),
+                "cls": cls,
+                "standard": attached.where(cls == "attach", None),
+            }
+        )
+
+    classified = counts.map_batches(_classify, batch_format="pandas").materialize()
+    # Arrow outputs: pandas-backed blocks break Dataset.rename_columns
+    # downstream (NOTES.md sharp edge 10)
+    attach_ds = classified.map_batches(
+        lambda b: pa.table(
+            {
+                "variant": pa.array(
+                    b.loc[b["cls"] == "attach", "entity"], pa.string()
+                ),
+                "standard": pa.array(
+                    b.loc[b["cls"] == "attach", "standard"], pa.string()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    novel_counts = classified.map_batches(
+        lambda b: pa.table(
+            {
+                "entity": pa.array(b.loc[b["cls"] == "novel", "entity"], pa.string()),
+                "count": pa.array(
+                    b.loc[b["cls"] == "novel", "count"].astype("int64"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    elected_ds = elect_canonical_distributed(novel_counts)
+    existing_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "variant": pa.array(sorted(existing_alias), pa.string()),
+                "standard": pa.array(
+                    [existing_alias[k] for k in sorted(existing_alias)], pa.string()
+                ),
+            }
+        )
+    )
+    alias_ds = sanitize_for_join(
+        existing_ds.union(attach_ds).union(elected_ds), alias_schema
+    ).materialize()
+    out = apply_alias_map_join(new_triples, alias_ds, drop_self_loops=True)
+    return out, alias_ds

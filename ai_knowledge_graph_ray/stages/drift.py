@@ -112,3 +112,93 @@ def histogram_drift(
                         num_buckets=num_buckets),
         DRIFT_SCHEMA,
     )
+
+
+def cusum_changepoints(
+    ds: ray.data.Dataset,
+    key_col: str,
+    bucket_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key CUSUM level-shift scan over integer time buckets — the
+    changepoint monitor a crawl-ingest pipeline runs per source/type
+    ("did this feed's hourly volume step up, and when?").
+
+    For each key, with per-bucket counts ``x_t`` (t = sorted distinct
+    ``bucket_col`` values), n buckets and total S, the mean-centered
+    deviation ``d_t = x_t * n - S`` (scaled by n — no division, so the
+    arithmetic is exact integers and sums to 0), prefix sums ``P_t``,
+    and the one-sided CUSUM drawup ``D_t = P_t - min_{j<=t} P_j``.
+    Emits ``(key, cusum_max, change_bucket)`` where ``cusum_max =
+    max_t D_t`` and ``change_bucket`` is the FIRST bucket achieving
+    it. The ``P - running-min`` identity makes the recursive
+    ``max(0, prev + d)`` form window-expressible, so an exact SQL twin
+    exists (float CUSUM with a divided mean could never hash-match).
+
+    ONE exchange: the map-side combiner collapses each block to
+    (key, bucket, partial count); the key-bucketed reduce re-sums and
+    runs the vectorized grouped cumsum/cummin scan. The shuffle never
+    carries raw rows, only per-block bucket partials; the per-key
+    residue is its distinct-bucket count (bounded by the time range),
+    never its row count.
+    """
+    cnt_schema = pa.schema(
+        [(key_col, pa.string()), (bucket_col, pa.int64()), ("c", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            (key_col, pa.string()),
+            ("cusum_max", pa.int64()),
+            ("change_bucket", pa.int64()),
+        ]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or key_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="object"),
+                    bucket_col: pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        if "c" in b.columns:  # already partial counts (combiner re-entry)
+            g = b.groupby([key_col, bucket_col], as_index=False)["c"].sum()
+        else:
+            g = b.groupby([key_col, bucket_col], as_index=False).agg(
+                c=(bucket_col, "size")
+            )
+        g[bucket_col] = g[bucket_col].astype("int64")
+        g["c"] = g["c"].astype("int64")
+        return g[[key_col, bucket_col, "c"]]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([key_col, bucket_col], as_index=False)["c"]
+            .sum()
+            .sort_values([key_col, bucket_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys = agg[key_col]
+        n = agg.groupby(key_col)[bucket_col].transform("size").astype("int64")
+        s = agg.groupby(key_col)["c"].transform("sum").astype("int64")
+        dev = agg["c"].astype("int64") * n - s
+        pf = dev.groupby(keys).cumsum()
+        drawup = pf - pf.groupby(keys).cummin()
+        mx = drawup.groupby(keys).transform("max")
+        hits = agg.loc[drawup == mx, [key_col, bucket_col]]
+        first = hits.groupby(key_col, as_index=False).agg(
+            change_bucket=(bucket_col, "min")
+        )
+        mxs = pd.DataFrame({key_col: keys, "cusum_max": mx}).drop_duplicates(key_col)
+        out = mxs.merge(first, on=key_col)
+        out["cusum_max"] = out["cusum_max"].astype("int64")
+        out["change_bucket"] = out["change_bucket"].astype("int64")
+        return out[[key_col, "cusum_max", "change_bucket"]]
+
+    counted = ds.select_columns([key_col, bucket_col])
+    return bucketed_reduce(
+        counted, [key_col], _reduce, out_schema,
+        combiner=_comb, num_buckets=num_buckets,
+    )

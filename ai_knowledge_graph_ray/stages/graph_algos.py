@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .infer import bucketed_reduce, pa_from_pandas, sanitize_for_join
+from .infer import bucketed_reduce, normalize_blocks, pa_from_pandas, sanitize_for_join
 from .relational import cogroup_join, grouped_sums
 
 EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
@@ -4143,3 +4143,395 @@ def weighted_sssp(
         if frontier.count() == 0:
             return dist
     raise RuntimeError(f"weighted_sssp: no fixpoint after {max_rounds} rounds")
+
+
+KATZ_SCHEMA = pa.schema([("node", pa.string()), ("katz_scaled", pa.int64())])
+
+
+def katz_int_local(
+    edge_list: list[tuple[str, str]],
+    *,
+    iters: int = 4,
+    scale: int = 10**9,
+    a_num: int = 1,
+    a_den: int = 10,
+) -> dict[str, int]:
+    """Pure-Python reference of the integer Katz recurrence — the
+    gate-path twin and the oracle-SQL generator's contract.
+
+    ``x_0(v) = scale`` (the beta term), then per iteration
+
+        x_{t+1}(v) = scale + a_num * S_v // a_den
+
+    where ``S_v`` is the integer sum of ``x_t(u)`` over in-edges
+    ``(u, v)`` (parallel edges count with multiplicity). All-integer,
+    so sums commute and the result is bit-exact across engines and
+    block layouts — the same trick as :func:`pagerank_int` (float Katz
+    can never hash-match a SQL oracle).
+    """
+    nodes: set[str] = set()
+    for s, d in edge_list:
+        nodes.add(s)
+        nodes.add(d)
+    x = {v: scale for v in nodes}
+    for _ in range(iters):
+        s_v = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            s_v[d] += x[s]
+        x = {v: scale + a_num * s_v[v] // a_den for v in nodes}
+    return x
+
+
+def katz_int(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 4,
+    scale: int = 10**9,
+    a_num: int = 1,
+    a_den: int = 10,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, katz_scaled)`` after ``iters`` integer Katz steps.
+
+    Katz centrality upgrades the reference's degree-only importance
+    signal (`visualization.py:170-178` blends centralities driver-side
+    on an in-memory networkx graph — impossible at web scale) with
+    attenuated path counting: unlike PageRank there is no out-degree
+    normalization, so a hub's mass is credited in full along every
+    out-edge.
+
+    COUNT-GATED like every residue collect in this repo: under
+    ``driver_max_edges`` the bit-identical local twin runs on the
+    collected edge list; over it nothing is collected and each
+    iteration is ONE bucketed join (edges x state on src) plus ONE
+    combined grouped sum (dst) — simpler than PageRank because there
+    is no contribution division and no dangling-mass pass. Both paths
+    produce identical integers (pinned by test).
+
+    Caller owns overflow headroom: ``S_v <= max_indeg * max_rank`` must
+    stay below 2**63; with the default ``a_num/a_den = 1/10`` ranks
+    stay O(scale * indeg / (a_den - growth)) for graphs whose spectral
+    radius is under ``a_den / a_num``.
+    """
+    node_schema = pa.schema([("node", pa.string())])
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        if df.empty or "src" not in df.columns:  # empty loses its schema
+            return ray.data.from_arrow(KATZ_SCHEMA.empty_table())
+        r = katz_int_local(
+            list(zip(df["src"], df["dst"])),
+            iters=iters, scale=scale, a_num=a_num, a_den=a_den,
+        )
+        ks = sorted(r)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ks, pa.string()),
+                    "katz_scaled": pa.array([r[k] for k in ks], pa.int64()),
+                }
+            )
+        )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node")
+
+    def _as_node(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col].combine_chunks().cast(pa.string())})
+
+        return _f
+
+    both = edges.map_batches(_as_node("src"), batch_format="pyarrow").union(
+        edges.map_batches(_as_node("dst"), batch_format="pyarrow")
+    )
+    nodes = sanitize_for_join(
+        bucketed_reduce(both, ["node"], _dd, node_schema, combiner=_dd,
+                        num_buckets=num_buckets),
+        node_schema,
+    ).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(KATZ_SCHEMA.empty_table())
+
+    state = sanitize_for_join(
+        nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "katz_scaled": pa.array([scale] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        KATZ_SCHEMA,
+    ).materialize()
+
+    edges_s = sanitize_for_join(edges, EDGE_SCHEMA)
+    contrib_schema = pa.schema([("src", pa.string()), ("contrib", pa.int64())])
+
+    for _ in range(iters):
+        contrib = sanitize_for_join(
+            state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["node"].combine_chunks().cast(pa.string()),
+                        "contrib": b["katz_scaled"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            contrib_schema,
+        )
+        edge_contrib = cogroup_join(
+            edges_s, contrib, on=["src"],
+            num_buckets=num_buckets,
+            left_schema=EDGE_SCHEMA, right_schema=contrib_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"].combine_chunks().cast(pa.string()),
+                    "s_v": b["contrib"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # Carrier rows keep in-linkless nodes in the same grouped sum.
+        carrier = state.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "s_v": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        state = sanitize_for_join(
+            grouped_sums(edge_contrib.union(carrier), ["node"], {"s_v": "s_v"})
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "katz_scaled": scale
+                        + a_num * b["s_v"].astype("int64") // a_den,
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            KATZ_SCHEMA,
+        ).materialize()
+
+    return state
+
+
+ROLLUP_SCHEMA = pa.schema([("node", pa.int64()), ("subtree_value", pa.int64())])
+_ANC_SCHEMA = pa.schema([("node", pa.int64()), ("anc", pa.int64())])
+
+
+def tree_rollup_local(
+    values: dict[int, int], parents: dict[int, int]
+) -> dict[int, int]:
+    """Pure-Python twin: subtree sums over a parent forest (iterative —
+    no recursion limit). Nodes appearing only in ``parents`` carry
+    value 0."""
+    out = {n: 0 for n in values} | {
+        n: 0 for e in parents.items() for n in e if n not in values
+    }
+    for n, v in values.items():
+        out[n] = out.get(n, 0) + v
+        a = parents.get(n)
+        seen = 0
+        while a is not None:
+            out[a] = out.get(a, 0) + v
+            a = parents.get(a)
+            seen += 1
+            if seen > len(parents) + 1:
+                raise ValueError("tree_rollup: parent cycle detected")
+    return out
+
+
+def tree_rollup(
+    values: ray.data.Dataset,
+    parent_edges: ray.data.Dataset,
+    *,
+    max_depth: int = 64,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Hierarchical subtree aggregation over a parent FOREST — the
+    category/taxonomy/bill-of-materials rollup: for every node, the
+    sum of ``value`` over its subtree (descendants + self).
+
+    ``values``: ``(node: int64, value: int64)``; ``parent_edges``:
+    ``(child: int64, parent: int64)`` with at most one parent per
+    child and no cycles (a cycle raises after ``max_depth`` doubling
+    rounds instead of looping).
+
+    Distributed plan: the ancestor closure is built by POINTER
+    DOUBLING — each round self-joins the current (node, anc) set with
+    itself (``anc`` meets ``node``), so paths of length ≤ 2^t exist
+    after t rounds: ceil(log2(depth)) bucketed join+dedup rounds, not
+    depth. Contributions = closure ⋈ values unioned with the self
+    rows, folded by one grouped sum. PARTITIONING ASSUMPTION: the
+    closure materializes O(nodes × depth) rows — built for the
+    bounded-depth hierarchies this operator is for (taxonomies, BOMs:
+    depth ≤ ~20), not for path-graph chains. Count-gated under
+    ``driver_max_edges``: the iterative local twin runs on the
+    collected forest (bit-identical, pinned by test).
+    """
+    values = values.select_columns(["node", "value"]).materialize()
+    parent_edges = parent_edges.select_columns(["child", "parent"]).materialize()
+
+    if parent_edges.count() <= driver_max_edges and values.count() <= driver_max_edges:
+        vdf = values.to_pandas()
+        edf = parent_edges.to_pandas()
+        vals = (
+            dict(zip(vdf["node"].astype(int), vdf["value"].astype(int)))
+            if len(vdf)
+            else {}
+        )
+        pars = (
+            dict(zip(edf["child"].astype(int), edf["parent"].astype(int)))
+            if len(edf)
+            else {}
+        )
+        r = tree_rollup_local(vals, pars)
+        ks = sorted(r)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(ks, pa.int64()),
+                    "subtree_value": pa.array([r[k] for k in ks], pa.int64()),
+                }
+            )
+        )
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["node", "anc"])
+
+    closure = sanitize_for_join(
+        parent_edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["child"].combine_chunks().cast(pa.int64()),
+                    "anc": b["parent"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        _ANC_SCHEMA,
+    ).materialize()
+    n_prev = closure.count()
+    if n_prev:
+        hop_schema = pa.schema([("anc", pa.int64()), ("anc2", pa.int64())])
+        for _ in range(max_depth):
+            hop = sanitize_for_join(
+                closure.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "anc": b["node"].combine_chunks().cast(pa.int64()),
+                            "anc2": b["anc"].combine_chunks().cast(pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                hop_schema,
+            )
+            doubled = cogroup_join(
+                closure, hop, on=["anc"],
+                num_buckets=num_buckets,
+                left_schema=_ANC_SCHEMA, right_schema=hop_schema,
+            ).map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"].combine_chunks().cast(pa.int64()),
+                        "anc": b["anc2"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            closure = sanitize_for_join(
+                bucketed_reduce(
+                    closure.union(doubled), ["node", "anc"], _dd, _ANC_SCHEMA,
+                    combiner=_dd, num_buckets=num_buckets,
+                ),
+                _ANC_SCHEMA,
+            ).materialize()
+            n_now = closure.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        else:
+            raise ValueError(
+                f"tree_rollup: closure still growing after {max_depth} "
+                "doubling rounds — parent cycle or pathological depth"
+            )
+        # a cycle converges to a CLOSED set containing self-ancestor
+        # pairs instead of growing forever — detect those explicitly
+        n_self = closure.map_batches(
+            lambda b: pa.table(
+                {"bad": pa.array([int(pc.sum(pc.equal(b["node"], b["anc"])).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("bad")
+        if n_self:
+            raise ValueError(
+                "tree_rollup: parent cycle detected (self-ancestor pairs "
+                "in the closure)"
+            )
+
+    val_schema = pa.schema([("node", pa.int64()), ("value", pa.int64())])
+    values_s = sanitize_for_join(values, val_schema)
+    inherited = cogroup_join(
+        closure, values_s, on=["node"],
+        num_buckets=num_buckets,
+        left_schema=_ANC_SCHEMA, right_schema=val_schema,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["anc"].combine_chunks().cast(pa.int64()),
+                "v": b["value"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    own = values_s.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "v": b["value"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # zero carriers: ancestors with no value row of their own still
+    # appear (every closure endpoint + every child)
+    carriers = closure.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b["node"].combine_chunks().cast(pa.int64()),
+                        b["anc"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "v": pa.array([0] * (2 * len(b)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    summed = grouped_sums(
+        inherited.union(own).union(carriers), ["node"], {"subtree_value": "v"}
+    )
+    return normalize_blocks(
+        summed.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "subtree_value": b["subtree_value"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ROLLUP_SCHEMA,
+    )

@@ -34,6 +34,7 @@ import ray
 import ray.data
 
 from .infer import bucketed_reduce, normalize_blocks
+from .relational import grouped_sums
 
 # Same driver-collect budget as stages.dedup: a small-side set under
 # this many entries ships to the driver and broadcasts; over it, the
@@ -1669,3 +1670,83 @@ def importance_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pandas"
     )
+
+
+def source_overlap_matrix(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Pairwise corpus-overlap matrix between sources: for every
+    unordered source pair, the number of DISTINCT word ``k``-grams the
+    two sources share — the cross-crawl contamination diagnostic run
+    before mixing snapshots into one training corpus (how much of feed
+    B is already in feed A?).
+
+    Plan: one map pass emits per-block distinct ``(gram_hash,
+    source)`` pairs (the combiner keeps the shuffle input at
+    distinct-per-block, never raw occurrences); ONE gram-keyed
+    bucketed reduce re-dedups and expands each gram's source set into
+    sorted pairs (bounded by n_sources² per gram — the source domain
+    is small by construction); a final tiny grouped sum folds the
+    per-bucket pair partials. The full gram domain never lands
+    anywhere — only pair counts leave the reduce.
+
+    Gram identity is the shared 64-bit hash contract
+    (:func:`_doc_distinct_gram_hashes`): cross-gram collisions
+    ~ n²/2⁶⁴, negligible at real corpus sizes.
+    """
+    pair_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _gram_source(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gh": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+            }
+        )
+        if len(b) == 0 or text_col not in b.columns:
+            return empty
+        rows, gh = _doc_distinct_gram_hashes(b[text_col], k)
+        if len(rows) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "gh": gh.view(np.int64),
+                "source": b[source_col].to_numpy(object)[rows],
+            }
+        ).drop_duplicates()
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["gh", "source"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["gh", "source"])
+        m = g.merge(g, on="gh")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (
+            m.groupby(["source_x", "source_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"source_x": "source_a", "source_y": "source_b", "size": "n"}
+            )
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    grams = ds.select_columns([source_col, text_col]).map_batches(
+        _gram_source, batch_format="pandas"
+    )
+    partials = bucketed_reduce(
+        grams, ["gh"], _pairs, pair_schema, combiner=_dd, num_buckets=num_buckets
+    )
+    return grouped_sums(partials, ["source_a", "source_b"], {"n_shared": "n"})

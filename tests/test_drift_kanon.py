@@ -121,3 +121,73 @@ class TestWeightedSample:
             a.to_pandas().sort_values("id").reset_index(drop=True),
             b.to_pandas().sort_values("id").reset_index(drop=True),
         )
+
+
+class TestCusumChangepoints:
+    @staticmethod
+    def _local(counts: dict) -> tuple[int, int]:
+        """Brute CUSUM on {bucket: count} — max drawup + first argmax."""
+        buckets = sorted(counts)
+        n, s = len(buckets), sum(counts.values())
+        # running min over SEEN prefixes only (no virtual empty-prefix
+        # 0) — the operator's cummin and the SQL twin's window min
+        pf, mn, best, at = 0, None, None, None
+        for t in buckets:
+            pf += counts[t] * n - s
+            mn = pf if mn is None else min(mn, pf)
+            d = pf - mn
+            if best is None or d > best:
+                best, at = d, t
+        return best, at
+
+    def test_planted_level_shift(self):
+        from ai_knowledge_graph_ray.stages.drift import cusum_changepoints
+
+        # 10 quiet hours of 5 events, then 10 loud hours of 50: the
+        # change should land where the loud regime's drawup peaks.
+        rows = []
+        counts = {}
+        for h in range(20):
+            c = 5 if h < 10 else 50
+            counts[h] = c
+            rows += [{"k": "t", "hour": h}] * c
+        out = cusum_changepoints(
+            _ds(pd.DataFrame(rows), 5), "k", "hour"
+        ).to_pandas()
+        want_max, want_at = self._local(counts)
+        assert out.iloc[0]["cusum_max"] == want_max
+        assert out.iloc[0]["change_bucket"] == want_at
+        assert want_at == 19  # drawup keeps climbing through the loud run
+
+    def test_flat_series_zero(self):
+        from ai_knowledge_graph_ray.stages.drift import cusum_changepoints
+
+        rows = [{"k": "t", "hour": h} for h in range(8) for _ in range(3)]
+        out = cusum_changepoints(_ds(pd.DataFrame(rows), 3), "k", "hour").to_pandas()
+        assert out.iloc[0]["cusum_max"] == 0
+        assert out.iloc[0]["change_bucket"] == 0  # first bucket ties at 0
+
+    def test_matches_brute_multi_key_and_layout(self):
+        from ai_knowledge_graph_ray.stages.drift import cusum_changepoints
+
+        rng = np.random.RandomState(11)
+        rows = []
+        per_key = {}
+        for k in ("a", "b", "c"):
+            counts = {}
+            for h in range(15):
+                c = int(rng.randint(1, 12))
+                counts[h] = c
+                rows += [{"k": k, "hour": h}] * c
+            per_key[k] = self._local(counts)
+        df = pd.DataFrame(rows)
+        outs = [
+            cusum_changepoints(_ds(df, p), "k", "hour", num_buckets=nb)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+            for p, nb in ((1, None), (7, 3), (13, 5))
+        ]
+        for out in outs:
+            for _, r in out.iterrows():
+                assert (r["cusum_max"], r["change_bucket"]) == per_key[r["k"]]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])

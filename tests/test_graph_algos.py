@@ -10,6 +10,8 @@ import ray.data
 from ai_knowledge_graph_ray.stages.graph_algos import (
     graph_search,
     k_hop_neighbors,
+    katz_int,
+    katz_int_local,
     shortest_path,
     pagerank_int,
     pagerank_int_local,
@@ -62,6 +64,66 @@ class TestPagerankInt:
     def test_empty(self):
         assert pagerank_int(_ds([])).take_all() == []
         assert pagerank_int_local([]) == {}
+
+
+class TestKatzInt:
+    def test_distributed_equals_local_bitexact(self):
+        local = katz_int_local(EDGES, iters=4)
+        dist = {
+            r["node"]: r["katz_scaled"]
+            for r in katz_int(_ds(EDGES), iters=4, driver_max_edges=0).take_all()
+        }
+        assert dist == local
+
+    def test_gate_path_equals_scale_path(self):
+        gated = {
+            r["node"]: r["katz_scaled"]
+            for r in katz_int(_ds(EDGES), iters=3).take_all()
+        }
+        dist = {
+            r["node"]: r["katz_scaled"]
+            for r in katz_int(_ds(EDGES), iters=3, driver_max_edges=0).take_all()
+        }
+        assert gated == dist
+
+    def test_matches_networkx_ordering_and_hand_case(self):
+        # one iteration by hand on a -> c, b -> c:
+        # x0 = scale everywhere; x1(c) = scale + (2*scale)//10
+        r = katz_int_local([("a", "c"), ("b", "c")], iters=1, scale=10**9)
+        assert r == {"a": 10**9, "b": 10**9, "c": 10**9 + 2 * 10**9 // 10}
+        # on the shared fixture, c has the most in-links -> top katz
+        full = katz_int_local(EDGES, iters=6)
+        assert max(full, key=full.get) == "c"
+        # unnormalized integer katz ranks agree with networkx katz order
+        import networkx as nx
+
+        g = nx.DiGraph(EDGES)
+        want = nx.katz_centrality(g, alpha=0.1, beta=1.0, tol=1e-12)
+        ours = sorted(full, key=lambda n: (full[n], n))
+        theirs = sorted(want, key=lambda n: (round(want[n], 9), n))
+        assert ours == theirs
+
+    def test_parallel_edges_count_with_multiplicity(self):
+        single = katz_int_local([("a", "b")], iters=2)
+        double = katz_int_local([("a", "b"), ("a", "b")], iters=2)
+        assert double["b"] > single["b"]
+
+    def test_layout_independent(self):
+        base = None
+        for parts, nb in ((1, None), (5, 3), (11, 4)):
+            got = {
+                r["node"]: r["katz_scaled"]
+                for r in katz_int(
+                    _ds(EDGES * 3).repartition(parts),
+                    iters=3, driver_max_edges=0, num_buckets=nb,
+                ).take_all()
+            }
+            base = base or got
+            assert got == base
+
+    def test_empty(self):
+        assert katz_int(_ds([])).take_all() == []
+        assert katz_int_local([]) == {}
 
 
 class TestGraphQueries:
@@ -387,3 +449,112 @@ class TestSccLabels:
             ).take_all()
         }
         assert dist == self.WANT
+
+
+class TestTreeRollup:
+    @staticmethod
+    def _ds_vals(vals: dict):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(list(vals), pa.int64()),
+                    "value": pa.array(list(vals.values()), pa.int64()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _ds_edges(parents: dict):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "child": pa.array(list(parents), pa.int64()),
+                    "parent": pa.array(list(parents.values()), pa.int64()),
+                }
+            )
+        )
+
+    # small two-tree forest: 1 -> (2, 3), 2 -> (4, 5); 9 isolated root
+    VALS = {1: 10, 2: 20, 3: 30, 4: 40, 5: 50, 9: 7}
+    PARS = {2: 1, 3: 1, 4: 2, 5: 2}
+    WANT = {1: 150, 2: 110, 3: 30, 4: 40, 5: 50, 9: 7}
+
+    def test_local_twin(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import tree_rollup_local
+
+        assert tree_rollup_local(self.VALS, self.PARS) == self.WANT
+
+    def test_gate_path_equals_scale_path(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import tree_rollup
+
+        for gate in (2_000_000, 0):  # driver twin vs forced distributed
+            got = {
+                r["node"]: r["subtree_value"]
+                for r in tree_rollup(
+                    self._ds_vals(self.VALS),
+                    self._ds_edges(self.PARS),
+                    driver_max_edges=gate,
+                ).take_all()
+            }
+            assert got == self.WANT
+
+    def test_valueless_ancestor_gets_carrier_row(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import tree_rollup
+
+        # node 1 has no value row of its own, only children
+        for gate in (2_000_000, 0):
+            got = {
+                r["node"]: r["subtree_value"]
+                for r in tree_rollup(
+                    self._ds_vals({2: 5, 3: 6}),
+                    self._ds_edges({2: 1, 3: 1}),
+                    driver_max_edges=gate,
+                ).take_all()
+            }
+            assert got == {1: 11, 2: 5, 3: 6}
+
+    def test_deep_chain_doubling(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import tree_rollup
+
+        # chain 0 <- 1 <- ... <- 30: subtree(k) = sum over j >= k
+        n = 31
+        vals = {i: i for i in range(n)}
+        pars = {i: i - 1 for i in range(1, n)}
+        got = {
+            r["node"]: r["subtree_value"]
+            for r in tree_rollup(
+                self._ds_vals(vals), self._ds_edges(pars), driver_max_edges=0
+            ).take_all()
+        }
+        assert got == {k: sum(range(k, n)) for k in range(n)}
+
+    def test_cycle_raises(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            tree_rollup,
+            tree_rollup_local,
+        )
+
+        with pytest.raises(ValueError, match="cycle"):
+            tree_rollup_local({1: 1, 2: 1}, {1: 2, 2: 1})
+        with pytest.raises(ValueError, match="cycle|depth"):
+            tree_rollup(
+                self._ds_vals({1: 1, 2: 1}),
+                self._ds_edges({1: 2, 2: 1}),
+                driver_max_edges=0,
+                max_depth=6,
+            ).materialize()
+
+    def test_layout_independent(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import tree_rollup
+
+        for parts, nb in ((1, None), (5, 3), (9, 4)):
+            got = {
+                r["node"]: r["subtree_value"]
+                for r in tree_rollup(
+                    self._ds_vals(self.VALS).repartition(parts),
+                    self._ds_edges(self.PARS).repartition(parts),
+                    driver_max_edges=0,
+                    num_buckets=nb,
+                ).take_all()
+            }
+            assert got == self.WANT

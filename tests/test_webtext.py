@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import hashlib
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -608,3 +609,86 @@ class TestImportanceScores:
             importance_scores(
                 ray.data.from_pandas(docs), driver_max_vocab=2
             ).take_all()
+
+
+class TestSourceOverlapMatrix:
+    @staticmethod
+    def _brute(df, k=3):
+        per_source = {}
+        for s, grp in df.groupby("source"):
+            grams = set()
+            for t in grp["text"]:
+                toks = (t or "").strip().lower().split()
+                grams |= {
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                }
+            per_source[s] = grams
+        out = {}
+        srcs = sorted(per_source)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                n = len(per_source[a] & per_source[b])
+                if n:
+                    out[(a, b)] = n
+        return out
+
+    def test_matches_brute(self):
+        from ai_knowledge_graph_ray.stages.webtext import source_overlap_matrix
+
+        df = pd.DataFrame(
+            {
+                "source": ["s1", "s1", "s2", "s2", "s3"],
+                "text": [
+                    "the quick brown fox jumps",
+                    "lazy dog sleeps all day",
+                    "the quick brown fox runs",   # shares 2 grams with s1
+                    "lazy dog sleeps all night",  # shares 2 grams with s1
+                    "completely different words here now",
+                ],
+            }
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared"]
+            for r in source_overlap_matrix(
+                ray.data.from_pandas(df).repartition(3), k=3
+            ).take_all()
+        }
+        assert got == self._brute(df)
+
+    def test_within_source_dups_not_double_counted(self):
+        from ai_knowledge_graph_ray.stages.webtext import source_overlap_matrix
+
+        # the shared gram appears twice in s1 — still ONE distinct gram
+        df = pd.DataFrame(
+            {
+                "source": ["s1", "s1", "s2"],
+                "text": ["a b c", "a b c", "a b c"],
+            }
+        )
+        rows = source_overlap_matrix(ray.data.from_pandas(df), k=3).take_all()
+        assert rows == [{"source_a": "s1", "source_b": "s2", "n_shared": 1}]
+
+    def test_layout_independent(self):
+        from ai_knowledge_graph_ray.stages.webtext import source_overlap_matrix
+
+        rng = np.random.RandomState(3)
+        vocab = list("abcdefgh")
+        df = pd.DataFrame(
+            {
+                "source": [f"s{i % 4}" for i in range(60)],
+                "text": [
+                    " ".join(rng.choice(vocab, rng.randint(3, 12)))
+                    for _ in range(60)
+                ],
+            }
+        )
+        want = self._brute(df)
+        for parts, nb in ((1, None), (5, 3), (11, 4)):
+            got = {
+                (r["source_a"], r["source_b"]): r["n_shared"]
+                for r in source_overlap_matrix(
+                    ray.data.from_pandas(df).repartition(parts),
+                    k=3, num_buckets=nb,
+                ).take_all()
+            }
+            assert got == want
