@@ -5174,7 +5174,44 @@ def q_lineitem_winsorized(sf_dir: str):
     )
 
 
+def q_events_autocorr(sf_dir: str):
+    """Per-event-type lagged autocovariance sufficient sums over the
+    hourly volume series (burstiness / self-similarity probe) — one
+    exchange of (type, hour, partial count); the per-key residue is
+    the covered hour span, never rows; hash-exact vs a self-join SQL
+    twin."""
+    from ..stages.drift import autocorr_sums
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.divide(us, 3_600_000_000),
+            }
+        )
+
+    return autocorr_sums(
+        ev.map_batches(_hour, batch_format="pyarrow"), "event_type", "hour"
+    )
+
+
+def q_user_cadence(sf_dir: str):
+    """Per-user inter-arrival cadence profile (bot/scraper signal:
+    integer gap min/sum/sum-of-squares + duplicate-timestamp count) —
+    map-side distinct (user, ts, count) partials, one user-keyed
+    reduce; hash-exact vs a lag-window SQL twin."""
+    from ..stages.sessions import cadence_profile
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return cadence_profile(ev)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "events_autocorr": q_events_autocorr,
+    "user_cadence": q_user_cadence,
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
     "doc_lang_id": q_doc_lang_id,
@@ -5520,6 +5557,67 @@ def _zorder_oracle_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "events_autocorr": """
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT event_type, CAST(max(b) - min(b) + 1 AS BIGINT) AS span,
+                 CAST(sum(c) AS BIGINT) AS total,
+                 CAST(sum(c * c) AS BIGINT) AS sum_sq
+          FROM c GROUP BY event_type
+        ),
+        d1 AS (
+          SELECT a.event_type, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM c a JOIN c b ON b.event_type = a.event_type AND b.b = a.b + 1
+          GROUP BY 1
+        ),
+        d2 AS (
+          SELECT a.event_type, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM c a JOIN c b ON b.event_type = a.event_type AND b.b = a.b + 2
+          GROUP BY 1
+        ),
+        d3 AS (
+          SELECT a.event_type, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM c a JOIN c b ON b.event_type = a.event_type AND b.b = a.b + 3
+          GROUP BY 1
+        )
+        SELECT base.event_type, base.span, base.total, base.sum_sq,
+               CAST(coalesce(d1.dot, 0) AS BIGINT) AS dot_1,
+               CAST(coalesce(d2.dot, 0) AS BIGINT) AS dot_2,
+               CAST(coalesce(d3.dot, 0) AS BIGINT) AS dot_3
+        FROM base
+        LEFT JOIN d1 USING (event_type)
+        LEFT JOIN d2 USING (event_type)
+        LEFT JOIN d3 USING (event_type)
+    """,
+    "user_cadence": """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        st AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(*) - count(DISTINCT t) AS BIGINT) AS n_dup_ts
+          FROM s GROUP BY user_id
+        ),
+        l AS (
+          SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS d
+          FROM s
+        ),
+        g AS (SELECT user_id, d // 1000000 AS gap_s FROM l WHERE d IS NOT NULL),
+        gs AS (
+          SELECT user_id, CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+                 CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+                 CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+          FROM g GROUP BY user_id
+        )
+        SELECT st.user_id, st.n_events, st.n_dup_ts,
+               CAST(coalesce(gs.min_gap_s, -1) AS BIGINT) AS min_gap_s,
+               CAST(coalesce(gs.sum_gap_s, 0) AS BIGINT) AS sum_gap_s,
+               CAST(coalesce(gs.sum_gap_sq, 0) AS BIGINT) AS sum_gap_sq
+        FROM st LEFT JOIN gs USING (user_id)
+    """,
     "doc_token_counts": f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
     "doc_stats": f"""
         SELECT doc_id,

@@ -1148,3 +1148,115 @@ def out_of_order_profile(
         _pre, batch_format="pandas", batch_size=None
     )
     return bucketed_reduce(prepped, ["u"], _profile, OOO_SCHEMA, num_buckets=num_buckets)
+
+
+CADENCE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_dup_ts", pa.int64()),
+        ("min_gap_s", pa.int64()),
+        ("sum_gap_s", pa.int64()),
+        ("sum_gap_sq", pa.int64()),
+    ]
+)
+
+
+def cadence_profile(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user inter-arrival cadence profile — the bot/scraper signal
+    a crawl-hygiene pass computes per client (machine traffic has
+    near-zero gap variance and many duplicate timestamps; humans are
+    bursty).
+
+    Emits ``(user_id, n_events, n_dup_ts, min_gap_s, sum_gap_s,
+    sum_gap_sq)`` where gaps are successive-event deltas in WHOLE
+    seconds (``floor(us_diff / 1e6)`` — positive, so floor == SQL
+    trunc) over the user's ts-sorted stream; duplicate timestamps
+    yield 0-second gaps; ``min_gap_s = -1`` for single-event users.
+    Variance is derivable exactly from the integer sums downstream.
+
+    ONE exchange, and the shuffle never carries raw rows: the
+    map-side combiner collapses each block to distinct
+    ``(user, ts, count)`` partials — gaps between equal timestamps are
+    0, so distinct-ts diffs plus the duplicate count reconstruct the
+    full gap multiset's min/sum/sum-of-squares exactly.
+    """
+    cnt_schema = pa.schema(
+        [(user_col, pa.int64()), ("ts_us", pa.int64()), ("c", pa.int64())]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or user_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        if "ts_us" in b.columns:
+            g = b.groupby([user_col, "ts_us"], as_index=False)["c"].sum()
+        else:
+            b = b.assign(ts_us=b[ts_col].astype("datetime64[us]").astype("int64"))
+            g = b.groupby([user_col, "ts_us"], as_index=False).agg(
+                c=("ts_us", "size")
+            )
+        g["c"] = g["c"].astype("int64")
+        return g[[user_col, "ts_us", "c"]]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([user_col, "ts_us"], as_index=False)["c"]
+            .sum()
+            .sort_values([user_col, "ts_us"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        users = agg[user_col]
+        n_events = agg.groupby(user_col)["c"].transform("sum").astype("int64")
+        n_distinct = agg.groupby(user_col)["ts_us"].transform("size").astype("int64")
+        # distinct-ts diffs within each user (first row of a user: NaN)
+        d_us = agg["ts_us"].diff()
+        first = users != users.shift()
+        gap_s = (d_us // 1_000_000).where(~first)
+        frame = pd.DataFrame(
+            {
+                user_col: users,
+                "gap_s": gap_s,
+                "gap_sq": gap_s * gap_s,
+            }
+        )
+        per = frame.groupby(user_col).agg(
+            min_pos=("gap_s", "min"),
+            sum_gap_s=("gap_s", "sum"),
+            sum_gap_sq=("gap_sq", "sum"),
+        )
+        per["n_events"] = n_events.groupby(users.values).first()
+        per["n_dup_ts"] = per["n_events"] - n_distinct.groupby(users.values).first()
+        # duplicate timestamps contribute 0-second gaps: min is 0 when
+        # any dup exists; sums are unchanged (0 adds nothing)
+        has_dup = per["n_dup_ts"] > 0
+        per["min_gap_s"] = per["min_pos"].where(~has_dup, 0)
+        # single-event users have no gaps at all
+        no_gap = per["n_events"] < 2
+        per["min_gap_s"] = per["min_gap_s"].fillna(-1).where(~no_gap, -1)
+        out = per.reset_index()[
+            [user_col, "n_events", "n_dup_ts", "min_gap_s", "sum_gap_s", "sum_gap_sq"]
+        ]
+        for c in out.columns:
+            out[c] = out[c].fillna(0).astype("int64")
+        return out
+
+    return bucketed_reduce(
+        events.select_columns([user_col, ts_col]),
+        [user_col],
+        _reduce,
+        CADENCE_SCHEMA,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    )
