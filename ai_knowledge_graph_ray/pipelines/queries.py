@@ -5209,9 +5209,69 @@ def q_user_cadence(sf_dir: str):
     return cadence_profile(ev)
 
 
+def q_doc_readability(sf_dir: str):
+    """Integer-exact Flesch reading-ease per document (regex-parity
+    word/sentence/vowel-group counts; truncating fixed-point formula)
+    — map-only, zero shuffles; hash-exact vs a regexp_extract_all SQL
+    twin."""
+    from ..stages.text_analysis import readability
+
+    return readability(_docs(sf_dir))
+
+
+def q_orders_mrr(sf_dir: str):
+    """Per-segment ranking-quality eval (hit@10 + integer MRR sums):
+    each customer's orders ranked by (price desc, orderkey asc),
+    relevant = urgent priority — one partitioned hash join + one
+    query-keyed shuffle + a tiny group sum; hash-exact vs a
+    row_number() SQL twin."""
+    from ..stages.relational import cogroup_join
+    from ..stages.retrieval import ranking_metrics
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "price_cents": _cents(b["o_totalprice"]),
+                "relevant": pc.equal(b["o_orderpriority"], "1-URGENT"),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b["c_custkey"], "c_mktsegment": b["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_join(
+        orders.map_batches(_pre, batch_format="pyarrow"),
+        cust,
+        ["o_custkey"],
+    )
+    return ranking_metrics(
+        joined,
+        group_col="c_mktsegment",
+        query_col="o_custkey",
+        order_col="price_cents",
+        tie_col="o_orderkey",
+        relevant_col="relevant",
+        k=10,
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
+    "doc_readability": q_doc_readability,
+    "orders_mrr": q_orders_mrr,
     "doc_token_counts": q_doc_token_counts,
     "doc_stats": q_doc_stats,
     "doc_lang_id": q_doc_lang_id,
@@ -5592,6 +5652,41 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "doc_readability": """
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '\\w+')) AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT) AS s,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT) AS y
+          FROM documents
+        )
+        SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+               CAST(206835 - (1015 * w) // greatest(s, 1)
+                           - (84600 * y) // greatest(w, 1) AS BIGINT) AS flesch_x1000
+        FROM c
+    """,
+    "orders_mrr": """
+        WITH r AS (
+          SELECT c.c_mktsegment, o.o_custkey,
+                 row_number() OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                            o.o_orderkey
+                 ) AS rk,
+                 (o.o_orderpriority = '1-URGENT') AS rel
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        per AS (
+          SELECT c_mktsegment, o_custkey,
+                 min(CASE WHEN rel AND rk <= 10 THEN rk END) AS first_rel
+          FROM r GROUP BY c_mktsegment, o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(sum(coalesce(1000000 // first_rel, 0)) AS BIGINT) AS sum_rr_x1e6
+        FROM per GROUP BY c_mktsegment
     """,
     "user_cadence": """
         WITH s AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -330,3 +330,113 @@ def rrf_fuse_grouped(
         out_schema,
         num_buckets=num_buckets,
     )
+
+
+RANKING_METRICS_SCHEMA_SUFFIX = [
+    ("n_queries", pa.int64()),
+    ("n_hits", pa.int64()),
+    ("sum_rr_x1e6", pa.int64()),
+]
+
+
+def ranking_metrics(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    query_col: str,
+    order_col: str,
+    tie_col: str,
+    relevant_col: str,
+    k: int = 10,
+    scale: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Grouped ranking-quality metrics (hit@k + scaled MRR) — the eval
+    harness every retrieval / recommender stage needs: given candidate
+    rows per query with a boolean relevance label, rank within each
+    query by ``(order_col DESC, tie_col ASC)`` and aggregate per
+    ``group_col``:
+
+    - ``n_queries``: queries with >= 1 candidate row,
+    - ``n_hits``: queries whose top-``k`` contains a relevant row,
+    - ``sum_rr_x1e6``: sum over queries of ``scale // first_relevant_rank``
+      (0 when no relevant row in the top-k) — integer reciprocal rank,
+      so MRR = sum_rr / (scale * n_queries) is derivable exactly and
+      the result hash-matches a ``row_number()`` SQL twin (float RR
+      never could).
+
+    ONE query-keyed bucketed shuffle: every query's candidates land in
+    one bucket, ranking is a vectorized sort + cumcount (no per-query
+    Python), per-bucket partials collapse to one row per group; the
+    tiny group-keyed second reduce sums partials. Skew note: a single
+    query's candidate list must fit a bucket — cap candidate fan-in
+    upstream if a query can exceed block memory.
+    """
+    group_schema = pa.schema(
+        [(group_col, pa.string())] + RANKING_METRICS_SCHEMA_SUFFIX
+    )
+
+    def _per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [query_col, order_col, tie_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rk = g.groupby(query_col, sort=False).cumcount() + 1
+        rel = g[relevant_col].astype(bool) & (rk <= k)
+        hit_rk = pd.Series(rk.where(rel), index=g.index)
+        per = (
+            pd.DataFrame(
+                {
+                    group_col: g[group_col],
+                    query_col: g[query_col],
+                    "first_rel": hit_rk,
+                }
+            )
+            .groupby([group_col, query_col], as_index=False)
+            .agg(first_rel=("first_rel", "min"))
+        )
+        fr = per["first_rel"]
+        rr = pd.Series(0, index=per.index, dtype="int64")
+        got = fr.notna()
+        rr[got] = (scale // fr[got].astype("int64")).astype("int64")
+        out = (
+            pd.DataFrame(
+                {
+                    group_col: per[group_col],
+                    "n_queries": 1,
+                    "n_hits": got.astype("int64"),
+                    "sum_rr_x1e6": rr,
+                }
+            )
+            .groupby(group_col, as_index=False)
+            .sum()
+        )
+        for c in ("n_queries", "n_hits", "sum_rr_x1e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def _sum_groups(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_col, as_index=False)[
+            ["n_queries", "n_hits", "sum_rr_x1e6"]
+        ].sum()
+        for c in ("n_queries", "n_hits", "sum_rr_x1e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cols = [group_col, query_col, order_col, tie_col, relevant_col]
+    partials = bucketed_reduce(
+        ds.select_columns(cols),
+        [query_col],
+        _per_query,
+        group_schema,
+        num_buckets=num_buckets,
+    )
+    return bucketed_reduce(
+        partials,
+        [group_col],
+        _sum_groups,
+        group_schema,
+        combiner=_sum_groups,
+        num_buckets=num_buckets,
+    )
