@@ -5267,7 +5267,34 @@ def q_orders_mrr(sf_dir: str):
     )
 
 
+def q_shipment_mst(sf_dir: str):
+    """Minimum spanning forest of the supplier-part shipment graph
+    (edge weight = cheapest extendedprice cents for the pair) —
+    distributed Boruvka: per-round cheapest-outgoing-edge reduce +
+    gated contraction, rounds <= log2(n). Rows-only (MST is not
+    SQL-expressible); forest uniqueness pinned vs Kruskal/networkx in
+    pytest."""
+    from ..stages.graph_algos import minimum_spanning_forest
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey", "l_extendedprice"],
+    )
+
+    def _edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * len(b)), pc.cast(b["l_suppkey"], pa.string()), ""
+        )
+        p = pc.binary_join_element_wise(
+            pa.array(["p"] * len(b)), pc.cast(b["l_partkey"], pa.string()), ""
+        )
+        return pa.table({"u": s, "v": p, "w": _cents(b["l_extendedprice"])})
+
+    return minimum_spanning_forest(li.map_batches(_edges, batch_format="pyarrow"))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "shipment_mst": q_shipment_mst,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
     "doc_readability": q_doc_readability,

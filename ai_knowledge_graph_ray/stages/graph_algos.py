@@ -4535,3 +4535,265 @@ def tree_rollup(
         ),
         ROLLUP_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka) over a weighted undirected edge table
+# ---------------------------------------------------------------------------
+
+MST_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string()), ("w", pa.int64())])
+
+_WEL_SCHEMA = pa.schema(
+    [
+        ("u", pa.string()),
+        ("v", pa.string()),
+        ("w", pa.int64()),
+        ("lu", pa.string()),
+        ("lv", pa.string()),
+    ]
+)
+
+
+def _mst_pair_min(weighted: ray.data.Dataset, num_buckets: int | None):
+    """Canonicalize ``u < v`` and keep the single cheapest parallel
+    edge per pair — weight-monotone, so the forest is unchanged, and
+    it makes ``(w, u, v)`` a TOTAL order (each pair appears once),
+    which is what guarantees Boruvka and Kruskal agree."""
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype="object"),
+                    "v": pd.Series([], dtype="object"),
+                    "w": pd.Series([], dtype="int64"),
+                }
+            )
+        u = b["u"].astype(str)
+        v = b["v"].astype(str)
+        lo = u.where(u <= v, v)
+        hi = v.where(u <= v, u)
+        out = pd.DataFrame({"u": lo, "v": hi, "w": b["w"].astype("int64")})
+        out = out[out["u"] != out["v"]]
+        return out.sort_values(["u", "v", "w"], kind="mergesort").drop_duplicates(
+            ["u", "v"], keep="first"
+        )
+
+    def _min_w(g: pd.DataFrame) -> pd.DataFrame:
+        return _canon(g)
+
+    return bucketed_reduce(
+        weighted.map_batches(_canon, batch_format="pandas"),
+        ["u", "v"],
+        _min_w,
+        MST_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+
+def mst_local(df: pd.DataFrame) -> pd.DataFrame:
+    """Kruskal over canonical ``(u, v, w)`` rows with the total order
+    ``(w, u, v)`` — the driver twin of :func:`minimum_spanning_forest`
+    (identical forest: distinct comparator keys make the MSF unique)."""
+    df = df.sort_values(["w", "u", "v"], kind="mergesort")
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    keep_u, keep_v, keep_w = [], [], []
+    for u, v, w in zip(df["u"], df["v"], df["w"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            keep_u.append(u)
+            keep_v.append(v)
+            keep_w.append(int(w))
+    return pd.DataFrame({"u": keep_u, "v": keep_v, "w": keep_w}).astype(
+        {"w": "int64"}
+    )
+
+
+def minimum_spanning_forest(
+    weighted: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    contraction_driver_max: int = 2_000_000,
+    max_rounds: int = 40,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Minimum spanning forest of a weighted undirected multigraph
+    ``(u, v, w)`` — Boruvka's algorithm, the classically distributed
+    MST (each round every component grabs its cheapest outgoing edge;
+    components at least halve, so rounds <= log2(n)).
+
+    Deterministic: parallel edges collapse to the cheapest per pair
+    first, making the comparator ``(w, u, v)`` a total order — the MSF
+    under a total order is unique, so the distributed rounds, the
+    driver Kruskal twin, and networkx (on distinct weights) all emit
+    the same edge set (pinned by tests).
+
+    Count-gated twice, per the repo's residue rule: the whole
+    (pair-collapsed) edge list under ``driver_max_edges`` runs the
+    driver Kruskal; over the gate, each round is two relabel joins +
+    one component-keyed min reduce, and the per-round CONTRACTION
+    residue (<= one selected edge per component, halving every round)
+    is itself gated — driver union-find under
+    ``contraction_driver_max``, min-label closure over it.
+    """
+    from .infer import connected_components, connected_components_distributed
+
+    edges = sanitize_for_join(
+        _mst_pair_min(weighted, num_buckets), MST_SCHEMA
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:  # empty to_pandas loses its schema — return typed empty
+        return ray.data.from_arrow(MST_SCHEMA.empty_table())
+    if n_edges <= driver_max_edges:
+        out = mst_local(edges.to_pandas())
+        return ray.data.from_arrow(pa_from_pandas(out, MST_SCHEMA))
+
+    # --- distributed Boruvka: carry component labels ON the edges ---
+    el = sanitize_for_join(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"],
+                    "v": b["v"],
+                    "w": b["w"],
+                    "lu": b["u"],
+                    "lv": b["v"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        _WEL_SCHEMA,
+    ).materialize()
+
+    forest: list[ray.data.Dataset] = []
+
+    def _min_per_label(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["label", "w", "u", "v"], kind="mergesort")
+            .drop_duplicates("label", keep="first")
+            .drop(columns="label")
+        )
+
+    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])
+
+    def _cross_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.equal(b["lu"], b["lv"])))
+
+    for _ in range(max_rounds):
+        el = sanitize_for_join(
+            el.map_batches(_cross_only, batch_format="pyarrow"), _WEL_SCHEMA
+        ).materialize()
+        if el.count() == 0:
+            break
+
+        tagged = el.map_batches(
+            lambda b: pa.concat_tables(
+                [
+                    pa.table({"label": b["lu"], **{c: b[c] for c in _WEL_SCHEMA.names}}),
+                    pa.table({"label": b["lv"], **{c: b[c] for c in _WEL_SCHEMA.names}}),
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        sel = sanitize_for_join(
+            bucketed_reduce(
+                bucketed_reduce(
+                    tagged, ["label"], _min_per_label, _WEL_SCHEMA,
+                    num_buckets=num_buckets,
+                ),
+                ["u", "v"],
+                _dedup_pairs,
+                _WEL_SCHEMA,
+                num_buckets=num_buckets,
+            ),
+            _WEL_SCHEMA,
+        ).materialize()
+        forest.append(sel.select_columns(["u", "v", "w"]))
+
+        # contraction: components of the selected (lu, lv) merge graph
+        merge_edges = sel.map_batches(
+            lambda b: pa.table({"subject": b["lu"], "object": b["lv"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if merge_edges.count() <= contraction_driver_max:
+            rows = merge_edges.to_pandas()
+            labels = connected_components(
+                list(zip(rows["subject"].astype(str), rows["object"].astype(str)))
+            )
+            by_class: dict[int, str] = {}
+            for ent, cls in labels.items():
+                cur = by_class.get(cls)
+                if cur is None or ent < cur:
+                    by_class[cls] = ent
+            mapping = {e: by_class[c] for e, c in labels.items()}
+            import ray as _ray
+
+            ref = _ray.put(mapping)
+
+            def _relabel(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+                m = _ray.get(_ref)
+                b = b.copy()
+                for c in ("lu", "lv"):
+                    mapped = b[c].map(m)  # dict map: C-level, NaN on miss
+                    b[c] = mapped.where(mapped.notna(), b[c])
+                return b
+
+            el = sanitize_for_join(
+                el.map_batches(_relabel, batch_format="pandas"), _WEL_SCHEMA
+            ).materialize()
+        else:
+            cc = connected_components_distributed(
+                merge_edges, num_buckets=num_buckets
+            )
+            for side in ("lu", "lv"):
+                rename = cc.map_batches(
+                    lambda b, s=side: pa.table(
+                        {s: b["entity"], f"__new_{s}": b["component"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+                el = cogroup_join(
+                    el,
+                    rename,
+                    on=[side],
+                    how="left_outer",
+                    num_buckets=num_buckets,
+                    left_schema=_WEL_SCHEMA,
+                    right_schema=pa.schema(
+                        [(side, pa.string()), (f"__new_{side}", pa.string())]
+                    ),
+                )
+
+                def _apply(b: pd.DataFrame, s=side) -> pd.DataFrame:
+                    b = b.copy()
+                    new = b[f"__new_{s}"]
+                    b[s] = new.where(new.notna(), b[s])
+                    return b.drop(columns=[f"__new_{s}"])
+
+                el = sanitize_for_join(
+                    el.map_batches(_apply, batch_format="pandas"), _WEL_SCHEMA
+                ).materialize()
+
+    if not forest:
+        return ray.data.from_arrow(MST_SCHEMA.empty_table())
+    out = forest[0]
+    for part in forest[1:]:
+        out = out.union(part)
+    return sanitize_for_join(
+        bucketed_reduce(
+            out, ["u", "v"], _dedup_pairs, MST_SCHEMA, num_buckets=num_buckets
+        ),
+        MST_SCHEMA,
+    )
