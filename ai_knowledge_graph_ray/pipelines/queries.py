@@ -5267,6 +5267,16 @@ def q_orders_mrr(sf_dir: str):
     )
 
 
+def q_doc_containment(sf_dir: str):
+    """Directed n-gram containment pairs (doc A >= 80% contained in
+    doc B — the quote/boilerplate detector symmetric Jaccard misses);
+    shares the two-shuffle pair-count front half with
+    ngram_overlap_pairs; hash-exact vs a directed-union SQL twin."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(sf_dir), k=3, threshold=0.8)
+
+
 def q_shipment_mst(sf_dir: str):
     """Minimum spanning forest of the supplier-part shipment graph
     (edge weight = cheapest extendedprice cents for the pair) —
@@ -5294,6 +5304,7 @@ def q_shipment_mst(sf_dir: str):
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
@@ -5679,6 +5690,42 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "doc_containment": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+          FROM toks WHERE len(ws) > 0 AND len(ws) < 3
+        ),
+        kept AS (
+          SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) <= 50
+        ),
+        fgrams AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)),
+        doc_sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        pair_common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM fgrams a JOIN fgrams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        sized AS (
+          SELECT p.id_a, p.id_b, CAST(p.n_common AS BIGINT) AS n_common,
+                 CAST(sa.n_grams AS BIGINT) AS n_a, CAST(sb.n_grams AS BIGINT) AS n_b
+          FROM pair_common p
+          JOIN doc_sizes sa ON p.id_a = sa.doc_id
+          JOIN doc_sizes sb ON p.id_b = sb.doc_id
+        )
+        SELECT id_a AS id_sub, id_b AS id_sup, n_common, n_a AS n_sub, n_b AS n_sup
+        FROM sized WHERE n_common * 1000 >= 800 * n_a
+        UNION ALL
+        SELECT id_b AS id_sub, id_a AS id_sup, n_common, n_b AS n_sub, n_a AS n_sup
+        FROM sized WHERE n_common * 1000 >= 800 * n_b
     """,
     "doc_readability": """
         WITH c AS (

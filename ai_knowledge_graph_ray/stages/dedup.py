@@ -651,26 +651,19 @@ def simhash_dedup(
 # Exact n-gram Jaccard pairs (inverted-index blocking)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     ds: ray.data.Dataset,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    threshold: float = 0.5,
-    max_docs_per_gram: int = 50,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_docs_per_gram: int,
 ) -> ray.data.Dataset:
-    """Exact word-``k``-gram Jaccard >= threshold pairs
-    ``(id_a, id_b, n_common, n_union)``.
-
-    Blocking: explode (gram_hash, doc_id), drop grams appearing in more
-    than ``max_docs_per_gram`` docs (stop-gram pruning — a gram shared
-    by everyone proves nothing and generates O(n^2) pairs), count
-    common grams per pair via groupby, then verify |union| from
-    per-doc gram counts. Per-gram pair generation goes through the
-    bucketed reduce (one shuffle, no per-gram Python task). Integer
-    outputs so the SQL oracle matches exactly.
-    """
+    """Shared front half of the exact n-gram pair family: distinct
+    word-``k``-gram explode -> stop-gram pruning -> per-pair shared
+    counts ``(id_a, id_b, n_a, n_b, n_shared)`` (id_a < id_b), via two
+    bucketed reduces. :func:`ngram_jaccard_pairs` thresholds it
+    symmetrically, :func:`ngram_containment_pairs` asymmetrically."""
 
     def _grams(batch: pd.DataFrame) -> pd.DataFrame:
         ids, ghs, ns = [], [], []
@@ -730,12 +723,38 @@ def ngram_jaccard_pairs(
     grams = ds.select_columns([id_col, text_col]).map_batches(_grams, batch_format="pandas")
     # NOTE: Ray's native multi-key groupby().count() measured ~30x
     # slower than this two-level bucketed sum on the same pair set.
-    pair_counts = bucketed_reduce(
+    return bucketed_reduce(
         bucketed_reduce(grams, ["gram"], _gram_pairs, count_schema),
         ["id_a", "id_b"],
         _sum_shared,
         count_schema,
         combiner=_sum_shared,
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_gram: int = 50,
+) -> ray.data.Dataset:
+    """Exact word-``k``-gram Jaccard >= threshold pairs
+    ``(id_a, id_b, n_common, n_union)``.
+
+    Blocking: explode (gram_hash, doc_id), drop grams appearing in more
+    than ``max_docs_per_gram`` docs (stop-gram pruning — a gram shared
+    by everyone proves nothing and generates O(n^2) pairs), count
+    common grams per pair via groupby, then verify |union| from
+    per-doc gram counts. Per-gram pair generation goes through the
+    bucketed reduce (one shuffle, no per-gram Python task). Integer
+    outputs so the SQL oracle matches exactly.
+    """
+    pair_counts = _ngram_pair_counts(
+        ds, text_col=text_col, id_col=id_col, k=k,
+        max_docs_per_gram=max_docs_per_gram,
     )
 
     # Integerized threshold (threshold = T/10000) so the comparison is
@@ -759,6 +778,59 @@ def ngram_jaccard_pairs(
             }
         )
         return out.filter(jac_ok)
+
+    return pair_counts.map_batches(_verify, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_gram: int = 50,
+) -> ray.data.Dataset:
+    """ASYMMETRIC n-gram containment pairs — the quote/boilerplate/
+    subset detector symmetric Jaccard misses: a 50-gram doc fully
+    quoted inside a 5000-gram doc has Jaccard ~0.01 but containment
+    1.0. Emits one DIRECTED row ``(id_sub, id_sup, n_common, n_sub,
+    n_sup)`` per direction with ``n_common / n_sub >= threshold``
+    (distinct word-k-grams; near-identical docs emit both
+    directions). Integerized threshold (``n_common * 1000 >= T *
+    n_sub``) so the SQL oracle matches bit-for-bit.
+
+    Shares the pair-count front half with :func:`ngram_jaccard_pairs`
+    — same two bucketed shuffles, same stop-gram pruning (the oracle
+    replicates the pruning rule, so exactness is preserved)."""
+    pair_counts = _ngram_pair_counts(
+        ds, text_col=text_col, id_col=id_col, k=k,
+        max_docs_per_gram=max_docs_per_gram,
+    )
+    thr_num = int(round(threshold * 1000))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        common = pc.cast(batch["n_shared"], pa.int64())
+        scaled = pc.multiply(common, 1000)
+        parts = []
+        for sub, sup in (("a", "b"), ("b", "a")):
+            ok = pc.greater_equal(
+                scaled, pc.multiply(batch[f"n_{sub}"], thr_num)
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "id_sub": batch[f"id_{sub}"],
+                        "id_sup": batch[f"id_{sup}"],
+                        "n_common": common,
+                        "n_sub": pc.cast(batch[f"n_{sub}"], pa.int64()),
+                        "n_sup": pc.cast(batch[f"n_{sup}"], pa.int64()),
+                    }
+                ).filter(ok)
+            )
+        return pa.concat_tables(parts)
 
     return pair_counts.map_batches(_verify, batch_format="pyarrow")
 
