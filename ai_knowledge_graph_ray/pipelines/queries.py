@@ -5267,6 +5267,79 @@ def q_orders_mrr(sf_dir: str):
     )
 
 
+def _snr_edges(sf_dir: str) -> ray.data.Dataset:
+    """Supplier/nation/region fixture graph (the customer-free sibling
+    of ``_cnrs_edges`` — small enough that a thresholded all-survivors
+    similarity set stays oracle-checkable)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    n2r_ref = ray.put(n2r)
+
+    def _fan(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(n2r_ref)
+        s = "s" + b["s_suppkey"].astype(int).astype(str)
+        n = b["s_nationkey"].astype(int)
+        r = n.map(m)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([s, s], ignore_index=True),
+                "dst": pd.concat(
+                    ["n" + n.astype(str), "r" + r.astype(str)], ignore_index=True
+                ),
+            }
+        )
+
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_fan, batch_format="pandas")
+    nr = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": "n" + nat["n_nationkey"].astype(int).astype(str),
+                "dst": "r" + nat["n_regionkey"].astype(int).astype(str),
+            }
+        )
+    )
+    return supp.union(nr)
+
+
+def q_supplier_jaccard(sf_dir: str):
+    """Jaccard neighborhood similarity >= 0.25 over the supplier/
+    nation/region graph (degree-normalized blocking signal) — pair
+    explosion per middle node through two bucketed reduces, degrees by
+    two partitioned joins, integer-exact filter and score; hash-exact
+    vs a self-join SQL twin."""
+    from ..stages.graph_algos import node_jaccard
+
+    return node_jaccard(_snr_edges(sf_dir), threshold_x1e6=250_000)
+
+
+def q_shipment_matching(sf_dir: str):
+    """Deterministic maximal matching of the supplier-part shipment
+    graph (hash-ordered local dominance == sequential greedy, O(log n)
+    expected rounds) — rows-only (matching is not SQL-expressible);
+    greedy-twin equality and maximality pinned in pytest."""
+    from ..stages.graph_algos import maximal_matching
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    )
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": "s" + b["l_suppkey"].astype(int).astype(str),
+                "dst": "p" + b["l_partkey"].astype(int).astype(str),
+            }
+        )
+
+    return maximal_matching(li.map_batches(_edges, batch_format="pandas"))
+
+
 def q_doc_containment(sf_dir: str):
     """Directed n-gram containment pairs (doc A >= 80% contained in
     doc B — the quote/boilerplate detector symmetric Jaccard misses);
@@ -5306,6 +5379,8 @@ def q_shipment_mst(sf_dir: str):
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
+    "supplier_jaccard": q_supplier_jaccard,
+    "shipment_matching": q_shipment_matching,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
     "doc_readability": q_doc_readability,
@@ -5690,6 +5765,39 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "supplier_jaccard": """
+        WITH base AS (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR) AS x,
+                 'n' || CAST(s_nationkey AS VARCHAR) AS y FROM supplier
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                 'r' || CAST(n_regionkey AS VARCHAR)
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ),
+        und AS (
+          SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+          FROM base WHERE x <> y
+        ),
+        adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u),
+        cn AS (
+          SELECT l.v AS x, r.v AS y, CAST(count(*) AS BIGINT) AS n_common
+          FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+          GROUP BY 1, 2
+        )
+        SELECT cn.x AS node_a, cn.y AS node_b, cn.n_common,
+               da.degree AS deg_a, db.degree AS deg_b,
+               CAST((cn.n_common * 1000000) //
+                    (da.degree + db.degree - cn.n_common) AS BIGINT) AS jac_x1e6
+        FROM cn
+        JOIN deg da ON da.node = cn.x
+        JOIN deg db ON db.node = cn.y
+        WHERE cn.n_common * 1000000 >=
+              250000 * (da.degree + db.degree - cn.n_common)
     """,
     "doc_containment": """
         WITH toks AS (

@@ -4797,3 +4797,344 @@ def minimum_spanning_forest(
         ),
         MST_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard node similarity (common neighbors / union of neighborhoods)
+# ---------------------------------------------------------------------------
+
+JACCARD_SCHEMA = pa.schema(
+    [
+        ("node_a", pa.string()),
+        ("node_b", pa.string()),
+        ("n_common", pa.int64()),
+        ("deg_a", pa.int64()),
+        ("deg_b", pa.int64()),
+        ("jac_x1e6", pa.int64()),
+    ]
+)
+
+
+def node_jaccard(
+    edges: ray.data.Dataset,
+    *,
+    threshold_x1e6: int = 250_000,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Jaccard neighborhood similarity for every node pair sharing a
+    neighbor: ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)| >= threshold`` — the
+    degree-normalized link-prediction / entity-blocking signal raw
+    common-neighbor counts skew toward hubs.
+
+    Integer-exact: the filter is ``n_common * 1e6 >= T * (deg_a +
+    deg_b - n_common)`` and the reported score is its floor quotient,
+    so the SQL twin hash-matches. Pair generation explodes per MIDDLE
+    node (deg² per middle, capped by ``max_degree`` when hub skew
+    demands — documented truncation, same knob as cooccur); counts
+    flow through two bucketed reduces, degrees arrive by two
+    partitioned hash joins. Only thresholded survivors leave the
+    final filter — no top-k, so the result is a deterministic SET.
+    """
+    from .dedup import _pair_indices_by_size
+
+    und = sanitize_for_join(
+        undirected_simple_edges(edges, num_buckets=num_buckets), UND_SCHEMA
+    ).materialize()
+    deg = undirected_degrees(und, num_buckets=num_buckets)
+
+    neigh = und.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+                "nb": pd.concat([b["b"], b["a"]], ignore_index=True),
+            }
+        ),
+        batch_format="pandas",
+    )
+    cn_schema = pa.schema(
+        [("node_a", pa.string()), ("node_b", pa.string()), ("n_common", pa.int64())]
+    )
+
+    def _dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["node", "nb"]].drop_duplicates()
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["node", "nb"]).sort_values(
+            ["node", "nb"], kind="stable"
+        )
+        if max_degree is not None:
+            sizes = g.groupby("node", sort=False)["nb"].transform("size")
+            g = g[sizes <= max_degree]
+        i, j = _pair_indices_by_size(g["node"].to_numpy(), 1 << 62)
+        items = g["nb"].to_numpy()
+        out = pd.DataFrame({"node_a": items[i], "node_b": items[j]})
+        vc = out.groupby(["node_a", "node_b"], sort=False).size()
+        return pd.DataFrame(
+            {
+                "node_a": vc.index.get_level_values(0).to_numpy(object),
+                "node_b": vc.index.get_level_values(1).to_numpy(object),
+                "n_common": vc.to_numpy(np.int64),
+            }
+        )
+
+    from .infer import default_num_partitions
+
+    partials = bucketed_reduce(
+        neigh.map_batches(_dedup, batch_format="pandas", batch_size=None),
+        ["node"],
+        _pairs,
+        cn_schema,
+        combiner=_dedup,
+        num_buckets=num_buckets,
+    ).repartition(default_num_partitions())
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["node_a", "node_b"], sort=False)["n_common"].sum()
+        return pd.DataFrame(
+            {
+                "node_a": s.index.get_level_values(0).to_numpy(object),
+                "node_b": s.index.get_level_values(1).to_numpy(object),
+                "n_common": s.to_numpy(np.int64),
+            }
+        )
+
+    counts = sanitize_for_join(
+        bucketed_reduce(partials, ["node_a", "node_b"], _sum, cn_schema,
+                        num_buckets=num_buckets),
+        cn_schema,
+    )
+
+    deg_a = deg.map_batches(
+        lambda b: pa.table({"node_a": b["node"], "deg_a": b["degree"]}),
+        batch_format="pyarrow",
+    )
+    deg_b = deg.map_batches(
+        lambda b: pa.table({"node_b": b["node"], "deg_b": b["degree"]}),
+        batch_format="pyarrow",
+    )
+    da_schema = pa.schema([("node_a", pa.string()), ("deg_a", pa.int64())])
+    db_schema = pa.schema([("node_b", pa.string()), ("deg_b", pa.int64())])
+    joined = cogroup_join(
+        cogroup_join(
+            counts, deg_a, on=["node_a"], num_buckets=num_buckets,
+            left_schema=cn_schema, right_schema=da_schema,
+        ),
+        deg_b,
+        on=["node_b"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(list(cn_schema) + [pa.field("deg_a", pa.int64())]),
+        right_schema=db_schema,
+    )
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype="object" if f.type == pa.string() else "int64")
+                 for f in JACCARD_SCHEMA}
+            )
+        cn = b["n_common"].astype("int64")
+        da = b["deg_a"].astype("int64")
+        db = b["deg_b"].astype("int64")
+        union = da + db - cn
+        keep = cn * 1_000_000 >= threshold_x1e6 * union
+        out = pd.DataFrame(
+            {
+                "node_a": b["node_a"],
+                "node_b": b["node_b"],
+                "n_common": cn,
+                "deg_a": da,
+                "deg_b": db,
+                "jac_x1e6": (cn * 1_000_000) // union,
+            }
+        )[keep]
+        return out
+
+    return normalize_blocks(
+        joined.map_batches(_score, batch_format="pandas"), JACCARD_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed maximal matching (hash-ordered local dominance)
+# ---------------------------------------------------------------------------
+
+MATCHING_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+
+def _edge_rank(u: pd.Series, v: pd.Series) -> pd.Series:
+    """Deterministic pseudo-random total order over edges: splitmix64
+    of the pair hash. Hash order (not lexicographic) is what makes the
+    local-dominance rounds converge in O(log n) expected instead of
+    O(n) on path-shaped graphs — derandomized Luby, same auditable-
+    noise discipline as dp_noisy_counts."""
+    h = pd.util.hash_pandas_object(
+        pd.DataFrame({"u": u.astype(str), "v": v.astype(str)}), index=False
+    ).to_numpy(np.uint64)
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return pd.Series(z.astype("uint64"), index=u.index)
+
+
+def matching_local(df: pd.DataFrame) -> pd.DataFrame:
+    """Sequential greedy matching over canonical ``(u, v)`` edges in
+    ``(rank, u, v)`` order — the driver twin: hash-ordered local
+    dominance computes exactly the greedy matching of this order."""
+    df = df.copy()
+    df["rank"] = _edge_rank(df["u"], df["v"])
+    df = df.sort_values(["rank", "u", "v"], kind="mergesort")
+    used: set[str] = set()
+    ku, kv = [], []
+    for u, v in zip(df["u"], df["v"]):
+        if u not in used and v not in used:
+            used.add(u)
+            used.add(v)
+            ku.append(u)
+            kv.append(v)
+    return pd.DataFrame({"u": ku, "v": kv})
+
+
+def maximal_matching(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    matched_broadcast_max: int = 2_000_000,
+    max_rounds: int = 60,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic maximal matching over an ``(src, dst)`` edge table
+    — Hoepman-style local dominance: each round every node points at
+    its minimum-rank incident edge; an edge matched by BOTH endpoints
+    joins the matching; all edges touching matched nodes drop out.
+    The rank is a hash total order, so the parallel rounds compute
+    EXACTLY the sequential greedy matching of that order (pinned vs
+    :func:`matching_local`) at any layout, and converge in O(log n)
+    expected rounds.
+
+    Count-gated twice: the whole simple-edge list under
+    ``driver_max_edges`` runs the greedy twin; over the gate, each
+    round is one node-keyed min reduce + one edge-keyed dominance
+    count, and matched-node removal broadcasts under
+    ``matched_broadcast_max`` / anti-joins over it.
+    """
+    und = sanitize_for_join(
+        undirected_simple_edges(edges, num_buckets=num_buckets), UND_SCHEMA
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(MATCHING_SCHEMA.empty_table())
+    if n_edges <= driver_max_edges:
+        out = matching_local(und.to_pandas().rename(columns={"a": "u", "b": "v"}))
+        return ray.data.from_arrow(pa_from_pandas(out, MATCHING_SCHEMA))
+
+    ranked_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("rank", pa.uint64())]
+    )
+
+    def _rank_batch(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"u": b["a"].astype(str), "v": b["b"].astype(str)})
+        out["rank"] = _edge_rank(out["u"], out["v"])
+        return out
+
+    active = sanitize_for_join(
+        und.map_batches(_rank_batch, batch_format="pandas"), ranked_schema
+    ).materialize()
+    matched_parts: list[ray.data.Dataset] = []
+
+    tag_schema = pa.schema([("node", pa.string())] + list(ranked_schema))
+
+    def _min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["node", "rank", "u", "v"], kind="mergesort")
+            .drop_duplicates("node", keep="first")
+            .drop(columns="node")
+        )
+
+    def _dominant(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.groupby(["u", "v"], sort=False).size()
+        both = vc[vc >= 2].index
+        out = pd.DataFrame(
+            {"u": both.get_level_values(0), "v": both.get_level_values(1)}
+        )
+        return out
+
+    for _ in range(max_rounds):
+        if active.count() == 0:
+            break
+        tagged = active.map_batches(
+            lambda b: pa.concat_tables(
+                [
+                    pa.table({"node": b["u"], **{c: b[c] for c in ranked_schema.names}}),
+                    pa.table({"node": b["v"], **{c: b[c] for c in ranked_schema.names}}),
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        mins = bucketed_reduce(
+            tagged, ["node"], _min_per_node, ranked_schema, num_buckets=num_buckets
+        )
+        sel = sanitize_for_join(
+            bucketed_reduce(
+                mins, ["u", "v"], _dominant, MATCHING_SCHEMA,
+                num_buckets=num_buckets,
+            ),
+            MATCHING_SCHEMA,
+        ).materialize()
+        if sel.count() == 0:
+            # no locally-dominant edge can only mean no active edges
+            # (the global min is always dominant) — defensive break
+            break
+        matched_parts.append(sel)
+
+        nodes = sel.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": pd.concat([b["u"], b["v"]], ignore_index=True).astype(str)}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if nodes.count() <= matched_broadcast_max:
+            import ray as _ray
+
+            matched_set = set(nodes.to_pandas()["node"].astype(str))
+            ref = _ray.put(matched_set)
+
+            def _drop(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+                m = _ray.get(_ref)
+                keep = ~(b["u"].isin(m) | b["v"].isin(m))
+                return b[keep]
+
+            active = sanitize_for_join(
+                active.map_batches(_drop, batch_format="pandas"), ranked_schema
+            ).materialize()
+        else:
+            node_schema = pa.schema([("node", pa.string())])
+            for side in ("u", "v"):
+                probe = nodes.map_batches(
+                    lambda b, s=side: pa.table({s: b["node"]}),
+                    batch_format="pyarrow",
+                )
+                active = cogroup_join(
+                    active,
+                    probe,
+                    on=[side],
+                    how="left_anti",
+                    num_buckets=num_buckets,
+                    left_schema=ranked_schema,
+                    right_schema=pa.schema([(side, pa.string())]),
+                )
+                active = sanitize_for_join(active, ranked_schema).materialize()
+            _ = node_schema
+    else:
+        if active.count() > 0:
+            raise RuntimeError(
+                "maximal_matching: not converged within max_rounds"
+            )
+
+    if not matched_parts:
+        return ray.data.from_arrow(MATCHING_SCHEMA.empty_table())
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.union(part)
+    return sanitize_for_join(out, MATCHING_SCHEMA)
