@@ -5267,6 +5267,128 @@ def q_orders_mrr(sf_dir: str):
     )
 
 
+LATE_DAYS_US = 90 * 86_400_000_000
+
+
+def q_supplier_waiting(sf_dir: str):
+    """TPC-H Q21-shaped 'lone late shipper': for finished orders with
+    >= 2 distinct suppliers where EXACTLY ONE supplier shipped > 90
+    days after the order date, count such orders per that supplier —
+    the semi/anti-join-in-disguise decision-support shape, done as one
+    partitioned hash join + one order-keyed reduce + one tiny supplier
+    sum; hash-exact vs a count(DISTINCT CASE) SQL twin."""
+    from ..stages.infer import bucketed_reduce
+    from ..stages.relational import cogroup_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def _us(col) -> pa.ChunkedArray:
+        # unit-normalize first: a ns-unit source would otherwise land
+        # as nanoseconds in the int64 and shift the 90-day threshold
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+    def _o(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": b["o_orderkey"],
+                "odate_us": _us(b["o_orderdate"]),
+            }
+        )
+        return t.filter(pc.equal(b["o_orderstatus"], "F"))
+
+    def _l(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "ship_us": _us(b["l_shipdate"]),
+            }
+        )
+
+    joined = cogroup_join(
+        li.map_batches(_l, batch_format="pyarrow"),
+        orders.map_batches(_o, batch_format="pyarrow"),
+        ["l_orderkey"],
+        coalesce=16,
+    )
+
+    per_order_schema = pa.schema([("l_suppkey", pa.int64())])
+
+    def _per_order(g: pd.DataFrame) -> pd.DataFrame:
+        late = g["ship_us"].astype("int64") > g["odate_us"].astype("int64") + LATE_DAYS_US
+        agg = pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_suppkey": g["l_suppkey"].astype("int64"),
+                "late": late,
+            }
+        )
+        ns = agg.groupby("l_orderkey")["l_suppkey"].nunique()
+        late_rows = agg[agg["late"]]
+        nl = late_rows.groupby("l_orderkey")["l_suppkey"].nunique()
+        the_late = late_rows.groupby("l_orderkey")["l_suppkey"].min()
+        ok = ns.index[(ns >= 2) & (nl.reindex(ns.index).fillna(0) == 1)]
+        return pd.DataFrame({"l_suppkey": the_late.loc[ok].astype("int64")})
+
+    hits = bucketed_reduce(joined, ["l_orderkey"], _per_order, per_order_schema)
+
+    count_schema = pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())])
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "l_suppkey" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "numwait": pd.Series([], dtype="int64"),
+                }
+            )
+        if "numwait" in b.columns:
+            return b.groupby("l_suppkey", as_index=False)["numwait"].sum()
+        vc = b.groupby("l_suppkey", sort=False).size()
+        return pd.DataFrame(
+            {
+                "l_suppkey": vc.index.to_numpy("int64"),
+                "numwait": vc.to_numpy("int64"),
+            }
+        )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_suppkey", as_index=False)["numwait"].sum()
+        return pd.DataFrame(
+            {
+                "s_suppkey": s["l_suppkey"].astype("int64"),
+                "numwait": s["numwait"].astype("int64"),
+            }
+        )
+
+    return bucketed_reduce(
+        hits, ["l_suppkey"], _sum, count_schema, combiner=_comb
+    )
+
+
+def q_doc_token_weighted_quantiles(sf_dir: str):
+    """Token-MASS-weighted doc-length quantiles ("half the corpus's
+    tokens live in docs shorter than X") — the curation signal the
+    unweighted median misstates on long tails; one value-keyed
+    histogram shuffle + gated driver cumsum; hash-exact vs a
+    window-cumsum SQL twin."""
+    from ..stages.quantiles import weighted_quantiles
+    from ..stages.text_analysis import token_counts
+
+    tc = token_counts(_docs(sf_dir)).map_batches(
+        lambda b: pa.table({"n_tokens": b["n_tokens"], "w": b["n_tokens"]}),
+        batch_format="pyarrow",
+    )
+    return weighted_quantiles(tc, "n_tokens", "w", (250, 500, 750))
+
+
 def _snr_edges(sf_dir: str) -> ray.data.Dataset:
     """Supplier/nation/region fixture graph (the customer-free sibling
     of ``_cnrs_edges`` — small enough that a thresholded all-survivors
@@ -5380,6 +5502,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
     "supplier_jaccard": q_supplier_jaccard,
+    "supplier_waiting": q_supplier_waiting,
+    "doc_token_weighted_quantiles": q_doc_token_weighted_quantiles,
     "shipment_matching": q_shipment_matching,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
@@ -5765,6 +5889,36 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "doc_token_weighted_quantiles": f"""
+        WITH tc AS (SELECT CAST({_N_TOKENS_SQL} AS BIGINT) AS v FROM documents),
+        h AS (SELECT v, CAST(sum(v) AS BIGINT) AS w FROM tc GROUP BY v),
+        c AS (
+          SELECT v, sum(w) OVER (ORDER BY v) AS cum, sum(w) OVER () AS total
+          FROM h
+        )
+        SELECT CAST(q.q_milli AS BIGINT) AS q_milli,
+               CAST(min(c.v) AS BIGINT) AS value
+        FROM (VALUES (250), (500), (750)) q(q_milli), c
+        WHERE c.cum * 1000 >= q.q_milli * c.total
+        GROUP BY q.q_milli
+    """,
+    "supplier_waiting": """
+        WITH lo AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ),
+        agg AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS ns,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+                 min(CASE WHEN late THEN l_suppkey END) AS the_late
+          FROM lo GROUP BY l_orderkey
+        )
+        SELECT the_late AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        FROM agg WHERE ns >= 2 AND nl = 1 GROUP BY the_late
     """,
     "supplier_jaccard": """
         WITH base AS (

@@ -653,3 +653,86 @@ def winsorized_group_stats(
     return normalize_blocks(final, pa.schema([("g", pa.string())] + WINSOR_SCHEMA_VALUE_COLS)).rename_columns(
         {"g": group_col}
     )
+
+
+WQ_SCHEMA = pa.schema([("q_milli", pa.int64()), ("value", pa.int64())])
+
+
+def weighted_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    weight_col: str,
+    qs_milli: tuple[int, ...] = (250, 500, 750),
+    *,
+    driver_max_distinct: int = DRIVER_MAX_DISTINCT,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact WEIGHTED discrete quantiles: the smallest ``value`` whose
+    cumulative weight (in ascending value order) satisfies
+    ``cum * 1000 >= q_milli * total_weight`` — e.g. "the document
+    length below which half the TOKEN MASS lies", the curation signal
+    unweighted medians misstate on long-tailed corpora. Pure integer
+    comparisons, so a window-cumsum SQL twin hash-matches.
+
+    One value-keyed bucketed sum collapses rows to the distinct-value
+    weight histogram (map-side combiner; the shuffle carries partials,
+    never rows); the histogram residue is count-gated at
+    ``driver_max_distinct`` and the cumulative scan is a driver
+    cumsum. A value domain that outgrows the gate should use
+    :func:`approx_quantiles_hist`'s binned shape instead — this raises
+    loudly rather than collecting unbounded."""
+    from .infer import bucketed_reduce
+
+    if not qs_milli or any(not (0 < q <= 1000) for q in qs_milli):
+        raise ValueError("each q_milli must be in (0, 1000]")
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or value_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    value_col: pd.Series([], dtype="int64"),
+                    "w": pd.Series([], dtype="int64"),
+                }
+            )
+        if "w" in b.columns:
+            g = b.groupby(value_col, as_index=False)["w"].sum()
+        else:
+            g = (
+                b.assign(w=b[weight_col].astype("int64"))
+                .groupby(value_col, as_index=False)["w"]
+                .sum()
+            )
+        g[value_col] = g[value_col].astype("int64")
+        g["w"] = g["w"].astype("int64")
+        return g[[value_col, "w"]]
+
+    hist_schema = pa.schema([(value_col, pa.int64()), ("w", pa.int64())])
+    hist = bucketed_reduce(
+        ds.select_columns([value_col, weight_col]),
+        [value_col],
+        _comb,
+        hist_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    ).materialize()
+    n_distinct = hist.count()
+    if n_distinct == 0:
+        return ray.data.from_arrow(WQ_SCHEMA.empty_table())
+    if n_distinct > driver_max_distinct:
+        raise ValueError(
+            f"weighted_quantiles: {n_distinct} distinct values exceed the "
+            f"driver gate ({driver_max_distinct}); use approx_quantiles_hist"
+        )
+    df = hist.to_pandas().sort_values(value_col, kind="mergesort")
+    cum = df["w"].cumsum().to_numpy("int64")
+    total = int(cum[-1])
+    vals = df[value_col].to_numpy("int64")
+    out_q, out_v = [], []
+    for q in qs_milli:
+        idx = int(np.searchsorted(cum * 1000, q * total, side="left"))
+        out_q.append(int(q))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]))
+    return ray.data.from_arrow(
+        pa.table({"q_milli": pa.array(out_q, pa.int64()),
+                  "value": pa.array(out_v, pa.int64())})
+    )
