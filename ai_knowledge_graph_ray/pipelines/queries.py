@@ -5373,6 +5373,39 @@ def q_supplier_waiting(sf_dir: str):
     )
 
 
+def q_doc_charset_profile(sf_dir: str):
+    """Per-doc character-class census (encoding-health / mojibake
+    screen) — map-only vectorized regex counts with explicit character
+    classes shared verbatim with the SQL twin; hash-exact."""
+    from ..stages.text_analysis import charset_profile
+
+    return charset_profile(_docs(sf_dir))
+
+
+def q_events_runs(sf_dir: str):
+    """Per-user event-type run-length profile (stuck-client / replay
+    detector) — one user-keyed shuffle, vectorized sort + shift-compare
+    run labeling; hash-exact vs a lag-window SQL twin."""
+    from ..stages.sessions import event_runs
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return event_runs(ev)
+
+
+def q_media_png_histogram(sf_dir: str):
+    """Per-image per-channel 16-bin intensity histograms through the
+    REAL stdlib PNG decode path (actor pool, codec bound per actor,
+    one vectorized bincount per image) — rows-only; pinned vs a
+    synthetic two-tone payload in pytest."""
+    from ..stages.multimodal import channel_histograms, synth_media_from_documents
+
+    media = synth_media_from_documents(sf_dir, media_type="png")
+    return channel_histograms(media)
+
+
 def q_doc_token_weighted_quantiles(sf_dir: str):
     """Token-MASS-weighted doc-length quantiles ("half the corpus's
     tokens live in docs shorter than X") — the curation signal the
@@ -5504,6 +5537,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "supplier_jaccard": q_supplier_jaccard,
     "supplier_waiting": q_supplier_waiting,
     "doc_token_weighted_quantiles": q_doc_token_weighted_quantiles,
+    "doc_charset_profile": q_doc_charset_profile,
+    "events_runs": q_events_runs,
+    "media_png_histogram": q_media_png_histogram,
     "shipment_matching": q_shipment_matching,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
@@ -5889,6 +5925,35 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "doc_charset_profile": """
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]')) AS BIGINT) AS n_ascii_alpha,
+          CAST(len(regexp_extract_all(coalesce(text,''), '[0-9]')) AS BIGINT) AS n_digit,
+          CAST(len(regexp_extract_all(coalesce(text,''), '[ \\t\\n\\r]')) AS BIGINT) AS n_space,
+          CAST(len(regexp_extract_all(coalesce(text,''), '[.,;:!?''"()\\[\\]-]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(coalesce(text,''), '[^\\x00-\\x7F]')) AS BIGINT) AS n_non_ascii
+        FROM documents
+    """,
+    "events_runs": """
+        WITH s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        r AS (
+          SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM s
+        ),
+        g AS (SELECT user_id, run_id, count(*) AS c FROM r GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(c) AS BIGINT) AS max_run
+        FROM g GROUP BY user_id
     """,
     "doc_token_weighted_quantiles": f"""
         WITH tc AS (SELECT CAST({_N_TOKENS_SQL} AS BIGINT) AS v FROM documents),

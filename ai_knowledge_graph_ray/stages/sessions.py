@@ -1260,3 +1260,66 @@ def cadence_profile(
         combiner=_comb,
         num_buckets=num_buckets,
     )
+
+
+RUNS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_runs", pa.int64()),
+        ("max_run", pa.int64()),
+    ]
+)
+
+
+def event_runs(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user run-length profile of the event-type sequence —
+    ``(n_events, n_runs, max_run)`` where a run is a maximal stretch of
+    consecutive equal types in ``(ts, event_id)`` order (the
+    stuck-client / replay detector: a user emitting one type 500 times
+    in a row is a bot or a bug).
+
+    Runs are order-dependent, so the shuffle carries the user's raw
+    rows (key-partitioned, same shape as sessionize — no mergeable
+    map-side combiner exists for sequences); within the bucket one
+    vectorized sort + shift-compare + cumsum labels every run, no
+    per-user Python. Hash-exact vs a lag-window SQL twin."""
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        u = g[user_col].to_numpy()
+        t = g[type_col].to_numpy(object)
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same_user = u[1:] == u[:-1]
+            same_type = t[1:] == t[:-1]
+            brk[1:] = (~(same_user & same_type)).astype(np.int64)
+        run_id = np.cumsum(brk)
+        frame = pd.DataFrame({user_col: u, "run_id": run_id})
+        runs = frame.groupby([user_col, "run_id"], sort=False).size()
+        per = runs.groupby(level=0).agg(["sum", "size", "max"])
+        out = pd.DataFrame(
+            {
+                user_col: per.index.to_numpy("int64"),
+                "n_events": per["sum"].to_numpy("int64"),
+                "n_runs": per["size"].to_numpy("int64"),
+                "max_run": per["max"].to_numpy("int64"),
+            }
+        )
+        return out
+
+    return bucketed_reduce(
+        events.select_columns([user_col, type_col, ts_col, id_col]),
+        [user_col],
+        _reduce,
+        RUNS_SCHEMA,
+        num_buckets=num_buckets,
+    )

@@ -256,3 +256,50 @@ def readability(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+CHARSET_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_ascii_alpha", pa.int64()),
+        ("n_digit", pa.int64()),
+        ("n_space", pa.int64()),
+        ("n_punct", pa.int64()),
+        ("n_non_ascii", pa.int64()),
+    ]
+)
+
+# explicit classes shared verbatim with the SQL oracle — Python's \s
+# and RE2's \s disagree on unicode whitespace, so neither is used
+_CS_ALPHA = r"[A-Za-z]"
+_CS_DIGIT = r"[0-9]"
+_CS_SPACE = r"[ \t\n\r]"
+_CS_PUNCT = r"""[.,;:!?'"()\[\]-]"""
+_CS_NON_ASCII = r"[^\x00-\x7F]"
+
+
+def charset_profile(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document character-class census (ASCII letters / digits /
+    whitespace / punctuation / non-ASCII) — the encoding-health signal
+    a crawl-hygiene pass filters mojibake and binary-spill documents
+    on. Map-only vectorized regex counts; classes are explicit
+    character sets shared byte-for-byte with the SQL twin (hash-exact
+    — Python and RE2 ``\\s``/``\\w`` unicode semantics differ, the
+    explicit classes sidestep the dialect gap)."""
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "n_ascii_alpha": t.str.count(_CS_ALPHA).astype("int64"),
+                "n_digit": t.str.count(_CS_DIGIT).astype("int64"),
+                "n_space": t.str.count(_CS_SPACE).astype("int64"),
+                "n_punct": t.str.count(_CS_PUNCT).astype("int64"),
+                "n_non_ascii": t.str.count(_CS_NON_ASCII).astype("int64"),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
