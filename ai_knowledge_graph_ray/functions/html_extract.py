@@ -103,15 +103,21 @@ def extract_text(html: str | bytes) -> str:
     return "\n\n".join(b.strip() for b in parser.blocks if b.strip())
 
 
-def wrap_html(text: str, title: str = "page") -> bytes:
-    """Deterministic inverse of ``extract_text`` for fixture pages."""
+def wrap_html(text: str, title: str = "page", links: tuple[str, ...] = ()) -> bytes:
+    """Deterministic inverse of ``extract_text`` for fixture pages.
+    ``links`` render as anchors inside the boilerplate ``<nav>`` — a
+    DROPPED subtree, so they are visible to :func:`extract_links` but
+    can never perturb the extract_text round-trip invariant."""
     paragraphs = [p for p in text.split("\n\n") if p.strip()]
     body = "".join(f"<p>{_html.escape(p, quote=False)}</p>" for p in paragraphs)
+    nav_links = "".join(f'<a href="{u}">l</a>' for u in links)
     doc = (
         "<html><head><title>"
         + _html.escape(title, quote=False)
         + '</title><script>var x=1;</script></head><body>'
-        + "<nav>BOILERPLATE NAV</nav>"
+        + "<nav>BOILERPLATE NAV"
+        + nav_links
+        + "</nav>"
         + "<main>"
         + body
         + "</main>"
@@ -119,3 +125,21 @@ def wrap_html(text: str, title: str = "page") -> bytes:
         + "</body></html>"
     )
     return doc.encode("utf-8")
+
+
+_HREF_RE = None
+
+
+def extract_links(html: str | bytes) -> list[str]:
+    """All ``href="..."`` targets of a page, in document order — the
+    web-graph edge extractor (regex, not the DOM parser: hrefs inside
+    dropped subtrees like ``<nav>`` ARE links even though their text
+    is boilerplate)."""
+    global _HREF_RE
+    if _HREF_RE is None:
+        import re
+
+        _HREF_RE = re.compile(r'href="([^"]*)"')
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    return _HREF_RE.findall(html)

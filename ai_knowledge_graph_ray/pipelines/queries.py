@@ -5373,6 +5373,37 @@ def q_supplier_waiting(sf_dir: str):
     )
 
 
+def q_page_inlinks(sf_dir: str):
+    """Inbound-link counts parsed from the RAW html column (regex href
+    scan per page, link-target-domain shuffle) — the synthesizer plants
+    derandomized outlinks, so the SQL twin REGENERATES the identical
+    arithmetic from doc_id (the negative-sampling auditable-noise
+    discipline); hash-exact."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.webtext import link_counts
+
+    return link_counts(pages_from_documents(sf_dir))
+
+
+def q_events_hourly_interp(sf_dir: str):
+    """Per-type hourly counts with linearly INTERPOLATED gaps (the
+    trend-preserving repair beside events_hourly_gapfill's zero-fill)
+    — one exchange of (type, hour, partial count), vectorized spine +
+    searchsorted neighbors in the reduce, truncating slope division;
+    hash-exact vs an IGNORE NULLS window SQL twin."""
+    from ..stages.sessions import interpolated_gapfill
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"event_type": b["event_type"], "hour": pc.divide(us, 3_600_000_000)}
+        )
+
+    return interpolated_gapfill(ev.map_batches(_hour, batch_format="pyarrow"))
+
+
 def q_doc_charset_profile(sf_dir: str):
     """Per-doc character-class census (encoding-health / mojibake
     screen) — map-only vectorized regex counts with explicit character
@@ -5538,6 +5569,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "supplier_waiting": q_supplier_waiting,
     "doc_token_weighted_quantiles": q_doc_token_weighted_quantiles,
     "doc_charset_profile": q_doc_charset_profile,
+    "events_hourly_interp": q_events_hourly_interp,
+    "page_inlinks": q_page_inlinks,
     "events_runs": q_events_runs,
     "media_png_histogram": q_media_png_histogram,
     "shipment_matching": q_shipment_matching,
@@ -5925,6 +5958,56 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "page_inlinks": """
+        WITH d AS (SELECT doc_id FROM documents),
+        t AS (
+          SELECT 'https://example.org/doc/' ||
+                 CAST((doc_id * 131 + i * 31) % 997 AS VARCHAR) AS dst_url
+          FROM d, UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                          CAST(2 AS BIGINT)]) AS u(i)
+          UNION ALL
+          SELECT 'https://ext' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.com/x'
+          FROM d
+        )
+        SELECT dst_url, CAST(count(*) AS BIGINT) AS n_inlinks
+        FROM t GROUP BY dst_url
+    """,
+    "events_hourly_interp": """
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1),
+        spine AS (
+          SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM bounds
+        ),
+        j AS (
+          SELECT s.event_type, s.b, c.v
+          FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.b = s.b
+        ),
+        p AS (
+          SELECT event_type, b, v,
+                 last_value(v IGNORE NULLS) OVER w AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER w AS pb,
+                 first_value(v IGNORE NULLS) OVER w2 AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER w2 AS nb
+          FROM j
+          WINDOW w AS (PARTITION BY event_type ORDER BY b
+                       ROWS UNBOUNDED PRECEDING),
+                 w2 AS (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, b AS hour,
+               CAST(CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + ((nv - pv) * (b - pb)) // (nb - pb)
+                    END AS BIGINT) AS n,
+               (v IS NULL) AS filled
+        FROM p
     """,
     "doc_charset_profile": """
         SELECT doc_id,

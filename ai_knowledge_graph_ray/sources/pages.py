@@ -61,7 +61,22 @@ def _docs_to_pages(batch: pa.Table, null_text: bool = True) -> pa.Table:
     langs = batch["lang"].to_pylist()
     urls = [f"https://example.org/doc/{d}" for d in doc_ids]
     ts = pa.array([_WARC_EPOCH_US + int(d) * 137_000_000 for d in doc_ids], pa.timestamp("us"))
-    html = [wrap_html(t, title=f"doc-{d}") for d, t in zip(doc_ids, texts)]
+    # Deterministic outlinks (derandomized — the SQL oracle regenerates
+    # the identical arithmetic): 3 internal targets + 1 external host.
+    # They live in the dropped <nav>, so extract_text round-trip
+    # byte-identity is untouched.
+    links = [
+        tuple(
+            f"https://example.org/doc/{(int(d) * 131 + i * 31) % 997}"
+            for i in range(3)
+        )
+        + (f"https://ext{int(d) % 13}.example.com/x",)
+        for d in doc_ids
+    ]
+    html = [
+        wrap_html(t, title=f"doc-{d}", links=ln)
+        for d, t, ln in zip(doc_ids, texts, links)
+    ]
     # Deterministic 2% of rows: text NULL, recoverable only via the
     # extractor (drives the per-url byte-identity invariant).
     out_text = [

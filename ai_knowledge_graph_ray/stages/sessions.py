@@ -1323,3 +1323,126 @@ def event_runs(
         RUNS_SCHEMA,
         num_buckets=num_buckets,
     )
+
+
+INTERP_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("hour", pa.int64()),
+        ("n", pa.int64()),
+        ("filled", pa.bool_()),
+    ]
+)
+
+
+def interpolated_gapfill(
+    events: ray.data.Dataset,
+    *,
+    key_col: str = "event_type",
+    bucket_col: str = "hour",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key hourly counts with LINEARLY INTERPOLATED gaps — the
+    time-series repair step a feed monitor runs before anomaly scoring
+    (a zero-filled gap looks like an outage; an interpolated one keeps
+    the trend). For each key, every hour in the key's own
+    ``[min, max]`` span gets a row: present hours keep their count,
+    missing hours get ``pv + trunc((nv - pv) * (t - pb) / (nb - pb))``
+    between the nearest present neighbors — TRUNCATING division
+    (DuckDB ``//`` semantics; Python floor differs on negative slopes,
+    the regress module's `_trunc_div` lesson), so the twin
+    hash-matches.
+
+    ONE exchange of per-block (key, hour, partial count); inside the
+    reduce the spine expansion and neighbor lookups are fully
+    vectorized via a combined ``code * 2^32 + hour`` sort key (one
+    np.searchsorted each for prev/next — never lands outside the
+    key's own span because its endpoints are present). Per-key residue
+    is the covered hour span, same boundedness contract as
+    cusum/autocorr."""
+    cnt_schema = pa.schema(
+        [(key_col, pa.string()), (bucket_col, pa.int64()), ("c", pa.int64())]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or key_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="object"),
+                    bucket_col: pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        if "c" in b.columns:
+            g = b.groupby([key_col, bucket_col], as_index=False)["c"].sum()
+        else:
+            g = b.groupby([key_col, bucket_col], as_index=False).agg(
+                c=(bucket_col, "size")
+            )
+        g[bucket_col] = g[bucket_col].astype("int64")
+        g["c"] = g["c"].astype("int64")
+        return g[[key_col, bucket_col, "c"]]
+
+    BIG = np.int64(1) << np.int64(32)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([key_col, bucket_col], as_index=False)["c"]
+            .sum()
+            .sort_values([key_col, bucket_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        keys = agg[key_col].to_numpy(object)
+        b = agg[bucket_col].to_numpy(np.int64)
+        v = agg["c"].to_numpy(np.int64)
+        uniq, codes = np.unique(keys, return_inverse=True)
+        lo = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, codes, b)
+        np.maximum.at(hi, codes, b)
+        span = hi - lo + 1
+        total = int(span.sum())
+        # spine: for each key, lo..hi inclusive
+        reps = np.repeat(np.arange(len(uniq)), span)
+        offs = np.concatenate(([0], np.cumsum(span)[:-1]))
+        spine_b = np.arange(total, dtype=np.int64) - np.repeat(offs, span) + np.repeat(lo, span)
+        present_key = codes.astype(np.int64) * BIG + b
+        spine_key = reps.astype(np.int64) * BIG + spine_b
+        prev_i = np.searchsorted(present_key, spine_key, side="right") - 1
+        next_i = np.searchsorted(present_key, spine_key, side="left")
+        pv, pb = v[prev_i], b[prev_i]
+        nv, nb = v[np.minimum(next_i, len(v) - 1)], b[np.minimum(next_i, len(v) - 1)]
+        exact = np.isin(spine_key, present_key)
+        den = np.where(nb == pb, 1, nb - pb)
+        num = (nv - pv) * (spine_b - pb)
+        # truncating division (sign-aware) to match DuckDB //
+        q = np.abs(num) // np.abs(den)
+        q = np.where((num >= 0) == (den > 0), q, -q)
+        filled_val = pv + q
+        out_n = np.where(exact, v[np.clip(next_i, 0, len(v) - 1)], filled_val)
+        # for exact rows next_i points at the present row itself
+        return pd.DataFrame(
+            {
+                key_col: uniq[reps],
+                bucket_col: spine_b,
+                "n": out_n.astype(np.int64),
+                "filled": ~exact,
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.string()),
+            (bucket_col, pa.int64()),
+            ("n", pa.int64()),
+            ("filled", pa.bool_()),
+        ]
+    )
+    return bucketed_reduce(
+        events.select_columns([key_col, bucket_col]),
+        [key_col],
+        _reduce,
+        out_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    )

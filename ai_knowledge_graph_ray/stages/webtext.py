@@ -1750,3 +1750,64 @@ def source_overlap_matrix(
         grams, ["gh"], _pairs, pair_schema, combiner=_dd, num_buckets=num_buckets
     )
     return grouped_sums(partials, ["source_a", "source_b"], {"n_shared": "n"})
+
+
+LINKS_SCHEMA = pa.schema([("dst_url", pa.string()), ("n_inlinks", pa.int64())])
+
+
+def link_counts(
+    pages: ray.data.Dataset,
+    *,
+    html_col: str = "html",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Inbound-link counts over the raw ``html`` column — the web-graph
+    edge extraction every crawl pipeline runs (host ranking, seed
+    discovery, spam fan-in). Per page one compiled-regex ``href``
+    scan (the per-document parse class, like chunking); the per-block
+    combiner collapses to (dst, partial count) so the shuffle carries
+    the LINK-TARGET domain, never one row per anchor."""
+    from ..functions.html_extract import extract_links
+    from .infer import bucketed_reduce
+
+    def _extract(b: pd.DataFrame) -> pd.DataFrame:
+        dsts: list[str] = []
+        for blob in b[html_col]:
+            dsts.extend(extract_links(blob or b""))
+        if not dsts:
+            return pd.DataFrame(
+                {
+                    "dst_url": pd.Series([], dtype="object"),
+                    "n_inlinks": pd.Series([], dtype="int64"),
+                }
+            )
+        vc = pd.Series(dsts).value_counts(sort=False)
+        return pd.DataFrame(
+            {
+                "dst_url": vc.index.to_numpy(object),
+                "n_inlinks": vc.to_numpy(np.int64),
+            }
+        )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "dst_url" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "dst_url": pd.Series([], dtype="object"),
+                    "n_inlinks": pd.Series([], dtype="int64"),
+                }
+            )
+        return b.groupby("dst_url", as_index=False)["n_inlinks"].sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dst_url", as_index=False)["n_inlinks"].sum()
+        out["n_inlinks"] = out["n_inlinks"].astype("int64")
+        return out
+
+    edges = pages.select_columns([html_col]).map_batches(
+        _extract, batch_format="pandas"
+    )
+    return bucketed_reduce(
+        edges, ["dst_url"], _sum, LINKS_SCHEMA, combiner=_comb,
+        num_buckets=num_buckets,
+    )
