@@ -5373,6 +5373,110 @@ def q_supplier_waiting(sf_dir: str):
     )
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-aggregate filter: revenue of
+    lineitems whose quantity is below 20% of their part's average
+    (integerized ``5*q*n < sum_q`` so the comparison is exact) — one
+    part-keyed stats reduce + one partitioned join back + per-block
+    partial sums (driver residue = one row per block); hash-exact."""
+    from ..stages.infer import bucketed_reduce
+    from ..stages.relational import cogroup_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "q_c": _cents(b["l_quantity"]),
+                "price_c": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    rows = li.map_batches(_pre, batch_format="pyarrow")
+
+    ps_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("n", pa.int64()), ("sq", pa.int64())]
+    )
+
+    def _stats_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "l_partkey" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "l_partkey": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "sq": pd.Series([], dtype="int64"),
+                }
+            )
+        if "n" in b.columns:
+            return b.groupby("l_partkey", as_index=False)[["n", "sq"]].sum()
+        g = b.groupby("l_partkey", as_index=False).agg(
+            n=("q_c", "size"), sq=("q_c", "sum")
+        )
+        return g.astype({"n": "int64", "sq": "int64"})
+
+    stats = bucketed_reduce(
+        rows.select_columns(["l_partkey", "q_c"]),
+        ["l_partkey"],
+        _stats_comb,
+        ps_schema,
+        combiner=_stats_comb,
+    )
+
+    joined = cogroup_join(
+        rows,
+        stats,
+        ["l_partkey"],
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("q_c", pa.int64()), ("price_c", pa.int64())]
+        ),
+        right_schema=ps_schema,
+        coalesce=16,
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                }
+            )
+        keep = (
+            5 * b["q_c"].astype("int64") * b["n"].astype("int64")
+            < b["sq"].astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(b.loc[keep, "price_c"].sum())],
+                "n_rows": [int(keep.sum())],
+            }
+        )
+
+    parts = joined.map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # bounded: one row per block
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(parts["revenue_cents"].sum())], pa.int64()),
+            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        }
+    )
+
+
+def q_media_wav_spectrogram(sf_dir: str):
+    """Banded power spectrogram over the synthesized WAV payloads
+    (REAL stdlib decode, one batched rfft per clip in the actor pool)
+    — rows-only; band concentration of a pure tone pinned in pytest."""
+    from ..stages.multimodal import synth_media_from_documents, wav_spectrogram
+
+    media = synth_media_from_documents(sf_dir, media_type="wav")
+    return wav_spectrogram(media)
+
+
 def q_page_inlinks(sf_dir: str):
     """Inbound-link counts parsed from the RAW html column (regex href
     scan per page, link-target-domain shuffle) — the synthesizer plants
@@ -5571,6 +5675,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_charset_profile": q_doc_charset_profile,
     "events_hourly_interp": q_events_hourly_interp,
     "page_inlinks": q_page_inlinks,
+    "small_qty_revenue": q_small_qty_revenue,
+    "media_wav_spectrogram": q_media_wav_spectrogram,
     "events_runs": q_events_runs,
     "media_png_histogram": q_media_png_histogram,
     "shipment_matching": q_shipment_matching,
@@ -5958,6 +6064,18 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "small_qty_revenue": """
+        WITH ps AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN ps ON ps.l_partkey = l.l_partkey
+        WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * ps.n < ps.sq
     """,
     "page_inlinks": """
         WITH d AS (SELECT doc_id FROM documents),

@@ -655,3 +655,79 @@ def channel_histograms(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+SPEC_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_id", pa.int64()),
+        ("band", pa.int64()),
+        ("energy", pa.int64()),
+    ]
+)
+
+
+class _Spectrogram:
+    """Actor-pool stage: decode WAV once per row, frame the samples,
+    ONE batched ``np.fft.rfft`` over the whole frame matrix per clip,
+    fold |X|^2 bins into ``n_bands`` equal-width bands, floor to int64
+    — the audio-feature extraction stage (language/music/silence
+    screens run on exactly this banded energy shape). Deterministic:
+    FFT of identical frames is bit-stable, and the integer floor makes
+    the emitted rows layout-independent."""
+
+    def __init__(self, frame_len: int = 256, n_bands: int = 8, scale: int = 1) -> None:
+        from ..functions.wav import decode_wav
+
+        self._decode = decode_wav
+        self.frame_len = int(frame_len)
+        self.n_bands = int(n_bands)
+        self.scale = int(scale)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        out = {k: [] for k in SPEC_SCHEMA.names}
+        for mid, blob in zip(
+            batch["media_id"].to_pylist(), batch["content"].to_pylist()
+        ):
+            try:
+                samples, _rate = self._decode(blob or b"")
+            except Exception:
+                continue
+            mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+            amp = mono * 32768.0
+            n = (len(amp) // self.frame_len) * self.frame_len
+            if n == 0:
+                continue
+            frames = amp[:n].reshape(-1, self.frame_len)
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, frame_len//2+1)
+            nbins = spec.shape[1] - 1  # drop the Nyquist bin for even split
+            per = nbins // self.n_bands
+            usable = spec[:, : per * self.n_bands]
+            bands = usable.reshape(spec.shape[0], self.n_bands, per).sum(axis=2)
+            energy = np.floor(bands * self.scale).astype(np.int64)
+            f_ids, b_ids = np.nonzero(energy > 0)
+            out["media_id"].extend([int(mid)] * len(f_ids))
+            out["frame_id"].extend(f_ids.tolist())
+            out["band"].extend(b_ids.tolist())
+            out["energy"].extend(energy[f_ids, b_ids].tolist())
+        return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in out.items()})
+
+
+def wav_spectrogram(
+    media: ray.data.Dataset,
+    *,
+    frame_len: int = 256,
+    n_bands: int = 8,
+    concurrency=(1, 4),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Banded power-spectrogram rows ``(media_id, frame_id, band,
+    energy)`` over binary WAV payloads — actor pool, payload-aware
+    batch size; only positive-energy cells emitted."""
+    return media.select_columns(["media_id", "content"]).map_batches(
+        _Spectrogram,
+        fn_constructor_kwargs={"frame_len": frame_len, "n_bands": n_bands},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
