@@ -1451,22 +1451,30 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir), k=DUP_SPAN_K)
 
 
-def _pagerank_oracle_sql(
-    iters: int = PAGERANK_ITERS,
-    scale: int = PAGERANK_SCALE,
-    d_num: int = PAGERANK_DNUM,
-    d_den: int = PAGERANK_DDEN,
-) -> str:
-    """Unrolled-iteration SQL twin of the integer PageRank recurrence
-    (DuckDB ``//`` = integer floor division, same as Python on
-    non-negatives; every sum cast back to BIGINT)."""
-    head = f"""
-        WITH edges AS (
+_CNR_EDGES_BODY = """
           SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
                  'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
           UNION ALL
           SELECT 'n' || CAST(n_nationkey AS VARCHAR),
                  'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+"""
+
+
+def _pagerank_oracle_sql(
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+    d_num: int = PAGERANK_DNUM,
+    d_den: int = PAGERANK_DDEN,
+    edges_body: str = _CNR_EDGES_BODY,
+) -> str:
+    """Unrolled-iteration SQL twin of the integer PageRank recurrence
+    (DuckDB ``//`` = integer floor division, same as Python on
+    non-negatives; every sum cast back to BIGINT). ``edges_body`` is
+    the SELECT producing (src, dst) — swap it to rank a different
+    graph with the identical recurrence."""
+    head = f"""
+        WITH edges AS (
+          {edges_body}
         ),
         nodes AS (
           SELECT DISTINCT node FROM (
@@ -5477,6 +5485,25 @@ def q_media_wav_spectrogram(sf_dir: str):
     return wav_spectrogram(media)
 
 
+def q_link_pagerank(sf_dir: str):
+    """Web-graph PageRank FROM RAW HTML: regex href extraction ->
+    (src, dst) anchor-multiplicity edges -> integer fixed-point
+    pagerank_int — the crawl-ranking composite, bit-exact vs the
+    unrolled-iteration SQL twin over the REGENERATED link arithmetic
+    (same derandomized outlinks the synthesizer plants)."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import pagerank_int
+    from ..stages.webtext import link_edges
+
+    return pagerank_int(
+        link_edges(pages_from_documents(sf_dir)),
+        iters=PAGERANK_ITERS,
+        scale=PAGERANK_SCALE,
+        d_num=PAGERANK_DNUM,
+        d_den=PAGERANK_DDEN,
+    )
+
+
 def q_page_inlinks(sf_dir: str):
     """Inbound-link counts parsed from the RAW html column (regex href
     scan per page, link-target-domain shuffle) — the synthesizer plants
@@ -5675,6 +5702,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_charset_profile": q_doc_charset_profile,
     "events_hourly_interp": q_events_hourly_interp,
     "page_inlinks": q_page_inlinks,
+    "link_pagerank": q_link_pagerank,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
     "events_runs": q_events_runs,
@@ -7393,6 +7421,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "pagerank": _pagerank_oracle_sql(),
+    "link_pagerank": _pagerank_oracle_sql(
+        edges_body="""
+          SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS src,
+                 'https://example.org/doc/' ||
+                 CAST((doc_id * 131 + i * 31) % 997 AS VARCHAR) AS dst
+          FROM documents,
+               UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                       CAST(2 AS BIGINT)]) AS u(i)
+          UNION ALL
+          SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+                 'https://ext' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.com/x'
+          FROM documents
+"""
+    ),
     "graph_katz": _katz_oracle_sql(),
     "part_tree_rollup": """
         WITH RECURSIVE anc AS (

@@ -1753,6 +1753,39 @@ def source_overlap_matrix(
 
 
 LINKS_SCHEMA = pa.schema([("dst_url", pa.string()), ("n_inlinks", pa.int64())])
+LINK_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def link_edges(
+    pages: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Web-graph edge extraction over the raw ``html`` column:
+    ``(src, dst)`` with anchor MULTIPLICITY preserved (repeated links
+    weigh more, matching pagerank_int's multigraph semantics). Per
+    page one compiled-regex href scan — the per-document parse class,
+    like chunking."""
+    from ..functions.html_extract import extract_links
+
+    def _extract(b: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for url, blob in zip(b[url_col], b[html_col]):
+            links = extract_links(blob or b"")
+            srcs.extend([url] * len(links))
+            dsts.extend(links)
+        return pd.DataFrame(
+            {
+                "src": pd.Series(srcs, dtype="object"),
+                "dst": pd.Series(dsts, dtype="object"),
+            }
+        )
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        _extract, batch_format="pandas"
+    )
 
 
 def link_counts(

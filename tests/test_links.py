@@ -58,3 +58,60 @@ class TestLinkCounts:
         )
         out = link_counts(pages).to_pandas()
         assert out.iloc[0]["n_inlinks"] == 3
+
+
+class TestLinkEdges:
+    def test_multiplicity_and_src(self):
+        from ai_knowledge_graph_ray.stages.webtext import link_edges
+
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(["u1", "u2"], pa.string()),
+                    "html": pa.array(
+                        [
+                            wrap_html("a", links=("t", "t", "x")),
+                            wrap_html("b", links=("y",)),
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+        ).repartition(2)
+        out = link_edges(pages).to_pandas()
+        pairs = sorted(zip(out["src"], out["dst"]))
+        assert pairs == [("u1", "t"), ("u1", "t"), ("u1", "x"), ("u2", "y")]
+
+    def test_pagerank_composite_matches_local_twin(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            pagerank_int,
+            pagerank_int_local,
+        )
+        from ai_knowledge_graph_ray.stages.webtext import link_edges
+
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(["a", "b", "c"], pa.string()),
+                    "html": pa.array(
+                        [
+                            wrap_html("1", links=("b", "c")),
+                            wrap_html("2", links=("c",)),
+                            wrap_html("3"),
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+        ).repartition(2)
+        edges = link_edges(pages)
+        got = (
+            pagerank_int(edges, iters=3)
+            .to_pandas()
+            .set_index("node")["rank_scaled"]
+            .to_dict()
+        )
+        want = pagerank_int_local(
+            [("a", "b"), ("a", "c"), ("b", "c")], iters=3
+        )
+        assert got == want
