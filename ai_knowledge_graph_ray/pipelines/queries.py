@@ -5485,6 +5485,30 @@ def q_media_wav_spectrogram(sf_dir: str):
     return wav_spectrogram(media)
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc novelty: per-mille share of the doc's distinct 3-grams
+    that are corpus-unique (df == 1) — the curation signal between
+    exact dedup and content-blind quality heuristics; two exchanges +
+    one gram-hash-keyed join; hash-exact vs a df-join SQL twin sharing
+    the gram rule."""
+    from ..stages.dedup import novelty_scores
+
+    return novelty_scores(_docs(sf_dir), k=3)
+
+
+SEARCH_TERMS = ("hash", "join", "stream")
+
+
+def q_doc_and_search(sf_dir: str):
+    """Boolean-AND multi-term retrieval through the inverted-index
+    shuffle (map side emits pairs only for the broadcast query
+    vocabulary; one doc-keyed count == k) — hash-exact vs an
+    unnest + count(DISTINCT) SQL twin."""
+    from ..stages.vocab import conjunctive_search
+
+    return conjunctive_search(_docs(sf_dir), SEARCH_TERMS)
+
+
 def q_link_pagerank(sf_dir: str):
     """Web-graph PageRank FROM RAW HTML: regex href extraction ->
     (src, dst) anchor-multiplicity edges -> integer fixed-point
@@ -5703,6 +5727,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly_interp": q_events_hourly_interp,
     "page_inlinks": q_page_inlinks,
     "link_pagerank": q_link_pagerank,
+    "doc_and_search": q_doc_and_search,
+    "doc_novelty": q_doc_novelty,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
     "events_runs": q_events_runs,
@@ -6092,6 +6118,46 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "doc_novelty": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+          FROM toks WHERE len(ws) > 0 AND len(ws) < 3
+        ),
+        df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM grams GROUP BY doc_id),
+        u AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+          FROM grams WHERE g IN (SELECT g FROM df WHERE c = 1)
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_grams,
+               CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+               CAST(coalesce(u.n_unique, 0) * 1000 // s.n_grams AS BIGINT)
+                 AS novelty_milli
+        FROM sizes s LEFT JOIN u USING (doc_id)
+    """,
+    "doc_and_search": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS t
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, count(DISTINCT t) AS c
+          FROM toks WHERE t IN ('hash', 'join', 'stream')
+          GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(3 AS BIGINT) AS n_matched FROM m WHERE c = 3
     """,
     "small_qty_revenue": """
         WITH ps AS (

@@ -1222,3 +1222,144 @@ def exact_dedup_against(
         left_schema=new_schema,
         right_schema=ref_schema,
     )
+
+
+NOVELTY_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_unique", pa.int64()),
+        ("novelty_milli", pa.int64()),
+    ]
+)
+
+
+def novelty_scores(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document novelty: the per-mille share of the doc's distinct
+    word-``k``-grams that are CORPUS-UNIQUE (df == 1) — templated /
+    boilerplate / near-copied documents score low, original prose
+    scores high; the curation signal between exact dedup (too strict)
+    and quality heuristics (content-blind).
+
+    Two exchanges + one partitioned join: distinct (gram, doc) explode
+    (same ``_gram_set`` as the overlap/containment family, so the SQL
+    twin shares the gram rule), gram-keyed df sum, then df joined back
+    on the gram HASH (64-bit hash rides only in the shared join-key
+    column — the cogroup carry rule) and one doc-keyed sum. Integer
+    floor per-mille so it is hash-exact."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    pair_schema = pa.schema(
+        [("gram", pa.uint64()), (id_col, pa.int64()), ("n_grams", pa.int64())]
+    )
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ghs, ns = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            grams = _gram_set(text, k)
+            if not grams:
+                continue
+            gh = _hash_strs(list(grams))
+            ids.append(np.full(len(gh), doc_id, dtype=np.int64))
+            ghs.append(gh)
+            ns.append(np.full(len(gh), len(grams), dtype=np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series([], dtype="uint64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "gram": np.concatenate(ghs),
+                id_col: np.concatenate(ids),
+                "n_grams": np.concatenate(ns),
+            }
+        )
+
+    pairs = sanitize_for_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _explode, batch_format="pandas"
+        ),
+        pair_schema,
+    ).materialize()
+
+    df_schema = pa.schema([("gram", pa.uint64()), ("df", pa.int64())])
+
+    def _df_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "gram" not in b.columns:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype="uint64"),
+                 "df": pd.Series([], dtype="int64")}
+            )
+        if "df" in b.columns:
+            return b.groupby("gram", as_index=False)["df"].sum()
+        vc = b.groupby("gram", sort=False).size()
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy("uint64"), "df": vc.to_numpy("int64")}
+        )
+
+    def _df_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("gram", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    dfs = bucketed_reduce(
+        pairs.select_columns(["gram"]),
+        ["gram"],
+        _df_sum,
+        df_schema,
+        combiner=_df_comb,
+        num_buckets=num_buckets,
+    )
+
+    joined = cogroup_join(
+        pairs,
+        dfs,
+        on=["gram"],
+        num_buckets=num_buckets,
+        left_schema=pair_schema,
+        right_schema=df_schema,
+    )
+
+    def _doc_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or id_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_unique": pd.Series([], dtype="int64"),
+                }
+            )
+        if "n_unique" in b.columns:
+            return b.groupby([id_col, "n_grams"], as_index=False)["n_unique"].sum()
+        g = b.assign(n_unique=(b["df"].astype("int64") == 1).astype("int64"))
+        return g.groupby([id_col, "n_grams"], as_index=False)["n_unique"].sum()
+
+    def _doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([id_col, "n_grams"], as_index=False)["n_unique"].sum()
+        out["novelty_milli"] = (
+            out["n_unique"].astype("int64") * 1000 // out["n_grams"].astype("int64")
+        )
+        for c in ("n_grams", "n_unique", "novelty_milli"):
+            out[c] = out[c].astype("int64")
+        return out[[id_col, "n_grams", "n_unique", "novelty_milli"]]
+
+    return bucketed_reduce(
+        joined,
+        [id_col],
+        _doc_sum,
+        NOVELTY_SCHEMA,
+        combiner=_doc_comb,
+        num_buckets=num_buckets,
+    )

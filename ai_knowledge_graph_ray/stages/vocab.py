@@ -770,3 +770,65 @@ def vocab_growth(
         pa.Table.from_pandas(out.astype("int64"), schema=VOCAB_GROWTH_SCHEMA,
                              preserve_index=False)
     )
+
+
+SEARCH_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_matched", pa.int64())])
+
+
+def conjunctive_search(
+    ds: ray.data.Dataset,
+    terms: tuple[str, ...],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Boolean-AND retrieval through the inverted-index shuffle: docs
+    containing EVERY query term (``\\w+`` tokens, lowercased). The
+    map side emits distinct (doc, term) pairs ONLY for the broadcast
+    query vocabulary — the exchange carries at most
+    ``|terms| x |docs|`` rows, never the corpus token domain — and one
+    doc-keyed count == k finishes it. This is the scalable form of
+    multi-term search (a per-row regex scan re-reads every byte for
+    every query; the posting shuffle touches each doc's term SET
+    once)."""
+    import re
+
+    k = len(terms)
+    if k == 0:
+        raise ValueError("conjunctive_search: need at least one term")
+    tset = frozenset(t.lower() for t in terms)
+    tok_re = re.compile(r"\w+")
+
+    pair_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string())])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        hit: list[str] = []
+        for doc_id, text in zip(b[id_col], b[text_col].fillna("")):
+            present = tset.intersection(tok_re.findall(text.lower()))
+            ids.extend([int(doc_id)] * len(present))
+            hit.extend(sorted(present))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "term": pd.Series(hit, dtype="object"),
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates([id_col, "term"]).groupby(id_col).size()
+        full = c[c == k]
+        return pd.DataFrame(
+            {
+                id_col: full.index.to_numpy("int64"),
+                "n_matched": np.full(len(full), k, dtype=np.int64),
+            }
+        )
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pandas"
+    )
+    return bucketed_reduce(
+        pairs, [id_col], _count, SEARCH_SCHEMA, num_buckets=num_buckets
+    )
