@@ -2862,6 +2862,89 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_nation_trade_flow(sf_dir: str):
+    """TPC-H Q7 shape: revenue between every (supplier nation,
+    customer nation) pair per ship year. Same physical plan as the Q5
+    query — supplier/customer nation lookups broadcast (documented
+    scale path: a second cogroup join on custkey), lineitem revenue
+    pre-aggregated per (orderkey, supp nation, year) BELOW the single
+    large-large exchange with orders; hash-exact vs a 5-way join twin."""
+    import ray as _ray
+
+    from ..stages.infer import default_num_partitions
+
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    supp_ref = _ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype(np.int64))))
+    cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype(np.int64))))
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _l_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sup = _ray.get(supp_ref)
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "s_nationkey": b["l_suppkey"].map(sup).astype(np.int64),
+                "ship_year": b["l_shipdate"].dt.year.astype(np.int64),
+                "rev": _rev_e4(b),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return part.groupby(
+            ["l_orderkey", "s_nationkey", "ship_year"], as_index=False
+        ).agg(rev=("rev", "sum"), n=("n", "sum"))
+
+    l_part = li.map_batches(_l_partial, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_join(
+        l_part, orders, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+    )
+
+    def _names(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype="object"),
+                    "cust_nation": pd.Series([], dtype="object"),
+                    "ship_year": pd.Series([], dtype="int64"),
+                    "rev": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        cus = _ray.get(cust_ref)
+        return pd.DataFrame(
+            {
+                "supp_nation": b["s_nationkey"].map(nat_names),
+                "cust_nation": b["o_custkey"].map(cus).astype(np.int64).map(nat_names),
+                "ship_year": b["ship_year"].astype("int64"),
+                "rev": b["rev"].astype("int64"),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    named = joined.map_batches(_names, batch_format="pandas")
+    return grouped_sums(
+        named,
+        ["supp_nation", "cust_nation", "ship_year"],
+        {"revenue_e4": "rev", "n_items": "n"},
+    )
+
+
 def q_kg_training_pipeline(sf_dir: str):
     """Second flagship composite: pages -> knowledge graph -> QA
     generation -> stratified 80/10/10 split -> chatml-formatted
@@ -5729,6 +5812,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_pagerank": q_link_pagerank,
     "doc_and_search": q_doc_and_search,
     "doc_novelty": q_doc_novelty,
+    "nation_trade_flow": q_nation_trade_flow,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
     "events_runs": q_events_runs,
@@ -6118,6 +6202,21 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "nation_trade_flow": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY 1, 2, 3
     """,
     "doc_novelty": """
         WITH toks AS (
