@@ -2862,6 +2862,32 @@ def q_region_revenue(sf_dir: str):
     return grouped_sums(matched, ["r_name"], {"revenue_e4": "rev", "n_items": "n"})
 
 
+def q_orders_l_diversity(sf_dir: str):
+    """L-diversity audit per customer over order priorities — the
+    governance check k-anonymity misses (a large group whose rows all
+    share one sensitive value still exposes everyone); one bucketed
+    reduce over map-side distinct (group, sensitive, count) partials;
+    hash-exact vs a count(DISTINCT) SQL twin."""
+    from ..stages.validate import l_diversity_report
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    return l_diversity_report(
+        orders, ["o_custkey"], "o_orderpriority", l=3
+    )
+
+
+def q_doc_proximity(sf_dir: str):
+    """Positional proximity retrieval: docs where 'hash' and 'join'
+    occur within 10 tokens, with the exact min distance — map-only
+    token scan + searchsorted nearest neighbor; hash-exact vs a
+    positions-unnest SQL twin."""
+    from ..stages.vocab import proximity_search
+
+    return proximity_search(_docs(sf_dir), "hash", "join", window=10)
+
+
 def q_nation_trade_flow(sf_dir: str):
     """TPC-H Q7 shape: revenue between every (supplier nation,
     customer nation) pair per ship year. Same physical plan as the Q5
@@ -5813,6 +5839,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_and_search": q_doc_and_search,
     "doc_novelty": q_doc_novelty,
     "nation_trade_flow": q_nation_trade_flow,
+    "orders_l_diversity": q_orders_l_diversity,
+    "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
     "events_runs": q_events_runs,
@@ -6202,6 +6230,30 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN d1 USING (event_type)
         LEFT JOIN d2 USING (event_type)
         LEFT JOIN d3 USING (event_type)
+    """,
+    "orders_l_diversity": """
+        SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                 AS n_distinct_sensitive,
+               (count(DISTINCT o_orderpriority) >= 3) AS l_ok
+        FROM orders GROUP BY o_custkey
+    """,
+    "doc_proximity": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, i, ws[i] AS t
+          FROM toks, UNNEST(generate_series(1, len(ws))) AS u(i)
+        ),
+        a AS (SELECT doc_id, i FROM pos WHERE t = 'hash'),
+        b AS (SELECT doc_id, i FROM pos WHERE t = 'join')
+        SELECT a.doc_id, CAST(min(abs(a.i - b.i)) AS BIGINT) AS min_dist
+        FROM a JOIN b USING (doc_id)
+        GROUP BY a.doc_id
+        HAVING min(abs(a.i - b.i)) <= 10
     """,
     "nation_trade_flow": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

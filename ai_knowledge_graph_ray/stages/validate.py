@@ -670,3 +670,77 @@ def dp_noisy_counts(
         counts.map_batches(_noise, batch_format="pandas", batch_size=None),
         DP_SCHEMA,
     )
+
+
+LDIV_SCHEMA_SUFFIX = [
+    ("n_rows", pa.int64()),
+    ("n_distinct_sensitive", pa.int64()),
+    ("l_ok", pa.bool_()),
+]
+
+
+def l_diversity_report(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """L-diversity audit — the governance check K-ANONYMITY MISSES:
+    a quasi-group can be large (k-anonymous) yet expose everyone in it
+    because all its rows share ONE sensitive value. Per quasi-group:
+    row count, distinct sensitive values, and ``l_ok = (n_distinct >=
+    l)``. One bucketed reduce over map-side DISTINCT
+    (quasi..., sensitive, partial count) partials — the shuffle
+    carries the (group x sensitive-value) domain, never rows."""
+    from .infer import bucketed_reduce
+
+    out_schema = pa.schema(
+        [(c, pa.string()) for c in quasi_cols] + LDIV_SCHEMA_SUFFIX
+    )
+    part_schema = pa.schema(
+        [(c, pa.string()) for c in quasi_cols]
+        + [("__sv", pa.string()), ("__cnt", pa.int64())]
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or sensitive_col not in b.columns and "__sv" not in b.columns:
+            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in quasi_cols})
+            out["__sv"] = pd.Series([], dtype="object")
+            out["__cnt"] = pd.Series([], dtype="int64")
+            return out
+        g = b.copy()
+        if "__sv" not in g.columns:
+            g["__sv"] = g[sensitive_col].astype(str)
+        for c in quasi_cols:
+            g[c] = g[c].astype(str)
+        if "__cnt" in g.columns:
+            return g.groupby(quasi_cols + ["__sv"], as_index=False, sort=False,
+                             dropna=False)["__cnt"].sum()
+        return (
+            g.groupby(quasi_cols + ["__sv"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="__cnt")
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(quasi_cols + ["__sv"], as_index=False, sort=False,
+                        dropna=False)["__cnt"].sum()
+        per = agg.groupby(quasi_cols, as_index=False, sort=False, dropna=False).agg(
+            n_rows=("__cnt", "sum"), n_distinct_sensitive=("__sv", "size")
+        )
+        per["l_ok"] = per["n_distinct_sensitive"] >= l
+        for c in ("n_rows", "n_distinct_sensitive"):
+            per[c] = per[c].astype("int64")
+        return per
+
+    cols = quasi_cols + [sensitive_col]
+    return bucketed_reduce(
+        ds.select_columns(cols),
+        quasi_cols,
+        _reduce,
+        out_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    )
