@@ -2971,6 +2971,427 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join with a cross-table condition):
+    count Q3-1996 orders per priority that have at least one lineitem
+    shipped AFTER the order date. Plan: lineitem collapses to ONE
+    max(shipdate) row per orderkey via ``bucketed_reduce`` (max is
+    associative -> the same kernel is the map-side combiner), so the
+    single cogroup exchange moves O(distinct orderkeys), not O(lines);
+    the EXISTS becomes a vectorized compare after the join."""
+    from ..stages.infer import bucketed_reduce, default_num_partitions
+
+    lo = np.datetime64("1996-07-01", "us").astype("int64")
+    hi = np.datetime64("1996-10-01", "us").astype("int64")
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    mx_schema = pa.schema([("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())])
+
+    def _mx(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "max_ship_us": pd.Series(dtype="int64"),
+                }
+            )
+        if "l_shipdate" in b.columns:
+            b = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "max_ship_us": b["l_shipdate"]
+                    .to_numpy("datetime64[us]")
+                    .astype("int64"),
+                }
+            )
+        return b.groupby("l_orderkey", as_index=False, sort=False)["max_ship_us"].max()
+
+    l_max = bucketed_reduce(li, ["l_orderkey"], _mx, mx_schema, combiner=_mx)
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def _o(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate_us": pd.Series(dtype="int64"),
+                    "o_orderpriority": pd.Series(dtype="object"),
+                }
+            )
+        us = b["o_orderdate"].to_numpy("datetime64[us]").astype("int64")
+        m = (us >= lo) & (us < hi)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].to_numpy()[m],
+                "o_orderdate_us": us[m],
+                "o_orderpriority": b["o_orderpriority"].to_numpy()[m],
+            }
+        )
+
+    o_side = orders.map_batches(_o, batch_format="pandas")
+    joined = cogroup_join(
+        l_max,
+        o_side,
+        on=["l_orderkey"],
+        how="inner",
+        coalesce=default_num_partitions(),
+        left_schema=mx_schema,
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate_us", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+
+    def _exists(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"o_orderpriority": pd.Series(dtype="object")})
+        b = b[b["max_ship_us"] > b["o_orderdate_us"]]
+        return pd.DataFrame({"o_orderpriority": b["o_orderpriority"]})
+
+    return grouped_sums(
+        joined.map_batches(_exists, batch_format="pandas"),
+        ["o_orderpriority"],
+        {},
+        count_name="order_count",
+    )
+
+
+def q_line_priority_modes(sf_dir: str):
+    """TPC-H Q12 shape (conditional counts over a large-large join):
+    per return flag, how many 1997-shipped lineitems belong to
+    high-priority (URGENT/HIGH) vs low-priority orders. Plan: lineitem
+    pre-counts per (orderkey, returnflag) below the single cogroup
+    exchange; the CASE split is a vectorized map after the join; the
+    final groupby runs over a 3-value string key."""
+    from ..stages.infer import default_num_partitions
+
+    lo = np.datetime64("1997-01-01", "us").astype("int64")
+    hi = np.datetime64("1998-01-01", "us").astype("int64")
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+
+    def _l(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        us = b["l_shipdate"].to_numpy("datetime64[us]").astype("int64")
+        b = b[(us >= lo) & (us < hi)]
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return part.groupby(
+            ["l_orderkey", "l_returnflag"], as_index=False, sort=False
+        )["n"].sum()
+
+    l_part = li.map_batches(_l, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cogroup_join(
+        l_part,
+        orders,
+        on=["l_orderkey"],
+        how="inner",
+        coalesce=default_num_partitions(),
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_returnflag", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+
+    def _split(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "hi_n": pd.Series(dtype="int64"),
+                    "lo_n": pd.Series(dtype="int64"),
+                }
+            )
+        high = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        n = b["n"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "hi_n": np.where(high, n, 0),
+                "lo_n": np.where(high, 0, n),
+            }
+        )
+
+    return grouped_sums(
+        joined.map_batches(_split, batch_format="pandas"),
+        ["l_returnflag"],
+        {"high_line_count": "hi_n", "low_line_count": "lo_n"},
+    )
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape (left-join count distribution with an explicit
+    zero group): how many customers placed exactly k qualifying
+    (priority-specified) orders, including k=0. Plan: per-custkey
+    counts via one bucketed sum (map-side combiner), then a SECOND
+    tiny bucketed sum over the count values (domain = max orders per
+    customer, inherently small); the zero row is arithmetic —
+    count(customer) minus matched custkeys — so the customer table is
+    never joined, only counted."""
+    from ..stages.infer import bucketed_reduce
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def _cnt(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        if "o_orderpriority" in b.columns:
+            b = b[b["o_orderpriority"] != "4-NOT SPECIFIED"]
+            b = pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].to_numpy(),
+                    "n": np.ones(len(b), dtype=np.int64),
+                }
+            )
+        return b.groupby("o_custkey", as_index=False, sort=False)["n"].sum()
+
+    cnt_schema = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+    per_cust = bucketed_reduce(orders, ["o_custkey"], _cnt, cnt_schema, combiner=_cnt)
+
+    def _dist(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "c_count": pd.Series(dtype="int64"),
+                    "custdist": pd.Series(dtype="int64"),
+                }
+            )
+        if "n" in b.columns:
+            b = pd.DataFrame(
+                {
+                    "c_count": b["n"].to_numpy().astype(np.int64),
+                    "custdist": np.ones(len(b), dtype=np.int64),
+                }
+            )
+        return b.groupby("c_count", as_index=False, sort=False)["custdist"].sum()
+
+    dist_schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    dist = bucketed_reduce(
+        per_cust, ["c_count"], _dist, dist_schema, combiner=_dist
+    ).to_pandas()
+    if len(dist) == 0:
+        dist = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    n_customers = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey"]
+    ).count()
+    n_zero = int(n_customers) - int(dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    return dist.astype({"c_count": "int64", "custdist": "int64"})
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (global conditional-aggregate ratio): share of
+    September-1997 revenue from PROMO parts, in integer basis points.
+    Plan: the promo partkey set broadcasts once (``ray.put`` + sorted
+    searchsorted membership — the documented 100-TB path is a cogroup
+    join on partkey, same shape as three_way_join); lineitem reduces
+    map-only to one partial row per block; the driver sums the tiny
+    residue. Zero shuffles."""
+    import ray as _ray
+
+    lo = np.datetime64("1997-09-01", "us").astype("int64")
+    hi = np.datetime64("1997-10-01", "us").astype("int64")
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    promo = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy())
+    promo_ref = _ray.put(promo)
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "promo_rev": pd.Series(dtype="int64"),
+                    "total_rev": pd.Series(dtype="int64"),
+                }
+            )
+        us = b["l_shipdate"].to_numpy("datetime64[us]").astype("int64")
+        b = b[(us >= lo) & (us < hi)]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "promo_rev": pd.Series(dtype="int64"),
+                    "total_rev": pd.Series(dtype="int64"),
+                }
+            )
+        ks = _ray.get(promo_ref) if isinstance(promo_ref, _ray.ObjectRef) else promo_ref
+        rev = _rev_e4(b)
+        pk = b["l_partkey"].to_numpy()
+        if len(ks):
+            idx = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+            is_promo = ks[idx] == pk
+        else:
+            is_promo = np.zeros(len(b), dtype=bool)
+        return pd.DataFrame(
+            {
+                "promo_rev": [int(rev[is_promo].sum())],
+                "total_rev": [int(rev.sum())],
+            }
+        )
+
+    partials = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    promo_rev = int(partials["promo_rev"].sum()) if len(partials) else 0
+    total_rev = int(partials["total_rev"].sum()) if len(partials) else 0
+    bps = (promo_rev * 10000) // total_rev if total_rev else 0
+    return pd.DataFrame(
+        {
+            "promo_revenue_e4": pd.Series([promo_rev], dtype="int64"),
+            "total_revenue_e4": pd.Series([total_rev], dtype="int64"),
+            "promo_bps": pd.Series([bps], dtype="int64"),
+        }
+    )
+
+
+def q_wealthy_inactive_customers(sf_dir: str):
+    """TPC-H Q22 shape (scalar-broadcast threshold + anti-join):
+    customers whose balance beats the positive-balance average and who
+    never placed an URGENT order, counted per nation (the urgency
+    restriction keeps the result non-degenerate on the dense synthetic
+    tables where every customer has SOME order). Plan: the global
+    average is two integers (n, sum) reduced from one partial row per
+    block — the comparison ``cents * n_pos > sum_pos`` stays exact in
+    int64 (no float avg); the anti-join is the standard cogroup
+    left_anti against map-side-deduped order custkeys."""
+    from ..stages.infer import normalize_blocks, sanitize_for_join
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def _pos_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"n_pos": pd.Series(dtype="int64"), "sum_pos": pd.Series(dtype="int64")}
+            )
+        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame(
+            {"n_pos": [int(len(pos))], "sum_pos": [int(pos.sum())]}
+        )
+
+    pos = cust.map_batches(_pos_partial, batch_format="pandas").to_pandas()
+    n_pos = int(pos["n_pos"].sum()) if len(pos) else 0
+    sum_pos = int(pos["sum_pos"].sum()) if len(pos) else 0
+
+    def _rich(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "c_nationkey": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        m = cents * n_pos > sum_pos
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy()[m],
+                "c_nationkey": b["c_nationkey"].to_numpy()[m].astype(np.int64),
+                "cents": cents[m],
+            }
+        )
+
+    rich = cust.map_batches(_rich, batch_format="pandas")
+
+    def _okeys(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+        b = b[b["o_orderpriority"] == "1-URGENT"]
+        return pd.DataFrame({"c_custkey": np.unique(b["o_custkey"].to_numpy())})
+
+    okeys = sanitize_for_join(
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+        ).map_batches(_okeys, batch_format="pandas"),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+    anti = cogroup_join(
+        rich,
+        okeys,
+        on=["c_custkey"],
+        how="left_anti",
+        left_schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("c_nationkey", pa.int64()),
+            ("numcust", pa.int64()),
+            ("totacctbal_cents", pa.int64()),
+        ]
+    )
+    return normalize_blocks(
+        grouped_sums(
+            anti,
+            ["c_nationkey"],
+            {"totacctbal_cents": "cents"},
+            count_name="numcust",
+        ).select_columns(["c_nationkey", "numcust", "totacctbal_cents"]),
+        out_schema,
+    )
+
+
 def q_kg_training_pipeline(sf_dir: str):
     """Second flagship composite: pages -> knowledge graph -> QA
     generation -> stratified 80/10/10 split -> chatml-formatted
@@ -5839,6 +6260,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_and_search": q_doc_and_search,
     "doc_novelty": q_doc_novelty,
     "nation_trade_flow": q_nation_trade_flow,
+    "order_priority_check": q_order_priority_check,
+    "line_priority_modes": q_line_priority_modes,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue": q_promo_revenue,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "orders_l_diversity": q_orders_l_diversity,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
@@ -6254,6 +6680,72 @@ ORACLE_SQL: dict[str, str] = {
         FROM a JOIN b USING (doc_id)
         GROUP BY a.doc_id
         HAVING min(abs(a.i - b.i)) <= 10
+    """,
+    "order_priority_check": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-07-01'
+          AND o.o_orderdate <  DATE '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "line_priority_modes": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "promo_revenue": """
+        WITH rev AS (
+          SELECT p_type,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= DATE '1997-09-01'
+            AND l_shipdate <  DATE '1997-10-01'
+        )
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) AS BIGINT)
+                 AS promo_revenue_e4,
+               CAST(sum(r) AS BIGINT) AS total_revenue_e4,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) * 10000
+                    // sum(r) AS BIGINT) AS promo_bps
+        FROM rev
+    """,
+    "wealthy_inactive_customers": """
+        WITH agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_pos
+          FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS totacctbal_cents
+        FROM customer, agg
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * agg.n_pos > agg.sum_pos
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
     """,
     "nation_trade_flow": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -1,0 +1,162 @@
+"""Planted-fixture tests for the TPC-H-shaped relational queries
+added alongside Q3/Q5/Q7/Q17/Q21: Q4 (EXISTS semi-join), Q12
+(conditional counts over a join), Q13 (left-join count distribution
+with the zero group), Q14 (promo revenue share in integer bps), Q22
+(scalar-threshold + anti-join). Every expectation below is
+hand-computed from the fixture."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp_path, name: str, df: pd.DataFrame) -> None:
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / f"{name}.parquet"))
+
+
+@pytest.fixture()
+def tpch_dir(tmp_path):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_custkey": [1, 1, 2, 3, 2],
+            "o_orderdate": pd.to_datetime(
+                ["1996-07-10", "1996-08-01", "1995-01-01", "1996-09-30", "1996-07-20"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": [
+                "1-URGENT", "3-MEDIUM", "2-HIGH", "4-NOT SPECIFIED", "1-URGENT",
+            ],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 5, 4, 4, 1],
+            "l_partkey": [1, 2, 1, 2, 1, 2, 2],
+            "l_returnflag": ["A", "R", "A", "R", "A", "N", "N"],
+            "l_shipdate": pd.to_datetime(
+                [
+                    "1996-07-15", "1996-07-20", "1997-03-01", "1997-06-01",
+                    "1997-09-15", "1996-09-30", "1997-09-20",
+                ]
+            ).astype("datetime64[us]"),
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0, 5.0, 10.0],
+            "l_discount": [0.10, 0.00, 0.05, 0.20, 0.10, 0.00, 0.00],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_nationkey": [10, 10, 20, 20],
+            "c_acctbal": [100.00, 900.00, 800.00, -50.00],
+        }
+    )
+    part = pd.DataFrame(
+        {"p_partkey": [1, 2], "p_type": ["PROMO", "STANDARD"]}
+    )
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", lineitem)
+    _write(tmp_path, "customer", customer)
+    _write(tmp_path, "part", part)
+    return str(tmp_path)
+
+
+def _frame(res) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+class TestOrderPriorityCheck:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_order_priority_check
+
+        # In-window orders: 1, 2, 4, 5. Order 1 ships 07-15 > 07-10
+        # (exists), order 2 ships 07-20 < 08-01 (no), order 4's max
+        # ship 1997-09-15 > 09-30 (exists; the equal-date 09-30 line
+        # alone would NOT count), order 5 ships 1997 (exists).
+        out = _frame(q_order_priority_check(tpch_dir))
+        got = dict(zip(out["o_orderpriority"], out["order_count"]))
+        assert got == {"1-URGENT": 2, "4-NOT SPECIFIED": 1}
+
+
+class TestLinePriorityModes:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_line_priority_modes
+
+        # 1997-shipped lines: order3/A (2-HIGH -> high), order5/R
+        # (URGENT -> high), order4/A (NOT SPECIFIED -> low),
+        # order1/N (URGENT -> high).
+        out = _frame(q_line_priority_modes(tpch_dir)).set_index("l_returnflag")
+        assert out.loc["A", "high_line_count"] == 1
+        assert out.loc["A", "low_line_count"] == 1
+        assert out.loc["R", "high_line_count"] == 1
+        assert out.loc["R", "low_line_count"] == 0
+        assert out.loc["N", "high_line_count"] == 1
+        assert out.loc["N", "low_line_count"] == 0
+
+
+class TestCustomerOrderDistribution:
+    def test_planted_with_zero_group(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import (
+            q_customer_order_distribution,
+        )
+
+        # Qualifying orders (priority <> 4-NOT SPECIFIED): cust1 has
+        # 2, cust2 has 2, cust3's only order is excluded -> 0, cust4
+        # never ordered -> 0.
+        out = _frame(q_customer_order_distribution(tpch_dir))
+        got = dict(zip(out["c_count"], out["custdist"]))
+        assert got == {2: 2, 0: 2}
+
+    def test_no_zero_row_when_all_ordered(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import (
+            q_customer_order_distribution,
+        )
+
+        _write(
+            tmp_path,
+            "orders",
+            pd.DataFrame(
+                {"o_custkey": [7, 7, 8], "o_orderpriority": ["1-URGENT"] * 3}
+            ),
+        )
+        _write(tmp_path, "customer", pd.DataFrame({"c_custkey": [7, 8]}))
+        out = _frame(q_customer_order_distribution(str(tmp_path)))
+        got = dict(zip(out["c_count"], out["custdist"]))
+        assert got == {2: 1, 1: 1}
+
+
+class TestPromoRevenue:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_promo_revenue
+
+        # Sept-1997 lines: order4/part1 (PROMO) 5000c x (100-10) =
+        # 450000; order1/part2 (STANDARD) 1000c x 100 = 100000.
+        out = _frame(q_promo_revenue(tpch_dir)).iloc[0]
+        assert out["promo_revenue_e4"] == 450000
+        assert out["total_revenue_e4"] == 550000
+        assert out["promo_bps"] == (450000 * 10000) // 550000
+
+
+class TestWealthyInactiveCustomers:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import (
+            q_wealthy_inactive_customers,
+        )
+
+        # Positive balances 100/900/800 -> avg 600; rich = cust2,
+        # cust3. URGENT orders belong to cust1 and cust2 -> only
+        # cust3 (nation 20, 800.00) survives the anti-join.
+        out = _frame(q_wealthy_inactive_customers(tpch_dir))
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["c_nationkey"] == 20
+        assert row["numcust"] == 1
+        assert row["totacctbal_cents"] == 80000
