@@ -2971,6 +2971,21 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_link_wl_classes(sf_dir: str):
+    """Weisfeiler-Lehman structural-role classes over the raw-html
+    web-link graph (2 refinement rounds): nodes sharing a label have
+    isomorphic 2-hop neighbourhood trees — the classic structural
+    fingerprint used for role discovery and graph-kernel features.
+    Oracle-exact because each round's label is the lexicographic
+    dense rank of the signature string (no engine-specific hashing);
+    the SQL twin unrolls both rounds with MATERIALIZED CTEs."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import wl_refine
+    from ..stages.webtext import link_edges
+
+    return wl_refine(link_edges(pages_from_documents(sf_dir)), iters=2)
+
+
 def q_order_priority_check(sf_dir: str):
     """TPC-H Q4 shape (EXISTS semi-join with a cross-table condition):
     count Q3-1996 orders per priority that have at least one lineitem
@@ -6261,6 +6276,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_novelty": q_doc_novelty,
     "nation_trade_flow": q_nation_trade_flow,
     "order_priority_check": q_order_priority_check,
+    "link_wl_classes": q_link_wl_classes,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
@@ -6620,7 +6636,56 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+# The regenerated link arithmetic shared by every raw-html link-graph
+# oracle (the synthesizer plants these derandomized outlinks).
+_LINK_EDGES_SQL = """
+          SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS src,
+                 'https://example.org/doc/' ||
+                 CAST((doc_id * 131 + i * 31) % 997 AS VARCHAR) AS dst
+          FROM documents,
+               UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                       CAST(2 AS BIGINT)]) AS u(i)
+          UNION ALL
+          SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+                 'https://ext' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.com/x'
+          FROM documents
+"""
+
+_WL_ROUND_SQL = """
+        s{r} AS MATERIALIZED (
+          SELECT u.node,
+                 CAST(any_value(o.lbl) AS VARCHAR) || '|' ||
+                 string_agg(CAST(n.lbl AS VARCHAR), ',' ORDER BY n.lbl) AS sig
+          FROM und u
+          JOIN l{p} o ON u.node = o.node
+          JOIN l{p} n ON u.nbr = n.node
+          GROUP BY u.node
+        ),
+        l{r} AS MATERIALIZED (
+          SELECT node, CAST(dense_rank() OVER (ORDER BY sig) AS BIGINT) AS lbl
+          FROM s{r}
+        )"""
+
+_LINK_WL_ORACLE_SQL = f"""
+        WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        und AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL
+          SELECT dst AS node, src AS nbr FROM e
+        ),
+        l0 AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS lbl FROM und GROUP BY node
+        ),
+        {_WL_ROUND_SQL.format(r=1, p=0)},
+        {_WL_ROUND_SQL.format(r=2, p=1)}
+        SELECT node, lbl AS wl_label,
+               CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS class_size
+        FROM l2
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "events_autocorr": """
         WITH c AS (
           SELECT event_type, epoch_us(ts) // 3600000000 AS b,

@@ -5138,3 +5138,244 @@ def maximal_matching(
     for part in matched_parts[1:]:
         out = out.union(part)
     return sanitize_for_join(out, MATCHING_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman label refinement (structural node fingerprints)
+# ---------------------------------------------------------------------------
+
+WL_SCHEMA = pa.schema(
+    [("node", pa.string()), ("wl_label", pa.int64()), ("class_size", pa.int64())]
+)
+_WL_ADJ_SCHEMA = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+_WL_LBL_SCHEMA = pa.schema([("node", pa.string()), ("lbl", pa.int64())])
+_WL_SIG_SCHEMA = pa.schema([("node", pa.string()), ("sig", pa.string())])
+
+
+def _wl_sig_frame(own: pd.DataFrame, nbrs: pd.DataFrame) -> pd.DataFrame:
+    """``(node, sig)`` where sig = own label, '|', comma-joined
+    ascending neighbor labels (with multiplicity). Shared by the local
+    twin and the distributed reduce so the two paths cannot drift."""
+    nbrs = nbrs.sort_values(["node", "lbl"], kind="stable")
+    joined = (
+        nbrs.assign(s=nbrs["lbl"].astype("int64").astype(str))
+        .groupby("node", sort=False)["s"]
+        .agg(",".join)
+    )
+    own = own.set_index("node")["lbl"].astype("int64").astype(str)
+    sig = own + "|" + joined.reindex(own.index)
+    return pd.DataFrame({"node": sig.index.to_numpy(), "sig": sig.to_numpy()})
+
+
+def wl_refine_local(
+    edge_list: list[tuple[str, str]], *, iters: int = 2
+) -> pd.DataFrame:
+    """Pure-pandas twin of :func:`wl_refine` (drives the count gate and
+    the tests): undirected-with-multiplicity WL colour refinement,
+    initial label = degree, per-round label = 1-based lexicographic
+    dense rank of the signature string."""
+    if not edge_list:
+        return WL_SCHEMA.empty_table().to_pandas()
+    e = pd.DataFrame(edge_list, columns=["src", "dst"]).astype(str)
+    adj = pd.DataFrame(
+        {
+            "node": np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()]),
+            "nbr": np.concatenate([e["dst"].to_numpy(), e["src"].to_numpy()]),
+        }
+    )
+    lbl = adj.groupby("node", sort=False).size().rename("lbl").reset_index()
+    for _ in range(iters):
+        nb = adj.merge(lbl.rename(columns={"node": "nbr"}), on="nbr")
+        sig = _wl_sig_frame(lbl, nb[["node", "lbl"]])
+        ranks = {s: i + 1 for i, s in enumerate(sorted(set(sig["sig"])))}
+        lbl = pd.DataFrame(
+            {"node": sig["node"], "lbl": sig["sig"].map(ranks).astype("int64")}
+        )
+    cs = lbl.groupby("lbl", sort=False)["node"].transform("size")
+    out = pd.DataFrame(
+        {
+            "node": lbl["node"],
+            "wl_label": lbl["lbl"].astype("int64"),
+            "class_size": cs.astype("int64"),
+        }
+    )
+    return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+def wl_refine(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 2,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, wl_label, class_size)`` after ``iters`` rounds of
+    Weisfeiler-Lehman colour refinement over an undirected
+    ``(src, dst)`` multigraph — the classic structural-role
+    fingerprint (two nodes share a label iff their ``iters``-hop
+    neighbourhood trees agree), SQL-oracle-exact because each round's
+    new label is the LEXICOGRAPHIC DENSE RANK of the signature string
+    rather than an engine-specific hash.
+
+    COUNT-GATED like every graph op here: small edge lists run the
+    bit-identical pandas twin; over the gate, each round is one
+    cogroup join (neighbor labels onto adjacency), one bucketed
+    signature reduce (own-label rows ride along as marker rows), one
+    :func:`~.relational.dense_rank_distinct` sort exchange over the
+    DISTINCT signatures (bounded by node count, never collected), and
+    one join back. Signature strings grow with degree; hub nodes pay
+    proportional bytes but never per-row Python."""
+    from .relational import dense_rank_distinct
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        if df.empty or "src" not in df.columns:  # empty loses its schema
+            return ray.data.from_arrow(WL_SCHEMA.empty_table())
+        out = wl_refine_local(list(zip(df["src"], df["dst"])), iters=iters)
+        return ray.data.from_arrow(pa_from_pandas(out, WL_SCHEMA))
+
+    adj = sanitize_for_join(
+        _undirect(edges).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"].combine_chunks().cast(pa.string()),
+                    "nbr": b["dst"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        _WL_ADJ_SCHEMA,
+    ).materialize()
+
+    def _deg(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"), "lbl": pd.Series(dtype="int64")}
+            )
+        if "nbr" in b.columns:
+            b = pd.DataFrame(
+                {"node": b["node"].to_numpy(), "lbl": np.ones(len(b), dtype=np.int64)}
+            )
+        return b.groupby("node", as_index=False, sort=False)["lbl"].sum()
+
+    labels = sanitize_for_join(
+        bucketed_reduce(adj, ["node"], _deg, _WL_LBL_SCHEMA, combiner=_deg,
+                        num_buckets=num_buckets),
+        _WL_LBL_SCHEMA,
+    ).materialize()
+
+    for _ in range(iters):
+        lbl_as_nbr = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "nbr": b["node"].combine_chunks().cast(pa.string()),
+                    "lbl": b["lbl"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        nbr_lbls = cogroup_join(
+            adj, lbl_as_nbr, on=["nbr"], how="inner",
+            left_schema=_WL_ADJ_SCHEMA,
+            right_schema=pa.schema([("nbr", pa.string()), ("lbl", pa.int64())]),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "lbl": b["lbl"].astype("int64"),
+                    "is_own": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        own_rows = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "lbl": b["lbl"].astype("int64"),
+                    "is_own": np.ones(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def _sig(g: pd.DataFrame) -> pd.DataFrame:
+            own = g[g["is_own"] == 1][["node", "lbl"]]
+            nb = g[g["is_own"] == 0][["node", "lbl"]]
+            # isolated carrier rows can't occur: every labeled node
+            # came from the adjacency, so it has >= 1 neighbor row
+            return _wl_sig_frame(own, nb)
+
+        sigs = bucketed_reduce(
+            nbr_lbls.union(own_rows), ["node"], _sig, _WL_SIG_SCHEMA,
+            num_buckets=num_buckets,
+        )
+
+        def _dd_sig(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or "sig" not in b.columns:
+                return pd.DataFrame({"sig": pd.Series(dtype="object")})
+            return pd.DataFrame({"sig": pd.unique(b["sig"].to_numpy())})
+
+        distinct = bucketed_reduce(
+            sigs.map_batches(
+                lambda b: b[["sig"]] if len(b) else b, batch_format="pandas"
+            ),
+            ["sig"],
+            _dd_sig,
+            pa.schema([("sig", pa.string())]),
+            combiner=_dd_sig,
+            num_buckets=num_buckets,
+        )
+        ranked = dense_rank_distinct(distinct, "sig", rank_col="lbl")
+        labels = sanitize_for_join(
+            cogroup_join(
+                sigs, ranked, on=["sig"], how="inner",
+                left_schema=_WL_SIG_SCHEMA,
+                right_schema=pa.schema([("sig", pa.string()), ("lbl", pa.int64())]),
+                num_buckets=num_buckets,
+            ).map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"], "lbl": b["lbl"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            _WL_LBL_SCHEMA,
+        ).materialize()
+
+    def _cs(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"lbl": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        if "node" in b.columns:
+            b = pd.DataFrame(
+                {"lbl": b["lbl"].to_numpy(), "n": np.ones(len(b), dtype=np.int64)}
+            )
+        return b.groupby("lbl", as_index=False, sort=False)["n"].sum()
+
+    sizes = bucketed_reduce(
+        labels, ["lbl"], _cs,
+        pa.schema([("lbl", pa.int64()), ("n", pa.int64())]),
+        combiner=_cs, num_buckets=num_buckets,
+    )
+    out = cogroup_join(
+        labels, sizes, on=["lbl"], how="inner",
+        left_schema=_WL_LBL_SCHEMA,
+        right_schema=pa.schema([("lbl", pa.int64()), ("n", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    return normalize_blocks(
+        out.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "wl_label": b["lbl"].astype("int64"),
+                    "class_size": b["n"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        WL_SCHEMA,
+    )

@@ -917,3 +917,61 @@ def target_encode_loo(
         joined.map_batches(_finish, batch_format="pandas", batch_size=None),
         out_schema,
     )
+
+
+def dense_rank_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    rank_col: str = "rank",
+) -> ray.data.Dataset:
+    """Assign the 1-based lexicographic dense rank to a column of
+    DISTINCT string values — the distributed equivalent of SQL
+    ``dense_rank() OVER (ORDER BY col)`` on a deduplicated input.
+
+    Plan: one global sort exchange, then a driver pass over ONE tiny
+    summary row per block (min value + row count — ranges are strictly
+    disjoint because the values are distinct, so a block's min value
+    identifies its offset), then a map-only rank assignment with the
+    broadcast offset table. The value domain itself never lands on the
+    driver. Input MUST be distinct on ``col``; duplicates would make
+    block ranges overlap and the offsets wrong — callers dedup first.
+    """
+    import ray as _ray
+
+    out_schema = pa.schema([(col, pa.string()), (rank_col, pa.int64())])
+    srt = ds.sort(col).materialize()
+
+    def _summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame({"lo": [b[col].min()], "n": [len(b)]})
+
+    summ = srt.map_batches(
+        _summary, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(summ) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    summ = summ.sort_values("lo").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(summ["n"].to_numpy())[:-1]])
+    off_map = dict(zip(summ["lo"], offs.astype(int)))
+    off_ref = _ray.put(off_map)
+
+    def _rank(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {col: pd.Series(dtype="object"),
+                 rank_col: pd.Series(dtype="int64")}
+            )
+        off = _ray.get(off_ref) if isinstance(off_ref, _ray.ObjectRef) else off_ref
+        vals = b[col].to_numpy()
+        base = off[vals.min()]
+        order = np.sort(vals)
+        rk = base + np.searchsorted(order, vals) + 1
+        return pd.DataFrame({col: vals, rank_col: rk.astype(np.int64)})
+
+    return normalize_blocks(
+        srt.map_batches(_rank, batch_format="pandas", batch_size=None), out_schema
+    )
