@@ -2971,6 +2971,19 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_doc_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup summary (FastCDC-style gear
+    rolling hash): chunk-level duplication across the corpus — the
+    sub-document generalization of exact dedup that survives
+    insertions (boundaries are functions of local content only).
+    Rows-only: the 64-byte rolling gear hash is not SQL-expressible;
+    the invariants (shift-invariance, size bounds, exact tiling,
+    layout independence) are pinned in tests/test_cdc.py."""
+    from ..stages.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(sf_dir))
+
+
 def q_link_wl_classes(sf_dir: str):
     """Weisfeiler-Lehman structural-role classes over the raw-html
     web-link graph (2 refinement rounds): nodes sharing a label have
@@ -6277,6 +6290,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nation_trade_flow": q_nation_trade_flow,
     "order_priority_check": q_order_priority_check,
     "link_wl_classes": q_link_wl_classes,
+    "doc_cdc_dedup": q_doc_cdc_dedup,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
