@@ -2971,6 +2971,28 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_link_label_spread(sf_dir: str):
+    """Semi-supervised label spreading over the raw-html web-link
+    graph: the 13 external domains are seeds (label = their index);
+    two synchronous majority rounds classify every page by which
+    external ecosystem its neighbourhood links into. Deterministic
+    majority (count desc, min label tie-break) makes it hash-exact
+    vs an unrolled row_number-majority SQL twin."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import label_spread
+    from ..stages.webtext import link_edges
+
+    seeds = pd.DataFrame(
+        {
+            "node": [f"https://ext{k}.example.com/x" for k in range(13)],
+            "label": list(range(13)),
+        }
+    )
+    return label_spread(
+        link_edges(pages_from_documents(sf_dir)), seeds, iters=2
+    )
+
+
 def q_doc_cdc_dedup(sf_dir: str):
     """Content-defined-chunking dedup summary (FastCDC-style gear
     rolling hash): chunk-level duplication across the corpus — the
@@ -6291,6 +6313,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_priority_check": q_order_priority_check,
     "link_wl_classes": q_link_wl_classes,
     "doc_cdc_dedup": q_doc_cdc_dedup,
+    "link_label_spread": q_link_label_spread,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
@@ -6698,8 +6721,49 @@ _LINK_WL_ORACLE_SQL = f"""
         FROM l2
 """
 
+_SPREAD_ROUND_SQL = """
+        v{r} AS MATERIALIZED (
+          SELECT u.node, l.lbl, CAST(count(*) AS BIGINT) AS c
+          FROM und u JOIN l{p} l ON u.nbr = l.node
+          GROUP BY u.node, l.lbl
+        ),
+        m{r} AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM v{r}) WHERE rn = 1
+        ),
+        l{r} AS MATERIALIZED (
+          SELECT n.node, CAST(coalesce(s.lbl, m.lbl, p.lbl) AS BIGINT) AS lbl
+          FROM (SELECT node FROM seeds UNION SELECT node FROM m{r}
+                UNION SELECT node FROM l{p}) n
+          LEFT JOIN seeds s ON n.node = s.node
+          LEFT JOIN m{r} m ON n.node = m.node
+          LEFT JOIN l{p} p ON n.node = p.node
+        )"""
+
+_LINK_SPREAD_ORACLE_SQL = f"""
+        WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        und AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL
+          SELECT dst AS node, src AS nbr FROM e
+        ),
+        seeds AS MATERIALIZED (
+          SELECT 'https://ext' || CAST(k AS VARCHAR) || '.example.com/x' AS node,
+                 CAST(k AS BIGINT) AS lbl
+          FROM (SELECT unnest(generate_series(0, 12)) AS k)
+        ),
+        l0 AS MATERIALIZED (SELECT node, lbl FROM seeds),
+        {_SPREAD_ROUND_SQL.format(r=1, p=0)},
+        {_SPREAD_ROUND_SQL.format(r=2, p=1)}
+        SELECT node, lbl AS label FROM l2
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
+    "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
     "events_autocorr": """
         WITH c AS (
           SELECT event_type, epoch_us(ts) // 3600000000 AS b,

@@ -5379,3 +5379,208 @@ def wl_refine(
         ),
         WL_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded label spreading (semi-supervised node classification)
+# ---------------------------------------------------------------------------
+
+SPREAD_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.int64())])
+_SPREAD_ROW_SCHEMA = pa.schema(
+    [("node", pa.string()), ("lbl", pa.int64()), ("kind", pa.int64())]
+)
+
+
+def _spread_majority(g: pd.DataFrame) -> pd.DataFrame:
+    """One synchronous round over marker rows: kind 2 = seed (clamps),
+    1 = previous label (fallback), 0 = labeled-neighbor vote (with
+    multiplicity). Majority count desc, tie-break min label. Shared by
+    the local twin and the distributed reduce."""
+    seeds = g[g["kind"] == 2].drop_duplicates("node")
+    seeded = set(seeds["node"])
+    rest = g[(g["kind"] != 2) & ~g["node"].isin(seeded)]
+    votes = rest[rest["kind"] == 0]
+    win = pd.DataFrame({"node": pd.Series(dtype="object"),
+                        "lbl": pd.Series(dtype="int64")})
+    if len(votes):
+        counts = votes.groupby(["node", "lbl"], as_index=False, sort=False).size()
+        counts = counts.sort_values(
+            ["node", "size", "lbl"], ascending=[True, False, True], kind="stable"
+        )
+        win = counts.drop_duplicates("node")[["node", "lbl"]]
+    prev = rest[rest["kind"] == 1][["node", "lbl"]]
+    prev = prev[~prev["node"].isin(set(win["node"]))]
+    out = pd.concat(
+        [seeds[["node", "lbl"]], win, prev], ignore_index=True
+    )
+    out["lbl"] = out["lbl"].astype("int64")
+    return out
+
+
+def label_spread_local(
+    edge_list: list[tuple[str, str]],
+    seed_items: list[tuple[str, int]],
+    *,
+    iters: int = 2,
+) -> pd.DataFrame:
+    """Pure-pandas twin of :func:`label_spread` (drives the count gate
+    and the tests) — same marker-row kernel, whole graph in one call."""
+    seeds = pd.DataFrame(seed_items, columns=["node", "lbl"])
+    seeds["node"] = seeds["node"].astype(str)
+    seeds["lbl"] = seeds["lbl"].astype("int64")
+    if not edge_list:
+        adj = pd.DataFrame({"node": pd.Series(dtype="object"),
+                            "nbr": pd.Series(dtype="object")})
+    else:
+        e = pd.DataFrame(edge_list, columns=["src", "dst"]).astype(str)
+        adj = pd.DataFrame(
+            {
+                "node": np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()]),
+                "nbr": np.concatenate([e["dst"].to_numpy(), e["src"].to_numpy()]),
+            }
+        )
+    lab = seeds.copy()
+    for _ in range(iters):
+        nb = adj.merge(
+            lab.rename(columns={"node": "nbr"}), on="nbr"
+        )[["node", "lbl"]]
+        nb["kind"] = 0
+        prev = lab.copy()
+        prev["kind"] = 1
+        sd = seeds.copy()
+        sd["kind"] = 2
+        lab = _spread_majority(pd.concat([nb, prev, sd], ignore_index=True))
+    out = lab.rename(columns={"lbl": "label"}).sort_values("node", kind="stable")
+    return out.reset_index(drop=True)[["node", "label"]]
+
+
+def label_spread(
+    edges: ray.data.Dataset,
+    seeds: pd.DataFrame,
+    *,
+    iters: int = 2,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Semi-supervised label spreading over an undirected ``(src,
+    dst)`` multigraph: seed nodes are clamped; each synchronous round
+    every other node adopts the MAJORITY label of its labeled
+    neighbors (parallel edges vote with multiplicity, ties break to
+    the smallest label), keeping its previous label when no neighbor
+    is labeled. Deterministic and layout-independent, so it is
+    SQL-oracle-exact (unrolled rounds with a row_number majority).
+
+    ``seeds`` is a small driver-side frame ``(node, label int64)`` —
+    the classic use is a few thousand curated anchors; a corpus-sized
+    seed table would need a seeds-as-Dataset variant. COUNT-GATED:
+    small edge lists run the bit-identical pandas twin; over the gate,
+    each round is one cogroup join (labels onto adjacency) and one
+    bucketed majority reduce over marker rows (votes / previous /
+    seed), exactly the shared kernel."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    seed_items = [
+        (str(n), int(v)) for n, v in zip(seeds.iloc[:, 0], seeds.iloc[:, 1])
+    ]
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        pairs = (
+            [] if df.empty or "src" not in df.columns
+            else list(zip(df["src"], df["dst"]))
+        )
+        out = label_spread_local(pairs, seed_items, iters=iters)
+        return ray.data.from_arrow(pa_from_pandas(out, SPREAD_SCHEMA))
+
+    adj = sanitize_for_join(
+        _undirect(edges).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"].combine_chunks().cast(pa.string()),
+                    "nbr": b["dst"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("node", pa.string()), ("nbr", pa.string())]),
+    ).materialize()
+
+    seed_tbl = pa.table(
+        {
+            "node": pa.array([n for n, _ in seed_items], pa.string()),
+            "lbl": pa.array([v for _, v in seed_items], pa.int64()),
+        }
+    )
+    seed_rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": seed_tbl["node"],
+                "lbl": seed_tbl["lbl"],
+                "kind": pa.array([2] * len(seed_tbl), pa.int64()),
+            }
+        )
+    )
+    labels = sanitize_for_join(
+        ray.data.from_arrow(seed_tbl),
+        pa.schema([("node", pa.string()), ("lbl", pa.int64())]),
+    )
+
+    def _maj(g: pd.DataFrame) -> pd.DataFrame:
+        return _spread_majority(g)
+
+    lbl_schema = pa.schema([("node", pa.string()), ("lbl", pa.int64())])
+    for _ in range(iters):
+        votes = cogroup_join(
+            adj,
+            labels.map_batches(
+                lambda b: pa.table(
+                    {
+                        "nbr": b["node"].combine_chunks().cast(pa.string()),
+                        "lbl": b["lbl"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["nbr"],
+            how="inner",
+            left_schema=pa.schema([("node", pa.string()), ("nbr", pa.string())]),
+            right_schema=pa.schema([("nbr", pa.string()), ("lbl", pa.int64())]),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "lbl": b["lbl"].astype("int64"),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        prev = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "lbl": b["lbl"].astype("int64"),
+                    "kind": np.ones(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        labels = sanitize_for_join(
+            bucketed_reduce(
+                votes.union(prev).union(seed_rows),
+                ["node"],
+                _maj,
+                lbl_schema,
+                num_buckets=num_buckets,
+            ),
+            lbl_schema,
+        ).materialize()
+
+    return normalize_blocks(
+        labels.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "label": b["lbl"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        SPREAD_SCHEMA,
+    )
