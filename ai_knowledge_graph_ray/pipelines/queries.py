@@ -2971,6 +2971,20 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_media_audio_match(sf_dir: str):
+    """Audio snippet identification (constellation fingerprints +
+    offset voting): 20 four-frame-trimmed snippets are matched against
+    the full per-document melody corpus; a correct system returns each
+    snippet's own source at frame offset 4. Rows-only (FFT is not
+    SQL-expressible); exactness of the offset-vote mechanics is pinned
+    in tests/test_audio_fp.py."""
+    from ..stages.audio_fp import audio_match, synth_melody_media, trim_clips
+
+    corpus = synth_melody_media(sf_dir)
+    queries = trim_clips(synth_melody_media(sf_dir, limit=20), skip_frames=4)
+    return audio_match(corpus, queries)
+
+
 def q_link_label_spread(sf_dir: str):
     """Semi-supervised label spreading over the raw-html web-link
     graph: the 13 external domains are seeds (label = their index);
@@ -6314,6 +6328,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_wl_classes": q_link_wl_classes,
     "doc_cdc_dedup": q_doc_cdc_dedup,
     "link_label_spread": q_link_label_spread,
+    "media_audio_match": q_media_audio_match,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
