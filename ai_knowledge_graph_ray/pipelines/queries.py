@@ -2971,6 +2971,22 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_customer_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking over customer names (window 5):
+    the classic linkage blocker for near-duplicates that share a
+    PREFIX — complements the FastSS deletion-neighborhood blocking in
+    record_linkage. One sort exchange assigns global positions
+    (nothing collected), width-w position buckets with one-bucket
+    overlap generate each in-window pair exactly once via index
+    arithmetic; hash-exact vs a row_number self-join twin."""
+    from ..stages.fuzzy import sorted_neighborhood_pairs
+
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    return sorted_neighborhood_pairs(cust, "c_name", "c_custkey", window=5)
+
+
 def q_media_audio_match(sf_dir: str):
     """Audio snippet identification (constellation fingerprints +
     offset voting): 20 four-frame-trimmed snippets are matched against
@@ -6329,6 +6345,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_cdc_dedup": q_doc_cdc_dedup,
     "link_label_spread": q_link_label_spread,
     "media_audio_match": q_media_audio_match,
+    "customer_sorted_neighborhood": q_customer_sorted_neighborhood,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
@@ -6779,6 +6796,16 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 ORACLE_SQL: dict[str, str] = {
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
+    "customer_sorted_neighborhood": """
+        WITH p AS (
+          SELECT c_custkey,
+                 row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+          FROM customer
+        )
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS dist
+        FROM p a JOIN p b ON b.rn > a.rn AND b.rn - a.rn < 5
+    """,
     "events_autocorr": """
         WITH c AS (
           SELECT event_type, epoch_us(ts) // 3600000000 AS b,

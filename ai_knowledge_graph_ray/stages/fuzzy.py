@@ -329,3 +329,107 @@ def record_linkage(
     return normalize_blocks(
         j.map_batches(_score, batch_format="pandas", batch_size=None), out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (the other classic linkage blocker)
+# ---------------------------------------------------------------------------
+
+SNB_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("dist", pa.int64())]
+)
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    window: int = 5,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs under sorted-neighborhood blocking: sort the
+    table by ``(key_col, id_col)`` and emit every pair of rows whose
+    positions differ by less than ``window`` — the classic complement
+    to equality/FastSS blocking when near-duplicates share a PREFIX
+    (typos near the end, numbering suffixes) rather than an exact
+    block key. SQL-oracle-exact (row_number self-join).
+
+    Scale shape: :func:`~.relational.row_positions` assigns global
+    positions (one sort exchange, nothing collected); rows then land
+    in position buckets of width ``window`` and EACH ROW IS ALSO SENT
+    TO THE PREVIOUS BUCKET, so every in-window pair is generated
+    exactly once, in its anchor's home bucket, from consecutive
+    integer positions — pair generation is index arithmetic, no
+    per-pair Python. Output pairs are ``O(n * window)`` by
+    construction; window is the skew defense."""
+    from .relational import row_positions
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w = int(window)
+
+    pos = row_positions(
+        ds.select_columns([key_col, id_col]), [key_col, id_col], pos_col="pos"
+    )
+
+    def _emit(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                    "rid": pd.Series(dtype="int64"),
+                }
+            )
+        p = b["pos"].to_numpy().astype(np.int64)
+        rid = b[id_col].to_numpy().astype(np.int64)
+        home = p // w
+        prev_mask = home > 0
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([home, home[prev_mask] - 1]),
+                "pos": np.concatenate([p, p[prev_mask]]),
+                "rid": np.concatenate([rid, rid[prev_mask]]),
+            }
+        )
+
+    tagged = pos.map_batches(_emit, batch_format="pandas")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return SNB_SCHEMA.empty_table().to_pandas()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for bkt, grp in g.groupby("bucket", sort=False):
+            grp = grp.sort_values("pos", kind="stable")
+            p = grp["pos"].to_numpy()
+            rid = grp["rid"].to_numpy()
+            base = int(bkt) * w
+            # positions are consecutive ints: index i holds p0 + i
+            anchors = np.flatnonzero(p // w == int(bkt))
+            for d in range(1, w):
+                a = anchors[anchors + d < len(p)]
+                if len(a) == 0:
+                    continue
+                out_a.append(rid[a])
+                out_b.append(rid[a + d])
+                out_d.append(np.full(len(a), d, dtype=np.int64))
+        if not out_a:
+            return SNB_SCHEMA.empty_table().to_pandas()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    from .infer import bucketed_reduce, normalize_blocks
+
+    return normalize_blocks(
+        bucketed_reduce(tagged, ["bucket"], _pairs, SNB_SCHEMA,
+                        num_buckets=num_buckets),
+        SNB_SCHEMA,
+    )

@@ -975,3 +975,65 @@ def dense_rank_distinct(
     return normalize_blocks(
         srt.map_batches(_rank, batch_format="pandas", batch_size=None), out_schema
     )
+
+
+def row_positions(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    *,
+    pos_col: str = "pos",
+    out_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Add the 0-based global position of every row in ``sort_cols``
+    order — SQL ``row_number() OVER (ORDER BY ...) - 1`` without
+    collecting anything: one sort exchange, a driver pass over one
+    tiny (first-key, count) summary row per block, then a map-only
+    position assignment from broadcast offsets.
+
+    The composite ``sort_cols`` tuple MUST be unique per row (pass an
+    id column last); duplicated tuples could straddle block
+    boundaries, making the block-offset reconstruction ambiguous."""
+    import ray as _ray
+
+    srt = ds.sort(sort_cols).materialize()
+
+    def _summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        order = np.lexsort([b[c].to_numpy() for c in reversed(sort_cols)])
+        first = tuple(b[c].iloc[int(order[0])] for c in sort_cols)
+        return pd.DataFrame({"lo": [first], "n": [len(b)]})
+
+    summ = srt.map_batches(
+        _summary, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(summ) == 0:
+        if out_schema is not None:
+            return ray.data.from_arrow(out_schema.empty_table())
+        return srt
+    summ = summ.sort_values("lo").reset_index(drop=True)
+    offs = np.concatenate([[0], np.cumsum(summ["n"].to_numpy())[:-1]])
+    off_map = {lo: int(o) for lo, o in zip(summ["lo"], offs)}
+    off_ref = _ray.put(off_map)
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            b = b.copy()
+            b[pos_col] = pd.Series([], dtype="int64")
+            return b
+        off = _ray.get(off_ref) if isinstance(off_ref, _ray.ObjectRef) else off_ref
+        order = np.lexsort([b[c].to_numpy() for c in reversed(sort_cols)])
+        first = tuple(b[c].iloc[int(order[0])] for c in sort_cols)
+        base = off[first]
+        pos = np.empty(len(b), dtype=np.int64)
+        pos[order] = base + np.arange(len(b), dtype=np.int64)
+        out = b.copy()
+        out[pos_col] = pos
+        return out
+
+    ranked = srt.map_batches(_assign, batch_format="pandas", batch_size=None)
+    if out_schema is not None:
+        return normalize_blocks(ranked, out_schema)
+    return ranked
