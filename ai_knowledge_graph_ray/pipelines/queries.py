@@ -2971,6 +2971,190 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape (group-having feeding a join chain): orders
+    whose total lineitem quantity exceeds 200, with customer name and
+    order facts. Plan: per-orderkey quantity sums via one bucketed
+    reduce (map-side combiner), the HAVING filter runs inside the
+    reduce so only qualifying orderkeys leave it; one cogroup join to
+    orders; the customer name lookup is a second cogroup join on
+    custkey (both sides already small: only qualifying orders)."""
+    from ..stages.infer import bucketed_reduce, default_num_partitions
+
+    qty_schema = pa.schema([("o_orderkey", pa.int64()), ("sum_qty", pa.int64())])
+    thresh = 200
+
+    def _q(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "sum_qty": pd.Series(dtype="int64"),
+                }
+            )
+        if "l_orderkey" in b.columns:
+            b = pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "sum_qty": np.round(b["l_quantity"].to_numpy()).astype(np.int64),
+                }
+            )
+        return b.groupby("o_orderkey", as_index=False, sort=False)["sum_qty"].sum()
+
+    def _q_final(b: pd.DataFrame) -> pd.DataFrame:
+        out = _q(b)
+        return out[out["sum_qty"] > thresh]
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+    big = bucketed_reduce(li, ["o_orderkey"], _q_final, qty_schema, combiner=_q)
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "o_orderdate_us": b["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype("int64"),
+                "total_cents": np.round(b["o_totalprice"].to_numpy() * 100.0)
+                .astype(np.int64),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderdate_us": pd.Series(dtype="int64"),
+                "total_cents": pd.Series(dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    o_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate_us", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+    joined = cogroup_join(
+        big, orders, on=["o_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+        left_schema=qty_schema, right_schema=o_schema,
+    )
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"], "c_name": b["c_name"]}),
+        batch_format="pyarrow",
+    )
+    out = cogroup_join(
+        joined, cust, on=["o_custkey"], how="inner",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("sum_qty", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate_us", pa.int64()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+    out_schema = pa.schema(
+        [
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate_us", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]
+    )
+    from ..stages.infer import normalize_blocks
+
+    return normalize_blocks(
+        out.map_batches(
+            lambda b: b[
+                ["c_name", "o_orderkey", "o_orderdate_us", "total_cents", "sum_qty"]
+            ]
+            if len(b)
+            else b,
+            batch_format="pandas",
+        ),
+        out_schema,
+    )
+
+
+def q_branded_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive multi-attribute predicates over a
+    join): revenue of lineitems whose part matches one of three
+    (brand, size-range, quantity-range) branches. Plan: only the three
+    brands' partkeys broadcast (pruned at the read by brand), the
+    disjunction evaluates vectorized per batch, map-only partials,
+    driver-summed single row — zero shuffles."""
+    import ray as _ray
+
+    branches = [
+        ("Brand#13", 1, 10, 1, 11),
+        ("Brand#19", 10, 20, 10, 20),
+        ("Brand#23", 20, 30, 20, 30),
+    ]
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+    lut = {}
+    for br, slo, shi, qlo, qhi in branches:
+        sel = part[(part["p_brand"] == br)
+                   & (part["p_size"] >= slo) & (part["p_size"] <= shi)]
+        for pk in sel["p_partkey"]:
+            lut[int(pk)] = (qlo, qhi)
+    keys = np.sort(np.array(list(lut), dtype=np.int64))
+    qlos = np.array([lut[int(k)][0] for k in keys], dtype=np.int64)
+    qhis = np.array([lut[int(k)][1] for k in keys], dtype=np.int64)
+    ref = _ray.put((keys, qlos, qhis))
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"revenue_e4": pd.Series(dtype="int64"), "n_rows": pd.Series(dtype="int64")}
+        )
+        if len(b) == 0:
+            return empty
+        ks, lo, hi = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        if len(ks) == 0:
+            return empty
+        pk = b["l_partkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+        hit = ks[idx] == pk
+        qty = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        hit &= (qty >= lo[idx]) & (qty <= hi[idx])
+        if not hit.any():
+            return empty
+        rev = _rev_e4(b[hit])
+        return pd.DataFrame(
+            {"revenue_e4": [int(rev.sum())], "n_rows": [int(hit.sum())]}
+        )
+
+    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    rev = int(parts["revenue_e4"].sum()) if len(parts) else 0
+    n = int(parts["n_rows"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([rev], dtype="int64"),
+            "n_rows": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
 def q_customer_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking over customer names (window 5):
     the classic linkage blocker for near-duplicates that share a
@@ -6346,6 +6530,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_label_spread": q_link_label_spread,
     "media_audio_match": q_media_audio_match,
     "customer_sorted_neighborhood": q_customer_sorted_neighborhood,
+    "large_volume_orders": q_large_volume_orders,
+    "branded_revenue": q_branded_revenue,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
     "promo_revenue": q_promo_revenue,
@@ -6796,6 +6982,32 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 ORACLE_SQL: dict[str, str] = {
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
+    "large_volume_orders": """
+        SELECT c_name, o_orderkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(sum_qty AS BIGINT) AS sum_qty
+        FROM (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200
+        ) q
+        JOIN orders   ON q.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "branded_revenue": """
+        SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+                 AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 20
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 30
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+    """,
     "customer_sorted_neighborhood": """
         WITH p AS (
           SELECT c_custkey,

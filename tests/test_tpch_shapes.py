@@ -29,6 +29,7 @@ def tpch_dir(tmp_path):
             "o_orderpriority": [
                 "1-URGENT", "3-MEDIUM", "2-HIGH", "4-NOT SPECIFIED", "1-URGENT",
             ],
+            "o_totalprice": [100.50, 200.00, 300.25, 415.75, 500.00],
         }
     )
     lineitem = pd.DataFrame(
@@ -44,17 +45,24 @@ def tpch_dir(tmp_path):
             ).astype("datetime64[us]"),
             "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0, 5.0, 10.0],
             "l_discount": [0.10, 0.00, 0.05, 0.20, 0.10, 0.00, 0.00],
+            "l_quantity": [10.0, 20.0, 30.0, 40.0, 150.0, 60.0, 5.0],
         }
     )
     customer = pd.DataFrame(
         {
             "c_custkey": [1, 2, 3, 4],
+            "c_name": ["Cust1", "Cust2", "Cust3", "Cust4"],
             "c_nationkey": [10, 10, 20, 20],
             "c_acctbal": [100.00, 900.00, 800.00, -50.00],
         }
     )
     part = pd.DataFrame(
-        {"p_partkey": [1, 2], "p_type": ["PROMO", "STANDARD"]}
+        {
+            "p_partkey": [1, 2],
+            "p_type": ["PROMO", "STANDARD"],
+            "p_brand": ["Brand#13", "Brand#19"],
+            "p_size": [5, 15],
+        }
     )
     _write(tmp_path, "orders", orders)
     _write(tmp_path, "lineitem", lineitem)
@@ -143,6 +151,34 @@ class TestPromoRevenue:
         assert out["promo_revenue_e4"] == 450000
         assert out["total_revenue_e4"] == 550000
         assert out["promo_bps"] == (450000 * 10000) // 550000
+
+
+class TestLargeVolumeOrders:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_large_volume_orders
+
+        # Per-order quantity sums: o1=15, o2=20, o3=30, o4=150+60=210,
+        # o5=40 -> only order 4 (cust3) clears the >200 HAVING.
+        out = _frame(q_large_volume_orders(tpch_dir))
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["c_name"] == "Cust3"
+        assert row["o_orderkey"] == 4
+        assert row["sum_qty"] == 210
+        assert row["total_cents"] == 41575
+
+
+class TestBrandedRevenue:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_branded_revenue
+
+        # Branch 1 (Brand#13, size 5, qty 1-11): line0 qty10 ->
+        # 1000c x 90 = 90000. Branch 2 (Brand#19, size 15, qty
+        # 10-20): line1 qty20 -> 2000c x 100 = 200000. No other line
+        # satisfies any branch.
+        out = _frame(q_branded_revenue(tpch_dir)).iloc[0]
+        assert out["revenue_e4"] == 290000
+        assert out["n_rows"] == 2
 
 
 class TestWealthyInactiveCustomers:
