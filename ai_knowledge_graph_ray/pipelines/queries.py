@@ -2971,6 +2971,32 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_supply_neighbor_sample(sf_dir: str):
+    """GraphSAGE-style deterministic mini-batch sampling over the
+    supplier-part supply graph (ids disambiguated even/odd): seeds =
+    suppliers 1-5, fanout [3, 2]. The sampled adjacency is computed
+    ONCE (per-node lowest-Lehmer-rank neighbors) and shared across
+    seeds; hash-exact vs a row_number-over-the-same-arithmetic twin."""
+    from ..stages.walks import neighbor_sample
+
+    edges = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": b["l_suppkey"].to_numpy().astype(np.int64) * 2,
+                "dst": b["l_partkey"].to_numpy().astype(np.int64) * 2 + 1,
+            }
+        ).drop_duplicates()
+        if len(b)
+        else pd.DataFrame(
+            {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+    return neighbor_sample(edges, [2, 4, 6, 8, 10], [3, 2])
+
+
 def q_large_volume_orders(sf_dir: str):
     """TPC-H Q18 shape (group-having feeding a join chain): orders
     whose total lineitem quantity exceeds 200, with customer name and
@@ -6531,6 +6557,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_audio_match": q_media_audio_match,
     "customer_sorted_neighborhood": q_customer_sorted_neighborhood,
     "large_volume_orders": q_large_volume_orders,
+    "supply_neighbor_sample": q_supply_neighbor_sample,
     "branded_revenue": q_branded_revenue,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
@@ -6982,6 +7009,42 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 ORACLE_SQL: dict[str, str] = {
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
+    "supply_neighbor_sample": """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                          CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+          FROM lineitem
+        ),
+        und AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION
+          SELECT dst AS node, src AS nbr FROM e
+        ),
+        samp AS MATERIALIZED (
+          SELECT node, nbr,
+                 row_number() OVER (
+                   PARTITION BY node
+                   ORDER BY ((node % 2147483647) * 48271
+                             + (nbr % 2147483647) * 1291394886) % 2147483647,
+                            nbr) AS rn
+          FROM und
+        ),
+        h0 AS MATERIALIZED (
+          SELECT CAST(k * 2 AS BIGINT) AS seed, CAST(k * 2 AS BIGINT) AS node
+          FROM (SELECT unnest(generate_series(1, 5)) AS k)
+        ),
+        h1 AS MATERIALIZED (
+          SELECT DISTINCT h0.seed, s.nbr AS node
+          FROM h0 JOIN samp s ON h0.node = s.node WHERE s.rn <= 3
+        ),
+        h2 AS MATERIALIZED (
+          SELECT DISTINCT h1.seed, s.nbr AS node
+          FROM h1 JOIN samp s ON h1.node = s.node WHERE s.rn <= 2
+        )
+        SELECT seed, CAST(0 AS BIGINT) AS hop, node FROM h0
+        UNION ALL SELECT seed, CAST(1 AS BIGINT), node FROM h1
+        UNION ALL SELECT seed, CAST(2 AS BIGINT), node FROM h2
+    """,
     "large_volume_orders": """
         SELECT c_name, o_orderkey,
                CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
