@@ -2971,6 +2971,38 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_link_feature_smooth(sf_dir: str):
+    """SGC-style integer feature smoothing over the raw-html link
+    graph: every page's n_chars feature is twice replaced by the
+    self-inclusive floor-mean of its neighborhood — the feature-
+    propagation preprocessing used before shallow classifiers.
+    Hash-exact vs an unrolled LEFT-JOIN-mean SQL twin (floor division
+    on non-negative ints agrees between pandas and DuckDB)."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import feature_smooth
+    from ..stages.webtext import link_edges
+
+    feats = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": "https://example.org/doc/"
+                + b["doc_id"].astype("int64").astype(str),
+                "feat": b["n_chars"].astype("int64"),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"node": pd.Series(dtype="object"), "feat": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+    return feature_smooth(
+        link_edges(pages_from_documents(sf_dir)), feats, iters=2
+    )
+
+
 def q_supply_neighbor_sample(sf_dir: str):
     """GraphSAGE-style deterministic mini-batch sampling over the
     supplier-part supply graph (ids disambiguated even/odd): seeds =
@@ -6558,6 +6590,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_sorted_neighborhood": q_customer_sorted_neighborhood,
     "large_volume_orders": q_large_volume_orders,
     "supply_neighbor_sample": q_supply_neighbor_sample,
+    "link_feature_smooth": q_link_feature_smooth,
     "branded_revenue": q_branded_revenue,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
@@ -6949,6 +6982,20 @@ _WL_ROUND_SQL = """
           FROM s{r}
         )"""
 
+_FS_ROUND_SQL = """
+        f{r} AS MATERIALIZED (
+          SELECT p.node,
+                 CAST((p.f + coalesce(s.sf, 0))
+                      // (1 + coalesce(d.deg, 0)) AS BIGINT) AS f
+          FROM f{p} p
+          LEFT JOIN (
+            SELECT u.node, CAST(sum(l.f) AS BIGINT) AS sf
+            FROM und u JOIN f{p} l ON u.nbr = l.node
+            GROUP BY u.node
+          ) s ON p.node = s.node
+          LEFT JOIN deg d ON p.node = d.node
+        )"""
+
 _LINK_WL_ORACLE_SQL = f"""
         WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
         und AS MATERIALIZED (
@@ -7009,6 +7056,30 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 ORACLE_SQL: dict[str, str] = {
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
+    "link_feature_smooth": f"""
+        WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        und AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL
+          SELECT dst AS node, src AS nbr FROM e
+        ),
+        fsrc AS MATERIALIZED (
+          SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS node,
+                 CAST(n_chars AS BIGINT) AS f
+          FROM documents
+        ),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node
+        ),
+        f0 AS MATERIALIZED (
+          SELECT u.node, CAST(coalesce(fs.f, 0) AS BIGINT) AS f
+          FROM (SELECT node FROM und UNION SELECT node FROM fsrc) u
+          LEFT JOIN fsrc fs ON u.node = fs.node
+        ),
+        {_FS_ROUND_SQL.format(r=1, p=0)},
+        {_FS_ROUND_SQL.format(r=2, p=1)}
+        SELECT node, f AS feat FROM f2
+    """,
     "supply_neighbor_sample": """
         WITH e AS MATERIALIZED (
           SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,

@@ -5584,3 +5584,225 @@ def label_spread(
         ),
         SPREAD_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer feature smoothing (SGC-style propagation)
+# ---------------------------------------------------------------------------
+
+FEAT_SCHEMA = pa.schema([("node", pa.string()), ("feat", pa.int64())])
+_FS_STATE_SCHEMA = pa.schema(
+    [("node", pa.string()), ("deg", pa.int64()), ("f", pa.int64())]
+)
+
+
+def feature_smooth_local(
+    edge_list: list[tuple[str, str]],
+    feat_items: list[tuple[str, int]],
+    *,
+    iters: int = 2,
+) -> pd.DataFrame:
+    """Pure-Python twin of :func:`feature_smooth`: per round
+    ``f'(v) = (f(v) + sum_{u in N(v)} f(u)) // (1 + deg(v))`` over the
+    undirected multigraph, integer floor division (features must be
+    non-negative), missing features default to 0."""
+    from collections import defaultdict
+
+    adj: dict[str, list[str]] = defaultdict(list)
+    for s, d in edge_list:
+        adj[str(s)].append(str(d))
+        adj[str(d)].append(str(s))
+    f = {str(n): int(v) for n, v in feat_items}
+    universe = sorted(set(adj) | set(f))
+    f = {n: f.get(n, 0) for n in universe}
+    for _ in range(iters):
+        f = {
+            n: (f[n] + sum(f[u] for u in adj.get(n, ()))) // (1 + len(adj.get(n, ())))
+            for n in universe
+        }
+    return pd.DataFrame(
+        {"node": universe, "feat": pd.Series([f[n] for n in universe], dtype="int64")}
+    )
+
+
+def feature_smooth(
+    edges: ray.data.Dataset,
+    feats: ray.data.Dataset,
+    *,
+    iters: int = 2,
+    num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``(node, feat)`` after ``iters`` rounds of self-inclusive
+    integer mean smoothing over an undirected ``(src, dst)``
+    multigraph — the SGC/feature-propagation preprocessing step
+    (neighborhood-averaged features for downstream classifiers), in
+    floor-division integer arithmetic so results are bit-exact at any
+    layout and SQL-oracle-checkable. ``feats`` is ``(node, feat)``
+    with NON-NEGATIVE int64 features; nodes without a feature smooth
+    from 0, featured nodes without edges keep their value.
+
+    COUNT-GATED: small edge lists collect into the Python twin; over
+    the gate, the state table ``(node, deg, f)`` carries the degree
+    with the feature (pagerank's trick — no per-round deg join), and
+    each round is ONE cogroup join (state onto adjacency) plus ONE
+    bucketed sum with self-carrier marker rows."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    feats = feats.materialize()
+    if edges.count() <= driver_max_edges:
+        edf = edges.to_pandas()
+        fdf = feats.to_pandas()
+        pairs = (
+            [] if edf.empty or "src" not in edf.columns
+            else list(zip(edf["src"], edf["dst"]))
+        )
+        items = (
+            [] if fdf.empty or "node" not in fdf.columns
+            else list(zip(fdf["node"], fdf["feat"]))
+        )
+        out = feature_smooth_local(pairs, items, iters=iters)
+        return ray.data.from_arrow(pa_from_pandas(out, FEAT_SCHEMA))
+
+    adj_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    adj = sanitize_for_join(
+        _undirect(edges).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"].combine_chunks().cast(pa.string()),
+                    "nbr": b["dst"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        adj_schema,
+    ).materialize()
+
+    # universe with degree: adjacency counts + zero-degree carrier for
+    # featured nodes, one combined grouped sum
+    deg_rows = adj.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.string()),
+                "one": pa.array([1] * len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        feats.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "one": pa.array([0] * len(b), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    degs = sanitize_for_join(
+        grouped_sums(deg_rows, ["node"], {"deg": "one"}),
+        pa.schema([("node", pa.string()), ("deg", pa.int64())]),
+    )
+    state = sanitize_for_join(
+        cogroup_join(
+            degs,
+            feats.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"].combine_chunks().cast(pa.string()),
+                        "feat": b["feat"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["node"],
+            how="left_outer",
+            left_schema=pa.schema([("node", pa.string()), ("deg", pa.int64())]),
+            right_schema=FEAT_SCHEMA,
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "deg": b["deg"].astype("int64"),
+                    "f": b["feat"].fillna(0).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        _FS_STATE_SCHEMA,
+    ).materialize()
+
+    def _mean(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="object"),
+                    "deg": pd.Series(dtype="int64"),
+                    "f": pd.Series(dtype="int64"),
+                }
+            )
+        agg = g.groupby("node", as_index=False, sort=False).agg(
+            total=("val", "sum"), deg=("deg", "max")
+        )
+        return pd.DataFrame(
+            {
+                "node": agg["node"],
+                "deg": agg["deg"].astype("int64"),
+                "f": (agg["total"] // (1 + agg["deg"])).astype("int64"),
+            }
+        )
+
+    for _ in range(iters):
+        contribs = cogroup_join(
+            adj,
+            state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "nbr": b["node"].combine_chunks().cast(pa.string()),
+                        "fv": b["f"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["nbr"],
+            how="inner",
+            left_schema=adj_schema,
+            right_schema=pa.schema([("nbr", pa.string()), ("fv", pa.int64())]),
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "val": b["fv"].astype("int64"),
+                    "deg": np.full(len(b), -1, dtype=np.int64),  # non-carrier
+                }
+            ),
+            batch_format="pandas",
+        )
+        selfs = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "val": b["f"].astype("int64"),
+                    "deg": b["deg"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        state = sanitize_for_join(
+            bucketed_reduce(
+                contribs.union(selfs), ["node"], _mean, _FS_STATE_SCHEMA,
+                num_buckets=num_buckets,
+            ),
+            _FS_STATE_SCHEMA,
+        ).materialize()
+
+    return normalize_blocks(
+        state.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "feat": b["f"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        FEAT_SCHEMA,
+    )
