@@ -2971,6 +2971,53 @@ def q_nation_trade_flow(sf_dir: str):
     )
 
 
+def q_events_window_dedup(sf_dir: str):
+    """TTL-window duplicate flags over the event stream (streaming
+    dedup-with-expiry): an event is a dup iff the same (user, type)
+    fired within the previous hour. One bucketed exchange on the key;
+    hash-exact vs a lag-window SQL twin."""
+    from ..stages.sessions import window_dedup
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy().astype(np.int64),
+                "user_id": b["user_id"].to_numpy().astype(np.int64),
+                "event_type": b["event_type"].to_numpy(),
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "ts_us": pd.Series(dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return window_dedup(
+        ev, ["user_id", "event_type"], "ts_us", "event_id",
+        ttl_us=3_600_000_000,
+    )
+
+
+def q_doc_hrw_stability(sf_dir: str):
+    """Rendezvous-hashing layout stability: how many documents change
+    shard when the shard count grows 7 -> 8. HRW moves only ~1/8 of
+    keys (mod-hashing would move ~7/8) — the assignment you want for
+    incrementally growing 100-TB layouts. Map-only, zero shuffles;
+    hash-exact vs an argmax-via-row_number SQL twin."""
+    from ..stages.packing import hrw_stability
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return hrw_stability(docs, "doc_id", n_shards=7)
+
+
 def q_link_feature_smooth(sf_dir: str):
     """SGC-style integer feature smoothing over the raw-html link
     graph: every page's n_chars feature is twice replaced by the
@@ -6591,6 +6638,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "large_volume_orders": q_large_volume_orders,
     "supply_neighbor_sample": q_supply_neighbor_sample,
     "link_feature_smooth": q_link_feature_smooth,
+    "events_window_dedup": q_events_window_dedup,
+    "doc_hrw_stability": q_doc_hrw_stability,
     "branded_revenue": q_branded_revenue,
     "line_priority_modes": q_line_priority_modes,
     "customer_order_distribution": q_customer_order_distribution,
@@ -7079,6 +7128,50 @@ ORACLE_SQL: dict[str, str] = {
         {_FS_ROUND_SQL.format(r=1, p=0)},
         {_FS_ROUND_SQL.format(r=2, p=1)}
         SELECT node, f AS feat FROM f2
+    """,
+    "events_window_dedup": """
+        SELECT event_id,
+               CAST(CASE WHEN prev_ts IS NOT NULL
+                          AND ts_us - prev_ts <= 3600000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM (
+          SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS prev_ts
+          FROM events)
+    """,
+    "doc_hrw_stability": """
+        WITH zs AS MATERIALIZED (
+          SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+                 ((doc_id % 2147483647) * 48271
+                  + (CAST(t.s AS BIGINT) + 1) * 1291394886) % 2147483647 AS z
+          FROM documents, UNNEST(generate_series(0, 7)) AS t(s)
+        ),
+        ranks AS MATERIALIZED (
+          SELECT doc_id, s, (((z * z) % 2147483647) * z) % 2147483647 AS r
+          FROM zs
+        ),
+        before AS (
+          SELECT doc_id, s AS shard FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY r DESC, s ASC) AS rn
+            FROM ranks WHERE s < 7) WHERE rn = 1
+        ),
+        after AS (
+          SELECT doc_id, s AS shard FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY r DESC, s ASC) AS rn
+            FROM ranks) WHERE rn = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved,
+               CAST(sum(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END) * 1000
+                    // count(*) AS BIGINT) AS moved_permille
+        FROM before b JOIN after a USING (doc_id)
     """,
     "supply_neighbor_sample": """
         WITH e AS MATERIALIZED (

@@ -1446,3 +1446,64 @@ def interpolated_gapfill(
         combiner=_comb,
         num_buckets=num_buckets,
     )
+
+
+WINDOW_DEDUP_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("is_dup", pa.int64())]
+)
+
+
+def window_dedup(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    *,
+    ttl_us: int,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """TTL-window duplicate flags: an event is a duplicate iff the
+    IMMEDIATELY PRECEDING event with the same key (event-time order,
+    ``id_col`` tie-break) happened within ``ttl_us`` — the streaming
+    dedup-with-expiry semantics (suppress repeats inside the window,
+    let the key through again once it goes quiet), equal to SQL
+    ``lag(ts) OVER (PARTITION BY key ORDER BY ts, id)``. One bucketed
+    exchange on the key; the in-window compare is a vectorized shifted
+    diff."""
+
+    def _flags(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "is_dup": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values([*key_cols, ts_col, id_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        same_key = np.ones(len(g), dtype=bool)
+        for c in key_cols:
+            v = g[c].to_numpy()
+            same_key &= np.concatenate([[False], v[1:] == v[:-1]])
+        gap = np.concatenate([[np.iinfo(np.int64).max], ts[1:] - ts[:-1]])
+        dup = same_key & (gap <= ttl_us)
+        return pd.DataFrame(
+            {
+                "event_id": g[id_col].to_numpy().astype(np.int64),
+                "is_dup": dup.astype(np.int64),
+            }
+        )
+
+    from .infer import normalize_blocks
+
+    cols = [*key_cols, ts_col, id_col]
+    return normalize_blocks(
+        bucketed_reduce(
+            ds.select_columns(cols),
+            key_cols,
+            _flags,
+            WINDOW_DEDUP_SCHEMA,
+            num_buckets=num_buckets,
+        ),
+        WINDOW_DEDUP_SCHEMA,
+    )
