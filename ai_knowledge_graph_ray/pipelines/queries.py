@@ -6580,6 +6580,42 @@ def q_shipment_matching(sf_dir: str):
     return maximal_matching(li.map_batches(_edges, batch_format="pandas"))
 
 
+def q_part_soundex(sf_dir: str):
+    """Simplified-Soundex phonetic blocking keys over part names —
+    the third classic linkage blocker beside FastSS and
+    sorted-neighborhood. The pandas chain and the DuckDB oracle are
+    RENDERED FROM THE SAME step list (RE2-safe, no backreferences),
+    so the dialects cannot drift; hash-exact."""
+    from ..stages.fuzzy import soundex_codes
+
+    part = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    return soundex_codes(part, "p_name", "p_partkey")
+
+
+def q_shipment_mis(sf_dir: str):
+    """Deterministic maximal independent set of the supplier-part
+    shipment graph (derandomized Luby == sequential greedy of the
+    hash order) — the node-side complement of shipment_matching; a
+    conflict-free anchor set for parallel updates. Rows-only (greedy
+    MIS is not SQL-expressible); independence, maximality, greedy-twin
+    and forced-gate equality pinned in tests/test_mis.py."""
+    from ..stages.graph_algos import maximal_independent_set
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    )
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": "s" + b["l_suppkey"].astype(int).astype(str),
+                "dst": "p" + b["l_partkey"].astype(int).astype(str),
+            }
+        )
+
+    return maximal_independent_set(li.map_batches(_edges, batch_format="pandas"))
+
+
 def q_doc_containment(sf_dir: str):
     """Directed n-gram containment pairs (doc A >= 80% contained in
     doc B — the quote/boilerplate detector symmetric Jaccard misses);
@@ -6652,6 +6688,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_runs": q_events_runs,
     "media_png_histogram": q_media_png_histogram,
     "shipment_matching": q_shipment_matching,
+    "shipment_mis": q_shipment_mis,
+    "part_soundex": q_part_soundex,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
     "doc_readability": q_doc_readability,
@@ -7102,7 +7140,12 @@ _LINK_SPREAD_ORACLE_SQL = f"""
         SELECT node, lbl AS label FROM l2
 """
 
+from ..stages.fuzzy import soundex_sql_expr as _sdx
+
 ORACLE_SQL: dict[str, str] = {
+    "part_soundex": f"""
+        SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,
     "link_feature_smooth": f"""

@@ -433,3 +433,88 @@ def sorted_neighborhood_pairs(
                         num_buckets=num_buckets),
         SNB_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic (Soundex) coding with Python/DuckDB dialect parity
+# ---------------------------------------------------------------------------
+
+# The variant implemented is "simplified Soundex": uppercase, strip
+# non-letters, code ALL letters (vowels/H/W -> 0), collapse adjacent
+# equal digits, drop the first digit (the first letter codes itself),
+# remove zeros, first letter + first 3 digits zero-padded. The digit
+# collapse uses per-digit '11+' -> '1' replaces because RE2 (DuckDB's
+# engine) has no backreferences; pandas runs the IDENTICAL step list,
+# so the two dialects cannot drift (the pii_redact discipline).
+_SOUNDEX_DIGIT_STEPS: list[tuple[str, str]] = [
+    ("[BFPV]", "1"),
+    ("[CGJKQSXZ]", "2"),
+    ("[DT]", "3"),
+    ("L", "4"),
+    ("[MN]", "5"),
+    ("R", "6"),
+    ("[AEIOUYHW]", "0"),
+] + [(f"{d}{d}+", str(d)) for d in range(7)]
+
+
+def soundex_series(s: pd.Series) -> pd.Series:
+    """Vectorized simplified-Soundex codes ('' for letterless input)."""
+    u = s.fillna("").astype(str).str.upper().str.replace("[^A-Z]", "", regex=True)
+    d = u
+    for pat, rep in _SOUNDEX_DIGIT_STEPS:
+        d = d.str.replace(pat, rep, regex=True)
+    tail = (
+        d.str[1:]
+        .str.replace("0", "", regex=False)
+        .str[:3]
+        .str.pad(3, "right", "0")
+    )
+    return (u.str[:1] + tail).where(u.str.len() > 0, "")
+
+
+def soundex_sql_expr(col: str) -> str:
+    """The same transform chain as :func:`soundex_series`, rendered as
+    a DuckDB expression over ``col``."""
+    u = f"regexp_replace(upper(coalesce({col}, '')), '[^A-Z]', '', 'g')"
+    d = u
+    for pat, rep in _SOUNDEX_DIGIT_STEPS:
+        d = f"regexp_replace({d}, '{pat}', '{rep}', 'g')"
+    tail = f"rpad(substr(replace(substr({d}, 2), '0', ''), 1, 3), 3, '0')"
+    return (
+        f"CASE WHEN length({u}) = 0 THEN '' "
+        f"ELSE substr({u}, 1, 1) || {tail} END"
+    )
+
+
+def soundex_codes(
+    ds: ray.data.Dataset,
+    name_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """``(id, soundex)`` — map-only phonetic blocking keys, the third
+    classic linkage blocker beside FastSS (typo-shaped) and
+    sorted-neighborhood (prefix-shaped): phonetic equivalence catches
+    spelling variants that keep the sound (SMYTH ~ SMITH)."""
+    out_schema = pa.schema([(id_col, pa.int64()), ("soundex", pa.string())])
+
+    def _code(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "soundex": pd.Series(dtype="object")}
+            )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy().astype(np.int64),
+                "soundex": soundex_series(b[name_col]),
+            }
+        )
+
+    from .infer import normalize_blocks
+
+    return normalize_blocks(
+        ds.select_columns([id_col, name_col]).map_batches(
+            _code, batch_format="pandas"
+        ),
+        out_schema,
+    )

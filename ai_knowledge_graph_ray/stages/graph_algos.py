@@ -5806,3 +5806,278 @@ def feature_smooth(
         ),
         FEAT_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (derandomized Luby)
+# ---------------------------------------------------------------------------
+
+MIS_SCHEMA = pa.schema([("node", pa.string())])
+
+
+def _node_rank(nodes: pd.Series) -> np.ndarray:
+    """splitmix64 of the node-string hash — the same derandomized-Luby
+    total order discipline as :func:`_edge_rank`, per node."""
+    h = pd.util.hash_pandas_object(
+        nodes.astype(str), index=False
+    ).to_numpy(np.uint64)
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (z ^ (z >> np.uint64(31))).astype("uint64")
+
+
+def mis_local(und: pd.DataFrame) -> pd.DataFrame:
+    """Sequential greedy MIS over canonical ``(a, b)`` simple edges in
+    ``(rank, node)`` order — the driver twin; hash-ordered local
+    dominance computes exactly this greedy set at any layout."""
+    nodes = pd.unique(
+        np.concatenate([und["a"].to_numpy(), und["b"].to_numpy()])
+    ) if len(und) else np.array([], dtype=object)
+    nbrs: dict[str, set] = {str(n): set() for n in nodes}
+    for a, b in zip(und["a"], und["b"]):
+        if a != b:
+            nbrs[str(a)].add(str(b))
+            nbrs[str(b)].add(str(a))
+    order = sorted(
+        nbrs, key=lambda n: (int(_node_rank(pd.Series([n]))[0]), n)
+    )
+    mis: set = set()
+    blocked: set = set()
+    for n in order:
+        if n in blocked:
+            continue
+        mis.add(n)
+        blocked |= nbrs[n]
+    # a self-loop node can never be independent of itself? convention:
+    # simple-edge canonicalization drops self-loops upstream, so every
+    # node here is eligible.
+    return pd.DataFrame({"node": sorted(mis)})
+
+
+def maximal_independent_set(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    removed_broadcast_max: int = 2_000_000,
+    max_rounds: int = 60,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic maximal independent set over an ``(src, dst)``
+    edge table — derandomized Luby: each round, a remaining node joins
+    the MIS iff its ``(rank, node)`` key is a strict local minimum
+    among remaining neighbors; winners' neighborhoods drop out. With a
+    FIXED rank order the parallel rounds compute EXACTLY the
+    sequential greedy MIS of that order (pinned vs :func:`mis_local`),
+    layout-independent, O(log n) expected rounds. Self-loops are
+    dropped by the simple-edge canonicalization (a self-looped node is
+    treated like any other node). Rows-only (greedy MIS is not
+    SQL-expressible); independence + maximality pinned in pytest.
+
+    Count-gated twice, like :func:`maximal_matching`: the whole
+    simple-edge list under ``driver_max_edges`` runs the greedy twin;
+    over the gate each round is ONE node-keyed bucketed reduce
+    (ranks are pure functions of the node string — no rank join), and
+    neighborhood removal broadcasts under ``removed_broadcast_max``
+    or anti-joins over it."""
+    und = sanitize_for_join(
+        undirected_simple_edges(edges, num_buckets=num_buckets), UND_SCHEMA
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(MIS_SCHEMA.empty_table())
+    if n_edges <= driver_max_edges:
+        return ray.data.from_arrow(
+            pa_from_pandas(mis_local(und.to_pandas()), MIS_SCHEMA)
+        )
+
+    import ray as _ray
+
+    adj_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    adj = sanitize_for_join(
+        und.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            b["a"].combine_chunks().cast(pa.string()),
+                            b["b"].combine_chunks().cast(pa.string()),
+                        ]
+                    ),
+                    "nbr": pa.concat_arrays(
+                        [
+                            b["b"].combine_chunks().cast(pa.string()),
+                            b["a"].combine_chunks().cast(pa.string()),
+                        ]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        adj_schema,
+    ).materialize()
+
+    universe = sanitize_for_join(
+        bucketed_reduce(
+            adj.map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"].combine_chunks().cast(pa.string())}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            lambda b: b.drop_duplicates("node") if len(b) else b,
+            MIS_SCHEMA,
+            combiner=lambda b: b.drop_duplicates("node") if len(b) else b,
+            num_buckets=num_buckets,
+        ),
+        MIS_SCHEMA,
+    ).materialize()
+
+    # MIS = universe \ blocked, where blocked accumulates every
+    # neighbor-of-winner: a node that is never blocked eventually
+    # becomes isolated and joins the greedy set, so tracking blocked
+    # (not winners) is what keeps late isolated nodes IN the MIS.
+    blocked_parts: list[ray.data.Dataset] = []
+
+    def _winners(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="object")})
+        own_r = _node_rank(g["node"])
+        nbr_r = _node_rank(g["nbr"])
+        own_key = list(zip(own_r, g["node"]))
+        nbr_key = list(zip(nbr_r, g["nbr"]))
+        t = pd.DataFrame(
+            {"node": g["node"].to_numpy(), "win": [o < n for o, n in zip(own_key, nbr_key)]}
+        )
+        agg = t.groupby("node", as_index=False, sort=False)["win"].all()
+        return pd.DataFrame({"node": agg.loc[agg["win"], "node"]})
+
+    for _ in range(max_rounds):
+        if adj.count() == 0:
+            break
+        winners = sanitize_for_join(
+            bucketed_reduce(
+                adj, ["node"], _winners, MIS_SCHEMA, num_buckets=num_buckets
+            ),
+            MIS_SCHEMA,
+        ).materialize()
+        if winners.count() == 0:
+            break
+        # blocked this round = winners' neighbors
+        blocked = sanitize_for_join(
+            cogroup_join(
+                adj,
+                winners.map_batches(
+                    lambda b: pa.table(
+                        {"node": b["node"].combine_chunks().cast(pa.string())}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on=["node"],
+                how="inner",
+                left_schema=adj_schema,
+                right_schema=MIS_SCHEMA,
+                num_buckets=num_buckets,
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": b["nbr"]}),
+                batch_format="pandas",
+            ),
+            MIS_SCHEMA,
+        ).materialize()
+        blocked_parts.append(blocked)
+        removed = blocked.union(winners).materialize()
+        n_removed = removed.count()
+        if n_removed <= removed_broadcast_max:
+            rem = np.sort(
+                pd.unique(removed.to_pandas()["node"].to_numpy()).astype(str)
+            )
+            rem_ref = _ray.put(rem)
+
+            def _filter(b: pd.DataFrame) -> pd.DataFrame:
+                if len(b) == 0:
+                    return b
+                r = _ray.get(rem_ref) if isinstance(rem_ref, _ray.ObjectRef) else rem_ref
+                if len(r) == 0:
+                    return b
+
+                def _in(col):
+                    v = b[col].to_numpy().astype(str)
+                    idx = np.clip(np.searchsorted(r, v), 0, len(r) - 1)
+                    return r[idx] == v
+
+                return b[~_in("node") & ~_in("nbr")]
+
+            adj = sanitize_for_join(
+                adj.map_batches(_filter, batch_format="pandas"), adj_schema
+            ).materialize()
+        else:
+            def _dd(b: pd.DataFrame) -> pd.DataFrame:
+                return b.drop_duplicates("node") if len(b) else b
+
+            removed_d = sanitize_for_join(
+                bucketed_reduce(removed, ["node"], _dd, MIS_SCHEMA,
+                                combiner=_dd, num_buckets=num_buckets),
+                MIS_SCHEMA,
+            )
+            adj = sanitize_for_join(
+                cogroup_join(
+                    adj, removed_d, on=["node"], how="left_anti",
+                    left_schema=adj_schema, right_schema=MIS_SCHEMA,
+                    num_buckets=num_buckets,
+                ),
+                adj_schema,
+            )
+            adj = sanitize_for_join(
+                cogroup_join(
+                    adj.map_batches(
+                        lambda b: pa.table(
+                            {
+                                "node": b["nbr"].combine_chunks().cast(pa.string()),
+                                "nbr": b["node"].combine_chunks().cast(pa.string()),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    removed_d,
+                    on=["node"],
+                    how="left_anti",
+                    left_schema=adj_schema,
+                    right_schema=MIS_SCHEMA,
+                    num_buckets=num_buckets,
+                ).map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b["nbr"].combine_chunks().cast(pa.string()),
+                            "nbr": b["node"].combine_chunks().cast(pa.string()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                adj_schema,
+            ).materialize()
+
+    if adj.count() > 0:
+        raise RuntimeError("maximal_independent_set: max_rounds exceeded")
+    if not blocked_parts:
+        return universe
+    blocked_all = blocked_parts[0]
+    for p in blocked_parts[1:]:
+        blocked_all = blocked_all.union(p)
+
+    def _dd_node(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node") if len(b) else b
+
+    blocked_all = sanitize_for_join(
+        bucketed_reduce(blocked_all, ["node"], _dd_node, MIS_SCHEMA,
+                        combiner=_dd_node, num_buckets=num_buckets),
+        MIS_SCHEMA,
+    )
+    return normalize_blocks(
+        cogroup_join(
+            universe, blocked_all, on=["node"], how="left_anti",
+            left_schema=MIS_SCHEMA, right_schema=MIS_SCHEMA,
+            num_buckets=num_buckets,
+        ),
+        MIS_SCHEMA,
+    )
