@@ -6580,6 +6580,21 @@ def q_shipment_matching(sf_dir: str):
     return maximal_matching(li.map_batches(_edges, batch_format="pandas"))
 
 
+def q_source_budget_quotas(sf_dir: str):
+    """Max-min-fair source budget allocation (water-filling): split a
+    global budget of 3/5 of the corpus across sources, every source
+    capped at the largest uniform T that fits — the data-mixing step
+    before cap_per_group enforces the quota. Count-gated: closed form
+    over collected per-source counts under the gate; map-only
+    binary-search probes over it. Hash-exact vs a window prefix-sum
+    SQL twin computing the identical integer T."""
+    from ..stages.webtext import source_budget_quotas
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    budget = docs.count() * 3 // 5
+    return source_budget_quotas(docs, "source", budget=budget)
+
+
 def q_part_soundex(sf_dir: str):
     """Simplified-Soundex phonetic blocking keys over part names —
     the third classic linkage blocker beside FastSS and
@@ -6690,6 +6705,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "shipment_matching": q_shipment_matching,
     "shipment_mis": q_shipment_mis,
     "part_soundex": q_part_soundex,
+    "source_budget_quotas": q_source_budget_quotas,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
     "doc_readability": q_doc_readability,
@@ -7145,6 +7161,41 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "source_budget_quotas": """
+        WITH c AS MATERIALIZED (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(max(n) AS BIGINT) AS mx FROM c),
+        bud AS (SELECT CAST(count(*) * 3 // 5 AS BIGINT) AS b FROM documents),
+        s AS (
+          SELECT n,
+                 row_number() OVER (ORDER BY n, source) - 1 AS j,
+                 CAST(coalesce(sum(n) OVER (ORDER BY n, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prefix,
+                 CAST(lag(n, 1, 0) OVER (ORDER BY n, source) AS BIGINT)
+                   AS prev_n
+          FROM c
+        ),
+        cand AS (
+          SELECT least((b.b - s.prefix) // (t.k - s.j), s.n) AS tc,
+                 CASE WHEN (b.b - s.prefix) // (t.k - s.j) >= s.prev_n
+                      THEN 1 ELSE 0 END AS ok
+          FROM s, tot t, bud b
+        ),
+        thr AS (
+          SELECT CASE WHEN t.total <= b.b THEN t.mx
+                      ELSE coalesce((SELECT max(tc) FROM cand WHERE ok = 1), 0)
+                 END AS T
+          FROM tot t, bud b
+        )
+        SELECT c.source, c.n AS n_docs,
+               CAST(least(c.n, thr.T) AS BIGINT) AS quota
+        FROM c, thr
     """,
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,

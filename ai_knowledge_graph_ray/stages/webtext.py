@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .infer import bucketed_reduce, normalize_blocks
+from .infer import bucketed_reduce, normalize_blocks, sanitize_for_join
 from .relational import grouped_sums
 
 # Same driver-collect budget as stages.dedup: a small-side set under
@@ -1327,7 +1327,7 @@ def bigram_nll(
     arrays and scoring is map-side; over the gate the transitions are
     scored by two gram-keyed flag joins + one doc-keyed sum (both
     paths bit-equal — forced-gate test)."""
-    from .infer import bucketed_reduce, normalize_blocks
+    from .infer import bucketed_reduce, normalize_blocks, sanitize_for_join
 
     cnt_schema = pa.schema([("gh", pa.uint64()), ("cnt", pa.int64())])
 
@@ -1843,4 +1843,134 @@ def link_counts(
     return bucketed_reduce(
         edges, ["dst_url"], _sum, LINKS_SCHEMA, combiner=_comb,
         num_buckets=num_buckets,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max-min-fair source budget allocation (water-filling)
+# ---------------------------------------------------------------------------
+
+QUOTA_SCHEMA = pa.schema(
+    [("source", pa.string()), ("n_docs", pa.int64()), ("quota", pa.int64())]
+)
+
+
+def waterfill_threshold(counts: np.ndarray, budget: int) -> int:
+    """Largest integer cap T with ``sum(min(n_i, T)) <= budget``
+    (max-min fairness without remainder distribution); T = max(n)
+    when the budget covers everything. Closed form over the sorted
+    counts + prefix sums — the same arithmetic the SQL twin runs."""
+    n = np.sort(counts.astype(np.int64))
+    k = len(n)
+    if k == 0 or budget <= 0:
+        return 0
+    total = int(n.sum())
+    if total <= budget:
+        return int(n[-1])
+    prefix = np.concatenate([[0], np.cumsum(n)[:-1]])
+    # with cap T in [n_{j-1}, n_j): f(T) = prefix_j + (k - j) * T
+    best = 0
+    for j in range(k):
+        t = (budget - int(prefix[j])) // (k - j)
+        lo = int(n[j - 1]) if j > 0 else 0
+        if t >= lo:
+            best = max(best, min(t, int(n[j])))
+    return best
+
+
+def source_budget_quotas(
+    docs: ray.data.Dataset,
+    key_col: str,
+    *,
+    budget: int,
+    driver_max_keys: int = 5_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``(source, n_docs, quota)`` — allocate a global document budget
+    across sources max-min fairly: every source keeps ``min(n, T)``
+    docs where T is the largest uniform cap that fits the budget (the
+    data-mixing step before :func:`~.relational.cap_per_group`
+    enforces the quota). Deterministic integers; SQL-oracle-exact
+    (window prefix-sum twin computes the identical T).
+
+    COUNT-GATED on the number of distinct sources: under the gate the
+    per-source counts collect and the closed form runs; over it, T is
+    found by BINARY SEARCH on the cap — each probe is one MAP-ONLY
+    clipped-sum pass over the (already aggregated, source-sized)
+    counts dataset, <= 63 passes, no extra shuffle."""
+    cnt_schema = pa.schema([("source", pa.string()), ("n_docs", pa.int64())])
+
+    def _cnt(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype="object"),
+                 "n_docs": pd.Series(dtype="int64")}
+            )
+        if "n_docs" not in b.columns:  # raw rows (combiner re-entry safe)
+            b = pd.DataFrame(
+                {"source": b[key_col].astype(str).to_numpy(),
+                 "n_docs": np.ones(len(b), dtype=np.int64)}
+            )
+        return b.groupby("source", as_index=False, sort=False)["n_docs"].sum()
+
+    counts = sanitize_for_join(
+        bucketed_reduce(
+            docs.select_columns([key_col]), ["source"], _cnt, cnt_schema,
+            combiner=_cnt, num_buckets=num_buckets,
+        ),
+        cnt_schema,
+    ).materialize()
+
+    n_keys = counts.count()
+    if n_keys == 0:
+        return ray.data.from_arrow(QUOTA_SCHEMA.empty_table())
+
+    if n_keys <= driver_max_keys:
+        df = counts.to_pandas()
+        t = waterfill_threshold(df["n_docs"].to_numpy(), budget)
+    else:
+        def _clipped_sum(cap: int) -> int:
+            parts = counts.map_batches(
+                lambda b, _c=cap: pd.DataFrame(
+                    {"s": [int(np.minimum(b["n_docs"].to_numpy(), _c).sum())]}
+                )
+                if len(b)
+                else pd.DataFrame({"s": pd.Series(dtype="int64")}),
+                batch_format="pandas",
+            ).to_pandas()
+            return int(parts["s"].sum()) if len(parts) else 0
+
+        mx = counts.map_batches(
+            lambda b: pd.DataFrame({"m": [int(b["n_docs"].max())]})
+            if len(b)
+            else pd.DataFrame({"m": pd.Series(dtype="int64")}),
+            batch_format="pandas",
+        ).to_pandas()
+        hi = int(mx["m"].max()) if len(mx) else 0
+        if _clipped_sum(hi) <= budget:
+            t = hi
+        else:
+            lo = 0  # invariant: f(lo) <= budget < f(hi)
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if _clipped_sum(mid) <= budget:
+                    lo = mid
+                else:
+                    hi = mid
+            t = lo
+
+    def _quota(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return QUOTA_SCHEMA.empty_table().to_pandas()
+        n = b["n_docs"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "n_docs": n,
+                "quota": np.minimum(n, t),
+            }
+        )
+
+    return normalize_blocks(
+        counts.map_batches(_quota, batch_format="pandas"), QUOTA_SCHEMA
     )
