@@ -6580,6 +6580,187 @@ def q_shipment_matching(sf_dir: str):
     return maximal_matching(li.map_batches(_edges, batch_format="pandas"))
 
 
+def q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue per customer, top 20):
+    lineitem filtered to returnflag='R' pre-aggregates revenue per
+    orderkey BELOW the cogroup join with 1997-H1 orders; per-customer
+    sums in a second bucketed exchange; the customer-name lookup joins
+    only the 20 winners. Hash-exact vs a 3-way join twin."""
+    from ..stages.infer import bucketed_reduce, default_num_partitions
+    from ..stages.relational import topk_dataset
+
+    lo = np.datetime64("1997-01-01", "us").astype("int64")
+    hi = np.datetime64("1997-07-01", "us").astype("int64")
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def _l(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "rev": pd.Series(dtype="int64")}
+            )
+        b = b[b["l_returnflag"] == "R"]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "rev": pd.Series(dtype="int64")}
+            )
+        part = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                             "rev": _rev_e4(b)})
+        return part.groupby("l_orderkey", as_index=False, sort=False)["rev"].sum()
+
+    l_part = li.map_batches(_l, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _o(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "o_custkey": pd.Series(dtype="int64")}
+            )
+        us = b["o_orderdate"].to_numpy("datetime64[us]").astype("int64")
+        m = (us >= lo) & (us < hi)
+        return pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"].to_numpy()[m],
+             "o_custkey": b["o_custkey"].to_numpy()[m]}
+        )
+
+    joined = cogroup_join(
+        l_part, orders.map_batches(_o, batch_format="pandas"),
+        on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+
+    def _c(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "revenue_e4": pd.Series(dtype="int64")}
+            )
+        if "c_custkey" not in b.columns:
+            b = pd.DataFrame(
+                {"c_custkey": b["o_custkey"].to_numpy(),
+                 "revenue_e4": b["rev"].to_numpy()}
+            )
+        return b.groupby("c_custkey", as_index=False, sort=False)["revenue_e4"].sum()
+
+    per_cust = bucketed_reduce(
+        joined, ["c_custkey"], _c,
+        pa.schema([("c_custkey", pa.int64()), ("revenue_e4", pa.int64())]),
+        combiner=_c,
+    )
+    top = topk_dataset(per_cust, ["revenue_e4", "c_custkey"], 20,
+                       descending=[True, False])
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b["c_custkey"].to_numpy(),
+             "c_name": b["c_name"].to_numpy(),
+             "acctbal_cents": np.round(b["c_acctbal"].to_numpy() * 100.0)
+             .astype(np.int64)}
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"),
+             "c_name": pd.Series(dtype="object"),
+             "acctbal_cents": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    )
+    from ..stages.infer import normalize_blocks
+
+    out = cogroup_join(
+        top, cust, on=["c_custkey"], how="inner",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("revenue_e4", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("acctbal_cents", pa.int64())]
+        ),
+    )
+    return normalize_blocks(
+        out.map_batches(
+            lambda b: b[["c_custkey", "c_name", "revenue_e4", "acctbal_cents"]]
+            if len(b) else b,
+            batch_format="pandas",
+        ),
+        pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("revenue_e4", pa.int64()), ("acctbal_cents", pa.int64())]
+        ),
+    )
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (argmax with ties): supplier(s) achieving the
+    maximum 1997-Q1 shipped revenue. Per-supplier sums in one bucketed
+    exchange; the global max is a one-row driver residue; winners
+    filter map-side. Hash-exact vs a HAVING max() twin."""
+    from ..stages.infer import bucketed_reduce, normalize_blocks
+
+    lo = np.datetime64("1997-01-01", "us").astype("int64")
+    hi = np.datetime64("1997-04-01", "us").astype("int64")
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _s(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series(dtype="int64"),
+                 "revenue_e4": pd.Series(dtype="int64")}
+            )
+        if "s_suppkey" not in b.columns:
+            us = b["l_shipdate"].to_numpy("datetime64[us]").astype("int64")
+            b = b[(us >= lo) & (us < hi)]
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"s_suppkey": pd.Series(dtype="int64"),
+                     "revenue_e4": pd.Series(dtype="int64")}
+                )
+            b = pd.DataFrame(
+                {"s_suppkey": b["l_suppkey"].to_numpy(), "revenue_e4": _rev_e4(b)}
+            )
+        return b.groupby("s_suppkey", as_index=False, sort=False)["revenue_e4"].sum()
+
+    per_supp = bucketed_reduce(
+        li, ["s_suppkey"], _s,
+        pa.schema([("s_suppkey", pa.int64()), ("revenue_e4", pa.int64())]),
+        combiner=_s,
+    ).materialize()
+
+    mx_parts = per_supp.map_batches(
+        lambda b: pd.DataFrame({"m": [int(b["revenue_e4"].max())]})
+        if len(b)
+        else pd.DataFrame({"m": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    mx = int(mx_parts["m"].max()) if len(mx_parts) else 0
+
+    return normalize_blocks(
+        per_supp.map_batches(
+            lambda b: b[b["revenue_e4"] == mx] if len(b) else b,
+            batch_format="pandas",
+        ),
+        pa.schema([("s_suppkey", pa.int64()), ("revenue_e4", pa.int64())]),
+    )
+
+
 def q_source_budget_quotas(sf_dir: str):
     """Max-min-fair source budget allocation (water-filling): split a
     global budget of 3/5 of the corpus across sources, every source
@@ -6706,6 +6887,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "shipment_mis": q_shipment_mis,
     "part_soundex": q_part_soundex,
     "source_budget_quotas": q_source_budget_quotas,
+    "returned_item_customers": q_returned_item_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "events_autocorr": q_events_autocorr,
     "user_cadence": q_user_cadence,
     "doc_readability": q_doc_readability,
@@ -7161,6 +7344,36 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "returned_item_customers": """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate <  DATE '1997-07-01'
+        GROUP BY c_custkey, c_name, c_acctbal
+        ORDER BY revenue_e4 DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "top_supplier_revenue": """
+        WITH r AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS revenue_e4
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate <  DATE '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, revenue_e4 FROM r
+        WHERE revenue_e4 = (SELECT max(revenue_e4) FROM r)
     """,
     "source_budget_quotas": """
         WITH c AS MATERIALIZED (

@@ -196,3 +196,76 @@ class TestWealthyInactiveCustomers:
         assert row["c_nationkey"] == 20
         assert row["numcust"] == 1
         assert row["totacctbal_cents"] == 80000
+
+
+class TestTopSupplierRevenue:
+    def test_planted_tie(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_top_supplier_revenue
+
+        li = pd.DataFrame(
+            {
+                "l_suppkey": [1, 1, 2, 3],
+                "l_shipdate": pd.to_datetime(
+                    ["1997-02-01", "1997-03-01", "1997-02-15", "1995-01-01"]
+                ).astype("datetime64[us]"),
+                "l_extendedprice": [10.0, 10.0, 20.0, 999.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+            }
+        )
+        _write(tmp_path, "lineitem", li)
+        out = _frame(q_top_supplier_revenue(str(tmp_path)))
+        # suppliers 1 and 2 tie at 200000 e4; supplier 3 out of window
+        got = set(zip(out["s_suppkey"], out["revenue_e4"]))
+        assert got == {(1, 200000), (2, 200000)}
+
+
+class TestReturnedItemCustomers:
+    def test_planted(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import (
+            q_returned_item_customers,
+        )
+
+        _write(
+            tmp_path,
+            "lineitem",
+            pd.DataFrame(
+                {
+                    "l_orderkey": [1, 1, 2, 3],
+                    "l_returnflag": ["R", "N", "R", "R"],
+                    "l_extendedprice": [10.0, 99.0, 20.0, 30.0],
+                    "l_discount": [0.0, 0.0, 0.5, 0.0],
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "orders",
+            pd.DataFrame(
+                {
+                    "o_orderkey": [1, 2, 3],
+                    "o_custkey": [7, 7, 8],
+                    "o_orderdate": pd.to_datetime(
+                        ["1997-02-01", "1997-03-01", "1996-01-01"]
+                    ).astype("datetime64[us]"),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "customer",
+            pd.DataFrame(
+                {
+                    "c_custkey": [7, 8],
+                    "c_name": ["CustA", "CustB"],
+                    "c_acctbal": [12.34, 1.00],
+                }
+            ),
+        )
+        out = _frame(q_returned_item_customers(str(tmp_path)))
+        # order 3 outside window; cust7: R-lines 10.0@0 + 20.0@50% ->
+        # 100000 + 2000*50 = 200000 e4
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["c_custkey"] == 7
+        assert row["revenue_e4"] == 100000 + 2000 * 50
+        assert row["acctbal_cents"] == 1234
