@@ -2878,6 +2878,21 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_orders_t_closeness(sf_dir: str):
+    """T-closeness audit per customer over order priorities — the
+    distributional governance check l-diversity misses (l distinct
+    values can still skew 99/1 vs the corpus). Exact integer permille
+    total-variation distance; hash-exact vs a cross-join SQL twin."""
+    from ..stages.validate import t_closeness_report
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    return t_closeness_report(
+        orders, ["o_custkey"], "o_orderpriority", t_milli=300
+    )
+
+
 def q_doc_proximity(sf_dir: str):
     """Positional proximity retrieval: docs where 'hash' and 'join'
     occur within 10 tokens, with the exact min distance — map-only
@@ -6878,6 +6893,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "promo_revenue": q_promo_revenue,
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "orders_l_diversity": q_orders_l_diversity,
+    "orders_t_closeness": q_orders_t_closeness,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
@@ -7344,6 +7360,30 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "orders_t_closeness": """
+        WITH g AS MATERIALIZED (
+          SELECT CAST(o_custkey AS VARCHAR) AS grp, o_orderpriority AS sv,
+                 CAST(count(*) AS BIGINT) AS n_gc
+          FROM orders GROUP BY 1, 2
+        ),
+        sz AS (SELECT grp, CAST(sum(n_gc) AS BIGINT) AS n_g FROM g GROUP BY grp),
+        gl AS (SELECT sv, CAST(sum(n_gc) AS BIGINT) AS n_c FROM g GROUP BY sv),
+        tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM gl),
+        terms AS (
+          SELECT s.grp, s.n_g,
+                 CAST(sum(abs(coalesce(x.n_gc, 0) * t.n - gl.n_c * s.n_g))
+                      AS BIGINT) AS sdist
+          FROM sz s CROSS JOIN gl CROSS JOIN tot t
+          LEFT JOIN g x ON x.grp = s.grp AND x.sv = gl.sv
+          GROUP BY s.grp, s.n_g
+        )
+        SELECT terms.grp AS o_custkey,
+               CAST(terms.n_g AS BIGINT) AS n_rows,
+               CAST(500 * terms.sdist // (terms.n_g * t.n) AS BIGINT)
+                 AS tclose_milli,
+               (500 * terms.sdist // (terms.n_g * t.n)) <= 300 AS t_ok
+        FROM terms, tot t
     """,
     "returned_item_customers": """
         SELECT c_custkey, c_name,

@@ -744,3 +744,120 @@ def l_diversity_report(
         combiner=_comb,
         num_buckets=num_buckets,
     )
+
+
+TCLOSE_SCHEMA_SUFFIX = [
+    ("n_rows", pa.int64()),
+    ("tclose_milli", pa.int64()),
+    ("t_ok", pa.bool_()),
+]
+
+
+def t_closeness_report(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t_milli: int,
+    driver_max_categories: int = 100_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """T-closeness audit — the governance check L-DIVERSITY misses: a
+    group can hold l distinct sensitive values yet still leak because
+    its DISTRIBUTION deviates from the corpus (e.g. 99% one value).
+    Per quasi-group: total-variation distance to the global sensitive
+    distribution in exact integer permille —
+    ``tclose_milli = 500 * Σ_c |n_gc*N - n_c*N_g| // (N_g * N)`` —
+    and ``t_ok = tclose_milli <= t_milli``.
+
+    The global category histogram is small by construction (sensitive
+    attributes are categorical); it collects under
+    ``driver_max_categories`` and broadcasts into the one group-keyed
+    bucketed reduce (absent categories enter via the closed form
+    ``S = Σ_{c in G} (|n_gc*N - n_c*N_g| - n_c*N_g) + N_g*N``).
+    Exactness bound: products are int64, so N * max group size must
+    stay under 2^63 (N < ~3e9 rows with million-row groups) — DuckDB
+    errors loudly on the same bound rather than wrapping."""
+    import ray as _ray
+
+    from .infer import bucketed_reduce
+
+    cols = quasi_cols + [sensitive_col]
+    gl_parts = ds.select_columns([sensitive_col]).map_batches(
+        lambda b: b.groupby(sensitive_col, sort=False, dropna=False)
+        .size()
+        .reset_index(name="n")
+        if len(b)
+        else pd.DataFrame(
+            {sensitive_col: pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(gl_parts) == 0:
+        out_schema = pa.schema(
+            [(c, pa.string()) for c in quasi_cols] + TCLOSE_SCHEMA_SUFFIX
+        )
+        return ray.data.from_arrow(out_schema.empty_table())
+    gl = gl_parts.groupby(sensitive_col, sort=False, dropna=False)["n"].sum()
+    if len(gl) > driver_max_categories:
+        raise ValueError(
+            f"sensitive domain {len(gl)} exceeds driver_max_categories — "
+            "t-closeness needs a categorical sensitive column"
+        )
+    n_c = {str(k): int(v) for k, v in gl.items()}
+    n_total = int(gl.sum())
+    nc_ref = _ray.put(n_c)
+
+    out_schema = pa.schema(
+        [(c, pa.string()) for c in quasi_cols] + TCLOSE_SCHEMA_SUFFIX
+    )
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in quasi_cols})
+            out["__sv"] = pd.Series([], dtype="object")
+            out["__cnt"] = pd.Series([], dtype="int64")
+            return out
+        g = b.copy()
+        if "__sv" not in g.columns:
+            g["__sv"] = g[sensitive_col].astype(str)
+        for c in quasi_cols:
+            g[c] = g[c].astype(str)
+        if "__cnt" in g.columns:
+            return g.groupby(quasi_cols + ["__sv"], as_index=False, sort=False,
+                             dropna=False)["__cnt"].sum()
+        return (
+            g.groupby(quasi_cols + ["__sv"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="__cnt")
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        nc = _ray.get(nc_ref) if isinstance(nc_ref, _ray.ObjectRef) else nc_ref
+        agg = g.groupby(quasi_cols + ["__sv"], as_index=False, sort=False,
+                        dropna=False)["__cnt"].sum()
+        ncv = agg["__sv"].map(nc).fillna(0).astype("int64").to_numpy()
+        ngc = agg["__cnt"].to_numpy().astype(np.int64)
+        sizes = agg.groupby(quasi_cols, sort=False, dropna=False)["__cnt"].transform("sum").to_numpy().astype(np.int64)
+        term = np.abs(ngc * n_total - ncv * sizes) - ncv * sizes
+        agg = agg.assign(__term=term, __ng=sizes)
+        per = agg.groupby(quasi_cols, as_index=False, sort=False, dropna=False).agg(
+            n_rows=("__cnt", "sum"), s_part=("__term", "sum"), n_g=("__ng", "max")
+        )
+        n_g = per["n_g"].to_numpy().astype(np.int64)
+        s = per["s_part"].to_numpy().astype(np.int64) + n_g * n_total
+        per["tclose_milli"] = (500 * s) // (n_g * n_total)
+        per["t_ok"] = per["tclose_milli"] <= t_milli
+        per["n_rows"] = per["n_rows"].astype("int64")
+        per["tclose_milli"] = per["tclose_milli"].astype("int64")
+        return per[quasi_cols + ["n_rows", "tclose_milli", "t_ok"]]
+
+    return bucketed_reduce(
+        ds.select_columns(cols),
+        quasi_cols,
+        _reduce,
+        out_schema,
+        combiner=_comb,
+        num_buckets=num_buckets,
+    )
