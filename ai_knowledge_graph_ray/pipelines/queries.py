@@ -2878,6 +2878,53 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_link_densest_subgraph(sf_dir: str):
+    """2(1+eps)-approximate densest subgraph of the raw-html link
+    graph (batched greedy peel, best intermediate snapshot by exact
+    integer cross-multiplied density) — the mutual-link-farm / spam-
+    core extractor. Rows-only (iterative peel is not SQL-expressible);
+    planted-clique recovery and forced-gate equality pinned in
+    tests/test_densest.py."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import densest_subgraph
+    from ..stages.webtext import link_edges
+
+    return densest_subgraph(link_edges(pages_from_documents(sf_dir)))
+
+
+def q_events_twap(sf_dir: str):
+    """Per-user TIME-WEIGHTED average of the event value over
+    irregular samples (step-hold TWAP, exact integer milli-units,
+    microsecond weights) — the aggregation plain averaging gets wrong
+    when sampling is bursty. One key exchange; hash-exact vs a
+    lead()-window SQL twin."""
+    from ..stages.sessions import time_weighted_average
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy().astype(np.int64),
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].to_numpy().astype(np.int64),
+                "value": b["value"].to_numpy(),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "ts_us": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return time_weighted_average(ev, "user_id", "ts_us", "event_id", "value")
+
+
 def q_orders_t_closeness(sf_dir: str):
     """T-closeness audit per customer over order priorities — the
     distributional governance check l-diversity misses (l distinct
@@ -6894,6 +6941,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "orders_l_diversity": q_orders_l_diversity,
     "orders_t_closeness": q_orders_t_closeness,
+    "events_twap": q_events_twap,
+    "link_densest_subgraph": q_link_densest_subgraph,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
@@ -7360,6 +7409,26 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "events_twap": """
+        WITH s AS (
+          SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+                 CAST(round(value * 1000) AS BIGINT) AS vm, event_id
+          FROM events
+        ),
+        d AS (
+          SELECT user_id, vm,
+                 lead(tus) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) - tus AS dt
+          FROM s
+        )
+        SELECT user_id,
+               CAST(count(dt) AS BIGINT) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS total_us,
+               CAST(sum(vm * dt) // sum(dt) AS BIGINT) AS twap_milli
+        FROM d WHERE dt IS NOT NULL
+        GROUP BY user_id
+        HAVING sum(dt) > 0
     """,
     "orders_t_closeness": """
         WITH g AS MATERIALIZED (
