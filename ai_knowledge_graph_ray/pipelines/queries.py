@@ -2878,6 +2878,20 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_link_bowtie(sf_dir: str):
+    """Bow-tie decomposition of the raw-html web graph (Broder et
+    al.): core / in / out / other per node, with the core found as the
+    deterministic pivot's forward-and-backward reachability — two
+    set-BFS sweeps, never all-pairs co-reachability. Hash-exact vs a
+    twin built from two recursive-CTE closures over the same pivot
+    rule (fourth recursive-CTE oracle in the registry)."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import bowtie_regions
+    from ..stages.webtext import link_edges
+
+    return bowtie_regions(link_edges(pages_from_documents(sf_dir)))
+
+
 def q_link_densest_subgraph(sf_dir: str):
     """2(1+eps)-approximate densest subgraph of the raw-html link
     graph (batched greedy peel, best intermediate snapshot by exact
@@ -6943,6 +6957,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_t_closeness": q_orders_t_closeness,
     "events_twap": q_events_twap,
     "link_densest_subgraph": q_link_densest_subgraph,
+    "link_bowtie": q_link_bowtie,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
@@ -7409,6 +7424,44 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "link_bowtie": f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        outd AS MATERIALIZED (
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+          FROM e GROUP BY src
+        ),
+        ind AS MATERIALIZED (
+          SELECT dst AS node, CAST(count(*) AS BIGINT) AS idg
+          FROM e GROUP BY dst
+        ),
+        pv AS MATERIALIZED (
+          SELECT n.node
+          FROM (SELECT node FROM outd UNION SELECT node FROM ind) n
+          LEFT JOIN outd o ON n.node = o.node
+          LEFT JOIN ind i ON n.node = i.node
+          ORDER BY least(coalesce(o.od, 0), coalesce(i.idg, 0)) DESC,
+                   n.node ASC
+          LIMIT 1
+        ),
+        fwd(t) AS (
+          SELECT node FROM pv
+          UNION
+          SELECT e.dst FROM fwd JOIN e ON e.src = fwd.t
+        ),
+        bwd(t) AS (
+          SELECT node FROM pv
+          UNION
+          SELECT e.src FROM bwd JOIN e ON e.dst = bwd.t
+        )
+        SELECT u.node,
+               CASE WHEN f.t IS NOT NULL AND b.t IS NOT NULL THEN 'core'
+                    WHEN f.t IS NOT NULL THEN 'out'
+                    WHEN b.t IS NOT NULL THEN 'in'
+                    ELSE 'other' END AS region
+        FROM (SELECT node FROM outd UNION SELECT node FROM ind) u
+        LEFT JOIN fwd f ON u.node = f.t
+        LEFT JOIN bwd b ON u.node = b.t
     """,
     "events_twap": """
         WITH s AS (
