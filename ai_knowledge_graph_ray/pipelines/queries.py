@@ -2878,6 +2878,29 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_doc_originality(sf_dir: str):
+    """Per-document text-reuse originality: permille of the doc's
+    distinct 3-grams whose FIRST corpus occurrence (min doc id) is
+    this document — 'who said it first', the complement of
+    doc_novelty's 'is it unique'. Same gram rule as the overlap
+    family; hash-exact vs a min-per-gram SQL twin."""
+    from ..stages.dedup import originality_scores
+
+    return originality_scores(_docs(sf_dir), k=3)
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Directed reciprocity of the web-link graph (permille of
+    distinct non-loop edges whose reverse exists) — one canonical-pair
+    exchange, two-bit presence test per group. Hash-exact vs a
+    self-join twin."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import reciprocity
+    from ..stages.webtext import link_edges
+
+    return reciprocity(link_edges(pages_from_documents(sf_dir)))
+
+
 def q_link_bowtie(sf_dir: str):
     """Bow-tie decomposition of the raw-html web graph (Broder et
     al.): core / in / out / other per node, with the core found as the
@@ -6958,6 +6981,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_twap": q_events_twap,
     "link_densest_subgraph": q_link_densest_subgraph,
     "link_bowtie": q_link_bowtie,
+    "link_reciprocity": q_link_reciprocity,
+    "doc_originality": q_doc_originality,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
@@ -7424,6 +7449,52 @@ from ..stages.fuzzy import soundex_sql_expr as _sdx
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "doc_originality": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS g
+          FROM toks WHERE len(ws) > 0 AND len(ws) < 3
+        ),
+        firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM grams GROUP BY doc_id)
+        SELECT s.doc_id, s.n_grams,
+               CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first_seen,
+               CAST(coalesce(f.n_first, 0) * 1000 // s.n_grams AS BIGINT)
+                 AS originality_milli
+        FROM sizes s
+        LEFT JOIN (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_first
+          FROM grams g JOIN firsts fs ON g.g = fs.g
+          WHERE g.doc_id = fs.first_doc
+          GROUP BY g.doc_id
+        ) f ON s.doc_id = f.doc_id
+    """,
+    "link_reciprocity": f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL})
+          WHERE src <> dst
+        ),
+        r AS (
+          SELECT count(*) AS n_edges,
+                 sum(CASE WHEN EXISTS (SELECT 1 FROM e x
+                                       WHERE x.src = e.dst AND x.dst = e.src)
+                     THEN 1 ELSE 0 END) AS n_rec
+          FROM e
+        )
+        SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_rec AS BIGINT) AS n_reciprocal,
+               CAST(CASE WHEN n_edges > 0 THEN n_rec * 1000 // n_edges
+                         ELSE 0 END AS BIGINT) AS reciprocity_milli
+        FROM r
     """,
     "link_bowtie": f"""
         WITH RECURSIVE e AS MATERIALIZED ({_LINK_EDGES_SQL}),

@@ -1363,3 +1363,160 @@ def novelty_scores(
         combiner=_doc_comb,
         num_buckets=num_buckets,
     )
+
+
+ORIGINALITY_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_first_seen", pa.int64()),
+        ("originality_milli", pa.int64()),
+    ]
+)
+
+
+def originality_scores(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document originality: the per-mille share of the doc's
+    distinct word-``k``-grams whose FIRST corpus occurrence (minimum
+    doc id — the ingestion-order attribution) is this document. The
+    text-reuse complement of :func:`novelty_scores`: novelty asks "is
+    this gram unique", originality asks "who said it first" — a late
+    crawl of syndicated content scores near zero here while still
+    scoring mid on novelty.
+
+    Same scale shape as novelty: distinct (gram, doc) explode (shared
+    ``_gram_set`` so the SQL twin shares the gram rule), gram-keyed
+    MIN-doc reduce, df joined back on the gram hash (64-bit hash rides
+    only in the shared join-key column), one doc-keyed sum."""
+    from .infer import bucketed_reduce, sanitize_for_join
+    from .relational import cogroup_join
+
+    pair_schema = pa.schema(
+        [("gram", pa.uint64()), (id_col, pa.int64()), ("n_grams", pa.int64())]
+    )
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ghs, ns = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            grams = _gram_set(text, k)
+            if not grams:
+                continue
+            gh = _hash_strs(list(grams))
+            ids.append(np.full(len(gh), doc_id, dtype=np.int64))
+            ghs.append(gh)
+            ns.append(np.full(len(gh), len(grams), dtype=np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series([], dtype="uint64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "gram": np.concatenate(ghs),
+                id_col: np.concatenate(ids),
+                "n_grams": np.concatenate(ns),
+            }
+        )
+
+    pairs = sanitize_for_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _explode, batch_format="pandas"
+        ),
+        pair_schema,
+    ).materialize()
+
+    first_schema = pa.schema([("gram", pa.uint64()), ("first_doc", pa.int64())])
+
+    def _min_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "gram" not in b.columns:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype="uint64"),
+                 "first_doc": pd.Series([], dtype="int64")}
+            )
+        if "first_doc" not in b.columns:
+            b = pd.DataFrame(
+                {"gram": b["gram"].to_numpy(), "first_doc": b[id_col].to_numpy()}
+            )
+        return b.groupby("gram", as_index=False, sort=False)["first_doc"].min()
+
+    firsts = bucketed_reduce(
+        pairs.map_batches(
+            lambda b: b[["gram", id_col]] if len(b) else b, batch_format="pandas"
+        ),
+        ["gram"],
+        _min_comb,
+        first_schema,
+        combiner=_min_comb,
+        num_buckets=num_buckets,
+    )
+
+    joined = cogroup_join(
+        pairs,
+        firsts,
+        on=["gram"],
+        how="inner",
+        left_schema=pair_schema,
+        right_schema=first_schema,
+        num_buckets=num_buckets,
+    )
+
+    def _per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return ORIGINALITY_SCHEMA.empty_table().to_pandas()
+        g = g.assign(
+            fs=(g[id_col].to_numpy() == g["first_doc"].to_numpy()).astype(np.int64)
+        )
+        out = g.groupby([id_col, "n_grams"], as_index=False, sort=False)["fs"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out[id_col].astype("int64"),
+                "n_grams": out["n_grams"].astype("int64"),
+                "n_first_seen": out["fs"].astype("int64"),
+                "originality_milli": (
+                    out["fs"].astype("int64") * 1000 // out["n_grams"].astype("int64")
+                ),
+            }
+        )
+
+    def _doc_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        if "fs" not in b.columns:
+            b = b.assign(
+                fs=(b[id_col].to_numpy() == b["first_doc"].to_numpy()).astype(
+                    np.int64
+                )
+            )[[id_col, "n_grams", "fs"]]
+        return b.groupby([id_col, "n_grams"], as_index=False, sort=False)["fs"].sum()
+
+    def _doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([id_col, "n_grams"], as_index=False, sort=False)["fs"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out[id_col].astype("int64"),
+                "n_grams": out["n_grams"].astype("int64"),
+                "n_first_seen": out["fs"].astype("int64"),
+                "originality_milli": (
+                    out["fs"].astype("int64") * 1000 // out["n_grams"].astype("int64")
+                ),
+            }
+        )
+
+    return bucketed_reduce(
+        joined,
+        [id_col],
+        _doc_sum,
+        ORIGINALITY_SCHEMA,
+        combiner=_doc_comb,
+        num_buckets=num_buckets,
+    )

@@ -6550,3 +6550,83 @@ def bowtie_regions(
         ),
         BOWTIE_SCHEMA,
     )
+
+
+RECIP_SCHEMA = pa.schema(
+    [
+        ("n_edges", pa.int64()),
+        ("n_reciprocal", pa.int64()),
+        ("reciprocity_milli", pa.int64()),
+    ]
+)
+
+
+def reciprocity(
+    edges: ray.data.Dataset,
+    *,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """One-row directed-graph reciprocity: the fraction (integer
+    permille) of distinct non-self-loop directed edges whose reverse
+    edge also exists — the mutual-linking signal that separates
+    social/link-exchange graphs from citation-like DAGs. One bucketed
+    exchange keyed on the CANONICAL pair (min, max): each group holds
+    both directions of at most one pair, so presence/reciprocity is a
+    two-bit test; the residue is one partial row per reduce block."""
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "bit": pd.Series(dtype="int64"),
+                }
+            )
+        if "bit" in b.columns:
+            return b.drop_duplicates()
+        s = b["src"].astype(str).to_numpy()
+        d = b["dst"].astype(str).to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        bit = np.where(s < d, 1, 2).astype(np.int64)
+        return pd.DataFrame({"a": lo, "b": hi, "bit": bit}).drop_duplicates()
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_edges": pd.Series(dtype="int64"),
+                 "n_recip": pd.Series(dtype="int64")}
+            )
+        # bits are distinct per (a, b) after dedup, so SUM == OR
+        agg = g.drop_duplicates().groupby(["a", "b"], sort=False)["bit"].sum()
+        m = agg.to_numpy()
+        n_dir = int((m == 1).sum() + (m == 2).sum() + 2 * (m == 3).sum())
+        n_rec = int(2 * (m == 3).sum())
+        return pd.DataFrame({"n_edges": [n_dir], "n_recip": [n_rec]})
+
+    from .infer import bucketed_reduce
+
+    parts = bucketed_reduce(
+        edges.select_columns(["src", "dst"]).map_batches(
+            _pairs, batch_format="pandas"
+        ),
+        ["a", "b"],
+        _count,
+        pa.schema([("n_edges", pa.int64()), ("n_recip", pa.int64())]),
+        combiner=_pairs,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    n_edges = int(parts["n_edges"].sum()) if len(parts) else 0
+    n_rec = int(parts["n_recip"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_reciprocal": pd.Series([n_rec], dtype="int64"),
+            "reciprocity_milli": pd.Series(
+                [(n_rec * 1000) // n_edges if n_edges else 0], dtype="int64"
+            ),
+        }
+    )
