@@ -2878,6 +2878,31 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_lang_confusion(sf_dir: str):
+    """Confusion matrix of the language-ID heuristic vs the stored
+    labels — classifier evaluation as a query (prediction and truth
+    share the row: map-side cells + one tiny grouped sum, no join).
+    Hash-exact: the SQL twin recomputes the identical prediction."""
+    from ..stages.text_analysis import lang_confusion
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    return lang_confusion(docs)
+
+
+def q_lang_kappa(sf_dir: str):
+    """Cohen's kappa of the language-ID heuristic as exact integers
+    (numerator/denominator — no division, so negative-kappa dialect
+    traps never arise). Hash-exact vs a marginals twin."""
+    from ..stages.text_analysis import kappa_from_confusion, lang_confusion
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    return kappa_from_confusion(lang_confusion(docs))
+
+
 def q_doc_originality(sf_dir: str):
     """Per-document text-reuse originality: permille of the doc's
     distinct 3-grams whose FIRST corpus occurrence (min doc id) is
@@ -6983,6 +7008,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_bowtie": q_link_bowtie,
     "link_reciprocity": q_link_reciprocity,
     "doc_originality": q_doc_originality,
+    "lang_confusion": q_lang_confusion,
+    "lang_kappa": q_lang_kappa,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
     "media_wav_spectrogram": q_media_wav_spectrogram,
@@ -7446,9 +7473,44 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 
 from ..stages.fuzzy import soundex_sql_expr as _sdx
 
+_LANG_PRED_CASE = f"""CASE
+                 WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0 AND {_lang_count('fr')} = 0 THEN 'und'
+                 WHEN {_lang_count('en')} >= {_lang_count('de')} AND {_lang_count('en')} >= {_lang_count('fr')} THEN 'en'
+                 WHEN {_lang_count('de')} >= {_lang_count('fr')} THEN 'de'
+                 ELSE 'fr'
+               END"""
+
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "lang_confusion": f"""
+        SELECT {_LANG_PRED_CASE} AS lang_pred, lang AS lang_true,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    """,
+    "lang_kappa": f"""
+        WITH conf AS MATERIALIZED (
+          SELECT {_LANG_PRED_CASE} AS p, lang AS t,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN p = t THEN n ELSE 0 END) AS BIGINT)
+                         AS agree
+                FROM conf),
+        rows_m AS (SELECT p AS l, CAST(sum(n) AS BIGINT) AS r FROM conf GROUP BY p),
+        cols_m AS (SELECT t AS l, CAST(sum(n) AS BIGINT) AS c FROM conf GROUP BY t),
+        marg AS (
+          SELECT CAST(sum(coalesce(r.r, 0) * coalesce(c.c, 0)) AS BIGINT) AS m
+          FROM (SELECT l FROM rows_m UNION SELECT l FROM cols_m) u
+          LEFT JOIN rows_m r ON u.l = r.l
+          LEFT JOIN cols_m c ON u.l = c.l
+        )
+        SELECT t.n AS n_total, t.agree AS n_agree,
+               CAST(t.n * t.agree - m.m AS BIGINT) AS kappa_num,
+               CAST(t.n * t.n - m.m AS BIGINT) AS kappa_den
+        FROM tot t, marg m
     """,
     "doc_originality": """
         WITH toks AS (

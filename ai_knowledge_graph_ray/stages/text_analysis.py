@@ -303,3 +303,99 @@ def charset_profile(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pandas")
+
+
+CONFUSION_SCHEMA = pa.schema(
+    [("lang_pred", pa.string()), ("lang_true", pa.string()), ("n", pa.int64())]
+)
+KAPPA_SCHEMA = pa.schema(
+    [
+        ("n_total", pa.int64()),
+        ("n_agree", pa.int64()),
+        ("kappa_num", pa.int64()),
+        ("kappa_den", pa.int64()),
+    ]
+)
+
+
+def lang_confusion(
+    ds: ray.data.Dataset,
+    *,
+    truth_col: str = "lang",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Confusion matrix of the stopword-marker language heuristic
+    against the stored labels — the evaluation loop every classifier
+    stage needs. The prediction and the truth ride the SAME row, so
+    this is map-side counting plus one tiny grouped sum (no join)."""
+    from .infer import normalize_blocks
+    from ..stages.relational import grouped_sums
+
+    regexes = {lang: _marker_re(lang) for lang in LANG_MARKERS}
+
+    def _cells(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "lang_pred": pd.Series(dtype="object"),
+                    "lang_true": pd.Series(dtype="object"),
+                    "one": pd.Series(dtype="int64"),
+                }
+            )
+        low = batch["text"].fillna("").str.lower()
+        counts = {lang: low.str.count(rx) for lang, rx in regexes.items()}
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        pred = np.where(
+            (en == 0) & (de == 0) & (fr == 0),
+            "und",
+            np.where((en >= de) & (en >= fr), "en", np.where(de >= fr, "de", "fr")),
+        )
+        return pd.DataFrame(
+            {
+                "lang_pred": pred,
+                "lang_true": batch[truth_col].astype(str).to_numpy(),
+                "one": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    cells = ds.select_columns([id_col, "text", truth_col]).map_batches(
+        _cells, batch_format="pandas"
+    )
+    return normalize_blocks(
+        grouped_sums(cells, ["lang_pred", "lang_true"], {"n": "one"}),
+        CONFUSION_SCHEMA,
+    )
+
+
+def kappa_from_confusion(conf: ray.data.Dataset) -> pd.DataFrame:
+    """Cohen's kappa from a confusion matrix as EXACT INTEGERS —
+    ``kappa = kappa_num / kappa_den`` with ``kappa_num = N*agree -
+    Σ_k row_k*col_k`` and ``kappa_den = N² - Σ_k row_k*col_k`` (no
+    division, so negative-kappa floor-vs-truncate dialect traps never
+    arise). The matrix is labels² rows by construction — collecting it
+    is the definition of small."""
+    df = conf.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "n_total": pd.Series([0], dtype="int64"),
+                "n_agree": pd.Series([0], dtype="int64"),
+                "kappa_num": pd.Series([0], dtype="int64"),
+                "kappa_den": pd.Series([0], dtype="int64"),
+            }
+        )
+    n = int(df["n"].sum())
+    agree = int(df.loc[df["lang_pred"] == df["lang_true"], "n"].sum())
+    rows = df.groupby("lang_pred")["n"].sum()
+    cols = df.groupby("lang_true")["n"].sum()
+    labels = set(rows.index) | set(cols.index)
+    marg = sum(int(rows.get(l, 0)) * int(cols.get(l, 0)) for l in labels)
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([n], dtype="int64"),
+            "n_agree": pd.Series([agree], dtype="int64"),
+            "kappa_num": pd.Series([n * agree - marg], dtype="int64"),
+            "kappa_den": pd.Series([n * n - marg], dtype="int64"),
+        }
+    )
