@@ -2878,6 +2878,20 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_link_motif_census(sf_dir: str):
+    """Directed triangle motif census of the web-link graph over
+    one-way pairs: cyclic (feedback) vs transitive (hierarchy)
+    triangles — the motif signature separating circulation graphs
+    from DAG-like link structures. Degree-ordered orientation with
+    direction bits riding the wedge/close plan; hash-exact vs a
+    min-corner triple-join twin."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import directed_triangle_census
+    from ..stages.webtext import link_edges
+
+    return directed_triangle_census(link_edges(pages_from_documents(sf_dir)))
+
+
 def q_lang_confusion(sf_dir: str):
     """Confusion matrix of the language-ID heuristic vs the stored
     labels — classifier evaluation as a query (prediction and truth
@@ -7009,6 +7023,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_reciprocity": q_link_reciprocity,
     "doc_originality": q_doc_originality,
     "lang_confusion": q_lang_confusion,
+    "link_motif_census": q_link_motif_census,
     "lang_kappa": q_lang_kappa,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
@@ -7483,6 +7498,33 @@ _LANG_PRED_CASE = f"""CASE
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "link_motif_census": f"""
+        WITH raw AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL}) WHERE src <> dst
+        ),
+        ow AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS dir
+          FROM raw GROUP BY 1, 2 HAVING count(*) = 1
+        ),
+        tri AS (
+          SELECT p1.dir AS d_ab, p2.dir AS d_ac, p3.dir AS d_bc
+          FROM ow p1
+          JOIN ow p2 ON p1.a = p2.a AND p2.b > p1.b
+          JOIN ow p3 ON p3.a = p1.b AND p3.b = p2.b
+        ),
+        cls AS (
+          SELECT CASE WHEN d_ab + d_ac = 1
+                       AND (1 - d_ab) + d_bc = 1
+                       AND (1 - d_ac) + (1 - d_bc) = 1
+                 THEN 1 ELSE 0 END AS cyc
+          FROM tri
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+               CAST(coalesce(sum(cyc), 0) AS BIGINT) AS n_cyclic,
+               CAST(count(*) - coalesce(sum(cyc), 0) AS BIGINT) AS n_transitive
+        FROM cls
     """,
     "lang_confusion": f"""
         SELECT {_LANG_PRED_CASE} AS lang_pred, lang AS lang_true,

@@ -6630,3 +6630,322 @@ def reciprocity(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed triangle motif census (cyclic vs transitive)
+# ---------------------------------------------------------------------------
+
+MOTIF_SCHEMA = pa.schema(
+    [
+        ("n_triangles", pa.int64()),
+        ("n_cyclic", pa.int64()),
+        ("n_transitive", pa.int64()),
+    ]
+)
+
+
+def _census_from_dirs(du_x, du_y, dx_y) -> np.ndarray:
+    """True where the triangle (apex u, pair x, y) is CYCLIC given
+    dir bits (1 = first→second). A directed triangle is cyclic iff
+    every corner has out-degree exactly 1 inside it."""
+    out_u = du_x + du_y
+    out_x = (1 - du_x) + dx_y
+    out_y = (1 - du_y) + (1 - dx_y)
+    return (out_u == 1) & (out_x == 1) & (out_y == 1)
+
+
+def directed_triangle_census_local(
+    edge_list: list[tuple[str, str]]
+) -> pd.DataFrame:
+    """Driver twin: one-way canonical pairs, brute triangle scan,
+    cyclic/transitive classification."""
+    seen: dict[tuple[str, str], int] = {}
+    for s, d in edge_list:
+        s, d = str(s), str(d)
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        bit = 1 if s < d else 2
+        seen[(a, b)] = seen.get((a, b), 0) | bit
+    pairs = {k: v for k, v in seen.items() if v in (1, 2)}
+    adj: dict[str, set] = {}
+    for (a, b) in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = cyc = 0
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in sorted(adj[a]):
+            if b <= a:
+                continue
+            for c in sorted(adj[a] & adj[b]):
+                if c <= b:
+                    continue
+                tri += 1
+                dab = 1 if pairs[(a, b)] == 1 else 0
+                dac = 1 if pairs[(a, c)] == 1 else 0
+                dbc = 1 if pairs[(b, c)] == 1 else 0
+                if _census_from_dirs(
+                    np.array([dab]), np.array([dac]), np.array([dbc])
+                )[0]:
+                    cyc += 1
+    return pd.DataFrame(
+        {
+            "n_triangles": pd.Series([tri], dtype="int64"),
+            "n_cyclic": pd.Series([cyc], dtype="int64"),
+            "n_transitive": pd.Series([tri - cyc], dtype="int64"),
+        }
+    )
+
+
+def directed_triangle_census(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    max_wedges_per_node: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """One-row census of directed triangles over ONE-WAY pairs
+    (reciprocal pairs and self-loops excluded — the classic simple
+    subset of the 16-triad census): how many are CYCLIC (feedback
+    loops) vs TRANSITIVE (hierarchy) — the motif signature separating
+    flow/hierarchy graphs from circulation graphs. Direction bits ride
+    the degree-ordered orientation plan of :func:`triangle_counts`
+    (wedge work O(m^1.5) under skew, per-node wedge cap as the skew
+    defense); the classification is a vectorized out-degree test at
+    the closing join. SQL-oracle-exact (min-corner directed triple
+    joins)."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        pairs = (
+            [] if df.empty or "src" not in df.columns
+            else list(zip(df["src"], df["dst"]))
+        )
+        return directed_triangle_census_local(pairs)
+
+    # one-way canonical pairs with a direction bit
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("dir", pa.int64())]
+    )
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "bit": pd.Series(dtype="int64"),
+                }
+            )
+        if "bit" in b.columns:
+            return b.drop_duplicates()
+        s = b["src"].astype(str).to_numpy()
+        d = b["dst"].astype(str).to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(s, d),
+                "b": np.maximum(s, d),
+                "bit": np.where(s < d, 1, 2).astype(np.int64),
+            }
+        ).drop_duplicates()
+
+    def _oneway(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "dir": pd.Series(dtype="int64"),
+                }
+            )
+        agg = g.drop_duplicates().groupby(["a", "b"], as_index=False, sort=False)[
+            "bit"
+        ].sum()  # distinct bits per pair -> SUM == OR
+        agg = agg[agg["bit"].isin([1, 2])]
+        return pd.DataFrame(
+            {
+                "a": agg["a"],
+                "b": agg["b"],
+                "dir": (agg["bit"] == 1).astype(np.int64),
+            }
+        )
+
+    pairs = sanitize_for_join(
+        bucketed_reduce(
+            edges.map_batches(_canon, batch_format="pandas"),
+            ["a", "b"],
+            _oneway,
+            pair_schema,
+            combiner=_canon,
+            num_buckets=num_buckets,
+        ),
+        pair_schema,
+    ).materialize()
+
+    # degrees over the one-way pair graph
+    deg_rows = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b["a"].combine_chunks().cast(pa.string()),
+                        b["b"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "one": pa.array([1] * (2 * len(b)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    degs = sanitize_for_join(
+        grouped_sums(deg_rows, ["node"], {"deg": "one"}),
+        pa.schema([("node", pa.string()), ("deg", pa.int64())]),
+    )
+
+    # orient each pair from lower (deg, node) to higher; dir_uv = 1
+    # iff the actual edge goes u -> v
+    j1 = cogroup_join(
+        pairs,
+        degs.map_batches(
+            lambda b: pa.table(
+                {"a": b["node"].combine_chunks().cast(pa.string()),
+                 "deg_a": b["deg"].combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["a"],
+        how="inner",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a", pa.string()), ("deg_a", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+    j2 = cogroup_join(
+        sanitize_for_join(
+            j1,
+            pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("dir", pa.int64()),
+                 ("deg_a", pa.int64())]
+            ),
+        ),
+        degs.map_batches(
+            lambda b: pa.table(
+                {"b": b["node"].combine_chunks().cast(pa.string()),
+                 "deg_b": b["deg"].combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["b"],
+        how="inner",
+        left_schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("dir", pa.int64()),
+             ("deg_a", pa.int64())]
+        ),
+        right_schema=pa.schema([("b", pa.string()), ("deg_b", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    oriented_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("deg_v", pa.int64()),
+         ("duv", pa.int64())]
+    )
+
+    def _orient(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="object"), "v": pd.Series(dtype="object"),
+                 "deg_v": pd.Series(dtype="int64"),
+                 "duv": pd.Series(dtype="int64")}
+            )
+        a = b["a"].to_numpy(object)
+        bb = b["b"].to_numpy(object)
+        da = b["deg_a"].to_numpy().astype(np.int64)
+        db = b["deg_b"].to_numpy().astype(np.int64)
+        d = b["dir"].to_numpy().astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < bb))
+        u = np.where(a_first, a, bb)
+        v = np.where(a_first, bb, a)
+        deg_v = np.where(a_first, db, da)
+        duv = np.where(a_first, d, 1 - d)
+        return pd.DataFrame({"u": u, "v": v, "deg_v": deg_v, "duv": duv})
+
+    oriented = sanitize_for_join(
+        j2.map_batches(_orient, batch_format="pandas"), oriented_schema
+    ).materialize()
+
+    wedge_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("dux", pa.int64()),
+         ("duy", pa.int64())]
+    )
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pair_indices_by_size
+
+        g = g.sort_values(["u", "deg_v", "v"], kind="stable")
+        codes = g["u"].to_numpy(object)
+        i, j = _pair_indices_by_size(codes, max_wedges_per_node)
+        v = g["v"].to_numpy(object)
+        duv = g["duv"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"x": v[i], "y": v[j], "dux": duv[i], "duy": duv[j]}
+        )
+
+    wedges = bucketed_reduce(
+        oriented, ["u"], _wedges, wedge_schema, num_buckets=num_buckets
+    )
+
+    edge_marker = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "x": b["u"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "y": b["v"].to_numpy(object) if len(b) else pd.Series([], dtype=object),
+                "dux": pd.Series([-1] * len(b), dtype="int64"),
+                "duy": b["duv"].to_numpy().astype(np.int64)
+                if len(b)
+                else pd.Series([], dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    part_schema = pa.schema([("n_tri", pa.int64()), ("n_cyc", pa.int64())])
+
+    def _close(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["dux"] == -1
+        closed = g[~is_edge].merge(
+            g.loc[is_edge, ["x", "y", "duy"]]
+            .drop_duplicates(["x", "y"])
+            .rename(columns={"duy": "dxy"}),
+            on=["x", "y"],
+            how="inner",
+        )
+        if len(closed) == 0:
+            return pd.DataFrame(
+                {"n_tri": pd.Series(dtype="int64"),
+                 "n_cyc": pd.Series(dtype="int64")}
+            )
+        cyc = _census_from_dirs(
+            closed["dux"].to_numpy(np.int64),
+            closed["duy"].to_numpy(np.int64),
+            closed["dxy"].to_numpy(np.int64),
+        )
+        return pd.DataFrame(
+            {"n_tri": [int(len(closed))], "n_cyc": [int(cyc.sum())]}
+        )
+
+    parts = bucketed_reduce(
+        wedges.union(edge_marker), ["x", "y"], _close, part_schema,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    tri = int(parts["n_tri"].sum()) if len(parts) else 0
+    cyc = int(parts["n_cyc"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_triangles": pd.Series([tri], dtype="int64"),
+            "n_cyclic": pd.Series([cyc], dtype="int64"),
+            "n_transitive": pd.Series([tri - cyc], dtype="int64"),
+        }
+    )
