@@ -2878,6 +2878,38 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_events_markov_eval(sf_dir: str):
+    """Sequence-model evaluation loop as a query: train a global
+    first-order Markov mode predictor on each user's first ~80% of
+    transitions (integer split rule), report accuracy@1 on the rest.
+    Hash-exact vs a row_number/mode SQL twin."""
+    from ..stages.sessions import markov_eval
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy().astype(np.int64),
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].to_numpy().astype(np.int64),
+                "event_type": b["event_type"].to_numpy(),
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "ts_us": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return markov_eval(ev, "user_id", "ts_us", "event_id", "event_type")
+
+
 def q_link_motif_census(sf_dir: str):
     """Directed triangle motif census of the web-link graph over
     one-way pairs: cyclic (feedback) vs transitive (hierarchy)
@@ -7024,6 +7056,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_originality": q_doc_originality,
     "lang_confusion": q_lang_confusion,
     "link_motif_census": q_link_motif_census,
+    "events_markov_eval": q_events_markov_eval,
     "lang_kappa": q_lang_kappa,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
@@ -7498,6 +7531,46 @@ _LANG_PRED_CASE = f"""CASE
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "events_markov_eval": """
+        WITH s AS MATERIALIZED (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) - 1 AS pos,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ),
+        tr AS MATERIALIZED (
+          SELECT s.event_type AS prev, t.event_type AS nxt,
+                 CASE WHEN 5 * t.pos <= 4 * s.n THEN 1 ELSE 0 END AS is_train
+          FROM s JOIN s t ON s.user_id = t.user_id AND t.pos = s.pos + 1
+        ),
+        counts AS (
+          SELECT prev, nxt, count(*) AS n FROM tr WHERE is_train = 1
+          GROUP BY 1, 2
+        ),
+        md AS (
+          SELECT prev, nxt FROM (
+            SELECT prev, nxt,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY n DESC, nxt ASC) AS rn
+            FROM counts) WHERE rn = 1
+        ),
+        test AS (
+          SELECT tr.nxt, m.nxt AS pred
+          FROM tr LEFT JOIN md m ON tr.prev = m.prev
+          WHERE tr.is_train = 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(coalesce(sum(CASE WHEN pred = nxt THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_correct,
+               CAST(coalesce(sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_unpredicted,
+               CAST(CASE WHEN count(*) > 0
+                    THEN coalesce(sum(CASE WHEN pred = nxt THEN 1 ELSE 0 END), 0)
+                         * 1000 // count(*)
+                    ELSE 0 END AS BIGINT) AS acc_milli
+        FROM test
     """,
     "link_motif_census": f"""
         WITH raw AS MATERIALIZED (

@@ -1578,3 +1578,136 @@ def time_weighted_average(
         ),
         TWAP_SCHEMA,
     )
+
+
+MARKOV_EVAL_SCHEMA = pa.schema(
+    [
+        ("n_test", pa.int64()),
+        ("n_correct", pa.int64()),
+        ("n_unpredicted", pa.int64()),
+        ("acc_milli", pa.int64()),
+    ]
+)
+
+
+def markov_eval(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Next-event prediction evaluation: train a global first-order
+    Markov mode predictor on each key's first ~80% of transitions
+    (integer rule: transition i -> i+1 is TRAIN iff 5*(i+1) <= 4*n),
+    evaluate accuracy@1 on the rest — the sequence-model eval loop as
+    one query. Prediction = the most frequent TRAIN successor of the
+    previous state (tie -> lexicographic min successor); unseen
+    previous states count as incorrect but are reported separately.
+
+    One key exchange extracts tagged transitions; train-mode counts
+    group on the (prev, nxt) pair domain; the mode table (bounded by
+    the state-pair domain — small for categorical event types)
+    broadcasts into the test compare. Everything integer; hash-exact
+    vs a row_number/mode SQL twin."""
+    import ray as _ray
+
+    from .infer import bucketed_reduce
+
+    tr_schema = pa.schema(
+        [("prev", pa.string()), ("nxt", pa.string()), ("is_train", pa.int64())]
+    )
+
+    def _transitions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "prev": pd.Series(dtype="object"),
+                    "nxt": pd.Series(dtype="object"),
+                    "is_train": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        keys = g[key_col].to_numpy()
+        st = g[state_col].astype(str).to_numpy()
+        same = keys[1:] == keys[:-1]
+        sizes = g.groupby(key_col, sort=False)[state_col].transform("size").to_numpy()
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        prev = st[:-1][same]
+        nxt = st[1:][same]
+        tgt_pos = (pos[1:][same]).astype(np.int64)
+        n_of_key = sizes[1:][same].astype(np.int64)
+        is_train = (5 * tgt_pos <= 4 * n_of_key).astype(np.int64)
+        return pd.DataFrame({"prev": prev, "nxt": nxt, "is_train": is_train})
+
+    trans = bucketed_reduce(
+        ds.select_columns([key_col, ts_col, id_col, state_col]),
+        [key_col],
+        _transitions,
+        tr_schema,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # global train mode per prev (state-pair domain: small, collect)
+    counts = trans.map_batches(
+        lambda b: b[b["is_train"] == 1]
+        .groupby(["prev", "nxt"], sort=False)
+        .size()
+        .reset_index(name="n")
+        if len(b)
+        else pd.DataFrame(
+            {"prev": pd.Series(dtype="object"), "nxt": pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64")}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(counts):
+        counts = counts.groupby(["prev", "nxt"], as_index=False)["n"].sum()
+        counts = counts.sort_values(
+            ["prev", "n", "nxt"], ascending=[True, False, True], kind="stable"
+        )
+        mode = dict(zip(
+            counts.drop_duplicates("prev")["prev"],
+            counts.drop_duplicates("prev")["nxt"],
+        ))
+    else:
+        mode = {}
+    mode_ref = _ray.put(mode)
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"n_test": pd.Series(dtype="int64"),
+             "n_correct": pd.Series(dtype="int64"),
+             "n_unpred": pd.Series(dtype="int64")}
+        )
+        if len(b) == 0:
+            return empty
+        t = b[b["is_train"] == 0]
+        if len(t) == 0:
+            return empty
+        m = _ray.get(mode_ref) if isinstance(mode_ref, _ray.ObjectRef) else mode_ref
+        pred = t["prev"].map(m)
+        return pd.DataFrame(
+            {
+                "n_test": [int(len(t))],
+                "n_correct": [int((pred == t["nxt"]).sum())],
+                "n_unpred": [int(pred.isna().sum())],
+            }
+        )
+
+    parts = trans.map_batches(_score, batch_format="pandas").to_pandas()
+    n_test = int(parts["n_test"].sum()) if len(parts) else 0
+    n_corr = int(parts["n_correct"].sum()) if len(parts) else 0
+    n_unp = int(parts["n_unpred"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([n_test], dtype="int64"),
+            "n_correct": pd.Series([n_corr], dtype="int64"),
+            "n_unpredicted": pd.Series([n_unp], dtype="int64"),
+            "acc_milli": pd.Series(
+                [(n_corr * 1000) // n_test if n_test else 0], dtype="int64"
+            ),
+        }
+    )
