@@ -2878,6 +2878,71 @@ def q_orders_l_diversity(sf_dir: str):
     )
 
 
+def q_link_domain_modularity(sf_dir: str):
+    """Newman modularity (exact rational q_num/q_den) of the
+    partition-by-host over the web-link graph — how well domains
+    explain the link structure. The partition rule is shared between
+    the Ray side and the SQL twin (regexp host extraction), so the
+    whole metric is hash-exact."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import modularity_report
+    from ..stages.webtext import link_edges
+
+    edges = link_edges(pages_from_documents(sf_dir)).materialize()
+
+    def _hosts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"),
+                 "community": pd.Series(dtype="object")}
+            )
+        nodes = pd.unique(
+            np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])
+        )
+        ser = pd.Series(nodes)
+        host = ser.str.extract(r"https?://([^/]+)/", expand=False).fillna("")
+        return pd.DataFrame({"node": nodes, "community": host.to_numpy()})
+
+    # distinct node -> host labels (host is a pure function of the
+    # node string, so cross-block duplicates agree; dedup them)
+    from ..stages.infer import bucketed_reduce
+
+    labels = bucketed_reduce(
+        edges.map_batches(_hosts, batch_format="pandas"),
+        ["node"],
+        lambda b: b.drop_duplicates("node") if len(b) else b,
+        pa.schema([("node", pa.string()), ("community", pa.string())]),
+        combiner=lambda b: b.drop_duplicates("node") if len(b) else b,
+    )
+    return modularity_report(edges, labels)
+
+
+def q_link_lpa_modularity(sf_dir: str):
+    """Modularity of the LPA community partition over the web-link
+    graph — the quality score for the detector's own output (compare
+    against link_domain_modularity to see how much structure LPA
+    recovers beyond the domain prior). Rows-only (LPA is not
+    SQL-expressible); the modularity arithmetic itself is pinned
+    oracle-exact by link_domain_modularity and by hand-graph tests."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import label_propagation_communities, modularity_report
+    from ..stages.webtext import link_edges
+
+    edges = link_edges(pages_from_documents(sf_dir)).materialize()
+    comms = label_propagation_communities(edges).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["entity"], "community": b["component"].astype(str)}
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"node": pd.Series(dtype="object"),
+             "community": pd.Series(dtype="object")}
+        ),
+        batch_format="pandas",
+    )
+    return modularity_report(edges, comms)
+
+
 def q_events_markov_eval(sf_dir: str):
     """Sequence-model evaluation loop as a query: train a global
     first-order Markov mode predictor on each user's first ~80% of
@@ -7057,6 +7122,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_confusion": q_lang_confusion,
     "link_motif_census": q_link_motif_census,
     "events_markov_eval": q_events_markov_eval,
+    "link_domain_modularity": q_link_domain_modularity,
+    "link_lpa_modularity": q_link_lpa_modularity,
     "lang_kappa": q_lang_kappa,
     "doc_proximity": q_doc_proximity,
     "small_qty_revenue": q_small_qty_revenue,
@@ -7531,6 +7598,35 @@ _LANG_PRED_CASE = f"""CASE
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "link_domain_modularity": f"""
+        WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        lbl AS MATERIALIZED (
+          SELECT node, regexp_extract(node, 'https?://([^/]+)/', 1) AS c
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        ),
+        tagged AS (
+          SELECT ls.c AS c_src, ld.c AS c_dst
+          FROM e JOIN lbl ls ON e.src = ls.node
+                 JOIN lbl ld ON e.dst = ld.node
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        per AS (
+          SELECT c, CAST(sum(deg) AS BIGINT) AS deg,
+                 CAST(sum(within) AS BIGINT) AS within
+          FROM (
+            SELECT c_src AS c, 1 AS deg, 0 AS within FROM tagged
+            UNION ALL SELECT c_dst, 1, 0 FROM tagged
+            UNION ALL SELECT c_src, 0,
+                             CASE WHEN c_src = c_dst THEN 1 ELSE 0 END
+            FROM tagged
+          ) GROUP BY c
+        )
+        SELECT m.m AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(sum(4 * m.m * p.within - p.deg * p.deg) AS BIGINT) AS q_num,
+               CAST(4 * m.m * m.m AS BIGINT) AS q_den
+        FROM per p, m GROUP BY m.m
     """,
     "events_markov_eval": """
         WITH s AS MATERIALIZED (

@@ -6949,3 +6949,162 @@ def directed_triangle_census(
             "n_transitive": pd.Series([tri - cyc], dtype="int64"),
         }
     )
+
+
+MODULARITY_SCHEMA = pa.schema(
+    [
+        ("n_edges", pa.int64()),
+        ("n_communities", pa.int64()),
+        ("q_num", pa.int64()),
+        ("q_den", pa.int64()),
+    ]
+)
+
+
+def modularity_report(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    *,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Newman modularity of a node partition as an EXACT RATIONAL —
+    ``Q = q_num / q_den`` with ``q_num = Σ_c (4m*e_c - d_c²)`` and
+    ``q_den = 4m²`` — the quality score that makes community outputs
+    comparable across runs (floats never hash-match; the rational
+    does). ``edges`` is an undirected multigraph as ``(src, dst)``
+    rows (each row one edge); ``labels`` is ``(node, community)``;
+    unlabeled endpoints form their own singleton community named by
+    the node.
+
+    Two cogroup joins tag each edge's endpoint communities; one
+    grouped sum yields per-community (within-edges, degree) rows —
+    a residue bounded by the community count, collected and finished
+    in PYTHON INTS (d_c² overflows int64 exactly when the graph is
+    huge, so the final arithmetic is arbitrary-precision — the
+    grouped-OLS discipline)."""
+    from .relational import cogroup_join, grouped_sums
+
+    tagged = edges.select_columns(["src", "dst"])
+    lbl_schema = pa.schema([("node", pa.string()), ("community", pa.string())])
+    labels = sanitize_for_join(
+        labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.string()),
+                    "community": b["community"].combine_chunks().cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lbl_schema,
+    )
+
+    j1 = cogroup_join(
+        sanitize_for_join(
+            tagged.map_batches(
+                lambda b: pd.DataFrame({"node": b["src"], "dst": b["dst"]}),
+                batch_format="pandas",
+            ),
+            pa.schema([("node", pa.string()), ("dst", pa.string())]),
+        ),
+        labels,
+        on=["node"],
+        how="left_outer",
+        left_schema=pa.schema([("node", pa.string()), ("dst", pa.string())]),
+        right_schema=lbl_schema,
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["dst"], "c_src": b["community"].fillna(b["node"])}
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"node": pd.Series(dtype="object"),
+             "c_src": pd.Series(dtype="object")}
+        ),
+        batch_format="pandas",
+    )
+    both = cogroup_join(
+        sanitize_for_join(
+            j1,
+            pa.schema([("node", pa.string()), ("c_src", pa.string())]),
+        ),
+        labels,
+        on=["node"],
+        how="left_outer",
+        left_schema=pa.schema(
+            [("node", pa.string()), ("c_src", pa.string())]
+        ),
+        right_schema=lbl_schema,
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_src": b["c_src"], "c_dst": b["community"].fillna(b["node"])}
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"c_src": pd.Series(dtype="object"),
+             "c_dst": pd.Series(dtype="object")}
+        ),
+        batch_format="pandas",
+    )
+
+    # per-community degree and within-edge partial rows
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"community": pd.Series(dtype="object"),
+                 "deg": pd.Series(dtype="int64"),
+                 "within": pd.Series(dtype="int64")}
+            )
+        deg = pd.concat(
+            [
+                pd.DataFrame({"community": b["c_src"],
+                              "deg": np.ones(len(b), dtype=np.int64),
+                              "within": np.zeros(len(b), dtype=np.int64)}),
+                pd.DataFrame({"community": b["c_dst"],
+                              "deg": np.ones(len(b), dtype=np.int64),
+                              "within": np.zeros(len(b), dtype=np.int64)}),
+                pd.DataFrame(
+                    {
+                        "community": b["c_src"],
+                        "deg": np.zeros(len(b), dtype=np.int64),
+                        "within": (b["c_src"].to_numpy() == b["c_dst"].to_numpy())
+                        .astype(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        return deg.groupby("community", as_index=False, sort=False).sum()
+
+    per_comm = grouped_sums(
+        both.map_batches(_cells, batch_format="pandas"),
+        ["community"],
+        {"deg": "deg", "within": "within"},
+    ).to_pandas()
+
+    m = int(per_comm["deg"].sum()) // 2 if len(per_comm) else 0
+    if m == 0:
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([0], dtype="int64"),
+                "n_communities": pd.Series([0], dtype="int64"),
+                "q_num": pd.Series([0], dtype="int64"),
+                "q_den": pd.Series([0], dtype="int64"),
+            }
+        )
+    q_num = 0
+    for _, row in per_comm.iterrows():
+        q_num += 4 * m * int(row["within"]) - int(row["deg"]) ** 2
+    q_den = 4 * m * m
+    # q_num/q_den may exceed int64 at extreme scale; clamp-report is a
+    # caller decision — here the sandbox ints always fit
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([m], dtype="int64"),
+            "n_communities": pd.Series([len(per_comm)], dtype="int64"),
+            "q_num": pd.Series([q_num], dtype="int64"),
+            "q_den": pd.Series([q_den], dtype="int64"),
+        }
+    )
