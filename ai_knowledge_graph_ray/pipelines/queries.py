@@ -6996,6 +6996,23 @@ def q_top_supplier_revenue(sf_dir: str):
     )
 
 
+def q_doc_budgeted_sample(sf_dir: str):
+    """End-to-end budget application: the max-min-fair water-filling
+    cap T feeds cap_per_group, keeping each source's T smallest doc
+    ids — the curation step that ENFORCES source_budget_quotas.
+    Hash-exact vs a row_number twin sharing the threshold CTEs."""
+    from ..stages.relational import cap_per_group
+    from ..stages.webtext import source_budget_quotas
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+    budget = docs.count() * 3 // 5
+    quotas = source_budget_quotas(docs, "source", budget=budget).to_pandas()
+    t = int(quotas["quota"].max()) if len(quotas) else 0
+    return cap_per_group(docs, "source", "doc_id", t)
+
+
 def q_source_budget_quotas(sf_dir: str):
     """Max-min-fair source budget allocation (water-filling): split a
     global budget of 3/5 of the corpus across sources, every source
@@ -7134,6 +7151,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "shipment_mis": q_shipment_mis,
     "part_soundex": q_part_soundex,
     "source_budget_quotas": q_source_budget_quotas,
+    "doc_budgeted_sample": q_doc_budgeted_sample,
     "returned_item_customers": q_returned_item_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
     "events_autocorr": q_events_autocorr,
@@ -7588,6 +7606,38 @@ _LINK_SPREAD_ORACLE_SQL = f"""
 
 from ..stages.fuzzy import soundex_sql_expr as _sdx
 
+_WATERFILL_THR_SQL = """
+        WITH c AS MATERIALIZED (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(max(n) AS BIGINT) AS mx FROM c),
+        bud AS (SELECT CAST(count(*) * 3 // 5 AS BIGINT) AS b FROM documents),
+        s AS (
+          SELECT n,
+                 row_number() OVER (ORDER BY n, source) - 1 AS j,
+                 CAST(coalesce(sum(n) OVER (ORDER BY n, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prefix,
+                 CAST(lag(n, 1, 0) OVER (ORDER BY n, source) AS BIGINT)
+                   AS prev_n
+          FROM c
+        ),
+        cand AS (
+          SELECT least((b.b - s.prefix) // (t.k - s.j), s.n) AS tc,
+                 CASE WHEN (b.b - s.prefix) // (t.k - s.j) >= s.prev_n
+                      THEN 1 ELSE 0 END AS ok
+          FROM s, tot t, bud b
+        ),
+        thr AS (
+          SELECT CASE WHEN t.total <= b.b THEN t.mx
+                      ELSE coalesce((SELECT max(tc) FROM cand WHERE ok = 1), 0)
+                 END AS T
+          FROM tot t, bud b
+        )"""
+
 _LANG_PRED_CASE = f"""CASE
                  WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0 AND {_lang_count('fr')} = 0 THEN 'und'
                  WHEN {_lang_count('en')} >= {_lang_count('de')} AND {_lang_count('en')} >= {_lang_count('fr')} THEN 'en'
@@ -7881,40 +7931,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, revenue_e4 FROM r
         WHERE revenue_e4 = (SELECT max(revenue_e4) FROM r)
     """,
-    "source_budget_quotas": """
-        WITH c AS MATERIALIZED (
-          SELECT source, CAST(count(*) AS BIGINT) AS n
-          FROM documents GROUP BY source
-        ),
-        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
-                       CAST(count(*) AS BIGINT) AS k,
-                       CAST(max(n) AS BIGINT) AS mx FROM c),
-        bud AS (SELECT CAST(count(*) * 3 // 5 AS BIGINT) AS b FROM documents),
-        s AS (
-          SELECT n,
-                 row_number() OVER (ORDER BY n, source) - 1 AS j,
-                 CAST(coalesce(sum(n) OVER (ORDER BY n, source
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                      AS BIGINT) AS prefix,
-                 CAST(lag(n, 1, 0) OVER (ORDER BY n, source) AS BIGINT)
-                   AS prev_n
-          FROM c
-        ),
-        cand AS (
-          SELECT least((b.b - s.prefix) // (t.k - s.j), s.n) AS tc,
-                 CASE WHEN (b.b - s.prefix) // (t.k - s.j) >= s.prev_n
-                      THEN 1 ELSE 0 END AS ok
-          FROM s, tot t, bud b
-        ),
-        thr AS (
-          SELECT CASE WHEN t.total <= b.b THEN t.mx
-                      ELSE coalesce((SELECT max(tc) FROM cand WHERE ok = 1), 0)
-                 END AS T
-          FROM tot t, bud b
-        )
+    "source_budget_quotas": _WATERFILL_THR_SQL + """
         SELECT c.source, c.n AS n_docs,
                CAST(least(c.n, thr.T) AS BIGINT) AS quota
         FROM c, thr
+    """,
+    "doc_budgeted_sample": _WATERFILL_THR_SQL + """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents), thr
+        WHERE rn <= thr.T
     """,
     "link_wl_classes": _LINK_WL_ORACLE_SQL,
     "link_label_spread": _LINK_SPREAD_ORACLE_SQL,

@@ -81,3 +81,23 @@ class TestQuotas:
             _docs(["x"] * 5 + ["y"] * 3), "source", budget=100
         ).to_pandas()
         assert (out["quota"] == out["n_docs"]).all()
+
+
+class TestBudgetedSample:
+    def test_composite_enforces_quota(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ai_knowledge_graph_ray.pipelines.queries import q_doc_budgeted_sample
+
+        # sources: a x10 (ids 0-9), b x5 (ids 10-14) -> budget 9:
+        # T = 4 (4+4=8 <= 9; 5+5=10 > 9); keep 4 smallest ids each
+        df = pd.DataFrame(
+            {
+                "doc_id": list(range(15)),
+                "source": ["a"] * 10 + ["b"] * 5,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+        out = q_doc_budgeted_sample(str(tmp_path)).to_pandas()
+        got = out.groupby("source")["doc_id"].apply(set).to_dict()
+        assert got == {"a": {0, 1, 2, 3}, "b": {10, 11, 12, 13}}
