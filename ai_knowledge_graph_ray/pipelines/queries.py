@@ -6996,6 +6996,46 @@ def q_top_supplier_revenue(sf_dir: str):
     )
 
 
+def q_doc_systematic_sample(sf_dir: str):
+    """Shuffled systematic sampling: every 20th document in
+    md5(text)-sorted order — the evenly-spaced deterministic sample
+    (md5 order is a reproducible shuffle, so strides cannot align
+    with ingestion order). Exercises the distributed row_number
+    primitive end-to-end; hash-exact vs a row_number twin."""
+    from ..stages.relational import row_positions
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "md5": [
+                    __import__("hashlib").md5(
+                        (t or "").encode()
+                    ).hexdigest()
+                    for t in b["text"]
+                ],
+            }
+        )
+        if len(b)
+        else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "md5": pd.Series(dtype="object")}
+        ),
+        batch_format="pandas",
+    )
+    pos = row_positions(docs, ["md5", "doc_id"])
+    return pos.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b.loc[b["pos"] % 20 == 0, "doc_id"].astype("int64")}
+        )
+        if len(b)
+        else pd.DataFrame({"doc_id": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    )
+
+
 def q_doc_budgeted_sample(sf_dir: str):
     """End-to-end budget application: the max-min-fair water-filling
     cap T feeds cap_per_group, keeping each source's T smallest doc
@@ -7152,6 +7192,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_soundex": q_part_soundex,
     "source_budget_quotas": q_source_budget_quotas,
     "doc_budgeted_sample": q_doc_budgeted_sample,
+    "doc_systematic_sample": q_doc_systematic_sample,
     "returned_item_customers": q_returned_item_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
     "events_autocorr": q_events_autocorr,
@@ -7935,6 +7976,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c.source, c.n AS n_docs,
                CAST(least(c.n, thr.T) AS BIGINT) AS quota
         FROM c, thr
+    """,
+    "doc_systematic_sample": """
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY md5(coalesce(text, '')),
+                                    doc_id) - 1 AS pos
+          FROM documents)
+        WHERE pos % 20 = 0
     """,
     "doc_budgeted_sample": _WATERFILL_THR_SQL + """
         SELECT source, doc_id FROM (
