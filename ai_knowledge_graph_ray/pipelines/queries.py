@@ -7140,9 +7140,384 @@ def q_shipment_mst(sf_dir: str):
     return minimum_spanning_forest(li.map_batches(_edges, batch_format="pyarrow"))
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shapes: Q8 market share, Q9 profit-by-nation-year, Q16 supplier
+# counts with NOT-IN, Q20 dominant-share semi-join
+# ---------------------------------------------------------------------------
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per order-year share (bps) of ASIA customers'
+    revenue that was supplied by NATION_2. Plan: lineitem pre-aggregates
+    per orderkey BELOW the one large-large exchange — each order
+    contributes (rev_all, rev_x) where rev_x counts only NATION_2
+    suppliers (supplier->nation is a broadcast dim); orders filter to
+    1996-1997 and to ASIA customers map-side (customer nationkey is
+    broadcast here; the 10^9-customer scale path is a second cogroup
+    join on custkey, same shape as three_way_join); the share is exact
+    integer bps computed on the <= 2-row year residue."""
+    import ray as _ray
+
+    from ..stages.infer import default_num_partitions
+
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    asia_key = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(nat.loc[nat["n_regionkey"] == asia_key, "n_nationkey"].astype(int))
+    target_key = int(nat.loc[nat["n_name"] == "NATION_2", "n_nationkey"].iloc[0])
+    supp_ref = _ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype(np.int64))))
+    asia_cust = set(
+        cust.loc[cust["c_nationkey"].isin(asia_nations), "c_custkey"].astype(int)
+    )
+    cust_ref = _ray.put(np.sort(np.fromiter(asia_cust, dtype=np.int64)))
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _l_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sup = _ray.get(supp_ref) if isinstance(supp_ref, _ray.ObjectRef) else supp_ref
+        s_nat = b["l_suppkey"].map(sup).astype(np.int64).to_numpy()
+        rev = _rev_e4(b)
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "rev_all": rev,
+                "rev_x": np.where(s_nat == target_key, rev, 0),
+            }
+        )
+        return part.groupby("l_orderkey", as_index=False, sort=False).sum()
+
+    l_part = li.map_batches(_l_partial, batch_format="pandas")
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _o_filter(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _ray.get(cust_ref) if isinstance(cust_ref, _ray.ObjectRef) else cust_ref
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        ck = b["o_custkey"].to_numpy()
+        idx = np.searchsorted(keys, ck)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        b = b[keys[idx] == ck] if len(keys) else b.iloc[:0]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].to_numpy(),
+                "o_year": b["o_orderdate"].dt.year.astype(np.int64).to_numpy(),
+            }
+        )
+
+    o_side = orders.map_batches(_o_filter, batch_format="pandas")
+    joined = cogroup_join(
+        l_part, o_side, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+    )
+
+    def _year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series(dtype="int64"),
+                    "rev_x_e4": pd.Series(dtype="int64"),
+                    "rev_all_e4": pd.Series(dtype="int64"),
+                }
+            )
+        out = b.groupby("o_year", as_index=False, sort=False).agg(
+            rev_x_e4=("rev_x", "sum"), rev_all_e4=("rev_all", "sum")
+        )
+        return out.astype({"o_year": "int64"})
+
+    years = (
+        joined.map_batches(_year_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_year", as_index=False)
+        .sum()
+    )
+    years["share_bps"] = (
+        years["rev_x_e4"] * 10000 // years["rev_all_e4"]
+    ).astype("int64")
+    return years.sort_values("o_year").reset_index(drop=True)
+
+
+def q_nation_part_profit(sf_dir: str):
+    """TPC-H Q9 shape: revenue (e4 cents) from parts named like
+    '%blue%' grouped by supplying nation x order year. Plan: the
+    matching partkey set and supplier->nation are broadcast (sorted
+    int arrays; the billion-part scale path is a cogroup join on
+    partkey — same shape as three_way_join); lineitem pre-aggregates
+    per (orderkey, nation) below the one orders exchange that attaches
+    the year."""
+    import ray as _ray
+
+    from ..stages.infer import default_num_partitions
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    blue = np.sort(
+        part.loc[part["p_name"].str.contains("blue"), "p_partkey"].to_numpy(np.int64)
+    )
+    blue_ref = _ray.put(blue)
+    supp_ref = _ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype(np.int64))))
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _l_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _ray.get(blue_ref) if isinstance(blue_ref, _ray.ObjectRef) else blue_ref
+        sup = _ray.get(supp_ref) if isinstance(supp_ref, _ray.ObjectRef) else supp_ref
+        pk = b["l_partkey"].to_numpy()
+        if len(keys):
+            idx = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+            b = b[keys[idx] == pk]
+        else:
+            b = b.iloc[:0]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "s_nationkey": pd.Series(dtype="int64"),
+                    "rev": pd.Series(dtype="int64"),
+                }
+            )
+        part = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "s_nationkey": b["l_suppkey"].map(sup).astype(np.int64).to_numpy(),
+                "rev": _rev_e4(b),
+            }
+        )
+        return part.groupby(["l_orderkey", "s_nationkey"], as_index=False, sort=False).sum()
+
+    l_part = li.map_batches(_l_partial, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def _o_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].to_numpy(),
+                "o_year": b["o_orderdate"].dt.year.astype(np.int64).to_numpy(),
+            }
+        )
+
+    o_side = orders.map_batches(_o_proj, batch_format="pandas")
+    joined = cogroup_join(
+        l_part, o_side, on=["l_orderkey"], how="inner",
+        coalesce=default_num_partitions(),
+    )
+
+    def _name(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(dtype="object"),
+                    "o_year": pd.Series(dtype="int64"),
+                    "rev": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "n_name": b["s_nationkey"].map(nat_names),
+                "o_year": b["o_year"].astype("int64"),
+                "rev": b["rev"].to_numpy(),
+            }
+        )
+
+    named = joined.map_batches(_name, batch_format="pandas")
+    return grouped_sums(named, ["n_name", "o_year"], {"profit_e4": "rev"})
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier count per (p_brand, p_type,
+    p_size) over shipments, excluding Brand#13 parts and suppliers
+    with negative account balance (the NOT-IN side). Plan: distinct
+    (partkey, suppkey) pairs via one bucketed reduce with a map-side
+    drop_duplicates combiner; part attributes and the excluded
+    supplier set are broadcast dims; the final distinct count is a
+    second bucketed reduce keyed on the attribute triple."""
+    import ray as _ray
+
+    from ..stages.infer import bucketed_reduce
+
+    part = pd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64))
+    bad_ref = _ray.put(bad)
+    keep = part[part["p_brand"] != "Brand#13"]
+    attrs_ref = _ray.put(keep.set_index("p_partkey"))
+
+    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ex = _ray.get(bad_ref) if isinstance(bad_ref, _ray.ObjectRef) else bad_ref
+        sk = b["l_suppkey"].to_numpy()
+        if len(ex):
+            idx = np.clip(np.searchsorted(ex, sk), 0, len(ex) - 1)
+            b = b[ex[idx] != sk]
+        return pd.DataFrame(
+            {"p_partkey": b["l_partkey"].to_numpy(), "s_suppkey": b["l_suppkey"].to_numpy()}
+        ).drop_duplicates()
+
+    pair_schema = pa.schema(
+        [pa.field("p_partkey", pa.int64()), pa.field("s_suppkey", pa.int64())]
+    )
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"p_partkey": pd.Series(dtype="int64"), "s_suppkey": pd.Series(dtype="int64")}
+            )
+        return g.drop_duplicates(["p_partkey", "s_suppkey"])
+
+    pairs = bucketed_reduce(
+        li.map_batches(_pairs, batch_format="pandas"),
+        ["p_partkey", "s_suppkey"],
+        _distinct,
+        pair_schema,
+        combiner=_distinct,
+    )
+
+    def _attr(b: pd.DataFrame) -> pd.DataFrame:
+        at = _ray.get(attrs_ref) if isinstance(attrs_ref, _ray.ObjectRef) else attrs_ref
+        b = b[b["p_partkey"].isin(at.index)]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "p_brand": pd.Series(dtype="object"),
+                    "p_type": pd.Series(dtype="object"),
+                    "p_size": pd.Series(dtype="int64"),
+                    "s_suppkey": pd.Series(dtype="int64"),
+                }
+            )
+        sel = at.loc[b["p_partkey"].to_numpy()]
+        return pd.DataFrame(
+            {
+                "p_brand": sel["p_brand"].to_numpy(),
+                "p_type": sel["p_type"].to_numpy(),
+                "p_size": sel["p_size"].astype(np.int64).to_numpy(),
+                "s_suppkey": b["s_suppkey"].to_numpy(),
+            }
+        ).drop_duplicates()
+
+    out_schema = pa.schema(
+        [
+            pa.field("p_brand", pa.string()),
+            pa.field("p_type", pa.string()),
+            pa.field("p_size", pa.int64()),
+            pa.field("supplier_cnt", pa.int64()),
+        ]
+    )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        out = g.groupby(["p_brand", "p_type", "p_size"], as_index=False, sort=False).agg(
+            supplier_cnt=("s_suppkey", "size")
+        )
+        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    return bucketed_reduce(
+        pairs.map_batches(_attr, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size"],
+        _count,
+        out_schema,
+    )
+
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers that shipped a MAJORITY (> 50%) of
+    some part's total 1997 quantity, with how many parts each
+    dominates. Plan: per-(partkey, suppkey) quantity sums via one
+    bucketed reduce with a map-side sum combiner; a second per-partkey
+    reduce computes the part total and flags majority holders (the
+    within-group-share shape — no window function, the whole group sits
+    in one bucket); the per-supplier count is a third tiny reduce.
+    All integer quantities — hash-exact vs a window-SQL twin."""
+    from ..stages.infer import bucketed_reduce
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        out = pd.DataFrame(
+            {
+                "p": b["l_partkey"].to_numpy(),
+                "s": b["l_suppkey"].to_numpy(),
+                "qty": np.rint(b["l_quantity"].to_numpy()).astype(np.int64),
+            }
+        )
+        return out.groupby(["p", "s"], as_index=False, sort=False).sum()
+
+    def _sum_ps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "p": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int64"),
+                    "qty": pd.Series(dtype="int64"),
+                }
+            )
+        return g.groupby(["p", "s"], as_index=False, sort=False).sum()
+
+    ps_schema = pa.schema(
+        [pa.field("p", pa.int64()), pa.field("s", pa.int64()), pa.field("qty", pa.int64())]
+    )
+    ps = bucketed_reduce(
+        li.map_batches(_pre, batch_format="pandas"), ["p", "s"], _sum_ps, ps_schema,
+        combiner=_sum_ps,
+    )
+
+    def _majority(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("p")["qty"].transform("sum")
+        win = g[2 * g["qty"].to_numpy() > tot.to_numpy()]
+        return pd.DataFrame({"s_suppkey": win["s"].to_numpy()})
+
+    s_schema = pa.schema([pa.field("s_suppkey", pa.int64())])
+    winners = bucketed_reduce(ps, ["p"], _majority, s_schema)
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        # idempotent on its own output: combined rows carry n_parts
+        # (branch on the OUTPUT-only column, not the surviving key)
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series(dtype="int64"), "n_parts": pd.Series(dtype="int64")}
+            )
+        if "n_parts" in g.columns:
+            out = g.groupby("s_suppkey", as_index=False, sort=False)["n_parts"].sum()
+        else:
+            out = g.groupby("s_suppkey", as_index=False, sort=False).size().rename(
+                columns={"size": "n_parts"}
+            )
+        return out.astype({"s_suppkey": "int64", "n_parts": "int64"})
+
+    cnt_schema = pa.schema(
+        [pa.field("s_suppkey", pa.int64()), pa.field("n_parts", pa.int64())]
+    )
+    return bucketed_reduce(winners, ["s_suppkey"], _count, cnt_schema, combiner=_count)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
+    "nation_market_share": q_nation_market_share,
+    "nation_part_profit": q_nation_part_profit,
+    "part_supplier_counts": q_part_supplier_counts,
+    "dominant_suppliers": q_dominant_suppliers,
     "supplier_jaccard": q_supplier_jaccard,
     "supplier_waiting": q_supplier_waiting,
     "doc_token_weighted_quantiles": q_doc_token_weighted_quantiles,
@@ -11034,5 +11409,73 @@ ORACLE_SQL: dict[str, str] = {
                  AS winsorized_sum
         FROM v JOIN b USING (grp)
         GROUP BY v.grp, b.lo, b.hi
+    """,
+    "nation_market_share": """
+        WITH li AS (
+            SELECT l_orderkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                   s_nationkey
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        ), o AS (
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+                        THEN rev ELSE 0 END) AS BIGINT) AS rev_x_e4,
+               CAST(sum(rev) AS BIGINT) AS rev_all_e4,
+               CAST(sum(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+                        THEN rev ELSE 0 END) * 10000 // sum(rev) AS BIGINT) AS share_bps
+        FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        GROUP BY o_year
+    """,
+    "nation_part_profit": """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                 AS profit_e4
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%blue%'
+        GROUP BY n_name, o_year
+    """,
+    "part_supplier_counts": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "dominant_suppliers": """
+        WITH ps AS (
+            SELECT l_partkey AS p, l_suppkey AS s,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT s, qty,
+                   CAST(sum(qty) OVER (PARTITION BY p) AS BIGINT) AS t
+            FROM ps
+        )
+        SELECT s AS s_suppkey, count(*) AS n_parts
+        FROM tot WHERE 2 * qty > t GROUP BY s
     """,
 }
