@@ -7511,10 +7511,96 @@ def q_dominant_suppliers(sf_dir: str):
     return bucketed_reduce(winners, ["s_suppkey"], _count, cnt_schema, combiner=_count)
 
 
+# ---------------------------------------------------------------------------
+# Unpivot / ordered string_agg / lagged cross-correlation / calibration
+# ---------------------------------------------------------------------------
+
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT round trip: the per-user wide count pivot melted back
+    to long (user_id, event_type, n) — map-only inverse of
+    pivot_counts, explicit zero cells dropped so the result equals the
+    direct long GROUP BY; hash-exact vs that direct SQL."""
+    from ..stages.relational import pivot_counts, unpivot
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = pivot_counts(ev, "user_id", "event_type", types, key_type=pa.int64())
+    return unpivot(
+        wide,
+        ["user_id"],
+        [f"n_{t}" for t in types],
+        var_name="event_type",
+        value_name="n",
+        var_labels={f"n_{t}": t for t in types},
+        drop_zero=True,
+    )
+
+
+def q_customer_priority_seq(sf_dir: str):
+    """Ordered list aggregation (SQL ``string_agg(... ORDER BY ...)``):
+    per customer, the '|'-joined sequence of their order priorities in
+    (date, orderkey) order — the per-entity event-history string a
+    sequence-model exporter emits. One bucketed exchange of raw rows
+    (global per-key order forbids pre-combining); hash-exact vs the
+    ordered-string_agg twin."""
+    from ..stages.relational import grouped_string_agg
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"]
+    )
+    return grouped_string_agg(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "o_orderpriority",
+        key_fields=[pa.field("o_custkey", pa.int64())],
+        sep="|",
+        out_name="priority_seq",
+    )
+
+
+def q_events_crosscorr(sf_dir: str):
+    """Lead-lag cross-correlation between hourly view and click
+    volumes (lags 0-6h): integer sufficient sums (vc_sum, n_hours) per
+    lag — the "does engagement follow exposure?" probe. Distributed
+    per-hour reduce, then one residue pass bounded by the covered time
+    span; hash-exact vs a lag-join SQL twin."""
+    from ..stages.drift import crosscorr_sums
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"event_type": b["event_type"], "hour": pc.divide(us, 3_600_000_000)}
+        )
+
+    return crosscorr_sums(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        "hour",
+        "event_type",
+        "view",
+        "click",
+    )
+
+
+def q_doc_calibration(sf_dir: str):
+    """Reliability-diagram bins of the english-stopword confidence
+    score vs the lang-ID label (10 integer bins; n, positives, score
+    mass per bin) — exact-integer calibration audit."""
+    from ..stages.text_analysis import calibration_bins
+
+    return calibration_bins(_docs(sf_dir))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
     "nation_market_share": q_nation_market_share,
+    "events_unpivot": q_events_unpivot,
+    "customer_priority_seq": q_customer_priority_seq,
+    "events_crosscorr": q_events_crosscorr,
+    "doc_calibration": q_doc_calibration,
     "nation_part_profit": q_nation_part_profit,
     "part_supplier_counts": q_part_supplier_counts,
     "dominant_suppliers": q_dominant_suppliers,
@@ -11461,6 +11547,57 @@ ORACLE_SQL: dict[str, str] = {
           AND l_suppkey NOT IN
               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "events_unpivot": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               count(*) AS n
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+        GROUP BY user_id, event_type
+    """,
+    "customer_priority_seq": """
+        SELECT o_custkey,
+               string_agg(o_orderpriority, '|'
+                          ORDER BY o_orderdate, o_orderkey) AS priority_seq
+        FROM orders GROUP BY o_custkey
+    """,
+    "events_crosscorr": """
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS v,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c
+            FROM events
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1
+        ), lags AS (
+            SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS lag
+        )
+        SELECT lag,
+               CAST(coalesce(sum(a.v * b.c), 0) AS BIGINT) AS vc_sum,
+               CAST(count(b.hr) AS BIGINT) AS n_hours
+        FROM lags
+        LEFT JOIN h a ON true
+        LEFT JOIN h b ON b.hr = a.hr + lag
+        GROUP BY lag
+    """,
+    "doc_calibration": f"""
+        WITH d AS (
+            SELECT CASE
+                     WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0
+                          AND {_lang_count('fr')} = 0 THEN 0
+                     WHEN {_lang_count('en')} >= {_lang_count('de')}
+                          AND {_lang_count('en')} >= {_lang_count('fr')} THEN 1
+                     ELSE 0
+                   END AS is_en,
+                   least(CAST({_lang_count('en')} AS BIGINT) * 1000
+                         // ({_N_TOKENS_SQL} + 1), 999) AS score_pm
+            FROM documents
+        )
+        SELECT score_pm // 100 AS bin,
+               count(*) AS n_docs,
+               CAST(sum(is_en) AS BIGINT) AS n_pos,
+               CAST(sum(score_pm) AS BIGINT) AS sum_score_pm
+        FROM d GROUP BY 1
     """,
     "dominant_suppliers": """
         WITH ps AS (

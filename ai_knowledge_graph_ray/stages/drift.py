@@ -296,3 +296,105 @@ def autocorr_sums(
         counted, [key_col], _reduce, out_schema,
         combiner=_comb, num_buckets=num_buckets,
     )
+
+
+def crosscorr_sums(
+    ds: ray.data.Dataset,
+    bucket_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    *,
+    lags: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6),
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Lagged cross-correlation sufficient sums between two series
+    sharing an integer time bucket: for each lag k, ``vc_sum = sum_t
+    a(t) * b(t+k)`` and ``n_hours`` = the number of (t, t+k) bucket
+    pairs where BOTH buckets saw >= 1 event of either type (the "does
+    type_b follow type_a?" lead-lag probe). All BIGINT — a float
+    correlation could never hash-match the oracle; the exact r_k is
+    derivable downstream from these sums.
+
+    Two-level: a bucketed per-hour count reduce (distributed — the
+    raw event volume never converges), then one single-bucket reduce
+    over the per-hour residue, which is bounded by the covered TIME
+    SPAN, not by row count (same residue argument as
+    :func:`autocorr_sums` / the sweep-line concurrency op).
+    """
+    def _per_hour_comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or bucket_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    bucket_col: pd.Series(dtype="int64"),
+                    "va": pd.Series(dtype="int64"),
+                    "vb": pd.Series(dtype="int64"),
+                }
+            )
+        if "va" in b.columns:
+            g = b.groupby(bucket_col, as_index=False)[["va", "vb"]].sum()
+        else:
+            b = b[b[type_col].isin([type_a, type_b])]
+            g = pd.DataFrame(
+                {
+                    bucket_col: b[bucket_col].to_numpy(),
+                    "va": (b[type_col] == type_a).astype("int64").to_numpy(),
+                    "vb": (b[type_col] == type_b).astype("int64").to_numpy(),
+                }
+            ).groupby(bucket_col, as_index=False).sum()
+        for c in (bucket_col, "va", "vb"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    hour_schema = pa.schema(
+        [
+            pa.field(bucket_col, pa.int64()),
+            pa.field("va", pa.int64()),
+            pa.field("vb", pa.int64()),
+        ]
+    )
+    hourly = bucketed_reduce(
+        ds.select_columns([bucket_col, type_col]),
+        [bucket_col],
+        _per_hour_comb,
+        hour_schema,
+        combiner=_per_hour_comb,
+        num_buckets=num_buckets,
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("lag", pa.int64()),
+            pa.field("vc_sum", pa.int64()),
+            pa.field("n_hours", pa.int64()),
+        ]
+    )
+
+    def _const(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__one"] = np.zeros(len(b), dtype=np.int64)
+        return b
+
+    def _corr(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(bucket_col, as_index=False)[["va", "vb"]].sum()
+        rows = []
+        for k in lags:
+            shifted = h.assign(__t=h[bucket_col] - int(k))
+            m = h.merge(shifted, left_on=bucket_col, right_on="__t",
+                        suffixes=("", "_r"))
+            rows.append(
+                (
+                    int(k),
+                    int((m["va"] * m["vb_r"]).sum()),
+                    int(len(m)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["lag", "vc_sum", "n_hours"])
+
+    return bucketed_reduce(
+        hourly.map_batches(_const, batch_format="pandas"),
+        ["__one"],
+        lambda g: _corr(g.drop(columns="__one")),
+        out_schema,
+        num_buckets=1,
+    )

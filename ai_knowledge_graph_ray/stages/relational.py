@@ -1037,3 +1037,83 @@ def row_positions(
     if out_schema is not None:
         return normalize_blocks(ranked, out_schema)
     return ranked
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+    var_labels: dict[str, str] | None = None,
+    drop_zero: bool = False,
+) -> ray.data.Dataset:
+    """SQL UNPIVOT / ``pd.melt``: turn one row per key with N value
+    columns back into N rows of ``(id..., var_name, value_name)``.
+    Map-only (zero shuffle) — the inverse of :func:`pivot_counts`;
+    ``var_labels`` renames source columns to output labels (e.g.
+    strips the pivot's ``n_`` prefix) and ``drop_zero`` suppresses the
+    explicit zero cells a count pivot materializes."""
+
+    def _melt(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in id_cols}
+                | {var_name: pd.Series(dtype="object"),
+                   value_name: pd.Series(dtype="int64")}
+            )
+        m = b.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=var_name, value_name=value_name,
+        )
+        if var_labels:
+            m[var_name] = m[var_name].map(var_labels)
+        if drop_zero:
+            m = m[m[value_name] != 0]
+        return m
+
+    return ds.map_batches(_melt, batch_format="pandas")
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    *,
+    key_fields: list[pa.Field],
+    sep: str = "|",
+    out_name: str = "agg",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered list aggregation — SQL ``string_agg(val, sep ORDER BY
+    order_cols)`` per key. One bucketed exchange of the raw
+    ``(key, order, val)`` rows (order must be global per key, so
+    nothing can pre-combine); within each bucket rows sort vectorized
+    once and the join itself is pandas' C-level per-group iteration.
+    ``order_cols`` must be a deterministic total order within every
+    key (include a unique tiebreaker) or the output is
+    layout-dependent. The per-key residue is that key's row count —
+    callers aggregating unbounded-cardinality groups should cap rows
+    per key upstream (``cap_per_group``)."""
+    from .infer import bucketed_reduce
+
+    out_schema = pa.schema(list(key_fields) + [pa.field(out_name, pa.string())])
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + order_cols, kind="stable")
+        out = (
+            g.groupby(key_cols, as_index=False, sort=False)[val_col]
+            .agg(sep.join)
+            .rename(columns={val_col: out_name})
+        )
+        return out
+
+    return bucketed_reduce(
+        ds.select_columns(key_cols + order_cols + [val_col]),
+        key_cols,
+        _reduce,
+        out_schema,
+        num_buckets=num_buckets,
+    )

@@ -399,3 +399,77 @@ def kappa_from_confusion(conf: ray.data.Dataset) -> pd.DataFrame:
             "kappa_den": pd.Series([n * n - marg], dtype="int64"),
         }
     )
+
+
+def calibration_bins(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Reliability-diagram bins for the english-stopword confidence
+    score against the :func:`lang_id` label — the calibration audit a
+    corpus-filter model gets before its threshold is trusted. Score
+    ``score_pm = min(en_markers * 1000 // (n_tokens + 1), 999)`` is an
+    integer per-mille confidence; bin = ``score_pm // 100`` (10 bins);
+    per bin emits ``(bin, n_docs, n_pos, sum_score_pm)`` — all BIGINT
+    so exact calibration gaps/ECE are derivable downstream and the row
+    hash-matches the SQL twin (a float mean never would). Map-side
+    per-block partials (<= 10 rows each), one tiny bucketed sum."""
+    from .infer import bucketed_reduce
+
+    en_re = _marker_re("en")
+    regexes = {lang: _marker_re(lang) for lang in LANG_MARKERS}
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or text_col not in batch.columns:
+            return pd.DataFrame(
+                {
+                    "bin": pd.Series(dtype="int64"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "n_pos": pd.Series(dtype="int64"),
+                    "sum_score_pm": pd.Series(dtype="int64"),
+                }
+            )
+        t = batch[text_col].fillna("")
+        low = t.str.lower()
+        stripped = t.str.strip()
+        n_tok = stripped.str.split().str.len().fillna(0)
+        n_tok = n_tok.where(stripped.str.len() > 0, 0).astype("int64")
+        counts = {lang: low.str.count(rx) for lang, rx in regexes.items()}
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        is_en = ~((en == 0) & (de == 0) & (fr == 0)) & (en >= de) & (en >= fr)
+        score_pm = np.minimum(
+            en.to_numpy(np.int64) * 1000 // (n_tok.to_numpy() + 1), 999
+        )
+        f = pd.DataFrame(
+            {
+                "bin": score_pm // 100,
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "n_pos": is_en.astype("int64").to_numpy(),
+                "sum_score_pm": score_pm,
+            }
+        )
+        return f.groupby("bin", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("bin", as_index=False)[
+            ["n_docs", "n_pos", "sum_score_pm"]
+        ].sum()
+
+    out_schema = pa.schema(
+        [
+            pa.field("bin", pa.int64()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_pos", pa.int64()),
+            pa.field("sum_score_pm", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["bin"],
+        _sum,
+        out_schema,
+        combiner=_sum,
+    )
