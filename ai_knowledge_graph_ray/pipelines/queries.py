@@ -7593,11 +7593,25 @@ def q_doc_calibration(sf_dir: str):
     return calibration_bins(_docs(sf_dir))
 
 
+def q_link_coloring(sf_dir: str):
+    """Greedy graph coloring of the web-link graph (Jones-Plassmann
+    on the splitmix64 node order — conflict-free co-update scheduling
+    over linked pages); rows-only (greedy coloring is not
+    SQL-expressible); properness + driver/distributed gate equivalence
+    pinned in pytest."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import greedy_coloring
+    from ..stages.webtext import link_edges
+
+    return greedy_coloring(link_edges(pages_from_documents(sf_dir)))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
     "nation_market_share": q_nation_market_share,
     "events_unpivot": q_events_unpivot,
+    "link_coloring": q_link_coloring,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,

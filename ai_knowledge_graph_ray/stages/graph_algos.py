@@ -7108,3 +7108,252 @@ def modularity_report(
             "q_den": pd.Series([q_den], dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph coloring (Jones-Plassmann with the derandomized-Luby order)
+# ---------------------------------------------------------------------------
+
+COLOR_SCHEMA = pa.schema([("node", pa.string()), ("color", pa.int64())])
+
+
+def coloring_local(und: pd.DataFrame) -> pd.DataFrame:
+    """Sequential greedy coloring in ``(rank, node)`` order: each node
+    takes the smallest color unused by its already-colored (= lower
+    key) neighbors. The shared driver twin of :func:`greedy_coloring`
+    — the distributed rounds compute EXACTLY this assignment."""
+    if und.empty:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="object"), "color": pd.Series(dtype="int64")}
+        )
+    nodes = pd.Series(
+        pd.unique(pd.concat([und["a"], und["b"]], ignore_index=True))
+    )
+    ranks = dict(zip(nodes, _node_rank(nodes)))
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    colors: dict[str, int] = {}
+    for v in sorted(nodes, key=lambda n: (ranks[n], n)):
+        used = {colors[u] for u in adj.get(v, ()) if u in colors}
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    out = pd.DataFrame(
+        {"node": list(colors.keys()), "color": list(colors.values())}
+    )
+    out["color"] = out["color"].astype("int64")
+    return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+def greedy_coloring(
+    edges: ray.data.Dataset,
+    *,
+    driver_max_edges: int = 2_000_000,
+    max_rounds: int = 200,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic greedy graph coloring over an ``(src, dst)`` edge
+    table — Jones-Plassmann on the splitmix64 ``(rank, node)`` total
+    order: a node colors as soon as ALL its lower-key neighbors are
+    colored, taking the mex of their colors. With a fixed order the
+    parallel rounds equal the sequential greedy of that order (pinned
+    vs :func:`coloring_local`), layout-independent, rounds bounded by
+    the longest decreasing-rank path (O(log n) expected). The classic
+    use is conflict-free scheduling: co-update batches for entities
+    sharing an edge, register allocation over interference graphs.
+
+    Rows-only (greedy coloring is not SQL-expressible); properness +
+    gate equivalence pinned in pytest. COUNT-GATED like
+    :func:`maximal_independent_set`: small edge lists run the twin;
+    over the gate each round is one cogroup-style attach reduce
+    (current colors onto the static lower-adjacency) and one decide
+    reduce — two exchanges per round, state rides as marker rows, no
+    driver residue beyond the per-round uncolored count."""
+    und = sanitize_for_join(
+        undirected_simple_edges(edges, num_buckets=num_buckets), UND_SCHEMA
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(COLOR_SCHEMA.empty_table())
+    if n_edges <= driver_max_edges:
+        return ray.data.from_arrow(
+            pa_from_pandas(coloring_local(und.to_pandas()), COLOR_SCHEMA)
+        )
+
+    # static lower-adjacency: (node, nbr) with key(nbr) < key(node);
+    # ranks are pure functions of the node string — no rank join
+    def _lower(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"), "nbr": pd.Series(dtype="object")}
+            )
+        node = pd.concat([b["a"], b["b"]], ignore_index=True)
+        nbr = pd.concat([b["b"], b["a"]], ignore_index=True)
+        rn, rb = _node_rank(node), _node_rank(nbr)
+        keep = (rb < rn) | ((rb == rn) & (nbr.to_numpy() < node.to_numpy()))
+        return pd.DataFrame({"node": node[keep], "nbr": nbr[keep]})
+
+    adj_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    adj = sanitize_for_join(
+        und.map_batches(_lower, batch_format="pandas"), adj_schema
+    ).materialize()
+
+    universe = sanitize_for_join(
+        bucketed_reduce(
+            und.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": pd.concat([b["a"], b["b"]], ignore_index=True)}
+                ),
+                batch_format="pandas",
+            ),
+            ["node"],
+            lambda g: g.drop_duplicates("node"),
+            pa.schema([("node", pa.string())]),
+            combiner=lambda b: b.drop_duplicates("node") if len(b) else b,
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("node", pa.string())]),
+    )
+
+    state = sanitize_for_join(
+        universe.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "color": np.full(len(b), -1, dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        COLOR_SCHEMA,
+    ).materialize()
+
+    att_schema = pa.schema([("node", pa.string()), ("c", pa.int64())])
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 1]
+        ad = g[g["kind"] == 0]
+        if len(ad) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"), "c": pd.Series(dtype="int64")}
+            )
+        m = ad[["node", "key"]].merge(
+            st[["key", "color"]], on="key", how="left"
+        )
+        return pd.DataFrame(
+            {
+                "node": m["node"].to_numpy(),
+                "c": m["color"].fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    def _decide(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["kind"] == 1][["node", "c"]].rename(columns={"c": "own"})
+        nb = g[g["kind"] == 0][["node", "c"]]
+        out = own.copy()
+        unc = out["own"].to_numpy() < 0
+        if unc.any():
+            cand = nb[nb["node"].isin(out.loc[unc, "node"])]
+            blocked = set(cand.loc[cand["c"] < 0, "node"])
+            cols = cand[cand["c"] >= 0].drop_duplicates().sort_values(
+                ["node", "c"], kind="stable"
+            )
+            pos = cols.groupby("node").cumcount().to_numpy()
+            cvals = cols["c"].to_numpy()
+            gap = cvals != pos
+            mex_gap = (
+                cols.loc[gap]
+                .assign(p=pos[gap])
+                .groupby("node")["p"]
+                .min()
+            )
+            sizes = cols.groupby("node").size()
+            # mex per uncolored node: 0 by default (no colored lower
+            # nbrs), group size when colors form a full prefix, first
+            # gap otherwise; blocked (an uncolored lower nbr) stays -1
+            unc_nodes = out.loc[unc, "node"].to_numpy()
+            mex = pd.Series(np.zeros(len(unc_nodes), dtype=np.int64),
+                            index=unc_nodes)
+            if len(sizes):
+                mex.update(sizes.astype("int64"))
+            if len(mex_gap):
+                mex.update(mex_gap.astype("int64"))
+            if blocked:
+                mex[mex.index.isin(list(blocked))] = -1
+            newly = out["node"].map(mex)
+            out["own"] = np.where(
+                unc, newly.fillna(-1).astype("int64"), out["own"]
+            ).astype("int64")
+        return out.rename(columns={"own": "color"})
+
+    def _n_uncolored(st: ray.data.Dataset) -> int:
+        parts = st.map_batches(
+            lambda b: pd.DataFrame({"n": [int((b["color"] < 0).sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return int(parts["n"].sum()) if len(parts) else 0
+
+    for _ in range(max_rounds):
+        if _n_uncolored(state) == 0:
+            break
+        att_in = adj.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["nbr"],
+                    "node": b["node"],
+                    "color": np.full(len(b), -1, dtype=np.int64),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            state.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "key": b["node"],
+                        "node": b["node"],
+                        "color": b["color"].astype("int64"),
+                        "kind": np.ones(len(b), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        att = sanitize_for_join(
+            bucketed_reduce(att_in, ["key"], _attach, att_schema,
+                            num_buckets=num_buckets),
+            att_schema,
+        )
+        dec_in = att.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "c": b["c"].astype("int64"),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            state.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "c": b["color"].astype("int64"),
+                        "kind": np.ones(len(b), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        state = sanitize_for_join(
+            bucketed_reduce(dec_in, ["node"], _decide, COLOR_SCHEMA,
+                            num_buckets=num_buckets),
+            COLOR_SCHEMA,
+        ).materialize()
+
+    n_unc = _n_uncolored(state)
+    if n_unc:
+        raise RuntimeError(
+            f"greedy_coloring: {n_unc} nodes uncolored after {max_rounds} rounds"
+        )
+    return state
