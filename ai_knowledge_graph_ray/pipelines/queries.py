@@ -7606,12 +7606,49 @@ def q_link_coloring(sf_dir: str):
     return greedy_coloring(link_edges(pages_from_documents(sf_dir)))
 
 
+def q_events_session_paths(sf_dir: str):
+    """Top-20 within-session event-type paths (funnel/path mining) —
+    sessionization + ordered path build fused into one user-keyed
+    reduce, path counts pre-aggregated per bucket, local-top-k merge;
+    deterministic (ts, event_id) order; hash-exact vs a
+    window+string_agg twin."""
+    from ..stages.sessions import session_paths
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return session_paths(ev, gap_minutes=30, top_k=20)
+
+
+def q_doc_oov_rate(sf_dir: str):
+    """Per-document OOV counts vs the corpus top-1000 vocabulary —
+    the tokenizer-budget coverage audit; two-pass broadcast-dictionary
+    shape (distributed term count, capped vocab broadcast once,
+    map-only second pass); hash-exact vs a top-k CTE twin."""
+    from ..stages.text_analysis import oov_rate
+
+    return oov_rate(_docs(sf_dir), vocab_size=1000)
+
+
+def q_doc_auc(sf_dir: str):
+    """Exact integer ROC-AUC (doubled Mann-Whitney U, half-credit
+    ties) of the english-confidence score against the lang-ID label —
+    the filter-model ranking audit next to doc_calibration; bounded
+    score domain makes the cumulative residue <= 1000 rows."""
+    from ..stages.text_analysis import auc_sums
+
+    return auc_sums(_docs(sf_dir))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
     "nation_market_share": q_nation_market_share,
     "events_unpivot": q_events_unpivot,
     "link_coloring": q_link_coloring,
+    "events_session_paths": q_events_session_paths,
+    "doc_oov_rate": q_doc_oov_rate,
+    "doc_auc": q_doc_auc,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -11612,6 +11649,83 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(is_en) AS BIGINT) AS n_pos,
                CAST(sum(score_pm) AS BIGINT) AS sum_score_pm
         FROM d GROUP BY 1
+    """,
+    "events_session_paths": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        paths AS (
+            SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT path, count(*) AS n FROM paths
+        GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+    "doc_oov_rate": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok
+            FROM documents
+        ),
+        v AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks
+                GROUP BY tok ORDER BY n DESC, tok LIMIT 1000
+            )
+        ),
+        per AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN t.tok IN (SELECT tok FROM v)
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+            FROM toks t GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "doc_auc": f"""
+        WITH d AS (
+            SELECT CASE
+                     WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0
+                          AND {_lang_count('fr')} = 0 THEN 0
+                     WHEN {_lang_count('en')} >= {_lang_count('de')}
+                          AND {_lang_count('en')} >= {_lang_count('fr')} THEN 1
+                     ELSE 0
+                   END AS is_en,
+                   least(CAST({_lang_count('en')} AS BIGINT) * 1000
+                         // ({_N_TOKENS_SQL} + 1), 999) AS score_pm
+            FROM documents
+        ),
+        h AS (
+            SELECT score_pm, CAST(sum(is_en) AS BIGINT) AS np,
+                   CAST(count(*) - sum(is_en) AS BIGINT) AS nn
+            FROM d GROUP BY 1
+        ),
+        c AS (
+            SELECT np, nn,
+                   CAST(coalesce(sum(nn) OVER (ORDER BY score_pm
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+            FROM h
+        )
+        SELECT CAST(sum(np * (2 * below + nn)) AS BIGINT) AS auc_num2,
+               CAST(2 * (SELECT sum(np) FROM h)
+                      * (SELECT sum(nn) FROM h) AS BIGINT) AS auc_den2,
+               CAST((SELECT sum(np) FROM h) AS BIGINT) AS n_pos,
+               CAST((SELECT sum(nn) FROM h) AS BIGINT) AS n_neg
+        FROM c
     """,
     "dominant_suppliers": """
         WITH ps AS (

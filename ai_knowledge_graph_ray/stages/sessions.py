@@ -1711,3 +1711,68 @@ def markov_eval(
             ),
         }
     )
+
+
+PATH_SCHEMA = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+
+def session_paths(
+    events: ray.data.Dataset,
+    *,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+    sep: str = ">",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``k`` most common within-session event-type paths (path
+    analysis: "view>view>click>purchase") — sessionization and the
+    ordered path string build in ONE user-keyed reduce (each user's
+    whole history sits in its bucket; the order key is ``(ts,
+    event_id)`` so equal-timestamp events are deterministic), path
+    counts pre-aggregate per bucket, one tiny path-keyed sum, then the
+    per-block local top-k + driver merge (no global sort). Ties break
+    to the lexicographically smallest path."""
+    from .relational import topk_dataset
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _paths(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values([user_col, ts_col, id_col], kind="stable")
+        prev_ts = b.groupby(user_col, sort=False)[ts_col].shift(1)
+        new_session = (b[ts_col] - prev_ts > gap) | prev_ts.isna()
+        sid = new_session.groupby(b[user_col], sort=False).cumsum()
+        paths = (
+            b.assign(__sid=sid)
+            .groupby([user_col, "__sid"], sort=False)[type_col]
+            .agg(sep.join)
+        )
+        vc = paths.value_counts(sort=False)
+        return pd.DataFrame(
+            {"path": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    per_bucket = bucketed_reduce(
+        events.select_columns([user_col, ts_col, id_col, type_col]),
+        [user_col],
+        _paths,
+        PATH_SCHEMA,
+        num_buckets=num_buckets,
+    )
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("path", as_index=False, sort=False)["n"].sum()
+
+    totals = bucketed_reduce(
+        per_bucket, ["path"], _sum, PATH_SCHEMA, combiner=_sum,
+        num_buckets=num_buckets,
+    )
+    return topk_dataset(
+        totals, ["n", "path"], top_k, descending=[True, False],
+        schema=PATH_SCHEMA,
+    )

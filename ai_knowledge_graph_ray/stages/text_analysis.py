@@ -473,3 +473,165 @@ def calibration_bins(
         out_schema,
         combiner=_sum,
     )
+
+
+OOV_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("n_oov", pa.int64()),
+    ]
+)
+
+
+def oov_rate(
+    ds: ray.data.Dataset,
+    *,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document out-of-vocabulary counts against the corpus'
+    top-``vocab_size`` ``\\w+`` tokens (count desc, token asc — the
+    deterministic tokenizer-budget vocabulary): ``(doc_id, n_tokens,
+    n_oov)``. Two-pass broadcast-dictionary shape: pass 1 is the
+    existing distributed term count + local-top-k merge (the vocab is
+    CAPPED, so the driver residue is bounded by construction); the
+    sorted vocab broadcasts once via ``ray.put`` and pass 2 is
+    map-only (np.isin against the sorted array)."""
+    import ray as _ray
+
+    from .relational import topk_dataset
+    from .vocab import term_counts
+
+    vocab_df = topk_dataset(
+        term_counts(ds, text_col), ["n", "token"], vocab_size,
+        descending=[True, False],
+    ).to_pandas()
+    vocab = np.sort(vocab_df["token"].to_numpy(object)) if len(vocab_df) else np.array([], object)
+    vocab_ref = _ray.put(vocab)
+
+    def _count(batch: pd.DataFrame) -> pd.DataFrame:
+        v = _ray.get(vocab_ref) if isinstance(vocab_ref, _ray.ObjectRef) else vocab_ref
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"\w+")
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        flat = (
+            np.concatenate([t for t in toks.to_numpy() if t])
+            if lens.sum()
+            else np.array([], object)
+        )
+        in_vocab = (
+            np.isin(flat, v) if len(flat) else np.array([], bool)
+        )
+        # per-doc slices of the flat token stream: prefix-sum the
+        # in-vocab mask once, difference at the slice bounds (no
+        # per-doc Python)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        cs = np.concatenate([[0], np.cumsum(in_vocab.astype(np.int64))])
+        oov = lens - (cs[ends] - cs[starts])
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_tokens": lens,
+                "n_oov": oov,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pandas"
+    )
+
+
+AUC_SCHEMA = pa.schema(
+    [
+        pa.field("auc_num2", pa.int64()),
+        pa.field("auc_den2", pa.int64()),
+        pa.field("n_pos", pa.int64()),
+        pa.field("n_neg", pa.int64()),
+    ]
+)
+
+
+def auc_sums(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact integer ROC-AUC (doubled Mann-Whitney U with the
+    standard half-credit tie handling) of the english-stopword
+    confidence score against the lang-ID label:
+    ``AUC = auc_num2 / auc_den2`` with ``auc_num2 = sum_s
+    n_pos(s) * (2 * n_neg_below(s) + n_neg(s))`` and ``auc_den2 =
+    2 * P * N`` — all BIGINT, hash-exact vs a window SQL twin. The
+    score domain is BOUNDED (integer per-mille, <= 1000 values), so
+    the per-score histogram reduce is distributed and the cumulative
+    pass runs on a <= 1000-row residue."""
+    from .infer import bucketed_reduce
+
+    en_re = _marker_re("en")
+    regexes = {lang: _marker_re(lang) for lang in LANG_MARKERS}
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or text_col not in batch.columns:
+            return pd.DataFrame(
+                {
+                    "score_pm": pd.Series(dtype="int64"),
+                    "np_": pd.Series(dtype="int64"),
+                    "nn_": pd.Series(dtype="int64"),
+                }
+            )
+        t = batch[text_col].fillna("")
+        low = t.str.lower()
+        stripped = t.str.strip()
+        n_tok = stripped.str.split().str.len().fillna(0)
+        n_tok = n_tok.where(stripped.str.len() > 0, 0).astype("int64")
+        counts = {lang: low.str.count(rx) for lang, rx in regexes.items()}
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        is_en = (~((en == 0) & (de == 0) & (fr == 0)) & (en >= de) & (en >= fr)).to_numpy()
+        score_pm = np.minimum(
+            en.to_numpy(np.int64) * 1000 // (n_tok.to_numpy() + 1), 999
+        )
+        f = pd.DataFrame(
+            {
+                "score_pm": score_pm,
+                "np_": is_en.astype(np.int64),
+                "nn_": (~is_en).astype(np.int64),
+            }
+        )
+        return f.groupby("score_pm", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("score_pm", as_index=False)[["np_", "nn_"]].sum()
+
+    hist_schema = pa.schema(
+        [
+            pa.field("score_pm", pa.int64()),
+            pa.field("np_", pa.int64()),
+            pa.field("nn_", pa.int64()),
+        ]
+    )
+    hist = bucketed_reduce(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _partial, batch_format="pandas", batch_size=None
+        ),
+        ["score_pm"],
+        _sum,
+        hist_schema,
+        combiner=_sum,
+    ).to_pandas()
+    # residue bounded by the 1000-value score domain, not by rows
+    hist = hist.sort_values("score_pm").reset_index(drop=True)
+    below = hist["nn_"].cumsum().shift(1).fillna(0).astype("int64")
+    num2 = int((hist["np_"] * (2 * below + hist["nn_"])).sum())
+    p, n = int(hist["np_"].sum()), int(hist["nn_"].sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "auc_num2": pa.array([num2], pa.int64()),
+                "auc_den2": pa.array([2 * p * n], pa.int64()),
+                "n_pos": pa.array([p], pa.int64()),
+                "n_neg": pa.array([n], pa.int64()),
+            }
+        )
+    )
