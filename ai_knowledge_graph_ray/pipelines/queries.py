@@ -7640,6 +7640,183 @@ def q_doc_auc(sf_dir: str):
     return auc_sums(_docs(sf_dir))
 
 
+def q_part_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for every LARGE-type part, the cheapest
+    EUROPE-region shipment price and the smallest supplier key
+    achieving it (the correlated-min-subquery shape). Plan: region
+    supplier set and eligible partkeys broadcast (sorted arrays);
+    per-part min + argmin inside ONE bucketed reduce with a map-side
+    min combiner — the correlated subquery never exists as a join."""
+    import ray as _ray
+
+    from ..stages.infer import bucketed_reduce
+
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    eur_keys = reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"]
+    eur_nations = (
+        set(nat.loc[nat["n_regionkey"] == int(eur_keys.iloc[0]), "n_nationkey"].astype(int))
+        if len(eur_keys)
+        else set()
+    )
+    eur_supp = np.sort(
+        supp.loc[supp["s_nationkey"].isin(eur_nations), "s_suppkey"].to_numpy(np.int64)
+    )
+    large = np.sort(
+        part.loc[part["p_type"] == "LARGE", "p_partkey"].to_numpy(np.int64)
+    )
+    supp_ref, part_ref = _ray.put(eur_supp), _ray.put(large)
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def _isin(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        idx = np.clip(np.searchsorted(keys, vals), 0, len(keys) - 1)
+        return keys[idx] == vals
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        sk = _ray.get(supp_ref) if isinstance(supp_ref, _ray.ObjectRef) else supp_ref
+        pk = _ray.get(part_ref) if isinstance(part_ref, _ray.ObjectRef) else part_ref
+        keep = _isin(sk, b["l_suppkey"].to_numpy()) & _isin(pk, b["l_partkey"].to_numpy())
+        b = b[keep]
+        out = pd.DataFrame(
+            {
+                "p_partkey": b["l_partkey"].to_numpy(),
+                "s_suppkey": b["l_suppkey"].to_numpy(),
+                "price_c": np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out
+
+    def _min(g: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner AND per-bucket reducer: min price per
+        # part, then min suppkey among rows achieving it — idempotent
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "p_partkey": pd.Series(dtype="int64"),
+                    "s_suppkey": pd.Series(dtype="int64"),
+                    "price_c": pd.Series(dtype="int64"),
+                }
+            )
+        mn = g.groupby("p_partkey")["price_c"].transform("min")
+        g = g[g["price_c"].to_numpy() == mn.to_numpy()]
+        return g.groupby(["p_partkey", "price_c"], as_index=False)["s_suppkey"].min()[
+            ["p_partkey", "s_suppkey", "price_c"]
+        ]
+
+    out_schema = pa.schema(
+        [
+            pa.field("p_partkey", pa.int64()),
+            pa.field("s_suppkey", pa.int64()),
+            pa.field("min_price_cents", pa.int64()),
+        ]
+    )
+    reduced = bucketed_reduce(
+        li.map_batches(_pre, batch_format="pandas"),
+        ["p_partkey"],
+        lambda g: _min(g).rename(columns={"price_c": "min_price_cents"}),
+        out_schema,
+        combiner=_min,
+    )
+    return reduced
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: revenue delta from 1997 shipments with
+    discount 5-7% and quantity < 24 — pure predicate + global sum;
+    map-only integer partials, zero shuffles, one tiny driver add."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        disc = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        keep = (
+            (b["l_shipdate"].to_numpy() >= lo.to_datetime64())
+            & (b["l_shipdate"].to_numpy() < hi.to_datetime64())
+            & (disc >= 5) & (disc <= 7) & (qty < 24)
+        )
+        price = np.rint(b["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "revenue_e4": [int((price * disc[keep]).sum())],
+                "n_rows": [int(keep.sum())],
+            }
+        )
+
+    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([int(parts["revenue_e4"].sum())], dtype="int64"),
+            "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+        }
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose shipped value exceeds 0.08% of
+    the corpus-wide total (the global-threshold HAVING). Plan:
+    per-part integer value sums via one bucketed reduce; the grand
+    total is a map-only second pass over the SAME materialized
+    per-part table (tiny), then the filter is map-only — the global
+    scalar never forces a second full scan of lineitem."""
+    from ..stages.infer import bucketed_reduce, sanitize_for_join
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_partkey": b["l_partkey"].to_numpy(),
+                "value_e2": np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+                * np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby("p_partkey", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("p_partkey", as_index=False)["value_e2"].sum()
+
+    schema = pa.schema(
+        [pa.field("p_partkey", pa.int64()), pa.field("value_e2", pa.int64())]
+    )
+    per_part = bucketed_reduce(
+        li.map_batches(_pre, batch_format="pandas"), ["p_partkey"], _sum, schema,
+        combiner=_sum,
+    ).materialize()
+    totals = per_part.map_batches(
+        lambda b: pd.DataFrame({"t": [int(b["value_e2"].sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    total = int(totals["t"].sum()) if len(totals) else 0
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["value_e2"].to_numpy() * 1250 > total]
+
+    # sanitize: a fully-filtered result must still carry its schema;
+    # Ray loses the schema of an EMPTY from_arrow dataset entirely, so
+    # the empty case returns the typed pa.Table itself
+    res = sanitize_for_join(
+        per_part.map_batches(_filter, batch_format="pandas"), schema
+    )
+    if res.count() == 0:
+        return schema.empty_table()
+    return res
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -7649,6 +7826,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_session_paths": q_events_session_paths,
     "doc_oov_rate": q_doc_oov_rate,
     "doc_auc": q_doc_auc,
+    "part_min_cost_supplier": q_part_min_cost_supplier,
+    "forecast_revenue": q_forecast_revenue,
+    "important_parts": q_important_parts,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -11726,6 +11906,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST((SELECT sum(np) FROM h) AS BIGINT) AS n_pos,
                CAST((SELECT sum(nn) FROM h) AS BIGINT) AS n_neg
         FROM c
+    """,
+    "part_min_cost_supplier": """
+        WITH elig AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE r_name = 'EUROPE' AND p_type = 'LARGE'
+        ), m AS (
+            SELECT l_partkey, min(price_c) AS mp FROM elig GROUP BY 1
+        )
+        SELECT e.l_partkey AS p_partkey,
+               CAST(min(e.l_suppkey) AS BIGINT) AS s_suppkey,
+               CAST(m.mp AS BIGINT) AS min_price_cents
+        FROM elig e
+        JOIN m ON e.l_partkey = m.l_partkey AND e.price_c = m.mp
+        GROUP BY 1, 3
+    """,
+    "forecast_revenue": """
+        SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+                 AS revenue_e4,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity) AS BIGINT) < 24
+    """,
+    "important_parts": """
+        WITH pp AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS value_e2
+            FROM lineitem GROUP BY 1
+        )
+        SELECT p_partkey, value_e2 FROM pp
+        WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
     """,
     "dominant_suppliers": """
         WITH ps AS (

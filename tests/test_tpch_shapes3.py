@@ -6,6 +6,7 @@ hand-computed from the fixture."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -160,3 +161,105 @@ class TestDominantSuppliers:
         ))
         out = _frame(q_dominant_suppliers(str(tmp_path)))
         assert len(out) == 0
+
+
+class TestMinCostSupplier:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_part_min_cost_supplier
+
+        # No EUROPE region in the base fixture -> empty result.
+        out = _frame(q_part_min_cost_supplier(tpch_dir))
+        assert len(out) == 0
+
+    def test_argmin_tie_breaks_to_smallest_suppkey(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_part_min_cost_supplier
+
+        _write(tmp_path, "region", pd.DataFrame(
+            {"r_regionkey": [0], "r_name": ["EUROPE"]}
+        ))
+        _write(tmp_path, "nation", pd.DataFrame(
+            {"n_nationkey": [0], "n_name": ["NATION_0"], "n_regionkey": [0]}
+        ))
+        _write(tmp_path, "supplier", pd.DataFrame(
+            {"s_suppkey": [1, 2, 3], "s_nationkey": [0, 0, 0]}
+        ))
+        _write(tmp_path, "part", pd.DataFrame(
+            {"p_partkey": [1, 2], "p_type": ["LARGE", "SMALL"]}
+        ))
+        # part 1: suppliers 2 and 3 tie at min price 5.00; supplier 1
+        # ships at 9.00. part 2 is not LARGE -> excluded.
+        _write(tmp_path, "lineitem", pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 2],
+                "l_suppkey": [1, 3, 2, 1],
+                "l_extendedprice": [9.0, 5.0, 5.0, 1.0],
+            }
+        ))
+        out = _frame(q_part_min_cost_supplier(str(tmp_path)))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["p_partkey"], r["s_suppkey"], r["min_price_cents"]) == (1, 2, 500)
+
+
+class TestForecastRevenue:
+    def test_planted(self, tpch_dir):
+        from ai_knowledge_graph_ray.pipelines.queries import q_forecast_revenue
+
+        # fixture discounts are 0 or 10% -> nothing in [5, 7] -> zeros
+        out = _frame(q_forecast_revenue(tpch_dir))
+        assert out["revenue_e4"].iloc[0] == 0 and out["n_rows"].iloc[0] == 0
+
+    def test_predicate_window(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_forecast_revenue
+
+        _write(tmp_path, "lineitem", pd.DataFrame(
+            {
+                "l_shipdate": pd.to_datetime(
+                    ["1997-06-01", "1997-06-02", "1996-06-01", "1997-06-03"]
+                ).astype("datetime64[us]"),
+                "l_discount": [0.06, 0.04, 0.06, 0.07],
+                "l_quantity": [10.0, 10.0, 10.0, 50.0],
+                "l_extendedprice": [100.0, 100.0, 100.0, 100.0],
+            }
+        ))
+        # only row 1 passes (row 2: disc 4%, row 3: 1996, row 4: qty 50)
+        out = _frame(q_forecast_revenue(str(tmp_path)))
+        assert out["revenue_e4"].iloc[0] == 10000 * 6
+        assert out["n_rows"].iloc[0] == 1
+
+
+class TestImportantParts:
+    def test_global_threshold(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_important_parts
+
+        # values: p1 = 10*100c*qty1 ... craft: p1 value 9000, p2..p10
+        # value 1000 each -> total 18000; threshold value*1250 > total
+        # -> value > 14.4 -> all pass; tighten: p1 = 99 units of 1.00,
+        # p2 = 1 unit of 1.00 -> total 10000; p2: 100*1250 = 125000 >
+        # 10000 passes too. Use many small parts: p1 qty 99, parts
+        # 2..101 qty 1 at price 0.01 each.
+        rows = [(1, 99.0, 1.0)] + [(i, 1.0, 0.01) for i in range(2, 102)]
+        df = pd.DataFrame(rows, columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        _write(tmp_path, "lineitem", df)
+        # values: p1 = 99*100 = 9900; others = 1*1 = 1 -> total 10000.
+        # threshold: v*1250 > 10000 -> v > 8 -> only p1.
+        out = _frame(q_important_parts(str(tmp_path)))
+        assert len(out) == 1
+        assert out["p_partkey"].iloc[0] == 1 and out["value_e2"].iloc[0] == 9900
+
+    def test_empty_result_keeps_schema(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_important_parts
+
+        # 2000 equal parts -> every share is exactly 1/2000 = 0.05%
+        # < 0.08% -> empty, but the schema must survive
+        df = pd.DataFrame(
+            {
+                "l_partkey": np.arange(2000, dtype=np.int64),
+                "l_quantity": np.ones(2000),
+                "l_extendedprice": np.ones(2000),
+            }
+        )
+        _write(tmp_path, "lineitem", df)
+        out = _frame(q_important_parts(str(tmp_path)))
+        assert len(out) == 0
+        assert list(out.columns) == ["p_partkey", "value_e2"]
