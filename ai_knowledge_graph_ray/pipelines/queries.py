@@ -7817,6 +7817,19 @@ def q_important_parts(sf_dir: str):
     return res
 
 
+def q_link_partition(sf_dir: str):
+    """Capacity-constrained LPA partitioning of the web-link graph
+    into 8 co-location groups (<= 1.1x balanced) — the layout planner
+    a 100-TB ingest would use to keep linked pages on the same shard;
+    rows-only (iterated LPA); determinism/capacity/cut-improvement
+    pinned in pytest."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import capacity_partition
+    from ..stages.webtext import link_edges
+
+    return capacity_partition(link_edges(pages_from_documents(sf_dir)), k=8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -7829,6 +7842,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_min_cost_supplier": q_part_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
     "important_parts": q_important_parts,
+    "link_partition": q_link_partition,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,

@@ -7357,3 +7357,344 @@ def greedy_coloring(
             f"greedy_coloring: {n_unc} nodes uncolored after {max_rounds} rounds"
         )
     return state
+
+
+# ---------------------------------------------------------------------------
+# Capacity-constrained label-propagation partitioning (co-location planner)
+# ---------------------------------------------------------------------------
+
+PART_SCHEMA = pa.schema([("node", pa.string()), ("partition", pa.int64())])
+
+
+def partition_local(
+    und: pd.DataFrame, *, k: int, capacity: int, iters: int
+) -> pd.DataFrame:
+    """Driver twin of :func:`capacity_partition` — same rule, same
+    tie-breaks, computed sequentially per round (rounds are synchronous
+    in BOTH paths, so the results are bit-identical)."""
+    if und.empty:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="object"), "partition": pd.Series(dtype="int64")}
+        )
+    nodes = pd.Series(pd.unique(pd.concat([und["a"], und["b"]], ignore_index=True)))
+    lbl = dict(zip(nodes, (_node_rank(nodes) % np.uint64(k)).astype(np.int64)))
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for _ in range(iters):
+        counts: dict[int, int] = {}
+        for v in lbl.values():
+            counts[v] = counts.get(v, 0) + 1
+        cands = []
+        for v in sorted(lbl):
+            cur = lbl[v]
+            votes: dict[int, int] = {}
+            for u in adj.get(v, ()):
+                votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            if not votes:
+                continue
+            best = min(votes, key=lambda c: (-votes[c], c))
+            gain = votes.get(best, 0) - votes.get(cur, 0)
+            if best != cur and gain > 0:
+                cands.append((v, cur, best, gain))
+        if not cands:
+            break
+        moved = {}
+        by_target: dict[int, list] = {}
+        for v, cur, best, gain in cands:
+            by_target.setdefault(best, []).append((v, gain))
+        for tgt, lst in by_target.items():
+            slots = max(0, capacity - counts.get(tgt, 0))
+            lst.sort(key=lambda t: (-t[1], t[0]))
+            for v, _ in lst[:slots]:
+                moved[v] = tgt
+        if not moved:
+            break
+        lbl.update(moved)
+    out = pd.DataFrame({"node": list(lbl), "partition": [lbl[n] for n in lbl]})
+    out["partition"] = out["partition"].astype("int64")
+    return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+def capacity_partition(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 8,
+    capacity: int | None = None,
+    iters: int = 5,
+    driver_max_edges: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Capacity-constrained label-propagation graph partitioning —
+    the co-location planner for a 100-TB layout: assign every node one
+    of ``k`` partitions so linked records tend to land together
+    WITHOUT any partition exceeding ``capacity`` nodes. Start from the
+    splitmix64 hash partition; each synchronous round every node
+    proposes a move to its neighborhood-majority partition (ties to
+    the smaller id) when that strictly beats its current partition's
+    local vote; per target partition, only the top ``capacity -
+    current_size`` proposals by ``(gain desc, node asc)`` are accepted
+    (conservative: outflow is not credited within the round, so the
+    cap can never be overshot). Deterministic, layout-independent,
+    rows-only (iterated LPA is not SQL-expressible).
+
+    COUNT-GATED like the other graph ops: small edge lists run the
+    bit-identical sequential twin; over the gate each round costs one
+    label-attach reduce, one per-node proposal reduce, one per-target
+    acceptance reduce (k groups — a hot target's candidate list lands
+    in one reducer; if that ever skews, rank via the distributed
+    ``row_positions`` primitive instead) and one label-update reduce.
+    The per-partition census is a k-row residue."""
+    if capacity is None:
+        capacity = 0  # resolved after the node count is known
+    und = sanitize_for_join(
+        undirected_simple_edges(edges, num_buckets=num_buckets), UND_SCHEMA
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(PART_SCHEMA.empty_table())
+
+    # universe + initial hash labels
+    universe = sanitize_for_join(
+        bucketed_reduce(
+            und.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": pd.concat([b["a"], b["b"]], ignore_index=True)}
+                ),
+                batch_format="pandas",
+            ),
+            ["node"],
+            lambda g: g.drop_duplicates("node"),
+            pa.schema([("node", pa.string())]),
+            combiner=lambda b: b.drop_duplicates("node") if len(b) else b,
+            num_buckets=num_buckets,
+        ),
+        pa.schema([("node", pa.string())]),
+    ).materialize()
+    n_nodes = universe.count()
+    if capacity <= 0:
+        capacity = -(-n_nodes * 11 // (10 * k))  # ceil(1.1 * n/k)
+
+    if n_edges <= driver_max_edges:
+        return ray.data.from_arrow(
+            pa_from_pandas(
+                partition_local(
+                    und.to_pandas(), k=k, capacity=capacity, iters=iters
+                ),
+                PART_SCHEMA,
+            )
+        )
+
+    adj_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    adj = sanitize_for_join(
+        und.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+                    "nbr": pd.concat([b["b"], b["a"]], ignore_index=True),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        adj_schema,
+    ).materialize()
+
+    labels = sanitize_for_join(
+        universe.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "partition": (
+                        _node_rank(b["node"]) % np.uint64(k)
+                    ).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        PART_SCHEMA,
+    ).materialize()
+
+    att_schema = pa.schema([("node", pa.string()), ("nbr_lbl", pa.int64())])
+    cand_schema = pa.schema(
+        [
+            ("node", pa.string()),
+            ("cur", pa.int64()),
+            ("to", pa.int64()),
+            ("gain", pa.int64()),
+        ]
+    )
+
+    def _census(lbls: ray.data.Dataset) -> dict[int, int]:
+        parts = lbls.map_batches(
+            lambda b: b.groupby("partition", as_index=False).size().rename(
+                columns={"size": "n"}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        if len(parts) == 0:
+            return {}
+        agg = parts.groupby("partition")["n"].sum()
+        return {int(i): int(v) for i, v in agg.items()}
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 1]
+        ad = g[g["kind"] == 0]
+        if len(ad) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"), "nbr_lbl": pd.Series(dtype="int64")}
+            )
+        m = ad[["node", "key"]].merge(st[["key", "lbl"]], on="key", how="inner")
+        return pd.DataFrame(
+            {"node": m["node"].to_numpy(), "nbr_lbl": m["lbl"].astype("int64").to_numpy()}
+        )
+
+    def _propose(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["kind"] == 1][["node", "val"]].rename(columns={"val": "cur"})
+        nb = g[g["kind"] == 0][["node", "val"]]
+        if len(nb) == 0 or len(own) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="object"),
+                    "cur": pd.Series(dtype="int64"),
+                    "to": pd.Series(dtype="int64"),
+                    "gain": pd.Series(dtype="int64"),
+                }
+            )
+        votes = (
+            nb.groupby(["node", "val"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"val": "to", "size": "v"})
+        )
+        votes = votes.sort_values(["node", "v", "to"],
+                                  ascending=[True, False, True], kind="stable")
+        best = votes.drop_duplicates("node", keep="first")
+        cur_votes = votes.merge(own, on="node")
+        cur_votes = cur_votes[cur_votes["to"] == cur_votes["cur"]][["node", "v"]]
+        out = best.merge(own, on="node").merge(
+            cur_votes.rename(columns={"v": "v_cur"}), on="node", how="left"
+        )
+        out["v_cur"] = out["v_cur"].fillna(0).astype("int64")
+        out["gain"] = out["v"] - out["v_cur"]
+        out = out[(out["to"] != out["cur"]) & (out["gain"] > 0)]
+        return out[["node", "cur", "to", "gain"]].astype(
+            {"cur": "int64", "to": "int64", "gain": "int64"}
+        )
+
+    def _update(g: pd.DataFrame) -> pd.DataFrame:
+        mv = g[g["kind"] == 1][["node", "val"]]
+        base = g[g["kind"] == 0][["node", "val"]]
+        out = base.set_index("node")["val"]
+        if len(mv):
+            out.update(mv.set_index("node")["val"])
+        return pd.DataFrame(
+            {"node": out.index.to_numpy(object), "partition": out.to_numpy(np.int64)}
+        )
+
+    for _ in range(iters):
+        counts = _census(labels)
+        att_in = adj.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["nbr"],
+                    "node": b["node"],
+                    "lbl": np.full(len(b), -1, dtype=np.int64),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "key": b["node"],
+                        "node": b["node"],
+                        "lbl": b["partition"].astype("int64"),
+                        "kind": np.ones(len(b), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        att = sanitize_for_join(
+            bucketed_reduce(att_in, ["key"], _attach, att_schema,
+                            num_buckets=num_buckets),
+            att_schema,
+        )
+        prop_in = att.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "val": b["nbr_lbl"].astype("int64"),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "val": b["partition"].astype("int64"),
+                        "kind": np.ones(len(b), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        cands = sanitize_for_join(
+            bucketed_reduce(prop_in, ["node"], _propose, cand_schema,
+                            num_buckets=num_buckets),
+            cand_schema,
+        ).materialize()
+        if cands.count() == 0:
+            break
+
+        def _accept(g: pd.DataFrame, _counts=counts) -> pd.DataFrame:
+            out = []
+            for tgt, lst in g.groupby("to"):
+                slots = max(0, capacity - _counts.get(int(tgt), 0))
+                lst = lst.sort_values(["gain", "node"],
+                                      ascending=[False, True], kind="stable")
+                out.append(lst.head(slots))
+            acc = pd.concat(out) if out else g.iloc[:0]
+            return pd.DataFrame(
+                {"node": acc["node"].to_numpy(), "val": acc["to"].astype("int64").to_numpy()}
+            )
+
+        acc_schema = pa.schema([("node", pa.string()), ("val", pa.int64())])
+        accepted = sanitize_for_join(
+            bucketed_reduce(cands, ["to"], _accept, acc_schema,
+                            num_buckets=num_buckets),
+            acc_schema,
+        ).materialize()
+        if accepted.count() == 0:
+            break
+        upd_in = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "val": b["partition"].astype("int64"),
+                    "kind": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).union(
+            accepted.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "node": b["node"],
+                        "val": b["val"].astype("int64"),
+                        "kind": np.ones(len(b), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        labels = sanitize_for_join(
+            bucketed_reduce(upd_in, ["node"], _update, PART_SCHEMA,
+                            num_buckets=num_buckets),
+            PART_SCHEMA,
+        ).materialize()
+
+    return labels
