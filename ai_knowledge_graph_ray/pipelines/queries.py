@@ -7830,6 +7830,97 @@ def q_link_partition(sf_dir: str):
     return capacity_partition(link_edges(pages_from_documents(sf_dir)), k=8)
 
 
+def q_orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle: customers grouped by first-order month,
+    revenue (cents) and order count per months-since-first offset —
+    the classic retention-revenue report. Plan: per-customer first
+    month via one bucketed MIN reduce (min is its own combiner), ONE
+    custkey cogroup exchange to attach cohorts, then string-keyed
+    grouped sums on the (cohort, offset) pair."""
+    from ..stages.infer import bucketed_reduce, default_num_partitions
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def _m(ts: pd.Series) -> np.ndarray:
+        return (
+            ts.dt.year.to_numpy(np.int64) * 12 + ts.dt.month.to_numpy(np.int64) - 1
+        )
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series(dtype="int64"),
+                 "cohort_m": pd.Series(dtype="int64")}
+            )
+        if "cohort_m" in g.columns:
+            return g.groupby("o_custkey", as_index=False)["cohort_m"].min()
+        out = pd.DataFrame(
+            {"o_custkey": g["o_custkey"].to_numpy(), "cohort_m": _m(g["o_orderdate"])}
+        )
+        return out.groupby("o_custkey", as_index=False)["cohort_m"].min()
+
+    first_schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("cohort_m", pa.int64())]
+    )
+    cohorts = bucketed_reduce(
+        orders.select_columns(["o_custkey", "o_orderdate"]),
+        ["o_custkey"],
+        _first,
+        first_schema,
+        combiner=_first,
+    )
+
+    def _rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "order_m": _m(b["o_orderdate"]),
+                "cents": np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    joined = cogroup_join(
+        orders.map_batches(_rows, batch_format="pandas"),
+        cohorts,
+        on=["o_custkey"],
+        how="inner",
+        coalesce=default_num_partitions(),
+        right_schema=first_schema,
+    )
+
+    def _shape(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_m": b["cohort_m"].astype("int64"),
+                "offset_m": (b["order_m"] - b["cohort_m"]).astype("int64"),
+                "cents": b["cents"].astype("int64"),
+            }
+        )
+
+    return grouped_sums(
+        joined.map_batches(_shape, batch_format="pandas"),
+        ["cohort_m", "offset_m"],
+        {"revenue_cents": "cents"},
+        count_name="n_orders",
+    )
+
+
+def q_doc_rake_keyphrases(sf_dir: str):
+    """RAKE-style top keyphrase per document: candidate phrases are
+    maximal stopword-free token runs (the gaps-and-islands shape), a
+    word's degree sums the lengths of the phrases it occurs in, a
+    phrase scores the integer pair (deg_sum, freq_sum) over its word
+    occurrences, and the doc's winner is (deg_sum desc, phrase asc).
+    Entirely MAP-ONLY (all stats are per-document) — zero shuffles;
+    hash-exact vs an islands + window SQL twin sharing the en-marker
+    stoplist."""
+    from ..stages.text_analysis import rake_top_phrases
+
+    return rake_top_phrases(_docs(sf_dir))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -7843,6 +7934,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "forecast_revenue": q_forecast_revenue,
     "important_parts": q_important_parts,
     "link_partition": q_link_partition,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "doc_rake_keyphrases": q_doc_rake_keyphrases,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -11962,6 +12055,66 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "orders_cohort_ltv": """
+        WITH fm AS (
+            SELECT o_custkey,
+                   CAST(min(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+                        AS BIGINT) AS cohort_m
+            FROM orders GROUP BY 1
+        )
+        SELECT f.cohort_m,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                    - f.cohort_m AS BIGINT) AS offset_m,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders o JOIN fm f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    """,
+    "doc_rake_keyphrases": rf"""
+        WITH toks AS (
+            SELECT doc_id, u.tok, u.i
+            FROM documents,
+                 LATERAL (SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok,
+                          generate_subscripts(regexp_extract_all(lower(coalesce(text,'')), '\w+'), 1) AS i) u
+        ),
+        nons AS (
+            SELECT doc_id, tok, i FROM toks
+            WHERE tok NOT IN ({", ".join("'" + w + "'" for w in LANG_MARKERS["en"])})
+        ),
+        isl AS (
+            SELECT doc_id, tok, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM nons
+        ),
+        ph AS (
+            SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM isl GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT i2.doc_id, i2.tok, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(p.plen) AS BIGINT) AS degree
+            FROM isl i2 JOIN ph p USING (doc_id, grp) GROUP BY 1, 2
+        ),
+        ps AS (
+            SELECT i3.doc_id, i3.grp,
+                   CAST(sum(w.degree) AS BIGINT) AS deg_sum,
+                   CAST(sum(w.freq) AS BIGINT) AS freq_sum
+            FROM isl i3 JOIN w ON w.doc_id = i3.doc_id AND w.tok = i3.tok
+            GROUP BY 1, 2
+        ),
+        ded AS (
+            SELECT DISTINCT p.doc_id, p.phrase, ps.deg_sum, ps.freq_sum,
+                   p.plen AS n_words
+            FROM ph p JOIN ps ON p.doc_id = ps.doc_id AND p.grp = ps.grp
+        )
+        SELECT doc_id, phrase, deg_sum, freq_sum, n_words FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY deg_sum DESC, phrase) AS rk
+            FROM ded
+        ) WHERE rk = 1
     """,
     "dominant_suppliers": """
         WITH ps AS (

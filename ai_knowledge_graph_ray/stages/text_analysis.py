@@ -635,3 +635,90 @@ def auc_sums(
             }
         )
     )
+
+
+RAKE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("phrase", pa.string()),
+        pa.field("deg_sum", pa.int64()),
+        pa.field("freq_sum", pa.int64()),
+        pa.field("n_words", pa.int64()),
+    ]
+)
+
+
+def rake_top_phrases(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """RAKE-style top keyphrase per document. Candidate phrases are
+    maximal runs of non-stopword ``\\w+`` tokens (stoplist = the
+    shared en markers); ``degree(w)`` sums the lengths of phrases
+    containing each occurrence of ``w``, ``freq(w)`` counts
+    occurrences; a phrase scores ``(deg_sum, freq_sum)`` over its word
+    occurrences and the per-doc winner is ``(deg_sum desc, phrase
+    asc)``. All statistics are per-document, so the operator is
+    MAP-ONLY — the classic gaps-and-islands computation vectorized
+    per batch; docs with no candidate phrase are absent (inner
+    semantics, mirroring the SQL twin)."""
+    stop = frozenset(LANG_MARKERS["en"])
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "phrase": pd.Series(dtype="object"),
+                "deg_sum": pd.Series(dtype="int64"),
+                "freq_sum": pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+            }
+        )
+        if len(batch) == 0 or text_col not in batch.columns:
+            return empty
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"\w+")
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([t for t in toks.to_numpy() if t])
+        doc = np.repeat(batch[id_col].to_numpy(), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n])
+        df = pd.DataFrame({"d": doc, "tok": flat, "i": pos})
+        df = df[~df["tok"].isin(stop)]
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["d", "i"], kind="stable").reset_index(drop=True)
+        rn = df.groupby("d", sort=False).cumcount().to_numpy()
+        df["grp"] = df["i"].to_numpy() - rn
+        ph = (
+            df.groupby(["d", "grp"], sort=False)
+            .agg(phrase=("tok", " ".join), plen=("tok", "size"))
+            .reset_index()
+        )
+        df = df.merge(ph[["d", "grp", "plen"]], on=["d", "grp"])
+        w = df.groupby(["d", "tok"], sort=False, as_index=False).agg(
+            freq=("tok", "size"), degree=("plen", "sum")
+        )
+        df = df.merge(w, on=["d", "tok"])
+        ps = df.groupby(["d", "grp"], sort=False, as_index=False).agg(
+            deg_sum=("degree", "sum"), freq_sum=("freq", "sum")
+        )
+        full = ph.merge(ps, on=["d", "grp"])[
+            ["d", "phrase", "deg_sum", "freq_sum", "plen"]
+        ].drop_duplicates(["d", "phrase"])
+        top = full.sort_values(
+            ["d", "deg_sum", "phrase"], ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("d", keep="first")
+        return pd.DataFrame(
+            {
+                id_col: top["d"].to_numpy(),
+                "phrase": top["phrase"].to_numpy(object),
+                "deg_sum": top["deg_sum"].astype("int64").to_numpy(),
+                "freq_sum": top["freq_sum"].astype("int64").to_numpy(),
+                "n_words": top["plen"].astype("int64").to_numpy(),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pandas"
+    )
