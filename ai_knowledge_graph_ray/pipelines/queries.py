@@ -7921,6 +7921,72 @@ def q_doc_rake_keyphrases(sf_dir: str):
     return rake_top_phrases(_docs(sf_dir))
 
 
+def q_doc_prefix_dedup(sf_dir: str):
+    """Prefix dedup (C4-style): collapse documents sharing the same
+    first-100-char md5 — catches templated pages whose tails differ
+    (mirrored boilerplate, timestamps) that exact dedup misses. Same
+    shuffle-on-the-hash shape as exact_dedup; emits (prefix_md5,
+    keep_id = min doc_id, n_docs)."""
+    import hashlib as _hl
+
+    from ..stages.infer import bucketed_reduce
+
+    def _hash(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "prefix_md5": [
+                    _hl.md5(((t or "")[:100]).encode("utf-8")).hexdigest()
+                    for t in b["text"]
+                ],
+                "keep_id": b["doc_id"].to_numpy(),
+                "n_docs": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return out.groupby("prefix_md5", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_docs=("n_docs", "sum")
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("prefix_md5", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_docs=("n_docs", "sum")
+        )
+
+    schema = pa.schema(
+        [
+            pa.field("prefix_md5", pa.string()),
+            pa.field("keep_id", pa.int64()),
+            pa.field("n_docs", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(
+        _docs(sf_dir).map_batches(_hash, batch_format="pandas"),
+        ["prefix_md5"],
+        _reduce,
+        schema,
+        combiner=_reduce,
+    )
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit census of order totals (cents) — the
+    classic fabricated-data audit; map-side digit partials, one tiny
+    string-keyed grouped sum."""
+    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def _digits(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        # digit stays a STRING key: native groupby aggregates on
+        # non-string keys pay ~10s of fixed exchange cost (NOTES.md)
+        d = pd.Series(cents).astype(str).str[0]
+        return pd.DataFrame({"digit": d, "n": np.ones(len(b), dtype=np.int64)})
+
+    return grouped_sums(
+        orders.map_batches(_digits, batch_format="pandas"), ["digit"], {"n": "n"}
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -7936,6 +8002,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_partition": q_link_partition,
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "doc_rake_keyphrases": q_doc_rake_keyphrases,
+    "doc_prefix_dedup": q_doc_prefix_dedup,
+    "orders_benford": q_orders_benford,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12055,6 +12123,18 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "doc_prefix_dedup": """
+        SELECT md5(substr(coalesce(text, ''), 1, 100)) AS prefix_md5,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "orders_benford": """
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                 AS digit,
+               count(*) AS n
+        FROM orders GROUP BY 1
     """,
     "orders_cohort_ltv": """
         WITH fm AS (

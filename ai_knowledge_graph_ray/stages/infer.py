@@ -449,28 +449,28 @@ def infer_transitive(
     edges = distinct_edges(triples)
 
     if max_fanout_per_mid is not None:
-        def _cap_out(g: pd.DataFrame) -> pa.Table:
-            if len(g) == 0:
-                return EDGE_SCHEMA.empty_table()
-            return pa_from_pandas(
-                g.sort_values(["object", "predicate"], kind="stable").head(max_fanout_per_mid),
-                EDGE_SCHEMA,
-            )
+        # per-key cap WITHOUT per-key Python: one bucketed exchange,
+        # vectorized sort + groupby().head inside each bucket (the
+        # groupby(key).map_groups form costs one Python task per
+        # distinct entity — the banned pattern; same fix as lexical)
+        def _cap(key: str, order: list[str]):
+            def _f(g: pd.DataFrame) -> pd.DataFrame:
+                if len(g) == 0:
+                    return g
+                return (
+                    g.sort_values([key] + order, kind="stable")
+                    .groupby(key, sort=False)
+                    .head(max_fanout_per_mid)
+                )
 
-        def _cap_in(g: pd.DataFrame) -> pa.Table:
-            if len(g) == 0:
-                return EDGE_SCHEMA.empty_table()
-            return pa_from_pandas(
-                g.sort_values(["subject", "predicate"], kind="stable").head(max_fanout_per_mid),
-                EDGE_SCHEMA,
-            )
+            return _f
 
-        out_edges = normalize_blocks(
-            edges.groupby("subject").map_groups(_cap_out, batch_format="pandas"),
+        out_edges = bucketed_reduce(
+            edges, ["subject"], _cap("subject", ["object", "predicate"]),
             EDGE_SCHEMA,
         )
-        in_edges = normalize_blocks(
-            edges.groupby("object").map_groups(_cap_in, batch_format="pandas"),
+        in_edges = bucketed_reduce(
+            edges, ["object"], _cap("object", ["subject", "predicate"]),
             EDGE_SCHEMA,
         )
     else:

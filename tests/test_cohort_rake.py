@@ -93,3 +93,39 @@ class TestRakeKeyphrases:
         out = _frame(rake_top_phrases(ray.data.from_pandas(docs)))
         assert out["phrase"].iloc[0] == "big green engine"
         assert out["deg_sum"].iloc[0] == 9
+
+
+class TestPrefixDedup:
+    def test_shared_prefix_collapses(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_doc_prefix_dedup
+
+        base = "x" * 100
+        docs = pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2],
+                "text": [base + "tail-a", base + "tail-b", "different"],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+        )
+        out = _frame(q_doc_prefix_dedup(str(tmp_path)))
+        assert len(out) == 2
+        row = out[out["n_docs"] == 2].iloc[0]
+        assert row["keep_id"] == 1  # min doc_id wins
+
+
+class TestBenford:
+    def test_digit_census(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_orders_benford
+
+        orders = pd.DataFrame(
+            {"o_totalprice": [1.00, 19.99, 102.50, 9.01, 950.00]}
+        )
+        pq.write_table(
+            pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet")
+        )
+        # cents: 100, 1999, 10250, 901, 95000 -> digits 1,1,1,9,9
+        out = _frame(q_orders_benford(str(tmp_path)))
+        got = dict(zip(out["digit"], out["n"]))
+        assert got == {"1": 3, "9": 2}
