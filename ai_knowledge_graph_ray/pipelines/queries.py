@@ -7987,6 +7987,113 @@ def q_orders_benford(sf_dir: str):
     )
 
 
+def q_events_anomalous_hours(sf_dir: str):
+    """Hours whose event count exceeds mean + 3 sigma — entirely in
+    integers: with S = sum(x), SS = sum(x^2) over the n hourly
+    counts, hour x is anomalous iff ``(n*x - S)^2 > 9*(n*SS - S^2)``
+    and ``n*x > S`` (one-sided). Hourly counts reduce distributed; the
+    moment sums come from that span-bounded residue; the filter is
+    map-only. Hash-exact vs a window twin."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def _hour(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({"hour": us // 3_600_000_000})
+        g = out.groupby("hour", as_index=False).size().rename(columns={"size": "n"})
+        return g.astype({"hour": "int64", "n": "int64"})
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("hour", as_index=False)["n"].sum()
+
+    schema = pa.schema([pa.field("hour", pa.int64()), pa.field("n", pa.int64())])
+    hourly = bucketed_reduce(
+        ev.map_batches(_hour, batch_format="pandas"), ["hour"], _sum, schema,
+        combiner=_sum,
+    ).materialize()
+    mom = hourly.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cnt": [len(b)],
+                "s": [int(b["n"].sum())],
+                "ss": [int((b["n"].astype("int64") ** 2).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n_h, s, ss = int(mom["cnt"].sum()), int(mom["s"].sum()), int(mom["ss"].sum())
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n"].to_numpy(np.int64)
+        d = n_h * x - s
+        keep = (d > 0) & (d.astype(object) ** 2 > 9 * (n_h * ss - s * s))
+        return b[np.asarray(keep, dtype=bool)]
+
+    from ..stages.infer import sanitize_for_join
+
+    res = sanitize_for_join(
+        hourly.map_batches(_flag, batch_format="pandas"), schema
+    )
+    if res.count() == 0:
+        return schema.empty_table()
+    return res
+
+
+def q_customer_pareto(sf_dir: str):
+    """Pareto concentration: the smallest number of customers whose
+    order revenue covers 80% of the total (plus the totals) — one
+    per-customer integer revenue reduce, then the cumulative rank over
+    the customer residue via a driver sort on the (bounded-domain)
+    per-customer table at test scale, documented scale path =
+    ``row_positions`` over (revenue desc, custkey). Hash-exact vs a
+    window-cumsum twin."""
+    from ..stages.infer import bucketed_reduce
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "cents": np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby("o_custkey", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("cents", pa.int64())]
+    )
+    per_cust = bucketed_reduce(
+        orders.map_batches(_pre, batch_format="pandas"), ["o_custkey"], _sum,
+        schema, combiner=_sum,
+    ).to_pandas()
+    per_cust = per_cust.sort_values(
+        ["cents", "o_custkey"], ascending=[False, True], kind="stable"
+    )
+    total = int(per_cust["cents"].sum())
+    cum = per_cust["cents"].cumsum()
+    # smallest prefix with cum*5 >= total*4  (cum >= 80%)
+    covered = (cum * 5 >= total * 4).to_numpy()
+    n80 = int(np.argmax(covered)) + 1 if covered.any() else 0
+    return pd.DataFrame(
+        {
+            "n_customers_80pct": pd.Series([n80], dtype="int64"),
+            "n_customers": pd.Series([len(per_cust)], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+        }
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8004,6 +8111,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_rake_keyphrases": q_doc_rake_keyphrases,
     "doc_prefix_dedup": q_doc_prefix_dedup,
     "orders_benford": q_orders_benford,
+    "events_anomalous_hours": q_events_anomalous_hours,
+    "customer_pareto": q_customer_pareto,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12123,6 +12232,41 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "events_anomalous_hours": """
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(n) AS BIGINT) AS s,
+                   CAST(sum(n * n) AS BIGINT) AS ss
+            FROM h
+        )
+        SELECT hour, n FROM h, m
+        WHERE (c * n - s) > 0
+          AND (c * n - s) * (c * n - s) > 9 * (c * ss - s * s)
+    """,
+    "customer_pareto": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT cents,
+                   sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+            FROM pc
+        )
+        SELECT CAST(min(rk) AS BIGINT) AS n_customers_80pct,
+               CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_customers,
+               CAST((SELECT sum(cents) FROM pc) AS BIGINT) AS total_cents
+        FROM r WHERE cum * 5 >= (SELECT sum(cents) FROM pc) * 4
     """,
     "doc_prefix_dedup": """
         SELECT md5(substr(coalesce(text, ''), 1, 100)) AS prefix_md5,
