@@ -8094,6 +8094,114 @@ def q_customer_pareto(sf_dir: str):
     )
 
 
+def q_link_pred_eval(sf_dir: str):
+    """Link-prediction evaluation harness: hold out ~25% of the
+    triangle-bearing fixture graph's distinct edges by an md5 pair
+    split (deterministic, same side for every multi-edge of a pair),
+    score the TRAINING graph with exact-integer resource allocation,
+    and report how many held-out pairs appear in the top-100
+    predictions. Rows-only (the composite is deterministic; RA itself
+    is oracle-checked via graph_link_pred); planted-hit pytest."""
+    import hashlib as _hl
+
+    from ..stages.graph_algos import resource_allocation_topk
+    from ..stages.infer import bucketed_reduce
+
+    edges = _cnrs_edges(sf_dir)
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].astype(str)
+        d = b["dst"].astype(str)
+        lo = s.where(s < d, d)
+        hi = d.where(s < d, s)
+        keys = (lo + "|" + hi).tolist()
+        first = np.array([_hl.md5(k.encode()).hexdigest()[0] for k in keys])
+        return pd.DataFrame(
+            {"a": lo, "b": hi, "is_test": np.isin(first, list("0123"))}
+        )
+
+    tagged = edges.map_batches(_tag, batch_format="pandas").materialize()
+    train = tagged.map_batches(
+        lambda b: pd.DataFrame(
+            {"src": b.loc[~b["is_test"], "a"], "dst": b.loc[~b["is_test"], "b"]}
+        ),
+        batch_format="pandas",
+    )
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="object"), "b": pd.Series(dtype="object")}
+            )
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    test_pairs = bucketed_reduce(
+        tagged.map_batches(
+            lambda b: b.loc[b["is_test"], ["a", "b"]], batch_format="pandas"
+        ),
+        ["a", "b"],
+        _distinct,
+        pair_schema,
+        combiner=_distinct,
+    ).materialize()
+    n_test = test_pairs.count()
+
+    preds = resource_allocation_topk(train, top_k=100).to_pandas()
+    pred_set = set(zip(preds["x"], preds["y"]))
+
+    hits = test_pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "h": [
+                    int(
+                        sum(
+                            (a, c) in pred_set
+                            for a, c in zip(b["a"], b["b"])
+                        )
+                    )
+                ]
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n_hits = int(hits["h"].sum()) if len(hits) else 0
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([n_test], dtype="int64"),
+            "n_hits": pd.Series([n_hits], dtype="int64"),
+            "k": pd.Series([100], dtype="int64"),
+        }
+    )
+
+
+def q_events_hll_rollup(sf_dir: str):
+    """Mergeable-sketch distinct-user rollup: HLL registers computed
+    once per (day, type), merged up to per-day and global without
+    rescanning events — the warehouse distinct-count hierarchy; the
+    rolled-up estimates are bit-identical to direct sketches (pinned
+    in pytest). Rows-only (approximate by design)."""
+    from ..stages.sketches import hll_rollup
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id", "event_type"])
+
+    def _day(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "day": (us // 86_400_000_000).astype("int64").astype(str),
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+            }
+        )
+
+    return hll_rollup(
+        ev.map_batches(_day, batch_format="pandas"),
+        "user_id",
+        [["day", "event_type"], ["day"], []],
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8113,6 +8221,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_benford": q_orders_benford,
     "events_anomalous_hours": q_events_anomalous_hours,
     "customer_pareto": q_customer_pareto,
+    "link_pred_eval": q_link_pred_eval,
+    "events_hll_rollup": q_events_hll_rollup,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,

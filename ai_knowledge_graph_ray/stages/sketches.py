@@ -391,3 +391,140 @@ def exact_heavy_hitters(
         ),
         num_buckets=num_buckets,
     )
+
+
+ROLLUP_SCHEMA = pa.schema(
+    [
+        ("level", pa.string()),
+        ("key", pa.string()),
+        ("approx_distinct", pa.int64()),
+    ]
+)
+
+
+def hll_rollup(
+    ds: ray.data.Dataset,
+    value_col: str,
+    levels: list[list[str]],
+    *,
+    p: int = 10,
+) -> ray.data.Dataset:
+    """Mergeable-sketch rollup: HLL register blobs computed ONCE at
+    the finest grouping merge upward through coarser levels WITHOUT
+    rescanning the input — the warehouse pattern for distinct-count
+    hierarchies (day x type -> day -> global). ``levels`` must be
+    nested coarsenings, finest first, ending with ``[]`` for the
+    grand total if wanted. Register max-merge is exact, so a rolled-up
+    estimate is BIT-IDENTICAL to a direct sketch of the same slice
+    (pinned in pytest). Output: ``(level, key, approx_distinct)`` with
+    ``key = '|'.join(level values)``."""
+    from .infer import bucketed_reduce
+
+    finest = levels[0]
+    for coarser in levels[1:]:
+        assert set(coarser) <= set(finest), "levels must be nested coarsenings"
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if finest:
+            for keys, g in batch.groupby(finest, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                rows.append(
+                    {c: str(k) for c, k in zip(finest, keys)}
+                    | {"__regs": _registers(g[value_col].to_numpy(), p).tobytes()}
+                )
+        else:
+            rows.append({"__regs": _registers(batch[value_col].to_numpy(), p).tobytes()})
+        return pd.DataFrame(rows)
+
+    reg_schema = pa.schema(
+        [pa.field(c, pa.string()) for c in finest] + [pa.field("__regs", pa.binary())]
+    )
+
+    def _merge_blobs(cols: list[str]):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            if cols:
+                for keys, grp in g.groupby(cols, sort=False):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    merged = np.zeros(1 << p, dtype=np.uint8)
+                    for blob in grp["__regs"]:
+                        merged = np.maximum(
+                            merged, np.frombuffer(blob, dtype=np.uint8)
+                        )
+                    outs.append(
+                        {c: str(k) for c, k in zip(cols, keys)}
+                        | {"__regs": merged.tobytes()}
+                    )
+            else:
+                merged = np.zeros(1 << p, dtype=np.uint8)
+                for blob in g["__regs"]:
+                    merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+                outs.append({"__regs": merged.tobytes()})
+            return pd.DataFrame(outs)
+
+        return _f
+
+    tables: list[pd.DataFrame] = []
+    current = bucketed_reduce(
+        ds.select_columns(finest + [value_col]).map_batches(
+            _partial, batch_format="pandas"
+        ),
+        finest,
+        _merge_blobs(finest),
+        reg_schema,
+    ).to_pandas() if finest else None
+    if current is None:
+        # degenerate: only the global level
+        pdf = ds.select_columns([value_col]).map_batches(
+            _partial, batch_format="pandas"
+        ).to_pandas()
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for blob in pdf["__regs"]:
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+        current = pd.DataFrame([{"__regs": merged.tobytes()}])
+
+    for cols in levels:
+        if cols != finest:
+            # roll the PREVIOUS level's registers up — no rescan; the
+            # register table is (distinct finest keys) rows, driver-ok
+            # at rollup granularity by construction
+            outs = []
+            if cols:
+                for keys, grp in current.groupby(cols, sort=False):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    merged = np.zeros(1 << p, dtype=np.uint8)
+                    for blob in grp["__regs"]:
+                        merged = np.maximum(
+                            merged, np.frombuffer(blob, dtype=np.uint8)
+                        )
+                    outs.append(
+                        {c: str(k) for c, k in zip(cols, keys)}
+                        | {"__regs": merged.tobytes()}
+                    )
+            else:
+                merged = np.zeros(1 << p, dtype=np.uint8)
+                for blob in current["__regs"]:
+                    merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+                outs = [{"__regs": merged.tobytes()}]
+            lvl_regs = pd.DataFrame(outs)
+        else:
+            lvl_regs = current
+        rows = []
+        for _, r in lvl_regs.iterrows():
+            key = "|".join(str(r[c]) for c in cols) if cols else ""
+            est = int(round(_estimate(np.frombuffer(r["__regs"], dtype=np.uint8))))
+            rows.append(
+                {"level": ",".join(cols) if cols else "<all>", "key": key,
+                 "approx_distinct": est}
+            )
+        tables.append(pd.DataFrame(rows))
+
+    out = pd.concat(tables, ignore_index=True)
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, schema=ROLLUP_SCHEMA, preserve_index=False)
+    )
