@@ -8202,6 +8202,163 @@ def q_events_hll_rollup(sf_dir: str):
     )
 
 
+def q_source_ks_drift(sf_dir: str):
+    """Exact integer two-sample Kolmogorov-Smirnov statistic between
+    the token-count distributions of two sources (src0 vs src1):
+    ``KS = ks_num / ks_den`` with ``ks_num = max_v |cum0(v)*n1 -
+    cum1(v)*n0|`` over the merged support and ``ks_den = n0*n1`` —
+    the drift test a feed monitor runs between two crawls, hash-exact
+    where a float ECDF never could be. Per-value counts reduce
+    distributed; the cumulative pass runs on the value-domain-bounded
+    residue."""
+    from ..stages.infer import bucketed_reduce
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+
+    def _tok(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["source"].isin(["src0", "src1"])]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"v": pd.Series(dtype="int64"),
+                 "c0": pd.Series(dtype="int64"),
+                 "c1": pd.Series(dtype="int64")}
+            )
+        t = b["text"].fillna("")
+        stripped = t.str.strip()
+        n_tok = stripped.str.split().str.len().fillna(0)
+        n_tok = n_tok.where(stripped.str.len() > 0, 0).astype("int64")
+        f = pd.DataFrame(
+            {
+                "v": n_tok.to_numpy(),
+                "c0": (b["source"] == "src0").astype("int64").to_numpy(),
+                "c1": (b["source"] == "src1").astype("int64").to_numpy(),
+            }
+        )
+        return f.groupby("v", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("v", as_index=False)[["c0", "c1"]].sum()
+
+    schema = pa.schema(
+        [pa.field("v", pa.int64()), pa.field("c0", pa.int64()), pa.field("c1", pa.int64())]
+    )
+    hist = bucketed_reduce(
+        docs.map_batches(_tok, batch_format="pandas", batch_size=None),
+        ["v"], _sum, schema, combiner=_sum,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    n0, n1 = int(hist["c0"].sum()), int(hist["c1"].sum())
+    cum0, cum1 = hist["c0"].cumsum(), hist["c1"].cumsum()
+    ks_num = int((cum0 * n1 - cum1 * n0).abs().max()) if len(hist) else 0
+    return pd.DataFrame(
+        {
+            "ks_num": pd.Series([ks_num], dtype="int64"),
+            "ks_den": pd.Series([n0 * n1], dtype="int64"),
+            "n_a": pd.Series([n0], dtype="int64"),
+            "n_b": pd.Series([n1], dtype="int64"),
+        }
+    )
+
+
+def q_events_best_split(sf_dir: str):
+    """Offline changepoint (first binary-segmentation split) of the
+    hourly event volume: the hour whose prefix deviates most from the
+    proportional share — ``crit = |cum_i * n_hours - total * i|``,
+    all integers, ties to the earliest hour. Hourly reduce
+    distributed; the argmax runs on the span-bounded residue."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def _hour(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({"hour": us // 3_600_000_000})
+        return out.groupby("hour", as_index=False).size().rename(
+            columns={"size": "n"}
+        ).astype({"hour": "int64", "n": "int64"})
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("hour", as_index=False)["n"].sum()
+
+    schema = pa.schema([pa.field("hour", pa.int64()), pa.field("n", pa.int64())])
+    hourly = bucketed_reduce(
+        ev.map_batches(_hour, batch_format="pandas"), ["hour"], _sum, schema,
+        combiner=_sum,
+    ).to_pandas().sort_values("hour").reset_index(drop=True)
+    n_h, tot = len(hourly), int(hourly["n"].sum())
+    cum = hourly["n"].cumsum()
+    i = np.arange(1, n_h + 1, dtype=np.int64)
+    crit = (cum.to_numpy() * n_h - tot * i)
+    crit = np.abs(crit)
+    best = int(np.argmax(crit))  # argmax takes the FIRST max — earliest hour
+    return pd.DataFrame(
+        {
+            "split_hour": pd.Series([int(hourly["hour"].iloc[best])], dtype="int64"),
+            "crit": pd.Series([int(crit[best])], dtype="int64"),
+        }
+    )
+
+
+def q_orders_rapid_reorder(sf_dir: str):
+    """Rapid-reorder pairs: two orders of the SAME customer within 14
+    days (the double-charge / compulsive-reorder audit) — one
+    custkey-bucketed reduce with a vectorized within-group self-merge
+    and time filter (group residue = that customer's order count);
+    hash-exact vs a self-join twin."""
+    from ..stages.infer import bucketed_reduce
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    window_us = 14 * 86_400_000_000
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "okey1": pd.Series(dtype="int64"),
+                    "okey2": pd.Series(dtype="int64"),
+                    "gap_days": pd.Series(dtype="int64"),
+                }
+            )
+        f = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "okey": g["o_orderkey"].to_numpy(),
+                "us": g["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy(),
+            }
+        )
+        m = f.merge(f, on="o_custkey", suffixes=("_1", "_2"))
+        m = m[
+            (m["okey_1"] < m["okey_2"])
+            & ((m["us_1"] - m["us_2"]).abs() <= window_us)
+        ]
+        return pd.DataFrame(
+            {
+                "o_custkey": m["o_custkey"].to_numpy(),
+                "okey1": m["okey_1"].to_numpy(),
+                "okey2": m["okey_2"].to_numpy(),
+                "gap_days": ((m["us_1"] - m["us_2"]).abs() // 86_400_000_000).to_numpy(),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            pa.field("o_custkey", pa.int64()),
+            pa.field("okey1", pa.int64()),
+            pa.field("okey2", pa.int64()),
+            pa.field("gap_days", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(orders, ["o_custkey"], _pairs, schema)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8223,6 +8380,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_pareto": q_customer_pareto,
     "link_pred_eval": q_link_pred_eval,
     "events_hll_rollup": q_events_hll_rollup,
+    "source_ks_drift": q_source_ks_drift,
+    "events_best_split": q_events_best_split,
+    "orders_rapid_reorder": q_orders_rapid_reorder,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12342,6 +12502,67 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "source_ks_drift": f"""
+        WITH d AS (
+            SELECT source, {_N_TOKENS_SQL} AS v FROM documents
+            WHERE source IN ('src0', 'src1')
+        ),
+        h AS (
+            SELECT v,
+                   CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c0,
+                   CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c1
+            FROM d GROUP BY v
+        ),
+        c AS (
+            SELECT sum(c0) OVER (ORDER BY v) AS cum0,
+                   sum(c1) OVER (ORDER BY v) AS cum1
+            FROM h
+        ),
+        t AS (
+            SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1
+            FROM h
+        )
+        SELECT CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS ks_num,
+               CAST(n0 * n1 AS BIGINT) AS ks_den,
+               n0 AS n_a, n1 AS n_b
+        FROM c, t GROUP BY n0, n1
+    """,
+    "events_best_split": """
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT hour,
+                   sum(n) OVER (ORDER BY hour) AS cum,
+                   row_number() OVER (ORDER BY hour) AS i
+            FROM h
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS nh,
+                   CAST(sum(n) AS BIGINT) AS tot
+            FROM h
+        )
+        SELECT split_hour, crit FROM (
+            SELECT hour AS split_hour,
+                   CAST(abs(cum * nh - tot * i) AS BIGINT) AS crit,
+                   row_number() OVER (ORDER BY abs(cum * nh - tot * i) DESC,
+                                      hour) AS rk
+            FROM c, t
+        ) WHERE rk = 1
+    """,
+    "orders_rapid_reorder": """
+        SELECT a.o_custkey,
+               a.o_orderkey AS okey1, b.o_orderkey AS okey2,
+               CAST(abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+                    // 86400000000 AS BIGINT) AS gap_days
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        WHERE abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+              <= CAST(14 AS BIGINT) * 86400 * 1000000
     """,
     "events_anomalous_hours": """
         WITH h AS (

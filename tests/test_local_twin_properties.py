@@ -150,3 +150,78 @@ class TestCustomerPareto:
         assert r["n_customers_80pct"] == 1
         assert r["n_customers"] == 3
         assert r["total_cents"] == 10000
+
+
+class TestKsDrift:
+    def test_identical_distributions_zero(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_source_ks_drift
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": ["a b", "a b", "a b c", "a b", "a b", "a b c"],
+                "source": ["src0"] * 3 + ["src1"] * 3,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_source_ks_drift(str(tmp_path))
+        r = out.iloc[0]
+        assert r["ks_num"] == 0 and r["ks_den"] == 9
+
+    def test_disjoint_distributions_max(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_source_ks_drift
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": ["a", "a", "a b c", "a b c"],
+                "source": ["src0", "src0", "src1", "src1"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_source_ks_drift(str(tmp_path))
+        r = out.iloc[0]
+        # KS = 1: at v=1, cum0=2, cum1=0 -> |2*2 - 0*2| = 4 = den
+        assert r["ks_num"] == 4 and r["ks_den"] == 4
+
+
+class TestBestSplit:
+    def test_level_shift_found(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_events_best_split
+
+        # 10 hours at 2 events then 10 hours at 10 events: the best
+        # split is at the end of the low regime (hour 9)
+        t0 = pd.Timestamp("2020-01-01")
+        rows = []
+        for h in range(10):
+            rows += [t0 + pd.Timedelta(hours=h, seconds=s) for s in range(2)]
+        for h in range(10, 20):
+            rows += [t0 + pd.Timedelta(hours=h, seconds=s) for s in range(10)]
+        ev = pd.DataFrame({"ts": pd.Series(rows).astype("datetime64[us]")})
+        pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+        out = q_events_best_split(str(tmp_path))
+        r = out.iloc[0]
+        base_hour = int(t0.value // 10**3 // 3_600_000_000)
+        assert r["split_hour"] == base_hour + 9
+        # crit at i=10: |cum*nh - tot*i| = |20*20 - 120*10| = 800
+        assert r["crit"] == 800
+
+
+class TestRapidReorder:
+    def test_window_and_ordering(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_orders_rapid_reorder
+
+        orders = pd.DataFrame(
+            {
+                "o_custkey": [1, 1, 1, 2],
+                "o_orderkey": [10, 11, 12, 20],
+                "o_orderdate": pd.to_datetime(
+                    ["2020-01-01", "2020-01-10", "2020-03-01", "2020-01-02"]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = q_orders_rapid_reorder(str(tmp_path)).to_pandas()
+        got = {(r.okey1, r.okey2): r.gap_days for r in out.itertuples()}
+        # only (10, 11) is within 14 days; cust2 has a single order
+        assert got == {(10, 11): 9}
