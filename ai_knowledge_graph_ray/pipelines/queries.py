@@ -8359,6 +8359,102 @@ def q_orders_rapid_reorder(sf_dir: str):
     return bucketed_reduce(orders, ["o_custkey"], _pairs, schema)
 
 
+def q_nations_cs_intersect_all(sf_dir: str):
+    """Bag-semantics INTERSECT ALL: nation keys with multiplicity
+    min(#customers, #suppliers) — per-key multiplicity partials, one
+    bucketed sum, np.repeat re-emission; hash-exact vs SQL INTERSECT
+    ALL."""
+    from ..stages.setops import intersect_all
+
+    schema = pa.schema([pa.field("nationkey", pa.int64())])
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": pc.cast(b["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": pc.cast(b["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return intersect_all(cust, supp, ["nationkey"], schema)
+
+
+def q_nations_cs_except_all(sf_dir: str):
+    """Bag-semantics EXCEPT ALL: customer nation keys surviving with
+    multiplicity max(0, #customers - #suppliers); same machinery as
+    the INTERSECT ALL twin."""
+    from ..stages.setops import except_all
+
+    schema = pa.schema([pa.field("nationkey", pa.int64())])
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": pc.cast(b["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    supp = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": pc.cast(b["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return except_all(cust, supp, ["nationkey"], schema)
+
+
+def q_customer_revenue_gini(sf_dir: str):
+    """Exact integer Gini coefficient of customer revenue
+    concentration: with revenues sorted ascending, ``gini_num =
+    2*sum(i*x_i) - (n+1)*total`` and ``gini_den = n*total`` — the
+    wealth-concentration complement of the Pareto query, hash-exact
+    vs a window twin. Per-customer reduce distributed; the weighted
+    rank sum runs over the per-customer residue (scale path:
+    row_positions)."""
+    from ..stages.infer import bucketed_reduce
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "cents": np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby("o_custkey", as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("cents", pa.int64())]
+    )
+    pc_df = bucketed_reduce(
+        orders.map_batches(_pre, batch_format="pandas"), ["o_custkey"], _sum,
+        schema, combiner=_sum,
+    ).to_pandas()
+    pc_df = pc_df.sort_values(
+        ["cents", "o_custkey"], ascending=[True, True], kind="stable"
+    ).reset_index(drop=True)
+    n = len(pc_df)
+    total = int(pc_df["cents"].sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int((i * pc_df["cents"].to_numpy()).sum()) - (n + 1) * total
+    return pd.DataFrame(
+        {
+            "gini_num": pd.Series([num], dtype="int64"),
+            "gini_den": pd.Series([n * total], dtype="int64"),
+            "n_customers": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8383,6 +8479,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_ks_drift": q_source_ks_drift,
     "events_best_split": q_events_best_split,
     "orders_rapid_reorder": q_orders_rapid_reorder,
+    "nations_cs_intersect_all": q_nations_cs_intersect_all,
+    "nations_cs_except_all": q_nations_cs_except_all,
+    "customer_revenue_gini": q_customer_revenue_gini,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12502,6 +12601,34 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "nations_cs_intersect_all": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    "nations_cs_except_all": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    "customer_revenue_gini": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS i
+            FROM pc
+        )
+        SELECT CAST(2 * sum(i * cents)
+                    - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
+               CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM r
     """,
     "source_ks_drift": f"""
         WITH d AS (

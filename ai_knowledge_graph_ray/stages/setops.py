@@ -112,3 +112,72 @@ def upsert_latest(
         combiner=_latest,
         num_buckets=num_buckets,
     )
+
+
+def _bag_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    schema: pa.Schema,
+    intersect: bool,
+) -> ray.data.Dataset:
+    """Shared core of the BAG-semantics set ops: per-key multiplicity
+    partials (m0, m1) from each side collapse map-side, one bucketed
+    sum, then each key re-emits ``min(m0, m1)`` (INTERSECT ALL) or
+    ``max(0, m0 - m1)`` (EXCEPT ALL) copies via np.repeat."""
+
+    def _tag(side: int):
+        def _f(b: pd.DataFrame) -> pd.DataFrame:
+            g = b[cols].groupby(cols, sort=False, dropna=False).size()
+            out = g.reset_index(name="__m")
+            out["__m0"] = out["__m"] if side == 0 else 0
+            out["__m1"] = out["__m"] if side == 1 else 0
+            return out.drop(columns="__m").astype({"__m0": "int64", "__m1": "int64"})
+
+        return _f
+
+    tagged = left.map_batches(
+        _tag(0), batch_format="pandas", batch_size=None
+    ).union(right.map_batches(_tag(1), batch_format="pandas", batch_size=None))
+
+    def _comb(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.groupby(cols, sort=False, as_index=False, dropna=False)[
+            ["__m0", "__m1"]
+        ].sum()
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = _comb(g)
+        if intersect:
+            k = np.minimum(agg["__m0"].to_numpy(), agg["__m1"].to_numpy())
+        else:
+            k = np.maximum(agg["__m0"].to_numpy() - agg["__m1"].to_numpy(), 0)
+        keep = k > 0
+        agg, k = agg[keep], k[keep]
+        idx = np.repeat(np.arange(len(agg)), k)
+        return agg.iloc[idx][cols].reset_index(drop=True)
+
+    return bucketed_reduce(tagged, cols, _reduce, schema, combiner=_comb)
+
+
+def intersect_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    schema: pa.Schema,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT ALL``: each row appears min(multiplicity-left,
+    multiplicity-right) times."""
+    return _bag_op(left, right, cols, schema, intersect=True)
+
+
+def except_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    schema: pa.Schema,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT ALL``: each left row survives max(0, m_left -
+    m_right) times."""
+    return _bag_op(left, right, cols, schema, intersect=False)

@@ -422,3 +422,42 @@ class TestTfidfKeywords:
                 .reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+
+class TestBagSemantics:
+    def test_intersect_all_multiplicity(self):
+        import pyarrow as pa
+        import ray.data
+
+        from ai_knowledge_graph_ray.stages.setops import except_all, intersect_all
+
+        schema = pa.schema([pa.field("k", pa.int64())])
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 1, 1, 2, 3]})
+        ).repartition(3)
+        right = ray.data.from_pandas(pd.DataFrame({"k": [1, 1, 2, 2, 4]}))
+        inter = intersect_all(left, right, ["k"], schema).to_pandas()
+        assert sorted(inter["k"]) == [1, 1, 2]
+        exc = except_all(left, right, ["k"], schema).to_pandas()
+        assert sorted(exc["k"]) == [1, 3]
+
+    def test_gini_extremes(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_knowledge_graph_ray.pipelines.queries import q_customer_revenue_gini
+
+        # perfectly equal: gini_num == 0
+        eq = pd.DataFrame({"o_custkey": [1, 2, 3], "o_totalprice": [10.0] * 3})
+        pq.write_table(pa.Table.from_pandas(eq), str(tmp_path / "orders.parquet"))
+        out = q_customer_revenue_gini(str(tmp_path))
+        assert out["gini_num"].iloc[0] == 0
+        # fully concentrated (n=2): gini = 1/2 of max -> num/den = (n-1)/n /?
+        conc = pd.DataFrame({"o_custkey": [1, 2], "o_totalprice": [0.01, 99.99]})
+        pq.write_table(
+            pa.Table.from_pandas(conc), str(tmp_path / "orders.parquet")
+        )
+        out2 = q_customer_revenue_gini(str(tmp_path))
+        r = out2.iloc[0]
+        # x = [1, 9999]: num = 2*(1*1 + 2*9999) - 3*10000 = 9998
+        assert r["gini_num"] == 9998 and r["gini_den"] == 20000
