@@ -8455,6 +8455,89 @@ def q_customer_revenue_gini(sf_dir: str):
     )
 
 
+def q_events_late_quarantine(sf_dir: str):
+    """Late-data accounting: per user, how many events arrived (by
+    event_id order — the ingestion sequence) with an event time more
+    than 5 minutes behind the running event-time high-water mark —
+    the quarantine counter a watermark-driven sink keeps. One
+    user-keyed reduce (vectorized sort + shifted cummax); hash-exact
+    vs a window twin."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+    allowed_us = 5 * 60 * 1_000_000
+
+    def _late(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "n_late": pd.Series(dtype="int64"),
+                }
+            )
+        b = g.sort_values(["user_id", "event_id"], kind="stable")
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        hwm_prev = us.groupby(b["user_id"].to_numpy()).cummax().groupby(
+            b["user_id"].to_numpy()
+        ).shift(1)
+        late = (hwm_prev - us) > allowed_us
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "one": np.ones(len(b), dtype=np.int64),
+                "late": late.fillna(False).astype("int64").to_numpy(),
+            }
+        ).groupby("user_id", as_index=False).sum()
+        return out.rename(columns={"one": "n_events", "late": "n_late"}).astype(
+            {"user_id": "int64", "n_events": "int64", "n_late": "int64"}
+        )
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("n_events", pa.int64()),
+            pa.field("n_late", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(ev, ["user_id"], _late, schema)
+
+
+def q_orders_seasonal_index(sf_dir: str):
+    """Month-of-year seasonality index of order revenue in integer
+    bps (10000 = an average month): map-side month partials, one tiny
+    string-keyed sum, the index computed on the 12-row residue."""
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _m(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "month": b["o_orderdate"].dt.month.astype(str),
+                "cents": np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby("month", as_index=False).sum()
+
+    agg = (
+        grouped_sums(
+            orders.map_batches(_m, batch_format="pandas"),
+            ["month"],
+            {"revenue_cents": "cents"},
+        )
+        .to_pandas()
+    )
+    total = int(agg["revenue_cents"].sum())
+    agg["month"] = agg["month"].astype("int64")
+    agg["seasonal_bps"] = (
+        agg["revenue_cents"] * 12 * 10000 // total if total else 0
+    ).astype("int64")
+    return agg.sort_values("month").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8482,6 +8565,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nations_cs_intersect_all": q_nations_cs_intersect_all,
     "nations_cs_except_all": q_nations_cs_except_all,
     "customer_revenue_gini": q_customer_revenue_gini,
+    "events_late_quarantine": q_events_late_quarantine,
+    "orders_seasonal_index": q_orders_seasonal_index,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12601,6 +12686,32 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "events_late_quarantine": """
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+            FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN hwm - t > 300000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+        FROM s GROUP BY 1
+    """,
+    "orders_seasonal_index": """
+        WITH m AS (
+            SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_cents,
+               CAST(revenue_cents * 12 * 10000
+                    // (SELECT sum(revenue_cents) FROM m) AS BIGINT)
+                 AS seasonal_bps
+        FROM m
     """,
     "nations_cs_intersect_all": """
         SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer

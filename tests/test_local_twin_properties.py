@@ -225,3 +225,50 @@ class TestRapidReorder:
         got = {(r.okey1, r.okey2): r.gap_days for r in out.itertuples()}
         # only (10, 11) is within 14 days; cust2 has a single order
         assert got == {(10, 11): 9}
+
+
+class TestLateQuarantine:
+    def test_arrival_order_not_event_time(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_events_late_quarantine
+
+        t0 = pd.Timestamp("2020-01-01 12:00:00")
+        # arrival order (event_id): t0, t0+1h, then a stale event 50
+        # minutes BEHIND the high-water mark -> late; then one only 2
+        # minutes behind -> on time.
+        ev = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1],
+                "event_id": [1, 2, 3, 4],
+                "ts": pd.Series(
+                    [
+                        t0,
+                        t0 + pd.Timedelta(hours=1),
+                        t0 + pd.Timedelta(minutes=10),
+                        t0 + pd.Timedelta(minutes=58),
+                    ]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+        out = q_events_late_quarantine(str(tmp_path)).to_pandas()
+        r = out.iloc[0]
+        assert r["n_events"] == 4 and r["n_late"] == 1
+
+
+class TestSeasonalIndex:
+    def test_planted_two_months(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_orders_seasonal_index
+
+        orders = pd.DataFrame(
+            {
+                "o_orderdate": pd.to_datetime(
+                    ["1996-01-10", "1996-01-20", "1997-02-05"]
+                ).astype("datetime64[us]"),
+                "o_totalprice": [10.0, 20.0, 30.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = q_orders_seasonal_index(str(tmp_path))
+        got = {r.month: (r.revenue_cents, r.seasonal_bps) for r in out.itertuples()}
+        # jan 3000 of 6000 -> 3000*12*10000//6000 = 60000 bps (6x avg month)
+        assert got == {1: (3000, 60000), 2: (3000, 60000)}
