@@ -8538,6 +8538,50 @@ def q_orders_seasonal_index(sf_dir: str):
     return agg.sort_values("month").reset_index(drop=True)
 
 
+def q_graph_lcc(sf_dir: str):
+    """Per-node local clustering coefficient as the exact integer
+    pair ``lcc = 2*triangles / (deg*(deg-1))`` — composes the
+    oracle-checked triangle counts with distinct-neighbor degrees via
+    one node-keyed cogroup join (nodes in no triangle get 0)."""
+    from ..stages.graph_algos import (
+        triangle_counts,
+        undirected_degrees,
+        undirected_simple_edges,
+    )
+    from ..stages.infer import default_num_partitions, sanitize_for_join
+
+    edges = _cnrs_edges(sf_dir).materialize()
+    und = undirected_simple_edges(edges)
+    deg = undirected_degrees(und)
+    tri = triangle_counts(edges)
+    deg_schema = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+    tri_schema = pa.schema([("node", pa.string()), ("n_triangles", pa.int64())])
+    joined = cogroup_join(
+        sanitize_for_join(deg, deg_schema),
+        sanitize_for_join(tri, tri_schema),
+        on=["node"],
+        how="left_outer",
+        left_schema=deg_schema,
+        right_schema=tri_schema,
+        num_buckets=default_num_partitions(),
+    )
+
+    def _lcc(b: pd.DataFrame) -> pd.DataFrame:
+        tri_n = b["n_triangles"].fillna(0).astype("int64")
+        deg_n = b["degree"].astype("int64")
+        return pd.DataFrame(
+            {
+                "node": b["node"].to_numpy(),
+                "n_triangles": tri_n.to_numpy(),
+                "degree": deg_n.to_numpy(),
+                "lcc_num": (2 * tri_n).to_numpy(),
+                "lcc_den": (deg_n * (deg_n - 1)).to_numpy(),
+            }
+        )
+
+    return joined.map_batches(_lcc, batch_format="pandas")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8567,6 +8611,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_revenue_gini": q_customer_revenue_gini,
     "events_late_quarantine": q_events_late_quarantine,
     "orders_seasonal_index": q_orders_seasonal_index,
+    "graph_lcc": q_graph_lcc,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12686,6 +12731,35 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "graph_lcc": _CNRS_EDGES_SQL + """,
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tcount AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        ),
+        adj AS (
+          SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (
+          SELECT node, CAST(count(DISTINCT nbr) AS BIGINT) AS degree
+          FROM adj GROUP BY node
+        )
+        SELECT d.node,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               d.degree,
+               CAST(2 * coalesce(t.n_triangles, 0) AS BIGINT) AS lcc_num,
+               CAST(d.degree * (d.degree - 1) AS BIGINT) AS lcc_den
+        FROM deg d LEFT JOIN tcount t USING (node)
     """,
     "events_late_quarantine": """
         WITH s AS (

@@ -76,3 +76,27 @@ class TestLinkPredEvalShape:
         a = q_link_pred_eval("/root/testdata/sf0.001")
         b = q_link_pred_eval("/root/testdata/sf0.001")
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGraphLcc:
+    def test_planted_triangle_plus_pendant(self, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import ray.data
+
+        from ai_knowledge_graph_ray.pipelines import queries as Q
+
+        # triangle a-b-c plus pendant d hanging off a
+        edges = pd.DataFrame(
+            {"src": ["a", "b", "c", "a"], "dst": ["b", "c", "a", "d"]}
+        )
+
+        monkeypatch.setattr(
+            Q, "_cnrs_edges", lambda sf: ray.data.from_pandas(edges)
+        )
+        out = Q.q_graph_lcc("ignored").to_pandas().set_index("node")
+        assert out.loc["b", "n_triangles"] == 1
+        assert out.loc["b", "lcc_num"] == 2 and out.loc["b", "lcc_den"] == 2
+        # a has degree 3 (b, c, d), one triangle -> 2/6
+        assert out.loc["a", "lcc_num"] == 2 and out.loc["a", "lcc_den"] == 6
+        # pendant d: zero triangles, den 0
+        assert out.loc["d", "n_triangles"] == 0 and out.loc["d", "lcc_den"] == 0
