@@ -8582,6 +8582,175 @@ def q_graph_lcc(sf_dir: str):
     return joined.map_batches(_lcc, batch_format="pandas")
 
 
+def q_events_type_user_jaccard(sf_dir: str):
+    """Exact Jaccard overlap between the user sets of two behaviors
+    (view vs purchase): one user-keyed reduce collapsing to per-user
+    presence flags (map-side dedup combiner), then tiny global sums —
+    ``(n_both, n_either, n_view, n_purchase)`` all BIGINT."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def _flags(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "v": pd.Series(dtype="int64"),
+                    "p": pd.Series(dtype="int64"),
+                }
+            )
+        # idempotent on its own output (branch on the OUTPUT-only col)
+        if "v" in b.columns:
+            f = b[["user_id", "v", "p"]]
+        else:
+            f = pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "v": (b["event_type"] == "view").astype("int64").to_numpy(),
+                    "p": (b["event_type"] == "purchase").astype("int64").to_numpy(),
+                }
+            )
+        return f.groupby("user_id", as_index=False).max()
+
+    schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("v", pa.int64()), pa.field("p", pa.int64())]
+    )
+    flags = bucketed_reduce(
+        ev, ["user_id"], _flags, schema, combiner=_flags
+    ).to_pandas()
+    both = int(((flags["v"] == 1) & (flags["p"] == 1)).sum())
+    either = int(((flags["v"] == 1) | (flags["p"] == 1)).sum())
+    return pd.DataFrame(
+        {
+            "n_both": pd.Series([both], dtype="int64"),
+            "n_either": pd.Series([either], dtype="int64"),
+            "n_view": pd.Series([int((flags["v"] == 1).sum())], dtype="int64"),
+            "n_purchase": pd.Series([int((flags["p"] == 1).sum())], dtype="int64"),
+        }
+    )
+
+
+def q_link_partition_quality(sf_dir: str):
+    """Quality report of the capacity-constrained partitioner: edge
+    cut, number of partitions used, and the largest partition — the
+    acceptance check a layout planner runs before committing a
+    placement. Deterministic composite (rows-only); the cut is one
+    broadcast-free pass joining both endpoints' labels through a
+    node-keyed exchange."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import capacity_partition, undirected_simple_edges
+    from ..stages.infer import default_num_partitions, sanitize_for_join
+    from ..stages.webtext import link_edges
+
+    edges = link_edges(pages_from_documents(sf_dir)).materialize()
+    und = undirected_simple_edges(edges).materialize()
+    parts = capacity_partition(edges, k=8).materialize()
+    p_schema = pa.schema([("node", pa.string()), ("partition", pa.int64())])
+    a_side = und.map_batches(
+        lambda b: pd.DataFrame({"node": b["a"], "b": b["b"]}),
+        batch_format="pandas",
+    )
+    j1 = cogroup_join(
+        a_side,
+        sanitize_for_join(parts, p_schema),
+        on=["node"],
+        how="inner",
+        left_schema=pa.schema([("node", pa.string()), ("b", pa.string())]),
+        right_schema=p_schema,
+        num_buckets=default_num_partitions(),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["b"], "pa_": b["partition"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    j2 = cogroup_join(
+        j1,
+        sanitize_for_join(
+            parts.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"], "pb_": b["partition"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            pa.schema([("node", pa.string()), ("pb_", pa.int64())]),
+        ),
+        on=["node"],
+        how="inner",
+        left_schema=pa.schema([("node", pa.string()), ("pa_", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()), ("pb_", pa.int64())]),
+        num_buckets=default_num_partitions(),
+    )
+    cuts = j2.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "n": [len(b)],
+                "cut": [int((b["pa_"].to_numpy() != b["pb_"].to_numpy()).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    sizes = parts.map_batches(
+        lambda b: b.groupby("partition", as_index=False).size().rename(
+            columns={"size": "n"}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    size_agg = sizes.groupby("partition")["n"].sum() if len(sizes) else pd.Series(dtype=int)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([int(cuts["n"].sum())], dtype="int64"),
+            "n_cut": pd.Series([int(cuts["cut"].sum())], dtype="int64"),
+            "n_partitions": pd.Series([int(size_agg.size)], dtype="int64"),
+            "max_partition": pd.Series(
+                [int(size_agg.max()) if len(size_agg) else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_doc_lang_margin(sf_dir: str):
+    """Classifier-margin audit for the lang-ID heuristic: per
+    predicted language, a histogram of ``top1 - top2`` marker-count
+    margins (bucketed 0-4, 5+) — the ambiguity profile reviewed
+    before trusting the labels; map-side partials, one tiny grouped
+    sum; hash-exact vs a greatest/least SQL twin."""
+    from ..stages.text_analysis import _marker_re
+
+    rx = {lang: _marker_re(lang) for lang in LANG_MARKERS}
+    docs = _docs(sf_dir)
+
+    def _m(b: pd.DataFrame) -> pd.DataFrame:
+        low = b["text"].fillna("").str.lower()
+        en = low.str.count(rx["en"]).astype("int64")
+        de = low.str.count(rx["de"]).astype("int64")
+        fr = low.str.count(rx["fr"]).astype("int64")
+        pred = np.where(
+            (en == 0) & (de == 0) & (fr == 0),
+            "und",
+            np.where((en >= de) & (en >= fr), "en",
+                     np.where(de >= fr, "de", "fr")),
+        )
+        top1 = np.maximum(np.maximum(en, de), fr)
+        least = np.minimum(np.minimum(en, de), fr)
+        top2 = en + de + fr - top1 - least
+        margin = np.minimum(top1 - top2, 5)
+        out = pd.DataFrame(
+            {"lang_pred": pred, "margin": margin.astype("int64").astype(str)}
+        )
+        g = out.groupby(["lang_pred", "margin"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return grouped_sums(
+        docs.map_batches(_m, batch_format="pandas", batch_size=None),
+        ["lang_pred", "margin"],
+        {"n": "n"},
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8612,6 +8781,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_late_quarantine": q_events_late_quarantine,
     "orders_seasonal_index": q_orders_seasonal_index,
     "graph_lcc": q_graph_lcc,
+    "events_type_user_jaccard": q_events_type_user_jaccard,
+    "link_partition_quality": q_link_partition_quality,
+    "doc_lang_margin": q_doc_lang_margin,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12731,6 +12903,40 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "events_type_user_jaccard": """
+        WITH f AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_both,
+               CAST(sum(CASE WHEN v = 1 OR p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_either,
+               CAST(sum(v) AS BIGINT) AS n_view,
+               CAST(sum(p) AS BIGINT) AS n_purchase
+        FROM f
+    """,
+    "doc_lang_margin": f"""
+        WITH d AS (
+            SELECT CAST({_lang_count('en')} AS BIGINT) AS e,
+                   CAST({_lang_count('de')} AS BIGINT) AS dd,
+                   CAST({_lang_count('fr')} AS BIGINT) AS f
+            FROM documents
+        ),
+        x AS (
+            SELECT CASE WHEN e = 0 AND dd = 0 AND f = 0 THEN 'und'
+                        WHEN e >= dd AND e >= f THEN 'en'
+                        WHEN dd >= f THEN 'de' ELSE 'fr' END AS lang_pred,
+                   least(greatest(e, dd, f)
+                         - (e + dd + f - greatest(e, dd, f) - least(e, dd, f)),
+                         5) AS margin_i
+            FROM d
+        )
+        SELECT lang_pred, CAST(margin_i AS VARCHAR) AS margin, count(*) AS n
+        FROM x GROUP BY 1, 2
     """,
     "graph_lcc": _CNRS_EDGES_SQL + """,
         tri AS (

@@ -100,3 +100,14 @@ class TestGraphLcc:
         assert out.loc["a", "lcc_num"] == 2 and out.loc["a", "lcc_den"] == 6
         # pendant d: zero triangles, den 0
         assert out.loc["d", "n_triangles"] == 0 and out.loc["d", "lcc_den"] == 0
+
+
+class TestPartitionQuality:
+    def test_report_invariants(self):
+        from ai_knowledge_graph_ray.pipelines.queries import q_link_partition_quality
+
+        out = q_link_partition_quality("/root/testdata/sf0.001")
+        r = out.iloc[0]
+        assert 0 <= r["n_cut"] <= r["n_edges"]
+        assert 1 <= r["n_partitions"] <= 8
+        assert r["max_partition"] >= 1
