@@ -8751,6 +8751,107 @@ def q_doc_lang_margin(sf_dir: str):
     )
 
 
+def q_doc_hapax(sf_dir: str):
+    """Per-document hapax ratio ingredients: tokens occurring exactly
+    once WITHIN the document vs total (lexical-richness signal next
+    to repetition_stats) — map-only; hash-exact vs a per-doc
+    subquery twin."""
+    docs = _docs(sf_dir)
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        n_hapax = np.zeros(len(b), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([t for t in toks.to_numpy() if t])
+            doc_idx = np.repeat(np.arange(len(b)), lens)
+            df = pd.DataFrame({"d": doc_idx, "t": flat})
+            vc = df.groupby(["d", "t"], sort=False).size()
+            hap = vc[vc == 1].groupby(level=0).size()
+            n_hapax[hap.index.to_numpy()] = hap.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_tokens": lens.astype(np.int64),
+                "n_hapax": n_hapax,
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
+def q_lineitem_gap_audit(sf_dir: str):
+    """Line-number integrity audit: per order, linenumbers must be a
+    gap-free 1..n sequence without duplicates — reported as corpus
+    counters (orders checked / with gaps / with duplicate lines).
+    One orderkey-keyed reduce (NO combiner — distinct counts are not
+    additive across blocks, the reduce must see the whole key);
+    hash-exact vs a grouped twin."""
+    from ..stages.infer import bucketed_reduce
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def _per_order(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "max_line": pd.Series(dtype="int64"),
+                    "n_distinct": pd.Series(dtype="int64"),
+                }
+            )
+        g = b.groupby("l_orderkey", as_index=False).agg(
+            n_lines=("l_linenumber", "size"),
+            max_line=("l_linenumber", "max"),
+            n_distinct=("l_linenumber", "nunique"),
+        )
+        return g.astype(
+            {"l_orderkey": "int64", "n_lines": "int64", "max_line": "int64",
+             "n_distinct": "int64"}
+        )
+
+    schema = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("n_lines", pa.int64()),
+            pa.field("max_line", pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+        ]
+    )
+    # NOTE: nunique partials are only mergeable when an order's lines
+    # sit in one batch — the reduce sees the whole key, so the
+    # COMBINER must not pre-aggregate across blocks; no combiner here.
+    per_order = bucketed_reduce(li, ["l_orderkey"], _per_order, schema)
+    stats = per_order.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "n_orders": [len(b)],
+                "n_gap": [
+                    int(
+                        (
+                            (b["max_line"].to_numpy() != b["n_distinct"].to_numpy())
+                        ).sum()
+                    )
+                ],
+                "n_dup": [
+                    int((b["n_lines"].to_numpy() != b["n_distinct"].to_numpy()).sum())
+                ],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([int(stats["n_orders"].sum())], dtype="int64"),
+            "n_gap_orders": pd.Series([int(stats["n_gap"].sum())], dtype="int64"),
+            "n_dup_orders": pd.Series([int(stats["n_dup"].sum())], dtype="int64"),
+        }
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8784,6 +8885,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_type_user_jaccard": q_events_type_user_jaccard,
     "link_partition_quality": q_link_partition_quality,
     "doc_lang_margin": q_doc_lang_margin,
+    "doc_hapax": q_doc_hapax,
+    "lineitem_gap_audit": q_lineitem_gap_audit,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -12903,6 +13006,39 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "doc_hapax": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax
+            FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_hapax, 0) AS BIGINT) AS n_hapax
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "lineitem_gap_audit": """
+        WITH per AS (
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(max(l_linenumber) AS BIGINT) AS max_line,
+                   CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+            FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_orders,
+               CAST(sum(CASE WHEN max_line <> n_distinct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gap_orders,
+               CAST(sum(CASE WHEN n_lines <> n_distinct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_orders
+        FROM per
     """,
     "events_type_user_jaccard": """
         WITH f AS (

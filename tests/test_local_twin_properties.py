@@ -272,3 +272,40 @@ class TestSeasonalIndex:
         got = {r.month: (r.revenue_cents, r.seasonal_bps) for r in out.itertuples()}
         # jan 3000 of 6000 -> 3000*12*10000//6000 = 60000 bps (6x avg month)
         assert got == {1: (3000, 60000), 2: (3000, 60000)}
+
+
+class TestHapax:
+    def test_planted(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_doc_hapax
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["one two two three three three", ""],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_doc_hapax(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_tokens"] == 6 and out.loc[1, "n_hapax"] == 1
+        assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "n_hapax"] == 0
+
+
+class TestGapAudit:
+    def test_planted_gap_and_dup(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_lineitem_gap_audit
+
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 1, 2, 2, 3, 3],
+                # order 1: clean 1..3; order 2: gap (1, 3); order 3: dup (1, 1)
+                "l_linenumber": [1, 2, 3, 1, 3, 1, 1],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+        out = q_lineitem_gap_audit(str(tmp_path))
+        r = out.iloc[0]
+        assert r["n_orders"] == 3
+        # order 2 has a gap (max 3 != 2 distinct); order 3's dup keeps
+        # max == distinct == 1, so it is a dup but not a gap
+        assert r["n_gap_orders"] == 1
+        assert r["n_dup_orders"] == 1
