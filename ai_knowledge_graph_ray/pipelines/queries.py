@@ -8852,6 +8852,56 @@ def q_lineitem_gap_audit(sf_dir: str):
     )
 
 
+def q_orders_iso_week(sf_dir: str):
+    """Order volume/revenue per ISO week — pins the ISO-8601
+    year/week dialect parity (pandas ``isocalendar`` vs DuckDB
+    ``isoyear``/``week``), where the civil-year boundary weeks
+    (Jan 1 in week 52/53 of the PRIOR iso year) silently skew naive
+    groupings. Map-side partials, one bucketed string-keyed sum."""
+    from ..stages.infer import bucketed_reduce
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _w(b: pd.DataFrame) -> pd.DataFrame:
+        iso = b["o_orderdate"].dt.isocalendar()
+        out = pd.DataFrame(
+            {
+                "iso_year": iso["year"].astype("int64").to_numpy(),
+                "iso_week": iso["week"].astype("int64").to_numpy(),
+                "n": np.ones(len(b), dtype=np.int64),
+                "revenue_cents": np.rint(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby(["iso_year", "iso_week"], as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby(["iso_year", "iso_week"], as_index=False)[
+            ["n", "revenue_cents"]
+        ].sum()
+
+    schema = pa.schema(
+        [
+            pa.field("iso_year", pa.int64()),
+            pa.field("iso_week", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("revenue_cents", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(
+        orders.map_batches(_w, batch_format="pandas", batch_size=None),
+        ["iso_year", "iso_week"],
+        _sum,
+        schema,
+        combiner=_sum,
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8887,6 +8937,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_lang_margin": q_doc_lang_margin,
     "doc_hapax": q_doc_hapax,
     "lineitem_gap_audit": q_lineitem_gap_audit,
+    "orders_iso_week": q_orders_iso_week,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -13006,6 +13057,14 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "orders_iso_week": """
+        SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+               CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders GROUP BY 1, 2
     """,
     "doc_hapax": r"""
         WITH toks AS (

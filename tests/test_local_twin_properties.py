@@ -309,3 +309,22 @@ class TestGapAudit:
         # max == distinct == 1, so it is a dup but not a gap
         assert r["n_gap_orders"] == 1
         assert r["n_dup_orders"] == 1
+
+
+class TestIsoWeek:
+    def test_year_boundary_week(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_orders_iso_week
+
+        # 2021-01-01 is a Friday -> ISO week 53 of ISO YEAR 2020
+        orders = pd.DataFrame(
+            {
+                "o_orderdate": pd.to_datetime(
+                    ["2021-01-01", "2021-01-04"]
+                ).astype("datetime64[us]"),
+                "o_totalprice": [10.0, 20.0],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = q_orders_iso_week(str(tmp_path)).to_pandas()
+        got = {(r.iso_year, r.iso_week): r.n for r in out.itertuples()}
+        assert got == {(2020, 53): 1, (2021, 1): 1}
