@@ -80,18 +80,18 @@ class TestCrosscorrProperty:
         df = pd.DataFrame(rows, columns=["event_type", "hour"])
         df["hour"] = df["hour"].astype("int64")
         lags = (0, 1, 2)
-        out = (
-            crosscorr_sums(
-                ray.data.from_pandas(df).repartition(2),
-                "hour", "event_type", "view", "click", lags=lags,
-            )
-            .to_pandas()
-            .set_index("lag")
-        )
+        raw = crosscorr_sums(
+            ray.data.from_pandas(df).repartition(2),
+            "hour", "event_type", "view", "click", lags=lags,
+        ).to_pandas()
         sub = df[df["event_type"].isin(["view", "click"])]
         if len(sub) == 0:
-            assert len(out) == 0
+            # no view/click events: the series table is empty and the
+            # result has zero rows (a fully-empty Ray dataset also
+            # loses its schema — only length is asserted)
+            assert len(raw) == 0
             return
+        out = raw.set_index("lag")
         h = (
             sub.assign(
                 v=(sub["event_type"] == "view").astype(int),
