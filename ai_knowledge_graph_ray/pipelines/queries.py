@@ -8902,6 +8902,76 @@ def q_orders_iso_week(sf_dir: str):
     )
 
 
+def q_events_ab_stats(sf_dir: str):
+    """A/B experiment sufficient statistics with the deterministic
+    user-parity assignment (variant = user_id % 2): per variant,
+    integer n / sum / sum-of-squares of the event value in cents —
+    everything a Welch t downstream needs, hash-exact."""
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["value"].fillna(0).to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "variant": (b["user_id"].to_numpy() % 2).astype(np.int64).astype(str),
+                "n": np.ones(len(b), dtype=np.int64),
+                "sum_cents": cents,
+                "sumsq_cents": cents * cents,
+            }
+        )
+        return out.groupby("variant", as_index=False).sum()
+
+    return grouped_sums(
+        ev.map_batches(_pre, batch_format="pandas", batch_size=None),
+        ["variant"],
+        {"n": "n", "sum_cents": "sum_cents", "sumsq_cents": "sumsq_cents"},
+    )
+
+
+def q_events_wow_change(sf_dir: str):
+    """Week-over-week volume change per event type, anchored at the
+    corpus' max event time: counts in the trailing 7 days vs the 7
+    days before, change in integer bps (prior floor-1 guarded). The
+    anchor is one cheap max pass; both windows then come out of a
+    single filtered partial sum."""
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    mx = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {"m": [int(b["ts"].astype("datetime64[us]").astype("int64").max())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    anchor = int(mx["m"].max())
+    week = 7 * 86_400_000_000
+
+    def _count(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        recent = (us > anchor - week) & (us <= anchor)
+        prior = (us > anchor - 2 * week) & (us <= anchor - week)
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n_recent": recent.astype(np.int64),
+                "n_prior": prior.astype(np.int64),
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    agg = grouped_sums(
+        ev.map_batches(_count, batch_format="pandas", batch_size=None),
+        ["event_type"],
+        {"n_recent": "n_recent", "n_prior": "n_prior"},
+    ).to_pandas()
+    # keep the divided quantity POSITIVE: HUGEINT // truncates toward
+    # zero in DuckDB while pandas floors — (recent*1e4)//prior - 1e4
+    # agrees on both sides for every sign of the change
+    prior = agg["n_prior"].clip(lower=1)
+    agg["change_bps"] = (
+        agg["n_recent"] * 10000 // prior - 10000
+    ).astype("int64")
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -8938,6 +9008,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_hapax": q_doc_hapax,
     "lineitem_gap_audit": q_lineitem_gap_audit,
     "orders_iso_week": q_orders_iso_week,
+    "events_ab_stats": q_events_ab_stats,
+    "events_wow_change": q_events_wow_change,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -13057,6 +13129,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "events_ab_stats": """
+        SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+               count(*) AS n,
+               CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                        * CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS sumsq_cents
+        FROM events GROUP BY 1
+    """,
+    "events_wow_change": """
+        WITH t AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+        c AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN epoch_us(ts) > anchor - CAST(7 AS BIGINT)*86400*1000000
+                                  AND epoch_us(ts) <= anchor THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_recent,
+                   CAST(sum(CASE WHEN epoch_us(ts) > anchor - CAST(14 AS BIGINT)*86400*1000000
+                                  AND epoch_us(ts) <= anchor - CAST(7 AS BIGINT)*86400*1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prior
+            FROM events, t GROUP BY 1
+        )
+        SELECT event_type, n_recent, n_prior,
+               CAST(n_recent * 10000 // greatest(n_prior, 1) - 10000
+                    AS BIGINT) AS change_bps
+        FROM c
     """,
     "orders_iso_week": """
         SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,

@@ -328,3 +328,38 @@ class TestIsoWeek:
         out = q_orders_iso_week(str(tmp_path)).to_pandas()
         got = {(r.iso_year, r.iso_week): r.n for r in out.itertuples()}
         assert got == {(2020, 53): 1, (2021, 1): 1}
+
+
+class TestAbWow:
+    def test_ab_parity_assignment(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_events_ab_stats
+
+        ev = pd.DataFrame(
+            {"user_id": [1, 2, 3, 4], "value": [1.0, 2.0, 3.0, None]}
+        )
+        pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+        out = q_events_ab_stats(str(tmp_path)).to_pandas().set_index("variant")
+        # odd users 1,3 -> variant 1 with cents 100, 300
+        assert out.loc["1", "n"] == 2
+        assert out.loc["1", "sum_cents"] == 400
+        assert out.loc["1", "sumsq_cents"] == 100**2 + 300**2
+        # even users 2,4 -> 200 + null->0
+        assert out.loc["0", "sum_cents"] == 200
+
+    def test_wow_negative_change_matches_trunc_semantics(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_events_wow_change
+
+        anchor = pd.Timestamp("2020-03-01")
+        rows = []
+        # prior week: 3 views; recent week: 1 view -> change -67%
+        for d in (8, 9, 10):
+            rows.append(("view", anchor - pd.Timedelta(days=d)))
+        rows.append(("view", anchor - pd.Timedelta(days=1)))
+        ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+        ev["ts"] = ev["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+        out = q_events_wow_change(str(tmp_path))
+        r = out.iloc[0]
+        assert r["n_recent"] == 1 and r["n_prior"] == 3
+        # 1*10000//3 - 10000 = 3333 - 10000 = -6667
+        assert r["change_bps"] == -6667
