@@ -8972,6 +8972,51 @@ def q_events_wow_change(sf_dir: str):
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+def q_graph_voronoi(sf_dir: str):
+    """Graph Voronoi / nearest-seed assignment: every reachable node
+    is assigned its closest region seed (min hop, ties to the smaller
+    seed id) — the "home shard by graph distance" placement rule; one
+    shared multi-source BFS (k seeds, one sweep count) plus an
+    entity-keyed argmin reduce; hash-exact vs the recursive-CTE
+    twin."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph_algos import multi_source_hops
+    from ..stages.infer import bucketed_reduce
+
+    regions = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey"]).to_pandas()
+    sources = [f"r{int(k)}" for k in sorted(regions["r_regionkey"])]
+    hops = multi_source_hops(_cnrs_edges(sf_dir), sources, hops=3)
+
+    def _argmin(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series(dtype="object"),
+                    "seed": pd.Series(dtype="object"),
+                    "hop": pd.Series(dtype="int64"),
+                }
+            )
+        b = g.sort_values(["entity", "hop", "source"], kind="stable")
+        b = b.drop_duplicates("entity", keep="first")
+        return pd.DataFrame(
+            {
+                "entity": b["entity"].to_numpy(),
+                "seed": b["source"].to_numpy(),
+                "hop": b["hop"].astype("int64").to_numpy(),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            pa.field("entity", pa.string()),
+            pa.field("seed", pa.string()),
+            pa.field("hop", pa.int64()),
+        ]
+    )
+    return bucketed_reduce(hops, ["entity"], _argmin, schema)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -9010,6 +9055,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_iso_week": q_orders_iso_week,
     "events_ab_stats": q_events_ab_stats,
     "events_wow_change": q_events_wow_change,
+    "graph_voronoi": q_graph_voronoi,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -13129,6 +13175,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p_partkey, value_e2 FROM pp
         WHERE value_e2 * 1250 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM pp)
+    """,
+    "graph_voronoi": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base")
+    + """,
+        sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        srcs AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS s FROM region),
+        bfs(source, entity, hop) AS (
+          SELECT s, s, 0 FROM srcs
+          UNION
+          SELECT b.source, y.dst, b.hop + 1
+          FROM bfs b JOIN sym y ON y.src = b.entity
+          WHERE b.hop < 3
+        ),
+        md AS (
+          SELECT source, entity, min(hop) AS minh FROM bfs GROUP BY source, entity
+        )
+        SELECT entity, seed, hop FROM (
+          SELECT entity, source AS seed, CAST(minh AS BIGINT) AS hop,
+                 row_number() OVER (PARTITION BY entity
+                                    ORDER BY minh, source) AS rk
+          FROM md
+        ) WHERE rk = 1
     """,
     "events_ab_stats": """
         SELECT CAST(user_id % 2 AS VARCHAR) AS variant,

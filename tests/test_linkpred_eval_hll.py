@@ -111,3 +111,37 @@ class TestPartitionQuality:
         assert 0 <= r["n_cut"] <= r["n_edges"]
         assert 1 <= r["n_partitions"] <= 8
         assert r["max_partition"] >= 1
+
+
+class TestGraphVoronoi:
+    def test_tie_breaks_to_smaller_seed(self, monkeypatch):
+        import pyarrow as pa
+        import ray.data
+
+        from ai_knowledge_graph_ray.pipelines import queries as Q
+
+        # path r0 - m - r1: m is 1 hop from BOTH seeds -> r0 wins
+        edges = pd.DataFrame(
+            {"src": ["r0", "r1"], "dst": ["m", "m"]}
+        )
+        monkeypatch.setattr(
+            Q, "_cnrs_edges", lambda sf: ray.data.from_pandas(edges)
+        )
+        monkeypatch.setattr(
+            Q.pd, "read_parquet", Q.pd.read_parquet
+        )
+        import pyarrow.parquet as pq_mod
+
+        real_read = pq_mod.read_table
+
+        def _fake_read(path, columns=None):
+            if "region" in str(path):
+                return pa.Table.from_pandas(
+                    pd.DataFrame({"r_regionkey": [0, 1]})
+                )
+            return real_read(path, columns=columns)
+
+        monkeypatch.setattr(pq_mod, "read_table", _fake_read)
+        out = Q.q_graph_voronoi("ignored").to_pandas().set_index("entity")
+        assert out.loc["m", "seed"] == "r0" and out.loc["m", "hop"] == 1
+        assert out.loc["r1", "seed"] == "r1" and out.loc["r1", "hop"] == 0
