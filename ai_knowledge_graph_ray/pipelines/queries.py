@@ -9017,6 +9017,94 @@ def q_graph_voronoi(sf_dir: str):
     return bucketed_reduce(hops, ["entity"], _argmin, schema)
 
 
+def q_knn_filtered(sf_dir: str):
+    """Filtered ANN: cosine top-k restricted to label-0 vectors (the
+    metadata-predicate search every vector store needs) — the filter
+    pushes down to a map-side mask BEFORE any distance work, so the
+    scan cost scales with the surviving fraction; same broadcast
+    query matrix as knn_cosine."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["label"], 0)).select(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    out = knn_brute(ds, qids, qmat, k=KNN_K)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": pc.cast(b["query_id"], pa.int64()),
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_quote_census(sf_dir: str):
+    """Quoted-span census per document: number of double-quoted spans
+    and total quoted characters (the attribution/citation density
+    signal) — map-only regex parity with the SQL twin."""
+    docs = _docs(sf_dir)
+
+    def _q(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        spans = t.str.findall(r'"[^"]*"')
+        n_spans = spans.str.len().fillna(0).astype("int64")
+        n_chars = spans.map(lambda xs: sum(len(x) for x in xs)).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_quotes": n_spans.to_numpy(),
+                "n_quoted_chars": n_chars.to_numpy(),
+            }
+        )
+
+    return docs.map_batches(_q, batch_format="pandas")
+
+
+def q_events_gap_buckets(sf_dir: str):
+    """Per-user idle-gap histogram over FIXED thresholds (<1s, <10s,
+    <1m, <10m, <1h, >=1h) — integer-exact bucket census of
+    inter-event gaps, corpus-wide; one user-keyed reduce computes the
+    gaps, a tiny string-keyed sum aggregates the buckets."""
+    from ..stages.infer import bucketed_reduce
+
+    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    edges_us = np.array(
+        [1_000_000, 10_000_000, 60_000_000, 600_000_000, 3_600_000_000],
+        dtype=np.int64,
+    )
+    labels = np.array(["lt_1s", "lt_10s", "lt_1m", "lt_10m", "lt_1h", "ge_1h"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        b = g.sort_values(["user_id", "ts"], kind="stable")
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        prev = us.groupby(b["user_id"].to_numpy()).shift(1)
+        gaps = (us - prev).dropna().astype("int64").to_numpy()
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        idx = np.searchsorted(edges_us, gaps, side="right")
+        out = pd.DataFrame({"bucket": labels[idx]})
+        g2 = out.groupby("bucket", as_index=False).size().rename(columns={"size": "n"})
+        return g2.astype({"n": "int64"})
+
+    per_bucket = bucketed_reduce(
+        ev,
+        ["user_id"],
+        _gaps,
+        pa.schema([pa.field("bucket", pa.string()), pa.field("n", pa.int64())]),
+    )
+    return grouped_sums(per_bucket, ["bucket"], {"n": "n"})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -9056,6 +9144,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_ab_stats": q_events_ab_stats,
     "events_wow_change": q_events_wow_change,
     "graph_voronoi": q_graph_voronoi,
+    "knn_filtered": q_knn_filtered,
+    "doc_quote_census": q_doc_quote_census,
+    "events_gap_buckets": q_events_gap_buckets,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -10670,6 +10761,42 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "knn_filtered": f"""
+        SELECT q.vec_id AS query_id, e.vec_id
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}) q
+        CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.vec_id AND e.label = 0
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+        ) <= {KNN_K}
+    """,
+    "doc_quote_census": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '"[^"]*"'))
+                    AS BIGINT) AS n_quotes,
+               CAST(coalesce(list_sum(list_transform(
+                        regexp_extract_all(coalesce(text, ''), '"[^"]*"'),
+                        x -> length(x))), 0) AS BIGINT) AS n_quoted_chars
+        FROM documents
+    """,
+    "events_gap_buckets": """
+        WITH l AS (
+            SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS d
+            FROM events
+        ),
+        g AS (
+            SELECT CASE WHEN d < 1000000 THEN 'lt_1s'
+                        WHEN d < 10000000 THEN 'lt_10s'
+                        WHEN d < 60000000 THEN 'lt_1m'
+                        WHEN d < 600000000 THEN 'lt_10m'
+                        WHEN d < 3600000000 THEN 'lt_1h'
+                        ELSE 'ge_1h' END AS bucket
+            FROM l WHERE d IS NOT NULL
+        )
+        SELECT bucket, count(*) AS n FROM g GROUP BY 1
     """,
     "knn_rrf": f"""
         WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}),

@@ -363,3 +363,40 @@ class TestAbWow:
         assert r["n_recent"] == 1 and r["n_prior"] == 3
         # 1*10000//3 - 10000 = 3333 - 10000 = -6667
         assert r["change_bps"] == -6667
+
+
+class TestQuoteCensus:
+    def test_planted(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_doc_quote_census
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ['say "hi" and "bye now"', "no quotes"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_doc_quote_census(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_quotes"] == 2
+        assert out.loc[1, "n_quoted_chars"] == len('"hi"') + len('"bye now"')
+        assert out.loc[2, "n_quotes"] == 0 and out.loc[2, "n_quoted_chars"] == 0
+
+
+class TestGapBuckets:
+    def test_fixed_thresholds(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_events_gap_buckets
+
+        t0 = pd.Timestamp("2020-01-01")
+        ts = [
+            t0,
+            t0 + pd.Timedelta(milliseconds=500),   # gap 0.5s -> lt_1s
+            t0 + pd.Timedelta(seconds=1, milliseconds=500),  # 1s -> lt_10s
+            t0 + pd.Timedelta(hours=2),            # ~2h -> ge_1h
+        ]
+        ev = pd.DataFrame(
+            {"user_id": [1] * 4, "ts": pd.Series(ts).astype("datetime64[us]")}
+        )
+        pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+        out = q_events_gap_buckets(str(tmp_path)).to_pandas()
+        got = dict(zip(out["bucket"], out["n"]))
+        assert got == {"lt_1s": 1, "lt_10s": 1, "ge_1h": 1}
