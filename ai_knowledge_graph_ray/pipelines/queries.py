@@ -9105,6 +9105,109 @@ def q_events_gap_buckets(sf_dir: str):
     return grouped_sums(per_bucket, ["bucket"], {"n": "n"})
 
 
+def q_source_dup_stats(sf_dir: str):
+    """Per-source exact-duplicate hygiene report: documents vs
+    distinct texts (md5) and the implied duplicate count — the
+    which-feed-is-dirty table a crawl operator reads first. Map-side
+    per-(source, md5) dedup partials, one bucketed reduce, then a
+    tiny per-source sum."""
+    import hashlib as _hl
+
+    from ..stages.infer import bucketed_reduce
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+
+    def _hash(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "md5": [
+                    _hl.md5((t or "").encode("utf-8")).hexdigest()
+                    for t in b["text"]
+                ],
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return out.groupby(["source", "md5"], as_index=False).sum()
+
+    def _sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g
+        return g.groupby(["source", "md5"], as_index=False)["n"].sum()
+
+    pair_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("md5", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+    pairs = bucketed_reduce(
+        docs.map_batches(_hash, batch_format="pandas"),
+        ["source", "md5"],
+        _sum,
+        pair_schema,
+        combiner=_sum,
+    )
+
+    def _per_source(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "n_docs": b["n"].astype("int64").to_numpy(),
+                "n_distinct": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    agg = grouped_sums(
+        pairs.map_batches(_per_source, batch_format="pandas"),
+        ["source"],
+        {"n_docs": "n_docs", "n_distinct": "n_distinct"},
+    ).to_pandas()
+    agg["n_dups"] = (agg["n_docs"] - agg["n_distinct"]).astype("int64")
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+def q_orders_aging(sf_dir: str):
+    """Open-order aging buckets as of the corpus max order date:
+    counts of status-'O' orders aged <30d / <90d / <1y / >=1y — the
+    operational backlog report; one max pass, then map-side bucket
+    partials and a tiny sum."""
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate"]
+    )
+    mx = orders.map_batches(
+        lambda b: pd.DataFrame(
+            {"m": [int(b["o_orderdate"].astype("datetime64[us]").astype("int64").max())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    anchor = int(mx["m"].max())
+    day = 86_400_000_000
+    edges = np.array([30 * day, 90 * day, 365 * day], dtype=np.int64)
+    labels = np.array(["lt_30d", "lt_90d", "lt_1y", "ge_1y"])
+
+    def _b(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderstatus"] == "O"]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+            )
+        age = anchor - b["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        idx = np.searchsorted(edges, age, side="right")
+        out = pd.DataFrame({"bucket": labels[idx], "n": np.ones(len(b), dtype=np.int64)})
+        return out.groupby("bucket", as_index=False).sum()
+
+    return grouped_sums(
+        orders.map_batches(_b, batch_format="pandas", batch_size=None),
+        ["bucket"],
+        {"n": "n"},
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -9147,6 +9250,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_filtered": q_knn_filtered,
     "doc_quote_census": q_doc_quote_census,
     "events_gap_buckets": q_events_gap_buckets,
+    "source_dup_stats": q_source_dup_stats,
+    "orders_aging": q_orders_aging,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -10761,6 +10866,31 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "source_dup_stats": """
+        WITH p AS (
+            SELECT source, md5(coalesce(text, '')) AS m,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_dups
+        FROM p GROUP BY source
+    """,
+    "orders_aging": """
+        WITH t AS (SELECT max(epoch_us(o_orderdate)) AS anchor FROM orders),
+        a AS (
+            SELECT anchor - epoch_us(o_orderdate) AS age
+            FROM orders, t WHERE o_orderstatus = 'O'
+        )
+        SELECT CASE WHEN age < CAST(30 AS BIGINT)*86400*1000000 THEN 'lt_30d'
+                    WHEN age < CAST(90 AS BIGINT)*86400*1000000 THEN 'lt_90d'
+                    WHEN age < CAST(365 AS BIGINT)*86400*1000000 THEN 'lt_1y'
+                    ELSE 'ge_1y' END AS bucket,
+               count(*) AS n
+        FROM a GROUP BY 1
     """,
     "knn_filtered": f"""
         SELECT q.vec_id AS query_id, e.vec_id

@@ -400,3 +400,45 @@ class TestGapBuckets:
         out = q_events_gap_buckets(str(tmp_path)).to_pandas()
         got = dict(zip(out["bucket"], out["n"]))
         assert got == {"lt_1s": 1, "lt_10s": 1, "ge_1h": 1}
+
+
+class TestSourceDupStats:
+    def test_planted(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_source_dup_stats
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["same", "same", "same", "unique"],
+                "source": ["a", "a", "b", "b"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_source_dup_stats(str(tmp_path)).set_index("source")
+        assert out.loc["a", "n_docs"] == 2 and out.loc["a", "n_distinct"] == 1
+        assert out.loc["a", "n_dups"] == 1
+        assert out.loc["b", "n_docs"] == 2 and out.loc["b", "n_dups"] == 0
+
+
+class TestOrdersAging:
+    def test_buckets_from_anchor(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_orders_aging
+
+        anchor = pd.Timestamp("2001-01-01")
+        orders = pd.DataFrame(
+            {
+                "o_orderstatus": ["O", "O", "O", "F"],
+                "o_orderdate": pd.Series(
+                    [
+                        anchor,                                # age 0 -> lt_30d
+                        anchor - pd.Timedelta(days=60),        # lt_90d
+                        anchor - pd.Timedelta(days=400),       # ge_1y
+                        anchor - pd.Timedelta(days=1),         # F excluded
+                    ]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+        out = q_orders_aging(str(tmp_path)).to_pandas()
+        got = dict(zip(out["bucket"], out["n"]))
+        assert got == {"lt_30d": 1, "lt_90d": 1, "ge_1y": 1}
