@@ -9208,6 +9208,36 @@ def q_orders_aging(sf_dir: str):
     )
 
 
+def q_doc_simpson(sf_dir: str):
+    """Per-document Simpson diversity as the exact integer pair
+    ``(rep_num, rep_den) = (sum n_t*(n_t-1), N*(N-1))`` — the
+    repeat-probability complement of hapax richness (rep_num/rep_den
+    is the chance two random token draws match); map-only."""
+    docs = _docs(sf_dir)
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        num = np.zeros(len(b), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([t for t in toks.to_numpy() if t])
+            doc_idx = np.repeat(np.arange(len(b)), lens)
+            df = pd.DataFrame({"d": doc_idx, "t": flat})
+            vc = df.groupby(["d", "t"], sort=False).size()
+            contrib = (vc * (vc - 1)).groupby(level=0).sum()
+            num[contrib.index.to_numpy()] = contrib.to_numpy()
+        n = lens.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "rep_num": num,
+                "rep_den": n * (n - 1).clip(min=0),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_containment": q_doc_containment,
     "shipment_mst": q_shipment_mst,
@@ -9252,6 +9282,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_gap_buckets": q_events_gap_buckets,
     "source_dup_stats": q_source_dup_stats,
     "orders_aging": q_orders_aging,
+    "doc_simpson": q_doc_simpson,
     "customer_priority_seq": q_customer_priority_seq,
     "events_crosscorr": q_events_crosscorr,
     "doc_calibration": q_doc_calibration,
@@ -10866,6 +10897,24 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
+    """,
+    "doc_simpson": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS rep_num,
+                   CAST(sum(c) AS BIGINT) AS n
+            FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.rep_num, 0) AS BIGINT) AS rep_num,
+               CAST(coalesce(p.n * (p.n - 1), 0) AS BIGINT) AS rep_den
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "source_dup_stats": """
         WITH p AS (

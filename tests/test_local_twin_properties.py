@@ -442,3 +442,21 @@ class TestOrdersAging:
         out = q_orders_aging(str(tmp_path)).to_pandas()
         got = dict(zip(out["bucket"], out["n"]))
         assert got == {"lt_30d": 1, "lt_90d": 1, "ge_1y": 1}
+
+
+class TestSimpson:
+    def test_planted(self, tmp_path):
+        from ai_knowledge_graph_ray.pipelines.queries import q_doc_simpson
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a a b", "x", ""],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = q_doc_simpson(str(tmp_path)).to_pandas().set_index("doc_id")
+        # doc 1: counts {a:2, b:1} -> num = 2*1 = 2; den = 3*2 = 6
+        assert out.loc[1, "rep_num"] == 2 and out.loc[1, "rep_den"] == 6
+        assert out.loc[2, "rep_num"] == 0 and out.loc[2, "rep_den"] == 0
+        assert out.loc[3, "rep_num"] == 0 and out.loc[3, "rep_den"] == 0
