@@ -8530,11 +8530,23 @@ def q_orders_seasonal_index(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(agg) == 0 or "revenue_cents" not in agg.columns:
+        # empty pipelines lose their schema (NOTES.md edge 7)
+        return pd.DataFrame(
+            {
+                "month": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "seasonal_bps": pd.Series([], dtype="int64"),
+            }
+        )
     total = int(agg["revenue_cents"].sum())
     agg["month"] = agg["month"].astype("int64")
-    agg["seasonal_bps"] = (
-        agg["revenue_cents"] * 12 * 10000 // total if total else 0
-    ).astype("int64")
+    if total:
+        agg["seasonal_bps"] = (agg["revenue_cents"] * 12 * 10000 // total).astype(
+            "int64"
+        )
+    else:
+        agg["seasonal_bps"] = np.zeros(len(agg), dtype=np.int64)
     return agg.sort_values("month").reset_index(drop=True)
 
 

@@ -360,7 +360,19 @@ def crosscorr_sums(
         hour_schema,
         combiner=_per_hour_comb,
         num_buckets=num_buckets,
-    )
+    ).materialize()  # bounded by covered time span, not row count
+
+    if hourly.count() == 0:
+        # empty slice: match the SQL twin's shape — one zero row per lag
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "lag": np.asarray(lags, dtype=np.int64),
+                    "vc_sum": np.zeros(len(lags), dtype=np.int64),
+                    "n_hours": np.zeros(len(lags), dtype=np.int64),
+                }
+            )
+        )
 
     out_schema = pa.schema(
         [

@@ -1058,11 +1058,22 @@ def unpivot(
 
     def _melt(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in id_cols}
-                | {var_name: pd.Series(dtype="object"),
-                   value_name: pd.Series(dtype="int64")}
+            # derive empty-frame dtypes from the real batch schema so a
+            # dataset mixing empty and non-empty blocks unifies cleanly
+            ids = (
+                b[id_cols].iloc[:0]
+                if all(c in b.columns for c in id_cols)
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in id_cols})
             )
+            val_dtype = (
+                b[value_cols[0]].dtype
+                if value_cols and value_cols[0] in b.columns
+                else "int64"
+            )
+            out = ids.copy()
+            out[var_name] = pd.Series(dtype="object")
+            out[value_name] = pd.Series(dtype=val_dtype)
+            return out
         m = b.melt(
             id_vars=id_cols, value_vars=value_cols,
             var_name=var_name, value_name=value_name,

@@ -436,6 +436,13 @@ def hll_rollup(
                 )
         else:
             rows.append({"__regs": _registers(batch[value_col].to_numpy(), p).tobytes()})
+        if not rows:
+            # typed empty frame: an all-empty batch must still carry the
+            # partial schema or Arrow unification fails in bucketed_reduce
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in finest}
+                | {"__regs": pd.Series([], dtype=object)}
+            )
         return pd.DataFrame(rows)
 
     reg_schema = pa.schema(
@@ -485,6 +492,14 @@ def hll_rollup(
         for blob in pdf["__regs"]:
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
         current = pd.DataFrame([{"__regs": merged.tobytes()}])
+    elif len(current) == 0 or "__regs" not in current.columns:
+        # empty pipelines lose their schema (NOTES.md edge 7): a fully
+        # empty input still rolls up to zero-register sketches so the
+        # [] level emits its approx_distinct=0 row
+        current = pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in finest}
+            | {"__regs": pd.Series([], dtype=object)}
+        )
 
     for cols in levels:
         if cols != finest:
