@@ -8114,11 +8114,15 @@ def q_link_pred_eval(sf_dir: str):
         d = b["dst"].astype(str)
         lo = s.where(s < d, d)
         hi = d.where(s < d, s)
-        keys = (lo + "|" + hi).tolist()
-        first = np.array([_hl.md5(k.encode()).hexdigest()[0] for k in keys])
-        return pd.DataFrame(
-            {"a": lo, "b": hi, "is_test": np.isin(first, list("0123"))}
+        md5 = _hl.md5
+        # first hex digit in '0123' <=> first digest byte < 0x40; the
+        # digest call is the work (C loop), no hexdigest strings built
+        first = np.fromiter(
+            (md5(k.encode()).digest()[0] for k in (lo + "|" + hi).to_numpy(object)),
+            dtype=np.uint8,
+            count=len(b),
         )
+        return pd.DataFrame({"a": lo, "b": hi, "is_test": first < 0x40})
 
     tagged = edges.map_batches(_tag, batch_format="pandas").materialize()
     train = tagged.map_batches(
@@ -9837,6 +9841,35 @@ _WATERFILL_THR_SQL = """
           FROM tot t, bud b
         )"""
 
+# SimHash signature twin: md5-per-token first-8-bytes bit majority,
+# exactly mirroring stages/text_analysis.py:simhash64 (RE2 \\w+ over
+# the ASCII fixture corpus == Python \\w+; verified exact at sf0.01).
+_SIMHASH_SIG_SQL = """
+        toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS tok
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks
+        ),
+        simbits AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> (63 - b.bit)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ),
+        sig0 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN (1::UBIGINT << (63 - bit))
+                          ELSE 0::UBIGINT END)::UBIGINT AS sig
+          FROM simbits GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+          FROM documents d LEFT JOIN sig0 s USING (doc_id)
+        )"""
+
 _LANG_PRED_CASE = f"""CASE
                  WHEN {_lang_count('en')} = 0 AND {_lang_count('de')} = 0 AND {_lang_count('fr')} = 0 THEN 'und'
                  WHEN {_lang_count('en')} >= {_lang_count('de')} AND {_lang_count('en')} >= {_lang_count('fr')} THEN 'en'
@@ -9847,6 +9880,54 @@ _LANG_PRED_CASE = f"""CASE
 ORACLE_SQL: dict[str, str] = {
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
+    """,
+    "doc_simhash": f"""
+        WITH {_SIMHASH_SIG_SQL}
+        SELECT doc_id, sig AS simhash64 FROM sigs
+    """,
+    "simhash_dedup": f"""
+        WITH {_SIMHASH_SIG_SQL},
+        bands AS (
+          -- 4x16-bit band blocking: band_key = band value | band << 16
+          SELECT doc_id, sig,
+                 (((sig >> (16 * bi.b)) & 65535::UBIGINT)::BIGINT
+                  | (bi.b << 16)) AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bi
+        ),
+        ranked AS (
+          SELECT band_key, doc_id, sig,
+                 row_number() OVER (PARTITION BY band_key ORDER BY doc_id) - 1
+                   AS r
+          FROM bands
+        ),
+        cand AS (
+          -- row-major upper-triangle pair order, capped at 200 per
+          -- band BEFORE the Hamming verify (dedup.py pair cap)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sig AS sig_a, b.sig AS sig_b,
+                 row_number() OVER (PARTITION BY a.band_key
+                                    ORDER BY a.r, b.r) AS rn
+          FROM ranked a JOIN ranked b
+            ON a.band_key = b.band_key AND a.r < b.r
+        ),
+        verified AS (
+          SELECT DISTINCT id_a, id_b FROM cand
+          WHERE rn <= 200 AND bit_count(xor(sig_a, sig_b)) <= 3
+        ),
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        cnodes AS (SELECT DISTINCT u AS id FROM sym),
+        reach AS (
+          WITH RECURSIVE r(a, b) AS (
+            SELECT id, id FROM cnodes
+            UNION
+            SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
+          ) SELECT * FROM r
+        )
+        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS dup_of
+        FROM reach GROUP BY a HAVING min(b) <> a
     """,
     "link_domain_modularity": f"""
         WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
@@ -12444,6 +12525,44 @@ ORACLE_SQL: dict[str, str] = {
         FROM pairs p LEFT JOIN und ON p.x = und.a AND p.y = und.b
         WHERE und.a IS NULL AND p.score > 0
         QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
+    """,
+    "link_pred_eval": _CNRS_EDGES_SQL + """,
+        tagged AS (
+          -- deterministic ~25% holdout: first md5 hex digit of the
+          -- canonical pair key in 0-3 (same split as queries.py _tag)
+          SELECT a, b,
+                 substr(md5(a || '|' || b), 1, 1) IN ('0','1','2','3')
+                   AS is_test
+          FROM und
+        ),
+        test_pairs AS (SELECT a, b FROM tagged WHERE is_test),
+        train_und AS (SELECT a, b FROM tagged WHERE NOT is_test),
+        adj AS (
+          SELECT a AS u, b AS v FROM train_und
+          UNION ALL SELECT b, a FROM train_und
+        ),
+        deg AS (
+          SELECT u AS w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u
+        ),
+        pairs AS (
+          SELECT a1.v AS x, a2.v AS y,
+                 CAST(sum(1000000 // deg.d) AS BIGINT) AS score
+          FROM adj a1
+          JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+          JOIN deg ON deg.w = a1.u
+          GROUP BY 1, 2
+        ),
+        preds AS (
+          SELECT p.x, p.y
+          FROM pairs p LEFT JOIN train_und t ON p.x = t.a AND p.y = t.b
+          WHERE t.a IS NULL AND p.score > 0
+          QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM test_pairs) AS n_test,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM test_pairs tp JOIN preds pr
+                  ON tp.a = pr.x AND tp.b = pr.y) AS n_hits,
+               CAST(100 AS BIGINT) AS k
     """,
     "graph_ktruss": _CNRS_EDGES_SQL + """,
         tri AS (

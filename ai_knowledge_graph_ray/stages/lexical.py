@@ -173,35 +173,71 @@ def _blocked_candidate_pairs(
     ``drop_duplicates`` (never native multi-key groupby — NOTES.md 9)."""
     from .infer import bucketed_reduce
 
+    _empty = pa.table(
+        {"key": pa.array([], pa.string()), "entity": pa.array([], pa.string())}
+    )
+
     def _word_tokens(batch: pa.Table) -> pa.Table:
-        keys, ents = [], []
-        for e in batch["entity"].to_pylist():
-            for w in set(e.lower().split()):
-                if len(w) >= 4:
-                    keys.append(w)
-                    ents.append(e)
-        return pa.table({"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())})
+        # split + explode + per-entity dedup, all C-level (no row loop);
+        # downstream _word_block_pairs sorts, so row order is free
+        if len(batch) == 0:
+            return _empty
+        s = batch["entity"].to_pandas()
+        df = pd.DataFrame(
+            {"entity": s, "key": s.str.lower().str.split()}
+        ).explode("key", ignore_index=True)
+        df = df.dropna(subset=["key"])
+        df = df[df["key"].str.len() >= 4].drop_duplicates(["entity", "key"])
+        return pa.table(
+            {
+                "key": pa.array(df["key"].to_numpy(object), pa.string()),
+                "entity": pa.array(df["entity"].to_numpy(object), pa.string()),
+            }
+        )
 
     def _gram_haystack(batch: pa.Table) -> pa.Table:
-        keys, ents = [], []
-        for e in batch["entity"].to_pylist():
-            le = e.lower()
-            for i in range(max(0, len(le) - 2)):
-                keys.append(le[i : i + 3])
-                ents.append(e)
+        # all 3-grams, vectorized over OFFSETS (<= max entity length
+        # iterations, each a whole-column numpy char add) instead of rows
+        if len(batch) == 0:
+            return _empty
+        s = batch["entity"].to_pandas()
+        low = s.str.lower().to_numpy("U")
+        width = low.dtype.itemsize // 4
+        if width < 3:
+            return _empty
+        chars = low.view("U1").reshape(len(low), width)
+        lens = np.char.str_len(low)
+        ents = s.to_numpy(object)
+        key_parts, ent_parts = [], []
+        for i in range(width - 2):
+            mask = lens >= i + 3
+            if not mask.any():
+                break
+            gram = np.char.add(
+                np.char.add(chars[mask, i], chars[mask, i + 1]), chars[mask, i + 2]
+            )
+            key_parts.append(gram.astype(object))
+            ent_parts.append(ents[mask])
+        if not key_parts:
+            return _empty
         return pa.table(
-            {"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())}
+            {
+                "key": pa.array(np.concatenate(key_parts), pa.string()),
+                "entity": pa.array(np.concatenate(ent_parts), pa.string()),
+            }
         )
 
     def _gram_needle(batch: pa.Table) -> pa.Table:
-        keys, ents = [], []
-        for e in batch["entity"].to_pylist():
-            le = e.lower()
-            if len(le) >= 3:
-                keys.append(le[:3])
-                ents.append(e)
+        if len(batch) == 0:
+            return _empty
+        s = batch["entity"].to_pandas()
+        le = s.str.lower()
+        mask = (le.str.len() >= 3).to_numpy()
         return pa.table(
-            {"key": pa.array(keys, pa.string()), "entity": pa.array(ents, pa.string())}
+            {
+                "key": pa.array(le.str[:3].to_numpy(object)[mask], pa.string()),
+                "entity": pa.array(s.to_numpy(object)[mask], pa.string()),
+            }
         )
 
     pair_schema = pa.schema([("e1", pa.string()), ("e2", pa.string())])
