@@ -7114,13 +7114,12 @@ def q_doc_containment(sf_dir: str):
     return ngram_containment_pairs(_docs(sf_dir), k=3, threshold=0.8)
 
 
-def q_shipment_mst(sf_dir: str):
+def shipment_mst_edges(sf_dir: str):
     """Minimum spanning forest of the supplier-part shipment graph
     (edge weight = cheapest extendedprice cents for the pair) —
     distributed Boruvka: per-round cheapest-outgoing-edge reduce +
-    gated contraction, rounds <= log2(n). Rows-only (MST is not
-    SQL-expressible); forest uniqueness pinned vs Kruskal/networkx in
-    pytest."""
+    gated contraction, rounds <= log2(n). Forest minimality/uniqueness
+    pinned vs Kruskal/networkx in pytest (not SQL-expressible)."""
     from ..stages.graph_algos import minimum_spanning_forest
 
     li = ray.data.read_parquet(
@@ -7138,6 +7137,96 @@ def q_shipment_mst(sf_dir: str):
         return pa.table({"u": s, "v": p, "w": _cents(b["l_extendedprice"])})
 
     return minimum_spanning_forest(li.map_batches(_edges, batch_format="pyarrow"))
+
+
+def q_shipment_mst(sf_dir: str):
+    """Spanning-forest acceptance check of the distributed-Boruvka MST
+    (the driver-checkable invariant surface; the raw forest is
+    :func:`shipment_mst_edges`): per component of the INPUT shipment
+    graph — labeled by distributed min-label propagation over the
+    dense input edges (small diameter; the forest's own tree diameter
+    would not converge) — report ``(component=min node, n_nodes,
+    n_edges_in_forest)``. The oracle recomputes input components by
+    recursive CTE and emits ``n_edges = n_nodes - 1``, so the tables
+    agree iff the forest carries exactly the spanning-tree edge count
+    in every input component. Minimality, per-component connectivity
+    and acyclicity are pinned vs Kruskal/networkx in pytest — those
+    are not SQL-expressible."""
+    from ..stages.infer import (
+        bucketed_reduce,
+        connected_components_distributed,
+        default_num_partitions,
+        sanitize_for_join,
+    )
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    )
+
+    def _skel(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * len(b)), pc.cast(b["l_suppkey"], pa.string()), ""
+        )
+        p = pc.binary_join_element_wise(
+            pa.array(["p"] * len(b)), pc.cast(b["l_partkey"], pa.string()), ""
+        )
+        return pa.table({"subject": s, "object": p})
+
+    mst = shipment_mst_edges(sf_dir).materialize()
+    labels = connected_components_distributed(
+        li.map_batches(_skel, batch_format="pyarrow")
+    ).materialize()
+
+    lbl_schema = pa.schema([("entity", pa.string()), ("component", pa.string())])
+
+    def _cnt(name: str):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "component" not in g.columns:
+                return pd.DataFrame(
+                    {"component": pd.Series(dtype=object),
+                     name: pd.Series(dtype="int64")}
+                )
+            if name in g.columns:
+                return g.groupby("component", as_index=False)[name].sum()
+            out = g.groupby("component", as_index=False).agg(**{name: ("component", "size")})
+            out[name] = out[name].astype("int64")
+            return out
+
+        return _f
+
+    n_schema = pa.schema([("component", pa.string()), ("n_nodes", pa.int64())])
+    e_schema = pa.schema([("component", pa.string()), ("n_edges", pa.int64())])
+    node_counts = bucketed_reduce(
+        labels, ["component"], _cnt("n_nodes"), n_schema, combiner=_cnt("n_nodes")
+    )
+    edge_comp = cogroup_join(
+        mst.map_batches(
+            lambda b: pa.table({"entity": b["u"]}), batch_format="pyarrow"
+        ),
+        sanitize_for_join(labels, lbl_schema),
+        on=["entity"],
+        how="inner",
+        left_schema=pa.schema([("entity", pa.string())]),
+        right_schema=lbl_schema,
+        num_buckets=default_num_partitions(),
+    )
+    edge_counts = bucketed_reduce(
+        edge_comp.select_columns(["component"]),
+        ["component"],
+        _cnt("n_edges"),
+        e_schema,
+        combiner=_cnt("n_edges"),
+    )
+    out = cogroup_join(
+        node_counts,
+        edge_counts,
+        on=["component"],
+        how="inner",
+        left_schema=n_schema,
+        right_schema=e_schema,
+        num_buckets=default_num_partitions(),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -7593,17 +7682,129 @@ def q_doc_calibration(sf_dir: str):
     return calibration_bins(_docs(sf_dir))
 
 
-def q_link_coloring(sf_dir: str):
+def link_coloring_colors(sf_dir: str):
     """Greedy graph coloring of the web-link graph (Jones-Plassmann
     on the splitmix64 node order — conflict-free co-update scheduling
-    over linked pages); rows-only (greedy coloring is not
-    SQL-expressible); properness + driver/distributed gate equivalence
-    pinned in pytest."""
+    over linked pages); the raw ``(node, color)`` table. Greedy
+    coloring is not SQL-expressible; properness + driver/distributed
+    gate equivalence pinned in pytest."""
     from ..sources.pages import pages_from_documents
     from ..stages.graph_algos import greedy_coloring
     from ..stages.webtext import link_edges
 
     return greedy_coloring(link_edges(pages_from_documents(sf_dir)))
+
+
+def _distinct_node_count(und) -> int:
+    """Distinct endpoint count of an ``(a, b)`` edge table — one
+    bucketed dedup reduce with a map-side combiner, count on the
+    deduped residue."""
+    from ..stages.infer import bucketed_reduce
+
+    node_schema = pa.schema([("node", pa.string())])
+
+    def _dd(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "node" not in b.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object)})
+        return b[["node"]].drop_duplicates()
+
+    nodes = und.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": pd.concat([b["a"], b["b"]], ignore_index=True)}
+        ).drop_duplicates()
+        if len(b)
+        else pd.DataFrame({"node": pd.Series(dtype=object)}),
+        batch_format="pandas",
+    )
+    return bucketed_reduce(
+        nodes, ["node"], _dd, node_schema, combiner=_dd
+    ).count()
+
+
+def _edge_label_counts(und, labels, label_col: str) -> tuple[int, int]:
+    """Join a ``(node, <label_col>)`` table onto both endpoints of an
+    ``(a, b)`` undirected edge table: ``(n_edges_both_labeled,
+    n_equal_label)`` — the shared engine of the coloring/partitioning
+    acceptance checks. Two node-keyed cogroup exchanges, 2-int residue."""
+    from ..stages.infer import default_num_partitions, sanitize_for_join
+
+    l_schema = pa.schema([("node", pa.string()), (label_col, pa.int64())])
+    a_side = und.map_batches(
+        lambda b: pd.DataFrame({"node": b["a"], "b": b["b"]}),
+        batch_format="pandas",
+    )
+    j1 = cogroup_join(
+        a_side,
+        sanitize_for_join(labels, l_schema),
+        on=["node"],
+        how="inner",
+        left_schema=pa.schema([("node", pa.string()), ("b", pa.string())]),
+        right_schema=l_schema,
+        num_buckets=default_num_partitions(),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["b"], "la_": b[label_col].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    j2 = cogroup_join(
+        j1,
+        sanitize_for_join(
+            labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"], "lb_": b[label_col].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            pa.schema([("node", pa.string()), ("lb_", pa.int64())]),
+        ),
+        on=["node"],
+        how="inner",
+        left_schema=pa.schema([("node", pa.string()), ("la_", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()), ("lb_", pa.int64())]),
+        num_buckets=default_num_partitions(),
+    )
+    agg = j2.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "n": [len(b)],
+                "eq": [int((b["la_"].to_numpy() == b["lb_"].to_numpy()).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return (int(agg["n"].sum()) if len(agg) else 0,
+            int(agg["eq"].sum()) if len(agg) else 0)
+
+
+def q_link_coloring(sf_dir: str):
+    """Properness acceptance check of the web-link-graph greedy
+    coloring (driver-checkable surface; raw colors:
+    :func:`link_coloring_colors`): ``(n_nodes, n_colored,
+    n_monochrome)`` where the oracle derives n_nodes from the link
+    graph and a PROPER total coloring must give ``n_colored = n_nodes``
+    and ``n_monochrome = 0``. Palette size is greedy-order-dependent
+    (not SQL-predictable) — pinned in pytest instead."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import undirected_simple_edges
+    from ..stages.webtext import link_edges
+
+    edges = link_edges(pages_from_documents(sf_dir)).materialize()
+    und = undirected_simple_edges(edges).materialize()
+    colors = link_coloring_colors(sf_dir).materialize()
+    n_nodes = _distinct_node_count(und)
+    n_both, n_mono = _edge_label_counts(und, colors, "color")
+    # coverage: every edge joined both endpoints <=> every node colored
+    n_colored = colors.count()
+    if n_both != und.count():
+        n_colored = -1  # uncovered edges: fail loudly in the compare
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([n_nodes], dtype="int64"),
+            "n_colored": pd.Series([n_colored], dtype="int64"),
+            "n_monochrome": pd.Series([n_mono], dtype="int64"),
+        }
+    )
 
 
 def q_events_session_paths(sf_dir: str):
@@ -7817,17 +8018,70 @@ def q_important_parts(sf_dir: str):
     return res
 
 
-def q_link_partition(sf_dir: str):
+def link_partition_labels(sf_dir: str):
     """Capacity-constrained LPA partitioning of the web-link graph
     into 8 co-location groups (<= 1.1x balanced) — the layout planner
     a 100-TB ingest would use to keep linked pages on the same shard;
-    rows-only (iterated LPA); determinism/capacity/cut-improvement
-    pinned in pytest."""
+    the raw ``(node, partition)`` table (iterated LPA is not
+    SQL-expressible); determinism/capacity/cut-improvement pinned in
+    pytest."""
     from ..sources.pages import pages_from_documents
     from ..stages.graph_algos import capacity_partition
     from ..stages.webtext import link_edges
 
     return capacity_partition(link_edges(pages_from_documents(sf_dir)), k=8)
+
+
+def q_link_partition(sf_dir: str):
+    """Capacity/coverage acceptance check of the link-graph
+    partitioner (driver-checkable surface; raw labels:
+    :func:`link_partition_labels`): ``(n_nodes, n_labeled, capacity,
+    n_over_capacity)``. The oracle derives ``n_nodes`` from the link
+    graph and the ceil(1.1 * n / 8) capacity from the same integer
+    formula as graph_algos.capacity_partition; a correct partitioning
+    labels every node exactly once and never exceeds the cap, so
+    ``n_labeled = n_nodes`` and ``n_over_capacity = 0``. Which
+    partition each node lands in is LPA-iteration-dependent — pinned
+    in pytest, not SQL-predictable."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.graph_algos import undirected_simple_edges
+    from ..stages.webtext import link_edges
+
+    k = 8
+    edges = link_edges(pages_from_documents(sf_dir)).materialize()
+    und = undirected_simple_edges(edges).materialize()
+    parts = link_partition_labels(sf_dir).materialize()
+    n_nodes = _distinct_node_count(und)
+    capacity = -(-n_nodes * 11 // (10 * k))
+    sizes = (
+        parts.map_batches(
+            lambda b: b.groupby("partition", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            if len(b)
+            else pd.DataFrame(
+                {"partition": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()  # k-row residue after the map-side census
+    )
+    size_agg = (
+        sizes.groupby("partition")["n"].sum()
+        if len(sizes)
+        else pd.Series(dtype=int)
+    )
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([n_nodes], dtype="int64"),
+            "n_labeled": pd.Series([int(size_agg.sum())], dtype="int64"),
+            "capacity": pd.Series([capacity], dtype="int64"),
+            "n_over_capacity": pd.Series(
+                [int((size_agg > capacity).sum())], dtype="int64"
+            ),
+        }
+    )
 
 
 def q_orders_cohort_ltv(sf_dir: str):
@@ -8650,82 +8904,36 @@ def q_events_type_user_jaccard(sf_dir: str):
 
 
 def q_link_partition_quality(sf_dir: str):
-    """Quality report of the capacity-constrained partitioner: edge
-    cut, number of partitions used, and the largest partition — the
-    acceptance check a layout planner runs before committing a
-    placement. Deterministic composite (rows-only); the cut is one
-    broadcast-free pass joining both endpoints' labels through a
-    node-keyed exchange."""
+    """Edge-accounting acceptance check of the capacity-constrained
+    partitioner (driver-checkable surface): ``(n_edges,
+    n_edges_labeled, cut_ok)``. The oracle counts the link graph's
+    distinct undirected simple edges; a total labeling joins BOTH
+    endpoints of every edge (``n_edges_labeled = n_edges``) and the
+    computed cut must satisfy ``0 <= cut <= n_edges`` (``cut_ok = 1``).
+    The cut VALUE is LPA-iteration-dependent — its monotone
+    improvement over rounds is pinned in pytest, not SQL-predictable.
+    One broadcast-free pass joining labels through a node-keyed
+    exchange (shared :func:`_edge_label_counts` engine)."""
     from ..sources.pages import pages_from_documents
-    from ..stages.graph_algos import capacity_partition, undirected_simple_edges
-    from ..stages.infer import default_num_partitions, sanitize_for_join
+    from ..stages.graph_algos import undirected_simple_edges
     from ..stages.webtext import link_edges
 
     edges = link_edges(pages_from_documents(sf_dir)).materialize()
     und = undirected_simple_edges(edges).materialize()
-    parts = capacity_partition(edges, k=8).materialize()
-    p_schema = pa.schema([("node", pa.string()), ("partition", pa.int64())])
-    a_side = und.map_batches(
-        lambda b: pd.DataFrame({"node": b["a"], "b": b["b"]}),
-        batch_format="pandas",
-    )
-    j1 = cogroup_join(
-        a_side,
-        sanitize_for_join(parts, p_schema),
-        on=["node"],
-        how="inner",
-        left_schema=pa.schema([("node", pa.string()), ("b", pa.string())]),
-        right_schema=p_schema,
-        num_buckets=default_num_partitions(),
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b["b"], "pa_": b["partition"].astype("int64")}
-        ),
-        batch_format="pandas",
-    )
-    j2 = cogroup_join(
-        j1,
-        sanitize_for_join(
-            parts.map_batches(
-                lambda b: pd.DataFrame(
-                    {"node": b["node"], "pb_": b["partition"].astype("int64")}
-                ),
-                batch_format="pandas",
-            ),
-            pa.schema([("node", pa.string()), ("pb_", pa.int64())]),
-        ),
-        on=["node"],
-        how="inner",
-        left_schema=pa.schema([("node", pa.string()), ("pa_", pa.int64())]),
-        right_schema=pa.schema([("node", pa.string()), ("pb_", pa.int64())]),
-        num_buckets=default_num_partitions(),
-    )
-    cuts = j2.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "n": [len(b)],
-                "cut": [int((b["pa_"].to_numpy() != b["pb_"].to_numpy()).sum())],
-            }
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    sizes = parts.map_batches(
-        lambda b: b.groupby("partition", as_index=False).size().rename(
-            columns={"size": "n"}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    size_agg = sizes.groupby("partition")["n"].sum() if len(sizes) else pd.Series(dtype=int)
+    parts = link_partition_labels(sf_dir).materialize()
+    n_edges = und.count()
+    n_both, n_internal = _edge_label_counts(und, parts, "partition")
+    cut = n_both - n_internal
     return pd.DataFrame(
         {
-            "n_edges": pd.Series([int(cuts["n"].sum())], dtype="int64"),
-            "n_cut": pd.Series([int(cuts["cut"].sum())], dtype="int64"),
-            "n_partitions": pd.Series([int(size_agg.size)], dtype="int64"),
-            "max_partition": pd.Series(
-                [int(size_agg.max()) if len(size_agg) else 0], dtype="int64"
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_edges_labeled": pd.Series([n_both], dtype="int64"),
+            "cut_ok": pd.Series(
+                [int(0 <= cut <= n_edges)], dtype="int64"
             ),
         }
     )
+
 
 
 def q_doc_lang_margin(sf_dir: str):
@@ -12525,6 +12733,130 @@ ORACLE_SQL: dict[str, str] = {
         FROM pairs p LEFT JOIN und ON p.x = und.a AND p.y = und.b
         WHERE und.a IS NULL AND p.score > 0
         QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
+    """,
+    "events_hll_rollup": """
+        -- full HLL twin: md5-based registers recomputed per level in
+        -- SQL (register max-merge == direct sketch of the slice), the
+        -- power sum exact in HUGEINT, the estimate's IEEE op order
+        -- mirroring stages/sketches.py:_estimate bit-for-bit
+        WITH vals AS (
+          SELECT CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS day,
+                 event_type, CAST(user_id AS VARCHAR) AS v
+          FROM events
+        ),
+        lv AS (
+          SELECT 'day,event_type' AS level, day || '|' || event_type AS key, v
+          FROM vals
+          UNION ALL SELECT 'day', day, v FROM vals
+          UNION ALL SELECT '<all>', '', v FROM vals
+        ),
+        hx AS (
+          SELECT DISTINCT level, key,
+                 ('0x' || substr(md5(v),1,16))::UBIGINT AS h
+          FROM lv
+        ),
+        rk AS (
+          SELECT level, key, (h >> 54)::BIGINT AS idx,
+                 55 - length(ltrim(bin(h & 18014398509481983::UBIGINT), '0'))
+                   AS rank
+          FROM hx
+        ),
+        regs AS (
+          SELECT level, key, idx, CAST(max(rank) AS BIGINT) AS r
+          FROM rk GROUP BY level, key, idx
+        ),
+        agg AS (
+          SELECT level, key,
+                 sum((1::HUGEINT << (64 - r))) AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM regs GROUP BY level, key
+        ),
+        est AS (
+          SELECT level, key,
+                 CAST(s_present
+                      + (1024 - n_present) * (1::HUGEINT << 64) AS DOUBLE)
+                   AS S,
+                 1024 - n_present AS zeros
+          FROM agg
+        )
+        SELECT level, key,
+               CAST(floor(CASE
+                 WHEN (0.7213 / (1 + 1.079 / 1024.0)) * 1024 * 1024
+                      * 18446744073709551616.0 / S <= 2560.0
+                      AND zeros > 0
+                 THEN 1024.0 * ln(1024.0 / zeros)
+                 ELSE (0.7213 / (1 + 1.079 / 1024.0)) * 1024 * 1024
+                      * 18446744073709551616.0 / S
+               END) AS BIGINT) AS approx_distinct
+        FROM est
+    """,
+    "link_coloring": f"""
+        -- properness invariant: a total proper coloring of the link
+        -- graph colors every node and leaves zero monochrome edges
+        WITH raw AS ({_LINK_EDGES_SQL}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        n AS (
+          SELECT CAST(count(DISTINCT node) AS BIGINT) AS c FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          )
+        )
+        SELECT c AS n_nodes, c AS n_colored,
+               CAST(0 AS BIGINT) AS n_monochrome
+        FROM n
+    """,
+    "link_partition": f"""
+        -- capacity/coverage invariant: every node labeled once, no
+        -- partition above ceil(1.1 * n / 8) (graph_algos formula)
+        WITH raw AS ({_LINK_EDGES_SQL}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        n AS (
+          SELECT CAST(count(DISTINCT node) AS BIGINT) AS c FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          )
+        )
+        SELECT c AS n_nodes, c AS n_labeled,
+               CAST((c * 11 + 79) // 80 AS BIGINT) AS capacity,
+               CAST(0 AS BIGINT) AS n_over_capacity
+        FROM n
+    """,
+    "link_partition_quality": f"""
+        -- edge-accounting invariant: both endpoints of every distinct
+        -- undirected simple edge are labeled; the cut is in range
+        WITH raw AS ({_LINK_EDGES_SQL}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_edges_labeled,
+               CAST(1 AS BIGINT) AS cut_ok
+        FROM und
+    """,
+    "shipment_mst": """
+        -- spanning-forest invariant: components of the INPUT shipment
+        -- graph; a correct MST partitions nodes identically and has
+        -- exactly n_nodes - 1 edges per component (see q_shipment_mst)
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                          'p' || CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem
+        ),
+        und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach AS (
+          SELECT u AS entity, u AS r FROM und
+          UNION
+          SELECT reach.entity, und.v FROM reach JOIN und ON und.u = reach.r
+        ),
+        comp AS (SELECT entity, min(r) AS component FROM reach GROUP BY entity)
+        SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(*) - 1 AS BIGINT) AS n_edges
+        FROM comp GROUP BY component
     """,
     "link_pred_eval": _CNRS_EDGES_SQL + """,
         tagged AS (

@@ -55,14 +55,28 @@ def _registers(values, p: int) -> np.ndarray:
     return regs
 
 
-def _estimate(regs: np.ndarray) -> float:
+def _estimate(regs: np.ndarray) -> int:
+    """Exact-arithmetic HLL estimate, truncated to int: the register
+    power sum ``S = sum(2^(64-r))`` is an exact Python integer, so the
+    value is independent of summation order and reproducible
+    bit-for-bit by a SQL twin (HUGEINT power sum, one double cast,
+    identical IEEE op order); the small-range linear-counting branch
+    uses ``math.log`` (libm — matches DuckDB ``ln`` on this platform,
+    exhaustively probed over every possible zeros count)."""
+    import math
+
     m = len(regs)
+    counts = np.bincount(regs)
+    S = 0
+    for r, c in enumerate(counts):
+        if c:
+            S += int(c) << (64 - r)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    est = alpha * m * m * 2.0**64 / float(S)
+    zeros = int(counts[0]) if len(counts) else m
     if est <= 2.5 * m and zeros > 0:
-        est = m * np.log(m / zeros)  # linear counting for small range
-    return float(est)
+        est = m * math.log(m / zeros)  # linear counting for small range
+    return int(est)
 
 
 def hll_distinct(
@@ -106,7 +120,7 @@ def hll_distinct(
         for blob in g["__regs"]:
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
         row = {c: g[c].iloc[0] for c in group_cols}
-        row["approx_distinct"] = int(round(_estimate(merged)))
+        row["approx_distinct"] = _estimate(merged)
         return pd.DataFrame([row])
 
     if group_cols:
@@ -531,7 +545,7 @@ def hll_rollup(
         rows = []
         for _, r in lvl_regs.iterrows():
             key = "|".join(str(r[c]) for c in cols) if cols else ""
-            est = int(round(_estimate(np.frombuffer(r["__regs"], dtype=np.uint8))))
+            est = _estimate(np.frombuffer(r["__regs"], dtype=np.uint8))
             rows.append(
                 {"level": ",".join(cols) if cols else "<all>", "key": key,
                  "approx_distinct": est}
