@@ -45,7 +45,8 @@ def main() -> None:
 
     from .curation import curate_corpus
 
-    docs = ray.data.read_parquet(
+    from ..sources.readers import read_parquet_clean
+    docs = read_parquet_clean(
         os.path.join(args.sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "text"],
     )

@@ -26,6 +26,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..sources.pages import pages_from_documents
+from ..sources.readers import read_parquet_clean
 from ..stages.chunk import chunk_docs
 from ..stages.dedup import (
     embedding_dedup,
@@ -58,7 +59,7 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +181,7 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
 
 
 def q_lineitem_agg(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -218,7 +219,7 @@ def q_orders_by_segment(sf_dir: str):
 
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_map_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
     class _Join:
         def __init__(self) -> None:
@@ -252,7 +253,7 @@ def q_lineitem_orders_join(sf_dir: str):
     """
     import pandas as _pd
 
-    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
 
     def _partial(b: _pd.DataFrame) -> _pd.DataFrame:
         b = b.assign(qty=b["l_quantity"].round().astype("int64"))
@@ -261,7 +262,7 @@ def q_lineitem_orders_join(sf_dir: str):
         )
 
     li_part = li.map_batches(_partial, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     ).rename_columns({"o_orderkey": "l_orderkey"})
     from ..stages.infer import default_num_partitions
@@ -279,7 +280,7 @@ def q_lineitem_orders_join(sf_dir: str):
 
 
 def q_top_orders(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(
         lambda b: pa.table(
             {"o_orderkey": b["o_orderkey"], "price_cents": _cents(b["o_totalprice"])}
@@ -297,7 +298,7 @@ def q_top_orders(sf_dir: str):
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + integer value sum."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
     def _pre(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -331,7 +332,7 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 def q_knn_cosine(sf_dir: str):
     qids, qmat = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_brute(ds, qids, qmat, k=KNN_K)
     return out.map_batches(
         lambda b: pa.table(
@@ -355,7 +356,7 @@ def q_knn_rrf(sf_dir: str):
     from ..stages.similarity import rrf_fuse
 
     qids, qmat = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cos = knn_brute(ds, qids, qmat, k=KNN_K, with_scores=True, metric="cosine")
     l2 = knn_brute(ds, qids, qmat, k=KNN_K, with_scores=True, metric="l2")
     return rrf_fuse([cos, l2], k_const=RRF_K_CONST, top_k=KNN_K)
@@ -363,7 +364,7 @@ def q_knn_rrf(sf_dir: str):
 
 def q_knn_ivf(sf_dir: str):
     qids, qmat = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return knn_ivf(ds, qids, qmat, k=KNN_K)
 
 
@@ -399,7 +400,7 @@ def q_knn_ivf_indexed(sf_dir: str):
         fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
     idx_dir = f"/tmp/kgray_ivf_{fp.hexdigest()[:16]}"
     if not _os.path.isfile(_os.path.join(idx_dir, "_SUCCESS")):
-        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(emb_path, columns=["vec_id", "embedding"])
         ivf_build(ds, idx_dir, n_clusters=16)
     return knn_ivf_indexed(idx_dir, qids, qmat, k=KNN_K, n_probe=4)
 
@@ -417,7 +418,7 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return embedding_dedup(ds)
 
 
@@ -521,7 +522,7 @@ def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, hour) as three combined grouped
     sums unioned under sentinel keys ('ALL' / epoch-0 hour) — ints
     only, so the hash matches the SQL ROLLUP exactly."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
     def _pre(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -574,7 +575,7 @@ def q_events_sliding_window(sf_dir: str):
     """1-hour windows sliding every 15 minutes: each event belongs to
     the 4 windows covering it; explode + one combined grouped sum.
     Window starts as integer epoch-microseconds (hash-exact)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "value"])
 
     def _explode(b: pa.Table) -> pa.Table:
         ts_us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -602,7 +603,7 @@ def q_events_quantiles(sf_dir: str):
     early-stop stream (DuckDB quantile_disc semantics)."""
     from ..stages.relational import discrete_quantiles
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["value"])
     cents = ds.map_batches(
         lambda b: pa.table({"value_cents": _cents(b["value"])}), batch_format="pyarrow"
     )
@@ -615,10 +616,10 @@ def q_customers_without_orders(sf_dir: str):
     from ..stages.infer import normalize_blocks, sanitize_for_join
     from ..stages.relational import cogroup_join
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
     )
     okeys = sanitize_for_join(
@@ -659,10 +660,10 @@ def q_customer_order_counts(sf_dir: str):
     from ..stages.infer import normalize_blocks, sanitize_for_join
     from ..stages.relational import cogroup_join, grouped_sums
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey"])
     counts = sanitize_for_join(
         grouped_sums(
             orders.map_batches(
@@ -721,7 +722,7 @@ KATZ_ITERS, KATZ_SCALE, KATZ_ANUM, KATZ_ADEN = 4, 10**9, 1, 10
 def _cnr_edges(sf_dir: str) -> ray.data.Dataset:
     """customer->nation->region layered edge list with namespaced node
     ids (shared by the pagerank and k_hop queries)."""
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -732,7 +733,7 @@ def _cnr_edges(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
-    nat = ray.data.read_parquet(
+    nat = read_parquet_clean(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -770,7 +771,7 @@ def q_part_tree_rollup(sf_dir: str):
     grouped contribution sum; recursive-CTE SQL twin."""
     from ..stages.graph_algos import tree_rollup
 
-    part = ray.data.read_parquet(
+    part = read_parquet_clean(
         _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice"]
     ).materialize()
     values = part.map_batches(
@@ -858,13 +859,13 @@ def _cnrs_edges(sf_dir: str) -> ray.data.Dataset:
 
         return _f
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(_fan("c", "c_custkey", "c_nationkey"), batch_format="pandas")
-    supp = ray.data.read_parquet(
+    supp = read_parquet_clean(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_fan("s", "s_suppkey", "s_nationkey"), batch_format="pandas")
-    nre = ray.data.read_parquet(
+    nre = read_parquet_clean(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -1009,7 +1010,7 @@ def _bip_edges(sf_dir: str) -> ray.data.Dataset:
     n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
     n2r_ref = ray.put(n2r)
 
-    co = ray.data.read_parquet(
+    co = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -1038,10 +1039,10 @@ def _bip_edges(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    supp = ray.data.read_parquet(
+    supp = read_parquet_clean(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_supp, batch_format="pandas")
-    nre = ray.data.read_parquet(
+    nre = read_parquet_clean(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -1078,7 +1079,7 @@ def q_temporal_reach(sf_dir: str):
 
     from ..stages.graph_algos import temporal_reachability
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_suppkey", "l_partkey", "l_shipdate"],
     )
@@ -1155,10 +1156,10 @@ def q_threshold_components(sf_dir: str):
     descending-weight union-find serves all thresholds under the gate."""
     from ..stages.graph_algos import threshold_components
 
-    ords = ray.data.read_parquet(
+    ords = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     )
-    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
 
     def _li_counts(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["l_orderkey"].value_counts(sort=False)
@@ -1220,7 +1221,7 @@ def q_orders_rrf(sf_dir: str):
     window ranks + fusion + top-k."""
     from ..stages.retrieval import rrf_fuse_grouped
 
-    ords = ray.data.read_parquet(
+    ords = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
     ).map_batches(
@@ -1253,7 +1254,7 @@ def q_part_frequent_triples(sf_dir: str):
     broadcast to prune candidate triples before the shuffle."""
     from ..stages.cooccur import frequent_triples
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
     )
     return frequent_triples(li, "l_orderkey", "l_partkey", minsup=2)
@@ -1265,7 +1266,7 @@ def q_part_rules(sf_dir: str):
     pair supports computed once and reused for pruning + denominators."""
     from ..stages.cooccur import association_rules
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
     )
     return association_rules(li, "l_orderkey", "l_partkey", minsup=2)
@@ -1280,7 +1281,7 @@ def q_weighted_sssp(sf_dir: str):
 
     from ..stages.graph_algos import weighted_sssp
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_suppkey", "l_partkey", "l_linenumber"],
     )
@@ -1317,7 +1318,7 @@ def q_supplier_negatives(sf_dir: str):
 
     from ..stages.training import bipartite_negative_samples
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     )
     pmax = int(
@@ -1336,7 +1337,7 @@ def q_doc_vocab_growth(sf_dir: str):
     share one pass over the (token, first_doc) residue."""
     from ..stages.vocab import vocab_growth
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
     return vocab_growth(docs, pcts=[10, 25, 50, 100])
@@ -1349,7 +1350,7 @@ def q_kcenter_coreset(sf_dir: str):
     hash-exact vs a 5-round unrolled SQL twin."""
     from ..stages.clustering import kcenter_select
 
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     return kcenter_select(emb, k=5)
@@ -1361,7 +1362,7 @@ def q_part_copurchase(sf_dir: str):
     bounded per basket, deterministic tie-break, SQL-oracle-exact."""
     from ..stages.cooccur import cooccur_pairs
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
     )
     # explicit Arrow projection, not rename_columns (NOTES.md item 10)
@@ -1411,7 +1412,7 @@ def q_domain_stats(sf_dir: str):
     """Per-source corpus profile (docs, chars, tokens, distinct langs)."""
     from ..stages.webtext import domain_stats
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "lang", "text"]
     )
     return domain_stats(docs)
@@ -1437,7 +1438,7 @@ def q_source_overlap(sf_dir: str):
     leave the shuffle."""
     from ..stages.webtext import source_overlap_matrix
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["source", "text"]
     )
     return source_overlap_matrix(docs, k=SOURCE_OVERLAP_K)
@@ -1688,7 +1689,7 @@ def q_doc_vocab(sf_dir: str):
 
 
 def q_events_sessionize(sf_dir: str):
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return sessionize(ev, gap_minutes=30)
 
 
@@ -1698,7 +1699,7 @@ def q_top_event_per_user(sf_dir: str):
     an id tie-break so the SQL row_number() oracle matches exactly."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "value"]
     )
 
@@ -1732,7 +1733,7 @@ def q_top_event_per_user(sf_dir: str):
 def q_events_lag(sf_dir: str):
     from ..stages.sessions import lag_join
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     return lag_join(ev)
 
 
@@ -1741,7 +1742,7 @@ def q_events_asof_purchase(sf_dir: str):
     'purchase' event of the same user (-1 when none)."""
     from ..stages.sessions import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
     # vectorized arrow filter (a row-lambda filter runs Python per row)
@@ -1758,7 +1759,7 @@ def q_orders_ship_window(sf_dir: str):
     bucket shuffle."""
     from ..stages.relational import interval_count_join
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -1770,7 +1771,7 @@ def q_orders_ship_window(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_shipdate"])
+    lineitem = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_shipdate"])
     return interval_count_join(
         lineitem,
         orders,
@@ -1787,7 +1788,7 @@ def q_events_running_total(sf_dir: str):
     ``SUM(cents) OVER (PARTITION BY user ORDER BY ts, id)``."""
     from ..stages.sessions import running_sum
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     ).map_batches(
         lambda b: pa.table(
@@ -1816,7 +1817,7 @@ def q_orders_semi_lineitem(sf_dir: str):
     from ..stages.infer import normalize_blocks, sanitize_for_join
     from ..stages.relational import grouped_sums
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda b: pa.table(
@@ -1828,7 +1829,7 @@ def q_orders_semi_lineitem(sf_dir: str):
         batch_format="pyarrow",
     )
     likeys = sanitize_for_join(
-        ray.data.read_parquet(
+        read_parquet_clean(
             _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
         ).map_batches(
             lambda b: pa.table(
@@ -1867,7 +1868,7 @@ def q_events_sample_per_type(sf_dir: str):
     (unlike seeded-RNG sampling)."""
     from ..stages.relational import sample_per_group
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_type", "event_id"]
     )
     return sample_per_group(ev, "event_type", "event_id", 20)
@@ -1876,7 +1877,7 @@ def q_events_sample_per_type(sf_dir: str):
 def q_distinct_users(sf_dir: str):
     """Exact count-distinct: per-batch distinct pairs, pair-level
     global dedup via groupby, then a grouped count."""
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "user_id"])
 
     def _pairs(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates(["event_type", "user_id"])
@@ -1907,13 +1908,13 @@ def q_three_way_join(sf_dir: str):
     two large sides, broadcast join for the customer dimension."""
     import ray as _ray
 
-    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "n"})
 
     li_part = li.map_batches(_partial, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderpriority"]
     ).rename_columns({"o_orderkey": "l_orderkey"})
     from ..stages.infer import default_num_partitions
@@ -1946,7 +1947,7 @@ def q_approx_distinct_users(sf_dir: str):
     pattern; exact counterpart is the oracle-checked distinct_users)."""
     from ..stages.sketches import hll_distinct
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "user_id"])
     return hll_distinct(ev, "user_id", ["event_type"])
 
 
@@ -1962,7 +1963,7 @@ def q_supplier_region(sf_dir: str):
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     ref = _ray.put((n2r, r2name))
 
-    sup = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    sup = read_parquet_clean(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
 
     def _lookup(b: pa.Table) -> pa.Table:
         n2r_, r2name_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
@@ -1986,7 +1987,7 @@ def q_supplier_region(sf_dir: str):
 def q_part_type_stats(sf_dir: str):
     """Grouped stats over the part dimension: count + integer-cent
     retail price sums + min/max size per brand."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "part"), columns=["p_brand", "p_size", "p_retailprice"]
     )
 
@@ -2025,7 +2026,7 @@ def q_part_type_stats(sf_dir: str):
 
 def q_orders_dates(sf_dir: str):
     """min/max timestamp aggregate per priority (exact-matchable)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderdate"]
     )
 
@@ -2356,7 +2357,7 @@ def q_events_props_sum(sf_dir: str):
     json_extract + BIGINT cast."""
     from ..stages.jsonfield import json_field_int
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def _pre(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2400,7 +2401,7 @@ def q_source_token_quantiles(sf_dir: str):
     shuffle, vectorized grouped-histogram reduce."""
     from ..stages.quantiles import grouped_quantiles
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["source", "text"]
     )
 
@@ -2425,7 +2426,7 @@ def q_events_rolling_window(sf_dir: str):
     2 PRECEDING AND CURRENT ROW)``."""
     from ..stages.sessions import rolling_sum
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     ).map_batches(
         lambda b: pa.table(
@@ -2466,7 +2467,7 @@ def q_orders_vs_ship_by_date(sf_dir: str):
             return pd.DataFrame({"d": u, out: c.astype("int64")})
 
         return bucketed_reduce(
-            ray.data.read_parquet(_t(sf_dir, table), columns=[col]),
+            read_parquet_clean(_t(sf_dir, table), columns=[col]),
             ["d"],
             lambda g: g.groupby("d", sort=False, as_index=False)[out].sum(),
             pa.schema([("d", pa.int64()), (out, pa.int64())]),
@@ -2508,7 +2509,7 @@ def q_doc_shuffle_shards(sf_dir: str):
     from ..stages.packing import shuffle_shards
 
     return shuffle_shards(
-        ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]),
+        read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"]),
         n_shards=16,
     )
 
@@ -2530,7 +2531,7 @@ def q_events_type_pivot(sf_dir: str):
     combined grouped sum."""
     from ..stages.relational import pivot_counts
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     return pivot_counts(
@@ -2546,10 +2547,10 @@ def q_nations_both_cust_supp(sf_dir: str):
     from ..stages.setops import intersect_distinct
 
     return intersect_distinct(
-        ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+        read_parquet_clean(_t(sf_dir, "customer"), columns=["c_nationkey"])
         .map_batches(lambda b: pa.table({"nationkey": b["c_nationkey"]}),
                      batch_format="pyarrow"),
-        ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"])
+        read_parquet_clean(_t(sf_dir, "supplier"), columns=["s_nationkey"])
         .map_batches(lambda b: pa.table({"nationkey": b["s_nationkey"]}),
                      batch_format="pyarrow"),
         ["nationkey"],
@@ -2568,8 +2569,8 @@ def q_custkeys_no_urgent(sf_dir: str):
         return pa.table({"c_custkey": b.filter(mask)["o_custkey"]})
 
     return except_distinct(
-        ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]),
-        ray.data.read_parquet(
+        read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey"]),
+        read_parquet_clean(
             _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
         ).map_batches(_urgent, batch_format="pyarrow"),
         ["c_custkey"],
@@ -2582,7 +2583,7 @@ def q_events_latest(sf_dir: str):
     event_id) -- the distributed MERGE-INTO-style last-wins pass."""
     from ..stages.setops import upsert_latest
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
     )
     return upsert_latest(
@@ -2602,7 +2603,7 @@ def q_events_rank(sf_dir: str):
     the tie path is actually exercised by the oracle)."""
     from ..stages.sessions import rank_in_group
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(
         lambda b: pa.table(
@@ -2643,14 +2644,14 @@ def q_customers_per_region(sf_dir: str):
     shuffles; the only exchange is the final tiny grouped count."""
     from ..stages.relational import broadcast_join, grouped_sums
 
-    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
-    nat = ray.data.read_parquet(
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    nat = read_parquet_clean(
         _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
     ).map_batches(
         lambda b: pa.table({"c_nationkey": b["n_nationkey"], "n_regionkey": b["n_regionkey"]}),
         batch_format="pyarrow",
     )
-    reg = ray.data.read_parquet(
+    reg = read_parquet_clean(
         _t(sf_dir, "region"), columns=["r_regionkey", "r_name"]
     ).map_batches(
         lambda b: pa.table({"n_regionkey": b["r_regionkey"], "r_name": b["r_name"]}),
@@ -2665,7 +2666,7 @@ def q_source_top_terms(sf_dir: str):
     group-keyed bucketed shuffle, vectorized per-group head."""
     from ..stages.vocab import top_terms_per_group
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
     return top_terms_per_group(docs, "source", k=10).rename_columns(
         {"group": "source"}
     )
@@ -2722,7 +2723,7 @@ def q_unshipped_revenue(sf_dir: str):
     keys_ref = _ray.put(keys)
     cut = REVENUE_CUT
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     )
@@ -2743,7 +2744,7 @@ def q_unshipped_revenue(sf_dir: str):
 
     o_side = orders.map_batches(_o_filter, batch_format="pandas")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
@@ -2807,7 +2808,7 @@ def q_region_revenue(sf_dir: str):
 
     lo, hi = pd.Timestamp("1997-01-01"), REVENUE_CUT
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -2828,7 +2829,7 @@ def q_region_revenue(sf_dir: str):
 
     l_part = li.map_batches(_l_partial, batch_format="pandas")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -2870,7 +2871,7 @@ def q_orders_l_diversity(sf_dir: str):
     hash-exact vs a count(DISTINCT) SQL twin."""
     from ..stages.validate import l_diversity_report
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
     )
     return l_diversity_report(
@@ -2950,7 +2951,7 @@ def q_events_markov_eval(sf_dir: str):
     Hash-exact vs a row_number/mode SQL twin."""
     from ..stages.sessions import markov_eval
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -2996,7 +2997,7 @@ def q_lang_confusion(sf_dir: str):
     Hash-exact: the SQL twin recomputes the identical prediction."""
     from ..stages.text_analysis import lang_confusion
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
     return lang_confusion(docs)
@@ -3008,7 +3009,7 @@ def q_lang_kappa(sf_dir: str):
     traps never arise). Hash-exact vs a marginals twin."""
     from ..stages.text_analysis import kappa_from_confusion, lang_confusion
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
     return kappa_from_confusion(lang_confusion(docs))
@@ -3073,7 +3074,7 @@ def q_events_twap(sf_dir: str):
     lead()-window SQL twin."""
     from ..stages.sessions import time_weighted_average
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -3105,7 +3106,7 @@ def q_orders_t_closeness(sf_dir: str):
     total-variation distance; hash-exact vs a cross-join SQL twin."""
     from ..stages.validate import t_closeness_report
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
     )
     return t_closeness_report(
@@ -3141,7 +3142,7 @@ def q_nation_trade_flow(sf_dir: str):
     cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"].astype(np.int64))))
     nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
@@ -3163,7 +3164,7 @@ def q_nation_trade_flow(sf_dir: str):
 
     l_part = li.map_batches(_l_partial, batch_format="pandas")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     ).map_batches(
         lambda b: pa.table(
@@ -3213,7 +3214,7 @@ def q_events_window_dedup(sf_dir: str):
     hash-exact vs a lag-window SQL twin."""
     from ..stages.sessions import window_dedup
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -3249,7 +3250,7 @@ def q_doc_hrw_stability(sf_dir: str):
     hash-exact vs an argmax-via-row_number SQL twin."""
     from ..stages.packing import hrw_stability
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
     return hrw_stability(docs, "doc_id", n_shards=7)
 
 
@@ -3264,7 +3265,7 @@ def q_link_feature_smooth(sf_dir: str):
     from ..stages.graph_algos import feature_smooth
     from ..stages.webtext import link_edges
 
-    feats = ray.data.read_parquet(
+    feats = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -3293,7 +3294,7 @@ def q_supply_neighbor_sample(sf_dir: str):
     seeds; hash-exact vs a row_number-over-the-same-arithmetic twin."""
     from ..stages.walks import neighbor_sample
 
-    edges = ray.data.read_parquet(
+    edges = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -3345,12 +3346,12 @@ def q_large_volume_orders(sf_dir: str):
         out = _q(b)
         return out[out["sum_qty"] > thresh]
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
     )
     big = bucketed_reduce(li, ["o_orderkey"], _q_final, qty_schema, combiner=_q)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     ).map_batches(
@@ -3389,7 +3390,7 @@ def q_large_volume_orders(sf_dir: str):
         coalesce=default_num_partitions(),
         left_schema=qty_schema, right_schema=o_schema,
     )
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
     ).map_batches(
         lambda b: pa.table({"o_custkey": b["c_custkey"], "c_name": b["c_name"]}),
@@ -3458,7 +3459,7 @@ def q_branded_revenue(sf_dir: str):
     qhis = np.array([lut[int(k)][1] for k in keys], dtype=np.int64)
     ref = _ray.put((keys, qlos, qhis))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -3505,7 +3506,7 @@ def q_customer_sorted_neighborhood(sf_dir: str):
     arithmetic; hash-exact vs a row_number self-join twin."""
     from ..stages.fuzzy import sorted_neighborhood_pairs
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
     )
     return sorted_neighborhood_pairs(cust, "c_name", "c_custkey", window=5)
@@ -3588,7 +3589,7 @@ def q_order_priority_check(sf_dir: str):
     lo = np.datetime64("1996-07-01", "us").astype("int64")
     hi = np.datetime64("1996-10-01", "us").astype("int64")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
     )
     mx_schema = pa.schema([("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())])
@@ -3614,7 +3615,7 @@ def q_order_priority_check(sf_dir: str):
 
     l_max = bucketed_reduce(li, ["l_orderkey"], _mx, mx_schema, combiner=_mx)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -3681,7 +3682,7 @@ def q_line_priority_modes(sf_dir: str):
     lo = np.datetime64("1997-01-01", "us").astype("int64")
     hi = np.datetime64("1998-01-01", "us").astype("int64")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_returnflag", "l_shipdate"],
     )
@@ -3709,7 +3710,7 @@ def q_line_priority_modes(sf_dir: str):
         )["n"].sum()
 
     l_part = li.map_batches(_l, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda b: pa.table(
@@ -3772,7 +3773,7 @@ def q_customer_order_distribution(sf_dir: str):
     never joined, only counted."""
     from ..stages.infer import bucketed_reduce
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
     )
 
@@ -3821,7 +3822,7 @@ def q_customer_order_distribution(sf_dir: str):
     if len(dist) == 0:
         dist = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
                              "custdist": pd.Series(dtype="int64")})
-    n_customers = ray.data.read_parquet(
+    n_customers = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey"]
     ).count()
     n_zero = int(n_customers) - int(dist["custdist"].sum())
@@ -3850,7 +3851,7 @@ def q_promo_revenue(sf_dir: str):
     promo = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy())
     promo_ref = _ray.put(promo)
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
@@ -3912,7 +3913,7 @@ def q_wealthy_inactive_customers(sf_dir: str):
     left_anti against map-side-deduped order custkeys."""
     from ..stages.infer import normalize_blocks, sanitize_for_join
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
 
@@ -3959,7 +3960,7 @@ def q_wealthy_inactive_customers(sf_dir: str):
         return pd.DataFrame({"c_custkey": np.unique(b["o_custkey"].to_numpy())})
 
     okeys = sanitize_for_join(
-        ray.data.read_parquet(
+        read_parquet_clean(
             _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
         ).map_batches(_okeys, batch_format="pandas"),
         pa.schema([("c_custkey", pa.int64())]),
@@ -4022,7 +4023,7 @@ def q_corpus_curation(sf_dir: str):
     test_curation."""
     from .curation import curate_corpus
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
     )
     return curate_corpus(
@@ -4039,7 +4040,7 @@ def q_doc_dup_span_redact(sf_dir: str):
     SQL-expressible); both gate paths equivalence-tested."""
     from ..stages.webtext import dup_span_redact
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dup_span_redact(docs, k=5)
 
 
@@ -4054,7 +4055,7 @@ def q_bpe_merges(sf_dir: str):
     hand corpus in test_bpe."""
     from ..stages.vocab import bpe_train
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
     return bpe_train(docs, n_merges=BPE_MERGES)
 
 
@@ -4064,7 +4065,7 @@ def q_doc_bpe_token_counts(sf_dir: str):
     distinct-word memo per batch)."""
     from ..stages.vocab import bpe_token_counts, bpe_train
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     merges_df = bpe_train(docs, n_merges=BPE_MERGES).to_pandas()
     merges = list(zip(merges_df["left"], merges_df["right"]))
     return bpe_token_counts(docs, merges)
@@ -4077,7 +4078,7 @@ def q_doc_tfidf_keywords(sf_dir: str):
     hash-portable); pinned by a pure-Python twin in test_setops."""
     from ..stages.vocab import tfidf_keywords
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return tfidf_keywords(docs, k=5)
 
 
@@ -4091,7 +4092,7 @@ def q_events_funnel(sf_dir: str):
     chained min-after-join SQL twin."""
     from ..stages.sessions import funnel_counts
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
     return funnel_counts(ev, FUNNEL_STAGES)
@@ -4106,7 +4107,7 @@ def q_events_pattern_match(sf_dir: str):
     semantics as Python ``findall`` for this pattern class)."""
     from ..stages.sessions import sequence_pattern_counts
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"),
         columns=["user_id", "ts", "event_type", "event_id"],
     )
@@ -4131,7 +4132,7 @@ def q_events_out_of_order(sf_dir: str):
     max(ts) twin."""
     from ..stages.sessions import out_of_order_profile
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     )
     return out_of_order_profile(ev)
@@ -4147,7 +4148,7 @@ def q_orders_checksum(sf_dir: str):
     from ..stages.validate import content_checksum
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    o = ray.data.read_parquet(_t(sf_dir, "orders"), columns=cols)
+    o = read_parquet_clean(_t(sf_dir, "orders"), columns=cols)
     return content_checksum(o, cols)
 
 
@@ -4159,7 +4160,7 @@ def q_events_dp_counts(sf_dir: str):
     same noise table."""
     from ..stages.validate import dp_noisy_counts
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type"])
     return dp_noisy_counts(ev, "event_type")
 
 
@@ -4189,7 +4190,7 @@ def q_doc_length_batches(sf_dir: str):
     vs a row_number window twin."""
     from ..stages.packing import length_grouped_batches
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
     )
     return length_grouped_batches(docs, batch_rows=64)
@@ -4202,7 +4203,7 @@ def q_doc_cap_per_source(sf_dir: str):
     reduce, hash-exact vs a row_number SQL twin."""
     from ..stages.relational import cap_per_group
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "doc_id"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "doc_id"])
     return cap_per_group(docs, "source", "doc_id", 10)
 
 
@@ -4213,7 +4214,7 @@ def q_events_window_distinct(sf_dir: str):
     oracle-green global distinct_users)."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_type", "ts", "user_id"]
     )
 
@@ -4258,7 +4259,7 @@ def q_events_hourly_gapfill(sf_dir: str):
     Count-gated driver reindex vs distributed range-spine left join."""
     from ..stages.sessions import gapfill_counts
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["ts"])
     return gapfill_counts(ev, "ts")
 
 
@@ -4268,7 +4269,7 @@ def q_doc_token_percentile(sf_dir: str):
     shuffle, gated distinct-value broadcast, map-side searchsorted."""
     from ..stages.quantiles import percentile_ranks
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def _tok(b: pd.DataFrame) -> pd.DataFrame:
         t = b["text"].fillna("")
@@ -4287,7 +4288,7 @@ def q_doc_nfc_normalize(sf_dir: str):
     changed flag, map-only — hash-exact vs DuckDB nfc_normalize."""
     from ..stages.webtext import nfc_normalize_stats
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return nfc_normalize_stats(docs)
 
 
@@ -4299,7 +4300,7 @@ def q_fuzzy_decontaminate(sf_dir: str):
     and cross-only semantics pinned in test_dedup_ops."""
     from ..stages.dedup import cross_near_dup
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def _bench(b: pd.DataFrame) -> pd.DataFrame:
         m = b["doc_id"] % 25 == 0
@@ -4322,7 +4323,7 @@ def q_doc_bigram_ppl(sf_dir: str):
     pure-Python-twin + forced-gate equivalence in test_webtext."""
     from ..stages.webtext import bigram_nll
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return bigram_nll(docs)
 
 
@@ -4334,7 +4335,7 @@ def q_doc_unigram_ppl(sf_dir: str):
     pure-Python twin in test_webtext."""
     from ..stages.webtext import unigram_nll
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return unigram_nll(docs)
 
 
@@ -4345,7 +4346,7 @@ def q_token_postings(sf_dir: str):
     hash-exact vs a string_agg SQL twin."""
     from ..stages.vocab import token_postings
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return token_postings(docs, min_df=5)
 
 
@@ -4359,7 +4360,7 @@ def q_doc_quality_buckets(sf_dir: str):
     bucket tags — hash-exact vs the quantile_disc SQL twin."""
     from ..stages.quantiles import quantile_buckets
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
     )
 
@@ -4519,7 +4520,7 @@ def q_doc_mixture_resample(sf_dir: str):
     generate_series SQL twin."""
     from ..stages.relational import mixture_resample
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source"])
     return mixture_resample(
         docs, "doc_id", "source", RESAMPLE_RATES_MILLI, default_milli=0
     )
@@ -4565,7 +4566,7 @@ def q_doc_mixture_sample(sf_dir: str):
     SQL."""
     from ..stages.relational import bernoulli_mixture_sample
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source"])
     return bernoulli_mixture_sample(
         docs, "doc_id", "source", MIXTURE_RATES_MILLI,
         default_milli=MIXTURE_DEFAULT_MILLI,
@@ -4594,7 +4595,7 @@ def q_embedding_clusters(sf_dir: str):
     SQL-expressible), rows-only."""
     from ..stages.clustering import kmeans_assign, kmeans_fit_distributed
 
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cents = kmeans_fit_distributed(ds, 10, iters=5)
     return kmeans_assign(ds, cents)
 
@@ -4607,7 +4608,7 @@ def q_semantic_dedup(sf_dir: str):
     pinned by planted-dup tests in test_clustering."""
     from ..stages.clustering import semantic_dedup
 
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return semantic_dedup(ds, k=10, iters=5, threshold=0.95)
 
 
@@ -4630,7 +4631,7 @@ def q_events_in_purchase_windows(sf_dir: str):
 
     _WIN_US = 600 * 1_000_000
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
 
     def _points(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -4679,7 +4680,7 @@ def q_orders_snapshot_diff(sf_dir: str):
     join of md5 row digests — the wide payload never shuffles."""
     from ..stages.diff import snapshot_diff
 
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
@@ -4739,7 +4740,7 @@ def q_orders_profile(sf_dir: str):
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     return profile_table(
-        ray.data.read_parquet(_t(sf_dir, "orders"), columns=cols), cols
+        read_parquet_clean(_t(sf_dir, "orders"), columns=cols), cols
     )
 
 
@@ -4750,7 +4751,7 @@ def q_customer_fuzzy_names(sf_dir: str):
     of the O(n²) cross scan the oracle runs."""
     from ..stages.fuzzy import fuzzy_pairs
 
-    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_name"])
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_name"])
     return fuzzy_pairs(cust, "c_name")
 
 
@@ -4765,7 +4766,7 @@ def q_orders_skyline(sf_dir: str):
     operator is associative over unions, so nothing shuffles."""
     from ..stages.skyline import pareto_front
 
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
     )
 
@@ -4797,7 +4798,7 @@ def q_orders_price_trend(sf_dir: str):
     arbitrary-precision final arithmetic on the per-group residue."""
     from ..stages.regress import grouped_ols_slope
 
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice", "o_orderdate"]
     )
 
@@ -4827,7 +4828,7 @@ def q_events_transitions(sf_dir: str):
     from ..stages.sessions import transition_counts
 
     return transition_counts(
-        ray.data.read_parquet(
+        read_parquet_clean(
             _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
         )
     )
@@ -4841,7 +4842,7 @@ def q_session_concurrency(sf_dir: str):
     from ..stages.sessions import interval_concurrency, session_intervals
 
     iv = session_intervals(
-        ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+        read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     )
     return interval_concurrency(iv)
 
@@ -4853,7 +4854,7 @@ def q_part_copurchase_lift(sf_dir: str):
     arithmetic on the ≤100-row residue."""
     from ..stages.cooccur import cooccur_lift
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
     )
     return cooccur_lift(li, "l_orderkey", "l_partkey", min_count=2, top_k=100).map_batches(
@@ -4876,7 +4877,7 @@ def q_url_normalize(sf_dir: str):
     map pass, vectorized regex + explode-sort-join param sort."""
     from ..stages.urlnorm import url_normalize
 
-    base = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    base = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
 
     def _synth(b: pd.DataFrame) -> pd.DataFrame:
         d = b["doc_id"].to_numpy(np.int64)
@@ -4908,7 +4909,7 @@ def q_url_dedup(sf_dir: str):
     from ..stages.infer import bucketed_reduce
     from ..stages.urlnorm import url_normalize
 
-    base = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    base = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
 
     def _synth(b: pd.DataFrame) -> pd.DataFrame:
         d = b["doc_id"].to_numpy(np.int64)
@@ -4991,7 +4992,7 @@ def q_approx_users_per_type(sf_dir: str):
     from ..stages.sketches import hll_distinct
 
     return hll_distinct(
-        ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"]),
+        read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "user_id"]),
         "user_id",
         ["event_type"],
         p=12,
@@ -5015,7 +5016,7 @@ def q_events_retention(sf_dir: str):
     tiny cell-sum reduce; hash-exact vs a min-over-user SQL twin."""
     from ..stages.sessions import retention_matrix
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return retention_matrix(ev)
 
 
@@ -5026,7 +5027,7 @@ def q_customer_rfm(sf_dir: str):
     vs a count(*)-OVER SQL twin."""
     from ..stages.segment import rfm_segments
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
     return rfm_segments(orders)
@@ -5047,7 +5048,7 @@ def q_lineitem_fd_audit(sf_dir: str):
     from ..stages.profile import fd_audit
 
     cols = sorted({c for p in FD_PAIRS for c in p})
-    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=cols)
     return fd_audit(li, FD_PAIRS)
 
 
@@ -5058,7 +5059,7 @@ def q_doc_importance(sf_dir: str):
     hash-exact vs an explode-join SQL twin."""
     from ..stages.webtext import importance_scores
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
     return importance_scores(docs, target_value="en")
@@ -5071,7 +5072,7 @@ def q_doc_chars_approx_quantiles(sf_dir: str):
     hash-exact vs a width-bucket + window-cumsum SQL twin."""
     from ..stages.quantiles import approx_quantiles_hist
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["n_chars"])
     return approx_quantiles_hist(docs, "n_chars")
 
 
@@ -5083,7 +5084,7 @@ def q_events_cusum(sf_dir: str):
     window-function SQL twin."""
     from ..stages.drift import cusum_changepoints
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_type", "ts"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -5106,7 +5107,7 @@ def q_events_skew_profile(sf_dir: str):
     quantile_disc SQL twin."""
     from ..stages.profile import skew_profile
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     return skew_profile(ev, ["user_id", "event_type"])
@@ -5118,7 +5119,7 @@ def _orders_scd2_history(sf_dir: str):
     validity intervals."""
     from ..stages.diff import scd2_history
 
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
 
@@ -5158,7 +5159,7 @@ def q_orders_scd2_pit(sf_dir: str):
     from ..stages.diff import pit_lookup
 
     hist = _orders_scd2_history(sf_dir)
-    probes = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    probes = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_orderkey"])
 
     def _p(b: pd.DataFrame) -> pd.DataFrame:
         k = b["o_orderkey"].to_numpy(np.int64)
@@ -5176,14 +5177,14 @@ def q_orders_expectations(sf_dir: str):
     Hash-exact vs per-check SQL twins."""
     from ..stages.validate import expectations_report
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=[
             "o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice", "o_orderpriority",
         ],
     )
-    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    lineitem = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
     checks = [
         {"id": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
         {"id": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
@@ -5199,7 +5200,7 @@ def q_orders_expectations(sf_dir: str):
     fk = expectations_report(
         lineitem,
         [{"id": "lineitem_fk", "kind": "fk", "col": "l_orderkey",
-          "ref": ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"]),
+          "ref": read_parquet_clean(_t(sf_dir, "orders"), columns=["o_orderkey"]),
           "ref_col": "o_orderkey"}],
     ).to_pandas()
     return pd.concat([rep, fk], ignore_index=True)
@@ -5230,11 +5231,11 @@ def q_revenue_rollup(sf_dir: str):
             }
         )
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_custkey", "o_orderpriority", "o_totalprice"],
     ).map_batches(_ord, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(_cust, batch_format="pyarrow")
     joined = cogroup_join(orders, cust, ["custkey"])
@@ -5250,7 +5251,7 @@ def q_user_top_event(sf_dir: str):
     (user, type) pairs. Hash-exact vs a row_number window twin."""
     from ..stages.rollup import grouped_mode
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     schema = pa.schema(
         [("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())]
     )
@@ -5265,7 +5266,7 @@ def q_doc_span_corruption(sf_dir: str):
     reconstruction pinned by pytest."""
     from ..stages.training import generate_span_corruption
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return generate_span_corruption(docs, seed=42)
 
 
@@ -5282,7 +5283,7 @@ def q_events_zorder(sf_dir: str):
     expression unrolled in SQL (shared constants)."""
     from ..stages.zorder import zorder_key
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
     def _us(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5312,7 +5313,7 @@ def q_doc_curriculum_shards(sf_dir: str):
     from ..stages.packing import pack_shards
     from ..stages.text_analysis import token_counts
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
     )
     toks = token_counts(docs)
@@ -5370,7 +5371,7 @@ def q_customer_linkage(sf_dir: str):
     weights."""
     from ..stages.fuzzy import record_linkage
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_name", "c_nationkey", "c_mktsegment"]
     )
     return record_linkage(
@@ -5397,8 +5398,8 @@ def q_retrieval_hard_negatives(sf_dir: str):
     src = src[src["doc_id"].isin(qids)]
     attr_vals = dict(zip(src["doc_id"].astype(int), src["source"]))
 
-    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    emb = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source"])
 
     def _key(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5433,7 +5434,7 @@ def q_events_zonemap_scan(sf_dir: str):
 
     from ..sources.zonemap import read_pruned, write_clustered
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
     out_dir = os.path.join(
         tempfile.mkdtemp(prefix="zonemap_events_"), "layout"
     )
@@ -5460,7 +5461,7 @@ def q_doc_length_drift(sf_dir: str):
     histogram join."""
     from ..stages.drift import histogram_drift
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["source", "n_chars"]
     )
 
@@ -5490,7 +5491,7 @@ def q_customer_k_anon(sf_dir: str):
     broadcast/join mask. Hash-exact vs a window-count CASE twin."""
     from ..stages.validate import k_anonymize
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
     )
 
@@ -5530,7 +5531,7 @@ def q_doc_weighted_sample(sf_dir: str):
     from ..stages.relational import bernoulli_weighted_sample
     from ..stages.text_analysis import token_counts
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return bernoulli_weighted_sample(
         token_counts(docs), "doc_id", "n_tokens", weight_cap=WEIGHTED_SAMPLE_CAP
     )
@@ -5554,7 +5555,7 @@ def q_events_target_encoding(sf_dir: str):
     apply. Hash-exact vs window sums minus self."""
     from ..stages.relational import target_encode_loo
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
 
@@ -5603,7 +5604,7 @@ def q_events_stratified_sample(sf_dir: str):
     combiner. Hash-exact vs a row_number window twin."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "event_type"])
     out_schema = pa.schema(
         [("event_id", pa.int64()), ("event_type", pa.string()), ("rank", pa.int64())]
     )
@@ -5646,7 +5647,7 @@ def q_customer_entity_clusters(sf_dir: str):
     from ..stages.dedup import resolve_dup_mapping
     from ..stages.fuzzy import record_linkage
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_name", "c_nationkey", "c_mktsegment"]
     )
     scored = record_linkage(
@@ -5681,7 +5682,7 @@ def q_retrieval_training_pairs(sf_dir: str):
     Rows-only (both parents are)."""
     from ..stages.dedup import minhash_lsh_dedup
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pos = minhash_lsh_dedup(docs).map_batches(
         lambda b: pd.DataFrame(
             {
@@ -5722,7 +5723,7 @@ def q_events_hourly_profile(sf_dir: str):
     (positive → above the hour's mean) — the detrending feature for
     time-series anomaly work without a single float. 24-key sums
     broadcast map-side. Hash-exact vs window sums per hour."""
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
 
     def _pre(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64())
@@ -5809,7 +5810,7 @@ def q_events_decayed(sf_dir: str):
     hash-exact vs the SQL twin (float EWMA never is)."""
     from ..stages.sessions import decayed_counts
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
     )
     return decayed_counts(events)
@@ -5822,7 +5823,7 @@ def q_embedding_centroids(sf_dir: str):
     DuckDB and numpy agree on floor for every double."""
     from ..stages.clustering import grouped_centroid_sums
 
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         _t(sf_dir, "embeddings"), columns=["label", "embedding"]
     )
     return grouped_centroid_sums(emb, "label")
@@ -5834,7 +5835,7 @@ def q_source_distinctive_terms(sf_dir: str):
     can't give this because corpus-common words win it."""
     from ..stages.vocab import distinctive_terms_per_group
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
     return distinctive_terms_per_group(docs, "source", k=5, min_token_count=20)
 
 
@@ -5844,7 +5845,7 @@ def q_user_gini(sf_dir: str):
     could never hash-match SQL."""
     from ..stages.profile import categorical_gini
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     return categorical_gini(ev, "user_id", "event_type")
 
 
@@ -5905,7 +5906,7 @@ def q_events_attribution(sf_dir: str):
     SQL twin."""
     from ..stages.sessions import linear_attribution
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -5933,7 +5934,7 @@ def _nation_trade_edges(sf_dir: str) -> "ray.data.Dataset":
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     c_ref = _ray.put(dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int))))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_extendedprice"]
     )
 
@@ -5949,7 +5950,7 @@ def _nation_trade_edges(sf_dir: str) -> "ray.data.Dataset":
         return part.groupby(["l_orderkey", "snat"], as_index=False)["rev"].sum()
 
     li_part = li.map_batches(_li_part, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     ).rename_columns({"o_orderkey": "l_orderkey"})
     joined = cogroup_join(
@@ -6029,7 +6030,7 @@ def q_embedding_gram(sf_dir: str):
     hash-exact."""
     from ..stages.clustering import embedding_gram
 
-    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+    emb = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["embedding"])
     return embedding_gram(emb, scale=GRAM_SCALE)
 
 
@@ -6040,7 +6041,7 @@ def q_doc_incremental_dedup(sf_dir: str):
     batch never re-dedups the snapshot."""
     from ..stages.dedup import exact_dedup_against
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     new = docs.filter(lambda r: r["doc_id"] % 3 != 0)
     ref = docs.filter(lambda r: r["doc_id"] % 3 == 0)
     return exact_dedup_against(new, ref)
@@ -6104,7 +6105,7 @@ def q_url_best_rep(sf_dir: str):
     from ..stages.infer import bucketed_reduce
     from ..stages.urlnorm import url_normalize
 
-    base = ray.data.read_parquet(
+    base = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "n_chars"]
     )
 
@@ -6163,7 +6164,7 @@ def q_knn_pq(sf_dir: str):
     from ..stages.pq import pq_encode, pq_search, pq_train
 
     qids, qmat = _query_vectors(sf_dir)
-    emb = ray.data.read_parquet(
+    emb = read_parquet_clean(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     books = pq_train(emb, m=8, k=16, iters=4)
@@ -6195,11 +6196,11 @@ def q_revenue_cube(sf_dir: str):
             }
         )
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_custkey", "o_orderpriority", "o_totalprice"],
     ).map_batches(_ord, batch_format="pyarrow")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(_cust, batch_format="pyarrow")
     joined = cogroup_join(orders, cust, ["custkey"])
@@ -6216,7 +6217,7 @@ def q_doc_nb_classify(sf_dir: str):
     same training counts and weights."""
     from ..stages.classify import nb_self_classify
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
     )
     return nb_self_classify(docs, class_col="source")
@@ -6298,7 +6299,7 @@ def q_lineitem_winsorized(sf_dir: str):
     quantile_disc + least/greatest SQL twin."""
     from ..stages.quantiles import winsorized_group_stats
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
     )
 
@@ -6324,7 +6325,7 @@ def q_events_autocorr(sf_dir: str):
     twin."""
     from ..stages.drift import autocorr_sums
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts"])
 
     def _hour(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64())
@@ -6347,7 +6348,7 @@ def q_user_cadence(sf_dir: str):
     reduce; hash-exact vs a lag-window SQL twin."""
     from ..stages.sessions import cadence_profile
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return cadence_profile(ev)
 
 
@@ -6370,7 +6371,7 @@ def q_orders_mrr(sf_dir: str):
     from ..stages.relational import cogroup_join
     from ..stages.retrieval import ranking_metrics
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"],
     )
@@ -6385,7 +6386,7 @@ def q_orders_mrr(sf_dir: str):
             }
         )
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda b: pa.table(
@@ -6422,11 +6423,11 @@ def q_supplier_waiting(sf_dir: str):
     from ..stages.infer import bucketed_reduce
     from ..stages.relational import cogroup_join
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_shipdate"],
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
     )
@@ -6524,7 +6525,7 @@ def q_small_qty_revenue(sf_dir: str):
     from ..stages.infer import bucketed_reduce
     from ..stages.relational import cogroup_join
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
@@ -6682,7 +6683,7 @@ def q_events_hourly_interp(sf_dir: str):
     hash-exact vs an IGNORE NULLS window SQL twin."""
     from ..stages.sessions import interpolated_gapfill
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts"])
 
     def _hour(b: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
@@ -6708,7 +6709,7 @@ def q_events_runs(sf_dir: str):
     run labeling; hash-exact vs a lag-window SQL twin."""
     from ..stages.sessions import event_runs
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"),
         columns=["user_id", "event_type", "ts", "event_id"],
     )
@@ -6768,7 +6769,7 @@ def _snr_edges(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    supp = ray.data.read_parquet(
+    supp = read_parquet_clean(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_fan, batch_format="pandas")
     nr = ray.data.from_pandas(
@@ -6800,7 +6801,7 @@ def q_shipment_matching(sf_dir: str):
     greedy-twin equality and maximality pinned in pytest."""
     from ..stages.graph_algos import maximal_matching
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     )
 
@@ -6827,7 +6828,7 @@ def q_returned_item_customers(sf_dir: str):
     lo = np.datetime64("1997-01-01", "us").astype("int64")
     hi = np.datetime64("1997-07-01", "us").astype("int64")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
@@ -6849,7 +6850,7 @@ def q_returned_item_customers(sf_dir: str):
         return part.groupby("l_orderkey", as_index=False, sort=False)["rev"].sum()
 
     l_part = li.map_batches(_l, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -6896,7 +6897,7 @@ def q_returned_item_customers(sf_dir: str):
     )
     top = topk_dataset(per_cust, ["revenue_e4", "c_custkey"], 20,
                        descending=[True, False])
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -6948,7 +6949,7 @@ def q_top_supplier_revenue(sf_dir: str):
     lo = np.datetime64("1997-01-01", "us").astype("int64")
     hi = np.datetime64("1997-04-01", "us").astype("int64")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
@@ -7004,7 +7005,7 @@ def q_doc_systematic_sample(sf_dir: str):
     primitive end-to-end; hash-exact vs a row_number twin."""
     from ..stages.relational import row_positions
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(
         lambda b: pd.DataFrame(
@@ -7044,7 +7045,7 @@ def q_doc_budgeted_sample(sf_dir: str):
     from ..stages.relational import cap_per_group
     from ..stages.webtext import source_budget_quotas
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "source"]
     )
     budget = docs.count() * 3 // 5
@@ -7063,7 +7064,7 @@ def q_source_budget_quotas(sf_dir: str):
     SQL twin computing the identical integer T."""
     from ..stages.webtext import source_budget_quotas
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["source"])
     budget = docs.count() * 3 // 5
     return source_budget_quotas(docs, "source", budget=budget)
 
@@ -7076,7 +7077,7 @@ def q_part_soundex(sf_dir: str):
     so the dialects cannot drift; hash-exact."""
     from ..stages.fuzzy import soundex_codes
 
-    part = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    part = read_parquet_clean(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
     return soundex_codes(part, "p_name", "p_partkey")
 
 
@@ -7089,7 +7090,7 @@ def q_shipment_mis(sf_dir: str):
     and forced-gate equality pinned in tests/test_mis.py."""
     from ..stages.graph_algos import maximal_independent_set
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     )
 
@@ -7122,7 +7123,7 @@ def shipment_mst_edges(sf_dir: str):
     pinned vs Kruskal/networkx in pytest (not SQL-expressible)."""
     from ..stages.graph_algos import minimum_spanning_forest
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_suppkey", "l_partkey", "l_extendedprice"],
     )
@@ -7159,7 +7160,7 @@ def q_shipment_mst(sf_dir: str):
         sanitize_for_join,
     )
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     )
 
@@ -7261,7 +7262,7 @@ def q_nation_market_share(sf_dir: str):
     )
     cust_ref = _ray.put(np.sort(np.fromiter(asia_cust, dtype=np.int64)))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -7282,7 +7283,7 @@ def q_nation_market_share(sf_dir: str):
     l_part = li.map_batches(_l_partial, batch_format="pandas")
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -7354,7 +7355,7 @@ def q_nation_part_profit(sf_dir: str):
     supp_ref = _ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"].astype(np.int64))))
     nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -7387,7 +7388,7 @@ def q_nation_part_profit(sf_dir: str):
 
     l_part = li.map_batches(_l_partial, batch_format="pandas")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
     )
 
@@ -7447,7 +7448,7 @@ def q_part_supplier_counts(sf_dir: str):
     keep = part[part["p_brand"] != "Brand#13"]
     attrs_ref = _ray.put(keep.set_index("p_partkey"))
 
-    li = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
 
     def _pairs(b: pd.DataFrame) -> pd.DataFrame:
         ex = _ray.get(bad_ref) if isinstance(bad_ref, _ray.ObjectRef) else bad_ref
@@ -7536,7 +7537,7 @@ def q_dominant_suppliers(sf_dir: str):
     from ..stages.infer import bucketed_reduce
 
     lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
     )
@@ -7611,7 +7612,7 @@ def q_events_unpivot(sf_dir: str):
     direct long GROUP BY; hash-exact vs that direct SQL."""
     from ..stages.relational import pivot_counts, unpivot
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     types = ["view", "click", "purchase", "signup", "error"]
     wide = pivot_counts(ev, "user_id", "event_type", types, key_type=pa.int64())
     return unpivot(
@@ -7634,7 +7635,7 @@ def q_customer_priority_seq(sf_dir: str):
     ordered-string_agg twin."""
     from ..stages.relational import grouped_string_agg
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"]
     )
     return grouped_string_agg(
@@ -7656,7 +7657,7 @@ def q_events_crosscorr(sf_dir: str):
     span; hash-exact vs a lag-join SQL twin."""
     from ..stages.drift import crosscorr_sums
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts"])
 
     def _hour(b: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
@@ -7815,7 +7816,7 @@ def q_events_session_paths(sf_dir: str):
     window+string_agg twin."""
     from ..stages.sessions import session_paths
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
     )
     return session_paths(ev, gap_minutes=30, top_k=20)
@@ -7870,7 +7871,7 @@ def q_part_min_cost_supplier(sf_dir: str):
     )
     supp_ref, part_ref = _ray.put(eur_supp), _ray.put(large)
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_extendedprice"]
     )
 
@@ -7933,7 +7934,7 @@ def q_forecast_revenue(sf_dir: str):
     discount 5-7% and quantity < 24 — pure predicate + global sum;
     map-only integer partials, zero shuffles, one tiny driver add."""
     lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
     )
@@ -7972,7 +7973,7 @@ def q_important_parts(sf_dir: str):
     scalar never forces a second full scan of lineitem."""
     from ..stages.infer import bucketed_reduce, sanitize_for_join
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
 
@@ -8093,7 +8094,7 @@ def q_orders_cohort_ltv(sf_dir: str):
     grouped sums on the (cohort, offset) pair."""
     from ..stages.infer import bucketed_reduce, default_num_partitions
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
 
@@ -8227,7 +8228,7 @@ def q_orders_benford(sf_dir: str):
     """Benford first-digit census of order totals (cents) — the
     classic fabricated-data audit; map-side digit partials, one tiny
     string-keyed grouped sum."""
-    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_totalprice"])
 
     def _digits(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
@@ -8250,7 +8251,7 @@ def q_events_anomalous_hours(sf_dir: str):
     map-only. Hash-exact vs a window twin."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["ts"])
 
     def _hour(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")
@@ -8306,7 +8307,7 @@ def q_customer_pareto(sf_dir: str):
     window-cumsum twin."""
     from ..stages.infer import bucketed_reduce
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -8441,7 +8442,7 @@ def q_events_hll_rollup(sf_dir: str):
     in pytest). Rows-only (approximate by design)."""
     from ..stages.sketches import hll_rollup
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id", "event_type"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "user_id", "event_type"])
 
     def _day(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")
@@ -8471,7 +8472,7 @@ def q_source_ks_drift(sf_dir: str):
     residue."""
     from ..stages.infer import bucketed_reduce
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
     )
 
@@ -8529,7 +8530,7 @@ def q_events_best_split(sf_dir: str):
     distributed; the argmax runs on the span-bounded residue."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["ts"])
 
     def _hour(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")
@@ -8570,7 +8571,7 @@ def q_orders_rapid_reorder(sf_dir: str):
     hash-exact vs a self-join twin."""
     from ..stages.infer import bucketed_reduce
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
     )
     window_us = 14 * 86_400_000_000
@@ -8625,13 +8626,13 @@ def q_nations_cs_intersect_all(sf_dir: str):
     from ..stages.setops import intersect_all
 
     schema = pa.schema([pa.field("nationkey", pa.int64())])
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_nationkey"]
     ).map_batches(
         lambda b: pa.table({"nationkey": pc.cast(b["c_nationkey"], pa.int64())}),
         batch_format="pyarrow",
     )
-    supp = ray.data.read_parquet(
+    supp = read_parquet_clean(
         _t(sf_dir, "supplier"), columns=["s_nationkey"]
     ).map_batches(
         lambda b: pa.table({"nationkey": pc.cast(b["s_nationkey"], pa.int64())}),
@@ -8647,13 +8648,13 @@ def q_nations_cs_except_all(sf_dir: str):
     from ..stages.setops import except_all
 
     schema = pa.schema([pa.field("nationkey", pa.int64())])
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         _t(sf_dir, "customer"), columns=["c_nationkey"]
     ).map_batches(
         lambda b: pa.table({"nationkey": pc.cast(b["c_nationkey"], pa.int64())}),
         batch_format="pyarrow",
     )
-    supp = ray.data.read_parquet(
+    supp = read_parquet_clean(
         _t(sf_dir, "supplier"), columns=["s_nationkey"]
     ).map_batches(
         lambda b: pa.table({"nationkey": pc.cast(b["s_nationkey"], pa.int64())}),
@@ -8672,7 +8673,7 @@ def q_customer_revenue_gini(sf_dir: str):
     row_positions)."""
     from ..stages.infer import bucketed_reduce
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -8722,7 +8723,7 @@ def q_events_late_quarantine(sf_dir: str):
     vs a window twin."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
     )
     allowed_us = 5 * 60 * 1_000_000
@@ -8767,7 +8768,7 @@ def q_orders_seasonal_index(sf_dir: str):
     """Month-of-year seasonality index of order revenue in integer
     bps (10000 = an average month): map-side month partials, one tiny
     string-keyed sum, the index computed on the 12-row residue."""
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
     )
 
@@ -8859,7 +8860,7 @@ def q_events_type_user_jaccard(sf_dir: str):
     ``(n_both, n_either, n_view, n_purchase)`` all BIGINT."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
 
@@ -9013,7 +9014,7 @@ def q_lineitem_gap_audit(sf_dir: str):
     hash-exact vs a grouped twin."""
     from ..stages.infer import bucketed_reduce
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
     )
 
@@ -9084,7 +9085,7 @@ def q_orders_iso_week(sf_dir: str):
     groupings. Map-side partials, one bucketed string-keyed sum."""
     from ..stages.infer import bucketed_reduce
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
     )
 
@@ -9131,7 +9132,7 @@ def q_events_ab_stats(sf_dir: str):
     user-parity assignment (variant = user_id % 2): per variant,
     integer n / sum / sum-of-squares of the event value in cents —
     everything a Welch t downstream needs, hash-exact."""
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "value"])
 
     def _pre(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.rint(b["value"].fillna(0).to_numpy() * 100).astype(np.int64)
@@ -9158,7 +9159,7 @@ def q_events_wow_change(sf_dir: str):
     days before, change in integer bps (prior floor-1 guarded). The
     anchor is one cheap max pass; both windows then come out of a
     single filtered partial sum."""
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts"])
     mx = ev.map_batches(
         lambda b: pd.DataFrame(
             {"m": [int(b["ts"].astype("datetime64[us]").astype("int64").max())]}
@@ -9248,7 +9249,7 @@ def q_knn_filtered(sf_dir: str):
     scan cost scales with the surviving fraction; same broadcast
     query matrix as knn_cosine."""
     qids, qmat = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
     ).map_batches(
         lambda b: b.filter(pc.equal(b["label"], 0)).select(["vec_id", "embedding"]),
@@ -9295,7 +9296,7 @@ def q_events_gap_buckets(sf_dir: str):
     gaps, a tiny string-keyed sum aggregates the buckets."""
     from ..stages.infer import bucketed_reduce
 
-    ev = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts"])
     edges_us = np.array(
         [1_000_000, 10_000_000, 60_000_000, 600_000_000, 3_600_000_000],
         dtype=np.int64,
@@ -9339,7 +9340,7 @@ def q_source_dup_stats(sf_dir: str):
 
     from ..stages.infer import bucketed_reduce
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
     )
 
@@ -9400,7 +9401,7 @@ def q_orders_aging(sf_dir: str):
     counts of status-'O' orders aged <30d / <90d / <1y / >=1y — the
     operational backlog report; one max pass, then map-side bucket
     partials and a tiny sum."""
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate"]
     )
     mx = orders.map_batches(

@@ -27,6 +27,7 @@ import ray
 import ray.data
 
 from ..functions.html_extract import wrap_html
+from .readers import read_parquet_clean
 
 # Fixed epoch for synthetic warc_ts: 2026-01-01T00:00:00 UTC in micros.
 _WARC_EPOCH_US = 1_767_225_600_000_000
@@ -44,7 +45,7 @@ PAGES_SCHEMA = pa.schema(
 
 def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """Read a ``pages`` Parquet table, pruning columns at the read."""
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 def _canonical_text(t: str | None) -> str:
@@ -114,7 +115,7 @@ def pages_from_documents(
         except Exception:
             cpus = 8
         read_kwargs["override_num_blocks"] = max(32, 4 * cpus)
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
         **read_kwargs,

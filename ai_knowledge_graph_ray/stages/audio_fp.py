@@ -256,7 +256,8 @@ def synth_melody_media(
 
     from ..functions.wav import encode_wav
 
-    docs = ray.data.read_parquet(
+    from ..sources.readers import read_parquet_clean
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     if limit is not None:

@@ -53,7 +53,8 @@ def synth_media_from_documents(sf_dir: str, media_type: str = "image") -> ray.da
     end-to-end."""
     import os
 
-    docs = ray.data.read_parquet(
+    from ..sources.readers import read_parquet_clean
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
