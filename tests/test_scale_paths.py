@@ -136,10 +136,10 @@ def test_standardize_gate_equals_driver_no_second_pass():
     from ai_knowledge_graph_ray.stages.canonicalize import standardize_triples
 
     rows = [
-        ("the steam engine", "powers", "textile mill"),
-        ("steam engine", "propels", "locomotive"),
-        ("Steam Engine", "uses", "coal"),
-        ("coal", "fuels", "steam engine"),
+        ("the water wheel", "powers", "textile mill"),
+        ("water wheel", "turns", "grain mill"),
+        ("Water Wheel", "uses", "river flow"),
+        ("river flow", "drives", "water wheel"),
         ("railway", "connects", "cities"),
     ]
     tbl = pa.table(
