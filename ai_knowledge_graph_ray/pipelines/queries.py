@@ -4015,6 +4015,113 @@ def q_kg_training_pipeline(sf_dir: str):
     return format_examples(labeled, fmt="chatml", passthrough_cols=("split",))
 
 
+def q_kg_record_analysis(sf_dir: str):
+    """Record-annotation training examples: corpus documents joined
+    against the built graph's 1-hop node contexts (reference Type 5
+    generalized — ``training_generator.py:603-664``). Rows-only
+    (model-dependent graph); generator semantics pinned in
+    ``test_record_validation_generators.py``."""
+    from ..stages.training import generate_record_analysis
+
+    edges = q_kg_edges(sf_dir).materialize()
+    docs = _docs(sf_dir)
+    return generate_record_analysis(
+        docs.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"], "text": b["text"].fillna("")}
+            ),
+            batch_format="pandas",
+        ),
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b["src"], "dst": b["dst"], "predicate": b["predicate"]}
+            ),
+            batch_format="pandas",
+        ),
+    )
+
+
+_VALIDATION_SPEC = {
+    "must_have_all": ["schema_reviewed", "load_test_passed"],
+    "must_have_one": ["canary_green", "staging_green"],
+    "should_have": ["rollback_plan"],
+    "red_flags": ["open_incident", "frozen_window"],
+    "thresholds": {"minimum": 5.0, "good": 7.0, "excellent": 9.0},
+}
+
+
+def q_training_validation_qa(sf_dir: str):
+    """Checklist-validation training examples from a fixed acceptance
+    spec (reference Type 7 generalized —
+    ``training_generator.py:722-795``). Pure config -> deterministic
+    strings, so the oracle pins the exact rendering with literal
+    rows."""
+    from ..stages.training import generate_validation_qa
+
+    return generate_validation_qa(_VALIDATION_SPEC)
+
+
+def _validation_oracle_sql() -> str:
+    """Literal-row twin of q_training_validation_qa: the expected
+    strings are re-rendered HERE from the same spec with independent
+    inline templates (a training.py template regression breaks the
+    hash match), then emitted as SQL literals."""
+    sp = _VALIDATION_SPEC
+
+    def lab(c):
+        return c.replace("_", " ")
+
+    rows = []
+    conds = [lab(c) for c in sp["must_have_all"]]
+    rows.append((
+        "Should this candidate pass the checklist? Confirmed: "
+        + ", ".join(conds) + ".",
+        "",
+        "Yes, the candidate meets the minimum requirements.\n\n"
+        f"Must-have conditions confirmed: {', '.join(conds)}\n\n"
+        "However, also verify:\n"
+        f"- At least one of: {', '.join(lab(c) for c in sp['must_have_one'])}\n"
+        f"- Ideally also: {', '.join(lab(c) for c in sp['should_have'])}\n\n"
+        f"Disqualifiers to check: "
+        f"{', '.join(lab(c) for c in sp['red_flags'][:3])}",
+        "checklist_validation",
+    ))
+    for flag in sp["red_flags"][:5]:
+        fl = lab(flag)
+        rows.append((
+            f"Should this candidate pass? It looks good but I notice {fl}.",
+            "",
+            f"No. {fl.title()} is a disqualifier.\n\n"
+            "Disqualifiers are absolute — no matter how strong the rest of "
+            "the candidate looks, the purpose of the checklist is to stop "
+            "acceptance exactly when it is most tempting.\n\n"
+            "Resolve the disqualifier, or move on to the next candidate.",
+            "checklist_red_flag",
+        ))
+    th = sp["thresholds"]
+    rows.append((
+        "How is a candidate's composite score interpreted?",
+        "",
+        "Scoring uses weighted factors summed into a composite.\n\n"
+        "Thresholds:\n"
+        f"  Minimum to accept: {th['minimum']}\n"
+        f"  Good candidate: {th['good']}\n"
+        f"  Excellent candidate: {th['excellent']}\n\n"
+        f"Never accept below {th['minimum']}. Be selective.",
+        "checklist_scoring",
+    ))
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    selects = [
+        f"SELECT {q(i)} AS instruction, {q(p)} AS input, {q(o)} AS output, "
+        f"{q(c)} AS category"
+        for i, p, o, c in rows
+    ]
+    return " UNION ALL ".join(selects)
+
+
 def q_corpus_curation(sf_dir: str):
     """Flagship training-data curation chain (NFC -> exact dedup ->
     Gopher gate -> mixture sample -> shard packing) returning the
@@ -9716,6 +9823,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_merges": q_bpe_merges,
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "kg_training_pipeline": q_kg_training_pipeline,
+    "kg_record_analysis": q_kg_record_analysis,
+    "training_validation_qa": q_training_validation_qa,
     "doc_bigram_ppl": q_doc_bigram_ppl,
     "events_window_distinct": q_events_window_distinct,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -10087,6 +10196,7 @@ _LANG_PRED_CASE = f"""CASE
                END"""
 
 ORACLE_SQL: dict[str, str] = {
+    "training_validation_qa": _validation_oracle_sql(),
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
     """,

@@ -61,7 +61,12 @@ def _docs_to_pages(batch: pa.Table, null_text: bool = True) -> pa.Table:
     texts = [_canonical_text(t) for t in batch["text"].to_pylist()]
     langs = batch["lang"].to_pylist()
     urls = [f"https://example.org/doc/{d}" for d in doc_ids]
-    ts = pa.array([_WARC_EPOCH_US + int(d) * 137_000_000 for d in doc_ids], pa.timestamp("us"))
+    # modulo keeps replicated ids (base + k*10^7) inside int64 micros —
+    # a replica shares its base doc's ts; ids < 10^7 are unchanged
+    ts = pa.array(
+        [_WARC_EPOCH_US + (int(d) % 10_000_000) * 137_000_000 for d in doc_ids],
+        pa.timestamp("us"),
+    )
     # Deterministic outlinks (derandomized — the SQL oracle regenerates
     # the identical arithmetic): 3 internal targets + 1 external host.
     # They live in the dropped <nav>, so extract_text round-trip

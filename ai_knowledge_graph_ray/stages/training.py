@@ -700,6 +700,199 @@ def generate_anti_pattern_qa(
     )
 
 
+def generate_record_analysis(
+    docs: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_context_nodes: int = 200,
+    max_rels_per_node: int = 3,
+    max_objs_per_rel: int = 3,
+    min_name_len: int = 4,
+) -> ray.data.Dataset:
+    """Record-annotation examples (generalized reference Type 5,
+    ``training_generator.py:603-664`` — there, positive trade JSON
+    records are annotated with 1-hop graph context for the ICT
+    elements they mention; here, the records are the CORPUS documents
+    and the elements are graph node names found in each record's
+    text). The corpus-x-graph join is the part that matters at scale:
+    the bounded node-context map (top ``max_context_nodes`` subjects
+    by edge count, each with ``max_rels_per_node`` predicates x
+    ``max_objs_per_rel`` objects — mirroring the reference's
+    ``get_related_concepts`` caps) is broadcast ONCE via ``ray.put``
+    and each batch scans it vectorized; documents never shuffle.
+    Output category ``record_analysis``."""
+    import ray as _ray
+
+    ctx_pdf = (
+        edges.select_columns(["src", "predicate", "dst"])
+        .to_pandas()
+        .astype(str)
+    )
+    if len(ctx_pdf) == 0:
+        return ray.data.from_arrow(QA_SCHEMA.empty_table())
+    # top-N subjects by degree, deterministic ties by name
+    deg = ctx_pdf.groupby("src").size().sort_values(ascending=False)
+    keep = set(
+        sorted(deg.index[:max_context_nodes], key=lambda s: (-deg[s], s))[
+            :max_context_nodes
+        ]
+    )
+    ctx: dict[str, list[tuple[str, list[str]]]] = {}
+    sub = ctx_pdf[ctx_pdf["src"].isin(keep)].sort_values(
+        ["src", "predicate", "dst"]
+    )
+    for (s, p), g in sub.groupby(["src", "predicate"], sort=True):
+        lst = ctx.setdefault(s, [])
+        if len(lst) >= max_rels_per_node:
+            continue
+        lst.append((p, sorted(set(g["dst"]))[:max_objs_per_rel]))
+    names = sorted(n for n in ctx if len(n) >= min_name_len)
+    ctx_ref = _ray.put((names, ctx))
+
+    def _annotate(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return QA_SCHEMA.empty_table()
+        nms, cmap = (
+            _ray.get(ctx_ref) if isinstance(ctx_ref, _ray.ObjectRef) else ctx_ref
+        )
+        low = b[text_col].fillna("").str.lower()
+        hits = [
+            low.str.contains(re.escape(n), regex=True).to_numpy() for n in nms
+        ]
+        ins, inp, out, cat = [], [], [], []
+        for i in range(len(b)):
+            elems = [n for n, h in zip(nms, hits) if h[i]]
+            if not elems:
+                continue
+            elems = elems[: max_rels_per_node * 2]
+            annotations = []
+            for e in elems:
+                for rel, objs in cmap[e]:
+                    annotations.append(
+                        f"  - {_title(e)} {rel.replace('_', ' ')}: "
+                        + ", ".join(_title(o) for o in objs)
+                    )
+            elements_text = ", ".join(_title(e) for e in elems)
+            graph_text = (
+                "\n".join(annotations)
+                if annotations
+                else "  (No additional graph context)"
+            )
+            rid = b[id_col].iloc[i]
+            ins.append(
+                "Analyze this record against the knowledge graph: which "
+                "recorded concepts does it involve and what do they relate to?"
+            )
+            inp.append(f"Record {rid}.")
+            out.append(
+                f"Record Analysis ({rid}):\n\n"
+                f"Concepts Present: {elements_text}\n\n"
+                f"Graph-Derived Context:\n{graph_text}\n\n"
+                f"The record involves {elements_text}; the graph context "
+                f"above lists each concept's recorded relationships."
+            )
+            cat.append("record_analysis")
+        return pa.table(
+            {
+                "instruction": pa.array(ins, pa.string()),
+                "input": pa.array(inp, pa.string()),
+                "output": pa.array(out, pa.string()),
+                "category": pa.array(cat, pa.string()),
+            }
+        )
+
+    return normalize_blocks(
+        docs.select_columns([id_col, text_col]).map_batches(
+            _annotate, batch_format="pandas"
+        ),
+        QA_SCHEMA,
+    )
+
+
+def generate_validation_qa(spec: dict) -> ray.data.Dataset:
+    """Checklist-reasoning examples (generalized reference Type 7,
+    ``training_generator.py:722-795`` — there, the ICT pre-trade
+    checklist from the concept-relationships YAML; here, any
+    acceptance-checklist spec with the same shape). ``spec`` keys:
+    ``must_have_all``, ``must_have_one``, ``should_have``,
+    ``red_flags`` (lists of snake_case condition names) and optional
+    ``thresholds`` (``minimum``/``good``/``excellent`` floats for the
+    scoring rubric). Emits the reference's three scenario families:
+    all-conditions-met, one-red-flag-present (per flag, first 5), and
+    the scoring-rubric explainer. Config-derived and tiny by nature —
+    built driver-side, like the reference."""
+
+    def _label(c: str) -> str:
+        return str(c).replace("_", " ")
+
+    must_all = [str(c) for c in spec.get("must_have_all", [])]
+    must_one = [str(c) for c in spec.get("must_have_one", [])]
+    should = [str(c) for c in spec.get("should_have", [])]
+    flags = [str(c) for c in spec.get("red_flags", [])]
+    thresholds = spec.get("thresholds", {}) or {}
+
+    ins, inp, out, cat = [], [], [], []
+    if must_all:
+        conds = [_label(c) for c in must_all]
+        ins.append(
+            "Should this candidate pass the checklist? Confirmed: "
+            + ", ".join(conds)
+            + "."
+        )
+        inp.append("")
+        out.append(
+            "Yes, the candidate meets the minimum requirements.\n\n"
+            f"Must-have conditions confirmed: {', '.join(conds)}\n\n"
+            "However, also verify:\n"
+            f"- At least one of: {', '.join(_label(c) for c in must_one)}\n"
+            f"- Ideally also: {', '.join(_label(c) for c in should)}\n\n"
+            f"Disqualifiers to check: "
+            f"{', '.join(_label(c) for c in flags[:3])}"
+        )
+        cat.append("checklist_validation")
+    for flag in flags[:5]:
+        fl = _label(flag)
+        ins.append(
+            f"Should this candidate pass? It looks good but I notice {fl}."
+        )
+        inp.append("")
+        out.append(
+            f"No. {fl.title()} is a disqualifier.\n\n"
+            "Disqualifiers are absolute — no matter how strong the rest of "
+            "the candidate looks, the purpose of the checklist is to stop "
+            "acceptance exactly when it is most tempting.\n\n"
+            "Resolve the disqualifier, or move on to the next candidate."
+        )
+        cat.append("checklist_red_flag")
+    if thresholds:
+        mn = thresholds.get("minimum", 5.0)
+        gd = thresholds.get("good", 7.0)
+        ex = thresholds.get("excellent", 9.0)
+        ins.append("How is a candidate's composite score interpreted?")
+        inp.append("")
+        out.append(
+            "Scoring uses weighted factors summed into a composite.\n\n"
+            "Thresholds:\n"
+            f"  Minimum to accept: {mn}\n"
+            f"  Good candidate: {gd}\n"
+            f"  Excellent candidate: {ex}\n\n"
+            f"Never accept below {mn}. Be selective."
+        )
+        cat.append("checklist_scoring")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "instruction": pa.array(ins, pa.string()),
+                "input": pa.array(inp, pa.string()),
+                "output": pa.array(out, pa.string()),
+                "category": pa.array(cat, pa.string()),
+            }
+        )
+    )
+
+
 def generate_model_selection_qa(
     rules: ray.data.Dataset,
     *,
