@@ -6901,13 +6901,7 @@ def q_supplier_jaccard(sf_dir: str):
     return node_jaccard(_snr_edges(sf_dir), threshold_x1e6=250_000)
 
 
-def q_shipment_matching(sf_dir: str):
-    """Deterministic maximal matching of the supplier-part shipment
-    graph (hash-ordered local dominance == sequential greedy, O(log n)
-    expected rounds) — rows-only (matching is not SQL-expressible);
-    greedy-twin equality and maximality pinned in pytest."""
-    from ..stages.graph_algos import maximal_matching
-
+def _shipment_edges(sf_dir: str):
     li = read_parquet_clean(
         _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
     )
@@ -6920,7 +6914,146 @@ def q_shipment_matching(sf_dir: str):
             }
         )
 
-    return maximal_matching(li.map_batches(_edges, batch_format="pandas"))
+    return li.map_batches(_edges, batch_format="pandas")
+
+
+def shipment_matching_pairs(sf_dir: str):
+    """Deterministic maximal matching of the supplier-part shipment
+    graph (hash-ordered local dominance == sequential greedy, O(log n)
+    expected rounds) — the raw ``(u, v)`` pair table; greedy-twin
+    equality and maximality pinned in pytest."""
+    from ..stages.graph_algos import maximal_matching
+
+    return maximal_matching(_shipment_edges(sf_dir))
+
+
+def _node_flag_edge_counts(und, flagged_nodes) -> tuple[int, int, int]:
+    """For an ``(a, b)`` edge table and a ``(node)`` membership table:
+    ``(n_both_in, n_either_in, n_neither_in)`` — two node-keyed
+    left-outer cogroup exchanges, 3-int residue. Shared by the
+    matching/MIS acceptance checks."""
+    from ..stages.infer import default_num_partitions, sanitize_for_join
+
+    f_schema = pa.schema([("node", pa.string()), ("in_set", pa.int64())])
+    flags = sanitize_for_join(
+        flagged_nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "in_set": np.ones(len(b), dtype=np.int64)}
+            )
+            if len(b)
+            else pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "in_set": pd.Series(dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        f_schema,
+    )
+    a_side = und.map_batches(
+        lambda b: pd.DataFrame({"node": b["a"], "b": b["b"]}),
+        batch_format="pandas",
+    )
+    j1 = cogroup_join(
+        a_side,
+        flags,
+        on=["node"],
+        how="left_outer",
+        left_schema=pa.schema([("node", pa.string()), ("b", pa.string())]),
+        right_schema=f_schema,
+        num_buckets=default_num_partitions(),
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["b"], "fa_": b["in_set"].fillna(0).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    j2 = cogroup_join(
+        j1,
+        flags.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "fb_": b["in_set"]}),
+            batch_format="pandas",
+        ),
+        on=["node"],
+        how="left_outer",
+        left_schema=pa.schema([("node", pa.string()), ("fa_", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()), ("fb_", pa.int64())]),
+        num_buckets=default_num_partitions(),
+    )
+    agg = j2.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "both": [int(((b["fa_"] == 1) & (b["fb_"].fillna(0) == 1)).sum())],
+                "either": [
+                    int(((b["fa_"] == 1) | (b["fb_"].fillna(0) == 1)).sum())
+                ],
+                "neither": [
+                    int(((b["fa_"] != 1) & (b["fb_"].fillna(0) != 1)).sum())
+                ],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(agg) == 0:
+        return 0, 0, 0
+    return int(agg["both"].sum()), int(agg["either"].sum()), int(agg["neither"].sum())
+
+
+def q_shipment_matching(sf_dir: str):
+    """Matching acceptance check (driver-checkable surface; raw pairs:
+    :func:`shipment_matching_pairs`): ``(n_edges, n_multiply_matched,
+    n_uncovered_edges)``. The oracle counts the graph's distinct
+    undirected edges; a valid MAXIMAL matching uses each node at most
+    once (``n_multiply_matched = 0``) and leaves no edge with both
+    endpoints free (``n_uncovered_edges = 0``). WHICH pairs are chosen
+    is hash-order-dependent — greedy-twin equality is pinned in
+    pytest, not SQL-predictable."""
+    from ..stages.graph_algos import undirected_simple_edges
+    from ..stages.infer import bucketed_reduce
+
+    edges = _shipment_edges(sf_dir)
+    und = undirected_simple_edges(edges).materialize()
+    matching = shipment_matching_pairs(sf_dir).materialize()
+    n_edges = und.count()
+
+    nodes = matching.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": pd.concat([b["u"], b["v"]], ignore_index=True)}
+        )
+        if len(b)
+        else pd.DataFrame({"node": pd.Series(dtype=object)}),
+        batch_format="pandas",
+    )
+    cnt_schema = pa.schema([("node", pa.string()), ("c", pa.int64())])
+
+    def _cnt(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
+            )
+        if "c" in g.columns:
+            return g.groupby("node", as_index=False)["c"].sum()
+        out = g.groupby("node", as_index=False).agg(c=("node", "size"))
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    counts = bucketed_reduce(nodes, ["node"], _cnt, cnt_schema, combiner=_cnt)
+    multi = counts.map_batches(
+        lambda b: pd.DataFrame({"m": [int((b["c"] > 1).sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_multi = int(multi["m"].sum()) if len(multi) else 0
+
+    matched_nodes = counts.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"]}), batch_format="pandas"
+    )
+    _both, _either, n_uncovered = _node_flag_edge_counts(und, matched_nodes)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_multiply_matched": pd.Series([n_multi], dtype="int64"),
+            "n_uncovered_edges": pd.Series([n_uncovered], dtype="int64"),
+        }
+    )
 
 
 def q_returned_item_customers(sf_dir: str):
@@ -7188,28 +7321,112 @@ def q_part_soundex(sf_dir: str):
     return soundex_codes(part, "p_name", "p_partkey")
 
 
-def q_shipment_mis(sf_dir: str):
+def shipment_mis_nodes(sf_dir: str):
     """Deterministic maximal independent set of the supplier-part
     shipment graph (derandomized Luby == sequential greedy of the
-    hash order) — the node-side complement of shipment_matching; a
-    conflict-free anchor set for parallel updates. Rows-only (greedy
-    MIS is not SQL-expressible); independence, maximality, greedy-twin
-    and forced-gate equality pinned in tests/test_mis.py."""
+    hash order) — the raw ``(node)`` table; independence, maximality,
+    greedy-twin and forced-gate equality pinned in tests/test_mis.py."""
     from ..stages.graph_algos import maximal_independent_set
 
-    li = read_parquet_clean(
-        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_partkey"]
+    return maximal_independent_set(_shipment_edges(sf_dir))
+
+
+def q_shipment_mis(sf_dir: str):
+    """MIS acceptance check (driver-checkable surface; raw set:
+    :func:`shipment_mis_nodes`): ``(n_nodes, n_internal_edges,
+    n_uncovered_nodes)``. The oracle counts the graph's distinct
+    nodes; a valid MAXIMAL independent set spans no edge
+    (``n_internal_edges = 0``) and dominates every node — each
+    non-member has a member neighbor, so every edge touches the
+    covered side and the uncovered-node count is 0. WHICH nodes enter
+    is hash-order-dependent — greedy-twin equality is pinned in
+    pytest, not SQL-predictable."""
+    from ..stages.graph_algos import undirected_simple_edges
+
+    edges = _shipment_edges(sf_dir)
+    und = undirected_simple_edges(edges).materialize()
+    mis = shipment_mis_nodes(sf_dir).materialize()
+    n_nodes = _distinct_node_count(und)
+    n_internal, n_covered_edges, _neither = _node_flag_edge_counts(und, mis)
+
+    # uncovered nodes: not in MIS and no MIS neighbor — count via one
+    # more membership join of the node table against (MIS + MIS
+    # neighborhoods)
+    from ..stages.infer import bucketed_reduce, default_num_partitions, sanitize_for_join
+
+    node_schema = pa.schema([("node", pa.string())])
+    all_nodes = und.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": pd.concat([b["a"], b["b"]], ignore_index=True)}
+        ).drop_duplicates()
+        if len(b)
+        else pd.DataFrame({"node": pd.Series(dtype=object)}),
+        batch_format="pandas",
     )
 
-    def _edges(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": "s" + b["l_suppkey"].astype(int).astype(str),
-                "dst": "p" + b["l_partkey"].astype(int).astype(str),
-            }
-        )
+    def _dd(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object)})
+        return g[["node"]].drop_duplicates()
 
-    return maximal_independent_set(li.map_batches(_edges, batch_format="pandas"))
+    universe = bucketed_reduce(all_nodes, ["node"], _dd, node_schema, combiner=_dd)
+
+    mis_schema = pa.schema([("node", pa.string()), ("in_mis", pa.int64())])
+    mis_flag = sanitize_for_join(
+        mis.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "in_mis": np.ones(len(b), dtype=np.int64)}
+            )
+            if len(b)
+            else pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "in_mis": pd.Series(dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        mis_schema,
+    )
+    # covered = MIS members + their neighbors: flag edges' other side
+    j = cogroup_join(
+        und.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+                    "other": pd.concat([b["b"], b["a"]], ignore_index=True),
+                }
+            )
+            if len(b)
+            else pd.DataFrame(
+                {"node": pd.Series(dtype=object), "other": pd.Series(dtype=object)}
+            ),
+            batch_format="pandas",
+        ),
+        mis_flag,
+        on=["node"],
+        how="inner",
+        left_schema=pa.schema([("node", pa.string()), ("other", pa.string())]),
+        right_schema=mis_schema,
+        num_buckets=default_num_partitions(),
+    ).map_batches(
+        lambda b: pd.DataFrame({"node": b["other"]}), batch_format="pandas"
+    )
+    covered = bucketed_reduce(
+        j.union(mis.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"]}), batch_format="pandas"
+        )),
+        ["node"],
+        _dd,
+        node_schema,
+        combiner=_dd,
+    )
+    n_uncovered = n_nodes - covered.count()
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([n_nodes], dtype="int64"),
+            "n_internal_edges": pd.Series([n_internal], dtype="int64"),
+            "n_uncovered_nodes": pd.Series([n_uncovered], dtype="int64"),
+        }
+    )
 
 
 def q_doc_containment(sf_dir: str):
@@ -10195,8 +10412,61 @@ _LANG_PRED_CASE = f"""CASE
                  ELSE 'fr'
                END"""
 
+def _hll_group_sql(group_col: str, value_expr: str, table: str, p: int) -> str:
+    """Grouped-HLL estimate twin (see the events_hll_rollup oracle for
+    the full derivation): md5 registers, exact HUGEINT power sum, the
+    estimate's IEEE op order mirroring sketches._estimate; `ln` ==
+    math.log exhaustively probed for every zeros count at p=10/12."""
+    m = 1 << p
+    mask = (1 << (64 - p)) - 1
+    maxrank = 64 - p + 1
+    return f"""
+        WITH hx AS (
+          SELECT DISTINCT {group_col} AS grp,
+                 ('0x' || substr(md5({value_expr}),1,16))::UBIGINT AS h
+          FROM {table}
+        ),
+        rk AS (
+          SELECT grp, (h >> {64 - p})::BIGINT AS idx,
+                 {maxrank} - length(ltrim(bin(h & {mask}::UBIGINT), '0')) AS rank
+          FROM hx
+        ),
+        regs AS (
+          SELECT grp, idx, CAST(max(rank) AS BIGINT) AS r
+          FROM rk GROUP BY grp, idx
+        ),
+        agg AS (
+          SELECT grp, sum((1::HUGEINT << (64 - r))) AS s_present,
+                 CAST(count(*) AS BIGINT) AS n_present
+          FROM regs GROUP BY grp
+        ),
+        est AS (
+          SELECT grp,
+                 CAST(s_present + ({m} - n_present) * (1::HUGEINT << 64)
+                      AS DOUBLE) AS S,
+                 {m} - n_present AS zeros
+          FROM agg
+        )
+        SELECT grp AS {group_col},
+               CAST(floor(CASE
+                 WHEN (0.7213 / (1 + 1.079 / {m}.0)) * {m} * {m}
+                      * 18446744073709551616.0 / S <= {2.5 * m} AND zeros > 0
+                 THEN {m}.0 * ln({m}.0 / zeros)
+                 ELSE (0.7213 / (1 + 1.079 / {m}.0)) * {m} * {m}
+                      * 18446744073709551616.0 / S
+               END) AS BIGINT) AS approx_distinct
+        FROM est
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
+    "approx_distinct_users": _hll_group_sql(
+        "event_type", "CAST(user_id AS VARCHAR)", "events", 10
+    ),
+    "approx_users_per_type": _hll_group_sql(
+        "event_type", "CAST(user_id AS VARCHAR)", "events", 12
+    ),
     "part_soundex": f"""
         SELECT p_partkey, {_sdx('p_name')} AS soundex FROM part
     """,
@@ -12845,6 +13115,57 @@ ORACLE_SQL: dict[str, str] = {
         WHERE und.a IS NULL AND p.score > 0
         QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
     """,
+    "concept_extract": """
+        -- single-token concepts (the corpus top-30 tokens): the
+        -- partial-match path needs >1 token, so every emitted row is
+        -- an exact substring hit with score exactly 1.0
+        WITH top AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text,'')),
+                                               '\\w+')) AS token
+              FROM documents
+            ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 30
+          )
+        )
+        SELECT d.doc_id, t.token AS concept, CAST(1.0 AS DOUBLE) AS score
+        FROM documents d JOIN top t
+          ON position(t.token IN lower(coalesce(d.text,''))) > 0
+    """,
+    "customer_entity_clusters": """
+        -- FastSS deletion-1 blocking finds EXACTLY the lev<=1 name
+        -- pairs, so the all-pairs levenshtein join is its twin; score
+        -- = 12 + (nation? +8:-3) + (segment? +5:-2), threshold >= 15;
+        -- min-id components via the shared recursive-CTE resolver
+        WITH c AS (
+          SELECT c_name, c_nationkey, c_mktsegment,
+                 CAST(substr(c_name, 10) AS BIGINT) AS id
+          FROM customer
+        ),
+        verified AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM c a JOIN c b ON a.c_name < b.c_name
+          WHERE levenshtein(a.c_name, b.c_name) <= 1
+            AND (12 + CASE WHEN a.c_nationkey = b.c_nationkey
+                           THEN 8 ELSE -3 END
+                    + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                           THEN 5 ELSE -2 END) >= 15
+        ),
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        cnodes AS (SELECT DISTINCT u AS id FROM sym),
+        reach AS (
+          WITH RECURSIVE r(a, b) AS (
+            SELECT id, id FROM cnodes
+            UNION
+            SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
+          ) SELECT * FROM r
+        )
+        SELECT a AS c_custkey, CAST(min(b) AS BIGINT) AS dup_of
+        FROM reach GROUP BY a HAVING min(b) <> a
+    """,
     "events_hll_rollup": """
         -- full HLL twin: md5-based registers recomputed per level in
         -- SQL (register max-merge == direct sketch of the slice), the
@@ -12948,6 +13269,23 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_edges_labeled,
                CAST(1 AS BIGINT) AS cut_ok
         FROM und
+    """,
+    "shipment_matching": """
+        -- matching invariants: a maximal matching never reuses a node
+        -- and leaves no edge with both endpoints free
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(0 AS BIGINT) AS n_multiply_matched,
+               CAST(0 AS BIGINT) AS n_uncovered_edges
+        FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    """,
+    "shipment_mis": """
+        -- MIS invariants: no edge inside the set, every node in the
+        -- set or adjacent to it
+        SELECT CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem)
+                    + (SELECT count(DISTINCT l_partkey) FROM lineitem)
+                    AS BIGINT) AS n_nodes,
+               CAST(0 AS BIGINT) AS n_internal_edges,
+               CAST(0 AS BIGINT) AS n_uncovered_nodes
     """,
     "shipment_mst": """
         -- spanning-forest invariant: components of the INPUT shipment
