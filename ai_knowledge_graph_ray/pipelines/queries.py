@@ -10459,8 +10459,86 @@ def _hll_group_sql(group_col: str, value_expr: str, table: str, p: int) -> str:
     """
 
 
+def _kg_triples_raw_oracle_sql() -> str:
+    """Full SQL twin of the mock-model extraction pipeline
+    (chunk -> mock SPO walk -> response-format roundtrip ->
+    validation): md5 chunk hash, stop-worded [a-z]+ token walk with
+    stride 4, hash-selected (post-limit) predicates, the %17 self-loop
+    and %19 missing-object injections, and the %20==19 garbage-variant
+    chunk rejection — verified row-identical to extract_chunk_triples
+    over every fixture doc (all 20 response variants exercised). Relies
+    on two fixture facts, each guarded by a poison row that breaks the
+    row count LOUDLY if violated: every doc fits one chunk
+    (<= CHUNK_SIZE words) and text is already canonical
+    single-space."""
+    from ..functions.model import MOCK_PREDICATES, _TOKEN_STOP
+    from ..functions.textnorm import limit_predicate_length
+
+    preds = [limit_predicate_length(p) for p in MOCK_PREDICATES]
+    pred_sql = "[" + ", ".join("'" + p + "'" for p in preds) + "]"
+    stop_sql = ", ".join("'" + s + "'" for s in sorted(_TOKEN_STOP))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text,'') AS text,
+                 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                 ('0x' || substr(md5(coalesce(text,'')),1,16))::UBIGINT::HUGEINT
+                   AS h,
+                 ('0x' || substr(md5('fmt:' || coalesce(text,'')),1,16))::UBIGINT
+                   % 20 AS variant
+          FROM documents
+        ),
+        wl AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM d),
+        w AS (
+          SELECT doc_id, unnest(l) AS word, unnest(range(1, len(l)+1)) AS i
+          FROM wl
+        ),
+        tk AS (
+          SELECT doc_id, regexp_extract(word, '[a-z]+') AS tok, i
+          FROM w
+          WHERE length(regexp_extract(word, '[a-z]+')) >= 3
+            AND regexp_extract(word, '[a-z]+') NOT IN ({stop_sql})
+        ),
+        t1 AS (
+          SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS j
+          FROM tk
+        ),
+        nn AS (SELECT doc_id, count(*) AS n FROM t1 GROUP BY doc_id),
+        raw AS (
+          SELECT s.doc_id, s.j, s.tok AS subject,
+                 CASE WHEN (d.h + s.j) % 17 = 0 THEN s.tok
+                      ELSE o.tok END AS object,
+                 ({pred_sql})[CAST((d.h + s.j) % 12 AS BIGINT) + 1]
+                   AS predicate
+          FROM t1 s
+          JOIN nn ON nn.doc_id = s.doc_id
+          JOIN t1 o ON o.doc_id = s.doc_id AND o.j = s.j + 2
+          JOIN d ON d.doc_id = s.doc_id
+          WHERE s.j % 4 = 0 AND s.j < nn.n - 3
+            AND (d.h + s.j) % 19 <> 0
+            AND d.variant <> 19
+        )
+        SELECT d.url, CAST(1 AS BIGINT) AS chunk_id,
+               CAST(row_number() OVER (PARTITION BY raw.doc_id
+                                       ORDER BY raw.j) - 1 AS BIGINT) AS seq,
+               raw.subject, raw.predicate, raw.object
+        FROM raw JOIN d ON d.doc_id = raw.doc_id
+        UNION ALL
+        SELECT 'ASSERTION-FAILED: multi-chunk doc — this twin assumes '
+               || 'single-chunk docs', -1, -1, '', '', ''
+        FROM wl WHERE len(l) > {CHUNK_SIZE}
+        UNION ALL
+        SELECT 'ASSERTION-FAILED: non-canonical whitespace in text',
+               -1, -1, '', '', ''
+        FROM d
+        WHERE text LIKE '%' || chr(10) || '%' OR text LIKE '%  %'
+           OR text LIKE '%' || chr(9) || '%'
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
+    "kg_triples_raw": _kg_triples_raw_oracle_sql(),
     "approx_distinct_users": _hll_group_sql(
         "event_type", "CAST(user_id AS VARCHAR)", "events", 10
     ),
