@@ -10536,9 +10536,69 @@ def _kg_triples_raw_oracle_sql() -> str:
     """
 
 
+def _kg_triples_std_oracle_sql() -> str:
+    """Phase-2 standardization twin over the raw-extraction twin.
+
+    Over THIS corpus every entity is a single [a-z]+ token, which
+    makes the election structurally simple and the SQL exact:
+
+    - ``normalize_entity_key`` maps each token to itself (the residual
+      ENTITY_KEY_STOPWORDS not already excluded by the mock's token
+      stop list are all <= 4 chars and can also never enter the stem
+      pass), so the first-pass election is the identity;
+    - the subset rule needs multi-word entities, so only the STEM rule
+      fires: tokens > 4 chars sharing a 4-prefix merge, and with the
+      (len, entity) iteration order the earlier entity always wins,
+      last write wins — i.e. each variant maps to the LARGEST earlier
+      same-stem entity in that order (one level, chains uncollapsed);
+    - alias application relowers + relimits (both idempotent here) and
+      drops self-loops.
+
+    The single-token assumption is guarded by a poison row. Verified
+    row-identical to standardize_triples at sf0.001/0.01."""
+    return f"""
+        WITH rawt AS ({_kg_triples_raw_oracle_sql()}),
+        ents AS (
+          SELECT DISTINCT entity FROM (
+            SELECT subject AS entity FROM rawt
+            UNION ALL SELECT object FROM rawt
+          )
+        ),
+        big AS (
+          SELECT entity, substr(entity, 1, 4) AS stem
+          FROM ents WHERE length(entity) > 4
+        ),
+        ord_e AS (
+          SELECT entity, stem,
+                 row_number() OVER (ORDER BY length(entity), entity) AS r
+          FROM big
+        ),
+        merges AS (
+          SELECT t.entity AS variant, s.entity AS standard
+          FROM ord_e t JOIN ord_e s ON s.stem = t.stem AND s.r < t.r
+          QUALIFY row_number() OVER (PARTITION BY t.entity
+                                     ORDER BY s.r DESC) = 1
+        )
+        SELECT r.url, r.chunk_id, r.seq,
+               coalesce(ms.standard, r.subject) AS subject,
+               r.predicate,
+               coalesce(mo.standard, r.object) AS object
+        FROM rawt r
+        LEFT JOIN merges ms ON ms.variant = r.subject
+        LEFT JOIN merges mo ON mo.variant = r.object
+        WHERE coalesce(ms.standard, r.subject)
+              <> coalesce(mo.standard, r.object)
+        UNION ALL
+        SELECT 'ASSERTION-FAILED: multi-word entity — this twin assumes '
+               || 'single-token entities', -1, -1, '', '', ''
+        FROM ents WHERE entity LIKE '% %'
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
     "kg_triples_raw": _kg_triples_raw_oracle_sql(),
+    "kg_triples_std": _kg_triples_std_oracle_sql(),
     "approx_distinct_users": _hll_group_sql(
         "event_type", "CAST(user_id AS VARCHAR)", "events", 10
     ),
