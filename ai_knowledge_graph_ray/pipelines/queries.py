@@ -13253,6 +13253,68 @@ ORACLE_SQL: dict[str, str] = {
         WHERE und.a IS NULL AND p.score > 0
         QUALIFY row_number() OVER (ORDER BY p.score DESC, p.x, p.y) <= 100
     """,
+    "clean_triples": r"""
+        -- 7-step cleaner twin over the deterministic dirty corpus
+        -- (_dirty_corpus_from_docs). Planted rows that can NEVER
+        -- survive are omitted: the i%3 case-variant dedups against
+        -- (or drops with) its base under identical case-insensitive
+        -- rules, and the i%7 trio dies to short/null filters; the
+        -- rest is the literal rule set: first-8 pure-alpha tokens,
+        -- len>=3, the clean_graph noise regex, the is->is_a merge,
+        -- first-occurrence dedup by (chunk, record order), and the
+        -- min_pred_count=2 singleton filter.
+        WITH wl AS (
+          SELECT doc_id, string_split(lower(coalesce(text,'')), ' ') AS l
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, unnest(l) AS word, unnest(range(1, len(l)+1)) AS i
+          FROM wl
+        ),
+        alpha AS (
+          SELECT doc_id, word,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM w WHERE regexp_matches(word, '^[a-z]+$')
+        ),
+        tok8 AS (SELECT doc_id, word, j FROM alpha WHERE j <= 8),
+        nt AS (SELECT doc_id, count(*) AS n FROM tok8 GROUP BY doc_id),
+        base AS (
+          SELECT t.doc_id,
+                 max(CASE WHEN j=1 THEN word END) AS t0,
+                 max(CASE WHEN j=2 THEN word END) AS t1,
+                 max(CASE WHEN j=3 THEN word END) AS t2,
+                 max(CASE WHEN j=4 THEN word END) AS t3,
+                 max(CASE WHEN j=5 THEN word END) AS t4
+          FROM tok8 t JOIN nt ON nt.doc_id = t.doc_id AND nt.n >= 4
+          GROUP BY t.doc_id
+        ),
+        recs AS (
+          SELECT doc_id, t0 AS s, 'is_a' AS p, t1 AS o, 0 AS ord FROM base
+          UNION ALL SELECT doc_id, t2, 'contains', t2, 2 FROM base
+                    WHERE doc_id % 5 = 0
+          UNION ALL SELECT doc_id, t2, 'contains', t3, 3 FROM base
+                    WHERE doc_id % 5 = 0
+          UNION ALL SELECT doc_id, t2, 'contains', t4, 4 FROM base
+                    WHERE doc_id % 5 = 0 AND t4 IS NOT NULL
+        ),
+        kept AS (
+          SELECT * FROM recs
+          WHERE length(s) >= 3 AND length(o) >= 3
+            AND NOT regexp_matches(s, '^(i|we|they|it|he|she|you|this|that|these|those|there|here)$|^(the|a|an|of|in|on|at|to|for|with|and|or|but|not)$|^\d+$|^[.\-_/\\\\]+$|^(file|page|line|section|chapter|part|item|example|note)$')
+            AND NOT regexp_matches(o, '^(i|we|they|it|he|she|you|this|that|these|those|there|here)$|^(the|a|an|of|in|on|at|to|for|with|and|or|but|not)$|^\d+$|^[.\-_/\\\\]+$|^(file|page|line|section|chapter|part|item|example|note)$')
+        ),
+        dd AS (
+          SELECT doc_id, s, p, o FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY s || chr(1) || p || chr(1) || o
+              ORDER BY doc_id, ord) AS rn
+            FROM kept) WHERE rn = 1
+        ),
+        pcnt AS (SELECT p, count(*) AS c FROM dd GROUP BY p)
+        SELECT s AS subject, p AS predicate, o AS object,
+               CAST(dd.doc_id AS BIGINT) AS chunk
+        FROM dd JOIN pcnt USING (p) WHERE pcnt.c >= 2
+    """,
     "concept_extract": """
         -- single-token concepts (the corpus top-30 tokens): the
         -- partial-match path needs >1 token, so every emitted row is

@@ -44,6 +44,27 @@ def partition_of(key: str, num_partitions: int) -> int:
     return int.from_bytes(h[:4], "big") % num_partitions
 
 
+def partition_ids(keys, num_partitions: int):
+    """Vectorized :func:`partition_of` over a key sequence — one
+    ``np.fromiter`` over C md5 digests instead of a per-row Python
+    function call (the digest IS the work; measured hot at 450M-row
+    sink writes)."""
+    import numpy as np
+
+    md5 = hashlib.md5
+    return (
+        np.fromiter(
+            (
+                int.from_bytes(md5(str(k).encode("utf-8")).digest()[:4], "big")
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        % num_partitions
+    )
+
+
 class PartitionedSink:
     """Hash-partitioned resumable Parquet sink."""
 
@@ -94,10 +115,11 @@ class PartitionedSink:
         done_ref = ray.put(done)
 
         def _f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
             d = ray.get(done_ref) if isinstance(done_ref, ray.ObjectRef) else done_ref
-            mask = [
-                partition_of(k, P) not in d for k in batch[key_col].to_pylist()
-            ]
+            pids = partition_ids(batch[key_col].to_pylist(), P)
+            mask = ~np.isin(pids, np.fromiter(d, dtype=np.int64, count=len(d)))
             return batch.filter(pa.array(mask, pa.bool_()))
 
         return ds.map_batches(_f, batch_format="pyarrow")
@@ -115,14 +137,10 @@ class PartitionedSink:
                 b["partition_id"] = pd.Series([], dtype="int64")
                 return b
             b = batch.copy()
-            b["partition_id"] = [partition_of(k, P) for k in b[key_col]]
+            b["partition_id"] = partition_ids(b[key_col].to_numpy(object), P)
             return b[~b["partition_id"].isin(done)] if done else b
 
-        def _write_group(g: pd.DataFrame) -> pa.Table:
-            if len(g) == 0:
-                return pa.schema(
-                    [("partition_id", pa.int64()), ("rows", pa.int64()), ("path", pa.string())]
-                ).empty_table()
+        def _write_one(g: pd.DataFrame) -> dict:
             pid = int(g["partition_id"].iloc[0])
             part_dir = os.path.join(out_dir, f"part={pid:05d}")
             os.makedirs(part_dir, exist_ok=True)
@@ -137,20 +155,40 @@ class PartitionedSink:
                 tmp,
             )
             os.replace(tmp, final)  # atomic publish
-            return pa.table(
-                {
-                    "partition_id": pa.array([pid], pa.int64()),
-                    "rows": pa.array([len(g)], pa.int64()),
-                    "path": pa.array([final], pa.string()),
-                }
-            )
+            return {"partition_id": pid, "rows": len(g), "path": final}
 
-        written = (
-            ds.map_batches(_assign, batch_format="pandas")
-            .groupby("partition_id")
-            .map_groups(_write_group, batch_format="pandas")
-            .to_pandas()
+        def _write_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            # one bucket may carry several partition ids (hash-bucketed
+            # reduce, NOT a global sort shuffle — NOTES.md edge 3);
+            # each id's rows are complete within the bucket
+            if len(b) == 0 or "partition_id" not in b.columns:
+                return pd.DataFrame(
+                    {
+                        "partition_id": pd.Series(dtype="int64"),
+                        "rows": pd.Series(dtype="int64"),
+                        "path": pd.Series(dtype=object),
+                    }
+                )
+            rows = [
+                _write_one(g) for _, g in b.groupby("partition_id", sort=True)
+            ]
+            return pd.DataFrame(rows)
+
+        from ..stages.infer import bucketed_reduce
+
+        written_schema = pa.schema(
+            [
+                ("partition_id", pa.int64()),
+                ("rows", pa.int64()),
+                ("path", pa.string()),
+            ]
         )
+        written = bucketed_reduce(
+            ds.map_batches(_assign, batch_format="pandas"),
+            ["partition_id"],
+            _write_bucket,
+            written_schema,
+        ).to_pandas()
         entries = []
         if len(written) and "partition_id" in written.columns:
             for _, row in written.iterrows():
