@@ -10595,10 +10595,110 @@ def _kg_triples_std_oracle_sql() -> str:
     """
 
 
+def _kg_edges_oracle_sql() -> str:
+    """Phase-3 + materialize twin over the standardization twin — the
+    FLAGSHIP output (edges table) reproduced in SQL end-to-end:
+
+    - G5 dedup (all Phase-2 rows non-inferred -> last per (s,p,o) by
+      the (url, chunk_id, seq) order key);
+    - distinct (s,o) edges with last-wins predicates;
+    - transitive compose ("indirectly p" / "p1 via mid"), existing
+      pairs and self-pairs excluded, the 3-word predicate limit with
+      its trailing-stop-word drop re-applied;
+    - lexical containment ("is type of" from substring containment —
+      with single-token entities the shared-word rules cannot fire),
+      existing pairs excluded in both orientations;
+    - final union where non-inferred keys always win, inferred rows
+      carry the ('', 0) lineage defaults, self-loops dropped.
+
+    Row-identical to build_graph's edges at sf0.001 (3932/27 — the
+    verify-drive stats) and sf0.01 (3910/64). Assumes the per-block
+    lexical candidate cap (200) never binds at fixture scale (block
+    candidate sets here are far smaller) and inherits the raw twin's
+    poison-row guards."""
+    return f"""
+        WITH std AS ({_kg_triples_std_oracle_sql()}),
+        g5 AS (
+          SELECT url, chunk_id, seq, subject, predicate, object FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate, object
+              ORDER BY url DESC, chunk_id DESC, seq DESC) AS rn
+            FROM std) WHERE rn = 1
+        ),
+        edges AS (
+          SELECT subject, object, predicate FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, object
+              ORDER BY url DESC, chunk_id DESC, seq DESC) AS rn
+            FROM g5) WHERE rn = 1
+        ),
+        epairs AS (SELECT subject AS s, object AS o FROM edges),
+        trans0 AS (
+          SELECT a.subject AS s,
+                 CASE WHEN a.predicate = b.predicate
+                      THEN 'indirectly ' || a.predicate
+                      ELSE a.predicate || ' via ' || a.object END AS pred_raw,
+                 b.object AS o
+          FROM edges a JOIN edges b ON a.object = b.subject
+          WHERE a.subject <> b.object
+            AND NOT EXISTS (SELECT 1 FROM epairs e
+                            WHERE e.s = a.subject AND e.o = b.object)
+        ),
+        trans AS (
+          SELECT DISTINCT s, o,
+            CASE WHEN len(string_split(pred_raw,' ')) <= 3 THEN pred_raw
+                 WHEN lower(string_split(pred_raw,' ')[3]) IN
+                      ('a','an','the','of','with','by','to','from','in',
+                       'on','for')
+                 THEN array_to_string(string_split(pred_raw,' ')[1:2], ' ')
+                 ELSE array_to_string(string_split(pred_raw,' ')[1:3], ' ')
+            END AS predicate
+          FROM trans0
+        ),
+        lents AS (
+          SELECT DISTINCT e FROM (
+            SELECT subject AS e FROM edges UNION SELECT object FROM edges)
+        ),
+        lex AS (
+          SELECT h.e AS s, 'is type of' AS predicate, n.e AS o
+          FROM lents n JOIN lents h
+            ON n.e <> h.e AND position(n.e IN h.e) > 0 AND length(n.e) >= 3
+          WHERE NOT EXISTS (SELECT 1 FROM epairs p WHERE
+                  (p.s = least(n.e,h.e) AND p.o = greatest(n.e,h.e))
+               OR (p.s = greatest(n.e,h.e) AND p.o = least(n.e,h.e)))
+        ),
+        inf_dd AS (
+          SELECT DISTINCT s, predicate, o FROM (
+            SELECT s, predicate, o FROM trans
+            UNION ALL SELECT s, predicate, o FROM lex)
+        ),
+        final AS (
+          SELECT subject AS src, object AS dst, predicate,
+                 FALSE AS inferred, chunk_id, url
+          FROM g5
+          UNION ALL
+          SELECT i.s, i.o, i.predicate, TRUE, 0, ''
+          FROM inf_dd i
+          WHERE NOT EXISTS (SELECT 1 FROM g5 g
+                WHERE g.subject = i.s AND g.predicate = i.predicate
+                  AND g.object = i.o)
+        )
+        SELECT src, dst, predicate, inferred,
+               CAST(chunk_id AS BIGINT) AS chunk_id, url
+        FROM final WHERE src <> dst
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
     "kg_triples_raw": _kg_triples_raw_oracle_sql(),
     "kg_triples_std": _kg_triples_std_oracle_sql(),
+    "kg_edges": _kg_edges_oracle_sql(),
+    "relation_counts": f"""
+        WITH e AS ({_kg_edges_oracle_sql()})
+        SELECT predicate, CAST(count(*) AS BIGINT) AS n_edges
+        FROM e GROUP BY predicate
+    """,
     "approx_distinct_users": _hll_group_sql(
         "event_type", "CAST(user_id AS VARCHAR)", "events", 10
     ),
