@@ -128,33 +128,43 @@ def pages_from_documents(
     if replication > 1:
         # A single parquet file reads as ONE task that streams its
         # split blocks out serially — that serial producer throttles
-        # the whole fused pipeline. For the tiled benchmark source,
-        # materialize the tiles as pre-split object-store blocks so
-        # every downstream task can start immediately.
+        # the whole fused pipeline. Tile DISTRIBUTED: the base table is
+        # put ONCE and a range(K) dataset fans the shifted copies out
+        # of parallel tasks (the earlier driver-side ray.put loop was
+        # serial and collapsed at replication=8192 — one core grinding
+        # 25 GB of puts while 31 sat idle).
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text", "lang"],
-        )
+        ).replace_schema_metadata(None)  # keep block schemas hashable
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        slices_per_rep = max(1, (4 * cpus) // replication)
+        target_blocks = max(32, 4 * cpus)
+        slices_per_rep = max(1, target_blocks // replication)
         n = len(tbl)
         step = max(1, n // slices_per_rep)
-        refs = []
-        for k in range(replication):
-            shifted = tbl.set_column(
-                tbl.schema.get_field_index("doc_id"),
-                "doc_id",
-                pc.add(tbl["doc_id"], k * 10_000_000),
-            )
-            for s in range(0, n, step):
-                refs.append(ray.put(shifted.slice(s, step)))
-        docs = ray.data.from_arrow_refs(refs)
+        base_ref = ray.put(tbl)
+        id_idx = tbl.schema.get_field_index("doc_id")
+
+        def _tile(batch: pa.Table):
+            base = ray.get(base_ref) if isinstance(base_ref, ray.ObjectRef) else base_ref
+            for k in batch["id"].to_pylist():
+                shifted = base.set_column(
+                    id_idx, "doc_id",
+                    pc.add(base["doc_id"], int(k) * 10_000_000),
+                )
+                for s in range(0, n, step):
+                    yield shifted.slice(s, min(step, n - s))
+
+        docs = ray.data.range(
+            replication,
+            override_num_blocks=min(replication, target_blocks),
+        ).map_batches(_tile, batch_format="pyarrow")
     return docs.map_batches(
         _docs_to_pages, batch_format="pyarrow", fn_kwargs={"null_text": null_text}
     )
