@@ -161,10 +161,18 @@ def pages_from_documents(
                 for s in range(0, n, step):
                     yield shifted.slice(s, min(step, n - s))
 
-        docs = ray.data.range(
-            replication,
-            override_num_blocks=min(replication, target_blocks),
-        ).map_batches(_tile, batch_format="pyarrow")
+        # Materialize the tiles: pre-split object-store blocks let the
+        # downstream fused actor chain pull work at full parallelism
+        # (lazily fusing the tiler into the extraction actors measured
+        # 10x slower end-to-end — 52 s vs 4.7 s at replication=64).
+        docs = (
+            ray.data.range(
+                replication,
+                override_num_blocks=min(replication, target_blocks),
+            )
+            .map_batches(_tile, batch_format="pyarrow")
+            .materialize()
+        )
     return docs.map_batches(
         _docs_to_pages, batch_format="pyarrow", fn_kwargs={"null_text": null_text}
     )
