@@ -8,8 +8,12 @@ nothing here (or in the library) initializes or shuts down Ray.
   (SURVEY.md §2 + the training-data operators); each takes ``sf_dir``.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible
   subset (identical column names/types; integer-cent money to avoid
-  float-summation hash drift). Model-dependent KG stages and sketch
-  dedups are rows-only by design.
+  float-summation hash drift). As of round 4 this includes the full
+  flagship chain (raw extraction -> standardization -> inference ->
+  edges, via exact twins of the deterministic mock model) and the
+  HLL estimates; the remaining rows-only queries are structurally
+  non-SQL (media codecs, seeded-RNG prose, siphash MinHash, float
+  embeddings, BPE loops) and are pinned by pytest instead.
 """
 
 from __future__ import annotations
