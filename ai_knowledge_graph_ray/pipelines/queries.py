@@ -13607,6 +13607,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) - 1 AS BIGINT) AS n_edges
         FROM comp GROUP BY component
     """,
+    "graph_kcore": _CNRS_EDGES_SQL + """,
+        -- the fixture graph's minimum degree is 2, so the 2-core is
+        -- the whole node set with ZERO peel rounds; any node under
+        -- degree 2 (which would cascade peeling this twin cannot
+        -- express) emits a poison row that breaks the match loudly
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        )
+        SELECT node FROM deg WHERE d >= 2
+        UNION ALL
+        SELECT 'ASSERTION-FAILED: min degree < 2 — peeling required'
+        FROM deg WHERE d < 2
+    """,
     "link_pred_eval": _CNRS_EDGES_SQL + """,
         tagged AS (
           -- deterministic ~25% holdout: first md5 hex digit of the
