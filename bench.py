@@ -8,10 +8,14 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "docs_per_sec": ..., "triples_per_sec": ...}
 
-``--scaling``: runs the headline KG pipeline at num_cpus=8 and 32 in
-fresh subprocesses on the same input and reports both throughputs +
-scaling efficiency (the sandbox proxy for the N vs 4N-node criterion;
-see BASELINE.md).
+``--scaling``: runs the headline KG pipeline at two parallelism
+levels (default 4 and 16 CPUs — see BASELINE.md "Why 4/16"; override
+with GRAFT_SCALE_CPUS_LO/HI) in fresh subprocesses on the same input
+and reports both throughputs + scaling efficiency (the sandbox proxy
+for the N vs 4N-node criterion).
+
+``--forced-distributed`` / ``--memory-probe`` / ``--dedup-stress``:
+the scale-evidence modes (VERDICT r3 items 3-4); one JSON line each.
 """
 
 from __future__ import annotations
