@@ -66,3 +66,32 @@ def test_real_endpoint_chat_roundtrip():
     model = make_model(_config())
     out = model.chat(None, 'Reply with exactly the JSON: [{"ok": true}]')
     assert isinstance(out, str) and len(out) > 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GRAFT_EMBED_BASE_URL"),
+    reason="GRAFT_EMBED_BASE_URL not set (no embeddings endpoint)",
+)
+def test_real_endpoint_embeddings_roundtrip():
+    """Batched /embeddings call through the HttpEmbedder actor stage
+    over a small corpus slice — the A6 backend on the real wire."""
+    import ray.data as rd
+
+    from ai_knowledge_graph_ray.stages.embed import embed_documents
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).limit(8)
+    out = embed_documents(
+        docs,
+        provider="http",
+        http_cfg={
+            "model": os.environ.get("GRAFT_EMBED_MODEL", "nomic-embed-text"),
+            "base_url": os.environ["GRAFT_EMBED_BASE_URL"],
+            "api_key": os.environ.get("GRAFT_LLM_API_KEY", ""),
+        },
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert len(out) == 8
+    dims = {len(v) for v in out["embedding"]}
+    assert len(dims) == 1 and dims.pop() > 0
