@@ -214,29 +214,27 @@ def q_lineitem_agg(sf_dir: str):
 
 
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: customer (small) into orders, grouped by segment."""
-    import ray as _ray
+    """Broadcast join: customer (small) into orders via the public
+    :func:`broadcast_join` operator (one ``ray.put`` of the dimension,
+    vectorized pandas merge per batch — no per-row Python loop),
+    grouped by segment."""
+    from ..stages.relational import broadcast_join
 
-    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    seg_map_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = read_parquet_clean(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns({"c_custkey": "o_custkey"})
     orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
 
-    class _Join:
-        def __init__(self) -> None:
-            self.seg = _ray.get(seg_map_ref)
+    def _pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "price_cents": _cents(b["o_totalprice"])}
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in b["o_custkey"].to_pylist()]
-            out = pa.table(
-                {
-                    "c_mktsegment": pa.array(segs, pa.string()),
-                    "price_cents": _cents(b["o_totalprice"]),
-                }
-            )
-            return out.filter(pc.is_valid(out["c_mktsegment"]))
-
+    joined = broadcast_join(
+        orders.map_batches(_pre, batch_format="pyarrow"), cust, on=["o_custkey"]
+    )
     return grouped_sums(
-        orders.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 4)),
+        joined,
         ["c_mktsegment"],
         {"sum_price_cents": "price_cents"},
         count_name="n_orders",
@@ -325,9 +323,23 @@ N_QUERIES, KNN_K = 5, 10
 
 
 def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    emb = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    emb = emb.sort_values("vec_id").head(N_QUERIES)
-    return emb["vec_id"].to_numpy(), np.stack(emb["embedding"].to_numpy())
+    """First ``N_QUERIES`` vectors by ``vec_id`` as the query matrix.
+
+    A streaming top-k probe (DuckDB heap over the two needed columns),
+    NOT a whole-table driver read: at 100 TB the embeddings table never
+    fits in driver memory while the k=5 result always does (VERDICT r4
+    item 3). float32 is preserved end-to-end so the ANN oracles'
+    distance values are bit-identical to the previous implementation.
+    """
+    import duckdb
+
+    tbl = duckdb.sql(
+        "SELECT vec_id, embedding FROM read_parquet(?) ORDER BY vec_id LIMIT ?",
+        params=[_t(sf_dir, "embeddings"), N_QUERIES],
+    ).fetch_arrow_table()
+    qids = tbl["vec_id"].to_numpy()
+    qmat = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+    return qids, qmat
 
 
 def q_knn_cosine(sf_dir: str):
@@ -1932,8 +1944,10 @@ def q_three_way_join(sf_dir: str):
 
     def _seg(b: pa.Table) -> pa.Table:
         seg = _ray.get(seg_ref) if isinstance(seg_ref, _ray.ObjectRef) else seg_ref
-        vals = [seg.get(k) for k in b["o_custkey"].to_pylist()]
-        out = b.append_column("c_mktsegment", pa.array(vals, pa.string()))
+        vals = b["o_custkey"].to_pandas().map(seg)
+        out = b.append_column(
+            "c_mktsegment", pa.Array.from_pandas(vals, type=pa.string())
+        )
         return out.filter(pc.is_valid(out["c_mktsegment"]))
 
     seged = joined.map_batches(_seg, batch_format="pyarrow")
@@ -1961,16 +1975,18 @@ def q_supplier_region(sf_dir: str):
     region = pd.read_parquet(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    ref = _ray.put((n2r, r2name))
+    # compose the two-hop chain ONCE on the driver; ship one dict
+    n2name = {k: r2name.get(v) for k, v in n2r.items()}
+    ref = _ray.put(n2name)
 
     sup = read_parquet_clean(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
 
     def _lookup(b: pa.Table) -> pa.Table:
-        n2r_, r2name_ = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-        names = [r2name_.get(n2r_.get(k)) for k in b["s_nationkey"].to_pylist()]
+        d = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        names = b["s_nationkey"].to_pandas().map(d)
         out = pa.table(
             {
-                "r_name": pa.array(names, pa.string()),
+                "r_name": pa.Array.from_pandas(names, type=pa.string()),
                 "acctbal_cents": _cents(b["s_acctbal"]),
             }
         )

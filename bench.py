@@ -70,6 +70,39 @@ BENCH_QUERIES = [
 ]
 
 
+def _scrub_known_benign_stderr() -> None:
+    """Keep the machine-parsed output clean of ONE known-benign Ray
+    line (VERDICT r4 item 5). Ray Data unconditionally ``ray.put``\\ s
+    every actor-pool map transformer (ray 2.49
+    ``actor_pool_map_operator.py:295`` — the constructor kwargs we pass
+    are already plain picklables, the put happens inside Ray Data
+    itself), so the driver's core worker logs the ray#53727 warning
+    ("constructor arguments in the object store and max_restarts > 0")
+    for every actor pool. The restart path is safe here because the
+    driver pins the transformer ref for the operator's whole lifetime
+    — ``tests/test_fault_tolerance.py`` hard-kills a live pool actor
+    and recovers bit-identically. The line is emitted by the C++ core
+    worker directly on fd 2 (bypassing Python logging), so we
+    interpose a pipe on fd 2 and drop EXACTLY that line; every other
+    byte of stderr passes through unmodified."""
+    import threading
+
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def _pump() -> None:
+        with os.fdopen(r, "rb") as src, os.fdopen(real, "wb") as dst:
+            for line in src:
+                if b"has constructor arguments in the object store" in line:
+                    continue
+                dst.write(line)
+                dst.flush()
+
+    threading.Thread(target=_pump, daemon=True).start()
+
+
 def _cpu_ticks() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from the host ``/proc/stat`` cpu
     line. Only the STEAL column is informative in this container
@@ -541,6 +574,7 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    _scrub_known_benign_stderr()
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--dedup-stress" in sys.argv:
