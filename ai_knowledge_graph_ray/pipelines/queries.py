@@ -10705,11 +10705,58 @@ def _kg_edges_oracle_sql() -> str:
     """
 
 
+def _kg_nodes_oracle_sql() -> str:
+    """Nodes-table twin over the edges twin — the LAST link of the
+    flagship chain (reference ``visualization.py:154-163,186-205``):
+
+    - degree = count over the src/dst union of the final edges;
+    - community = rank of the component's min-label representative
+      (components over the NON-inferred distinct pairs — Phase 3
+      computes them before the inferred edges are added, mirroring
+      the reference's communities-then-cross-links order) via the
+      same recursive-CTE reachability used by ``graph_components``;
+    - size = ``10.0 + 20.0 * degree/max_degree`` with the division
+      and FMA order mirrored exactly (the only float surface).
+    """
+    return f"""
+        WITH RECURSIVE e AS ({_kg_edges_oracle_sql()}),
+        deg AS (
+          SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT src AS entity FROM e UNION ALL SELECT dst AS entity FROM e)
+          GROUP BY entity
+        ),
+        mx AS (SELECT max(degree) AS m FROM deg),
+        base AS (SELECT DISTINCT src AS s, dst AS o FROM e WHERE NOT inferred),
+        und AS (SELECT s, o FROM base UNION SELECT o AS s, s AS o FROM base),
+        reach AS (
+          SELECT s AS entity, s AS r FROM und
+          UNION
+          SELECT reach.entity, u.o FROM reach JOIN und u ON u.s = reach.r
+        ),
+        comp AS (SELECT entity, min(r) AS rep FROM reach GROUP BY entity),
+        rk AS (
+          SELECT rep,
+                 CAST(row_number() OVER (ORDER BY rep) - 1 AS INTEGER)
+                   AS community
+          FROM (SELECT DISTINCT rep FROM comp)
+        )
+        SELECT d.entity, d.degree,
+               CAST(coalesce(rk.community, -1) AS INTEGER) AS community,
+               10.0 + 20.0 * (CAST(d.degree AS DOUBLE) / CAST(mx.m AS DOUBLE))
+                 AS "size"
+        FROM deg d
+        LEFT JOIN comp c ON c.entity = d.entity
+        LEFT JOIN rk ON rk.rep = c.rep
+        CROSS JOIN mx
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
     "kg_triples_raw": _kg_triples_raw_oracle_sql(),
     "kg_triples_std": _kg_triples_std_oracle_sql(),
     "kg_edges": _kg_edges_oracle_sql(),
+    "kg_nodes": _kg_nodes_oracle_sql(),
     "relation_counts": f"""
         WITH e AS ({_kg_edges_oracle_sql()})
         SELECT predicate, CAST(count(*) AS BIGINT) AS n_edges

@@ -128,11 +128,17 @@ def pages_from_documents(
     if replication > 1:
         # A single parquet file reads as ONE task that streams its
         # split blocks out serially — that serial producer throttles
-        # the whole fused pipeline. Tile DISTRIBUTED: the base table is
-        # put ONCE and a range(K) dataset fans the shifted copies out
-        # of parallel tasks (the earlier driver-side ray.put loop was
-        # serial and collapsed at replication=8192 — one core grinding
-        # 25 GB of puts while 31 sat idle).
+        # the whole fused pipeline, so tiles are always handed over as
+        # pre-split object-store blocks (lazily fusing the tiler into
+        # the extraction actors measured 10x slower end-to-end — 52 s
+        # vs 4.7 s at replication=64). HOW they get there is sized to
+        # the tiling: small corpora (bench default, rep=64) use direct
+        # driver-side puts — a distributed tile pays a scheduling +
+        # materialize round that measured ~1 s of pure overhead at
+        # rep=64 (the r4->r3 headline gap); big tilings (memory/scale
+        # probes, rep>=512) fan the copies out of a range(K) dataset,
+        # because the serial put loop collapses at rep=8192 — one core
+        # grinding 25 GB of puts while 31 sat idle.
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -148,31 +154,45 @@ def pages_from_documents(
         slices_per_rep = max(1, target_blocks // replication)
         n = len(tbl)
         step = max(1, n // slices_per_rep)
-        base_ref = ray.put(tbl)
         id_idx = tbl.schema.get_field_index("doc_id")
+        driver_tile_max_rows = int(
+            os.environ.get("GRAFT_TILE_DRIVER_MAX_ROWS", "1000000")
+        )
 
-        def _tile(batch: pa.Table):
-            base = ray.get(base_ref) if isinstance(base_ref, ray.ObjectRef) else base_ref
-            for k in batch["id"].to_pylist():
-                shifted = base.set_column(
-                    id_idx, "doc_id",
-                    pc.add(base["doc_id"], int(k) * 10_000_000),
+        if n * replication <= driver_tile_max_rows:
+            refs = []
+            for k in range(replication):
+                shifted = tbl.set_column(
+                    id_idx, "doc_id", pc.add(tbl["doc_id"], k * 10_000_000)
                 )
                 for s in range(0, n, step):
-                    yield shifted.slice(s, min(step, n - s))
+                    refs.append(ray.put(shifted.slice(s, min(step, n - s))))
+            docs = ray.data.from_arrow_refs(refs)
+        else:
+            base_ref = ray.put(tbl)
 
-        # Materialize the tiles: pre-split object-store blocks let the
-        # downstream fused actor chain pull work at full parallelism
-        # (lazily fusing the tiler into the extraction actors measured
-        # 10x slower end-to-end — 52 s vs 4.7 s at replication=64).
-        docs = (
-            ray.data.range(
-                replication,
-                override_num_blocks=min(replication, target_blocks),
+            def _tile(batch: pa.Table):
+                base = (
+                    ray.get(base_ref)
+                    if isinstance(base_ref, ray.ObjectRef)
+                    else base_ref
+                )
+                for k in batch["id"].to_pylist():
+                    shifted = base.set_column(
+                        id_idx, "doc_id",
+                        pc.add(base["doc_id"], int(k) * 10_000_000),
+                    )
+                    for s in range(0, n, step):
+                        yield shifted.slice(s, min(step, n - s))
+
+            docs = (
+                ray.data.range(
+                    replication,
+                    override_num_blocks=min(replication, target_blocks),
+                )
+                .map_batches(_tile, batch_format="pyarrow")
+                .materialize()
             )
-            .map_batches(_tile, batch_format="pyarrow")
-            .materialize()
-        )
     return docs.map_batches(
         _docs_to_pages, batch_format="pyarrow", fn_kwargs={"null_text": null_text}
     )

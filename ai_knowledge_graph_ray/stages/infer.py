@@ -274,9 +274,13 @@ def distinct_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
 
 def connected_components(edges: list[tuple[str, str]]) -> dict[str, int]:
     """Union-find over unique entity pairs; labels are dense ints
-    ordered by first appearance of the component root. Matches the
-    reference's weakly-connected semantics (DFS over both edge
-    directions) without its recursion-depth hazard."""
+    ordered by each component's lexicographically-smallest member —
+    a pure function of the graph (edge ORDER cannot change the
+    labels), which is what lets ``kg_nodes`` carry a hash-exact SQL
+    twin (rank of the min-label component representative). Matches
+    the reference's weakly-connected semantics (DFS over both edge
+    directions, ``entity_standardization.py:273-312``) without its
+    recursion-depth hazard."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -294,14 +298,14 @@ def connected_components(edges: list[tuple[str, str]]) -> dict[str, int]:
         rs, ro = find(s), find(o)
         if rs != ro:
             parent[ro] = rs
-    labels: dict[str, int] = {}
-    roots: dict[str, int] = {}
+    comp_min: dict[str, str] = {}
     for n in parent:
         r = find(n)
-        if r not in roots:
-            roots[r] = len(roots)
-        labels[n] = roots[r]
-    return labels
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rank = {m: i for i, m in enumerate(sorted(comp_min.values()))}
+    return {n: rank[comp_min[find(n)]] for n in parent}
 
 
 def connected_components_distributed(

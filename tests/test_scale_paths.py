@@ -177,3 +177,20 @@ def test_standardize_gate_equals_driver_no_second_pass():
     }
     drv_map = {k: v for k, v in drv_alias.items() if k != v}
     assert scl_map == drv_map
+
+
+def test_tiling_paths_bit_identical(monkeypatch):
+    """pages_from_documents replication: the driver-put fast path
+    (small tilings, bench default) and the distributed range-fanout
+    path (probe scale) must produce the same rows bit-for-bit."""
+    from ai_knowledge_graph_ray.sources.pages import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    a = pages_from_documents(sf, replication=3).to_pandas()
+    monkeypatch.setenv("GRAFT_TILE_DRIVER_MAX_ROWS", "0")  # force distributed
+    b = pages_from_documents(sf, replication=3).to_pandas()
+    key = sorted(a.columns)
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert len(a) == 3 * pages_from_documents(sf).count()
+    assert a.equals(b)
