@@ -374,10 +374,76 @@ def q_knn_rrf(sf_dir: str):
     return rrf_fuse([cos, l2], k_const=RRF_K_CONST, top_k=KNN_K)
 
 
-def q_knn_ivf(sf_dir: str):
+def _ann_acceptance(out: ray.data.Dataset, sf_dir: str, checks) -> pa.Table:
+    """Acceptance table for an APPROXIMATE index (the MST/coloring
+    trick): per query emit shape facts the oracle can state as
+    constants plus calibrated quality booleans — each ``(name, m,
+    floor)`` in ``checks`` asserts >= ``floor`` of the k results lie
+    in the TRUE cosine top-``m`` (ties broken by vec_id, identical to
+    the hash-exact ``knn_cosine`` twin, so both sides rank against
+    the same ground truth). The index runs are seeded/deterministic,
+    so the floors are fixture facts, not flaky bounds; a regression
+    in recall or rank distortion flips a boolean and breaks the hash
+    loudly. Driver-side math touches only 5 x max(m) rows."""
     qids, qmat = _query_vectors(sf_dir)
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return knn_ivf(ds, qids, qmat, k=KNN_K)
+    max_m = max(m for _, m, _ in checks)
+    truth = knn_brute(ds, qids, qmat, k=max_m, with_scores=True).to_pandas()
+    truth = truth.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    truth["rank"] = truth.groupby("query_id").cumcount() + 1
+    rank_of = {
+        (int(q), int(v)): int(r)
+        for q, v, r in zip(truth.query_id, truth.vec_id, truth["rank"])
+    }
+    got = out.to_pandas()
+    rows = []
+    for q in qids:
+        g = got[got["query_id"] == q]
+        vids = g["vec_id"].astype(int).tolist()
+        ranks = [rank_of.get((int(q), v)) for v in vids]
+        row = {
+            "query_id": int(q),
+            "n_results": len(vids),
+            "n_distinct": len(set(vids)),
+            "self_excluded": int(q) not in vids,
+        }
+        for name, m, floor in checks:
+            row[name] = sum(1 for r in ranks if r is not None and r <= m) >= floor
+        rows.append(row)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "n_results": pa.array(cols["n_results"], pa.int64()),
+            "n_distinct": pa.array(cols["n_distinct"], pa.int64()),
+            "self_excluded": pa.array(cols["self_excluded"], pa.bool_()),
+            **{
+                name: pa.array(cols[name], pa.bool_())
+                for name, _, _ in checks
+            },
+        }
+    )
+
+
+# Calibrated ANN acceptance floors (deterministic fixture facts —
+# measured per-query minima at sf0.001 AND sf0.01; the seeded index
+# builds make them exact, not statistical):
+# IVF: every result within the true top-30, recall@10 >= 5/10.
+_IVF_CHECKS = [("all_in_top30", 30, KNN_K), ("recall10_ge_5", KNN_K, 5)]
+# PQ (m=8, k=16 codebooks over random-ish vectors distorts more):
+# >= 5/10 within true top-50, >= 7/10 within true top-100.
+_PQ_CHECKS = [("half_in_top50", 50, 5), ("most_in_top100", 100, 7)]
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN acceptance (approximate by construction — the exact
+    surface is the calibrated acceptance table, see
+    :func:`_ann_acceptance`)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return _ann_acceptance(knn_ivf(ds, qids, qmat, k=KNN_K), sf_dir, _IVF_CHECKS)
 
 
 def q_knn_ivf_indexed(sf_dir: str):
@@ -397,7 +463,9 @@ def q_knn_ivf_indexed(sf_dir: str):
 
     qids, qmat = _query_vectors(sf_dir)
     emb_path = _t(sf_dir, "embeddings")
-    fp = _hl.md5(sf_dir.encode())
+    # "v2": ivf_build's quantizer became sample-order-canonical (round
+    # 5); the version salt retires caches built by older code.
+    fp = _hl.md5(f"v2|{sf_dir}".encode())
     paths = (
         sorted(
             _os.path.join(emb_path, f)
@@ -414,7 +482,11 @@ def q_knn_ivf_indexed(sf_dir: str):
     if not _os.path.isfile(_os.path.join(idx_dir, "_SUCCESS")):
         ds = read_parquet_clean(emb_path, columns=["vec_id", "embedding"])
         ivf_build(ds, idx_dir, n_clusters=16)
-    return knn_ivf_indexed(idx_dir, qids, qmat, k=KNN_K, n_probe=4)
+    return _ann_acceptance(
+        knn_ivf_indexed(idx_dir, qids, qmat, k=KNN_K, n_probe=4),
+        sf_dir,
+        _IVF_CHECKS,
+    )
 
 
 def q_ngram_overlap_pairs(sf_dir: str):
@@ -2534,8 +2606,14 @@ def q_graph_kcore(sf_dir: str):
     """2-core of the customer/supplier/nation/region fixture graph
     (its 3-core is provably empty: every customer/supplier has exactly
     two edges) — iterative peeling (degree reduce + gated membership
-    filter per round); no SQL oracle (aggregation inside a recursive
-    CTE is not expressible), pinned against networkx in pytest."""
+    filter per round). Hash-exact SQL twin: the peel is expressed as
+    its COMPLEMENT — a monotonically growing recursive ``removed`` set
+    (base: degree < k; step: remaining degree after removed neighbors
+    < k; UNION gives fixpoint termination), which DuckDB accepts where
+    the direct shrinking-survivor recursion would need aggregation
+    over the recursive reference. Peeling order-independence (the
+    fixpoint is THE k-core) is what makes the two formulations agree;
+    adversarial shapes are pinned against networkx in pytest."""
     from ..stages.graph_algos import k_core
 
     return k_core(_cnrs_edges(sf_dir), 2)
@@ -6281,9 +6359,10 @@ def q_url_best_rep(sf_dir: str):
 def q_knn_pq(sf_dir: str):
     """PQ-compressed ANN: train (m=8, k=16) codebooks, encode every
     vector to 8 bytes (32x smaller than float32), ADC-scan with
-    per-query lookup tables. Approximate by construction — rows-only
-    (the exact twin is ``knn_cosine``/``knn_ivf``); recall pinned by
-    pytest on planted blobs."""
+    per-query lookup tables. Approximate by construction — the exact
+    surface is the calibrated acceptance table vs the ``knn_cosine``
+    ground truth (:func:`_ann_acceptance`); ADC==brute-over-
+    reconstructions is additionally pinned by pytest."""
     from ..stages.pq import pq_encode, pq_search, pq_train
 
     qids, qmat = _query_vectors(sf_dir)
@@ -6292,7 +6371,10 @@ def q_knn_pq(sf_dir: str):
     )
     books = pq_train(emb, m=8, k=16, iters=4)
     codes = pq_encode(emb, books)
-    return pq_search(codes, books, qids, qmat, k=KNN_K)
+    out = pq_search(codes, books, qids, qmat, k=KNN_K)
+    return _ann_acceptance(
+        out.select_columns(["query_id", "vec_id"]), sf_dir, _PQ_CHECKS
+    )
 
 
 def q_revenue_cube(sf_dir: str):
@@ -11881,6 +11963,82 @@ ORACLE_SQL: dict[str, str] = {
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
         ) <= {KNN_K}
     """,
+    # ANN acceptance twins: the oracle states the EXPECTED acceptance
+    # row (shape constants + calibrated quality booleans all true);
+    # the Ray side measures them against its brute ground truth
+    # (itself hash-exact vs the knn_cosine twin above). A recall or
+    # rank-distortion regression flips a boolean -> hash mismatch.
+    "knn_ivf": f"""
+        SELECT vec_id AS query_id,
+               CAST({KNN_K} AS BIGINT) AS n_results,
+               CAST({KNN_K} AS BIGINT) AS n_distinct,
+               true AS self_excluded,
+               true AS all_in_top30,
+               true AS recall10_ge_5
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES})
+    """,
+    "knn_ivf_indexed": f"""
+        SELECT vec_id AS query_id,
+               CAST({KNN_K} AS BIGINT) AS n_results,
+               CAST({KNN_K} AS BIGINT) AS n_distinct,
+               true AS self_excluded,
+               true AS all_in_top30,
+               true AS recall10_ge_5
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES})
+    """,
+    "knn_pq": f"""
+        SELECT vec_id AS query_id,
+               CAST({KNN_K} AS BIGINT) AS n_results,
+               CAST({KNN_K} AS BIGINT) AS n_distinct,
+               true AS self_excluded,
+               true AS half_in_top50,
+               true AS most_in_top100
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES})
+    """,
+    # Ideal-Jaccard twin: LSH banding (32x4, S-curve ~0.42, far below
+    # the 0.8 verify threshold) is a candidate FILTER whose output is
+    # exact-Jaccard-verified, so on this corpus the final mapping
+    # equals the ideal "all pairs with word-5-gram Jaccard >= 0.8,
+    # components, min-id rep" — which IS SQL. Fixture facts this
+    # rests on: no true pair escapes the banding (deterministic given
+    # the fixed hash params; per-pair escape odds ~5e-8 at J=0.8) and
+    # no band bucket overflows max_pairs_per_bucket. The integer form
+    # 5*ni >= 4*union is exact (no float division).
+    "minhash_dedup": r"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[i.i : i.i + 4], ' ') AS g
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(
+                   1, greatest(1, len(ws) - 4))) AS i) i
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sim AS (
+          SELECT ida, idb FROM inter
+          JOIN sizes sa ON sa.doc_id = ida
+          JOIN sizes sb ON sb.doc_id = idb
+          WHERE 5 * ni >= 4 * (sa.n + sb.n - ni)
+        ),
+        und AS (SELECT ida, idb FROM sim UNION SELECT idb, ida FROM sim),
+        reach AS (
+          SELECT ida AS id, ida AS r FROM und
+          UNION
+          SELECT reach.id, u.idb FROM reach JOIN und u ON u.ida = reach.r
+        ),
+        rep AS (SELECT id, min(r) AS dup_of FROM reach GROUP BY id)
+        SELECT CAST(id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of
+        FROM rep WHERE dup_of <> id
+    """,
     "doc_simpson": r"""
         WITH toks AS (
             SELECT doc_id,
@@ -14923,6 +15081,26 @@ ORACLE_SQL: dict[str, str] = {
                CAST(2 * coalesce(t.n_triangles, 0) AS BIGINT) AS lcc_num,
                CAST(d.degree * (d.degree - 1) AS BIGINT) AS lcc_den
         FROM deg d LEFT JOIN tcount t USING (node)
+    """,
+    # k-core as its monotone COMPLEMENT: recursive `removed` grows to
+    # the peel fixpoint (UNION termination); survivors = the k-core.
+    "graph_kcore": _CNRS_EDGES_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+    + """,
+        adj AS (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        removed(node) AS (
+          SELECT node FROM deg WHERE d < 2
+          UNION
+          SELECT d.node
+          FROM deg d
+          JOIN adj a ON a.node = d.node
+          JOIN removed r ON r.node = a.nbr
+          GROUP BY d.node, d.d
+          HAVING d.d - count(DISTINCT a.nbr) < 2
+        )
+        SELECT node FROM deg
+        WHERE node NOT IN (SELECT node FROM removed)
     """,
     "events_late_quarantine": """
         WITH s AS (

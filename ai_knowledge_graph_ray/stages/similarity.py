@@ -207,7 +207,10 @@ def ivf_build(
     import os
     import shutil
 
-    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    # Canonical sample order — see knn_ivf: the seeded init indexes
+    # into the sample, so the sample must not inherit block order.
+    sample = ds.select_columns([id_col, vec_col]).limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])
     mat = np.stack([r[vec_col] for r in sample])
     cents = kmeans_fit(mat, n_clusters, seed=seed)
     cents_ref = ray.put(cents)
@@ -360,7 +363,12 @@ def knn_ivf(
     would be pre-partitioned by centroid id so the probe prunes whole
     blocks/files rather than filtering rows.
     """
-    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    # Canonical sample ORDER (sorted by id): block arrival order is
+    # nondeterministic, and kmeans_fit's seeded init indexes INTO the
+    # sample — an order-dependent sample would make the quantizer (and
+    # every acceptance floor downstream) flap run to run.
+    sample = ds.select_columns([id_col, vec_col]).limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])
     mat = np.stack([r[vec_col] for r in sample])
     cents = kmeans_fit(mat, n_clusters)
     cents_ref = ray.put(cents)
