@@ -501,9 +501,31 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(_docs(sf_dir))
 
 
+def _embeddings_with_planted(sf_dir: str) -> ray.data.Dataset:
+    """Embeddings plus a deterministic planted-duplicate layer: every
+    ``vec_id % 10 == 0`` row is copied verbatim under ``vec_id +
+    1_000_000``. Identical vectors ALWAYS collide in hyperplane LSH
+    (same sign pattern) and always share a k-means cell, so the
+    detection paths run at guaranteed-100% recall — which is what
+    lets the embedding-dedup family carry an EXACT all-pairs SQL twin
+    instead of an empty-vs-empty check (the raw fixture has no pair
+    above cosine 0.51; the verify threshold is 0.95)."""
+    base = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def _copies(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["vec_id"] % 10 == 0].copy()
+        sel["vec_id"] = sel["vec_id"] + 1_000_000
+        return sel
+
+    return base.union(base.map_batches(_copies, batch_format="pandas"))
+
+
 def q_embedding_dedup(sf_dir: str):
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return embedding_dedup(ds)
+    """Hyperplane-LSH embedding near-dup over the planted corpus —
+    hash-exact vs the all-pairs ``list_cosine_similarity`` twin (the
+    0.51-vs-0.95 cosine margin makes the threshold float-safe across
+    numpy/DuckDB)."""
+    return embedding_dedup(_embeddings_with_planted(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -4803,14 +4825,17 @@ def q_embedding_clusters(sf_dir: str):
 
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic near-dup mapping: k-means cluster, then
-    within-cluster cosine >= 0.95 pairs keep the min id. The fixture
-    embeddings are geometrically random (max off-diagonal cosine 0.51)
-    so 0 rows here is the CORRECT answer — detection behavior is
-    pinned by planted-dup tests in test_clustering."""
+    within-cluster cosine >= 0.95 pairs keep the min id — over the
+    planted corpus (:func:`_embeddings_with_planted`), where identical
+    copies are guaranteed to share a cell, so the within-cluster-only
+    search provably equals the all-pairs SQL twin. Cross-cluster
+    blindness on NON-identical near-dups stays pinned by the planted-
+    group tests in test_clustering."""
     from ..stages.clustering import semantic_dedup
 
-    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return semantic_dedup(ds, k=10, iters=5, threshold=0.95)
+    return semantic_dedup(
+        _embeddings_with_planted(sf_dir), k=10, iters=5, threshold=0.95
+    )
 
 
 def q_doc_bm25_mlt(sf_dir: str):
@@ -10833,6 +10858,30 @@ def _kg_nodes_oracle_sql() -> str:
     """
 
 
+_EMBED_DEDUP_ORACLE_SQL = """
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings
+          WHERE vec_id % 10 = 0
+        ),
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        ),
+        und AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+        reach AS (
+          SELECT ida AS id, ida AS r FROM und
+          UNION
+          SELECT reach.id, u.idb FROM reach JOIN und u ON u.ida = reach.r
+        ),
+        rep AS (SELECT id, min(r) AS dup_of FROM reach GROUP BY id)
+        SELECT CAST(id AS BIGINT) AS vec_id, CAST(dup_of AS BIGINT) AS dup_of
+        FROM rep WHERE dup_of <> id
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "training_validation_qa": _validation_oracle_sql(),
     "kg_triples_raw": _kg_triples_raw_oracle_sql(),
@@ -12039,6 +12088,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of
         FROM rep WHERE dup_of <> id
     """,
+    "embedding_dedup": _EMBED_DEDUP_ORACLE_SQL,
+    "semantic_dedup": _EMBED_DEDUP_ORACLE_SQL,
     "doc_simpson": r"""
         WITH toks AS (
             SELECT doc_id,
