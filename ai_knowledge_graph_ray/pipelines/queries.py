@@ -87,7 +87,9 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    # float-valued -> rows-only check
+    """Heuristic quality scoring — hash-exact: the float twin mirrors
+    every ratio/clip/weighted-sum in IEEE op order over the
+    doc_stats/doc_lang_id integer inputs."""
     return quality_score(_docs(sf_dir))
 
 
@@ -4519,8 +4521,10 @@ def q_fuzzy_decontaminate(sf_dir: str):
     """Cross-corpus fuzzy matching (MinHash-LSH between two tables):
     a synthetic benchmark (every 25th document, lightly paraphrased)
     is matched against the corpus — the paraphrase-robust companion of
-    the exact n-gram doc_decontaminate. Rows-only; planted-paraphrase
-    and cross-only semantics pinned in test_dedup_ops."""
+    the exact n-gram doc_decontaminate. Hash-exact vs the cross-side
+    ideal-Jaccard twin (banding is only a candidate filter ahead of
+    the exact verify); planted-paraphrase and cross-only semantics
+    additionally pinned in test_dedup_ops."""
     from ..stages.dedup import cross_near_dup
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -5202,7 +5206,9 @@ def q_doc_leakage_split(sf_dir: str):
     """Leakage-safe train/valid split: near-dup clusters (MinHash-LSH
     mapping) are atomic — every member lands in the split of its
     canonical representative (deterministic splitmix64 of rep id).
-    Rows-only: the mapping is model-free but sketch-based."""
+    Hash-exact: the twin composes the ideal-Jaccard rep mapping with
+    a bit-exact SQL splitmix64 (UBIGINT xor, shift-by-division,
+    split-multiply mod 2^64)."""
     from ..stages.dedup import minhash_lsh_dedup
     from ..stages.training import leakage_safe_split
 
@@ -10858,6 +10864,84 @@ def _kg_nodes_oracle_sql() -> str:
     """
 
 
+# Shared CTE body of the ideal-Jaccard minhash twin (see the
+# "minhash_dedup" entry below for the fixture facts it rests on):
+# word-5-gram sets, integer threshold 5*ni >= 4*union, recursive
+# min-label components, `rep` = (id, dup_of=component min).
+_MINHASH_CTES = r"""words AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[i.i : i.i + 4], ' ') AS g
+          FROM words,
+               LATERAL (SELECT unnest(generate_series(
+                   1, greatest(1, len(ws) - 4))) AS i) i
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sim AS (
+          SELECT ida, idb FROM inter
+          JOIN sizes sa ON sa.doc_id = ida
+          JOIN sizes sb ON sb.doc_id = idb
+          WHERE 5 * ni >= 4 * (sa.n + sb.n - ni)
+        ),
+        und AS (SELECT ida, idb FROM sim UNION SELECT idb, ida FROM sim),
+        reach AS (
+          SELECT ida AS id, ida AS r FROM und
+          UNION
+          SELECT reach.id, u.idb FROM reach JOIN und u ON u.ida = reach.r
+        ),
+        rep AS (SELECT id, min(r) AS dup_of FROM reach GROUP BY id)"""
+
+
+def _mulmod64(a: str, b: str) -> str:
+    """SQL for ``(a * b) mod 2**64`` with a 32-bit split multiply —
+    a single HUGEINT (INT128) product of two 64-bit values would
+    overflow, so the low/high halves are multiplied separately."""
+    return (
+        f"((({a} % 4294967296) * {b} + "
+        f"((({a} // 4294967296) * ({b} % 4294967296)) % 4294967296)"
+        f" * 4294967296) % 18446744073709551616)"
+    )
+
+
+# splitmix64-style finalizer of stages/bloom._mix over rep_id XOR
+# seed-mix (seed=42 -> 17661420568835545970), bit-exact in SQL:
+# UBIGINT xor + floor-division shifts + split-multiply mod 2**64.
+_LEAKAGE_MIX_SQL = f""",
+        dmap AS (SELECT id, dup_of FROM rep WHERE dup_of <> id),
+        rep_all AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(m.dup_of, d.doc_id) AS BIGINT) AS rep_id
+          FROM documents d LEFT JOIN dmap m ON m.id = d.doc_id
+        ),
+        mx0 AS (
+          SELECT doc_id, rep_id,
+                 xor(CAST(rep_id AS UBIGINT),
+                     CAST(17661420568835545970 AS UBIGINT)) AS x0
+          FROM rep_all
+        ),
+        mx1 AS (SELECT doc_id, rep_id,
+          {_mulmod64("CAST(xor(x0, x0 // 1073741824) AS HUGEINT)",
+                     "13787848793156543929")} AS z1 FROM mx0),
+        mx2 AS (SELECT doc_id, rep_id,
+          {_mulmod64("CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 // 134217728 AS UBIGINT)) AS HUGEINT)",
+                     "10723151780598845931")} AS z2 FROM mx1),
+        mx3 AS (SELECT doc_id, rep_id,
+          CAST(xor(CAST(z2 AS UBIGINT), CAST(z2 // 2147483648 AS UBIGINT))
+               AS HUGEINT) AS h FROM mx2)
+        SELECT doc_id, rep_id,
+               CASE WHEN h % 1000 < 900 THEN 'train' ELSE 'valid' END AS split
+        FROM mx3"""
+
+
 _EMBED_DEDUP_ORACLE_SQL = """
         WITH RECURSIVE corpus AS (
           SELECT vec_id, embedding FROM embeddings
@@ -11833,6 +11917,43 @@ ORACLE_SQL: dict[str, str] = {
                {_N_TOKENS_SQL} AS n_tokens
         FROM documents
     """,
+    # quality_score float twin: the four ratio terms and the final
+    # weighted sum are mirrored in EXACT IEEE op order (left-assoc
+    # sums/products, clip = least/greatest, integer inputs shared
+    # with the doc_stats / doc_lang_id twins) -- same doctrine as the
+    # HLL-estimate and kg_nodes size float surfaces.
+    "doc_quality": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+                 CAST(length(coalesce(text,''))
+                      - length(regexp_replace(coalesce(text,''),
+                                              '[.!?,;:]', '', 'g'))
+                      AS BIGINT) AS n_punct,
+                 CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tokens,
+                 CAST({_lang_count('en')} AS BIGINT) AS n_stop
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, n_tokens,
+            CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0 AS len_score,
+            CAST(n_punct AS DOUBLE)
+              / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+            CAST(n_stop AS DOUBLE)
+              / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+            CAST(greatest(n_chars - n_tokens + 1, 0) AS DOUBLE)
+              / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_wl
+          FROM m
+        )
+        SELECT doc_id,
+               0.3 * len_score
+                 + 0.3 * least(stop_ratio, 0.5) * 2.0
+                 + 0.2 * (1.0 - least(punct_ratio, 0.2) * 5.0)
+                 + 0.2 * (1.0 - least(abs(mean_wl - 5.0), 5.0) / 5.0)
+                 AS quality,
+               n_tokens, stop_ratio
+        FROM f
+    """,
     "doc_lang_id": f"""
         SELECT doc_id,
                CASE
@@ -12053,44 +12174,61 @@ ORACLE_SQL: dict[str, str] = {
     # the fixed hash params; per-pair escape odds ~5e-8 at J=0.8) and
     # no band bucket overflows max_pairs_per_bucket. The integer form
     # 5*ni >= 4*union is exact (no float division).
-    "minhash_dedup": r"""
-        WITH RECURSIVE words AS (
-          SELECT doc_id,
-                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
-          FROM documents
-        ),
-        grams AS (
-          SELECT DISTINCT doc_id,
-                 array_to_string(ws[i.i : i.i + 4], ' ') AS g
-          FROM words,
-               LATERAL (SELECT unnest(generate_series(
-                   1, greatest(1, len(ws) - 4))) AS i) i
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
-          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        sim AS (
-          SELECT ida, idb FROM inter
-          JOIN sizes sa ON sa.doc_id = ida
-          JOIN sizes sb ON sb.doc_id = idb
-          WHERE 5 * ni >= 4 * (sa.n + sb.n - ni)
-        ),
-        und AS (SELECT ida, idb FROM sim UNION SELECT idb, ida FROM sim),
-        reach AS (
-          SELECT ida AS id, ida AS r FROM und
-          UNION
-          SELECT reach.id, u.idb FROM reach JOIN und u ON u.ida = reach.r
-        ),
-        rep AS (SELECT id, min(r) AS dup_of FROM reach GROUP BY id)
+    "minhash_dedup": "WITH RECURSIVE " + _MINHASH_CTES + """
         SELECT CAST(id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of
         FROM rep WHERE dup_of <> id
     """,
-    "embedding_dedup": _EMBED_DEDUP_ORACLE_SQL,
+    # Leakage-safe split twin: the minhash rep mapping (above) feeds
+    # the bit-exact splitmix64 finalizer; split = mix(rep ^ seedmix)
+    # mod 1000 < 900, reproduced with UBIGINT xor / shift-by-division
+    # / split-multiply mod 2^64 (verified value-equal to numpy's
+    # wraparound arithmetic for the full id range).
+    "doc_leakage_split": "WITH RECURSIVE " + _MINHASH_CTES + _LEAKAGE_MIX_SQL,
+    # Cross-corpus ideal-Jaccard twin (same doctrine as minhash_dedup:
+    # 32x4 banding is a candidate filter ahead of the exact verify;
+    # per-pair banding-escape odds at J=0.7 are ~1.5e-4 and the
+    # fixture pairs sit far above threshold). Bench side = every 25th
+    # doc with the deterministic 'benchmark ' prefix; integer form
+    # 10*ni >= 7*union.
+    "fuzzy_decontaminate": r"""
+        WITH cw AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text,'')), '\w+') AS ws
+          FROM documents
+        ),
+        bw AS (
+          SELECT doc_id AS bench_id,
+                 regexp_extract_all(lower('benchmark ' || coalesce(text,'')),
+                                    '\w+') AS ws
+          FROM documents WHERE doc_id % 25 = 0
+        ),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[i.i : i.i + 4], ' ') AS g
+          FROM cw, LATERAL (SELECT unnest(generate_series(
+              1, greatest(1, len(ws) - 4))) AS i) i
+        ),
+        bg AS (
+          SELECT DISTINCT bench_id, array_to_string(ws[i.i : i.i + 4], ' ') AS g
+          FROM bw, LATERAL (SELECT unnest(generate_series(
+              1, greatest(1, len(ws) - 4))) AS i) i
+        ),
+        cs AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+        bs AS (SELECT bench_id, count(*) AS n FROM bg GROUP BY bench_id),
+        inter AS (
+          SELECT c.doc_id, b.bench_id, count(*) AS ni
+          FROM cg c JOIN bg b ON c.g = b.g
+          GROUP BY 1, 2
+        )
+        SELECT CAST(i.doc_id AS BIGINT) AS id_a,
+               CAST(i.bench_id AS BIGINT) AS id_b
+        FROM inter i
+        JOIN cs ON cs.doc_id = i.doc_id
+        JOIN bs ON bs.bench_id = i.bench_id
+        WHERE 10 * ni >= 7 * (cs.n + bs.n - ni)
+    """,
+"embedding_dedup": _EMBED_DEDUP_ORACLE_SQL,
     "semantic_dedup": _EMBED_DEDUP_ORACLE_SQL,
-    "doc_simpson": r"""
+        "doc_simpson": r"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok

@@ -96,9 +96,9 @@ def quality_score(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Heuristic quality scoring (length / punct ratio / stopword ratio /
-    mean word length), 0..1. Float-valued — verified rows-only (fp hash
-    instability vs SQL); the integer inputs are oracle-checked via
-    :func:`doc_stats`."""
+    mean word length), 0..1. Float-valued AND hash-exact: the SQL twin
+    mirrors the ratio/clip/weighted-sum chain in IEEE op order over
+    the :func:`doc_stats`/lang-marker integer inputs."""
     en_re = _marker_re("en")
 
     def _f(batch: pd.DataFrame) -> pd.DataFrame:
