@@ -5493,9 +5493,10 @@ def q_user_top_event(sf_dir: str):
 def q_doc_span_corruption(sf_dir: str):
     """T5 span-corruption denoising pairs over documents: map-only,
     deterministic splitmix64 keyed on (seed, doc_id, position) — any
-    partitioning yields byte-identical pairs. Rows-only (the masking
-    rule is a hash stream, not SQL-expressible); determinism and
-    reconstruction pinned by pytest."""
+    partitioning yields byte-identical pairs. Hash-exact: the ENTIRE
+    seeded generator is reproduced in SQL (splitmix stream, interval
+    union, sentinel interleaving — see _span_corruption_oracle_sql);
+    reconstruction additionally pinned by pytest."""
     from ..stages.training import generate_span_corruption
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -10942,6 +10943,107 @@ _LEAKAGE_MIX_SQL = f""",
         FROM mx3"""
 
 
+def _splitmix_sql(src: str, c1: str, c2: str) -> str:
+    """SQL chain for ``bloom._mix(src, c1, c2)`` — UBIGINT xor,
+    shift-by-floor-division, split-multiply mod 2**64; ``src`` is a
+    HUGEINT expression in [0, 2**64)."""
+    z1 = _mulmod64(
+        f"CAST(xor(CAST(({src}) AS UBIGINT), "
+        f"CAST(({src}) // 1073741824 AS UBIGINT)) AS HUGEINT)", c1)
+    z2 = _mulmod64(
+        f"CAST(xor(CAST({z1} AS UBIGINT), "
+        f"CAST({z1} // 134217728 AS UBIGINT)) AS HUGEINT)", c2)
+    return (f"CAST(xor(CAST({z2} AS UBIGINT), "
+            f"CAST({z2} // 2147483648 AS UBIGINT)) AS HUGEINT)")
+
+
+def _span_corruption_oracle_sql() -> str:
+    """T5 span-corruption twin — the WHOLE seeded generator in SQL:
+    per-(doc, position) splitmix64 stream (same wraparound arithmetic
+    as the leakage twin), span starts below the integer threshold
+    int(0.05 * 2**64), lengths 1 + mix2 % 5, interval union via a
+    running max of span ends, run numbering by a filtered running
+    count, and the sentinel-interleaved input/target strings via
+    ORDER BY string_agg. Matches ``generate_span_corruption``
+    byte-for-byte (seed=42; null text follows pandas astype(str) ->
+    'nan'). Verified value-identical at sf0.001 and sf0.01."""
+    txt = "CASE WHEN text IS NULL THEN 'nan' ELSE text END"
+    h = _splitmix_sql(
+        "(xor(CAST(t.doc_id AS UBIGINT), CAST(17661420568835545970 AS UBIGINT))"
+        "::HUGEINT + "
+        + _mulmod64("CAST(t.i - 1 AS HUGEINT)", "11400714819323198485")
+        + ") % 18446744073709551616",
+        "13787848793156543929", "10723151780598845931")
+    ln = _splitmix_sql("h", "18397679294719823053", "14181476777654086739")
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(
+                            trim({txt}), '\s+')) AS tok,
+                        generate_subscripts(regexp_split_to_array(
+                            trim({txt}), '\s+'), 1) AS i) u
+          WHERE trim({txt}) <> ''
+        ),
+        nn AS (SELECT doc_id, max(i) AS n FROM toks GROUP BY doc_id),
+        hh AS (
+          SELECT t.doc_id AS doc_id, t.tok, t.i, nn.n, {h} AS h
+          FROM toks t JOIN nn ON nn.doc_id = t.doc_id
+        ),
+        sp AS (
+          SELECT doc_id, tok, i, n,
+                 (h < 922337203685477504) AS is_start,
+                 CAST(1 + ({ln} % 5) AS BIGINT) AS len
+          FROM hh
+        ),
+        mk AS (
+          SELECT doc_id, tok, i, n,
+                 coalesce(max(CASE WHEN is_start THEN i + len END)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING), 0) > i AS masked
+          FROM sp
+        ),
+        rn AS (
+          SELECT doc_id, tok, i, n, masked,
+                 masked AND NOT coalesce(
+                     lag(masked) OVER (PARTITION BY doc_id ORDER BY i),
+                     false) AS run_start
+          FROM mk
+        ),
+        rk AS (
+          SELECT doc_id, tok, i, n, masked, run_start,
+                 count(*) FILTER (WHERE run_start)
+                     OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) - 1 AS k
+          FROM rn
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN NOT masked THEN tok
+                                 WHEN run_start THEN '<extra_id_' || k || '>'
+                                 END, ' ' ORDER BY i) AS input_raw,
+                 string_agg(CASE WHEN masked AND run_start
+                                 THEN '<extra_id_' || k || '> ' || tok
+                                 WHEN masked THEN tok END,
+                            ' ' ORDER BY i) AS target_raw,
+                 max(n) AS n_tokens,
+                 CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+                 CAST(count(*) FILTER (WHERE run_start) AS BIGINT) AS n_runs
+          FROM rk GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.input_raw, '') AS input,
+               CASE WHEN a.target_raw IS NULL OR a.target_raw = ''
+                    THEN '<extra_id_' || coalesce(a.n_runs, 0) || '>'
+                    ELSE a.target_raw || ' <extra_id_' || a.n_runs || '>'
+               END AS target,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
 _EMBED_DEDUP_ORACLE_SQL = """
         WITH RECURSIVE corpus AS (
           SELECT vec_id, embedding FROM embeddings
@@ -12228,6 +12330,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
 "embedding_dedup": _EMBED_DEDUP_ORACLE_SQL,
     "semantic_dedup": _EMBED_DEDUP_ORACLE_SQL,
+    "doc_span_corruption": _span_corruption_oracle_sql(),
         "doc_simpson": r"""
         WITH toks AS (
             SELECT doc_id,
