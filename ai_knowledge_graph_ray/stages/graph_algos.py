@@ -817,11 +817,44 @@ def weak_components(
     return ray.data.from_arrow(out.cast(LABEL_SCHEMA))
 
 
+def lpa_local(und_df: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Pure-pandas twin of the distributed LPA rounds below — same
+    synchronous update over the SAME doubled edge table (neighbor
+    votes keep edge multiplicities, one self vote, max count then
+    smallest label string). The count-gated fast path AND the
+    equivalence-test reference."""
+    nodes = pd.Index(sorted(set(und_df["src"].astype(str))))
+    lab = pd.Series(nodes, index=nodes)
+    src = und_df["src"].astype(str).to_numpy()
+    dst = und_df["dst"].astype(str).to_numpy()
+    for _ in range(iters):
+        votes = pd.concat(
+            [
+                pd.DataFrame({"entity": dst, "component": lab.loc[src].to_numpy()}),
+                pd.DataFrame({"entity": nodes, "component": lab.to_numpy()}),
+            ],
+            ignore_index=True,
+        )
+        counts = votes.groupby(["entity", "component"], as_index=False).size()
+        top = (
+            counts.sort_values(
+                ["entity", "size", "component"],
+                ascending=[True, False, True],
+                kind="stable",
+            ).drop_duplicates("entity", keep="first")
+        )
+        lab = pd.Series(
+            top["component"].to_numpy(), index=top["entity"].to_numpy()
+        ).loc[nodes]
+    return pd.DataFrame({"entity": nodes, "component": lab.to_numpy()})
+
+
 def label_propagation_communities(
     edges: ray.data.Dataset,
     *,
     iters: int = 5,
     num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Community labels via synchronous label propagation — the
     DISTRIBUTED community-detection path for graphs whose edge residue
@@ -841,6 +874,20 @@ def label_propagation_communities(
     from .relational import cogroup_join, grouped_sums
 
     und = sanitize_for_join(_undirect(edges), EDGE_SCHEMA).materialize()
+
+    # Count-gated local twin (same policy as every other graph op):
+    # five distributed rounds cost ~5 exchanges of fixed latency —
+    # ~25 s on a toy graph that pandas closes in well under a second.
+    if und.count() <= driver_max_edges:
+        out = lpa_local(und.to_pandas(), iters)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(out["entity"], pa.string()),
+                    "component": pa.array(out["component"], pa.string()),
+                }
+            )
+        )
 
     def _dd(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates("entity")

@@ -227,6 +227,31 @@ class TestLabelPropagation:
         b = {labels[f"b{i}"] for i in range(1, 5)}
         assert len(a) == 1 and len(b) == 1 and a != b
 
+    def test_local_and_distributed_paths_identical(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import (
+            label_propagation_communities,
+        )
+
+        pairs = [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"), ("a3", "a4"),
+            ("b1", "b2"), ("b2", "b3"), ("hub", "a1"), ("hub", "b1"),
+            ("a1", "a2"),  # duplicate edge: vote multiplicity must match
+        ]
+        for it in (1, 3, 5):
+            loc = sorted(
+                (r["entity"], r["component"])
+                for r in label_propagation_communities(
+                    _ds(pairs), iters=it
+                ).take_all()
+            )
+            dist = sorted(
+                (r["entity"], r["component"])
+                for r in label_propagation_communities(
+                    _ds(pairs), iters=it, driver_max_edges=0
+                ).take_all()
+            )
+            assert loc == dist
+
     def test_deterministic_and_nodes_table_compatible(self):
         from ai_knowledge_graph_ray.stages.graph_algos import (
             label_propagation_communities,
