@@ -213,9 +213,19 @@ def bucketed_reduce(
         if combiner is not None:
             batch = combiner(batch)
         if len(batch) == 0:
-            batch = batch.copy()
-            batch["__bucket"] = pd.Series([], dtype="int64")
-            return batch
+            # Emit the empty block as Arrow: Ray's pandas size estimator
+            # np.vectorize's over object columns and logs a warning on
+            # size-0 input (ray pandas_block.py size_bytes); an Arrow
+            # block sidesteps that path and unifies at the shuffle.
+            fields = []
+            for c, dt in batch.dtypes.items():
+                try:
+                    t = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+                fields.append(pa.field(str(c), t))
+            fields.append(pa.field("__bucket", pa.int64()))
+            return pa.schema(fields).empty_table()
         h = pd.util.hash_pandas_object(stable_key_frame(batch, key_cols), index=False)
         batch = batch.copy()
         batch["__bucket"] = (h % num_buckets).astype("int64")
