@@ -4299,8 +4299,8 @@ def q_doc_bpe_token_counts(sf_dir: str):
 def q_doc_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per document — df table fit in one
     bucketed shuffle (Heap's-law-gated vocab broadcast), scoring +
-    per-doc top-k map-side. Rows-only (ln floats aren't
-    hash-portable); pinned by a pure-Python twin in test_setops."""
+    per-doc top-k map-side. Hash-exact vs a SQL twin that mirrors the
+    tf*ln(N/df)*1000 chain in IEEE op order with roundbankers."""
     from ..stages.vocab import tfidf_keywords
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -4546,8 +4546,10 @@ def q_fuzzy_decontaminate(sf_dir: str):
 
 def q_doc_bigram_ppl(sf_dir: str):
     """Per-document mean transition NLL under a corpus-fit bigram
-    model (the conditional, KenLM-shaped quality signal). Rows-only;
-    pure-Python-twin + forced-gate equivalence in test_webtext."""
+    model (the conditional, KenLM-shaped quality signal). Hash-exact:
+    per-transition nll is quantized to integer micro-nats, so the SQL
+    twin's integer sums reproduce it bit-for-bit; also pinned by the
+    pure-Python twin + forced-gate equivalence in test_webtext."""
     from ..stages.webtext import bigram_nll
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -4557,9 +4559,10 @@ def q_doc_bigram_ppl(sf_dir: str):
 def q_doc_unigram_ppl(sf_dir: str):
     """Per-document mean NLL (milli-nats) under a corpus-fit unigram
     model — the CCNet quality-signal shape with the broadcast-model
-    scoring pass. Rows-only (log-prob floats are not hash-portable
-    across engines); exact behavior pinned against an independent
-    pure-Python twin in test_webtext."""
+    scoring pass. Hash-exact: per-token log probs are quantized to
+    integer micro-nats at model build, so the SQL twin's integer sums
+    reproduce it bit-for-bit; also pinned by the pure-Python twin in
+    test_webtext."""
     from ..stages.webtext import unigram_nll
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -12055,6 +12058,127 @@ ORACLE_SQL: dict[str, str] = {
                  AS quality,
                n_tokens, stop_ratio
         FROM f
+    """,
+    # unigram-NLL twin: per-token log probabilities quantized to
+    # integer micro-nats at model build (one ln + roundbankers per
+    # vocab entry, mirroring the stage), so the per-doc reduction is
+    # an exact integer sum; the final milli-nat mean is one division
+    # + half-even round on both sides. min_count=1 => every corpus
+    # token is in the model (the unk branch never fires).
+    "doc_unigram_ppl": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS token
+          FROM documents
+        ),
+        cnt AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+        model AS (
+          SELECT token,
+                 CAST(roundbankers(
+                   ln(CAST(n AS DOUBLE) / total) * 1000000.0, 0) AS BIGINT)
+                   AS lp_micro
+          FROM cnt CROSS JOIN tot
+        ),
+        per_doc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(-sum(m.lp_micro) AS BIGINT) AS s
+          FROM toks t JOIN model m USING (token)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(
+                 CAST(roundbankers(
+                   CAST(p.s AS DOUBLE)
+                     / CAST(p.n_tokens * 1000 AS DOUBLE), 0) AS BIGINT),
+                 0) AS BIGINT) AS nll_milli
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    # bigram-NLL twin: same micro-nat doctrine per TRANSITION —
+    # P(w|v) = c(v w)/c(v) from the corpus-fit tables (self-trained,
+    # so every transition hits both tables and the unseen branch is
+    # dead); docs with < 2 tokens emit zeros via the left join.
+    "doc_bigram_ppl": r"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok,
+                               generate_subscripts(regexp_extract_all(lower(coalesce(text,'')), '\w+'), 1) AS i) u
+        ),
+        uni AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ),
+        trans AS (
+          SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ),
+        bi AS (
+          SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+          FROM trans GROUP BY prev, cur
+        ),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(roundbankers(
+                   -ln(CAST(bi.c AS DOUBLE) / CAST(greatest(uni.c, 1) AS DOUBLE))
+                     * 1000000.0, 0) AS BIGINT) AS micro
+          FROM trans t
+          JOIN uni ON uni.tok = t.prev
+          JOIN bi ON bi.prev = t.prev AND bi.cur = t.cur
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_transitions,
+                 CAST(sum(micro) AS BIGINT) AS s
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(coalesce(
+                 CAST(roundbankers(
+                   CAST(p.s AS DOUBLE)
+                     / CAST(p.n_transitions * 1000 AS DOUBLE), 0) AS BIGINT),
+                 0) AS BIGINT) AS nll_milli
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    # tf-idf float twin: one ln() per (token, df) and the
+    # tf*idf*1000 product mirrored left-associative; np.round is
+    # half-to-even, so the SQL side uses roundbankers(x, 0). Tokens
+    # via the same \w+ extractor as the nb_classify twin.
+    "doc_tfidf_keywords": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY token
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 CAST(roundbankers(
+                   CAST(tf.tf AS DOUBLE)
+                     * ln(n.n / CAST(df.df AS DOUBLE)) * 1000.0, 0)
+                   AS BIGINT) AS score_milli
+          FROM tf JOIN df USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, token, score_milli,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_milli DESC, token ASC) AS rn
+          FROM scored
+        )
+        SELECT doc_id, token, score_milli FROM ranked WHERE rn <= 5
     """,
     "doc_lang_id": f"""
         SELECT doc_id,

@@ -244,8 +244,9 @@ def tfidf_keywords(
     df table is the vocabulary — Heap's-law count-gated like
     ``vocab_build``, broadcast once as sorted arrays); scoring +
     per-doc top-k is map-side vectorized, zero further shuffle.
-    Rows-only vs SQL (ln floats are not hash-portable); behavior is
-    pinned by an independent pure-Python twin test."""
+    Hash-exact vs SQL: one ln() per (token, df), the tf*idf*1000
+    product left-associative, np.round's half-to-even matched by
+    roundbankers(x, 0); also pinned by a pure-Python twin test."""
 
     def _doc_pairs(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].fillna("").str.lower().str.findall(r"\w+")

@@ -934,9 +934,12 @@ def unigram_nll(
     broadcasts it as sorted arrays via ``ray.put``; scoring is
     map-side ``searchsorted`` — zero further shuffle. Unseen tokens
     (possible when ``min_count`` > 1) score as count ``0.5``
-    (Laplace-half smoothing against the same total). Per-doc float
-    reduction order is fixed by token order, so scores are identical
-    at any block layout."""
+    (Laplace-half smoothing against the same total). Per-token log
+    probabilities are quantized to integer MICRO-nats at model build
+    (one ln + roundbankers per vocab entry), so the per-doc reduction
+    is an integer sum — order-independent at any block layout AND
+    hash-exact vs the SQL twin (same doctrine as the k-means
+    fixed-point partials)."""
     from .vocab import term_counts
 
     counts = term_counts(ds, text_col).materialize()
@@ -954,8 +957,10 @@ def unigram_nll(
     model_ref = ray.put(
         {
             "tokens": vocab["token"].to_numpy(object),
-            "logp": np.log(vocab["n"].to_numpy(np.float64) / total),
-            "unk": float(np.log(0.5 / total)),
+            "logp_micro": np.round(
+                np.log(vocab["n"].to_numpy(np.float64) / total) * 1000000.0
+            ).astype(np.int64),
+            "unk_micro": int(np.round(np.log(0.5 / total) * 1000000.0)),
         }
     )
 
@@ -971,9 +976,9 @@ def unigram_nll(
             idx = np.searchsorted(m["tokens"], arr)
             idx = np.clip(idx, 0, len(m["tokens"]) - 1)
             hit = m["tokens"][idx] == arr
-            lp = np.where(hit, m["logp"][idx], m["unk"])
+            lp = np.where(hit, m["logp_micro"][idx], m["unk_micro"])
             out_n[i] = len(arr)
-            out_milli[i] = int(round(float(-lp.mean()) * 1000.0))
+            out_milli[i] = round(int(-lp.sum()) / (len(arr) * 1000.0))
         return pd.DataFrame(
             {
                 "doc_id": b[id_col].to_numpy(np.int64),
@@ -1326,7 +1331,10 @@ def bigram_nll(
     COUNTED: under ``driver_max_model`` both broadcast as sorted
     arrays and scoring is map-side; over the gate the transitions are
     scored by two gram-keyed flag joins + one doc-keyed sum (both
-    paths bit-equal — forced-gate test)."""
+    paths bit-equal — forced-gate test). Per-transition nll is
+    quantized to integer MICRO-nats (one ln + roundbankers each), so
+    the per-doc reduction is an integer sum — order-independent and
+    hash-exact vs the SQL twin."""
     from .infer import bucketed_reduce, normalize_blocks, sanitize_for_join
 
     cnt_schema = pa.schema([("gh", pa.uint64()), ("cnt", pa.int64())])
@@ -1405,14 +1413,17 @@ def bigram_nll(
              "ghb": np.concatenate(out_bi)}
         )
 
-    def _nll_from(cp: np.ndarray, cb: np.ndarray) -> np.ndarray:
-        """per-transition nll from prev-count and bigram-count arrays"""
+    def _nll_micro(cp: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        """per-transition nll in integer MICRO-nats from prev-count
+        and bigram-count arrays — quantized per transition so the
+        per-doc reduction is an integer sum (order-independent and
+        hash-exact vs the SQL twin)"""
         p = np.where(
             (cb > 0) & (cp > 0),
             cb / np.maximum(cp, 1),
             0.5 / (cp + 1.0),
         )
-        return -np.log(p)
+        return np.round(-np.log(p) * 1000000.0).astype(np.int64)
 
     def _zeros_for(b: pd.DataFrame) -> pd.DataFrame:
         toks = _tok_lower(b[text_col])
@@ -1452,10 +1463,10 @@ def bigram_nll(
                 bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
                                  arr[1:].astype(str)).astype(object)
                 cb = _lookup(tbl, pd.util.hash_array(bi))
-                nll = _nll_from(cp.astype(np.float64), cb.astype(np.float64))
+                micro = _nll_micro(cp.astype(np.float64), cb.astype(np.float64))
                 out_id.append(did)
-                out_n.append(len(nll))
-                out_m.append(int(round(float(nll.mean()) * 1000.0)))
+                out_n.append(len(micro))
+                out_m.append(round(int(micro.sum()) / (len(micro) * 1000.0)))
             return pd.DataFrame(
                 {"doc_id": np.asarray(out_id, np.int64),
                  "n_transitions": np.asarray(out_n, np.int64),
@@ -1473,7 +1484,7 @@ def bigram_nll(
     # column present on only one side NaNs, upcasting uint64 to
     # float64 and destroying the low bits (measured: every bigram
     # lookup missed) — carry columns must never hold 64-bit hashes.
-    # Per-transition float nll is reduced in position order inside the
+    # Per-transition integer micro-nats are summed inside the
     # doc-keyed reduce, bit-equal to the broadcast path.
     from .relational import cogroup_join
 
@@ -1511,15 +1522,18 @@ def bigram_nll(
         cp, cb = cnt[k == 0], cnt[k == 1]
         sub = pd.DataFrame(
             {"doc_id": g["doc_id"].to_numpy(np.int64)[k == 0],
-             "nll": _nll_from(cp, cb)}
+             "micro": _nll_micro(cp, cb)}
         )
         agg = sub.groupby("doc_id", sort=False).agg(
-            n_transitions=("nll", "size"), s=("nll", "mean")
+            n_transitions=("micro", "size"), s=("micro", "sum")
         )
+        n = agg["n_transitions"].to_numpy(np.int64)
         return pd.DataFrame(
             {"doc_id": agg.index.to_numpy(np.int64),
-             "n_transitions": agg["n_transitions"].to_numpy(np.int64),
-             "nll_milli": np.round(agg["s"].to_numpy(np.float64) * 1000.0).astype(np.int64)}
+             "n_transitions": n,
+             "nll_milli": np.round(
+                 agg["s"].to_numpy(np.float64) / (n * 1000.0)
+             ).astype(np.int64)}
         )
 
     from .infer import bucketed_reduce as _br

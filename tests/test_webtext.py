@@ -361,18 +361,20 @@ class TestUnigramNll:
             for r in unigram_nll(ds).take_all()
         }
 
-        # independent twin: collections.Counter + math.log
+        # independent twin: collections.Counter + math.log, with the
+        # same per-token integer micro-nat quantization as the stage
         from collections import Counter
 
         toks = {r.doc_id: r.text.lower().split() for r in docs.itertuples()}
         c = Counter(t for ts in toks.values() for t in ts)
         total = sum(c.values())
+        lp_micro = {t: round(math.log(n / total) * 1000000.0) for t, n in c.items()}
         for did, ts in toks.items():
             if not ts:
                 assert got[did] == (0, 0)
                 continue
-            nll = -sum(math.log(c[t] / total) for t in ts) / len(ts)
-            assert got[did] == (len(ts), round(nll * 1000))
+            s = -sum(lp_micro[t] for t in ts)
+            assert got[did] == (len(ts), round(s / (len(ts) * 1000.0)))
         # the all-common-token doc scores more fluent (lower NLL)
         assert got[2][1] < got[3][1]
 
@@ -539,12 +541,12 @@ class TestBigramNll:
             if len(ts) < 2:
                 assert got[did] == (0, 0)
                 continue
-            nlls = []
+            micros = []
             for a, b in zip(ts, ts[1:]):
                 cp, cb = uni[a], bi[f"{a} {b}"]
                 p = cb / cp if cb > 0 and cp > 0 else 0.5 / (cp + 1)
-                nlls.append(-math.log(p))
-            want = round(sum(nlls) / len(nlls) * 1000)
+                micros.append(round(-math.log(p) * 1000000.0))
+            want = round(sum(micros) / (len(micros) * 1000.0))
             assert got[did] == (len(ts) - 1, want)
         # self-trained model: all-hapax transitions score p=1 -> nll 0;
         # the shared-prefix doc pays for the ambiguous 'the' continuation
