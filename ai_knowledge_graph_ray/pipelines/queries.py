@@ -2349,24 +2349,33 @@ def q_recursive_split(sf_dir: str):
 
 
 def q_doc_embed(sf_dir: str):
+    """Feature-hashing embeddings through the actor-pool ingester,
+    projected to the nonzero components in integer MILLI units:
+    ``(doc_id, idx, val_milli)``. Hash-exact vs SQL — the signed
+    token-count histogram is integer-exact (so its dot product and
+    norm are too), every normalized component is one division +
+    multiply + half-even round, and DuckDB's md5 reproduces the
+    hashing trick's (dimension, sign) assignment byte-for-byte."""
     from ..stages.embed import embed_documents
 
     out = embed_documents(_docs(sf_dir), concurrency=(1, 4))
-    # project to (doc_id, dim, l2_x_1e6 as int) so the rows-only check
-    # has a stable integer shape
+
     def _proj(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        dims, norms = [], []
-        for v in b["embedding"].to_pylist():
-            arr = np.asarray(v)
-            dims.append(len(arr))
-            norms.append(int(round(float(np.linalg.norm(arr)) * 1_000_000)))
+        ids, idxs, vals = [], [], []
+        for did, v in zip(b["doc_id"].to_pylist(), b["embedding"].to_pylist()):
+            arr = np.asarray(v, dtype=np.float64)
+            milli = np.round(arr * 1000.0).astype(np.int64)
+            nz = np.nonzero(arr)[0]
+            ids.extend([did] * len(nz))
+            idxs.extend(nz.tolist())
+            vals.extend(milli[nz].tolist())
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "dim": pa.array(dims, pa.int64()),
-                "l2_micro": pa.array(norms, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idxs, pa.int64()),
+                "val_milli": pa.array(vals, pa.int64()),
             }
         )
 
@@ -4648,10 +4657,15 @@ def _quality_buckets_sql() -> str:
 
 def q_top_tokens_approx(sf_dir: str):
     """Count-min-sketch heavy-hitter tokens (the mergeable-sketch
-    counterpart of the exact, oracle-checked ``top_tokens``): per-block
-    exact counts feed one bounded-constant bucketed cell sum; estimates
-    never undercount. Rows-only by design (approximate); accuracy and
-    no-undercount are pinned in test_sketches."""
+    counterpart of the exact ``top_tokens``): per-block exact counts
+    feed one bounded-constant bucketed cell sum; estimates never
+    undercount. Hash-exact vs the exact-top-k SQL twin as a
+    CALIBRATED fixture fact: the test corpus vocabulary (31 tokens)
+    is far below the sketch width (2048), so every token is a
+    candidate in every block and no CMS cell collides — est_count
+    equals the true count and the approx top-k IS the exact top-k.
+    A collision regression or candidate loss flips the hash loudly;
+    the probabilistic bounds stay pinned in test_sketches."""
     from ..stages.sketches import cms_heavy_hitters
 
     def _explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -12058,6 +12072,58 @@ ORACLE_SQL: dict[str, str] = {
                  AS quality,
                n_tokens, stop_ratio
         FROM f
+    """,
+    # CMS heavy-hitter twin: calibrated fixture fact — the corpus
+    # vocabulary is far below the sketch width, so estimates are
+    # collision-free and the approx top-k equals the exact top-k
+    # (see q_top_tokens_approx docstring).
+    "top_tokens_approx": r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS value
+          FROM documents
+        ),
+        cnt AS (
+          SELECT value, CAST(count(*) AS BIGINT) AS est_count
+          FROM toks GROUP BY value
+        )
+        SELECT value, est_count FROM cnt
+        ORDER BY est_count DESC, value ASC LIMIT 50
+    """,
+    # feature-hashing embedding twin: DuckDB md5 reproduces the
+    # hashing trick's (dimension, sign) per token (first 4 bytes mod
+    # 128; 5th byte low bit); the signed histogram and its sum of
+    # squares are integer-exact, so each normalized component is ONE
+    # division by sqrt + multiply + half-even round on both sides.
+    "doc_embed": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS token
+          FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id, md5('13:' || token) AS h FROM toks
+        ),
+        slots AS (
+          SELECT doc_id,
+                 ('0x' || substr(h, 1, 8))::BIGINT % 128 AS idx,
+                 CASE WHEN strpos('13579bdf', substr(h, 10, 1)) > 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM hashed
+        ),
+        hist AS (
+          SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS c
+          FROM slots GROUP BY doc_id, idx
+        ),
+        norms AS (
+          SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS s2
+          FROM hist GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.idx,
+               CAST(roundbankers(
+                 CAST(h.c AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE))
+                   * 1000.0, 0) AS BIGINT) AS val_milli
+        FROM hist h JOIN norms n USING (doc_id)
+        WHERE h.c <> 0
     """,
     # unigram-NLL twin: per-token log probabilities quantized to
     # integer micro-nats at model build (one ln + roundbankers per
