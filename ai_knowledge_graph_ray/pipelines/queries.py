@@ -4835,13 +4835,103 @@ def q_embedding_clusters(sf_dir: str):
     """Distributed spherical k-means assignments (k=10, 5 Lloyd
     rounds). Fixed-point integer partial sums make the fit
     layout-independent (bit-identical at any parallelism — pinned in
-    test_clustering); no SQL oracle (iterative float argmin is not
-    SQL-expressible), rows-only."""
+    test_clustering) AND SQL-expressible: vectors are quantized ONCE
+    to int64 fixed point, so every per-cluster sum is exact integer
+    arithmetic and the five Lloyd rounds unroll into CTE stages
+    (:func:`_kmeans_oracle_sql`) — hash-exact vs DuckDB."""
     from ..stages.clustering import kmeans_assign, kmeans_fit_distributed
 
     ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     cents = kmeans_fit_distributed(ds, 10, iters=5)
     return kmeans_assign(ds, cents)
+
+
+def _kmeans_oracle_sql(k: int = 10, iters: int = 5) -> str:
+    """Unrolled-iteration SQL twin of the fixed-point spherical
+    k-means fit + assignment (``clustering.kmeans_fit_distributed``):
+    vectors quantize ONCE to int64 (divide / multiply / roundbankers,
+    mirroring ``_fixed_unit``), Lehmer-ranked seeds, then each Lloyd
+    round is score-argmax (max cosine, first-max tie-break = cluster
+    ASC) + EXACT integer per-cluster sums + one float divide and
+    normalize — the same op chain as the stage, so the final
+    assignment is hash-exact."""
+    scale = 1 << 20
+    head = f"""
+        WITH v AS MATERIALIZED (
+          SELECT vec_id, u.d, CAST(roundbankers(
+                   u.x / greatest(b.nrm, 1e-12) * {scale}.0, 0) AS BIGINT) AS fx
+          FROM (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(
+                     embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   ))) AS nrm
+            FROM embeddings
+          ) b,
+          LATERAL (SELECT CAST(unnest(b.embedding) AS DOUBLE) AS x,
+                          generate_subscripts(b.embedding, 1) - 1 AS d) u
+        ),
+        seeds AS (
+          SELECT vec_id, CAST(row_number() OVER (
+                   ORDER BY (vec_id * 48271) % 2147483647, vec_id) - 1
+                 AS BIGINT) AS cluster
+          FROM embeddings
+          QUALIFY row_number() OVER (
+            ORDER BY (vec_id * 48271) % 2147483647, vec_id) <= {k}
+        ),
+        c0 AS MATERIALIZED (
+          SELECT s.cluster, v.d, CAST(v.fx AS DOUBLE) / {scale}.0 AS val
+          FROM seeds s JOIN v ON v.vec_id = s.vec_id
+        )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        s{i} AS (
+          SELECT v.vec_id, c.cluster,
+                 sum(CAST(v.fx AS DOUBLE) / {scale}.0 * c.val) AS score
+          FROM v JOIN c{i - 1} c ON c.d = v.d
+          GROUP BY v.vec_id, c.cluster
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn
+            FROM s{i}) WHERE rn = 1
+        ),
+        u{i} AS (
+          SELECT a.cluster, v.d,
+                 CAST(sum(v.fx) AS BIGINT) AS sfx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM a{i} a JOIN v ON v.vec_id = a.vec_id
+          GROUP BY a.cluster, v.d
+        ),
+        m{i} AS (
+          SELECT cluster, d,
+                 CAST(sfx AS DOUBLE) / CAST(cnt * {scale} AS DOUBLE) AS mean
+          FROM u{i}
+        ),
+        n{i} AS (
+          SELECT cluster, sqrt(sum(mean * mean)) AS nrm FROM m{i} GROUP BY cluster
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT p.cluster, p.d,
+                 CASE WHEN nn.nrm > 1e-12 THEN m.mean / nn.nrm
+                      ELSE p.val END AS val
+          FROM c{i - 1} p
+          LEFT JOIN m{i} m ON m.cluster = p.cluster AND m.d = p.d
+          LEFT JOIN n{i} nn ON nn.cluster = p.cluster
+        )""")
+    tail = f""",
+        sf AS (
+          SELECT v.vec_id, c.cluster,
+                 sum(CAST(v.fx AS DOUBLE) / {scale}.0 * c.val) AS score
+          FROM v JOIN c{iters} c ON c.d = v.d
+          GROUP BY v.vec_id, c.cluster
+        )
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn
+          FROM sf) WHERE rn = 1"""
+    return head + "".join(steps) + tail
 
 
 def q_semantic_dedup(sf_dir: str):
@@ -12700,6 +12790,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": _mixture_sample_sql(),
     "doc_mixture_resample": _mixture_resample_sql(),
     "hits": _hits_oracle_sql(),
+    "embedding_clusters": _kmeans_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
