@@ -3680,12 +3680,115 @@ def q_doc_cdc_dedup(sf_dir: str):
     rolling hash): chunk-level duplication across the corpus — the
     sub-document generalization of exact dedup that survives
     insertions (boundaries are functions of local content only).
-    Rows-only: the 64-byte rolling gear hash is not SQL-expressible;
-    the invariants (shift-invariance, size bounds, exact tiling,
-    layout independence) are pinned in tests/test_cdc.py."""
+    Hash-exact vs :func:`_cdc_oracle_sql`: the avg_bits=8 mask only
+    reads the LOW byte of the rolling hash, which depends on just the
+    trailing 8 bytes — 8 window lags mod 256 — and the boundary walk
+    is the path of a precomputed next-cut function, so the whole
+    chunker is one recursive CTE. Invariants (shift-invariance, size
+    bounds, exact tiling, layout independence) stay in test_cdc.py."""
     from ..stages.cdc import cdc_dedup_stats
 
     return cdc_dedup_stats(_docs(sf_dir))
+
+
+def _cdc_oracle_sql(min_size: int = 64, avg_bits: int = 8, max_size: int = 1024) -> str:
+    """SQL twin of ``cdc.cdc_dedup_stats`` (see ``q_doc_cdc_dedup``).
+
+    Structure: (1) the 256-entry gear table is derived in SQL with the
+    same splitmix-style chain as ``cdc._gear_table`` (split-multiply
+    mod 2**64, xor + shift-by-division); (2) since the cut mask tests
+    ``h & (2**avg_bits - 1)`` and ``avg_bits <= 8``, only the low byte
+    of the rolling hash matters, and ``h[p] = sum GEAR[b[p-k]] << k``
+    mod 256 involves only ``k < 8`` — eight window lags; (3) for every
+    position the next cut if a chunk started there is a window min
+    over candidates (first candidate in ``[p+min, p+max]``, else a
+    forced cut), so the data-dependent boundary walk is just the path
+    of that functional graph from 0 — one shallow recursive CTE.
+    Assumes single-byte text (chars == bytes — pinned by the corpus);
+    ``ord(substr(...))`` is the byte value."""
+    assert avg_bits <= 8, "low-byte shortcut requires avg_bits <= 8"
+    mask = (1 << avg_bits) - 1
+    g1 = "CAST(b + 11400714819323198485 AS HUGEINT)"
+    g2 = _mulmod64(g1, "13787848793156543929")
+    t = (f"CAST(xor(CAST({g2} AS UBIGINT), "
+         f"CAST({g2} // 1073741824 AS UBIGINT)) AS HUGEINT)")
+    g3 = _mulmod64(t, "10723151780598845931")
+    g = (f"CAST(xor(CAST({g3} AS UBIGINT), "
+         f"CAST({g3} // 2147483648 AS UBIGINT)) AS HUGEINT)")
+    lags = " + ".join(
+        f"lag(glow, {k}) OVER w * {1 << k}" if k else "glow * 1"
+        for k in range(8)
+    )
+    return f"""
+        WITH RECURSIVE gear AS (
+          SELECT b, CAST({g} % 256 AS BIGINT) AS glow
+          FROM (SELECT unnest(range(256)) AS b)
+        ),
+        docs AS (
+          SELECT doc_id, coalesce(text,'') AS text,
+                 strlen(coalesce(text,'')) AS n
+          FROM documents
+          WHERE strlen(coalesce(text,'')) > 0
+        ),
+        bytes AS (
+          SELECT d.doc_id, d.n, CAST(u.p AS BIGINT) AS p,
+                 ord(substr(d.text, CAST(u.p AS INTEGER) + 1, 1)) AS byte
+          FROM docs d, LATERAL (SELECT unnest(range(d.n)) AS p) u
+        ),
+        hl AS (
+          SELECT b.doc_id, b.n, b.p, ({lags}) % 256 AS h8
+          FROM (SELECT bb.*, ge.glow
+                FROM bytes bb JOIN gear ge ON ge.b = bb.byte) b
+          WINDOW w AS (PARTITION BY b.doc_id ORDER BY b.p)
+        ),
+        na AS (
+          SELECT doc_id, n, p AS q,
+                 min(candv) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM (
+            SELECT doc_id, n, p,
+                   CASE WHEN p >= {min_size - 1} AND p + 1 < n
+                             AND (h8 % 256) % {mask + 1} = 0
+                        THEN p + 1 END AS candv
+            FROM hl)
+        ),
+        nc AS (
+          SELECT b.doc_id, b.n, b.p AS start,
+                 CASE WHEN b.n - b.p <= {min_size} THEN b.n
+                      WHEN a.nxt IS NOT NULL
+                           AND a.nxt <= least(b.p + {max_size}, b.n)
+                        THEN a.nxt
+                      ELSE least(b.p + {max_size}, b.n) END AS cut
+          FROM bytes b
+          LEFT JOIN na a ON a.doc_id = b.doc_id AND a.q = b.p + {min_size}
+        ),
+        walk AS (
+          SELECT doc_id, n, CAST(0 AS BIGINT) AS start, cut
+          FROM nc WHERE start = 0
+          UNION ALL
+          SELECT w.doc_id, w.n, w.cut AS start, t.cut
+          FROM walk w JOIN nc t ON t.doc_id = w.doc_id AND t.start = w.cut
+          WHERE w.cut < w.n
+        ),
+        chunks AS (
+          SELECT w.doc_id, w.start, w.cut - w.start AS length,
+                 md5(substr(d.text, CAST(w.start AS INTEGER) + 1,
+                            CAST(w.cut - w.start AS INTEGER))) AS h
+          FROM walk w JOIN docs d USING (doc_id)
+        ),
+        per AS (
+          SELECT h, length, CAST(count(*) AS BIGINT) AS cnt
+          FROM chunks GROUP BY h, length
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt * length) AS BIGINT) AS bytes_total,
+               CAST(sum(length) AS BIGINT) AS bytes_distinct,
+               CAST(CASE WHEN sum(cnt * length) > 0
+                    THEN (sum(length) * 1000) // (sum(cnt * length))
+                    ELSE 1000 END AS BIGINT) AS dedup_ratio_milli
+        FROM per
+    """
 
 
 def q_link_wl_classes(sf_dir: str):
@@ -12791,6 +12894,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_resample": _mixture_resample_sql(),
     "hits": _hits_oracle_sql(),
     "embedding_clusters": _kmeans_oracle_sql(),
+    "doc_cdc_dedup": _cdc_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
