@@ -3049,9 +3049,10 @@ def q_link_lpa_modularity(sf_dir: str):
     """Modularity of the LPA community partition over the web-link
     graph — the quality score for the detector's own output (compare
     against link_domain_modularity to see how much structure LPA
-    recovers beyond the domain prior). Rows-only (LPA is not
-    SQL-expressible); the modularity arithmetic itself is pinned
-    oracle-exact by link_domain_modularity and by hand-graph tests."""
+    recovers beyond the domain prior). Hash-exact vs
+    :func:`_lpa_modularity_oracle_sql`: each synchronous LPA round is
+    pure integer vote counting, so the five rounds unroll into CTE
+    stages and the modularity tail reuses the exact-rational twin."""
     from ..sources.pages import pages_from_documents
     from ..stages.graph_algos import label_propagation_communities, modularity_report
     from ..stages.webtext import link_edges
@@ -4371,10 +4372,11 @@ def q_corpus_curation(sf_dir: str):
 
 def q_doc_dup_span_redact(sf_dir: str):
     """All-but-one duplicate-span REMOVAL (the acting counterpart of
-    the oracle-checked doc_dup_spans stats): repeated word-5-grams are
-    dropped except at their canonical (min doc, first position)
-    occurrence. Rows-only (token-level text surgery isn't
-    SQL-expressible); both gate paths equivalence-tested."""
+    the doc_dup_spans stats): repeated word-5-grams are dropped except
+    at their canonical (min doc, first position) occurrence.
+    Hash-exact vs a SQL twin that rebuilds the surviving-token text
+    with a NULL-skipping ordered string_agg; both gate paths
+    equivalence-tested."""
     from ..stages.webtext import dup_span_redact
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -10562,6 +10564,54 @@ _DUP_SPANS_ORACLE_SQL = rf"""
     """
 
 
+# all-but-one span REMOVAL twin (q_doc_dup_span_redact): same gram
+# window as the dup_spans twin; owner = lexicographic min (doc, pos)
+# via row_number; covered tokens = removal starts x 0..k-1 offsets
+# (the interval-diff marking in relational form); NULL-skipping
+# string_agg rebuilds the surviving-token text in position order.
+_DUP_SPAN_REDACT_ORACLE_SQL = rf"""
+        WITH toks AS (
+          SELECT doc_id, u.tok, u.i
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS tok,
+                               generate_subscripts(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'), 1) AS i) u
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        win AS (
+          SELECT doc_id, i,
+                 string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {DUP_SPAN_K - 1} FOLLOWING) AS gram,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {DUP_SPAN_K - 1} FOLLOWING) AS glen
+          FROM toks
+        ),
+        occ AS (
+          SELECT doc_id, i,
+                 count(*) OVER (PARTITION BY gram) AS cnt,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+          FROM win WHERE glen = {DUP_SPAN_K}
+        ),
+        covered AS (
+          SELECT DISTINCT r.doc_id, r.i + o.j AS i
+          FROM (SELECT doc_id, i FROM occ WHERE cnt >= 2 AND rn > 1) r,
+               (SELECT unnest(range({DUP_SPAN_K})) AS j) o
+        ),
+        per AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(c.i) AS BIGINT) AS n_removed,
+                 string_agg(CASE WHEN c.i IS NULL THEN t.tok END, ' '
+                            ORDER BY t.i) AS text_red
+          FROM toks t
+          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(p.text_red, '') AS text_redacted
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
 def _zorder_oracle_sql() -> str:
     """SQL twin of q_events_zorder — the interleave expression is
     generated by the SAME helper and bounds the stage uses, so stage
@@ -10595,6 +10645,68 @@ _LINK_EDGES_SQL = """
                  '.example.com/x'
           FROM documents
 """
+
+def _lpa_modularity_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-iteration SQL twin of ``label_propagation_communities``
+    + ``modularity_report`` over the link graph: each synchronous LPA
+    round is a neighbor-vote count over the doubled edge table (edge
+    multiplicity kept) plus one self vote, winner by (count DESC,
+    label ASC) — pure integer counting, so five rounds unroll into CTE
+    stages exactly like the HITS/k-means twins. The modularity tail is
+    the same exact-rational arithmetic as the link_domain_modularity
+    twin."""
+    head = f"""
+        WITH e AS MATERIALIZED ({_LINK_EDGES_SQL}),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM e
+          UNION ALL SELECT dst AS src, src AS dst FROM e
+        ),
+        l0 AS MATERIALIZED (
+          SELECT node, node AS lab
+          FROM (SELECT DISTINCT src AS node FROM und)
+        )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        c{i} AS (
+          SELECT node, lab, count(*) AS cnt FROM (
+            SELECT u.dst AS node, l.lab
+            FROM und u JOIN l{i - 1} l ON l.node = u.src
+            UNION ALL
+            SELECT node, lab FROM l{i - 1}
+          ) GROUP BY node, lab
+        ),
+        l{i} AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+            FROM c{i}) WHERE rn = 1
+        )""")
+    tail = f""",
+        tagged AS (
+          SELECT ls.lab AS c_src, ld.lab AS c_dst
+          FROM e JOIN l{iters} ls ON e.src = ls.node
+                 JOIN l{iters} ld ON e.dst = ld.node
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        per AS (
+          SELECT c, CAST(sum(deg) AS BIGINT) AS deg,
+                 CAST(sum(within) AS BIGINT) AS within
+          FROM (
+            SELECT c_src AS c, 1 AS deg, 0 AS within FROM tagged
+            UNION ALL SELECT c_dst, 1, 0 FROM tagged
+            UNION ALL SELECT c_src, 0,
+                             CASE WHEN c_src = c_dst THEN 1 ELSE 0 END
+            FROM tagged
+          ) GROUP BY c
+        )
+        SELECT m.m AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(sum(4 * m.m * p.within - p.deg * p.deg) AS BIGINT) AS q_num,
+               CAST(4 * m.m * m.m AS BIGINT) AS q_den
+        FROM per p, m GROUP BY m.m"""
+    return head + "".join(steps) + tail
+
 
 _WL_ROUND_SQL = """
         s{r} AS MATERIALIZED (
@@ -12895,6 +13007,7 @@ ORACLE_SQL: dict[str, str] = {
     "hits": _hits_oracle_sql(),
     "embedding_clusters": _kmeans_oracle_sql(),
     "doc_cdc_dedup": _cdc_oracle_sql(),
+    "link_lpa_modularity": _lpa_modularity_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
@@ -14648,6 +14761,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "doc_dup_spans": _DUP_SPANS_ORACLE_SQL,
+    "doc_dup_span_redact": _DUP_SPAN_REDACT_ORACLE_SQL,
     "source_overlap": rf"""
         WITH toks AS (
           SELECT doc_id, source, u.tok, u.i
