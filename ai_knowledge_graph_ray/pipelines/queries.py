@@ -2226,6 +2226,9 @@ def q_relation_counts(sf_dir: str):
 
 
 def q_training_qa(sf_dir: str):
+    """Edge-template relationship QA — hash-exact vs
+    :func:`_training_qa_oracle_sql` (md5-rank seeded sampling and
+    char-level title-casing reproduced in SQL)."""
     from ..stages.training import generate_relationship_qa
 
     return generate_relationship_qa(q_kg_edges(sf_dir), seed=42)
@@ -2234,7 +2237,9 @@ def q_training_qa(sf_dir: str):
 def q_training_stratified_split(sf_dir: str):
     """Per-category stratified 80/10/10 split of the generated QA set
     (split proportions hold within EVERY category stratum; assignment
-    is deterministic and partitioning-independent)."""
+    is deterministic and partitioning-independent). Hash-exact: the
+    per-(category, split) counts depend only on stratum sizes, so the
+    twin is slice-bound arithmetic over the QA twin."""
     from ..stages.training import generate_relationship_qa, stratified_split
 
     qa = generate_relationship_qa(q_kg_edges(sf_dir), seed=42).materialize()
@@ -2256,7 +2261,8 @@ def q_training_stratified_split(sf_dir: str):
 def q_training_concept_qa(sf_dir: str):
     """Concept QA synthesized from the KG's own edges (definition QAs
     appear when a source supplies definitions; the KG-built graph
-    contributes fact-list + classification QAs)."""
+    contributes fact-list + classification QAs). Hash-exact vs
+    :func:`_training_concept_oracle_sql`."""
     from ..stages.training import generate_concept_qa
 
     edges = _kg_build(sf_dir)["edges"].map_batches(
@@ -2299,14 +2305,16 @@ def q_training_comparisons(sf_dir: str):
 
 def q_training_counterfactuals(sf_dir: str):
     """Edge-negation counterfactual QA over the materialized graph
-    (negative sampling; deterministic per-relation seeded RNG)."""
+    (negative sampling; md5-rank seeded draws). Hash-exact vs
+    :func:`_training_counterfactual_oracle_sql`."""
     from ..stages.training import generate_counterfactual_qa
 
     return generate_counterfactual_qa(q_kg_edges(sf_dir), seed=42)
 
 
 def q_training_anti_patterns(sf_dir: str):
-    """Wrong-pairing anti-pattern QA over the materialized graph."""
+    """Wrong-pairing anti-pattern QA over the materialized graph.
+    Hash-exact vs :func:`_training_anti_pattern_oracle_sql`."""
     from ..stages.training import generate_anti_pattern_qa
 
     return generate_anti_pattern_qa(q_kg_edges(sf_dir), seed=42)
@@ -2314,7 +2322,8 @@ def q_training_anti_patterns(sf_dir: str):
 
 def q_training_model_selection(sf_dir: str):
     """Model-selection QA over the graph-derived rule blueprint
-    (generalized reference Type 4)."""
+    (generalized reference Type 4). Hash-exact vs
+    :func:`_training_model_selection_oracle_sql`."""
     from ..stages.scenario import rules_from_edges
     from ..stages.training import generate_model_selection_qa
 
@@ -6124,7 +6133,8 @@ def q_retrieval_training_pairs(sf_dir: str):
     from the MinHash near-dup mapping (label 1), hard negatives from
     the source-excluded top-k miner (label 0) — the composite that
     turns the dedup + retrieval families into actual training data.
-    Rows-only (both parents are)."""
+    Hash-exact: the SQL twin is the union of both parent twins
+    (ideal-Jaccard rep mapping + cosine top-k miner) verbatim."""
     from ..stages.dedup import minhash_lsh_dedup
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -11187,6 +11197,459 @@ def _kg_nodes_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Training-generator twins over the kg_edges twin. Shared pieces:
+# Python str.title() reproduced char-level (uppercase a-z when the
+# previous char is not a letter), md5 ranks mirroring
+# training._md5_rank, and the reference's clean-predicate regex.
+# ---------------------------------------------------------------------------
+
+# expects a CTE `tq_ents(s)`; emits `tq_tc(s, t)` with t = Python
+# s.replace('_',' ').title() for lowercase ASCII inputs
+_TITLE_TC_SQL = """
+        tq_tc AS MATERIALIZED (
+          SELECT s, string_agg(
+                   CASE WHEN ch BETWEEN 'a' AND 'z'
+                             AND (prev IS NULL
+                                  OR NOT regexp_matches(prev, '[A-Za-z]'))
+                        THEN upper(ch) ELSE ch END, '' ORDER BY i) AS t
+          FROM (
+            SELECT s, u.i, substr(r, CAST(u.i AS INTEGER), 1) AS ch,
+                   CASE WHEN u.i > 1
+                        THEN substr(r, CAST(u.i AS INTEGER) - 1, 1) END AS prev
+            FROM (SELECT s, replace(s, '_', ' ') AS r FROM tq_ents),
+                 LATERAL (SELECT unnest(range(1, length(r) + 1)) AS i) u
+          ) GROUP BY s
+        )"""
+
+_CLEAN_PRED_SQL = (
+    "regexp_matches(lower(replace(predicate, ' ', '_')), '^[a-z0-9_ ]{3,}$')"
+)
+
+
+def _md5_rank_sql(tag: str, *cols: str, seed: int = 42) -> str:
+    """SQL for ``training._md5_rank(seed, tag, *parts)`` — first 8 md5
+    bytes big-endian as UBIGINT; ``cols`` are SQL string expressions."""
+    parts = " || ':' || ".join(cols)
+    return f"('0x' || substr(md5('{seed}:{tag}:' || {parts}), 1, 16))::UBIGINT"
+
+
+def _training_qa_capped_cte() -> str:
+    """Shared CTE chain: clean-predicate distinct pairs, per-relation
+    md5-rank cap (30 normal / catchall below 3 pairs, cap 5) — the
+    body of ``generate_relationship_qa`` up to template emission."""
+    return f"""e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_pairs AS MATERIALIZED (
+          SELECT DISTINCT predicate AS rel, src AS s, dst AS d FROM e
+          WHERE {_CLEAN_PRED_SQL}
+        ),
+        tq_sized AS (SELECT *, count(*) OVER (PARTITION BY rel) AS n FROM tq_pairs),
+        tq_capped AS MATERIALIZED (
+          SELECT rel, s, d, n < 3 AS catchall FROM (
+            SELECT rel, s, d, n,
+                   row_number() OVER (PARTITION BY rel ORDER BY
+                     {_md5_rank_sql("qa:' || rel || '", "s", "d")}, s, d
+                   ) AS rn
+            FROM tq_sized)
+          WHERE rn <= CASE WHEN n < 3 THEN 5 ELSE 30 END
+        )"""
+
+
+def _training_qa_oracle_sql() -> str:
+    """Twin of ``generate_relationship_qa`` (q_training_qa)."""
+    return f"""
+        WITH RECURSIVE {_training_qa_capped_cte()},
+        tq_ents AS (SELECT DISTINCT s FROM (
+          SELECT s FROM tq_capped UNION ALL SELECT d FROM tq_capped)),
+        {_TITLE_TC_SQL}
+        SELECT 'What is the relationship between ' || ts.t || ' and '
+                 || td.t || '?' AS instruction,
+               '' AS input,
+               ts.t || ' ' || replace(c.rel, '_', ' ') || ' ' || td.t || '.'
+                 AS output,
+               CASE WHEN c.catchall THEN 'relationship_qa_catchall'
+                    ELSE 'relationship_qa' END AS category
+        FROM tq_capped c
+        JOIN tq_tc ts ON ts.s = c.s
+        JOIN tq_tc td ON td.s = c.d
+    """
+
+
+def _training_stratified_split_oracle_sql() -> str:
+    """Twin of q_training_stratified_split: the per-(category, split)
+    COUNTS of the 80/10/10 stratified split depend only on each
+    stratum's size (round-half-even slice bounds; the in-stratum hash
+    order never changes the counts), so the twin is bounds arithmetic
+    over the relationship-QA category sizes — including Python's
+    0.8 + 0.1 float accumulation for the second boundary."""
+    return f"""
+        WITH RECURSIVE {_training_qa_capped_cte()},
+        tq_cats AS (
+          SELECT CASE WHEN catchall THEN 'relationship_qa_catchall'
+                      ELSE 'relationship_qa' END AS category,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tq_capped GROUP BY 1
+        ),
+        tq_bounds AS (
+          SELECT category, n,
+                 CAST(roundbankers(0.8 * n, 0) AS BIGINT) AS b1,
+                 CAST(roundbankers((0.8 + 0.1) * n, 0) AS BIGINT) AS b2
+          FROM tq_cats
+        )
+        SELECT category, split, n FROM (
+          SELECT category, 'train' AS split, b1 AS n FROM tq_bounds
+          UNION ALL
+          SELECT category, 'val', greatest(b2 - b1, 0) FROM tq_bounds
+          UNION ALL
+          SELECT category, 'test', n - greatest(b2, b1) FROM tq_bounds
+        ) WHERE n > 0
+    """
+
+
+def _training_counterfactual_oracle_sql() -> str:
+    """Twin of ``generate_counterfactual_qa``: per clean relation the
+    md5-rank-capped kept edges each draw the first valid wrong object
+    in a seeded rotation of the relation's object pool — min rotation
+    position over the valid candidates."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_pairs AS MATERIALIZED (
+          SELECT DISTINCT predicate AS rel, src AS s, dst AS d FROM e
+          WHERE {_CLEAN_PRED_SQL}
+        ),
+        tq_objs AS MATERIALIZED (
+          SELECT rel, d AS obj,
+                 CAST(row_number() OVER (PARTITION BY rel ORDER BY d) - 1
+                      AS BIGINT) AS idx,
+                 count(*) OVER (PARTITION BY rel) AS n_obj
+          FROM (SELECT DISTINCT rel, d FROM tq_pairs)
+        ),
+        tq_eligible AS (SELECT DISTINCT rel FROM tq_objs WHERE n_obj >= 2),
+        tq_kept AS (
+          SELECT rel, s, d FROM (
+            SELECT p.rel, p.s, p.d,
+                   row_number() OVER (PARTITION BY p.rel ORDER BY
+                     {_md5_rank_sql("cf:' || p.rel || '", "p.s", "p.d")},
+                     p.s, p.d) AS rn
+            FROM tq_pairs p JOIN tq_eligible USING (rel)) WHERE rn <= 30
+        ),
+        tq_starts AS (
+          SELECT k.rel, k.s, k.d,
+                 CAST({_md5_rank_sql("cfs:' || k.rel || '", "k.s", "k.d")}
+                      % o.n_obj AS BIGINT) AS start, o.n_obj
+          FROM tq_kept k
+          JOIN (SELECT DISTINCT rel, n_obj FROM tq_objs) o USING (rel)
+        ),
+        tq_wrong AS (
+          SELECT rel, s, d, obj AS tq_wrong FROM (
+            SELECT st.rel, st.s, st.d, o.obj,
+                   row_number() OVER (PARTITION BY st.rel, st.s, st.d
+                     ORDER BY (o.idx - st.start + st.n_obj) % st.n_obj) AS rk
+            FROM tq_starts st
+            JOIN tq_objs o ON o.rel = st.rel
+            WHERE o.obj <> st.d
+              AND NOT EXISTS (SELECT 1 FROM tq_pairs p
+                              WHERE p.rel = st.rel AND p.s = st.s
+                                AND p.d = o.obj)
+          ) WHERE rk = 1
+        ),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT s FROM tq_wrong UNION ALL SELECT d FROM tq_wrong
+            UNION ALL SELECT tq_wrong FROM tq_wrong)
+        ),
+        {_TITLE_TC_SQL}
+        SELECT 'Is it true that ' || ts.t || ' ' || replace(w.rel, '_', ' ')
+                 || ' ' || tw.t || '?' AS instruction,
+               '' AS input,
+               'No. The graph does not record that ' || ts.t || ' '
+                 || replace(w.rel, '_', ' ') || ' ' || tw.t
+                 || '. The recorded relationship is: ' || ts.t || ' '
+                 || replace(w.rel, '_', ' ') || ' ' || td.t || '.' AS output,
+               'counterfactual_qa' AS category
+        FROM tq_wrong w
+        JOIN tq_tc ts ON ts.s = w.s
+        JOIN tq_tc td ON td.s = w.d
+        JOIN tq_tc tw ON tw.s = w.tq_wrong
+    """
+
+
+def _training_anti_pattern_oracle_sql() -> str:
+    """Twin of ``generate_anti_pattern_qa``: md5-rank-capped picks
+    each cross-pair with the first rotation partner satisfying
+    s2<>s1, o2<>o1 and (s1,o2) not an edge."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_pairs AS MATERIALIZED (
+          SELECT DISTINCT predicate AS rel, src AS s, dst AS d FROM e
+          WHERE {_CLEAN_PRED_SQL}
+        ),
+        tq_rows AS MATERIALIZED (
+          SELECT rel, s, d,
+                 CAST(row_number() OVER (PARTITION BY rel ORDER BY s, d) - 1
+                      AS BIGINT) AS idx,
+                 count(*) OVER (PARTITION BY rel) AS n_rows
+          FROM tq_pairs
+        ),
+        tq_picks AS (
+          SELECT rel, s, d FROM (
+            SELECT r.rel, r.s, r.d,
+                   row_number() OVER (PARTITION BY r.rel ORDER BY
+                     {_md5_rank_sql("ap:' || r.rel || '", "r.s", "r.d")},
+                     r.s, r.d) AS rn
+            FROM tq_rows r WHERE r.n_rows >= 2) WHERE rn <= 30
+        ),
+        tq_starts AS (
+          SELECT p.rel, p.s AS s1, p.d AS o1,
+                 CAST({_md5_rank_sql("aps:' || p.rel || '", "p.s", "p.d")}
+                      % r.n_rows AS BIGINT) AS start, r.n_rows
+          FROM tq_picks p
+          JOIN (SELECT DISTINCT rel, n_rows FROM tq_rows) r USING (rel)
+        ),
+        tq_partner AS (
+          SELECT rel, s1, o1, s2, o2 FROM (
+            SELECT st.rel, st.s1, st.o1, r.s AS s2, r.d AS o2,
+                   row_number() OVER (PARTITION BY st.rel, st.s1, st.o1
+                     ORDER BY (r.idx - st.start + st.n_rows) % st.n_rows)
+                     AS rk
+            FROM tq_starts st
+            JOIN tq_rows r ON r.rel = st.rel
+            WHERE r.s <> st.s1 AND r.d <> st.o1
+              AND NOT EXISTS (SELECT 1 FROM tq_pairs p
+                              WHERE p.rel = st.rel AND p.s = st.s1
+                                AND p.d = r.d)
+          ) WHERE rk = 1
+        ),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT s1 AS s FROM tq_partner UNION ALL SELECT o1 FROM tq_partner
+            UNION ALL SELECT s2 FROM tq_partner
+            UNION ALL SELECT o2 FROM tq_partner)
+        ),
+        {_TITLE_TC_SQL}
+        SELECT 'What is wrong with this statement: "' || t1.t || ' '
+                 || replace(tq_pr.rel, '_', ' ') || ' ' || t4.t || '"?'
+                 AS instruction,
+               '' AS input,
+               'The statement mixes up two separate facts (a wrong-pairing '
+                 || 'error). The graph records ' || t1.t || ' '
+                 || replace(tq_pr.rel, '_', ' ') || ' ' || t2.t || ' and '
+                 || t3.t || ' ' || replace(tq_pr.rel, '_', ' ') || ' ' || t4.t
+                 || '; it does not connect ' || t1.t || ' to ' || t4.t
+                 || ' via ''' || replace(tq_pr.rel, '_', ' ') || '''.' AS output,
+               'anti_pattern_qa' AS category
+        FROM tq_partner tq_pr
+        JOIN tq_tc t1 ON t1.s = tq_pr.s1
+        JOIN tq_tc t2 ON t2.s = tq_pr.o1
+        JOIN tq_tc t3 ON t3.s = tq_pr.s2
+        JOIN tq_tc t4 ON t4.s = tq_pr.o2
+    """
+
+
+def _training_chains_oracle_sql() -> str:
+    """Twin of ``generate_reasoning_chain_qa``: per-mid top-2 capped
+    in/out neighbor picks (lexicographic, de-correlated directions),
+    unique chain keys, global 200 cap by key."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_lhs AS MATERIALIZED (
+          SELECT mid, a, p1 FROM (
+            SELECT dst AS mid, src AS a, predicate AS p1,
+                   row_number() OVER (PARTITION BY dst
+                     ORDER BY src, predicate) AS rn
+            FROM e) WHERE rn <= 2
+        ),
+        tq_rhs AS MATERIALIZED (
+          SELECT mid, c, p2 FROM (
+            SELECT src AS mid, dst AS c, predicate AS p2,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY dst DESC, predicate DESC) AS rn
+            FROM e) WHERE rn <= 2
+        ),
+        tq_chains AS (
+          SELECT l.a, l.p1, l.mid, r.p2, r.c
+          FROM tq_lhs l JOIN tq_rhs r USING (mid)
+          WHERE l.a <> l.mid AND l.mid <> r.c AND l.a <> r.c
+        ),
+        -- the stage's NUL-joined sort key orders exactly like the
+        -- field tuple (NUL sorts below every value byte)
+        tq_top AS (
+          SELECT DISTINCT a, p1, mid, p2, c
+          FROM (SELECT * FROM tq_chains ORDER BY a, mid, c, p1, p2 LIMIT 200)
+        ),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT a AS s FROM tq_top UNION ALL SELECT mid FROM tq_top
+            UNION ALL SELECT c FROM tq_top)
+        ),
+        {_TITLE_TC_SQL}
+        SELECT 'Explain the connection between ' || ta.t || ' and ' || tcc.t
+                 || ' step by step.' AS instruction,
+               '' AS input,
+               'Step 1: ' || ta.t || ' ' || replace(p1, '_', ' ') || ' '
+                 || tm.t || '.' || chr(10)
+                 || 'Step 2: ' || tm.t || ' ' || replace(p2, '_', ' ') || ' '
+                 || tcc.t || '.' || chr(10)
+                 || 'Therefore ' || ta.t || ' is connected to ' || tcc.t
+                 || ' through ' || tm.t || '.' AS output,
+               'reasoning_chain' AS category
+        FROM tq_top
+        JOIN tq_tc ta ON ta.s = tq_top.a
+        JOIN tq_tc tm ON tm.s = tq_top.mid
+        JOIN tq_tc tcc ON tcc.s = tq_top.c
+    """
+
+
+def _training_comparisons_oracle_sql() -> str:
+    """Twin of ``generate_comparison_qa``: per common node the first
+    10 sorted distinct neighbors pair up (upper triangle), pairs
+    dedup to the smallest common, global 200 cap by (a, b)."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_nb AS MATERIALIZED (
+          SELECT DISTINCT common, neighbor FROM (
+            SELECT src AS common, dst AS neighbor FROM e
+            UNION ALL SELECT dst, src FROM e)
+        ),
+        tq_ranked AS (
+          SELECT common, neighbor,
+                 row_number() OVER (PARTITION BY common
+                                    ORDER BY neighbor) AS rn
+          FROM tq_nb
+        ),
+        tq_pr AS (
+          SELECT x.neighbor AS a, y.neighbor AS b, x.common
+          FROM tq_ranked x JOIN tq_ranked y
+            ON x.common = y.common AND x.rn < y.rn
+          WHERE x.rn <= 10 AND y.rn <= 10
+        ),
+        tq_dd AS (
+          SELECT a, b, min(common) AS common FROM tq_pr GROUP BY a, b
+        ),
+        tq_top AS (SELECT * FROM tq_dd ORDER BY a, b LIMIT 200),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT a AS s FROM tq_top UNION ALL SELECT b FROM tq_top
+            UNION ALL SELECT common FROM tq_top)
+        ),
+        {_TITLE_TC_SQL}
+        SELECT 'Compare and contrast ' || ta.t || ' and ' || tb.t || '.'
+                 AS instruction,
+               '' AS input,
+               ta.t || ' and ' || tb.t || ' are related concepts: both '
+                 || 'connect to ' || tcm.t || '. They play distinct roles '
+                 || 'but share this common neighbor in the graph.' AS output,
+               'concept_comparison' AS category
+        FROM tq_top
+        JOIN tq_tc ta ON ta.s = tq_top.a
+        JOIN tq_tc tb ON tb.s = tq_top.b
+        JOIN tq_tc tcm ON tcm.s = tq_top.common
+    """
+
+
+def _training_concept_oracle_sql() -> str:
+    """Twin of q_training_concept_qa: nodes are typed 'concept' with
+    empty attrs, so only the fact-list branch fires — per source
+    entity the first 5 distinct out-edges by (predicate, dst)."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_ents AS (SELECT DISTINCT s FROM (
+          SELECT src AS s FROM e UNION ALL SELECT dst FROM e)),
+        {_TITLE_TC_SQL},
+        tq_facts_rows AS (
+          SELECT src, predicate, dst,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY predicate, dst) AS rn
+          FROM (SELECT DISTINCT src, predicate, dst FROM e)
+        ),
+        tq_facts AS (
+          SELECT f.src,
+                 string_agg('- ' || replace(f.predicate, '_', ' ') || ' '
+                            || td.t, chr(10)
+                            ORDER BY f.predicate, f.dst) AS lines,
+                 CAST(count(*) AS BIGINT) AS n_out
+          FROM tq_facts_rows f
+          JOIN tq_tc td ON td.s = f.dst
+          WHERE f.rn <= 5
+          GROUP BY f.src
+        )
+        SELECT 'What is ' || ts.t || '?' AS instruction,
+               '' AS input,
+               ts.t || ' is a concept with these key relationships:'
+                 || chr(10) || f.lines AS output,
+               'concept_from_graph' AS category
+        FROM tq_facts f JOIN tq_tc ts ON ts.s = f.src
+        WHERE f.n_out >= 2
+    """
+
+
+def _training_model_selection_oracle_sql() -> str:
+    """Twin of q_training_model_selection: hubs = top-8 sources by
+    distinct out-degree (ties by name), requirements = each hub's
+    first 20 sorted distinct out-neighbors; two QA cards per model
+    (the selection card only when >= 2 requirements)."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        tq_distinct_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        tq_hubs AS (
+          SELECT src FROM (
+            SELECT src, count(*) AS deg FROM tq_distinct_e GROUP BY src
+            ORDER BY deg DESC, src ASC LIMIT 8)
+        ),
+        tq_reqs AS (
+          SELECT src AS model, dst AS requirement,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM tq_distinct_e JOIN tq_hubs USING (src)
+        ),
+        tq_kept AS (SELECT model, requirement, rn FROM tq_reqs WHERE rn <= 20),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT model AS s FROM tq_kept
+            UNION ALL SELECT requirement FROM tq_kept)
+        ),
+        {_TITLE_TC_SQL},
+        tq_per_model AS (
+          SELECT k.model,
+                 CAST(count(*) AS BIGINT) AS n_reqs,
+                 string_agg('  - ' || t.t, chr(10) ORDER BY k.rn)
+                   FILTER (WHERE k.rn <= 10) AS req_text,
+                 string_agg(t.t, ', ' ORDER BY k.rn)
+                   FILTER (WHERE k.rn <= 3) AS subset
+          FROM tq_kept k JOIN tq_tc t ON t.s = k.requirement
+          GROUP BY k.model
+        ),
+        tq_cards AS (
+          SELECT p.model, tm.t AS label, p.n_reqs, p.req_text, p.subset,
+                 CASE WHEN p.n_reqs > 10
+                      THEN chr(10) || '  (+'
+                           || CAST(p.n_reqs - 10 AS VARCHAR) || ' more)'
+                      ELSE '' END AS more
+          FROM tq_per_model p JOIN tq_tc tm ON tm.s = p.model
+        )
+        SELECT instruction, input, output, category FROM (
+          SELECT 'When does the ' || label || ' model apply?' AS instruction,
+                 '' AS input,
+                 'The ' || label || ' model requires:' || chr(10) || chr(10)
+                   || req_text || more || chr(10) || chr(10)
+                   || 'All conditions must be met. If any requirement is '
+                   || 'missing, do not force the match.' AS output,
+                 'model_requirements' AS category
+          FROM tq_cards
+          UNION ALL
+          SELECT 'These concepts are present: ' || subset
+                   || '. Which model applies?',
+                 '',
+                 'Based on these concepts, the ' || label || ' model is the '
+                   || 'best fit.' || chr(10) || chr(10)
+                   || 'This model specifically requires:' || chr(10)
+                   || req_text || more || chr(10) || chr(10)
+                   || 'Confirm the remaining requirements before concluding.',
+                 'model_selection'
+          FROM tq_cards WHERE n_reqs >= 2
+        )
+    """
+
+
 # Shared CTE body of the ideal-Jaccard minhash twin (see the
 # "minhash_dedup" entry below for the fixture facts it rests on):
 # word-5-gram sets, integer threshold 5*ni >= 4*union, recursive
@@ -12781,6 +13244,32 @@ ORACLE_SQL: dict[str, str] = {
     # / split-multiply mod 2^64 (verified value-equal to numpy's
     # wraparound arithmetic for the full id range).
     "doc_leakage_split": "WITH RECURSIVE " + _MINHASH_CTES + _LEAKAGE_MIX_SQL,
+    # Contrastive-pair composite: positives are the minhash ideal-
+    # Jaccard rep mapping (label 1), negatives the source-excluded
+    # cosine top-k miner (label 0) — both parent twins verbatim.
+    "retrieval_training_pairs": "WITH RECURSIVE " + _MINHASH_CTES + f""",
+        pos AS (
+          SELECT CAST(dup_of AS BIGINT) AS anchor_id,
+                 CAST(id AS BIGINT) AS other_id,
+                 CAST(1 AS BIGINT) AS label
+          FROM rep WHERE dup_of <> id
+        ),
+        neg AS (
+          SELECT q.vec_id AS anchor_id, e.vec_id AS other_id,
+                 CAST(0 AS BIGINT) AS label
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}) q
+          JOIN documents qd ON qd.doc_id = q.vec_id
+          CROSS JOIN embeddings e
+          JOIN documents ed ON ed.doc_id = e.vec_id
+          WHERE e.vec_id <> q.vec_id AND ed.source <> qd.source
+          QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                       e.vec_id ASC
+          ) <= {KNN_K}
+        )
+        SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
     # Cross-corpus ideal-Jaccard twin (same doctrine as minhash_dedup:
     # 32x4 banding is a candidate filter ahead of the exact verify;
     # per-pair banding-escape odds at J=0.7 are ~1.5e-4 and the
@@ -13008,6 +13497,14 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_clusters": _kmeans_oracle_sql(),
     "doc_cdc_dedup": _cdc_oracle_sql(),
     "link_lpa_modularity": _lpa_modularity_oracle_sql(),
+    "training_qa": _training_qa_oracle_sql(),
+    "training_stratified_split": _training_stratified_split_oracle_sql(),
+    "training_counterfactuals": _training_counterfactual_oracle_sql(),
+    "training_anti_patterns": _training_anti_pattern_oracle_sql(),
+    "training_chains": _training_chains_oracle_sql(),
+    "training_comparisons": _training_comparisons_oracle_sql(),
+    "training_concept_qa": _training_concept_oracle_sql(),
+    "training_model_selection": _training_model_selection_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (

@@ -10,10 +10,12 @@ part that matters at scale and is preserved exactly in shape.
 
 Determinism note: the reference drives one global ``random.Random(42)``
 through a Python loop (``training_generator.py:71-74,398-414``), which
-is order-dependent. Here each relation group gets its own
-``Random(hash(seed, relation))`` so output is identical under any
-partitioning/ordering — the distributed replacement for "seeded
-sampling" (documented deviation; counts and cap behavior match).
+is order-dependent. Here every seeded draw is a per-ROW md5 rank
+(:func:`_md5_rank`): a capped sample keeps the ``cap`` smallest ranks
+and rotation starts are keyed on the edge, so output is identical
+under any partitioning/ordering AND reproducible in SQL (DuckDB md5)
+— the distributed replacement for "seeded sampling" (documented
+deviation; counts and cap behavior match).
 """
 
 from __future__ import annotations
@@ -55,9 +57,17 @@ def _title(entity: str) -> str:
     return entity.replace("_", " ").title()
 
 
-def _rel_rng(seed: int, relation: str) -> random.Random:
-    h = hashlib.md5(f"{seed}:{relation}".encode()).digest()
-    return random.Random(int.from_bytes(h[:8], "big"))
+def _md5_rank(seed: int, tag: str, *parts: str) -> int:
+    """Deterministic 64-bit rank for seeded sampling: the first 8 md5
+    bytes of ``seed:tag:part1:part2...``. Engine-portable (DuckDB's
+    ``md5`` reproduces it, unlike the Mersenne Twister) and
+    order-independent — each row's rank depends only on the row, so a
+    capped sample is THE ``cap`` smallest ranks under any partitioning
+    or iteration order."""
+    h = hashlib.md5(
+        (f"{seed}:{tag}:" + ":".join(parts)).encode()
+    ).digest()
+    return int.from_bytes(h[:8], "big")
 
 
 def generate_relationship_qa(
@@ -91,7 +101,11 @@ def generate_relationship_qa(
             catchall = True
             cap = max_per_catchall
         if len(rows) > cap:
-            rows = sorted(_rel_rng(seed, rel).sample(rows, cap))
+            # seeded sample = the cap smallest md5 ranks (SQL-portable;
+            # see _md5_rank) instead of a Mersenne-Twister draw
+            rows = sorted(
+                sorted(rows, key=lambda sd: (_md5_rank(seed, "qa:" + rel, *sd), sd))[:cap]
+            )
         ins, inp, out, cat = [], [], [], []
         pretty_rel = rel.replace("_", " ")
         for s, d in rows:
@@ -434,7 +448,10 @@ def generate_reasoning_chain_qa(
                 f"Therefore {ta} is connected to {tc} through {tm}."
             )
             cat.append("reasoning_chain")
-            key.append(f"{a}\x00{m}\x00{c}")
+            # predicates in the key: two chains through the same
+            # (a, m, c) via different predicates must rank uniquely or
+            # the global-cap boundary is engine-order dependent
+            key.append(f"{a}\x00{m}\x00{c}\x00{p1}\x00{p2}")
         return pd.DataFrame(
             {
                 "instruction": ins,
@@ -581,15 +598,20 @@ def generate_counterfactual_qa(
         if len(objects) < 2:
             return QA_SCHEMA.empty_table()  # no wrong object exists
         rows = sorted(edge_set)
-        rng = _rel_rng(seed, "cf:" + rel)
         if len(rows) > max_per_rel:
-            rows = sorted(rng.sample(rows, max_per_rel))
+            # seeded sample = the cap smallest md5 ranks (SQL-portable)
+            rows = sorted(
+                sorted(
+                    rows, key=lambda sd: (_md5_rank(seed, "cf:" + rel, *sd), sd)
+                )[:max_per_rel]
+            )
         pretty_rel = rel.replace("_", " ")
         ins, inp, out, cat = [], [], [], []
         for s, d in rows:
             # deterministic wrong-object draw: first non-edge object in
-            # a seeded rotation of the pool
-            start = rng.randrange(len(objects))
+            # a seeded rotation of the pool, rotation start keyed on
+            # the EDGE (order-independent, unlike a sequential RNG)
+            start = _md5_rank(seed, "cfs:" + rel, s, d) % len(objects)
             wrong = None
             for k in range(len(objects)):
                 c = objects[(start + k) % len(objects)]
@@ -652,15 +674,20 @@ def generate_anti_pattern_qa(
         rows = sorted(edge_set)
         if len(rows) < 2:
             return QA_SCHEMA.empty_table()
-        rng = _rel_rng(seed, "ap:" + rel)
         picks = rows
         if len(picks) > max_per_rel:
-            picks = sorted(rng.sample(picks, max_per_rel))
+            # seeded sample = the cap smallest md5 ranks (SQL-portable)
+            picks = sorted(
+                sorted(
+                    picks, key=lambda sd: (_md5_rank(seed, "ap:" + rel, *sd), sd)
+                )[:max_per_rel]
+            )
         pretty_rel = rel.replace("_", " ")
         ins, inp, out, cat = [], [], [], []
         for s1, o1 in picks:
-            # seeded rotation over the OTHER edges for the cross pair
-            start = rng.randrange(len(rows))
+            # seeded rotation over the OTHER edges for the cross pair,
+            # start keyed on the edge (order-independent)
+            start = _md5_rank(seed, "aps:" + rel, s1, o1) % len(rows)
             partner = None
             for k in range(len(rows)):
                 s2, o2 = rows[(start + k) % len(rows)]
