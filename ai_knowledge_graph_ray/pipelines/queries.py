@@ -2452,8 +2452,9 @@ def q_scenario_eval(sf_dir: str):
     top hub nodes with their out-neighbor sets as requirements;
     scenarios = per-chunk detected-concept sets from the raw triples;
     red flags / confluence weights derived deterministically from the
-    same blueprint (rows-only: milli-point scores are Python-rule-
-    dependent, pinned by the fixture pytest)."""
+    same blueprint. Hash-exact vs :func:`_scenario_eval_oracle_sql`
+    (integer milli-point blend; portable md5 scenario ids); behavior
+    also pinned by the fixture pytest."""
     from ..stages.scenario import (
         evaluate_scenarios,
         rules_from_edges,
@@ -11650,6 +11651,133 @@ def _training_model_selection_oracle_sql() -> str:
     """
 
 
+def _nrm_sql(col: str) -> str:
+    """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
+    underscores."""
+    return f"replace(replace(lower(trim({col})), ' ', '_'), '-', '_')"
+
+
+def _scenario_eval_oracle_sql() -> str:
+    """Twin of q_scenario_eval — the whole §3.3 consumer contract in
+    SQL: blueprint = top-8 hub rules over the kg_edges twin,
+    scenarios = per-chunk distinct normalized entities over the raw
+    twin (scenario_id = portable md5 of the chunk key), requirement
+    matching by substring containment, and the integer milli-point
+    blend (7000*sat//total + 3000*spec//max_spec + 1500 full-match
+    bonus) with specificity = roundbankers(1000/sharing)."""
+    return f"""
+        WITH rawt_s AS MATERIALIZED ({_kg_triples_raw_oracle_sql()}),
+        e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        se_de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        se_hub AS (
+          SELECT src FROM (
+            SELECT src, count(*) AS deg FROM se_de GROUP BY src
+            ORDER BY deg DESC, src ASC LIMIT 8)
+        ),
+        se_blueprint AS (
+          SELECT model, requirement FROM (
+            SELECT src AS model, dst AS requirement,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+            FROM se_de JOIN se_hub USING (src)) WHERE rn <= 20
+        ),
+        se_models AS (
+          SELECT model, row_number() OVER (ORDER BY model) AS mi,
+                 count(*) OVER () AS nm
+          FROM (SELECT DISTINCT model FROM se_blueprint)
+        ),
+        se_wts AS (
+          SELECT signal, w_milli FROM (
+            SELECT {_nrm_sql('model')} AS signal,
+                   CAST(2000 - (mi - 1) * 500 AS BIGINT) AS w_milli, mi,
+                   row_number() OVER (PARTITION BY {_nrm_sql('model')}
+                                      ORDER BY mi DESC) AS rn
+            FROM se_models WHERE mi <= 3) WHERE rn = 1
+        ),
+        se_reds AS (
+          SELECT {_nrm_sql('model')} AS signal
+          FROM se_models WHERE nm > 3 AND mi = nm
+        ),
+        se_nr AS (
+          SELECT DISTINCT {_nrm_sql('model')} AS model,
+                 lower(requirement) AS req_lower
+          FROM se_blueprint
+        ),
+        se_spec AS (
+          SELECT model, req_lower,
+                 CAST(roundbankers(
+                   1000.0 / count(*) OVER (PARTITION BY req_lower), 0)
+                   AS BIGINT) AS spec_milli
+          FROM se_nr
+        ),
+        se_totals AS (
+          SELECT model, CAST(count(*) AS BIGINT) AS total,
+                 CAST(sum(spec_milli) AS BIGINT) AS max_spec
+          FROM se_spec GROUP BY model
+        ),
+        se_sc AS MATERIALIZED (
+          SELECT DISTINCT key, signal FROM (
+            SELECT url || '#' || CAST(chunk_id AS VARCHAR) AS key,
+                   {_nrm_sql('subject')} AS signal FROM rawt_s
+            UNION ALL
+            SELECT url || '#' || CAST(chunk_id AS VARCHAR),
+                   {_nrm_sql('object')} FROM rawt_s)
+        ),
+        se_sid AS (
+          SELECT key,
+                 CAST(('0x' || substr(md5(key), 1, 16))::UBIGINT
+                      % 9223372036854775808 AS BIGINT) AS scenario_id
+          FROM (SELECT DISTINCT key FROM se_sc)
+        ),
+        se_red AS (
+          SELECT s.key, CAST(count(*) AS BIGINT) AS red
+          FROM se_sc s JOIN se_reds r ON r.signal = s.signal GROUP BY s.key
+        ),
+        se_conf AS (
+          SELECT s.key, CAST(sum(w.w_milli) AS BIGINT) AS conf
+          FROM se_sc s JOIN se_wts w ON w.signal = s.signal GROUP BY s.key
+        ),
+        se_match AS (
+          SELECT DISTINCT s.key, sp.model, sp.req_lower, sp.spec_milli
+          FROM se_sc s JOIN se_spec sp
+            ON strpos(sp.req_lower, s.signal) > 0
+            OR strpos(sp.req_lower, replace(s.signal, '_', ' ')) > 0
+        ),
+        se_per AS (
+          SELECT key, model, CAST(count(*) AS BIGINT) AS sat,
+                 CAST(sum(spec_milli) AS BIGINT) AS spec_sum
+          FROM se_match GROUP BY key, model
+        ),
+        se_best AS (
+          SELECT key, model, score, sat, miss FROM (
+            SELECT p.key, p.model, p.sat, t.total - p.sat AS miss,
+                   CAST((7000 * p.sat) // t.total
+                        + (3000 * p.spec_sum) // greatest(t.max_spec, 1)
+                        + CASE WHEN p.sat = t.total THEN 1500 ELSE 0 END
+                        AS BIGINT) AS score,
+                   row_number() OVER (PARTITION BY p.key
+                     ORDER BY CAST((7000 * p.sat) // t.total
+                        + (3000 * p.spec_sum) // greatest(t.max_spec, 1)
+                        + CASE WHEN p.sat = t.total THEN 1500 ELSE 0 END
+                        AS BIGINT) DESC, p.model ASC) AS rn
+            FROM se_per p JOIN se_totals t USING (model)) WHERE rn = 1
+        )
+        SELECT st.scenario_id,
+               coalesce(b.model, '') AS recommendation,
+               CAST(coalesce(b.score, 0) AS BIGINT) AS model_score_milli,
+               CAST(coalesce(c.conf, 0) AS BIGINT) AS confluence_milli,
+               CAST(coalesce(b.sat, 0) AS BIGINT) AS n_satisfied,
+               CAST(coalesce(b.miss, 0) AS BIGINT) AS n_missing,
+               CAST(coalesce(r.red, 0) AS BIGINT) AS n_red_flags,
+               (coalesce(r.red, 0) = 0 AND coalesce(b.model, '') <> ''
+                AND coalesce(c.conf, 0) + coalesce(b.score, 0) >= 5000)
+                 AS go_no_go
+        FROM se_sid st
+        LEFT JOIN se_best b USING (key)
+        LEFT JOIN se_conf c USING (key)
+        LEFT JOIN se_red r USING (key)
+    """
+
+
 # Shared CTE body of the ideal-Jaccard minhash twin (see the
 # "minhash_dedup" entry below for the fixture facts it rests on):
 # word-5-gram sets, integer threshold 5*ni >= 4*union, recursive
@@ -13505,6 +13633,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_comparisons": _training_comparisons_oracle_sql(),
     "training_concept_qa": _training_concept_oracle_sql(),
     "training_model_selection": _training_model_selection_oracle_sql(),
+    "scenario_eval": _scenario_eval_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (

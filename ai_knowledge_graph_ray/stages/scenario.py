@@ -299,13 +299,24 @@ def scenarios_from_chunks(triples: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def _collect(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         g = g.drop_duplicates(["key", "entity"]).sort_values(
             ["key", "entity"], kind="stable"
         )
         grouped = g.groupby("key", sort=True)["entity"].agg(list)
-        sid = pd.util.hash_array(grouped.index.to_numpy(dtype=object)).astype(
-            np.int64
-        ) & np.int64(0x7FFFFFFFFFFFFFFF)
+        # engine-portable stable id: first 8 md5 bytes of the chunk
+        # key, sign bit cleared (DuckDB md5 reproduces it; the pandas
+        # hash it replaces was engine-specific)
+        sid = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big")
+                & 0x7FFFFFFFFFFFFFFF
+                for k in grouped.index
+            ),
+            dtype=np.int64,
+            count=len(grouped),
+        )
         return pd.DataFrame({"scenario_id": sid, "signals": grouped.to_numpy()})
 
     def _dd(b: pd.DataFrame) -> pd.DataFrame:
