@@ -6542,8 +6542,11 @@ def q_graph_betweenness(sf_dir: str):
     """Sampled betweenness (Brandes dependency accumulation from the
     25 nation nodes) over the customer->nation->region graph —
     fixed-point integers, driver twin under the edge gate with a
-    bit-equal distributed path (rows-only: the nested rational floors
-    have no tractable SQL twin; pinned vs networkx in pytest)."""
+    bit-equal distributed path. Hash-exact vs
+    :func:`_betweenness_oracle_sql`: the floored integer dependency
+    makes every accumulation exact, and max_hops bounds the BFS, so
+    both sweeps unroll into per-level CTE stages; also pinned vs
+    networkx in pytest."""
     from ..stages.graph_algos import sampled_betweenness
 
     sources = [f"n{i}" for i in range(25)]
@@ -11651,6 +11654,77 @@ def _training_model_selection_oracle_sql() -> str:
     """
 
 
+def _betweenness_oracle_sql(
+    n_sources: int = 25, max_hops: int = 6, scale: int = 1_000_000
+) -> str:
+    """Twin of q_graph_betweenness — integer Brandes unrolled: the
+    fixed-point dependency ``sigma_u * (scale + delta_w) // sigma_w``
+    is exact integer arithmetic, and max_hops bounds the BFS, so the
+    forward sigma sweep and the backward delta accumulation both
+    unroll into per-level CTE stages (shared across the source sample
+    via a source column, exactly like the distributed path)."""
+    src_list = ", ".join(f"'n{i}'" for i in range(n_sources))
+    head = f"""
+        WITH {_CNR_EDGES_SQL},
+        simple AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        und AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM simple
+          UNION ALL SELECT b, a FROM simple
+        ),
+        lev0 AS (
+          SELECT u AS source, u AS entity, CAST(1 AS BIGINT) AS sigma
+          FROM (SELECT DISTINCT u FROM und) WHERE u IN ({src_list})
+        ),
+        vis0 AS (SELECT source, entity FROM lev0)"""
+    steps = []
+    for l in range(1, max_hops + 1):
+        steps.append(f""",
+        lev{l} AS MATERIALIZED (
+          SELECT f.source, e.v AS entity, CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM lev{l - 1} f JOIN und e ON e.u = f.entity
+          WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} x
+                            WHERE x.source = f.source AND x.entity = e.v)
+          GROUP BY f.source, e.v
+        ),
+        vis{l} AS (SELECT * FROM vis{l - 1}
+                   UNION ALL SELECT source, entity FROM lev{l})""")
+    # backward: delta at the deepest level is 0; each shallower level
+    # sums the floored per-(u, w) contributions from the level below
+    steps.append(f""",
+        del{max_hops} AS (
+          SELECT source, entity, CAST(0 AS BIGINT) AS delta FROM lev{max_hops}
+        )""")
+    for l in range(max_hops - 1, 0, -1):
+        steps.append(f""",
+        con{l} AS (
+          SELECT f.source, f.entity,
+                 CAST(sum((f.sigma * ({scale} + d.delta)) // w.sigma)
+                   AS BIGINT) AS delta
+          FROM lev{l} f
+          JOIN und e ON e.u = f.entity
+          JOIN lev{l + 1} w ON w.source = f.source AND w.entity = e.v
+          JOIN del{l + 1} d ON d.source = f.source AND d.entity = e.v
+          GROUP BY f.source, f.entity
+        ),
+        del{l} AS MATERIALIZED (
+          SELECT f.source, f.entity,
+                 CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+          FROM lev{l} f LEFT JOIN con{l} c
+            ON c.source = f.source AND c.entity = f.entity
+        )""")
+    dels = " UNION ALL ".join(
+        f"SELECT entity, delta FROM del{l}" for l in range(1, max_hops + 1)
+    )
+    tail = f"""
+        SELECT entity, CAST(sum(delta) AS BIGINT) AS bc_scaled
+        FROM ({dels}) GROUP BY entity HAVING sum(delta) > 0
+    """
+    return head + "".join(steps) + tail
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -13634,6 +13708,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_concept_qa": _training_concept_oracle_sql(),
     "training_model_selection": _training_model_selection_oracle_sql(),
     "scenario_eval": _scenario_eval_oracle_sql(),
+    "graph_betweenness": _betweenness_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
