@@ -4242,8 +4242,9 @@ def q_kg_training_pipeline(sf_dir: str):
     """Second flagship composite: pages -> knowledge graph -> QA
     generation -> stratified 80/10/10 split -> chatml-formatted
     records. Demonstrates the full reference lifecycle (build ->
-    train-data export) as ONE streaming composition; rows-only
-    (model-dependent), each component individually pinned."""
+    train-data export) as ONE streaming composition. Hash-exact vs
+    :func:`_kg_training_pipeline_oracle_sql` — per-row split labels
+    follow the stage's portable md5 in-stratum order."""
     from ..stages.training import (
         format_examples,
         generate_relationship_qa,
@@ -11725,6 +11726,57 @@ def _betweenness_oracle_sql(
     return head + "".join(steps) + tail
 
 
+def _kg_training_pipeline_oracle_sql() -> str:
+    """Twin of q_kg_training_pipeline: relationship QA (the
+    training_qa twin), per-row stratified 80/10/10 labels (in-stratum
+    order = the stage's portable md5 rank over the unit-separator-
+    joined key columns + seed), and the chatml record as a literal
+    json.dumps template (the QA content needs no JSON escaping:
+    letters, digits, spaces and .?' only)."""
+    from ..stages.training import DEFAULT_SYSTEM_PROMPT
+
+    rank = ("('0x' || substr(md5(instruction || chr(31) || input || chr(31)"
+            " || output || chr(31) || '42'), 1, 16))::UBIGINT")
+    return f"""
+        WITH RECURSIVE {_training_qa_capped_cte()},
+        tq_ents AS (SELECT DISTINCT s FROM (
+          SELECT s FROM tq_capped UNION ALL SELECT d FROM tq_capped)),
+        {_TITLE_TC_SQL},
+        qa AS MATERIALIZED (
+          SELECT 'What is the relationship between ' || ts.t || ' and '
+                   || td.t || '?' AS instruction,
+                 '' AS input,
+                 ts.t || ' ' || replace(c.rel, '_', ' ') || ' ' || td.t || '.'
+                   AS output,
+                 CASE WHEN c.catchall THEN 'relationship_qa_catchall'
+                      ELSE 'relationship_qa' END AS category
+          FROM tq_capped c
+          JOIN tq_tc ts ON ts.s = c.s
+          JOIN tq_tc td ON td.s = c.d
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY category ORDER BY
+                   {rank}, instruction, input, output) AS rn,
+                 count(*) OVER (PARTITION BY category) AS n
+          FROM qa
+        ),
+        labeled AS (
+          SELECT *,
+                 CASE WHEN rn <= roundbankers(0.8 * n, 0) THEN 'train'
+                      WHEN rn <= roundbankers((0.8 + 0.1) * n, 0) THEN 'val'
+                      ELSE 'test' END AS split
+          FROM ranked
+        )
+        SELECT '{{"messages": [{{"role": "system", "content": '
+                 || '"{DEFAULT_SYSTEM_PROMPT}"}}, '
+                 || '{{"role": "user", "content": "' || instruction
+                 || '"}}, {{"role": "assistant", "content": "' || output
+                 || '"}}]}}' AS record,
+               split
+        FROM labeled
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -13709,6 +13761,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_model_selection": _training_model_selection_oracle_sql(),
     "scenario_eval": _scenario_eval_oracle_sql(),
     "graph_betweenness": _betweenness_oracle_sql(),
+    "kg_training_pipeline": _kg_training_pipeline_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (

@@ -1026,11 +1026,23 @@ def stratified_split(
 
     def _label(g: pd.DataFrame) -> pd.DataFrame:
         def _per_stratum(sub: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(
-                sub[keys].astype(str).agg("\x00".join, axis=1) + f"\x00{seed}",
-                index=False,
+            import hashlib
+
+            # engine-portable in-stratum order: md5 of the
+            # unit-separator-joined key columns + seed (the pandas
+            # hash it replaces was engine-specific); counts per
+            # stratum are unaffected, only WHICH rows land in which
+            # split
+            joined = sub[keys].astype(str).agg("\x1f".join, axis=1) + f"\x1f{seed}"
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "big")
+                    for x in joined
+                ),
+                dtype=np.uint64,
+                count=len(sub),
             )
-            sub = sub.assign(__h=h.to_numpy()).sort_values(
+            sub = sub.assign(__h=h).sort_values(
                 ["__h"] + keys, kind="stable"
             )
             n = len(sub)
