@@ -4260,9 +4260,9 @@ def q_kg_training_pipeline(sf_dir: str):
 def q_kg_record_analysis(sf_dir: str):
     """Record-annotation training examples: corpus documents joined
     against the built graph's 1-hop node contexts (reference Type 5
-    generalized — ``training_generator.py:603-664``). Rows-only
-    (model-dependent graph); generator semantics pinned in
-    ``test_record_validation_generators.py``."""
+    generalized — ``training_generator.py:603-664``). Hash-exact vs
+    :func:`_kg_record_analysis_oracle_sql`; generator semantics also
+    pinned in ``test_record_validation_generators.py``."""
     from ..stages.training import generate_record_analysis
 
     edges = q_kg_edges(sf_dir).materialize()
@@ -11777,6 +11777,98 @@ def _kg_training_pipeline_oracle_sql() -> str:
     """
 
 
+def _kg_record_analysis_oracle_sql() -> str:
+    """Twin of q_kg_record_analysis: bounded node-context map (top-200
+    subjects by edge count, first 3 predicates x first 3 objects,
+    sorted), substring hits of node names in lowercased document text
+    (first 6, name order), and the annotation prose assembled with
+    ordered string_aggs."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({_kg_edges_oracle_sql()}),
+        ra_keep AS MATERIALIZED (
+          SELECT src FROM (
+            SELECT src, count(*) AS cnt FROM e GROUP BY src
+            ORDER BY cnt DESC, src ASC LIMIT 200)
+        ),
+        ra_triples AS (
+          SELECT DISTINCT t.src, t.predicate, t.dst
+          FROM e t JOIN ra_keep USING (src)
+        ),
+        ra_pred AS (
+          SELECT src, predicate,
+                 dense_rank() OVER (PARTITION BY src ORDER BY predicate)
+                   AS pr
+          FROM (SELECT DISTINCT src, predicate FROM ra_triples)
+        ),
+        ra_objs AS (
+          SELECT src, predicate, dst,
+                 row_number() OVER (PARTITION BY src, predicate
+                                    ORDER BY dst) AS orn
+          FROM ra_triples
+        ),
+        tq_ents AS (
+          SELECT DISTINCT s FROM (
+            SELECT src AS s FROM ra_triples
+            UNION ALL SELECT dst FROM ra_triples)
+        ),
+        {_TITLE_TC_SQL},
+        ra_lines AS (
+          SELECT o.src, o.predicate,
+                 '  - ' || ts.t || ' ' || replace(o.predicate, '_', ' ')
+                   || ': ' || string_agg(tobj.t, ', ' ORDER BY o.dst)
+                   AS line
+          FROM ra_objs o
+          JOIN ra_pred p ON p.src = o.src AND p.predicate = o.predicate
+          JOIN tq_tc ts ON ts.s = o.src
+          JOIN tq_tc tobj ON tobj.s = o.dst
+          WHERE p.pr <= 3 AND o.orn <= 3
+          GROUP BY o.src, o.predicate, ts.t
+        ),
+        ra_hits AS (
+          SELECT doc_id, name FROM (
+            SELECT d.doc_id, n.src AS name,
+                   row_number() OVER (PARTITION BY d.doc_id
+                                      ORDER BY n.src) AS hr
+            FROM documents d
+            JOIN (SELECT src FROM ra_keep WHERE length(src) >= 4) n
+              ON strpos(lower(coalesce(d.text, '')), n.src) > 0
+          ) WHERE hr <= 6
+        ),
+        ra_el AS (
+          SELECT h.doc_id,
+                 string_agg(tn.t, ', ' ORDER BY h.name) AS elements_text
+          FROM ra_hits h JOIN tq_tc tn ON tn.s = h.name
+          GROUP BY h.doc_id
+        ),
+        ra_gt AS (
+          SELECT h.doc_id,
+                 string_agg(l.line, chr(10) ORDER BY h.name, l.predicate)
+                   AS graph_text
+          FROM ra_hits h JOIN ra_lines l ON l.src = h.name
+          GROUP BY h.doc_id
+        ),
+        ra_doc AS (
+          SELECT el.doc_id, el.elements_text, gt.graph_text
+          FROM ra_el el JOIN ra_gt gt USING (doc_id)
+        )
+        SELECT 'Analyze this record against the knowledge graph: which '
+                 || 'recorded concepts does it involve and what do they '
+                 || 'relate to?' AS instruction,
+               'Record ' || CAST(doc_id AS VARCHAR) || '.' AS input,
+               'Record Analysis (' || CAST(doc_id AS VARCHAR) || '):'
+                 || chr(10) || chr(10)
+                 || 'Concepts Present: ' || elements_text
+                 || chr(10) || chr(10)
+                 || 'Graph-Derived Context:' || chr(10) || graph_text
+                 || chr(10) || chr(10)
+                 || 'The record involves ' || elements_text
+                 || '; the graph context above lists each concept''s '
+                 || 'recorded relationships.' AS output,
+               'record_analysis' AS category
+        FROM ra_doc
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -13762,6 +13854,7 @@ ORACLE_SQL: dict[str, str] = {
     "scenario_eval": _scenario_eval_oracle_sql(),
     "graph_betweenness": _betweenness_oracle_sql(),
     "kg_training_pipeline": _kg_training_pipeline_oracle_sql(),
+    "kg_record_analysis": _kg_record_analysis_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
