@@ -569,19 +569,30 @@ def q_kg_triples_std(sf_dir: str):
 
 
 def q_kg_incremental(sf_dir: str):
-    """Release-to-release delta canonicalization (rows-only — the KG
-    stages are model-dependent): release 1 = full Phase 2 over ~70% of
-    pages (stable url-hash split); release 2 standardizes the other
-    30% against the FROZEN release-1 alias map via
-    ``incremental_standardize`` — known entities keep their published
-    canonicals, novels attach by norm key or elect among themselves."""
+    """Release-to-release delta canonicalization: release 1 = full
+    Phase 2 over ~70% of pages (portable md5 url split); release 2
+    standardizes the other 30% against the FROZEN release-1 alias map
+    via ``incremental_standardize`` — known entities keep their
+    published canonicals, novels attach by norm key or elect among
+    themselves. Hash-exact vs :func:`_kg_incremental_oracle_sql`."""
     from ..stages.canonicalize import incremental_standardize
 
     raw = q_kg_triples_raw(sf_dir).materialize()
 
     def _side(keep_old: bool):
         def _f(b: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(b["url"], index=False) % 10
+            import hashlib
+
+            # portable url split (md5, not the engine-specific pandas
+            # hash) so the release partition reproduces in SQL
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") % 10
+                    for u in b["url"].astype(str)
+                ),
+                dtype=np.int64,
+                count=len(b),
+            )
             m = (h < 7) if keep_old else (h >= 7)
             return b[m]
 
@@ -11869,6 +11880,80 @@ def _kg_record_analysis_oracle_sql() -> str:
     """
 
 
+def _kg_incremental_oracle_sql() -> str:
+    """Twin of q_kg_incremental — the release-to-release contract in
+    SQL over the raw twin: the portable md5 url split (70/30), the
+    release-1 alias map (identity first pass + stem merges, the same
+    corpus-simple election as the kg_triples_std twin), frozen-alias
+    application for release-2 entities seen in release 1, and the
+    novel election (stem merges restricted to novels). Norm-key
+    attach is structurally dead here: single-token entities make the
+    election key the identity, so a key match IS a frozen hit."""
+    return f"""
+        WITH rawt AS ({_kg_triples_raw_oracle_sql()}),
+        tagged AS MATERIALIZED (
+          SELECT *,
+                 ('0x' || substr(md5(url), 1, 16))::UBIGINT % 10 AS ub
+          FROM rawt
+        ),
+        old_r AS (SELECT * FROM tagged WHERE ub < 7),
+        new_r AS (SELECT * FROM tagged WHERE ub >= 7),
+        ents_old AS (
+          SELECT DISTINCT entity FROM (
+            SELECT subject AS entity FROM old_r
+            UNION ALL SELECT object FROM old_r)
+        ),
+        ord_old AS (
+          SELECT entity, substr(entity, 1, 4) AS stem,
+                 row_number() OVER (ORDER BY length(entity), entity) AS r
+          FROM ents_old WHERE length(entity) > 4
+        ),
+        merges_old AS (
+          SELECT t.entity AS variant, s.entity AS standard
+          FROM ord_old t JOIN ord_old s ON s.stem = t.stem AND s.r < t.r
+          QUALIFY row_number() OVER (PARTITION BY t.entity
+                                     ORDER BY s.r DESC) = 1
+        ),
+        ents_new AS (
+          SELECT DISTINCT entity FROM (
+            SELECT subject AS entity FROM new_r
+            UNION ALL SELECT object FROM new_r)
+        ),
+        novel AS (
+          SELECT entity FROM ents_new
+          WHERE entity NOT IN (SELECT entity FROM ents_old)
+        ),
+        ord_nov AS (
+          SELECT entity, substr(entity, 1, 4) AS stem,
+                 row_number() OVER (ORDER BY length(entity), entity) AS r
+          FROM novel WHERE length(entity) > 4
+        ),
+        merges_nov AS (
+          SELECT t.entity AS variant, s.entity AS standard
+          FROM ord_nov t JOIN ord_nov s ON s.stem = t.stem AND s.r < t.r
+          QUALIFY row_number() OVER (PARTITION BY t.entity
+                                     ORDER BY s.r DESC) = 1
+        ),
+        amap AS MATERIALIZED (
+          SELECT e.entity AS variant,
+                 coalesce(mo.standard, e.entity) AS standard
+          FROM ents_new e
+          JOIN ents_old o ON o.entity = e.entity
+          LEFT JOIN merges_old mo ON mo.variant = e.entity
+          UNION ALL
+          SELECT n.entity, coalesce(mn.standard, n.entity)
+          FROM novel n LEFT JOIN merges_nov mn ON mn.variant = n.entity
+        )
+        SELECT r.url, r.chunk_id, r.seq,
+               ms.standard AS subject, r.predicate,
+               mo2.standard AS object
+        FROM new_r r
+        JOIN amap ms ON ms.variant = r.subject
+        JOIN amap mo2 ON mo2.variant = r.object
+        WHERE ms.standard <> mo2.standard
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -13855,6 +13940,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_betweenness": _betweenness_oracle_sql(),
     "kg_training_pipeline": _kg_training_pipeline_oracle_sql(),
     "kg_record_analysis": _kg_record_analysis_oracle_sql(),
+    "kg_incremental": _kg_incremental_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
