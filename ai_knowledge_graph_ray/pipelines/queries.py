@@ -4378,9 +4378,9 @@ def _validation_oracle_sql() -> str:
 def q_corpus_curation(sf_dir: str):
     """Flagship training-data curation chain (NFC -> exact dedup ->
     Gopher gate -> mixture sample -> shard packing) returning the
-    curated manifest. Rows-only end-to-end (each step is individually
-    oracle- or twin-pinned); funnel monotonicity pinned in
-    test_curation."""
+    curated manifest. Hash-exact END TO END vs
+    :func:`_corpus_curation_oracle_sql` (each step also individually
+    twin-pinned); funnel monotonicity pinned in test_curation."""
     from .curation import curate_corpus
 
     docs = read_parquet_clean(
@@ -6258,7 +6258,10 @@ def q_doc_token_shards(sf_dir: str):
     uint32 id encoding -> distributed prefix-sum packing -> one .bin
     file per shard (atomic), docs kept whole. Returns the loader
     manifest (paths dropped: they live under a fresh /tmp dir per
-    run). Rows-only; the byte-level roundtrip is pinned by pytest."""
+    run). Hash-exact: per-doc token counts are vocab-independent
+    (OOV encodes as <unk>) so the manifest reduces to the
+    doc_pack_shards placement formula; the byte-level roundtrip stays
+    pinned by pytest."""
     import tempfile
 
     from ..stages.packing import write_token_shards
@@ -11954,6 +11957,52 @@ def _kg_incremental_oracle_sql() -> str:
     """
 
 
+def _corpus_curation_oracle_sql() -> str:
+    """Twin of q_corpus_curation — the 5-step curation funnel in SQL:
+    DuckDB nfc_normalize (byte-identical to Python, pinned by the NFC
+    twin), min-id exact dedup on the normalized text, the Gopher gate
+    twin retargeted at the deduped docs, the Lehmer mixture threshold
+    (shared constants), and the prefix-sum shard placement."""
+    gate = _gopher_oracle_sql().replace("FROM documents", "FROM docs_nfc")
+    cases = "\n".join(
+        f"            WHEN '{g}' THEN {(m * _LEHMER_MOD) // 1000}"
+        for g, m in MIXTURE_RATES_MILLI.items()
+    )
+    default_thr = (MIXTURE_DEFAULT_MILLI * _LEHMER_MOD) // 1000
+    return f"""
+        WITH nfc_all AS (
+          SELECT doc_id, source, nfc_normalize(coalesce(text, '')) AS text
+          FROM documents
+        ),
+        docs_nfc AS MATERIALIZED (
+          SELECT doc_id, source, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) AS rn
+            FROM nfc_all) WHERE rn = 1
+        ),
+        gate AS MATERIALIZED ({gate}),
+        survivors AS (
+          SELECT g.doc_id, g.n_tokens, d.source
+          FROM gate g JOIN docs_nfc d USING (doc_id)
+          WHERE g.keep = 1
+        ),
+        sampled AS (
+          SELECT * FROM survivors
+          WHERE ((doc_id % {_LEHMER_MOD}) * {_LEHMER_MULT}) % {_LEHMER_MOD}
+                < CASE source
+{cases}
+            ELSE {default_thr} END
+        )
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) // 20000 AS BIGINT) AS shard_id
+        FROM sampled
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -13941,6 +13990,7 @@ ORACLE_SQL: dict[str, str] = {
     "kg_training_pipeline": _kg_training_pipeline_oracle_sql(),
     "kg_record_analysis": _kg_record_analysis_oracle_sql(),
     "kg_incremental": _kg_incremental_oracle_sql(),
+    "corpus_curation": _corpus_curation_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
@@ -15725,6 +15775,29 @@ ORACLE_SQL: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ), 0) // 2048 AS BIGINT) AS shard_id
         FROM t
+    """,
+    # tokenized-shard manifest twin: per-doc \w+ token counts (OOV
+    # encodes as <unk> so the count is vocab-independent), the same
+    # prefix-sum // budget placement as doc_pack_shards (budget 4096),
+    # grouped to (shard_id, n_docs, n_tokens)
+    "doc_token_shards": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(coalesce(text,'')), '\w+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        placed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) // 4096 AS BIGINT) AS shard_id
+          FROM t
+        )
+        SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM placed GROUP BY shard_id
     """,
     "doc_token_quantiles": f"""
         WITH t AS (SELECT {_N_TOKENS_SQL} AS v FROM documents),
