@@ -2414,7 +2414,9 @@ def q_media_features(sf_dir: str):
 def q_media_png_decode(sf_dir: str):
     """REAL image decode (dependency-free PNG codec): synthesize actual
     PNG payloads from the documents corpus, decode + feature-extract in
-    the actor pool, report per-image shape + decode status."""
+    the actor pool, report per-image shape + decode status. Hash-exact:
+    the SQL twin derives the expected dims from the synthesis formula,
+    so a codec roundtrip regression breaks the hash."""
     from ..stages.multimodal import extract_media_features, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir, media_type="png")
@@ -2426,7 +2428,8 @@ def q_media_png_decode(sf_dir: str):
 def q_media_png_resize(sf_dir: str):
     """REAL image resize: decode the synthesized PNGs, nearest-neighbor
     resize to 32x32 in the actor pool, re-encode; emits the resized
-    payloads + dims."""
+    payloads + dims. Hash-exact vs the constant-dims twin (a decode or
+    re-encode failure flips resize_ok)."""
     from ..stages.multimodal import resize_images, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir, media_type="png")
@@ -2437,7 +2440,8 @@ def q_media_png_resize(sf_dir: str):
 
 def q_media_wav_decode(sf_dir: str):
     """REAL audio decode (stdlib WAV/PCM codec): synthesize genuine WAV
-    payloads, decode + feature-extract in the actor pool."""
+    payloads, decode + feature-extract in the actor pool. Hash-exact vs
+    the synthesis-formula twin (n_samples = 400 + byte*8, rate 8000)."""
     from ..stages.multimodal import extract_media_features, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir, media_type="wav")
@@ -2448,7 +2452,8 @@ def q_media_wav_decode(sf_dir: str):
 
 def q_media_wav_resample(sf_dir: str):
     """REAL audio resample: decode the synthesized WAVs, linear
-    resample 8 kHz -> 4 kHz in the actor pool, re-encode."""
+    resample 8 kHz -> 4 kHz in the actor pool, re-encode. Hash-exact vs
+    the synthesis-formula twin (output length n//2, rate 4000)."""
     from ..stages.multimodal import resample_audio, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir, media_type="wav")
@@ -13991,6 +13996,58 @@ ORACLE_SQL: dict[str, str] = {
     "kg_record_analysis": _kg_record_analysis_oracle_sql(),
     "kg_incremental": _kg_incremental_oracle_sql(),
     "corpus_curation": _corpus_curation_oracle_sql(),
+    # media decode/resize/resample twins: the synthesized payload dims
+    # are a pure md5 function of (doc_id, text[:64]) — the SQL side
+    # derives the EXPECTED decoded shape from the synthesis formula,
+    # so a codec roundtrip regression (wrong dims, decode failure)
+    # breaks the hash loudly. Content-dependent features stay
+    # rows-only (the pixel/sample streams are MT19937-generated).
+    "media_png_decode": r"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':'
+                     || substr(coalesce(text,''), 1, 64)) AS h
+          FROM documents)
+        SELECT media_id,
+               CAST(8 + ('0x' || substr(h, 9, 2))::BIGINT % 9 AS BIGINT)
+                 AS height,
+               CAST(8 + ('0x' || substr(h, 11, 2))::BIGINT % 9 AS BIGINT)
+                 AS width,
+               TRUE AS decode_ok
+        FROM m
+    """,
+    "media_wav_decode": r"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':'
+                     || substr(coalesce(text,''), 1, 64)) AS h
+          FROM documents)
+        SELECT media_id,
+               CAST(400 + ('0x' || substr(h, 9, 2))::BIGINT * 8 AS BIGINT)
+                 AS height,
+               CAST(8000 AS BIGINT) AS width,
+               TRUE AS decode_ok
+        FROM m
+    """,
+    "media_wav_resample": r"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':'
+                     || substr(coalesce(text,''), 1, 64)) AS h
+          FROM documents)
+        SELECT media_id,
+               CAST((400 + ('0x' || substr(h, 9, 2))::BIGINT * 8) // 2
+                 AS BIGINT) AS height,
+               CAST(4000 AS BIGINT) AS width,
+               TRUE AS resample_ok
+        FROM m
+    """,
+    "media_png_resize": """
+        SELECT doc_id AS media_id,
+               CAST(32 AS BIGINT) AS height, CAST(32 AS BIGINT) AS width,
+               TRUE AS resize_ok
+        FROM documents
+    """,
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
