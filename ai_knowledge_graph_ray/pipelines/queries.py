@@ -6251,11 +6251,25 @@ def q_events_hourly_profile(sf_dir: str):
 def q_embedding_curation(sf_dir: str):
     """Vector-side curation composite: hash-embed docs -> SemDeDup ->
     PQ-encode the survivors to 8-byte codes (the compressed index a
-    100-TB retrieval system stores). Rows-only; stage behaviors pinned
-    by their own tests."""
+    100-TB retrieval system stores). Hash-exact END TO END vs
+    :func:`_embedding_curation_oracle_sql`; the code bytes project to
+    hex (the driver compare hashes strings, not blobs). Stage
+    behaviors also pinned by their own tests."""
     from .curation import curate_embeddings
 
-    return curate_embeddings(_docs(sf_dir))
+    out = curate_embeddings(_docs(sf_dir))
+
+    def _hex(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "code_hex": pa.array(
+                    [bytes(x).hex() for x in b["code"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return out.map_batches(_hex, batch_format="pyarrow")
 
 
 def q_doc_token_shards(sf_dir: str):
@@ -12008,6 +12022,246 @@ def _corpus_curation_oracle_sql() -> str:
     """
 
 
+def _embedding_curation_oracle_sql(
+    dim: int = 64,
+    k_clusters: int = 8,
+    km_iters: int = 5,
+    threshold: float = 0.95,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 4,
+) -> str:
+    """Twin of q_embedding_curation — the WHOLE vector-side curation
+    chain in SQL: feature-hash embed (the doc_embed twin at dim 64),
+    unit fixed-point quantization, the k=8 Lloyd fit + assignment
+    (k-means twin pattern), SemDeDup within-cluster cosine >= 0.95
+    edges closed by recursive min-label components (the cosine sums
+    are EXACT — products of 2^-20-quantized values stay below 2^53),
+    survivor anti-join, and the m=8 x k=16 PQ codebooks (4 Lloyd
+    rounds with the subspace as a key column) encoded to the hex-built
+    8-byte code blob."""
+    scale = 1 << 20
+    dsub = dim // pq_m
+    head = f"""
+        WITH toks_ec AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+')) AS token
+          FROM documents
+        ),
+        slots_ec AS (
+          SELECT doc_id,
+                 ('0x' || substr(h, 1, 8))::BIGINT % {dim} AS idx,
+                 CASE WHEN strpos('13579bdf', substr(h, 10, 1)) > 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM (SELECT doc_id, md5('13:' || token) AS h FROM toks_ec)
+        ),
+        hist_ec AS (
+          SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS c
+          FROM slots_ec GROUP BY doc_id, idx
+        ),
+        norm_ec AS (
+          SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS s2
+          FROM hist_ec GROUP BY doc_id
+        ),
+        emb AS MATERIALIZED (
+          SELECT d.doc_id AS vec_id, CAST(u.dd AS BIGINT) AS d,
+                 CASE WHEN n.s2 IS NULL OR n.s2 = 0 THEN 0.0
+                      ELSE CAST(coalesce(h.c, 0) AS DOUBLE)
+                           / sqrt(CAST(n.s2 AS DOUBLE)) END AS x
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range({dim})) AS dd) u
+          LEFT JOIN hist_ec h ON h.doc_id = d.doc_id AND h.idx = u.dd
+          LEFT JOIN norm_ec n ON n.doc_id = d.doc_id
+        ),
+        unrm AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM emb GROUP BY vec_id
+        ),
+        fu AS MATERIALIZED (
+          SELECT e.vec_id, e.d,
+                 CAST(roundbankers(
+                   e.x / greatest(u.nrm, 1e-12) * {scale}.0, 0) AS BIGINT)
+                   AS fx
+          FROM emb e JOIN unrm u USING (vec_id)
+        ),
+        fr AS MATERIALIZED (
+          SELECT vec_id, d,
+                 CAST(roundbankers(x * {scale}.0, 0) AS BIGINT) AS fx
+          FROM emb
+        ),
+        kseeds AS (
+          SELECT vec_id, CAST(row_number() OVER (
+                   ORDER BY (vec_id * 48271) % 2147483647, vec_id) - 1
+                 AS BIGINT) AS cluster
+          FROM (SELECT DISTINCT vec_id FROM emb)
+          QUALIFY row_number() OVER (
+            ORDER BY (vec_id * 48271) % 2147483647, vec_id) <= {k_clusters}
+        ),
+        kc0 AS MATERIALIZED (
+          SELECT s.cluster, f.d, CAST(f.fx AS DOUBLE) / {scale}.0 AS val
+          FROM kseeds s JOIN fu f ON f.vec_id = s.vec_id
+        )"""
+    steps = []
+    for i in range(1, km_iters + 1):
+        steps.append(f""",
+        ks{i} AS (
+          SELECT f.vec_id, c.cluster,
+                 sum(CAST(f.fx AS DOUBLE) / {scale}.0 * c.val) AS score
+          FROM fu f JOIN kc{i - 1} c ON c.d = f.d
+          GROUP BY f.vec_id, c.cluster
+        ),
+        ka{i} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn
+            FROM ks{i}) WHERE rn = 1
+        ),
+        ku{i} AS (
+          SELECT a.cluster, f.d,
+                 CAST(sum(f.fx) AS BIGINT) AS sfx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ka{i} a JOIN fu f ON f.vec_id = a.vec_id
+          GROUP BY a.cluster, f.d
+        ),
+        km{i} AS (
+          SELECT cluster, d,
+                 CAST(sfx AS DOUBLE) / CAST(cnt * {scale} AS DOUBLE) AS mean
+          FROM ku{i}
+        ),
+        kn{i} AS (
+          SELECT cluster, sqrt(sum(mean * mean)) AS nrm
+          FROM km{i} GROUP BY cluster
+        ),
+        kc{i} AS MATERIALIZED (
+          SELECT p.cluster, p.d,
+                 CASE WHEN nn.nrm > 1e-12 THEN m.mean / nn.nrm
+                      ELSE p.val END AS val
+          FROM kc{i - 1} p
+          LEFT JOIN km{i} m ON m.cluster = p.cluster AND m.d = p.d
+          LEFT JOIN kn{i} nn ON nn.cluster = p.cluster
+        )""")
+    dedup = f""",
+        kfin AS (
+          SELECT vec_id, cluster FROM (
+            SELECT f.vec_id, c.cluster, row_number() OVER (
+              PARTITION BY f.vec_id ORDER BY
+                sum(CAST(f.fx AS DOUBLE) / {scale}.0 * c.val) DESC,
+                c.cluster ASC) AS rn
+            FROM fu f JOIN kc{km_iters} c ON c.d = f.d
+            GROUP BY f.vec_id, c.cluster) WHERE rn = 1
+        ),
+        simp AS (
+          SELECT a.vec_id AS hi, b.vec_id AS lo
+          FROM kfin a JOIN kfin b
+            ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+          JOIN (SELECT fa.vec_id AS va, fb.vec_id AS vb,
+                       sum(CAST(fa.fx AS DOUBLE) / {scale}.0
+                           * (CAST(fb.fx AS DOUBLE) / {scale}.0)) AS sim
+                FROM fu fa JOIN fu fb ON fa.d = fb.d
+                GROUP BY fa.vec_id, fb.vec_id) s
+            ON s.va = a.vec_id AND s.vb = b.vec_id
+          WHERE s.sim >= {threshold}
+        ),
+        sym AS (SELECT hi AS u, lo AS v FROM simp
+                UNION ALL SELECT lo, hi FROM simp),
+        reach AS (
+          WITH RECURSIVE r(a, b) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
+          ) SELECT * FROM r
+        ),
+        dmap AS (
+          SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS rep
+          FROM reach GROUP BY a HAVING min(b) <> a
+        ),
+        surv AS MATERIALIZED (
+          SELECT vec_id FROM (SELECT DISTINCT vec_id FROM emb)
+          WHERE vec_id NOT IN (SELECT vec_id FROM dmap)
+        ),
+        pseeds AS (
+          SELECT vec_id, CAST(row_number() OVER (
+                   ORDER BY (vec_id * 48271) % 2147483647, vec_id) - 1
+                 AS BIGINT) AS cl
+          FROM surv
+          QUALIFY row_number() OVER (
+            ORDER BY (vec_id * 48271) % 2147483647, vec_id) <= {pq_k}
+        ),
+        frs AS MATERIALIZED (
+          SELECT f.vec_id, f.d // {dsub} AS s, f.d % {dsub} AS j, f.fx
+          FROM fr f JOIN surv USING (vec_id)
+        ),
+        sx2 AS MATERIALIZED (
+          SELECT vec_id, s,
+                 sum((CAST(fx AS DOUBLE) / {scale}.0)
+                     * (CAST(fx AS DOUBLE) / {scale}.0)) AS v
+          FROM frs GROUP BY vec_id, s
+        ),
+        pb0 AS MATERIALIZED (
+          SELECT f.s, p.cl, f.j, CAST(f.fx AS DOUBLE) / {scale}.0 AS val
+          FROM pseeds p JOIN frs f ON f.vec_id = p.vec_id
+        )"""
+    psteps = []
+    for i in range(1, pq_iters + 1):
+        psteps.append(f""",
+        pd{i} AS (
+          SELECT f.vec_id, f.s, b.cl,
+                 sum(CAST(f.fx AS DOUBLE) / {scale}.0 * b.val) AS dot,
+                 any_value(c2.v) AS sc2
+          FROM frs f
+          JOIN pb{i - 1} b ON b.s = f.s AND b.j = f.j
+          JOIN (SELECT s, cl, sum(val * val) AS v
+                FROM pb{i - 1} GROUP BY s, cl) c2
+            ON c2.s = f.s AND c2.cl = b.cl
+          GROUP BY f.vec_id, f.s, b.cl
+        ),
+        pa{i} AS MATERIALIZED (
+          SELECT vec_id, s, cl FROM (
+            SELECT d.vec_id, d.s, d.cl, row_number() OVER (
+              PARTITION BY d.vec_id, d.s
+              ORDER BY (x2.v - 2.0 * d.dot) + d.sc2 ASC, d.cl ASC) AS rn
+            FROM pd{i} d JOIN sx2 x2
+              ON x2.vec_id = d.vec_id AND x2.s = d.s) WHERE rn = 1
+        ),
+        pu{i} AS (
+          SELECT a.s, a.cl, f.j,
+                 CAST(sum(f.fx) AS BIGINT) AS sfx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM pa{i} a JOIN frs f ON f.vec_id = a.vec_id AND f.s = a.s
+          GROUP BY a.s, a.cl, f.j
+        ),
+        pb{i} AS MATERIALIZED (
+          SELECT p.s, p.cl, p.j,
+                 coalesce(CAST(u.sfx AS DOUBLE)
+                          / CAST(u.cnt * {scale} AS DOUBLE), p.val) AS val
+          FROM pb{i - 1} p
+          LEFT JOIN pu{i} u ON u.s = p.s AND u.cl = p.cl AND u.j = p.j
+        )""")
+    tail = f""",
+        pfin AS (
+          SELECT vec_id, s, cl FROM (
+            SELECT d.vec_id, d.s, d.cl, row_number() OVER (
+              PARTITION BY d.vec_id, d.s
+              ORDER BY (x2.v - 2.0 * d.dot) + d.sc2 ASC, d.cl ASC) AS rn
+            FROM (
+              SELECT f.vec_id, f.s, b.cl,
+                     sum(CAST(f.fx AS DOUBLE) / {scale}.0 * b.val) AS dot,
+                     any_value(c2.v) AS sc2
+              FROM frs f
+              JOIN pb{pq_iters} b ON b.s = f.s AND b.j = f.j
+              JOIN (SELECT s, cl, sum(val * val) AS v
+                    FROM pb{pq_iters} GROUP BY s, cl) c2
+                ON c2.s = f.s AND c2.cl = b.cl
+              GROUP BY f.vec_id, f.s, b.cl
+            ) d JOIN sx2 x2 ON x2.vec_id = d.vec_id AND x2.s = d.s
+          ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(printf('%02x', cl), '' ORDER BY s) AS code_hex
+        FROM pfin GROUP BY vec_id
+    """
+    return head + "".join(steps) + dedup + "".join(psteps) + tail
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -14048,6 +14302,7 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS resize_ok
         FROM documents
     """,
+    "embedding_curation": _embedding_curation_oracle_sql(),
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
