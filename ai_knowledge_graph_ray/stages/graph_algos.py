@@ -438,6 +438,7 @@ def k_hop_neighbors(
     *,
     directed: bool = False,
     num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> ray.data.Dataset:
     """``(entity, hop)`` — minimal hop distance (<= ``hops``) from any
     seed; the distributed twin of the reference's BFS neighborhood
@@ -486,6 +487,26 @@ def k_hop_neighbors(
         )
     ).materialize()
     frontier = visited
+
+    # Count-gated local twin (same policy as multi_source_hops): the
+    # single-source BFS is the multi-source sweep with one label.
+    if und.count() + len(set(seeds)) <= driver_max_edges:
+        seeds_df = pd.DataFrame(
+            {
+                "source": ["_"] * len(set(seeds)),
+                "entity": sorted(set(seeds)),
+                "hop": np.int64(0),
+            }
+        )
+        out = multi_source_hops_local(und.to_pandas(), seeds_df, hops)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(out["entity"].astype(str), pa.string()),
+                    "hop": pa.array(out["hop"].astype("int64"), pa.int64()),
+                }
+            ).cast(HOP_SCHEMA)
+        )
 
     for h in range(1, hops + 1):
         hit = cogroup_join(
@@ -1491,6 +1512,37 @@ CLOSENESS_SCHEMA = pa.schema(
 )
 
 
+def multi_source_hops_local(
+    und_df: pd.DataFrame, seeds: pd.DataFrame, hops: int
+) -> pd.DataFrame:
+    """Pure-pandas twin of :func:`_multi_source_sweep` — same
+    merge-per-hop BFS over the SAME (possibly doubled) edge table,
+    minimal hop per (source, entity). The count-gated fast path AND
+    the equivalence-test reference."""
+    visited = seeds[["source", "entity", "hop"]].drop_duplicates(
+        ["source", "entity"]
+    )
+    frontier = visited
+    edges_df = und_df[["src", "dst"]]
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.merge(edges_df, left_on="entity", right_on="src")[
+                ["source", "dst"]
+            ]
+            .rename(columns={"dst": "entity"})
+            .drop_duplicates()
+        )
+        seen = visited["source"] + "\x00" + visited["entity"]
+        fk = nxt["source"] + "\x00" + nxt["entity"]
+        nxt = nxt[~fk.isin(set(seen.to_numpy()))]
+        if len(nxt) == 0:
+            break
+        nxt = nxt.assign(hop=np.int64(h))
+        visited = pd.concat([visited, nxt], ignore_index=True)
+        frontier = nxt
+    return visited
+
+
 def multi_source_hops(
     edges: ray.data.Dataset,
     sources: "list[str] | ray.data.Dataset",
@@ -1498,6 +1550,7 @@ def multi_source_hops(
     *,
     directed: bool = False,
     num_buckets: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> ray.data.Dataset:
     """``(source, entity, hop)`` — minimal hop distance (<= ``hops``)
     from EACH source independently, in one shared BFS: the frontier
@@ -1529,19 +1582,32 @@ def multi_source_hops(
             ),
             batch_format="pyarrow",
         ).materialize()
-        return _multi_source_sweep(
-            und, visited, hops, num_buckets=num_buckets
+    else:
+        srcs = sorted(set(sources))
+        visited = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(srcs, pa.string()),
+                    "entity": pa.array(srcs, pa.string()),
+                    "hop": pa.array([0] * len(srcs), pa.int64()),
+                }
+            )
+        ).materialize()
+
+    # Count-gated local twin (same policy as every other graph op):
+    # `hops` distributed rounds cost `hops` fixed-latency exchanges —
+    # seconds of pure overhead on a toy graph pandas closes instantly.
+    if und.count() + visited.count() <= driver_max_edges:
+        out = multi_source_hops_local(und.to_pandas(), visited.to_pandas(), hops)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(out["source"].astype(str), pa.string()),
+                    "entity": pa.array(out["entity"].astype(str), pa.string()),
+                    "hop": pa.array(out["hop"].astype("int64"), pa.int64()),
+                }
+            ).cast(MS_HOP_SCHEMA)
         )
-    srcs = sorted(set(sources))
-    visited = ray.data.from_arrow(
-        pa.table(
-            {
-                "source": pa.array(srcs, pa.string()),
-                "entity": pa.array(srcs, pa.string()),
-                "hop": pa.array([0] * len(srcs), pa.int64()),
-            }
-        )
-    ).materialize()
     return _multi_source_sweep(und, visited, hops, num_buckets=num_buckets)
 
 

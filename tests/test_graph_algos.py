@@ -209,6 +209,47 @@ class TestGraphQueries:
         assert [r["node"] for r in res] == ["block", "order_block", "blocker"]
 
 
+class TestMultiSourceHopsGate:
+    def test_khop_local_and_distributed_paths_identical(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import k_hop_neighbors
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("a", "x")]
+        for hops in (1, 3):
+            loc = sorted(
+                (r["entity"], r["hop"])
+                for r in k_hop_neighbors(_ds(pairs), ["a"], hops).take_all()
+            )
+            dist = sorted(
+                (r["entity"], r["hop"])
+                for r in k_hop_neighbors(
+                    _ds(pairs), ["a"], hops, driver_max_edges=0
+                ).take_all()
+            )
+            assert loc == dist and len(loc) > 0
+
+    def test_local_and_distributed_paths_identical(self):
+        from ai_knowledge_graph_ray.stages.graph_algos import multi_source_hops
+
+        pairs = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("x", "y"), ("a", "x"), ("b", "c"),  # dup edge
+        ]
+        for hops in (1, 2, 4):
+            loc = sorted(
+                (r["source"], r["entity"], r["hop"])
+                for r in multi_source_hops(
+                    _ds(pairs), ["a", "x"], hops
+                ).take_all()
+            )
+            dist = sorted(
+                (r["source"], r["entity"], r["hop"])
+                for r in multi_source_hops(
+                    _ds(pairs), ["a", "x"], hops, driver_max_edges=0
+                ).take_all()
+            )
+            assert loc == dist and len(loc) > 0
+
+
 class TestLabelPropagation:
     def test_two_cliques_split(self):
         from ai_knowledge_graph_ray.stages.graph_algos import (
