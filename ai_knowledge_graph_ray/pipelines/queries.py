@@ -6057,8 +6057,10 @@ def q_events_target_encoding(sf_dir: str):
 def q_media_vad_segments(sf_dir: str):
     """Energy-threshold voice-activity segments over the REAL decoded
     WAV corpus (stdlib PCM codec in the actor pool): integer per-frame
-    energies, runs merged vectorized. Rows-only (no SQL audio codec);
-    tone/silence boundary behavior pinned by pytest."""
+    energies, runs merged vectorized. Hash-exact: the synthesized tone
+    is a pure sine, so the SQL twin regenerates the exact int16
+    samples and re-derives the segments — a codec roundtrip regression
+    breaks the hash; tone/silence boundaries also pinned by pytest."""
     from ..stages.multimodal import synth_media_from_documents, vad_segments
 
     media = synth_media_from_documents(sf_dir, media_type="wav")
@@ -14303,6 +14305,56 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "embedding_curation": _embedding_curation_oracle_sql(),
+    # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
+    # the SQL side regenerates the exact int16 samples (libm sin is
+    # bit-identical for the same double argument; astype(int16) is
+    # trunc), reframes the integer energies, and re-derives the
+    # gaps-and-islands segments. The decode roundtrip is covered: a
+    # codec regression changes the samples and breaks the hash.
+    "media_vad_segments": r"""
+        WITH meta AS (
+          SELECT doc_id AS media_id,
+                 400 + ('0x' || substr(h, 9, 2))::BIGINT * 8 AS n,
+                 100 + ('0x' || substr(h, 11, 2))::BIGINT AS fb
+          FROM (SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':'
+                           || substr(coalesce(text,''), 1, 64)) AS h
+                FROM documents)
+        ),
+        samp AS (
+          SELECT m.media_id, CAST(u.t AS BIGINT) AS t,
+                 abs(CAST(trunc(10000 * sin(
+                   (2 * pi() * m.fb) * u.t / 8000.0)) AS BIGINT))
+                   AS a
+          FROM meta m, LATERAL (SELECT unnest(range(m.n)) AS t) u
+          WHERE u.t < (m.n // 160) * 160
+        ),
+        energy AS (
+          SELECT media_id, t // 160 AS f,
+                 CAST(sum(a) // 160 AS BIGINT) AS e
+          FROM samp GROUP BY media_id, t // 160
+        ),
+        act AS (
+          SELECT media_id, f, e,
+                 f - row_number() OVER (PARTITION BY media_id
+                                        ORDER BY f) AS isl
+          FROM energy WHERE e > 500
+        ),
+        segs AS (
+          SELECT media_id, min(f) AS start_frame, max(f) + 1 AS end_frame,
+                 CAST(trunc(CAST(sum(e) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS energy_mean
+          FROM act GROUP BY media_id, isl
+        )
+        SELECT media_id,
+               CAST(row_number() OVER (PARTITION BY media_id
+                                       ORDER BY start_frame) - 1
+                    AS BIGINT) AS seg_id,
+               CAST(start_frame AS BIGINT) AS start_frame,
+               CAST(end_frame AS BIGINT) AS end_frame,
+               energy_mean
+        FROM segs
+    """,
     "doc_quality_buckets": _quality_buckets_sql(),
     "events_funnel": """
         WITH v AS (
