@@ -4416,9 +4416,11 @@ BPE_MERGES = 100
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus: one token-count shuffle
     (Heap's-law-gated), merge loop on the word-frequency residue (how
-    practical BPE trainers work). Deterministic merge list; rows-only
-    (iterative argmax isn't SQL-expressible); pinned on the Sennrich
-    hand corpus in test_bpe."""
+    practical BPE trainers work). Deterministic merge list; hash-exact
+    vs :func:`_bpe_merges_oracle_sql` — the data-dependent loop
+    unrolls because termination is permanent and leftmost
+    non-overlapping application is run-parity; also pinned on the
+    Sennrich hand corpus in test_bpe."""
     from ..stages.vocab import bpe_train
 
     docs = read_parquet_clean(_t(sf_dir, "documents"), columns=["text"])
@@ -12264,6 +12266,162 @@ def _embedding_curation_oracle_sql(
     return head + "".join(steps) + dedup + "".join(psteps) + tail
 
 
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Shared CTE chain of the BPE trainer twin: the word-frequency
+    table, char symbols with the ``</w>`` suffix marker, and one
+    (best pair, apply) stage per merge — the data-dependent merge loop
+    unrolls because termination is PERMANENT (an empty best leaves the
+    state unchanged, so every later best is empty too) and the
+    leftmost-non-overlapping application is run-parity over match
+    islands. Distinct words never collide as symbol tuples, so the
+    per-word row state is exact."""
+    head = r"""toks_bpe AS (
+          SELECT unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS word
+          FROM documents
+        ),
+        wc AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks_bpe GROUP BY word
+        ),
+        st0 AS MATERIALIZED (
+          SELECT word, CAST(u.i AS BIGINT) AS pos,
+                 CASE WHEN u.i = length(word)
+                      THEN substr(word, CAST(u.i AS INTEGER), 1) || '</w>'
+                      ELSE substr(word, CAST(u.i AS INTEGER), 1) END AS sym
+          FROM wc, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) u
+        )"""
+    steps = []
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+        best{i} AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT s1.sym AS a, s2.sym AS b, sum(w.cnt) AS c
+            FROM st{i - 1} s1
+            JOIN st{i - 1} s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+            JOIN wc w ON w.word = s1.word
+            GROUP BY s1.sym, s2.sym)
+          WHERE c >= 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+        ),
+        st{i} AS MATERIALIZED (
+          SELECT word,
+                 CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                      AS BIGINT) AS pos,
+                 CASE WHEN app THEN sym || nxt ELSE sym END AS sym
+          FROM (
+            SELECT *, coalesce(lag(app) OVER (PARTITION BY word ORDER BY pos),
+                               FALSE) AS prev_app
+            FROM (
+              SELECT word, pos, sym, nxt, mt,
+                     coalesce(mt AND (row_number() OVER (
+                       PARTITION BY word, isl ORDER BY pos) % 2 = 1),
+                       FALSE) AS app
+              FROM (
+                SELECT *, CASE WHEN mt THEN pos - mrn END AS isl
+                FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY word, mt ORDER BY pos) AS mrn
+                  FROM (
+                    SELECT s.word, s.pos, s.sym,
+                           lead(s.sym) OVER (PARTITION BY s.word
+                                             ORDER BY s.pos) AS nxt,
+                           coalesce(s.sym = (SELECT a FROM best{i})
+                             AND lead(s.sym) OVER (PARTITION BY s.word
+                                                   ORDER BY s.pos)
+                                 = (SELECT b FROM best{i}), FALSE) AS mt
+                    FROM st{i - 1} s)
+                )
+              )
+            )
+          )
+          WHERE NOT prev_app
+        )""")
+    return head + "".join(steps)
+
+
+def _bpe_merges_union(n_merges: int) -> str:
+    return "\n          UNION ALL ".join(
+        f'SELECT {i - 1} AS rank, a AS "left", b AS "right" FROM best{i}'
+        for i in range(1, n_merges + 1)
+    )
+
+
+def _bpe_merges_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """Twin of q_bpe_merges (see :func:`_bpe_train_ctes`)."""
+    return f"""
+        WITH {_bpe_train_ctes(n_merges)}
+        SELECT CAST(rank AS BIGINT) AS rank, "left", "right" FROM (
+          {_bpe_merges_union(n_merges)})
+    """
+
+
+def _bpe_token_counts_oracle_sql(
+    n_merges: int = BPE_MERGES, encode_rounds: int = 10
+) -> str:
+    """Twin of q_doc_bpe_token_counts: the trainer chain above feeds a
+    rank table, and the greedy lowest-rank-first encoder unrolls too —
+    each round merges exactly ONE pair per word (min rank, leftmost on
+    ties), so ``encode_rounds`` >= max word length covers every word;
+    per-doc counts then join the per-word encoded lengths back onto
+    the token stream."""
+    steps = []
+    for j in range(1, encode_rounds + 1):
+        steps.append(f""",
+        pick{j} AS (
+          SELECT word, pos FROM (
+            SELECT e.word, e.pos,
+                   row_number() OVER (PARTITION BY e.word
+                                      ORDER BY r.rank, e.pos) AS rn
+            FROM en{j - 1} e
+            JOIN en{j - 1} e2 ON e2.word = e.word AND e2.pos = e.pos + 1
+            JOIN ranks r ON r."left" = e.sym AND r."right" = e2.sym
+          ) WHERE rn = 1
+        ),
+        en{j} AS MATERIALIZED (
+          SELECT word,
+                 CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                      AS BIGINT) AS pos,
+                 CASE WHEN hit THEN sym || nxt ELSE sym END AS sym
+          FROM (
+            SELECT e.word, e.pos, e.sym,
+                   lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
+                   p.pos IS NOT NULL AND e.pos = p.pos AS hit,
+                   pp.pos IS NOT NULL AND e.pos = pp.pos + 1 AS consumed
+            FROM en{j - 1} e
+            LEFT JOIN pick{j} p ON p.word = e.word AND p.pos = e.pos
+            LEFT JOIN pick{j} pp ON pp.word = e.word AND pp.pos = e.pos - 1
+          )
+          WHERE NOT consumed
+        )""")
+    return f"""
+        WITH {_bpe_train_ctes(n_merges)},
+        ranks AS MATERIALIZED (
+          SELECT CAST(rank AS BIGINT) AS rank, "left", "right" FROM (
+            {_bpe_merges_union(n_merges)})
+        ),
+        en0 AS MATERIALIZED (SELECT * FROM st0)
+        {"".join(steps)},
+        wlen AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+          FROM en{encode_rounds} GROUP BY word
+        ),
+        doc_toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text,'')), '\\w+'))
+                   AS word
+          FROM documents
+        ),
+        per AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(l.n_sym) AS BIGINT) AS n_bpe_tokens
+          FROM doc_toks t JOIN wlen l USING (word)
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -14305,6 +14463,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "embedding_curation": _embedding_curation_oracle_sql(),
+    "bpe_merges": _bpe_merges_oracle_sql(),
+    "doc_bpe_token_counts": _bpe_token_counts_oracle_sql(),
     # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
     # the SQL side regenerates the exact int16 samples (libm sin is
     # bit-identical for the same double argument; astype(int16) is
