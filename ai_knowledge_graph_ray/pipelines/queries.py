@@ -6015,8 +6015,9 @@ def q_media_phash_dedup(sf_dir: str):
     """Perceptual image near-dup: dHash signatures from the REAL PNG
     decode actor pool over the media table with planted byte-different
     re-encodings, resolved through the shared 4x16 Hamming band
-    engine. Rows-only (no SQL PNG codec); the planted-edition mapping
-    is pinned exactly by pytest."""
+    engine. Hash-exact vs :func:`_phash_dedup_oracle_sql` (the dHash
+    chain over the MT19937 pixel stream + the simhash band twin); the
+    planted-edition mapping also pinned exactly by pytest."""
     from ..stages.multimodal import phash_media_dedup, synth_media_with_editions
 
     return phash_media_dedup(synth_media_with_editions(sf_dir))
@@ -7220,8 +7221,11 @@ def q_events_runs(sf_dir: str):
 def q_media_png_histogram(sf_dir: str):
     """Per-image per-channel 16-bin intensity histograms through the
     REAL stdlib PNG decode path (actor pool, codec bound per actor,
-    one vectorized bincount per image) — rows-only; pinned vs a
-    synthetic two-tone payload in pytest."""
+    one vectorized bincount per image). Hash-exact vs
+    :func:`_mt19937_png_hist_oracle_sql` — MT19937 reproduced in SQL
+    regenerates the exact pixel stream, so a codec roundtrip
+    regression breaks the hash; also pinned vs a synthetic two-tone
+    payload in pytest."""
     from ..stages.multimodal import channel_histograms, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir, media_type="png")
@@ -12422,6 +12426,215 @@ def _bpe_token_counts_oracle_sql(
     """
 
 
+def _mt19937_png_hist_oracle_sql() -> str:
+    """Twin of q_media_png_histogram — MT19937 REPRODUCED IN SQL: the
+    synthesized pixel stream is ``RandomState(seed).randint(0, 256,
+    (h, w, 3), uint8)``, i.e. the little-endian bytes of successive
+    tempered 32-bit Mersenne-Twister outputs. The 624-word seed init
+    is one recursive CTE (the 31-bit products fit BIGINT); the twist
+    is ONE parallel phase because every needed word index is < 227
+    (the in-place recurrence only feeds back at stride 397); tempering
+    is shift/mask algebra. The histogram then reduces over the exact
+    regenerated bytes — a PNG codec roundtrip regression changes the
+    decoded pixels and breaks the hash."""
+    return r"""
+        WITH RECURSIVE meta AS (
+          SELECT doc_id AS media_id,
+                 ('0x' || substr(h, 1, 8))::BIGINT AS seed,
+                 (8 + ('0x' || substr(h, 9, 2))::BIGINT % 9)
+                 * (8 + ('0x' || substr(h, 11, 2))::BIGINT % 9) * 3 AS n_bytes
+          FROM (SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':'
+                           || substr(coalesce(text,''), 1, 64)) AS h
+                FROM documents)
+        ),
+        init(media_id, i, mt) AS (
+          SELECT media_id, 0, seed FROM meta
+          UNION ALL
+          SELECT media_id, i + 1,
+                 (1812433253 * xor(mt, mt // 1073741824) + i + 1) % 4294967296
+          FROM init WHERE i < 623
+        ),
+        tw AS (
+          SELECT a.media_id, a.i,
+                 xor(xor(c.mt, ((a.mt // 2147483648) * 2147483648
+                                + (b.mt % 2147483648)) // 2),
+                     CASE WHEN ((a.mt // 2147483648) * 2147483648
+                                + (b.mt % 2147483648)) % 2 = 1
+                          THEN 2567483615 ELSE 0 END) AS mt
+          FROM init a
+          JOIN init b ON b.media_id = a.media_id AND b.i = a.i + 1
+          JOIN init c ON c.media_id = a.media_id AND c.i = a.i + 397
+          WHERE a.i < 192
+        ),
+        tp AS (
+          SELECT media_id, i, xor(y3, y3 // 262144) AS y FROM (
+            SELECT media_id, i,
+                   xor(y2, (y2 * 32768) & 4022730752) AS y3 FROM (
+              SELECT media_id, i,
+                     xor(y1, (y1 * 128) & 2636928640) AS y2 FROM (
+                SELECT media_id, i, xor(mt, mt // 2048) AS y1 FROM tw)))
+        ),
+        pix AS (
+          SELECT t2.media_id, t2.i * 4 + b.j AS t,
+                 CAST((t2.y // CASE b.j WHEN 0 THEN 1 WHEN 1 THEN 256
+                                        WHEN 2 THEN 65536
+                                        ELSE 16777216 END) % 256
+                      AS BIGINT) AS v
+          FROM tp t2, (SELECT unnest(range(4)) AS j) b
+        )
+        SELECT p.media_id,
+               CAST(p.t % 3 AS BIGINT) AS channel,
+               CAST(p.v // 16 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pixels
+        FROM pix p JOIN meta m USING (media_id)
+        WHERE p.t < m.n_bytes
+        GROUP BY p.media_id, p.t % 3, p.v // 16
+    """
+
+
+_MT_PIXEL_CTES = r"""meta AS (
+          SELECT doc_id AS media_id,
+                 ('0x' || substr(h, 1, 8))::BIGINT AS seed,
+                 8 + ('0x' || substr(h, 9, 2))::BIGINT % 9 AS hh,
+                 8 + ('0x' || substr(h, 11, 2))::BIGINT % 9 AS ww
+          FROM (SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':'
+                           || substr(coalesce(text,''), 1, 64)) AS h
+                FROM documents)
+        ),
+        init(media_id, i, mt) AS (
+          SELECT media_id, 0, seed FROM meta
+          UNION ALL
+          SELECT media_id, i + 1,
+                 (1812433253 * xor(mt, mt // 1073741824) + i + 1) % 4294967296
+          FROM init WHERE i < 623
+        ),
+        tw AS (
+          SELECT a.media_id, a.i,
+                 xor(xor(c.mt, ((a.mt // 2147483648) * 2147483648
+                                + (b.mt % 2147483648)) // 2),
+                     CASE WHEN ((a.mt // 2147483648) * 2147483648
+                                + (b.mt % 2147483648)) % 2 = 1
+                          THEN 2567483615 ELSE 0 END) AS mt
+          FROM init a
+          JOIN init b ON b.media_id = a.media_id AND b.i = a.i + 1
+          JOIN init c ON c.media_id = a.media_id AND c.i = a.i + 397
+          WHERE a.i < 192
+        ),
+        tp AS (
+          SELECT media_id, i, xor(y3, y3 // 262144) AS y FROM (
+            SELECT media_id, i,
+                   xor(y2, (y2 * 32768) & 4022730752) AS y3 FROM (
+              SELECT media_id, i,
+                     xor(y1, (y1 * 128) & 2636928640) AS y2 FROM (
+                SELECT media_id, i, xor(mt, mt // 2048) AS y1 FROM tw)))
+        ),
+        pix AS (
+          SELECT t2.media_id, t2.i * 4 + b.j AS t,
+                 CAST((t2.y // CASE b.j WHEN 0 THEN 1 WHEN 1 THEN 256
+                                        WHEN 2 THEN 65536
+                                        ELSE 16777216 END) % 256
+                      AS BIGINT) AS v
+          FROM tp t2, (SELECT unnest(range(4)) AS j) b
+        )"""
+
+
+def _phash_dedup_oracle_sql() -> str:
+    """Twin of q_media_phash_dedup — the dHash chain over the MT19937
+    pixel stream (see :func:`_mt19937_png_hist_oracle_sql` for the
+    generator): integer grayscale means, 8x9 area pooling with
+    zero-filled empty cells, horizontal-neighbor bits packed
+    big-endian, planted editions (every 5th image, pixel-identical)
+    carrying the SAME signature at id + 1e6, then the exact 4x16-band
+    Hamming engine of the simhash twin. PNG re-encode/decode
+    regressions change the decoded pixels and break the hash."""
+    return f"""
+        WITH RECURSIVE {_MT_PIXEL_CTES},
+        gray AS (
+          SELECT p.media_id, (p.t // 3) // m.ww AS y,
+                 (p.t // 3) % m.ww AS x,
+                 CAST(sum(p.v) // 3 AS BIGINT) AS g
+          FROM pix p JOIN meta m USING (media_id)
+          WHERE p.t < m.hh * m.ww * 3
+          GROUP BY p.media_id, (p.t // 3) // m.ww, (p.t // 3) % m.ww
+        ),
+        pooled AS (
+          SELECT g.media_id,
+                 least((g.y * 8) // m.hh, 7) AS r,
+                 least((g.x * 9) // m.ww, 8) AS c,
+                 CAST(sum(g.g) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM gray g JOIN meta m USING (media_id)
+          GROUP BY g.media_id, least((g.y * 8) // m.hh, 7),
+                   least((g.x * 9) // m.ww, 8)
+        ),
+        cells AS (
+          SELECT m.media_id, gr.r, gc.c,
+                 CAST(coalesce(p.s // greatest(p.n, 1), 0) AS BIGINT) AS val
+          FROM meta m
+          CROSS JOIN (SELECT unnest(range(8)) AS r) gr
+          CROSS JOIN (SELECT unnest(range(9)) AS c) gc
+          LEFT JOIN pooled p
+            ON p.media_id = m.media_id AND p.r = gr.r AND p.c = gc.c
+        ),
+        base_sigs AS (
+          SELECT a.media_id,
+                 CAST(CAST(sum(CASE WHEN b.val > a.val
+                   THEN CAST(1::UBIGINT << CAST(63 - (a.r * 8 + a.c)
+                                                AS INTEGER) AS HUGEINT)
+                   ELSE 0 END) AS HUGEINT) AS UBIGINT) AS sig
+          FROM cells a JOIN cells b
+            ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8
+          GROUP BY a.media_id
+        ),
+        sigs AS (
+          SELECT media_id, sig FROM base_sigs
+          UNION ALL
+          SELECT media_id + 1000000, sig FROM base_sigs
+          WHERE media_id % 5 = 0
+        ),
+        bands AS (
+          SELECT media_id, sig,
+                 (((sig >> (16 * bi.b)) & 65535::UBIGINT)::BIGINT
+                  | (bi.b << 16)) AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bi
+        ),
+        ranked AS (
+          SELECT band_key, media_id, sig,
+                 row_number() OVER (PARTITION BY band_key
+                                    ORDER BY media_id) - 1 AS r
+          FROM bands
+        ),
+        cand AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 a.sig AS sig_a, b.sig AS sig_b,
+                 row_number() OVER (PARTITION BY a.band_key
+                                    ORDER BY a.r, b.r) AS rn
+          FROM ranked a JOIN ranked b
+            ON a.band_key = b.band_key AND a.r < b.r
+        ),
+        verified AS (
+          SELECT DISTINCT id_a, id_b FROM cand
+          WHERE rn <= 200 AND bit_count(xor(sig_a, sig_b)) <= 3
+        ),
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach AS (
+          WITH RECURSIVE rr(a, b) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT rr.a, s.v FROM rr JOIN sym s ON rr.b = s.u
+          ) SELECT * FROM rr
+        )
+        SELECT a AS media_id, CAST(min(b) AS BIGINT) AS dup_of
+        FROM reach GROUP BY a HAVING min(b) <> a
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -14464,6 +14677,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "embedding_curation": _embedding_curation_oracle_sql(),
     "bpe_merges": _bpe_merges_oracle_sql(),
+    "media_png_histogram": _mt19937_png_hist_oracle_sql(),
+    "media_phash_dedup": _phash_dedup_oracle_sql(),
     "doc_bpe_token_counts": _bpe_token_counts_oracle_sql(),
     # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
     # the SQL side regenerates the exact int16 samples (libm sin is
