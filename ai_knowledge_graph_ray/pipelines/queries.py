@@ -2403,6 +2403,10 @@ def q_doc_embed(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Fake-decoder feature metadata over the synthesized payloads.
+    Hash-exact vs :func:`_media_features_oracle_sql` — the md5 of the
+    binary payload is recomputed by an RFC-1321 compression
+    implemented in SQL (DuckDB's md5 only takes VARCHAR)."""
     from ..stages.multimodal import extract_media_features, synth_media_from_documents
 
     media = synth_media_from_documents(sf_dir)
@@ -12635,6 +12639,111 @@ def _phash_dedup_oracle_sql() -> str:
     """
 
 
+def _media_features_oracle_sql() -> str:
+    """Twin of q_media_features — MD5 REPRODUCED IN SQL: the fake
+    payload is the 16-byte inner digest repeated 64x, whose md5 DuckDB
+    cannot take directly (BLOBs aren't VARCHAR), so the twin runs the
+    RFC-1321 compression itself: all 16 content blocks share one
+    4-word message pattern (the repeat makes ``M[g] = dw[g % 4]``),
+    plus the 0x80/length padding block — 17 blocks x 64 steps as ONE
+    recursive CTE, with K[i] = trunc(abs(sin(i+1)) * 2^32), the
+    CASE-table shifts, and rotl as multiply/divide mod 2^32. The fake
+    decoder's (h, w) are the first two bytes of the final state + 128."""
+    return r"""
+        WITH RECURSIVE dw AS (
+          SELECT media_id, j,
+                 ('0x' || substr(h, 8*j + 7, 2))::BIGINT * 16777216
+                 + ('0x' || substr(h, 8*j + 5, 2))::BIGINT * 65536
+                 + ('0x' || substr(h, 8*j + 3, 2))::BIGINT * 256
+                 + ('0x' || substr(h, 8*j + 1, 2))::BIGINT AS w
+          FROM (SELECT doc_id AS media_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':'
+                           || substr(coalesce(text,''), 1, 64)) AS h
+                FROM documents),
+               (SELECT unnest(range(4)) AS j)
+        ),
+        md5s(media_id, step, A, B, C, D, sa, sb, sc, sd) AS (
+          SELECT media_id, 0,
+                 1732584193::BIGINT, 4023233417::BIGINT,
+                 2562383102::BIGINT, 271733878::BIGINT,
+                 1732584193::BIGINT, 4023233417::BIGINT,
+                 2562383102::BIGINT, 271733878::BIGINT
+          FROM (SELECT DISTINCT media_id FROM dw)
+          UNION ALL
+          SELECT media_id, step + 1,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sa + D) % 4294967296 ELSE D END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sb + nB) % 4294967296 ELSE nB END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sc + B) % 4294967296 ELSE B END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sd + C) % 4294967296 ELSE C END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sa + D) % 4294967296 ELSE sa END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sb + nB) % 4294967296 ELSE sb END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sc + B) % 4294967296 ELSE sc END,
+                 CASE WHEN (step + 1) % 64 = 0
+                      THEN (sd + C) % 4294967296 ELSE sd END
+          FROM (
+            SELECT media_id, step, A, B, C, D, sa, sb, sc, sd,
+                   (B + ((fkm * CAST(1::UBIGINT << CAST(s AS INTEGER)
+                                     AS BIGINT)) % 4294967296
+                         + fkm // CAST(1::UBIGINT << CAST(32 - s AS INTEGER)
+                                       AS BIGINT))) % 4294967296 AS nB
+            FROM (
+              SELECT *,
+                     (CASE
+                       WHEN i < 16 THEN (B & C) | ((4294967295 - B) & D)
+                       WHEN i < 32 THEN (D & B) | ((4294967295 - D) & C)
+                       WHEN i < 48 THEN xor(B, xor(C, D))
+                       ELSE xor(C, B | (4294967295 - D))
+                     END
+                     + A
+                     + CAST(trunc(abs(sin(CAST(i + 1 AS DOUBLE)))
+                                  * 4294967296) AS BIGINT)
+                     + m) % 4294967296 AS fkm,
+                     CASE i // 16
+                       WHEN 0 THEN CASE i % 4 WHEN 0 THEN 7 WHEN 1 THEN 12
+                                              WHEN 2 THEN 17 ELSE 22 END
+                       WHEN 1 THEN CASE i % 4 WHEN 0 THEN 5 WHEN 1 THEN 9
+                                              WHEN 2 THEN 14 ELSE 20 END
+                       WHEN 2 THEN CASE i % 4 WHEN 0 THEN 4 WHEN 1 THEN 11
+                                              WHEN 2 THEN 16 ELSE 23 END
+                       ELSE CASE i % 4 WHEN 0 THEN 6 WHEN 1 THEN 10
+                                       WHEN 2 THEN 15 ELSE 21 END
+                     END AS s
+              FROM (
+                SELECT ms.media_id, ms.step, ms.A, ms.B, ms.C, ms.D,
+                       ms.sa, ms.sb, ms.sc, ms.sd,
+                       ms.step % 64 AS i,
+                       CASE WHEN ms.step // 64 < 16 THEN d2.w
+                            ELSE CASE g WHEN 0 THEN 128
+                                        WHEN 14 THEN 8192 ELSE 0 END
+                       END AS m
+                FROM (
+                  SELECT *, CASE (step % 64) // 16
+                              WHEN 0 THEN step % 64
+                              WHEN 1 THEN (5 * (step % 64) + 1) % 16
+                              WHEN 2 THEN (3 * (step % 64) + 5) % 16
+                              ELSE (7 * (step % 64)) % 16
+                            END AS g
+                  FROM md5s) ms
+                LEFT JOIN dw d2
+                  ON d2.media_id = ms.media_id AND d2.j = ms.g % 4)
+            )
+          )
+          WHERE step < 1088
+        )
+        SELECT media_id,
+               CAST(128 + (sa % 256) AS BIGINT) AS height,
+               CAST(128 + ((sa // 256) % 256) AS BIGINT) AS width
+        FROM md5s WHERE step = 1088
+    """
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -14679,6 +14788,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": _bpe_merges_oracle_sql(),
     "media_png_histogram": _mt19937_png_hist_oracle_sql(),
     "media_phash_dedup": _phash_dedup_oracle_sql(),
+    "media_features": _media_features_oracle_sql(),
     "doc_bpe_token_counts": _bpe_token_counts_oracle_sql(),
     # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
     # the SQL side regenerates the exact int16 samples (libm sin is
