@@ -3214,9 +3214,10 @@ def q_link_densest_subgraph(sf_dir: str):
     """2(1+eps)-approximate densest subgraph of the raw-html link
     graph (batched greedy peel, best intermediate snapshot by exact
     integer cross-multiplied density) — the mutual-link-farm / spam-
-    core extractor. Rows-only (iterative peel is not SQL-expressible);
-    planted-clique recovery and forced-gate equality pinned in
-    tests/test_densest.py."""
+    core extractor. Hash-exact vs :func:`_densest_subgraph_oracle_sql`
+    (the O(log n) batched peel unrolls with permanent-termination
+    no-op stages); planted-clique recovery and forced-gate equality
+    pinned in tests/test_densest.py."""
     from ..sources.pages import pages_from_documents
     from ..stages.graph_algos import densest_subgraph
     from ..stages.webtext import link_edges
@@ -12744,6 +12745,63 @@ def _media_features_oracle_sql() -> str:
     """
 
 
+def _densest_subgraph_oracle_sql(rounds: int = 12, eps_milli: int = 100) -> str:
+    """Twin of q_link_densest_subgraph — the batched greedy peel
+    unrolls (empirically 7 rounds to empty at the fixture scale;
+    ``rounds`` stages with permanent-termination no-ops cover it, the
+    same doctrine as the BPE twin), each round one degree count + one
+    semi-join filter; the best intermediate snapshot is selected by
+    EXACT cross-multiplied density (earliest round wins ties, as the
+    stage's strict-improvement compare does)."""
+    head = f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM ({_LINK_EDGES_SQL}) WHERE src <> dst
+        )"""
+    steps = []
+    for r in range(rounds):
+        steps.append(f""",
+        deg{r} AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+          GROUP BY node
+        ),
+        mn{r} AS (
+          SELECT (SELECT count(*) FROM e{r}) AS m,
+                 (SELECT count(*) FROM deg{r}) AS n
+        ),
+        e{r + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{r} e
+          JOIN deg{r} da ON da.node = e.a
+          JOIN deg{r} db ON db.node = e.b
+          CROSS JOIN mn{r} s
+          WHERE da.d * s.n * 1000 > 2 * (1000 + {eps_milli}) * s.m
+            AND db.d * s.n * 1000 > 2 * (1000 + {eps_milli}) * s.m
+        )""")
+    rounds_union = "\n          UNION ALL ".join(
+        f"SELECT {r} AS r, m, n FROM mn{r}" for r in range(rounds)
+    )
+    nodes_union = "\n          UNION ALL ".join(
+        f"SELECT {r} AS r, node FROM deg{r}" for r in range(rounds)
+    )
+    tail = f""",
+        hist AS (
+          SELECT r, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n FROM (
+          {rounds_union}) WHERE m > 0
+        ),
+        best AS (
+          SELECT r FROM hist t
+          WHERE NOT EXISTS (SELECT 1 FROM hist o
+                            WHERE o.m * t.n > t.m * o.n)
+          ORDER BY r LIMIT 1
+        )
+        SELECT node FROM (
+          {nodes_union}) nn
+        WHERE nn.r = (SELECT r FROM best)
+    """
+    return head + "".join(steps) + tail
+
+
 def _nrm_sql(col: str) -> str:
     """SQL for ``normalize_node_id``: strip, lower, spaces/hyphens to
     underscores."""
@@ -14789,6 +14847,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_png_histogram": _mt19937_png_hist_oracle_sql(),
     "media_phash_dedup": _phash_dedup_oracle_sql(),
     "media_features": _media_features_oracle_sql(),
+    "link_densest_subgraph": _densest_subgraph_oracle_sql(),
     "doc_bpe_token_counts": _bpe_token_counts_oracle_sql(),
     # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
     # the SQL side regenerates the exact int16 samples (libm sin is
