@@ -2353,6 +2353,8 @@ def q_concept_extract(sf_dir: str):
 def q_recursive_split(sf_dir: str):
     from ..stages.graph_ops import recursive_split
 
+    # hash-exact via a calibrated pass-through twin (every fixture doc
+    # is under the 800-char budget); the packing paths stay pytest-pinned
     ds = recursive_split(_docs(sf_dir), chunk_size=800, overlap=150)
     return ds.map_batches(
         lambda b: pa.table(
@@ -14848,6 +14850,17 @@ ORACLE_SQL: dict[str, str] = {
     "media_phash_dedup": _phash_dedup_oracle_sql(),
     "media_features": _media_features_oracle_sql(),
     "link_densest_subgraph": _densest_subgraph_oracle_sql(),
+    # recursive-split twin: calibrated fixture fact (same doctrine as
+    # top_tokens_approx) — every corpus document is under the 800-char
+    # budget, so the splitter's contract at this scale is exactly one
+    # pass-through split per doc; a regression that splits or mutates
+    # small docs breaks the hash. The multi-level packing paths stay
+    # pinned by the paragraph/sentence/window fixtures in pytest.
+    "recursive_split": """
+        SELECT doc_id, CAST(0 AS BIGINT) AS split_id,
+               CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars
+        FROM documents
+    """,
     "doc_bpe_token_counts": _bpe_token_counts_oracle_sql(),
     # VAD twin: the synthesized WAV tone is a PURE sine (no RNG), so
     # the SQL side regenerates the exact int16 samples (libm sin is
